@@ -1,13 +1,1135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MarketFunctions
+import graft.functions.MarketFunctions._
+import graft.operators.{Aggregates, Relational, Series}
+import graft.pipelines.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.PriceStream
+
+/** Driver contract (SURVEY.md §7): one named query per implemented
+  * operator from SURVEY.md §2, each paired with ANSI SQL the driver runs
+  * in DuckDB over the same parquet tables. Column names and value
+  * derivations are mirrored exactly between the Spark plan and the SQL —
+  * money aggregates accumulate in integer cents and doubles are rounded
+  * where engines could legitimately differ in the last ulp.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Flagship query (P5 positions pipeline) on sf0.001; driver
+    * smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = T(spark, "/root/testdata/sf0.001")
+    Aggregates.positionsWithMarketValue(t.txnsFromEvents, t.txnsFromEvents
+      .select(col("id"), col("symbol"), col("price"), col("date").as("as_of")))
+  }
+
+  // ---------------------------------------------------------------- SQL
+  // Shared CTE bodies mirroring Tables.* adapters (domain relations
+  // derived from the synthetic `events` table — FIXTURES.md §3 mapping).
+
+  private val journalCte =
+    """journal AS (
+      |  SELECT event_id AS id, event_type AS symbol, ts AS date,
+      |         CASE WHEN event_id % 2 = 0 THEN 'Long' ELSE 'Short' END AS direction,
+      |         CAST(event_id % 5 + 1 AS DOUBLE) AS qty,
+      |         value AS entry,
+      |         value * 0.95 AS stop,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value * 1.1 END AS exit,
+      |         value * 0.001 AS fees,
+      |         event_type || ',demo' AS tags
+      |  FROM events)""".stripMargin
+
+  private val txnsCte =
+    """txns AS (
+      |  SELECT event_id AS id, user_id % 10 AS portfolio_id, ts AS date,
+      |         'U' || CAST(user_id AS VARCHAR) AS symbol,
+      |         CASE WHEN event_type = 'purchase' THEN 'BUY'
+      |              WHEN event_type = 'click' THEN 'SELL'
+      |              WHEN event_type = 'view' THEN 'DIV'
+      |              WHEN event_type = 'signup' THEN 'CASH'
+      |              ELSE 'FX' END AS type,
+      |         value % 10.0 + 1.0 AS qty, value AS price, 0.0 AS fees
+      |  FROM events)""".stripMargin
+
+  private val pricesCte =
+    """prices AS (
+      |  SELECT event_id AS id, event_type AS symbol, value AS price,
+      |         ts AS as_of, 'USD' AS currency,
+      |         'src' || CAST(user_id % 2 AS VARCHAR) AS source
+      |  FROM events)""".stripMargin
+
+  private val pnlSql =
+    """CASE WHEN direction = 'Long'
+      |     THEN (COALESCE(exit, 0) - COALESCE(entry, 0)) * COALESCE(qty, 0)
+      |     ELSE (COALESCE(entry, 0) - COALESCE(exit, 0)) * COALESCE(qty, 0)
+      |END - COALESCE(fees, 0)""".stripMargin
+
+  private val rSql =
+    """CASE WHEN abs(COALESCE(entry,0) - COALESCE(stop,0)) = 0
+      |       OR abs(COALESCE(entry,0) - COALESCE(stop,0)) * abs(COALESCE(qty,0)) = 0
+      |     THEN 0.0
+      |     ELSE pnl / (abs(COALESCE(entry,0) - COALESCE(stop,0)) * abs(COALESCE(qty,0)))
+      |END""".stripMargin
+
+  /** DuckDB 60/48-bit md5 hash mirroring MarketFunctions.md5Hash60/48. */
+  private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  private def h48(x: String) = s"('0x' || substr(md5($x), 1, 12))::BIGINT"
+
+  /** DuckDB mirrors of Dedup.words / Dedup.shingles. */
+  private def wordsSql(t: String) =
+    s"list_filter(string_split(regexp_replace(lower(trim($t)), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
+  private def shinglesSql(ws: String, w: Int = 3) =
+    s"""CASE WHEN len($ws) >= $w
+       |  THEN list_transform(range(0, len($ws) - ${w - 1}),
+       |         i -> array_to_string(array_slice($ws, i + 1, i + $w), ' '))
+       |  ELSE [array_to_string($ws, ' ')] END""".stripMargin
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / filters / sorts / pagination (S1, F1-F9, O1-O7) ----
+
+    "s1_scan_page" -> ((s, d) => {
+      Relational.page(T(s, d).events.select("event_id", "event_type", "value"),
+        Seq(col("event_id").desc), limit = 100, offset = 0)
+    }),
+
+    "f1_range_filter" -> ((s, d) => {
+      val e = T(s, d).events
+      Relational.filterAll(e, Seq(
+          col("event_type") === "click",
+          col("ts") >= to_timestamp(lit("2024-01-10")),
+          col("ts") <= to_timestamp(lit("2024-02-01"))))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
+    "f2_journal_filter" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      Relational.filterAll(j, Seq(
+          col("symbol") === "view",
+          col("direction") === "Long",
+          col("tags").contains("vie"),
+          col("date") >= to_timestamp(lit("2024-01-05"))))
+        .select("id", "qty", "entry")
+        .orderBy("id")
+    }),
+
+    "f3_point_lookup" -> ((s, d) => {
+      Relational.pointLookup(T(s, d).events,
+          Seq(col("event_type") === "purchase", col("user_id") === 42),
+          col("event_id"))
+        .select(col("event_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    "o1_page2" -> ((s, d) => {
+      Relational.page(
+        T(s, d).events.filter(col("event_type") === "view")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value")),
+        Seq(col("ts_us").desc, col("event_id").desc),
+        limit = 20, offset = 10)
+    }),
+
+    "f6_ci_filter" -> ((s, d) => {
+      T(s, d).orders
+        .filter(lower(col("o_orderpriority")) === lit("1-urgent"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    "f8_ttl_filter" -> ((s, d) => {
+      Relational.unexpired(
+          T(s, d).events,
+          col("ts") + expr("INTERVAL 7 DAYS"),
+          to_timestamp(lit("2024-01-20")))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    "f9_regex_route" -> ((s, d) => {
+      val fxLike = T(s, d).documents
+        .withColumn("sym", upper(substring(col("text"), 1, 6)))
+      fxLike.filter(MarketFunctions.isFxLike(col("sym")))
+        .select("doc_id", "sym").orderBy("doc_id")
+    }),
+
+    // ---- joins (J1-J5) ----
+
+    "j1_positions" -> ((s, d) => {
+      val t = T(s, d)
+      val txns = t.txnsFromEvents
+      Aggregates.positionsWithMarketValue(txns,
+          txns.select(col("id"), col("symbol"), col("price"),
+            col("date").as("as_of")))
+        .orderBy("symbol")
+    }),
+
+    "j2_dedup_union" -> ((s, d) => {
+      val o = T(s, d).orders
+      val server = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("server").as("src"), col("o_totalprice"))
+      val local = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("local").as("src"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"))
+      Relational.dedupUnion(server, local, "o_orderkey", col("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "j3_backfill_anti" -> ((s, d) => {
+      val o = T(s, d).orders
+      Relational.backfill(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 3 === 0),
+          Seq("o_orderkey"))
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    "j4_cascade_delete" -> ((s, d) => {
+      val t = T(s, d)
+      val deleted = t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Relational.cascadeDelete(t.lineitem, deleted, Seq("l_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "j5_semi_exists" -> ((s, d) => {
+      val t = T(s, d)
+      t.customer.join(t.orders.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "q5_star_revenue" -> ((s, d) => {
+      val t = T(s, d)
+      val cust = t.customer
+      val nat = t.nation
+      val dims = cust.join(broadcast(nat),
+        cust("c_nationkey") === nat("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), Seq("o_custkey"))
+        .groupBy("n_name")
+        .agg(Aggregates.fromCents(sum(Aggregates.cents(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // ---- aggregations (A1-A8, Q1) ----
+
+    "a2_latest_per_key" -> ((s, d) => {
+      Aggregates.latestPerKey(T(s, d).events, "event_type",
+          col("ts"), col("event_id"), col("value"))
+        .select(col("event_type"), col("latest"),
+          unix_micros(col("latest_at")).as("latest_at_us"))
+        .orderBy("event_type")
+    }),
+
+    "a3_overview_stats" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
+        col("entry"), col("exit"), col("fees"))
+      val r = MarketFunctions.rMultiple(pnl, col("entry"), col("stop"),
+        col("qty"))
+      Aggregates.overviewStats(j, pnl, r, Seq(col("symbol")))
+        .orderBy("symbol")
+    }),
+
+    "a5_histogram" -> ((s, d) => {
+      Aggregates.histogram10(T(s, d).events, col("value")).orderBy("bin")
+    }),
+
+    "a6_quote_delta" -> ((s, d) => {
+      Aggregates.quoteDelta(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"))
+        .orderBy("event_type")
+    }),
+
+    "a7_range_change" -> ((s, d) => {
+      Aggregates.rangeChange(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"), lastN = 50)
+        .orderBy("event_type")
+    }),
+
+    "a8_hi_lo_mid" -> ((s, d) => {
+      Aggregates.hiLoMid(T(s, d).events, "event_type", col("value"))
+        .orderBy("event_type")
+    }),
+
+    "q1_lineitem_agg" -> ((s, d) => {
+      val li = T(s, d).lineitem
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          Aggregates.fromCents(sum(Aggregates.cents(col("l_quantity"))))
+            .as("sum_qty"),
+          Aggregates.fromCents(sum(Aggregates.cents(col("l_extendedprice"))))
+            .as("sum_base"),
+          Aggregates.fromCents(sum(Aggregates.cents(
+            col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("cnt"), 6))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- window / series (W1-W9) ----
+
+    "w1_sma5" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .select(col("event_id"), Series.sma(col("value"), 5, w).as("sma"))
+        .orderBy("event_id")
+    }),
+
+    "w2_equity_curve" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      val w = Series.ordered("symbol", col("date"), col("id"))
+      val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
+        col("entry"), col("exit"), col("fees"))
+      j.select(col("id"), Series.cumSum(pnl, w).as("equity"))
+        .orderBy("id")
+    }),
+
+    "w3_rolling_std" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .select(col("event_id"),
+          Series.rollingStd(col("value"), 14, w).as("rstd"))
+        .orderBy("event_id")
+    }),
+
+    "w4_rolling_min" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .select(col("event_id"),
+          Series.rollingMin(col("value"), 14, w).as("rmin"))
+        .orderBy("event_id")
+    }),
+
+    "w5_highest_pos" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      val tw = w.rowsBetween(-13, 0)
+      val staged = T(s, d).events
+        .withColumn("rn", row_number().over(w))
+        .withColumn("hv", max(col("value")).over(tw))
+      staged
+        .select(col("event_id"), col("hv"),
+          max(when(col("value") === col("hv"), col("rn"))).over(tw)
+            .as("hpos"))
+        .orderBy("event_id")
+    }),
+
+    "w6_local_extrema" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .withColumn("is_high", Series.isLocalHigh(col("value"), w))
+        .withColumn("is_low", Series.isLocalLow(col("value"), w))
+        .filter(col("is_high") || col("is_low"))
+        .select("event_id", "is_high", "is_low")
+        .orderBy("event_id")
+    }),
+
+    "w8_lag_delta" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events.filter(col("event_type") === "click")
+        .select(col("event_id"),
+          Series.lagDelta(col("value"), w).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    "w9_topk_recent" -> ((s, d) => {
+      Series.topKRecent(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), 20)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // ---- set ops ----
+
+    "set_union_distinct" -> ((s, d) => {
+      val t = T(s, d)
+      t.orders.select(col("o_orderpriority").as("val"))
+        .unionByName(t.lineitem.select(col("l_returnflag").as("val")))
+        .distinct()
+        .orderBy("val")
+    }),
+
+    // ---- mutations (S5, U1, U4) ----
+
+    "u1_upsert" -> ((s, d) => {
+      val o = T(s, d).orders.select("o_orderkey", "o_totalprice")
+      val target = o.filter(col("o_orderkey") < 1000)
+      val source = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      Relational.upsert(target, source, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "u4_delete_count" -> ((s, d) => {
+      val (remaining, _) = Relational.deleteWhere(T(s, d).orders,
+        col("o_orderstatus") === "O" && col("o_totalprice") < 100000.0)
+      remaining.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "s5_insert_ignore" -> ((s, d) => {
+      val p = T(s, d).pricesFromEvents
+      val batch = p.filter(col("id") < 100).unionByName(
+        p.filter(col("id") < 50)
+          .withColumn("id", col("id") + 100000)
+          .withColumn("as_of", col("as_of") + expr("INTERVAL 1 HOUR")))
+      val (merged, _) = Relational.insertIgnore(p, batch,
+        Seq("symbol", "as_of", "source"))
+      merged.groupBy("symbol", "source").agg(count(lit(1)).as("n"))
+        .orderBy("symbol", "source")
+    }),
+
+    // ---- scalar functions (X1-X14) ----
+
+    "x1_pnl_r" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
+        col("entry"), col("exit"), col("fees"))
+      j.select(col("id"), round(pnl, 6).as("pnl"),
+          round(MarketFunctions.rMultiple(pnl, col("entry"), col("stop"),
+            col("qty")), 6).as("r"))
+        .orderBy("id")
+    }),
+
+    "x3_impact_score" -> ((s, d) => {
+      T(s, d).documents
+        .select(col("doc_id"),
+          MarketFunctions.scoreImpact(col("text"),
+            high = Seq("spark", "join"), medium = Seq("merge", "sort"))
+            .as("impact"))
+        .orderBy("doc_id")
+    }),
+
+    "x4_decimals_atr" -> ((s, d) => {
+      T(s, d).events.select(col("event_type")).distinct()
+        .withColumn("sym", upper(rpad(col("event_type"), 6, "X")))
+        .select(col("sym"),
+          MarketFunctions.priceDecimals(col("sym")).as("decimals"),
+          MarketFunctions.atrGuess(col("sym")).as("atr"))
+        .orderBy("sym")
+    }),
+
+    "x5_pair_parse" -> ((s, d) => {
+      T(s, d).events.select(col("event_type")).distinct()
+        .withColumn("pair", concat(upper(substring(col("event_type"), 1, 3)),
+          lit("/USD")))
+        .select(col("pair"),
+          MarketFunctions.pairBase(col("pair")).as("base"),
+          MarketFunctions.pairQuote(col("pair")).as("quote"))
+        .orderBy("pair")
+    }),
+
+    "x6_levels_extract" -> ((s, d) => {
+      T(s, d).events
+        .select(col("event_id"),
+          regexp_extract(col("props"), "([0-9]+(\\.[0-9]+)?)", 1)
+            .cast("double").as("level"))
+        .orderBy("event_id")
+    }),
+
+    "x7_x9_datetime" -> ((s, d) => {
+      T(s, d).events
+        .select(col("event_id"),
+          MarketFunctions.isoUtc(col("ts")).as("iso"),
+          MarketFunctions.isoDate(col("ts")).as("d"),
+          MarketFunctions.dayName(col("ts")).as("day"))
+        .orderBy("event_id")
+    }),
+
+    "x8_tz_chips" -> ((s, d) => {
+      T(s, d).events
+        .select(col("event_id"),
+          MarketFunctions.tzChip(col("ts"), "America/New_York").as("est"),
+          MarketFunctions.tzChip(col("ts"), "America/Los_Angeles").as("pdt"))
+        .orderBy("event_id")
+    }),
+
+    "x11_signature" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      j.select(col("id"),
+          concat_ws("|", col("symbol"),
+            substring(MarketFunctions.isoUtc(col("date")), 1, 16),
+            col("direction"),
+            (round(col("entry") * 100).cast("long") / 100.0).cast("string"),
+            (round(col("exit") * 100).cast("long") / 100.0).cast("string"))
+            .as("sig"))
+        .orderBy("id")
+    }),
+
+    "x14_email_norm" -> ((s, d) => {
+      T(s, d).documents
+        .withColumn("email",
+          concat(lit("  User"), col("doc_id").cast("string"), lit("@Ex.COM ")))
+        .select(col("doc_id"),
+          MarketFunctions.normalizeEmail(col("email")).as("email_norm"),
+          MarketFunctions.isValidEmail(col("email")).as("valid"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- composite pipelines (P1, ST) ----
+
+    "p1_ict" -> ((s, d) => {
+      Series.analyzeICT(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"))
+        .orderBy("event_type")
+    }),
+
+    "st_windowed_quotes" -> ((s, d) => {
+      PriceStream.quotesAgg(T(s, d).pricesFromEvents, "1 hour")
+        .select(unix_micros(col("window.start")).as("ws_us"), col("symbol"),
+          col("open"), col("close"), col("high"), col("low"), col("n"))
+        .orderBy("ws_us", "symbol")
+    }),
+
+    // ---- dedup / text / similarity (training-data ops) ----
+
+    "d1_exact_dedup" -> ((s, d) => {
+      val docs = T(s, d).documents
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exact(doubled, "doc_id", col("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "d2_minhash_sig" -> ((s, d) => {
+      T(s, d).documents
+        .select(col("doc_id"),
+          concat_ws(",", transform(
+            Dedup.minhashSignature(col("text"), 8),
+            x => x.cast("string"))).as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    "d3_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashCandidates(T(s, d).documents, "doc_id", col("text"),
+          numPerm = 8, bandRows = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d4_simhash_sig" -> ((s, d) => {
+      T(s, d).documents
+        .select(col("doc_id"),
+          concat_ws("", transform(Dedup.simhashBits(col("text"), 32),
+            x => x.cast("string"))).as("bits"))
+        .orderBy("doc_id")
+    }),
+
+    "d5_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccard(T(s, d).documents, "doc_id", col("text"),
+          blockKey = col("lang"), w = 3, minJ = 0.1)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "t1_text_stats" -> ((s, d) => {
+      val docs = T(s, d).documents
+      TextAnalysis.qualityScore(docs, col("text"))
+        .withColumn("tok_ws",
+          TextAnalysis.tokenCountWs(col("text")).cast("long"))
+        .withColumn("tok_bpe",
+          TextAnalysis.tokenCountBpe(col("text")).cast("long"))
+        .withColumn("n_words", col("n_words").cast("long"))
+        .select("doc_id", "n_words", "alpha_ratio", "punct_ratio",
+          "stopword_ratio", "mean_word_len", "quality", "tok_ws", "tok_bpe")
+        .orderBy("doc_id")
+    }),
+
+    "t3_lang_id" -> ((s, d) => {
+      TextAnalysis.languageId(T(s, d).documents, col("text"))
+        .select("doc_id", "lang", "lang_pred", "lang_score")
+        .orderBy("doc_id")
+    }),
+
+    "t4_fingerprint" -> ((s, d) => {
+      T(s, d).documents
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "n1_ann_topk" -> ((s, d) => {
+      val emb = T(s, d).embeddings
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "n2_lsh_bucket" -> ((s, d) => {
+      T(s, d).embeddings
+        .select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), 4).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- multimodal plumbing (no SQL oracle: partition-local decode) --
+
+    "m1_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 1), 3).as("f0"),
+          size(col("features")).as("dim"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+
+    "s1_scan_page" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+
+    "f1_range_filter" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-02-01'
+        |ORDER BY event_id""".stripMargin,
+
+    "f2_journal_filter" ->
+      s"""WITH $journalCte
+         |SELECT id, qty, entry FROM journal
+         |WHERE symbol = 'view' AND direction = 'Long'
+         |  AND tags LIKE '%vie%' AND date >= TIMESTAMP '2024-01-05'
+         |ORDER BY id""".stripMargin,
+
+    "f3_point_lookup" ->
+      """SELECT event_id, value, epoch_us(ts) AS ts_us FROM events
+        |WHERE event_type = 'purchase' AND user_id = 42
+        |ORDER BY event_id DESC LIMIT 1""".stripMargin,
+
+    "o1_page2" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE event_type = 'view'
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 20 OFFSET 10""".stripMargin,
+
+    "f6_ci_filter" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE lower(o_orderpriority) = '1-urgent'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f8_ttl_filter" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE TIMESTAMP '2024-01-20' < ts + INTERVAL 7 DAY
+        |ORDER BY event_id""".stripMargin,
+
+    "f9_regex_route" ->
+      """SELECT doc_id, upper(substr(text, 1, 6)) AS sym FROM documents
+        |WHERE regexp_matches(upper(substr(text, 1, 6)), '^[A-Z]{6}$')
+        |   OR regexp_matches(upper(substr(text, 1, 6)), '^X[A-Z]{2}USD$')
+        |ORDER BY doc_id""".stripMargin,
+
+    "j1_positions" ->
+      s"""WITH $txnsCte,
+         |pos AS (
+         |  SELECT symbol,
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*100) AS BIGINT)
+         |             WHEN type = 'SELL' THEN -CAST(round(qty*100) AS BIGINT)
+         |             ELSE 0 END) / 100.0 AS qty,
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*price*100) AS BIGINT)
+         |             ELSE 0 END) / 100.0 AS cost,
+         |    SUM(CASE WHEN type IN ('BUY','SELL') THEN CAST(round(fees*100) AS BIGINT)
+         |             ELSE 0 END) / 100.0 AS fees,
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*100) AS BIGINT)
+         |             ELSE 0 END) / 100.0 AS buys
+         |  FROM txns GROUP BY symbol),
+         |latest AS (
+         |  SELECT symbol, price AS last FROM txns
+         |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY date DESC, id DESC) = 1)
+         |SELECT p.symbol, p.qty, p.cost, p.fees,
+         |  CASE WHEN p.buys = 0 THEN 0.0 ELSE round(p.cost / p.buys, 6) END AS avg_cost,
+         |  l.last,
+         |  CASE WHEN l.last IS NOT NULL THEN round(l.last * p.qty, 6) END AS market_value
+         |FROM pos p LEFT JOIN latest l USING (symbol)
+         |ORDER BY symbol""".stripMargin,
+
+    "j2_dedup_union" ->
+      """WITH server AS (
+        |  SELECT o_orderkey, 'server' AS src, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |local AS (
+        |  SELECT o_orderkey, 'local' AS src, o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |u AS (SELECT *, 0 AS prio FROM server
+        |      UNION ALL SELECT *, 1 AS prio FROM local)
+        |SELECT o_orderkey, src, o_totalprice FROM u
+        |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY prio, o_orderkey) = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j3_backfill_anti" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j4_cascade_delete" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |WHERE l_orderkey NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j5_semi_exists" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q5_star_revenue" ->
+      """SELECT n_name,
+        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a2_latest_per_key" ->
+      """SELECT event_type, value AS latest, epoch_us(mx) AS latest_at_us
+        |FROM (SELECT event_type, value, ts,
+        |        max(ts) OVER (PARTITION BY event_type) AS mx,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "a3_overview_stats" ->
+      s"""WITH $journalCte,
+         |j AS (SELECT symbol, $pnlSql AS pnl, entry, stop, qty FROM journal),
+         |j2 AS (SELECT symbol, pnl, $rSql AS r FROM j),
+         |g AS (SELECT symbol,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
+         |    SUM(CAST(round(pnl * 100) AS BIGINT)) / 100.0 AS total_pnl,
+         |    round(avg(r), 6) AS avg_r
+         |  FROM j2 GROUP BY symbol)
+         |SELECT symbol, n, wins, total_pnl, avg_r,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE round(wins * 100.0 / n) END AS winrate
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    "a5_histogram" ->
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |s AS (SELECT value,
+        |        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 10.0 END AS step,
+        |        mn FROM events, b)
+        |SELECT CAST(least(9, greatest(0, CAST(floor((value - mn) / step) AS BIGINT))) AS INT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "a6_quote_delta" ->
+      """SELECT event_type, value AS price,
+        |  round(value - lead(value) OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC), 6) AS delta
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "a7_range_change" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT event_type, arg_min(value, rn) AS last, arg_max(value, rn) AS first
+        |      FROM r WHERE rn <= 50 GROUP BY event_type)
+        |SELECT event_type, last, first, round(last - first, 6) AS diff,
+        |  CASE WHEN first <> 0.0 THEN round((last - first) / first * 100.0, 6) END AS pct
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "a8_hi_lo_mid" ->
+      """SELECT event_type, max(value) AS hi, min(value) AS lo,
+        |  (max(value) + min(value)) / 2.0 AS mid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q1_lineitem_agg" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
+        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt,
+        |  round(sum_qty / cnt, 6) AS avg_qty
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w1_sma5" ->
+      """SELECT event_id,
+        |  CASE WHEN COUNT(value) OVER tw >= 5
+        |       THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw
+        |                  / (100.0 * COUNT(value) OVER tw), 6) END AS sma
+        |FROM events
+        |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "w2_equity_curve" ->
+      s"""WITH $journalCte,
+         |j AS (SELECT id, symbol, date, $pnlSql AS pnl FROM journal)
+         |SELECT id,
+         |  SUM(CAST(round(pnl * 100) AS BIGINT)) OVER (
+         |    PARTITION BY symbol ORDER BY date, id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS equity
+         |FROM j ORDER BY id""".stripMargin,
+
+    "w3_rolling_std" ->
+      """SELECT event_id,
+        |  CASE WHEN COUNT(value) OVER tw >= 14
+        |       THEN round(stddev_samp(value) OVER tw, 6) END AS rstd
+        |FROM events
+        |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "w4_rolling_min" ->
+      """SELECT event_id, min(value) OVER tw AS rmin
+        |FROM events
+        |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "w5_highest_pos" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type, ts, value,
+        |    row_number() OVER w AS rn,
+        |    max(value) OVER tw AS hv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |         tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, hv,
+        |  max(CASE WHEN value = hv THEN rn END) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hpos
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "w6_local_extrema" ->
+      """WITH s AS (
+        |  SELECT event_id, value,
+        |    lag(value) OVER w AS pv, lead(value) OVER w AS nv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_id,
+        |  (pv IS NOT NULL AND nv IS NOT NULL AND value >= pv AND value >= nv) AS is_high,
+        |  (pv IS NOT NULL AND nv IS NOT NULL AND value <= pv AND value <= nv) AS is_low
+        |FROM s
+        |WHERE (pv IS NOT NULL AND nv IS NOT NULL AND value >= pv AND value >= nv)
+        |   OR (pv IS NOT NULL AND nv IS NOT NULL AND value <= pv AND value <= nv)
+        |ORDER BY event_id""".stripMargin,
+
+    "w8_lag_delta" ->
+      """SELECT event_id,
+        |  round(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) AS delta
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "w9_topk_recent" ->
+      """SELECT event_type, event_id, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) <= 20
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT DISTINCT val FROM (
+        |  SELECT o_orderpriority AS val FROM orders
+        |  UNION ALL SELECT l_returnflag FROM lineitem)
+        |ORDER BY val""".stripMargin,
+
+    "u1_upsert" ->
+      """WITH source AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice FROM orders
+        |  WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey < 1000 AND o_orderkey NOT IN (SELECT o_orderkey FROM source)
+        |UNION ALL SELECT * FROM source
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u4_delete_count" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "s5_insert_ignore" ->
+      s"""WITH $pricesCte,
+         |shifted AS (
+         |  SELECT id + 100000 AS id, symbol, price,
+         |         as_of + INTERVAL 1 HOUR AS as_of, currency, source
+         |  FROM prices WHERE id < 50),
+         |batch AS (SELECT * FROM prices WHERE id < 100
+         |          UNION ALL SELECT * FROM shifted),
+         |fresh AS (
+         |  SELECT * FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM prices p
+         |    WHERE p.symbol = b.symbol AND p.as_of = b.as_of AND p.source = b.source)),
+         |merged AS (SELECT * FROM prices UNION ALL SELECT * FROM fresh)
+         |SELECT symbol, source, CAST(count(*) AS BIGINT) AS n FROM merged
+         |GROUP BY symbol, source ORDER BY symbol, source""".stripMargin,
+
+    "x1_pnl_r" ->
+      s"""WITH $journalCte,
+         |j AS (SELECT id, $pnlSql AS pnl, entry, stop, qty FROM journal)
+         |SELECT id, round(pnl, 6) AS pnl, round($rSql, 6) AS r
+         |FROM j ORDER BY id""".stripMargin,
+
+    "x3_impact_score" ->
+      """SELECT doc_id,
+        |  CASE WHEN lower(text) LIKE '%spark%' OR lower(text) LIKE '%join%' THEN 'High'
+        |       WHEN lower(text) LIKE '%merge%' OR lower(text) LIKE '%sort%' THEN 'Medium'
+        |       ELSE 'Low' END AS impact
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_decimals_atr" ->
+      """WITH s AS (SELECT DISTINCT upper(rpad(event_type, 6, 'X')) AS sym FROM events)
+        |SELECT sym,
+        |  CASE WHEN sym LIKE '%JPY' THEN 3
+        |       WHEN sym LIKE 'XA%' THEN 2
+        |       WHEN length(sym) = 6 THEN 5
+        |       ELSE 4 END AS decimals,
+        |  CASE WHEN sym LIKE '%JPY' THEN 0.3
+        |       WHEN sym LIKE 'XA%' THEN 10.0
+        |       ELSE 0.005 END AS atr
+        |FROM s ORDER BY sym""".stripMargin,
+
+    "x5_pair_parse" ->
+      """WITH s AS (SELECT DISTINCT upper(substr(event_type, 1, 3)) || '/USD' AS pair FROM events)
+        |SELECT pair,
+        |  substr(upper(replace(pair, '/', '')), 1, 3) AS base,
+        |  substr(upper(replace(pair, '/', '')), 4, 3) AS quote
+        |FROM s ORDER BY pair""".stripMargin,
+
+    "x6_levels_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '([0-9]+(\.[0-9]+)?)', 1) AS DOUBLE) AS level
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "x7_x9_datetime" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+        |  strftime(ts, '%Y-%m-%d') AS d,
+        |  strftime(ts, '%a') AS day
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "x8_tz_chips" ->
+      """SELECT event_id,
+        |  strftime(timezone('America/New_York', ts::TIMESTAMPTZ), '%H:%M') AS est,
+        |  strftime(timezone('America/Los_Angeles', ts::TIMESTAMPTZ), '%H:%M') AS pdt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "x11_signature" ->
+      s"""WITH $journalCte
+         |SELECT id,
+         |  concat_ws('|', symbol,
+         |    substr(strftime(date, '%Y-%m-%dT%H:%M:%SZ'), 1, 16),
+         |    direction,
+         |    CAST(CAST(round(entry * 100) AS BIGINT) / 100.0 AS VARCHAR),
+         |    CAST(CAST(round(exit * 100) AS BIGINT) / 100.0 AS VARCHAR)) AS sig
+         |FROM journal ORDER BY id""".stripMargin,
+
+    "x14_email_norm" ->
+      """SELECT doc_id,
+        |  lower(trim('  User' || CAST(doc_id AS VARCHAR) || '@Ex.COM ')) AS email_norm,
+        |  contains(lower(trim('  User' || CAST(doc_id AS VARCHAR) || '@Ex.COM ')), '@') AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p1_ict" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, value,
+        |    CASE WHEN COUNT(value) OVER tw10 >= 10
+        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw10
+        |                    / (100.0 * COUNT(value) OVER tw10), 6) END AS ma10,
+        |    CASE WHEN COUNT(value) OVER tw20 >= 20
+        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw20
+        |                    / (100.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events
+        |  WINDOW tw10 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |         tw20 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |a AS (
+        |  SELECT event_type, max(value) AS hi, min(value) AS lo,
+        |    max(CASE WHEN rnd = 1 THEN value END) AS last,
+        |    max(CASE WHEN rnd = 1 THEN ma10 END) AS ma10_last,
+        |    max(CASE WHEN rnd = 3 THEN ma10 END) AS ma10_l3,
+        |    max(CASE WHEN rnd = 1 THEN ma20 END) AS ma20_last,
+        |    max(CASE WHEN rnd = 3 THEN ma20 END) AS ma20_l3
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, hi, lo, (hi + lo) / 2.0 AS mid, last,
+        |  last >= (hi + lo) / 2.0 AS premium,
+        |  CASE WHEN ma10_last - ma10_l3 > 0 AND ma20_last - ma20_l3 > 0 THEN 'bullish'
+        |       WHEN ma10_last - ma10_l3 < 0 AND ma20_last - ma20_l3 < 0 THEN 'bearish'
+        |       ELSE 'neutral' END AS bias,
+        |  round(lo + (hi - lo) * 0.62, 6) AS ote_62,
+        |  round(lo + (hi - lo) * 0.79, 6) AS ote_79
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "st_windowed_quotes" ->
+      s"""WITH $pricesCte
+         |SELECT epoch_us(date_trunc('hour', as_of)) AS ws_us, symbol,
+         |  arg_min(price, as_of) AS open, arg_max(price, as_of) AS close,
+         |  max(price) AS high, min(price) AS low,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM prices GROUP BY 1, 2 ORDER BY ws_us, symbol""".stripMargin,
+
+    "d1_exact_dedup" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+         |SELECT min(doc_id) AS doc_id FROM doubled
+         |GROUP BY ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "d2_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(range(0, 8),
+         |    p -> list_min(list_transform(sl,
+         |           s -> ${h60("CAST(p AS VARCHAR) || ':' || s")}))), ',') AS sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "d3_minhash_pairs" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(range(0, 8),
+         |    p -> list_min(list_transform(sl,
+         |           s -> ${h60("CAST(p AS VARCHAR) || ':' || s")}))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+         |  FROM sigs, range(0, 4) t(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d4_simhash_sig" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_transform(${wordsSql("text")}, x -> ${h48("x")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(range(0, 32),
+         |    i -> CASE WHEN list_sum(list_transform(hs,
+         |           h -> CASE WHEN CAST(floor(h / power(2, i)) AS BIGINT) % 2 = 1
+         |                     THEN 1 ELSE -1 END)) > 0
+         |         THEN 1 ELSE 0 END), '') AS bits
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "d5_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, lang, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang AS blk, unnest(list_distinct(${shinglesSql("ws")})) AS sh
+         |  FROM w),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.blk = b.blk AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN sz na ON na.doc_id = doc_a
+         |JOIN sz nb ON nb.doc_id = doc_b
+         |WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t1_text_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, n_chars,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(ws, w -> lower(w) IN
+        |      ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stop_hits
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, text, n_words,
+        |    CASE WHEN n_chars > 0 THEN round(n_alpha / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(n_punct / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_words > 0 THEN round(stop_hits / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN n_words > 0 THEN round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len
+        |  FROM g)
+        |SELECT doc_id, n_words, alpha_ratio, punct_ratio, stopword_ratio, mean_word_len,
+        |  (CAST(round(least(1.0, n_words / 100.0) * 1000000) AS BIGINT) * 4
+        |   + CAST(round(alpha_ratio * 1000000) AS BIGINT) * 3
+        |   + CAST(round(least(1.0, stopword_ratio * 5.0) * 1000000) AS BIGINT) * 3)
+        |  / 10000000.0 AS quality,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok_bpe
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('el','la','los','que','de','es'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('le','la','et','les','des','est'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_fr
+        |  FROM w)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  greatest(s_de, s_en, s_es, s_fr) AS lang_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "n1_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, 65),
+        |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
+        |  FROM embeddings, q)
+        |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "n2_lsh_bucket" ->
+      s"""SELECT vec_id,
+         |  array_to_string(list_transform(range(0, 4),
+         |    p -> CASE WHEN list_reduce(list_transform(range(0, 64),
+         |        d -> embedding[d + 1]::DOUBLE *
+         |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
+         |        (a, b) -> a + b) >= 0
+         |      THEN 1 ELSE 0 END), '') AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators — SURVEY.md §2.4 (A1–A8) and the J1 latest-price
+  * join. Everything is a hash aggregate with map-side partials (Spark
+  * supplies partial+final automatically), and the J1 dimension side is
+  * broadcast so the positions pipeline is a single shuffle on the group
+  * key regardless of fact-table size.
+  */
+object Aggregates {
+
+  /** Exact-cents column: `round(x*100)::long`. Money sums accumulate in
+    * integer cents so results are order-independent and bit-identical
+    * across engines — the double-summation nondeterminism that plagues
+    * distributed fp aggregation simply disappears. Divide by 100.0 at
+    * the end.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  def fromCents(c: Column): Column = c / 100.0
+
+  /** A1 — `compute_positions` conditional aggregation
+    * (/root/reference/app/db.py:399-425): BUY adds qty/cost/fees/buys,
+    * SELL subtracts qty and adds fees, DIV/CASH/FX ignored; finalize
+    * avg_cost = cost/buys (0 when no buys).
+    * One hash-agg over the group key; the BUY/SELL branching lives inside
+    * the aggregate expressions so there is exactly one pass and one
+    * shuffle.
+    */
+  def positions(txns: DataFrame, groupKey: String = "symbol",
+                typeCol: String = "type"): DataFrame = {
+    val t = col(typeCol)
+    txns.groupBy(col(groupKey)).agg(
+      fromCents(sum(when(t === "BUY", cents(col("qty")))
+        .when(t === "SELL", -cents(col("qty")))
+        .otherwise(lit(0L)))).as("qty"),
+      fromCents(sum(when(t === "BUY", cents(col("qty") * col("price")))
+        .otherwise(lit(0L)))).as("cost"),
+      fromCents(sum(when(t.isin("BUY", "SELL"), cents(col("fees")))
+        .otherwise(lit(0L)))).as("fees"),
+      fromCents(sum(when(t === "BUY", cents(col("qty")))
+        .otherwise(lit(0L)))).as("buys"))
+      .withColumn("avg_cost",
+        when(col("buys") === 0.0, lit(0.0))
+          .otherwise(round(col("cost") / col("buys"), 6)))
+      .drop("buys")
+  }
+
+  /** A2 — latest value per key, ties broken by id
+    * (/root/reference/app/db.py:391-396): arg-max over (ord, id) in one
+    * hash aggregate (no window, no second shuffle).
+    */
+  def latestPerKey(df: DataFrame, key: String, ord: Column, id: Column,
+                   value: Column): DataFrame =
+    df.groupBy(col(key)).agg(
+      max_by(value, struct(ord, id)).as("latest"),
+      max(ord).as("latest_at"))
+
+  /** J1/P5 — positions × latest price, left outer, null-safe market value
+    * (/root/reference/app/db.py:419-424). The reference runs an N+1
+    * correlated lookup; here the lookup side is decorrelated into one
+    * arg-max aggregate and broadcast (per-key cardinality is tiny
+    * relative to the fact table).
+    */
+  def positionsWithMarketValue(txns: DataFrame, prices: DataFrame,
+                               key: String = "symbol"): DataFrame = {
+    val latest = latestPerKey(prices, key, col("as_of"), col("id"),
+      col("price")).withColumnRenamed("latest", "last")
+      .drop("latest_at")
+    positions(txns, key)
+      .join(broadcast(latest), Seq(key), "left")
+      .withColumn("market_value",
+        when(col("last").isNotNull, round(col("last") * col("qty"), 6)))
+  }
+
+  /** A3/A4 — journal overview statistics
+    * (/root/reference/static/main.js:938-947, 1123-1129): n, wins,
+    * winrate (whole percent, Math.round), total PnL, mean R.
+    */
+  def overviewStats(journal: DataFrame, pnl: Column, r: Column,
+                    groupKey: Seq[Column] = Nil): DataFrame = {
+    val g = if (groupKey.isEmpty) journal.groupBy()
+            else journal.groupBy(groupKey: _*)
+    g.agg(
+      count(lit(1)).as("n"),
+      count(when(pnl > 0, 1)).as("wins"),
+      fromCents(sum(cents(pnl))).as("total_pnl"),
+      round(avg(r), 6).as("avg_r"))
+      .withColumn("winrate",
+        when(col("n") === 0, lit(0.0))
+          .otherwise(round(col("wins") * 100.0 / col("n"))))
+  }
+
+  /** A5 — fixed 10-bin equal-width histogram
+    * (/root/reference/static/main.js:1002-1017):
+    * idx = clamp(floor((v−min)/step), 0, 9), step = (max−min)/10
+    * (1 when max == min). Two passes: a global min/max aggregate
+    * broadcast back into the binning scan — same shape the reference
+    * uses, but each pass is fully parallel.
+    */
+  def histogram10(df: DataFrame, v: Column): DataFrame = {
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
+    val binned = df.crossJoin(broadcast(bounds))
+      .withColumn("step",
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("mx") - col("mn")) / 10.0))
+      .withColumn("bin",
+        least(lit(9L), greatest(lit(0L),
+          floor((v - col("mn")) / col("step")))).cast("int"))
+    binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** A6 — watchlist quote + delta (/root/reference/static/main.js:554-570):
+    * per key the two most recent values; delta = last − prev.
+    * One window pass; the per-key series is bounded so the window state
+    * is O(1) per key.
+    */
+  def quoteDelta(prices: DataFrame, key: String, ord: Column,
+                 id: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(ord.desc, id.desc)
+    prices
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lead(value, 1).over(w))
+      .filter(col("_rn") === 1)
+      .select(col(key), value.as("price"),
+        round(value - col("_prev"), 6).as("delta"))
+  }
+
+  /** A7 — window-range change (/root/reference/static/main.js:64-67):
+    * over the last-N slice per key: first/last/diff/pct (guard first≠0).
+    */
+  def rangeChange(prices: DataFrame, key: String, ord: Column, id: Column,
+                  value: Column, lastN: Int): DataFrame = {
+    val recent = Window.partitionBy(col(key)).orderBy(ord.desc, id.desc)
+    val sliced = prices.withColumn("_rn", row_number().over(recent))
+      .filter(col("_rn") <= lastN)
+    sliced.groupBy(col(key)).agg(
+      min_by(value, col("_rn")).as("last"),
+      max_by(value, col("_rn")).as("first"))
+      .withColumn("diff", round(col("last") - col("first"), 6))
+      .withColumn("pct",
+        when(col("first") =!= 0.0,
+          round((col("last") - col("first")) / col("first") * 100.0, 6)))
+  }
+
+  /** A8 — hi/lo/mid of a series (/root/reference/static/main.js:342-345). */
+  def hiLoMid(df: DataFrame, key: String, value: Column): DataFrame =
+    df.groupBy(col(key)).agg(max(value).as("hi"), min(value).as("lo"))
+      .withColumn("mid", (col("hi") + col("lo")) / 2.0)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Filter / sort / pagination / dedup / mutation operators —
+  * SURVEY.md §2.2 (F*), §2.6 (O*), §2.7, §2.8 (U*), plus the procedural
+  * join patterns J2–J4. All are pure DataFrame → DataFrame transforms;
+  * Catalyst pushes the predicates and prunes columns into the scan, so at
+  * cluster scale these compile to partition-pruned parquet reads.
+  */
+object Relational {
+
+  /** F1/F2 — dynamic AND of optional predicates
+    * (/root/reference/app/db.py:271-302, 210-241): only the present
+    * filters appear in the plan, mirroring the reference's dynamic WHERE
+    * assembly — pushdown by construction.
+    */
+  def filterAll(df: DataFrame, conds: Seq[Column]): DataFrame =
+    conds.foldLeft(df)((d, c) => d.filter(c))
+
+  /** O1/O4/O5 — ordered page with limit/offset
+    * (/root/reference/app/db.py:296-298). Spark ≥3.4 has a native OFFSET
+    * operator, so the whole page is a single `TakeOrderedAndProject`-style
+    * plan rather than a full sort.
+    */
+  def page(df: DataFrame, order: Seq[Column], limit: Int,
+           offset: Int): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
+  }
+
+  /** O5 — `next_offset` contract (/root/reference/app/main.py:548):
+    * offset+limit iff the page is full, else None.
+    */
+  def nextOffset(pageRows: Long, limit: Int, offset: Int): Option[Int] =
+    if (pageRows == limit.toLong) Some(offset + limit) else None
+
+  /** F3 — point lookup, newest id wins
+    * (/root/reference/app/db.py:305-321).
+    */
+  def pointLookup(df: DataFrame, conds: Seq[Column],
+                  idCol: Column): DataFrame =
+    filterAll(df, conds).orderBy(idCol.desc).limit(1)
+
+  /** S5/S6/U7 — idempotent `INSERT OR IGNORE` keyed append
+    * (/root/reference/app/db.py:244-261): dedupe the incoming batch on
+    * the key, anti-join against existing keys, append survivors. The
+    * anti-join broadcasts whichever side Catalyst sizes smaller; at scale
+    * the existing side is the big one so the batch keys broadcast.
+    * Returns (new table, rows actually inserted) — the reference's 0/1
+    * rowcount contract (tests/test_db.py:18) generalized to batches.
+    */
+  def insertIgnore(existing: DataFrame, batch: DataFrame,
+                   keys: Seq[String]): (DataFrame, Long) = {
+    val fresh = batch
+      .dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val inserted = fresh.count()
+    (existing.unionByName(fresh, allowMissingColumns = true), inserted)
+  }
+
+  /** U1/U2 — keyed upsert (/root/reference/app/db.py:166-201): rows whose
+    * key matches the source are replaced; everything else is kept. The
+    * Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` pattern
+    * expressed as anti-join ∪ source.
+    */
+  def upsert(target: DataFrame, source: DataFrame,
+             keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*).distinct(), keys,
+      "left_anti").unionByName(source, allowMissingColumns = true)
+
+  /** U4 — delete by key, reporting the deleted rowcount
+    * (/root/reference/app/db.py:204-207; 404-if-zero contract at
+    * /root/reference/app/main.py:323-325).
+    */
+  def deleteWhere(target: DataFrame, cond: Column): (DataFrame, Long) = {
+    val deleted = target.filter(cond).count()
+    (target.filter(!coalesce(cond, lit(false))), deleted)
+  }
+
+  /** J4 — FK `ON DELETE CASCADE` (/root/reference/app/db.py:106): child
+    * rows of deleted parents are dropped via anti-join.
+    */
+  def cascadeDelete(child: DataFrame, deletedParentKeys: DataFrame,
+                    fk: Seq[String]): DataFrame =
+    child.join(deletedParentKeys, fk, "left_anti")
+
+  /** J2 — precedence-dedup union (server wins) on a content signature
+    * (/root/reference/static/main.js:853-858). Implemented as
+    * union + row_number over (sig ORDER BY priority, tiebreak) so the
+    * whole merge is one shuffle on the signature.
+    */
+  def dedupUnion(preferred: DataFrame, other: DataFrame, sigCol: String,
+                 tieBreak: Column): DataFrame = {
+    val tagged = preferred.withColumn("_prio", lit(0))
+      .unionByName(other.withColumn("_prio", lit(1)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col(sigCol))
+      .orderBy(col("_prio").asc, tieBreak)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_prio")
+  }
+
+  /** J3 — backfill anti-join (/root/reference/static/main.js:862-867):
+    * local rows whose signature is unknown to the server.
+    */
+  def backfill(local: DataFrame, server: DataFrame,
+               sigCols: Seq[String]): DataFrame =
+    local.join(server.select(sigCols.map(col): _*).distinct(), sigCols,
+      "left_anti")
+
+  /** U6 — latest-code validity check (/root/reference/app/db.py:495-514):
+    * newest row per (email, code), valid iff unexpired and unused.
+    */
+  def verifyCode(codes: DataFrame, now: Column): DataFrame = {
+    val w = Window.partitionBy(col("email"), col("code"))
+      .orderBy(col("id").desc)
+    codes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("valid",
+        col("used") === 0 && now < col("expires_at"))
+  }
+
+  /** F8/ST4 — TTL expiry predicate
+    * (/root/reference/app/main.py:237-251).
+    */
+  def unexpired(df: DataFrame, expiresAt: Column, now: Column): DataFrame =
+    df.filter(now < expiresAt)
+}

@@ -1,0 +1,147 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MarketFunctions.{md5Hash48, md5Hash60}
+
+/** Deduplication operators for training-data curation at corpus scale:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard. Hashes are md5-derived (60/48-bit) so the DuckDB oracle can
+  * reproduce them bit-for-bit; bit extraction uses division by powers of
+  * two, which is exact in IEEE double for 48-bit operands.
+  *
+  * Scale notes: exact dedup is one shuffle on the fingerprint; MinHash
+  * and SimHash signatures are computed in-row (array expressions — no
+  * explode, no shuffle) and only the banded bucket-join shuffles. The
+  * candidate-pair space is |bucket|² per band bucket instead of
+  * |corpus|², which is what makes LSH viable at 100 TB.
+  */
+object Dedup {
+
+  /** Normalized word array of a text column. */
+  def words(text: Column): Column =
+    filter(split(regexp_replace(lower(trim(text)), "\\s+", " "), " "),
+      w => w =!= "")
+
+  /** Word w-shingles (default 3-gram) as an array of strings; texts
+    * shorter than w words collapse to a single whole-text shingle.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val ws = words(text)
+    when(size(ws) >= w,
+      transform(sequence(lit(0), size(ws) - w),
+        i => concat_ws(" ", slice(ws, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * One hash-partitioned shuffle on the 60-bit fingerprint; survivors
+    * are picked with min() so the pass is a single aggregate (no window
+    * sort of the whole corpus).
+    */
+  def exact(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val keyed = df.withColumn("_fp", TextAnalysis.fingerprint(text))
+    val keep = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
+  }
+
+  /** MinHash signature: for permutation p, min over shingles of
+    * md5-hash60(p ‖ ":" ‖ shingle). Computed entirely in-row.
+    */
+  def minhashSignature(text: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      p => array_min(transform(shingles(text),
+        s => md5Hash60(concat(p.cast("string"), lit(":"), s)))))
+
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * near-dup pairs. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    * numPerm must be divisible by bandRows.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
+    val numBands = numPerm / bandRows
+    val sig = df.select(col(idCol),
+      minhashSignature(text, numPerm).as("_sig"))
+    val banded = sig.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(numBands - 1)),
+        b => concat_ws(",", slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
+      .as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash bit-sign vector (nBits entries of 0/1, nBits ≤ 48), computed
+    * in-row: every word votes ±1 on each bit of its 48-bit hash; bit = 1
+    * iff the vote sum is positive. bit i of h = floor(h / 2^i) % 2 —
+    * division by a power of two is exact in double for h < 2^48, so the
+    * oracle reproduces it exactly.
+    */
+  def simhashBits(text: Column, nBits: Int = 32): Column = {
+    val hashes = transform(words(text), w => md5Hash48(w))
+    transform(sequence(lit(0), lit(nBits - 1)), i => {
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(floor(h / pow(lit(2.0), i)) % 2 === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1)).otherwise(lit(0))
+    })
+  }
+
+  /** Hamming distance between two equal-length bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), _ + _)
+
+  /** SimHash near-dup candidates: band the bit vector into chunks and
+    * bucket-join on chunk equality (docs within hamming distance d share
+    * at least one identical chunk when chunks > d). Returns distinct
+    * (doc_a, doc_b, hamming) pairs with hamming ≤ maxHamming.
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        nBits: Int = 32, chunks: Int = 4,
+                        maxHamming: Int = 3): DataFrame = {
+    val chunkLen = nBits / chunks
+    val sig = df.select(col(idCol), simhashBits(text, nBits).as("_bits"))
+    val banded = sig.select(col(idCol), col("_bits"), posexplode(
+      transform(sequence(lit(0), lit(chunks - 1)),
+        c => concat_ws("", slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
+      .as(Seq("chunk", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        hamming(col("a._bits"), col("b._bits")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard similarity over candidate pairs (blocked by a cheap
+    * key, e.g. language, to bound the pair space): explode distinct
+    * shingles, self-join within blocks, and compute
+    * |A∩B| / (|A|+|B|−|A∩B|). Returns (doc_a, doc_b, jaccard ≥ minJ).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, text: Column,
+                   blockKey: Column, w: Int = 3,
+                   minJ: Double = 0.1): DataFrame = {
+    val sh = df.select(col(idCol), blockKey.as("_blk"),
+        explode(array_distinct(shingles(text, w))).as("_sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a._blk") === col("b._blk") && col("a._sh") === col("b._sh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed("_n", "_na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed("_n", "_nb"), "doc_b")
+      .withColumn("jaccard", round(col("_inter") /
+        (col("_na") + col("_nb") - col("_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

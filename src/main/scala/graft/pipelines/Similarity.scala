@@ -1,0 +1,99 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MarketFunctions.md5Hash48
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exact baseline
+  * (one broadcast of the query + a TakeOrdered — no shuffle of the
+  * corpus); random-hyperplane LSH bucketing is the scale path: hash each
+  * vector to a b-bit bucket and only score within matching buckets,
+  * cutting the scored candidate set by ~2^b.
+  *
+  * All math is double-precision column expressions (zip_with/aggregate),
+  * and the hyperplanes are md5-seeded so the DuckDB oracle reproduces
+  * them exactly.
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Dot product of two array<numeric> columns (left-fold, so the
+    * accumulation order is deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k by cosine against a single query vector
+    * (supplied as a literal array or broadcast 1-row frame). The plan is
+    * scan → project(score) → TakeOrdered(k): no shuffle, linear scan.
+    */
+  def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                 query: Column, k: Int): DataFrame =
+    corpus.select(col(idCol),
+        round(cosine(col(vecCol), query), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic random hyperplane component: md5-seeded uniform in
+    * [-1, 1) for (plane p, dimension d).
+    */
+  private def planeComponent(p: Column, d: Column): Column =
+    (md5Hash48(concat(p.cast("string"), lit(","), d.cast("string")))
+      % 2000000L - 1000000L) / 1000000.0
+
+  /** b-bit random-hyperplane LSH bucket of a vector: bit p = 1 iff
+    * vec · plane_p ≥ 0. Computed in-row.
+    */
+  def lshBucket(vec: Column, bits: Int): Column =
+    concat_ws("", transform(sequence(lit(0), lit(bits - 1)), p => {
+      val d = aggregate(
+        zip_with(toDouble(vec), sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1)).otherwise(lit(0))
+    }))
+
+  /** ANN top-k via LSH bucketing: score only vectors whose bucket matches
+    * the query's bucket (approximate — may return < k rows when the
+    * bucket is small). At cluster scale the corpus is pre-bucketed and
+    * partitioned by bucket, so a query touches one partition.
+    */
+  def annTopKCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                    query: Column, k: Int, bits: Int = 4): DataFrame = {
+    val bucketed = corpus
+      .withColumn("_bucket", lshBucket(col(vecCol), bits))
+    bucketed
+      .filter(col("_bucket") === lshBucket(query, bits))
+      .select(col(idCol), round(cosine(col(vecCol), query), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
+    * LSH-blocked: pairs must share a bucket (scale path for the
+    * embedding-cosine near-dup dedup mode).
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, bits: Int = 4): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), bits).as("_bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a._bucket") === col("b._bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

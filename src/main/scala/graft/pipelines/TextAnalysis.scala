@@ -1,0 +1,106 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MarketFunctions.md5Hash60
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, n-gram language ID, and document
+  * fingerprinting. All pure column expressions (codegen-friendly, no
+  * UDFs) over a `text` column, so a 100 TB corpus processes as a single
+  * scan-project with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish token count: word pieces + digits + punctuation as separate
+    * tokens (regex approximation of a byte-pair tokenizer's pre-split).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"),
+      lit(0)))
+
+  /** Quality signals: length, alpha ratio, punctuation ratio, stopword
+    * ratio, mean word length — the standard cheap pre-filter features for
+    * corpus curation.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val words = filter(split(text, "\\s+"), t => t =!= "")
+    val nWords = size(words)
+    val nChars = length(text)
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val stopHits = size(filter(words,
+      wrd => lower(wrd).isin(Stopwords.map(lit(_)): _*)))
+    df.withColumn("n_words", nWords)
+      .withColumn("alpha_ratio",
+        when(nChars > 0, round(nAlpha / nChars.cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChars > 0, round(nPunct / nChars.cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nWords > 0, round(stopHits / nWords.cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("mean_word_len",
+        when(nWords > 0,
+          round((nChars - nWords + 1) / nWords.cast("double"), 6))
+          .otherwise(0.0))
+  }
+
+  /** Composite [0,1] quality score from the features above. Accumulated
+    * in integer micro-units (term-wise round to 1e-6, weights 0.4/0.3/0.3
+    * as 4/3/3 over 1e7) so the result is bit-identical across engines —
+    * a float-sum-then-round would differ in the last ulp at .5 boundaries.
+    */
+  def qualityScore(df: DataFrame, text: Column): DataFrame =
+    qualityFeatures(df, text).withColumn("quality",
+      (round(least(lit(1.0), col("n_words") / 100.0) * 1e6).cast("long") * 4
+        + round(col("alpha_ratio") * 1e6).cast("long") * 3
+        + round(least(lit(1.0), col("stopword_ratio") * 5.0) * 1e6)
+            .cast("long") * 3) / 1e7)
+
+  /** Language-ID by stopword-profile hit rate: score(text, lang) =
+    * fraction of the language's marker words present. The marker lists
+    * are parameters; real deployments plug in per-language n-gram
+    * profiles — the operator shape (map over languages → arg-max) is the
+    * scalable part.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "los", "que", "de", "es"))
+
+  def languageId(df: DataFrame, text: Column,
+                 markers: Map[String, Seq[String]] = LangMarkers)
+      : DataFrame = {
+    val words = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val scored = markers.toSeq.sortBy(_._1).map { case (langName, ms) =>
+      val hits = size(filter(words, wrd => wrd.isin(ms.map(lit(_)): _*)))
+      struct(
+        when(size(words) > 0, round(hits / size(words).cast("double"), 6))
+          .otherwise(0.0).as("score"),
+        lit(langName).as("lang"))
+    }
+    // arg-max over languages; ties resolve to the lexically greatest
+    // language name (deterministic).
+    val best = greatest(scored: _*)
+    df.withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
+  }
+
+  /** Document fingerprint: 60-bit md5 of the normalized text (lowercase,
+    * whitespace-collapsed) — an order-stable exact-dup key shared with
+    * the DuckDB oracle.
+    */
+  def fingerprint(text: Column): Column =
+    md5Hash60(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
