@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Aggregates
+import graft.functions.MarketFunctions
+
+/** A1–A8 aggregation semantics against hand-computed fixtures mirroring
+  * /root/reference/app/db.py:399-425 and static/main.js:554-570,1002-1017.
+  */
+class AggregatesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("positions: BUY/SELL conditional algebra, DIV ignored, avg_cost") {
+    val txns = Seq(
+      (1L, "AAPL", "BUY", 10.0, 100.0, 1.0),
+      (2L, "AAPL", "BUY", 10.0, 110.0, 1.0),
+      (3L, "AAPL", "SELL", 5.0, 120.0, 1.0),
+      (4L, "AAPL", "DIV", 99.0, 999.0, 99.0), // ignored entirely
+      (5L, "MSFT", "SELL", 2.0, 50.0, 0.5))   // sells only -> no buys
+      .toDF("id", "symbol", "type", "qty", "price", "fees")
+    val got = Aggregates.positions(txns).orderBy("symbol").collect()
+    val aapl = got(0)
+    assert(aapl.getString(0) === "AAPL")
+    assert(aapl.getDouble(1) === 15.0)            // 10+10-5
+    assert(aapl.getDouble(2) === 2100.0)          // 10*100+10*110
+    assert(aapl.getDouble(3) === 3.0)             // BUY+SELL fees only
+    assert(aapl.getDouble(4) === 105.0)           // 2100/20
+    val msft = got(1)
+    assert(msft.getDouble(1) === -2.0 && msft.getDouble(4) === 0.0)
+  }
+
+  test("latestPerKey: max (ord, id) wins — id breaks ties (db.py:391-396)") {
+    val df = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 10.0),
+      (3L, "A", ts("2024-01-02 00:00:00"), 30.0),
+      (2L, "A", ts("2024-01-02 00:00:00"), 20.0)) // same ts, lower id
+      .toDF("id", "k", "t", "v")
+    val got = Aggregates.latestPerKey(df, "k", $"t", $"id", $"v").collect()
+    assert(got(0).getDouble(1) === 30.0)
+  }
+
+  test("overviewStats: winrate whole-percent rounding (main.js:941)") {
+    val j = Seq(
+      ("Long", 1.0, 10.0, Some(15.0), 0.0, 9.5),
+      ("Long", 1.0, 10.0, Some(5.0), 0.0, 9.5),
+      ("Long", 1.0, 10.0, Some(12.0), 0.0, 9.5))
+      .toDF("direction", "qty", "entry", "exit", "fees", "stop")
+    val pnl = MarketFunctions.pnl($"direction", $"qty", $"entry", $"exit",
+      $"fees")
+    val r = MarketFunctions.rMultiple(pnl, $"entry", $"stop", $"qty")
+    val row = Aggregates.overviewStats(j, pnl, r).collect()(0)
+    assert(row.getAs[Long]("n") === 3L)
+    assert(row.getAs[Long]("wins") === 2L)
+    assert(row.getAs[Double]("winrate") === 67.0) // round(66.67)
+    assert(row.getAs[Double]("total_pnl") === 2.0) // 5-5+2
+  }
+
+  test("histogram10: clamped bins; degenerate max==min goes to bin 0") {
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val bins = Aggregates.histogram10(df, $"v").orderBy("bin")
+      .as[(Int, Long)].collect()
+    assert(bins.length === 10 && bins.forall(_._2 === 10L))
+    assert(bins.head === ((0, 10L)) && bins.last === ((9, 10L)))
+    val flat = Seq(5.0, 5.0, 5.0).toDF("v")
+    val fb = Aggregates.histogram10(flat, $"v").as[(Int, Long)].collect()
+    assert(fb.toSeq === Seq((0, 3L)))
+  }
+
+  test("quoteDelta: last minus prev; single-row key has null delta") {
+    val df = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 10.0),
+      (2L, "A", ts("2024-01-02 00:00:00"), 12.5),
+      (3L, "B", ts("2024-01-01 00:00:00"), 7.0))
+      .toDF("id", "k", "t", "v")
+    val got = Aggregates.quoteDelta(df, "k", $"t", $"id", $"v")
+      .orderBy("k").collect()
+    assert(got(0).getDouble(1) === 12.5 && got(0).getDouble(2) === 2.5)
+    assert(got(1).getDouble(1) === 7.0 && got(1).isNullAt(2))
+  }
+
+  test("rangeChange: first/last over last-N window, pct guard first!=0") {
+    val df = (1 to 10).map(i =>
+      (i.toLong, "A", ts(f"2024-01-${i}%02d 00:00:00"), i * 10.0))
+      .toDF("id", "k", "t", "v")
+    val got = Aggregates.rangeChange(df, "k", $"t", $"id", $"v", lastN = 5)
+      .collect()(0)
+    assert(got.getAs[Double]("last") === 100.0)  // most recent
+    assert(got.getAs[Double]("first") === 60.0)  // 5 back
+    assert(got.getAs[Double]("diff") === 40.0)
+    val zero = Seq((1L, "Z", ts("2024-01-01 00:00:00"), 0.0),
+      (2L, "Z", ts("2024-01-02 00:00:00"), 5.0)).toDF("id", "k", "t", "v")
+    val zrow = Aggregates.rangeChange(zero, "k", $"t", $"id", $"v", 5)
+      .collect()(0)
+    assert(zrow.isNullAt(zrow.fieldIndex("pct"))) // first == 0 -> null
+  }
+
+  test("hiLoMid (main.js:342-345)") {
+    val df = Seq(("A", 4.0), ("A", 10.0), ("A", 6.0)).toDF("k", "v")
+    val r = Aggregates.hiLoMid(df, "k", $"v").collect()(0)
+    assert(r.getDouble(1) === 10.0 && r.getDouble(2) === 4.0 &&
+      r.getDouble(3) === 7.0)
+  }
+
+  test("positionsWithMarketValue: left join keeps symbols without prices") {
+    val txns = Seq((1L, "AAPL", "BUY", 2.0, 100.0, 0.0),
+      (2L, "NOPX", "BUY", 1.0, 10.0, 0.0))
+      .toDF("id", "symbol", "type", "qty", "price", "fees")
+    val prices = Seq((1L, "AAPL", 150.0, ts("2024-01-01 00:00:00")))
+      .toDF("id", "symbol", "price", "as_of")
+    val got = Aggregates.positionsWithMarketValue(txns, prices)
+      .orderBy("symbol").collect()
+    assert(got(0).getAs[Double]("market_value") === 300.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("last")))
+    assert(got(1).isNullAt(got(1).fieldIndex("market_value")))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.Dedup
+
+/** Dedup pipeline semantics: exact, MinHash/LSH, SimHash, n-gram
+  * Jaccard — the training-data curation operators.
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  QUICK   brown fox jumps over the lazy dog"), // case/ws dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near-dup of 1
+    (4L, "completely different text about spark engines"),
+    (5L, "hi")).toDF("doc_id", "text")                      // shorter than w
+
+  test("words/shingles: normalization and short-text collapse") {
+    val got = docs.filter($"doc_id" === 5)
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].collect().head
+    assert(got === Seq("hi"))
+    val w1 = docs.filter($"doc_id" === 2)
+      .select(Dedup.words($"text")).as[Seq[String]].collect().head
+    assert(w1.head === "the" && w1.length === 9)
+  }
+
+  test("exact: case/whitespace dups collapse; lowest id survives") {
+    val got = Dedup.exact(docs, "doc_id", $"text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exact is idempotent (re-dedup is a no-op)") {
+    val once = Dedup.exact(docs, "doc_id", $"text")
+    val twice = Dedup.exact(once, "doc_id", $"text")
+    assert(once.count() === twice.count())
+  }
+
+  test("minhash: identical normalized texts share the full signature") {
+    val sigs = docs.filter($"doc_id".isin(1, 2))
+      .select(Dedup.minhashSignature($"text", 8)).as[Seq[Long]].collect()
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("minhash LSH candidates: dup pair found, unrelated pair absent") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", $"text", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: identical texts → hamming 0; different → large distance") {
+    val bits = docs.select($"doc_id", Dedup.simhashBits($"text", 32).as("b"))
+    val m = bits.as[(Long, Seq[Int])].collect().toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L).forall(b => b == 0 || b == 1) && m(1L).length === 32)
+    val dist14 = m(1L).zip(m(4L)).count { case (a, b) => a != b }
+    assert(dist14 > 4) // unrelated text lands far away
+    val dist13 = m(1L).zip(m(3L)).count { case (a, b) => a != b }
+    assert(dist13 <= dist14) // near-dup is closer than unrelated
+  }
+
+  test("simhashCandidates: exact dup pair at hamming 0") {
+    val got = Dedup.simhashCandidates(docs, "doc_id", $"text")
+      .as[(Long, Long, Int)].collect()
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngramJaccard: identical → 1.0; near-dup in (0,1); block respected") {
+    val blocked = docs.withColumn("lang", lit("en"))
+    val got = Dedup.ngramJaccard(blocked, "doc_id", $"text", $"lang")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3)
+      .toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got.get((1L, 3L)).exists(j => j > 0.1 && j < 1.0))
+    // different blocks must never pair
+    val split = docs.withColumn("lang",
+      when($"doc_id" <= 2, "en").otherwise("de"))
+    val crossBlock = Dedup.ngramJaccard(split, "doc_id", $"text", $"lang")
+      .as[(Long, Long, Double)].collect()
+    assert(crossBlock.forall(p => (p._1 <= 2) == (p._2 <= 2)))
+  }
+
+  test("hamming on bit arrays") {
+    val df = Seq((Seq(1, 0, 1, 0), Seq(1, 1, 0, 0))).toDF("a", "b")
+    assert(df.select(Dedup.hamming($"a", $"b")).as[Int].collect().head === 2)
+  }
+}

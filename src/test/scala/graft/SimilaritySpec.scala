@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.Similarity
+
+/** ANN / similarity-search semantics over embedding columns. */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),
+    (4L, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f),
+      Seq(2.0f, -1.0f))).toDF("a", "b", "neg", "orth")
+    val r = df.select(
+      Similarity.cosine($"a", $"b"),
+      Similarity.cosine($"a", $"neg"),
+      Similarity.cosine($"a", $"orth")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(2)) < 1e-9)
+  }
+
+  test("topKCosine: exact ranking, id tiebreak") {
+    val q = array(lit(1.0f), lit(0.0f), lit(0.0f))
+    val got = Similarity.topKCosine(corpus, "id", "vec", q, 3)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 4L, 1L)) // ties 0/4 break by id
+    assert(got(0)._2 === 1.0)
+  }
+
+  test("lshBucket: deterministic, b bits, identical vectors same bucket") {
+    val b = corpus.select($"id",
+      Similarity.lshBucket($"vec", 4).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(b.values.forall(_.matches("^[01]{4}$")))
+    assert(b(0L) === b(4L))
+    val again = corpus.select(Similarity.lshBucket($"vec", 4))
+      .as[String].collect().toSet
+    assert(again === b.values.toSet)
+  }
+
+  test("annTopKCosine returns a subset of brute-force ranking") {
+    val q = array(lit(0.9f), lit(0.1f), lit(0.0f))
+    val brute = Similarity.topKCosine(corpus, "id", "vec", q, 5)
+      .as[(Long, Double)].collect().toMap
+    val ann = Similarity.annTopKCosine(corpus, "id", "vec", q, 3, bits = 2)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, cos) => assert(brute(id) === cos) }
+  }
+
+  test("nearDupPairs finds the exact-duplicate vector pair") {
+    val got = Similarity.nearDupPairs(corpus, "id", "vec", 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 0L && p._2 == 4L && p._3 === 1.0))
+  }
+}

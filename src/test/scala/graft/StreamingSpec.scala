@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.Multimodal
+import graft.streaming.PriceStream
+
+/** ST1–ST3 streaming semantics (micro-batch dedup-by-key as the late-data
+  * policy) and the multimodal partition-local decode plumbing.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("stream dedupe drops late duplicates on (symbol, as_of, source)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double, java.sql.Timestamp,
+      String, String)]
+    val df = input.toDF()
+      .toDF("id", "symbol", "price", "as_of", "currency", "source")
+    val q = PriceStream.dedupe(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "EURUSD", 1.08, ts("2024-01-01 10:00:00"), "USD", "s1"))
+      q.processAllAvailable()
+      // same unique key arrives again in a later batch → dropped (ST3)
+      input.addData(
+        (2L, "EURUSD", 1.09, ts("2024-01-01 10:00:00"), "USD", "s1"),
+        (3L, "EURUSD", 1.10, ts("2024-01-01 10:01:00"), "USD", "s1"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").orderBy("id")
+        .select("id").as[Long].collect()
+      assert(got.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("windowedQuotes over a stream matches quotesAgg over the batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "EURUSD", 1.08, ts("2024-01-01 10:05:00"), "USD", "s1"),
+      (2L, "EURUSD", 1.10, ts("2024-01-01 10:20:00"), "USD", "s1"),
+      (3L, "EURUSD", 1.06, ts("2024-01-01 11:05:00"), "USD", "s1"),
+      (4L, "AAPL", 190.0, ts("2024-01-01 10:30:00"), "USD", "s1"))
+    val input = MemoryStream[(Long, String, Double, java.sql.Timestamp,
+      String, String)]
+    val df = input.toDF()
+      .toDF("id", "symbol", "price", "as_of", "currency", "source")
+    val q = PriceStream.windowedQuotes(df)
+      .writeStream.format("memory").queryName("quotes_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("quotes_out")
+        .select($"window.start".as("ws"), $"symbol", $"open", $"close",
+          $"high", $"low", $"n")
+        .orderBy("ws", "symbol").collect().toSeq
+      val batch = PriceStream.quotesAgg(
+          rows.toDF("id", "symbol", "price", "as_of", "currency", "source"))
+        .select($"window.start".as("ws"), $"symbol", $"open", $"close",
+          $"high", $"low", $"n")
+        .orderBy("ws", "symbol").collect().toSeq
+      assert(stream === batch) // batch/stream unification
+      val eur10 = stream.find(r => r.getString(1) == "EURUSD" &&
+        r.getTimestamp(0).toString.startsWith("2024-01-01 10")).get
+      assert(eur10.getDouble(2) === 1.08 && eur10.getDouble(3) === 1.10)
+    } finally q.stop()
+  }
+
+  test("file-source micro-batch ingest end-to-end (ST1)") {
+    val landing = Files.createTempDirectory("graft_landing").toString
+    val table = Files.createTempDirectory("graft_table").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val batch = Seq(
+      (1L, "EURUSD", 1.08, ts("2024-01-01 10:00:00"), "USD", "s1"),
+      (2L, "EURUSD", 1.08, ts("2024-01-01 10:00:00"), "USD", "s1"))
+      .toDF("id", "symbol", "price", "as_of", "currency", "source")
+    batch.write.mode("overwrite").parquet(landing)
+    val q = PriceStream.start(spark, landing, table, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(table)
+    assert(got.count() === 1) // in-batch duplicate key collapsed
+  }
+
+  test("multimodal: partition-local decode, null payload passthrough") {
+    val media = Multimodal.syntheticMedia(spark, 21)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() === 21)
+    val nulls = feats.filter($"payload".isNull)
+    assert(nulls.count() === 3) // ids 0, 7, 14
+    assert(nulls.filter($"features".isNotNull).count() === 0)
+    val nonNull = feats.filter($"payload".isNotNull)
+    assert(nonNull.filter(size($"features") =!= 8).count() === 0)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media)
+      .filter($"media_id" === 1).select("features")
+      .as[Seq[Float]].collect().head
+    val first = feats.filter($"media_id" === 1).select("features")
+      .as[Seq[Float]].collect().head
+    assert(again === first)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.TextAnalysis
+
+/** Text-analysis pipeline: tokenization, quality features, language ID,
+  * fingerprints.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish pre-split") {
+    val df = Seq("Hello, world! 42 tokens?").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCountWs($"text"),
+      TextAnalysis.tokenCountBpe($"text")).collect()(0)
+    assert(r.getInt(0) === 4)
+    // hello , world ! 42 tokens ? → 7
+    assert(r.getInt(1) === 7)
+  }
+
+  test("quality features: ratios on a known string") {
+    val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, $"text").collect()(0)
+    assert(r.getAs[Int]("n_words") === 3)
+    assert(r.getAs[Double]("alpha_ratio") === 0.818182) // 9 alpha / 11 chars
+    assert(r.getAs[Double]("punct_ratio") === 0.0)
+    assert(r.getAs[Double]("stopword_ratio") === 0.333333) // "the"
+    assert(r.getAs[Double]("mean_word_len") === 3.0) // (11-3+1)/3
+  }
+
+  test("quality score is in [0,1] and rises with stopword evidence") {
+    val df = Seq((1L, "xqz vgw pltk"), (2L, "the cat is on the mat and it is a hat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(df, $"text")
+      .orderBy("doc_id").select("quality").as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(1) > got(0))
+  }
+
+  test("languageId: marker-word argmax picks the right language") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the park"),
+      (2L, "der hund ist nicht und das ist gut"),
+      (3L, "le chat et les chiens est des amis"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df, $"text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect()
+    assert(got.toSeq === Seq("en", "de", "fr"))
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+}
