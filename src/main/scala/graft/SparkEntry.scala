@@ -82,14 +82,16 @@ object SparkEntry {
   private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
   private def h48(x: String) = s"('0x' || substr(md5($x), 1, 12))::BIGINT"
 
-  /** DuckDB mirrors of Dedup.words / Dedup.shingles. */
+  /** DuckDB mirrors of Dedup.words / Dedup.shingles / permHash. */
   private def wordsSql(t: String) =
-    s"list_filter(string_split(regexp_replace(lower(trim($t)), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
+    s"list_filter(regexp_split_to_array(lower(trim($t)), '\\s+'), w -> w <> '')"
   private def shinglesSql(ws: String, w: Int = 3) =
     s"""CASE WHEN len($ws) >= $w
        |  THEN list_transform(range(0, len($ws) - ${w - 1}),
        |         i -> array_to_string(array_slice($ws, i + 1, i + $w), ' '))
        |  ELSE [array_to_string($ws, ' ')] END""".stripMargin
+  private val permHashSql =
+    "(h * (p * 2 + 3) + (p * 1000003 + 12345)) % 2147483647"
 
   // ------------------------------------------------------------ queries
 
@@ -110,7 +112,7 @@ object SparkEntry {
           col("ts") <= to_timestamp(lit("2024-02-01"))))
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("value"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "f2_journal_filter" -> ((s, d) => {
@@ -121,7 +123,7 @@ object SparkEntry {
           col("tags").contains("vie"),
           col("date") >= to_timestamp(lit("2024-01-05"))))
         .select("id", "qty", "entry")
-        .orderBy("id")
+        .repartition(1).sortWithinPartitions("id")
     }),
 
     "f3_point_lookup" -> ((s, d) => {
@@ -144,7 +146,7 @@ object SparkEntry {
       T(s, d).orders
         .filter(lower(col("o_orderpriority")) === lit("1-urgent"))
         .select("o_orderkey", "o_orderpriority")
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     }),
 
     "f8_ttl_filter" -> ((s, d) => {
@@ -153,14 +155,14 @@ object SparkEntry {
           col("ts") + expr("INTERVAL 7 DAYS"),
           to_timestamp(lit("2024-01-20")))
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "f9_regex_route" -> ((s, d) => {
       val fxLike = T(s, d).documents
         .withColumn("sym", upper(substring(col("text"), 1, 6)))
       fxLike.filter(MarketFunctions.isFxLike(col("sym")))
-        .select("doc_id", "sym").orderBy("doc_id")
+        .select("doc_id", "sym").repartition(1).sortWithinPartitions("doc_id")
     }),
 
     // ---- joins (J1-J5) ----
@@ -171,7 +173,7 @@ object SparkEntry {
       Aggregates.positionsWithMarketValue(txns,
           txns.select(col("id"), col("symbol"), col("price"),
             col("date").as("as_of")))
-        .orderBy("symbol")
+        .repartition(1).sortWithinPartitions("symbol")
     }),
 
     "j2_dedup_union" -> ((s, d) => {
@@ -182,7 +184,7 @@ object SparkEntry {
         .select(col("o_orderkey"), lit("local").as("src"),
           (col("o_totalprice") + 1.0).as("o_totalprice"))
       Relational.dedupUnion(server, local, "o_orderkey", col("o_orderkey"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     }),
 
     "j3_backfill_anti" -> ((s, d) => {
@@ -191,7 +193,7 @@ object SparkEntry {
           o.filter(col("o_orderkey") % 2 === 0),
           o.filter(col("o_orderkey") % 3 === 0),
           Seq("o_orderkey"))
-        .select("o_orderkey").orderBy("o_orderkey")
+        .select("o_orderkey").repartition(1).sortWithinPartitions("o_orderkey")
     }),
 
     "j4_cascade_delete" -> ((s, d) => {
@@ -200,14 +202,14 @@ object SparkEntry {
         .select(col("o_orderkey").as("l_orderkey"))
       Relational.cascadeDelete(t.lineitem, deleted, Seq("l_orderkey"))
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        .repartition(1).sortWithinPartitions("l_returnflag")
     }),
 
     "j5_semi_exists" -> ((s, d) => {
       val t = T(s, d)
       t.customer.join(t.orders.select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_semi")
-        .select("c_custkey").orderBy("c_custkey")
+        .select("c_custkey").repartition(1).sortWithinPartitions("c_custkey")
     }),
 
     "q5_star_revenue" -> ((s, d) => {
@@ -225,7 +227,7 @@ object SparkEntry {
         .agg(Aggregates.fromCents(sum(Aggregates.cents(
           col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("revenue"))
-        .orderBy("n_name")
+        .repartition(1).sortWithinPartitions("n_name")
     }),
 
     // ---- aggregations (A1-A8, Q1) ----
@@ -235,7 +237,7 @@ object SparkEntry {
           col("ts"), col("event_id"), col("value"))
         .select(col("event_type"), col("latest"),
           unix_micros(col("latest_at")).as("latest_at_us"))
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     }),
 
     "a3_overview_stats" -> ((s, d) => {
@@ -245,28 +247,28 @@ object SparkEntry {
       val r = MarketFunctions.rMultiple(pnl, col("entry"), col("stop"),
         col("qty"))
       Aggregates.overviewStats(j, pnl, r, Seq(col("symbol")))
-        .orderBy("symbol")
+        .repartition(1).sortWithinPartitions("symbol")
     }),
 
     "a5_histogram" -> ((s, d) => {
-      Aggregates.histogram10(T(s, d).events, col("value")).orderBy("bin")
+      Aggregates.histogram10(T(s, d).events, col("value")).repartition(1).sortWithinPartitions("bin")
     }),
 
     "a6_quote_delta" -> ((s, d) => {
       Aggregates.quoteDelta(T(s, d).events, "event_type", col("ts"),
           col("event_id"), col("value"))
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     }),
 
     "a7_range_change" -> ((s, d) => {
       Aggregates.rangeChange(T(s, d).events, "event_type", col("ts"),
           col("event_id"), col("value"), lastN = 50)
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     }),
 
     "a8_hi_lo_mid" -> ((s, d) => {
       Aggregates.hiLoMid(T(s, d).events, "event_type", col("value"))
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     }),
 
     "q1_lineitem_agg" -> ((s, d) => {
@@ -281,7 +283,7 @@ object SparkEntry {
             .as("sum_disc"),
           count(lit(1)).as("cnt"))
         .withColumn("avg_qty", round(col("sum_qty") / col("cnt"), 6))
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     }),
 
     // ---- window / series (W1-W9) ----
@@ -290,7 +292,7 @@ object SparkEntry {
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
       T(s, d).events
         .select(col("event_id"), Series.sma(col("value"), 5, w).as("sma"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "w2_equity_curve" -> ((s, d) => {
@@ -299,7 +301,7 @@ object SparkEntry {
       val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
         col("entry"), col("exit"), col("fees"))
       j.select(col("id"), Series.cumSum(pnl, w).as("equity"))
-        .orderBy("id")
+        .repartition(1).sortWithinPartitions("id")
     }),
 
     "w3_rolling_std" -> ((s, d) => {
@@ -307,7 +309,7 @@ object SparkEntry {
       T(s, d).events
         .select(col("event_id"),
           Series.rollingStd(col("value"), 14, w).as("rstd"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "w4_rolling_min" -> ((s, d) => {
@@ -315,7 +317,7 @@ object SparkEntry {
       T(s, d).events
         .select(col("event_id"),
           Series.rollingMin(col("value"), 14, w).as("rmin"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "w5_highest_pos" -> ((s, d) => {
@@ -328,7 +330,7 @@ object SparkEntry {
         .select(col("event_id"), col("hv"),
           max(when(col("value") === col("hv"), col("rn"))).over(tw)
             .as("hpos"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "w6_local_extrema" -> ((s, d) => {
@@ -338,7 +340,7 @@ object SparkEntry {
         .withColumn("is_low", Series.isLocalLow(col("value"), w))
         .filter(col("is_high") || col("is_low"))
         .select("event_id", "is_high", "is_low")
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "w8_lag_delta" -> ((s, d) => {
@@ -346,14 +348,14 @@ object SparkEntry {
       T(s, d).events.filter(col("event_type") === "click")
         .select(col("event_id"),
           Series.lagDelta(col("value"), w).as("delta"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "w9_topk_recent" -> ((s, d) => {
       Series.topKRecent(T(s, d).events, "event_type", col("ts"),
           col("event_id"), 20)
         .select("event_type", "event_id", "value")
-        .orderBy("event_type", "event_id")
+        .repartition(1).sortWithinPartitions("event_type", "event_id")
     }),
 
     // ---- set ops ----
@@ -363,7 +365,7 @@ object SparkEntry {
       t.orders.select(col("o_orderpriority").as("val"))
         .unionByName(t.lineitem.select(col("l_returnflag").as("val")))
         .distinct()
-        .orderBy("val")
+        .repartition(1).sortWithinPartitions("val")
     }),
 
     // ---- mutations (S5, U1, U4) ----
@@ -374,14 +376,14 @@ object SparkEntry {
       val source = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       Relational.upsert(target, source, Seq("o_orderkey"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     }),
 
     "u4_delete_count" -> ((s, d) => {
       val (remaining, _) = Relational.deleteWhere(T(s, d).orders,
         col("o_orderstatus") === "O" && col("o_totalprice") < 100000.0)
       remaining.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-        .orderBy("o_orderstatus")
+        .repartition(1).sortWithinPartitions("o_orderstatus")
     }),
 
     "s5_insert_ignore" -> ((s, d) => {
@@ -393,7 +395,7 @@ object SparkEntry {
       val (merged, _) = Relational.insertIgnore(p, batch,
         Seq("symbol", "as_of", "source"))
       merged.groupBy("symbol", "source").agg(count(lit(1)).as("n"))
-        .orderBy("symbol", "source")
+        .repartition(1).sortWithinPartitions("symbol", "source")
     }),
 
     // ---- scalar functions (X1-X14) ----
@@ -405,7 +407,7 @@ object SparkEntry {
       j.select(col("id"), round(pnl, 6).as("pnl"),
           round(MarketFunctions.rMultiple(pnl, col("entry"), col("stop"),
             col("qty")), 6).as("r"))
-        .orderBy("id")
+        .repartition(1).sortWithinPartitions("id")
     }),
 
     "x3_impact_score" -> ((s, d) => {
@@ -414,7 +416,7 @@ object SparkEntry {
           MarketFunctions.scoreImpact(col("text"),
             high = Seq("spark", "join"), medium = Seq("merge", "sort"))
             .as("impact"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "x4_decimals_atr" -> ((s, d) => {
@@ -423,7 +425,7 @@ object SparkEntry {
         .select(col("sym"),
           MarketFunctions.priceDecimals(col("sym")).as("decimals"),
           MarketFunctions.atrGuess(col("sym")).as("atr"))
-        .orderBy("sym")
+        .repartition(1).sortWithinPartitions("sym")
     }),
 
     "x5_pair_parse" -> ((s, d) => {
@@ -433,7 +435,7 @@ object SparkEntry {
         .select(col("pair"),
           MarketFunctions.pairBase(col("pair")).as("base"),
           MarketFunctions.pairQuote(col("pair")).as("quote"))
-        .orderBy("pair")
+        .repartition(1).sortWithinPartitions("pair")
     }),
 
     "x6_levels_extract" -> ((s, d) => {
@@ -441,7 +443,7 @@ object SparkEntry {
         .select(col("event_id"),
           regexp_extract(col("props"), "([0-9]+(\\.[0-9]+)?)", 1)
             .cast("double").as("level"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "x7_x9_datetime" -> ((s, d) => {
@@ -450,7 +452,7 @@ object SparkEntry {
           MarketFunctions.isoUtc(col("ts")).as("iso"),
           MarketFunctions.isoDate(col("ts")).as("d"),
           MarketFunctions.dayName(col("ts")).as("day"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "x8_tz_chips" -> ((s, d) => {
@@ -458,7 +460,7 @@ object SparkEntry {
         .select(col("event_id"),
           MarketFunctions.tzChip(col("ts"), "America/New_York").as("est"),
           MarketFunctions.tzChip(col("ts"), "America/Los_Angeles").as("pdt"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     "x11_signature" -> ((s, d) => {
@@ -470,7 +472,7 @@ object SparkEntry {
             (round(col("entry") * 100).cast("long") / 100.0).cast("string"),
             (round(col("exit") * 100).cast("long") / 100.0).cast("string"))
             .as("sig"))
-        .orderBy("id")
+        .repartition(1).sortWithinPartitions("id")
     }),
 
     "x14_email_norm" -> ((s, d) => {
@@ -480,7 +482,7 @@ object SparkEntry {
         .select(col("doc_id"),
           MarketFunctions.normalizeEmail(col("email")).as("email_norm"),
           MarketFunctions.isValidEmail(col("email")).as("valid"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     // ---- composite pipelines (P1, ST) ----
@@ -488,14 +490,14 @@ object SparkEntry {
     "p1_ict" -> ((s, d) => {
       Series.analyzeICT(T(s, d).events, "event_type", col("ts"),
           col("event_id"), col("value"))
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     }),
 
     "st_windowed_quotes" -> ((s, d) => {
       PriceStream.quotesAgg(T(s, d).pricesFromEvents, "1 hour")
         .select(unix_micros(col("window.start")).as("ws_us"), col("symbol"),
           col("open"), col("close"), col("high"), col("low"), col("n"))
-        .orderBy("ws_us", "symbol")
+        .repartition(1).sortWithinPartitions("ws_us", "symbol")
     }),
 
     // ---- dedup / text / similarity (training-data ops) ----
@@ -505,36 +507,39 @@ object SparkEntry {
       val doubled = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 10000))
       Dedup.exact(doubled, "doc_id", col("text"))
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id").repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "d2_minhash_sig" -> ((s, d) => {
       T(s, d).documents
+        .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("_hs"))
         .select(col("doc_id"),
           concat_ws(",", transform(
-            Dedup.minhashSignature(col("text"), 8),
+            Dedup.minhashFromHashes(col("_hs"), 8),
             x => x.cast("string"))).as("sig"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "d3_minhash_pairs" -> ((s, d) => {
       Dedup.minhashCandidates(T(s, d).documents, "doc_id", col("text"),
           numPerm = 8, bandRows = 2)
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
     "d4_simhash_sig" -> ((s, d) => {
       T(s, d).documents
+        .select(col("doc_id"), Dedup.wordHashes(col("text")).as("_wh"))
         .select(col("doc_id"),
-          concat_ws("", transform(Dedup.simhashBits(col("text"), 32),
+          concat_ws("", transform(
+            Dedup.simhashFromHashes(col("_wh"), 32),
             x => x.cast("string"))).as("bits"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "d5_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccard(T(s, d).documents, "doc_id", col("text"),
           blockKey = col("lang"), w = 3, minJ = 0.1)
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
     "t1_text_stats" -> ((s, d) => {
@@ -547,20 +552,20 @@ object SparkEntry {
         .withColumn("n_words", col("n_words").cast("long"))
         .select("doc_id", "n_words", "alpha_ratio", "punct_ratio",
           "stopword_ratio", "mean_word_len", "quality", "tok_ws", "tok_bpe")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "t3_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(T(s, d).documents, col("text"))
         .select("doc_id", "lang", "lang_pred", "lang_score")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "t4_fingerprint" -> ((s, d) => {
       T(s, d).documents
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "n1_ann_topk" -> ((s, d) => {
@@ -578,8 +583,8 @@ object SparkEntry {
     "n2_lsh_bucket" -> ((s, d) => {
       T(s, d).embeddings
         .select(col("vec_id"),
-          Similarity.lshBucket(col("embedding"), 4).as("bucket"))
-        .orderBy("vec_id")
+          Similarity.lshBucket(col("embedding"), 4, dim = 64).as("bucket"))
+        .repartition(1).sortWithinPartitions("vec_id")
     }),
 
     // ---- multimodal plumbing (no SQL oracle: partition-local decode) --
@@ -590,7 +595,7 @@ object SparkEntry {
         .select(col("media_id"), col("kind"),
           round(element_at(col("features"), 1), 3).as("f0"),
           size(col("features")).as("dim"))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     })
   )
 
@@ -997,21 +1002,21 @@ object SparkEntry {
 
     "d2_minhash_sig" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w)
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh)
          |SELECT doc_id,
          |  array_to_string(list_transform(range(0, 8),
-         |    p -> list_min(list_transform(sl,
-         |           s -> ${h60("CAST(p AS VARCHAR) || ':' || s")}))), ',') AS sig
-         |FROM sh ORDER BY doc_id""".stripMargin,
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))), ',') AS sig
+         |FROM hs ORDER BY doc_id""".stripMargin,
 
     "d3_minhash_pairs" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
          |sigs AS (
          |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(sl,
-         |           s -> ${h60("CAST(p AS VARCHAR) || ':' || s")}))) AS sig
-         |  FROM sh),
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+         |  FROM hs),
          |bands AS (
          |  SELECT doc_id, b AS band,
          |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
@@ -1029,7 +1034,7 @@ object SparkEntry {
          |SELECT doc_id,
          |  array_to_string(list_transform(range(0, 32),
          |    i -> CASE WHEN list_sum(list_transform(hs,
-         |           h -> CASE WHEN CAST(floor(h / power(2, i)) AS BIGINT) % 2 = 1
+         |           h -> CASE WHEN (h >> i) % 2 = 1
          |                     THEN 1 ELSE -1 END)) > 0
          |         THEN 1 ELSE 0 END), '') AS bits
          |FROM w ORDER BY doc_id""".stripMargin,
@@ -1037,7 +1042,9 @@ object SparkEntry {
     "d5_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, lang, ${wordsSql("text")} AS ws FROM documents),
          |sh AS (
-         |  SELECT doc_id, lang AS blk, unnest(list_distinct(${shinglesSql("ws")})) AS sh
+         |  SELECT doc_id, lang AS blk,
+         |    unnest(list_distinct(list_transform(${shinglesSql("ws")},
+         |      s -> ${h60("s")}))) AS sh
          |  FROM w),
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
          |inter AS (

@@ -19,10 +19,11 @@ import graft.functions.MarketFunctions.{md5Hash48, md5Hash60}
   */
 object Dedup {
 
-  /** Normalized word array of a text column. */
+  /** Normalized word array of a text column (single regex pass: split on
+    * whitespace runs directly, drop empties).
+    */
   def words(text: Column): Column =
-    filter(split(regexp_replace(lower(trim(text)), "\\s+", " "), " "),
-      w => w =!= "")
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
 
   /** Word w-shingles (default 3-gram) as an array of strings; texts
     * shorter than w words collapse to a single whole-text shingle.
@@ -46,13 +47,41 @@ object Dedup {
     keyed.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
   }
 
-  /** MinHash signature: for permutation p, min over shingles of
-    * md5-hash60(p ‖ ":" ‖ shingle). Computed entirely in-row.
+  /** 48-bit md5 hash per shingle — computed ONCE per shingle; all
+    * permutations derive from these longs with cheap integer math.
+    * (Hashing per-permutation would multiply the md5 cost by numPerm —
+    * higher-order-function expressions are interpreted, so that cost is
+    * real.)
+    */
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    transform(shingles(text, w), s => md5Hash48(s))
+
+  /** Universal-hash permutation p of a 48-bit base hash:
+    * ((2p+3)·h + 1000003·p + 12345) mod (2^31 − 1). The product stays
+    * under 2^53 so the DuckDB oracle reproduces it in exact BIGINT math.
+    */
+  private def permHash(h: Column, p: Column): Column =
+    (h * (p * 2 + 3) + (p * 1000003 + 12345)) % 2147483647L
+
+  /** MinHash signature from precomputed shingle hashes — a SINGLE fold
+    * over the hash array with an array-of-minima accumulator. The naive
+    * `transform(perms, p => array_min(...))` shape re-evaluates the hash
+    * subtree once per permutation after Catalyst's CollapseProject
+    * inlines it (measured 8× slower); here the subtree is referenced
+    * exactly once.
+    */
+  def minhashFromHashes(hs: Column, numPerm: Int): Column =
+    aggregate(hs,
+      array_repeat(lit(2147483647L), numPerm),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numPerm - 1)),
+        (m, p) => least(m, permHash(h, p))))
+
+  /** MinHash signature of a text column (hashes computed inline — prefer
+    * materializing [[shingleHashes]] into a column first when the plan
+    * would otherwise inline the md5 work once per permutation).
     */
   def minhashSignature(text: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(shingles(text),
-        s => md5Hash60(concat(p.cast("string"), lit(":"), s)))))
+    minhashFromHashes(shingleHashes(text), numPerm)
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * near-dup pairs. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
@@ -61,12 +90,16 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
                         numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
     val numBands = numPerm / bandRows
-    val sig = df.select(col(idCol),
-      minhashSignature(text, numPerm).as("_sig"))
+    val sig = df.select(col(idCol), shingleHashes(text).as("_hs"))
+      .select(col(idCol), minhashFromHashes(col("_hs"), numPerm).as("_sig"))
+    // the banded plan feeds BOTH sides of the self-join; without an
+    // explicit persist each side re-executes the whole signature
+    // computation (at cluster scale: persist/checkpoint the signatures)
     val banded = sig.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(numBands - 1)),
         b => concat_ws(",", slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
       .as(Seq("band", "bucket")))
+      .persist()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -75,21 +108,30 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash bit-sign vector (nBits entries of 0/1, nBits ≤ 48), computed
-    * in-row: every word votes ±1 on each bit of its 48-bit hash; bit = 1
-    * iff the vote sum is positive. bit i of h = floor(h / 2^i) % 2 —
-    * division by a power of two is exact in double for h < 2^48, so the
-    * oracle reproduces it exactly.
+  /** 48-bit md5 hash per normalized word — computed once per word. */
+  def wordHashes(text: Column): Column =
+    transform(words(text), w => md5Hash48(w))
+
+  /** SimHash bit-sign vector (nBits entries of 0/1, nBits ≤ 48) from
+    * precomputed word hashes: every word votes ±1 on each bit; bit = 1
+    * iff the vote sum is positive. Bit extraction is (h >> i) % 2 —
+    * integer shifts, mirrored by `>>` in the DuckDB oracle.
     */
-  def simhashBits(text: Column, nBits: Int = 32): Column = {
-    val hashes = transform(words(text), w => md5Hash48(w))
-    transform(sequence(lit(0), lit(nBits - 1)), i => {
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc +
-          when(floor(h / pow(lit(2.0), i)) % 2 === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1)).otherwise(lit(0))
-    })
+  def simhashFromHashes(hs: Column, nBits: Int = 32): Column = {
+    // single fold with an array-of-votes accumulator (see
+    // minhashFromHashes for why: per-bit aggregates would re-evaluate
+    // the hash subtree nBits times)
+    val votes = aggregate(hs,
+      array_repeat(lit(0), nBits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(nBits - 1)),
+        (v, i) => v +
+          when(call_function("shiftright", h, i) % 2 === 1, 1)
+            .otherwise(-1)))
+    transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
   }
+
+  def simhashBits(text: Column, nBits: Int = 32): Column =
+    simhashFromHashes(wordHashes(text), nBits)
 
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =
@@ -104,11 +146,14 @@ object Dedup {
                         nBits: Int = 32, chunks: Int = 4,
                         maxHamming: Int = 3): DataFrame = {
     val chunkLen = nBits / chunks
-    val sig = df.select(col(idCol), simhashBits(text, nBits).as("_bits"))
+    val sig = df.select(col(idCol), wordHashes(text).as("_wh"))
+      .select(col(idCol), simhashFromHashes(col("_wh"), nBits).as("_bits"))
+    // persisted: both self-join sides read it (see minhashCandidates)
     val banded = sig.select(col(idCol), col("_bits"), posexplode(
       transform(sequence(lit(0), lit(chunks - 1)),
         c => concat_ws("", slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
       .as(Seq("chunk", "key")))
+      .persist()
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -126,8 +171,13 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, text: Column,
                    blockKey: Column, w: Int = 3,
                    minJ: Double = 0.1): DataFrame = {
+    // join on 60-bit shingle hashes, not strings: same pair counts
+    // (collisions negligible), far narrower shuffle rows; persisted
+    // because sizes + both self-join sides consume it (3 readers)
     val sh = df.select(col(idCol), blockKey.as("_blk"),
-        explode(array_distinct(shingles(text, w))).as("_sh"))
+        explode(array_distinct(transform(shingles(text, w),
+          s => md5Hash60(s)))).as("_sh"))
+      .persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a._blk") === col("b._blk") && col("a._sh") === col("b._sh") &&

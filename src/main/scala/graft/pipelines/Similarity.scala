@@ -47,23 +47,47 @@ object Similarity {
       .limit(k)
 
   /** Deterministic random hyperplane component: md5-seeded uniform in
-    * [-1, 1) for (plane p, dimension d).
+    * [-1, 1) for (plane p, dimension d). Driver-side replica of
+    * [[graft.functions.MarketFunctions.md5Hash48]] — the components are
+    * row-independent constants, so they are computed once here and
+    * shipped as literals instead of re-hashing per row (which would cost
+    * bits×dim interpreted md5 calls per row).
     */
+  private def md5Hash48Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+  }
+  private[pipelines] def planeComponentLocal(p: Int, d: Int): Double =
+    (md5Hash48Local(s"$p,$d") % 2000000L - 1000000L) / 1000000.0
+
+  /** Column-side fallback for unknown vector dims. */
   private def planeComponent(p: Column, d: Column): Column =
     (md5Hash48(concat(p.cast("string"), lit(","), d.cast("string")))
       % 2000000L - 1000000L) / 1000000.0
 
   /** b-bit random-hyperplane LSH bucket of a vector: bit p = 1 iff
-    * vec · plane_p ≥ 0. Computed in-row.
+    * vec · plane_p ≥ 0. With a known dim, planes are literal arrays
+    * (no per-row hashing); accumulation order matches the oracle's
+    * sequential list_reduce either way.
     */
-  def lshBucket(vec: Column, bits: Int): Column =
-    concat_ws("", transform(sequence(lit(0), lit(bits - 1)), p => {
-      val d = aggregate(
-        zip_with(toDouble(vec), sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1)).otherwise(lit(0))
-    }))
+  def lshBucket(vec: Column, bits: Int, dim: Int = -1): Column =
+    if (dim > 0) {
+      concat_ws("", (0 until bits).map { p =>
+        val planes = array((0 until dim).map(d =>
+          lit(planeComponentLocal(p, d))): _*)
+        val dot = aggregate(zip_with(toDouble(vec), planes, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    } else
+      concat_ws("", transform(sequence(lit(0), lit(bits - 1)), p => {
+        val d = aggregate(
+          zip_with(toDouble(vec), sequence(lit(0), size(vec) - 1),
+            (x, i) => x * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, lit(1)).otherwise(lit(0))
+      }))
 
   /** ANN top-k via LSH bucketing: score only vectors whose bucket matches
     * the query's bucket (approximate — may return < k rows when the
@@ -71,11 +95,12 @@ object Similarity {
     * partitioned by bucket, so a query touches one partition.
     */
   def annTopKCosine(corpus: DataFrame, idCol: String, vecCol: String,
-                    query: Column, k: Int, bits: Int = 4): DataFrame = {
+                    query: Column, k: Int, bits: Int = 4,
+                    dim: Int = -1): DataFrame = {
     val bucketed = corpus
-      .withColumn("_bucket", lshBucket(col(vecCol), bits))
+      .withColumn("_bucket", lshBucket(col(vecCol), bits, dim))
     bucketed
-      .filter(col("_bucket") === lshBucket(query, bits))
+      .filter(col("_bucket") === lshBucket(query, bits, dim))
       .select(col(idCol), round(cosine(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -86,9 +111,10 @@ object Similarity {
     * embedding-cosine near-dup dedup mode).
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int = 4): DataFrame = {
+                   threshold: Double, bits: Int = 4,
+                   dim: Int = -1): DataFrame = {
     val bucketed = corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), bits).as("_bucket"))
+      lshBucket(col(vecCol), bits, dim).as("_bucket"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bucket") === col("b._bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
