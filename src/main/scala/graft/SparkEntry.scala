@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.MarketFunctions
 import graft.functions.MarketFunctions._
 import graft.operators.{Aggregates, Relational, Series}
-import graft.pipelines.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipelines.{Dedup, Multimodal, Plans, Similarity, TextAnalysis}
+import graft.sources.Ingest
 import graft.streaming.PriceStream
 
 /** Driver contract (SURVEY.md §7): one named query per implemented
@@ -92,6 +93,43 @@ object SparkEntry {
        |  ELSE [array_to_string($ws, ' ')] END""".stripMargin
   private val permHashSql =
     "(h * (p * 2 + 3) + (p * 1000003 + 12345)) % 2147483647"
+
+  /** 4-decimal price format mirroring Plans.fmtPrice. */
+  private def fmtSql(x: String) =
+    s"CAST(CAST(round(($x) * 10000) AS BIGINT) / 10000.0 AS VARCHAR)"
+
+  /** Shared P1 ICT aggregate (also feeds the P3 plan-text oracle). */
+  private val ictSql =
+    """WITH m AS (
+      |  SELECT event_type, event_id, value,
+      |    CASE WHEN COUNT(value) OVER tw10 >= 10
+      |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw10
+      |                    / (100.0 * COUNT(value) OVER tw10), 6) END AS ma10,
+      |    CASE WHEN COUNT(value) OVER tw20 >= 20
+      |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw20
+      |                    / (100.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM events
+      |  WINDOW tw10 AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+      |         tw20 AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |a AS (
+      |  SELECT event_type, max(value) AS hi, min(value) AS lo,
+      |    max(CASE WHEN rnd = 1 THEN value END) AS last,
+      |    max(CASE WHEN rnd = 1 THEN ma10 END) AS ma10_last,
+      |    max(CASE WHEN rnd = 3 THEN ma10 END) AS ma10_l3,
+      |    max(CASE WHEN rnd = 1 THEN ma20 END) AS ma20_last,
+      |    max(CASE WHEN rnd = 3 THEN ma20 END) AS ma20_l3
+      |  FROM m GROUP BY event_type)
+      |SELECT event_type, hi, lo, (hi + lo) / 2.0 AS mid, last,
+      |  last >= (hi + lo) / 2.0 AS premium,
+      |  CASE WHEN ma10_last - ma10_l3 > 0 AND ma20_last - ma20_l3 > 0 THEN 'bullish'
+      |       WHEN ma10_last - ma10_l3 < 0 AND ma20_last - ma20_l3 < 0 THEN 'bearish'
+      |       ELSE 'neutral' END AS bias,
+      |  round(lo + (hi - lo) * 0.62, 6) AS ote_62,
+      |  round(lo + (hi - lo) * 0.79, 6) AS ote_79
+      |FROM a""".stripMargin
 
   // ------------------------------------------------------------ queries
 
@@ -596,6 +634,247 @@ object SparkEntry {
           round(element_at(col("features"), 1), 3).as("f0"),
           size(col("features")).as("dim"))
         .repartition(1).sortWithinPartitions("media_id")
+    }),
+
+    // ---- ingest payload parsers (S2-S4, X12) over synthetic payloads --
+
+    "s2_av_quote_parse" -> ((s, d) => {
+      val payload = when(col("doc_id") % 2 === 0,
+        concat(lit("{\"Global Quote\": {\"01. symbol\": \"S"),
+          col("doc_id").cast("string"),
+          lit("\", \"05. price\": \""),
+          (col("doc_id") % 97).cast("string"),
+          lit(".25\", \"07. latest trading day\": \"2024-03-01\"}}")))
+        .otherwise(
+          concat(lit("{\"globalQuote\": {\"01_symbol\": \"S"),
+            col("doc_id").cast("string"),
+            lit("\", \"05_price\": \""),
+            (col("doc_id") % 89).cast("string"),
+            lit(".5\", \"latestTradingDay\": \"2024-03-02\"}}")))
+      Ingest.parseAlphaVantageQuote(
+          T(s, d).documents.select(payload.as("payload")))
+        .select(col("symbol"), col("price"),
+          unix_micros(col("as_of")).as("as_us"), col("error"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    "s3_av_fx_parse" -> ((s, d) => {
+      val ts3 = col("doc_id") % 3
+      val rawTs = when(ts3 === 0, lit("2024-03-01"))
+        .when(ts3 === 1, lit("2024-03-01 14:30:00"))
+        .otherwise(lit("2024-03-01T09:15:00"))
+      val payload = concat(
+        lit("{\"Realtime Currency Exchange Rate\": {\"5. Exchange Rate\": \""),
+        (col("doc_id") % 13).cast("string"), lit(".5\", "),
+        lit("\"6. Last Refreshed\": \""), rawTs, lit("\"}}"))
+      val pair = when(col("doc_id") % 2 === 0, lit("EUR/USD"))
+        .otherwise(lit("GBPJPY"))
+      Ingest.parseAlphaVantageFx(
+          T(s, d).documents.select(pair.as("pair"), payload.as("payload")))
+        .select(col("base"), col("quote"), col("symbol"), col("price"),
+          unix_micros(col("as_of")).as("as_us"), col("currency"))
+        .repartition(1).sortWithinPartitions("symbol", "price", "as_us")
+    }),
+
+    "s4_yahoo_parse" -> ((s, d) => {
+      val base = (col("doc_id") % 7 + 100).cast("string")
+      val closes = when(col("doc_id") % 2 === 0,
+        concat(lit("["), base, lit(".1,"), base, lit(".2,"), base,
+          lit(".3]")))
+        .otherwise(concat(lit("["), base, lit(".1,"), base,
+          lit(".2,null]")))
+      val payload = concat(
+        lit("{\"chart\": {\"result\": [{\"meta\": {\"symbol\": \"Y"),
+        col("doc_id").cast("string"),
+        lit("\", \"currency\": \"USD\"}, " +
+          "\"timestamp\": [1700000000,1700000060,1700000120], " +
+          "\"indicators\": {\"quote\": [{\"close\": "),
+        closes, lit("}]}}]}}"))
+      Ingest.parseYahooChart(T(s, d).documents.select(payload.as("payload")))
+        .select(col("symbol"), col("price"),
+          unix_micros(col("as_of")).as("as_us"), col("currency"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    // ---- remaining sinks / sources (S6, S9-S12) ----
+
+    "s6_plan_sink" -> ((s, d) => {
+      val syms = T(s, d).events.select(col("event_type").as("symbol"))
+        .distinct()
+      val existing = syms.withColumn("text", lit("plan A"))
+      val batch = existing
+        .unionByName(syms.withColumn("text", lit("plan B")))
+        .unionByName(syms.withColumn("text", lit("plan B")))
+      val (merged, _) = Relational.insertIgnore(existing, batch,
+        Seq("symbol", "text"))
+      merged.groupBy("symbol").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    "s9_seed_prices" -> ((s, d) => {
+      Ingest.seedPrices(s, Seq("EURUSD" -> 1.1, "AAPL" -> 190.0),
+          nPoints = 25, startIso = "2025-01-01")
+        .select(col("symbol"), col("price"),
+          unix_micros(col("as_of")).as("as_us"))
+        .repartition(1).sortWithinPartitions("symbol", "as_us")
+    }),
+
+    "s10_demo_clear" -> ((s, d) => {
+      T(s, d).pricesFromEvents.filter(col("source") =!= "src0")
+        .groupBy("symbol").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    "s11_news_impact" -> ((s, d) => {
+      Ingest.news(s, Some("EURUSD"))
+        .select(col("title"), col("source"), col("country"),
+          MarketFunctions.scoreImpact(col("title")).as("impact"))
+        .repartition(1).sortWithinPartitions("title")
+    }),
+
+    "s12_calendar_filter" -> ((s, d) => {
+      Ingest.calendar(s)
+        .filter(lower(col("country")) === lower(lit("Us")))
+        .repartition(1).sortWithinPartitions("when_ts")
+    }),
+
+    // ---- remaining filters / pagination (F4, F5, O4) ----
+
+    "f4_txn_filter" -> ((s, d) => {
+      T(s, d).txnsFromEvents.filter(col("portfolio_id") === 3)
+        .select("id", "symbol", "type")
+        .repartition(1).sortWithinPartitions("id")
+    }),
+
+    "f5_optional_filter" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      val all = Relational.filterAll(j, Nil)
+        .agg(count(lit(1)).as("n")).withColumn("mode", lit("all"))
+      val one = Relational.filterAll(j, Seq(col("symbol") === "view"))
+        .agg(count(lit(1)).as("n")).withColumn("mode", lit("sym"))
+      all.unionByName(one).select("mode", "n")
+        .repartition(1).sortWithinPartitions("mode")
+    }),
+
+    "o4_plan_page" -> ((s, d) => {
+      Relational.page(T(s, d).documents.select("doc_id", "lang"),
+        Seq(col("doc_id").desc), limit = 50, offset = 5)
+    }),
+
+    // ---- remaining windows / aggregates (W7, A4) ----
+
+    "w7_ma_slope" -> ((s, d) => {
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .withColumn("_ma10", Series.sma(col("value"), 10, w))
+        .select(col("event_id"),
+          Series.slope(col("_ma10"), 2, w).as("slope"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
+    "a4_review_stats" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+      val scoped = Series.topKRecent(j, "symbol", col("date"), col("id"),
+        20)
+      val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
+        col("entry"), col("exit"), col("fees"))
+      val r = MarketFunctions.rMultiple(pnl, col("entry"), col("stop"),
+        col("qty"))
+      Aggregates.overviewStats(scoped, pnl, r, Seq(col("symbol")))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    // ---- remaining mutations (U5, U6) ----
+
+    "u5_session_replace" -> ((s, d) => {
+      val e = T(s, d).events
+      def sessions(df: DataFrame, tag: String) = Aggregates.latestPerKey(
+          df.select(concat(lit("T"), (col("event_id") % 50).cast("string"))
+              .as("token"),
+            col("event_id").as("id"),
+            concat(lit(tag), col("user_id").cast("string")).as("email")),
+          "token", col("id"), col("id"), col("email"))
+        .select(col("token"), col("latest").as("email"))
+      val existing = sessions(e.filter(col("event_id") < 5000), "e")
+      val batch = sessions(
+        e.filter(col("event_id") >= 5000 && col("event_id") < 6000), "n")
+      Relational.upsert(existing, batch, Seq("token"))
+        .repartition(1).sortWithinPartitions("token")
+    }),
+
+    "u6_verify_code" -> ((s, d) => {
+      val codes = T(s, d).events.select(
+        col("event_id").as("id"),
+        concat(lit("u"), (col("user_id") % 20).cast("string")).as("email"),
+        lpad(((col("event_id") * 7) % 1000000).cast("string"), 6, "0")
+          .as("code"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("expires_at"),
+        when(col("event_id") % 5 === 0, 1).otherwise(0).as("used"))
+      Relational.verifyCode(codes, to_timestamp(lit("2024-01-08")))
+        .select("email", "code", "valid")
+        .repartition(1).sortWithinPartitions("email", "code")
+    }),
+
+    // ---- remaining scalar ops (X13, X15) ----
+
+    "x13_tag_badges" -> ((s, d) => {
+      val j = T(s, d).journalFromEvents
+        .withColumn("tags_noisy", concat(col("tags"), lit(" , x ,")))
+      j.select(col("id"),
+          concat_ws("|", MarketFunctions.tagBadges(col("tags_noisy")))
+            .as("badges"))
+        .repartition(1).sortWithinPartitions("id")
+    }),
+
+    "x15_code_gen" -> ((s, d) => {
+      // murmur-hash based; no cross-engine oracle -> rows-only check
+      T(s, d).events.select(col("user_id")).distinct()
+        .withColumn("email",
+          concat(lit("u"), col("user_id").cast("string"), lit("@x.com")))
+        .select(col("user_id"),
+          MarketFunctions.sixDigitCode(col("email")).as("code"))
+        .filter(col("code").rlike("^[0-9]{6}$"))
+        .repartition(1).sortWithinPartitions("user_id")
+    }),
+
+    // ---- composite pipelines (P2, P3, P4, P7) ----
+
+    "p2_alt_strategies" -> ((s, d) => {
+      Series.altStrategies(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"),
+          MarketFunctions.atrGuess(upper(col("event_type"))))
+        .repartition(1)
+        .sortWithinPartitions("event_type", "strategy", "direction")
+    }),
+
+    "p3_entry_plan" -> ((s, d) => {
+      val ict = Series.analyzeICT(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"))
+      Plans.entryPlanText(ict, "event_type")
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "p4_coach_prompt" -> ((s, d) => {
+      // to_json formatting is engine-specific -> rows-only check
+      val j = T(s, d).journalFromEvents
+      val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
+        col("entry"), col("exit"), col("fees"))
+      val r = MarketFunctions.rMultiple(pnl, col("entry"), col("stop"),
+        col("qty"))
+      val stats = Aggregates.overviewStats(j, pnl, r)
+      val trades = Series.topKRecent(j, "symbol", col("date"), col("id"), 4)
+        .repartition(1).sortWithinPartitions("id")
+      Plans.journalCoachPrompt(stats, trades,
+        Seq("symbol", "direction", "qty"))
+    }),
+
+    "p7_insights_demo" -> ((s, d) => {
+      T(s, d).events.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          Plans.insightsDemoSummary(upper(col("event_type")),
+            lit("intraday"), lit(null).cast("string"),
+            col("event_type") === "view").as("summary"))
+        .repartition(1).sortWithinPartitions("event_type")
     })
   )
 
@@ -952,37 +1231,7 @@ object SparkEntry {
         |  contains(lower(trim('  User' || CAST(doc_id AS VARCHAR) || '@Ex.COM ')), '@') AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "p1_ict" ->
-      """WITH m AS (
-        |  SELECT event_type, event_id, value,
-        |    CASE WHEN COUNT(value) OVER tw10 >= 10
-        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw10
-        |                    / (100.0 * COUNT(value) OVER tw10), 6) END AS ma10,
-        |    CASE WHEN COUNT(value) OVER tw20 >= 20
-        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw20
-        |                    / (100.0 * COUNT(value) OVER tw20), 6) END AS ma20,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
-        |  FROM events
-        |  WINDOW tw10 AS (PARTITION BY event_type ORDER BY ts, event_id
-        |                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-        |         tw20 AS (PARTITION BY event_type ORDER BY ts, event_id
-        |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
-        |a AS (
-        |  SELECT event_type, max(value) AS hi, min(value) AS lo,
-        |    max(CASE WHEN rnd = 1 THEN value END) AS last,
-        |    max(CASE WHEN rnd = 1 THEN ma10 END) AS ma10_last,
-        |    max(CASE WHEN rnd = 3 THEN ma10 END) AS ma10_l3,
-        |    max(CASE WHEN rnd = 1 THEN ma20 END) AS ma20_last,
-        |    max(CASE WHEN rnd = 3 THEN ma20 END) AS ma20_l3
-        |  FROM m GROUP BY event_type)
-        |SELECT event_type, hi, lo, (hi + lo) / 2.0 AS mid, last,
-        |  last >= (hi + lo) / 2.0 AS premium,
-        |  CASE WHEN ma10_last - ma10_l3 > 0 AND ma20_last - ma20_l3 > 0 THEN 'bullish'
-        |       WHEN ma10_last - ma10_l3 < 0 AND ma20_last - ma20_l3 < 0 THEN 'bearish'
-        |       ELSE 'neutral' END AS bias,
-        |  round(lo + (hi - lo) * 0.62, 6) AS ote_62,
-        |  round(lo + (hi - lo) * 0.79, 6) AS ote_79
-        |FROM a ORDER BY event_type""".stripMargin,
+    "p1_ict" -> s"$ictSql ORDER BY event_type",
 
     "st_windowed_quotes" ->
       s"""WITH $pricesCte
@@ -1137,6 +1386,320 @@ object SparkEntry {
          |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
          |        (a, b) -> a + b) >= 0
          |      THEN 1 ELSE 0 END), '') AS bucket
-         |FROM embeddings ORDER BY vec_id""".stripMargin
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "s2_av_quote_parse" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0
+        |    THEN '{"Global Quote": {"01. symbol": "S' || doc_id ||
+        |         '", "05. price": "' || (doc_id % 97) ||
+        |         '.25", "07. latest trading day": "2024-03-01"}}'
+        |    ELSE '{"globalQuote": {"01_symbol": "S' || doc_id ||
+        |         '", "05_price": "' || (doc_id % 89) ||
+        |         '.5", "latestTradingDay": "2024-03-02"}}'
+        |  END AS payload FROM documents)
+        |SELECT
+        |  COALESCE(json_extract_string(payload, '$."Global Quote"."01. symbol"'),
+        |           json_extract_string(payload, '$.globalQuote."01_symbol"')) AS symbol,
+        |  TRY_CAST(COALESCE(json_extract_string(payload, '$."Global Quote"."05. price"'),
+        |           json_extract_string(payload, '$.globalQuote."05_price"')) AS DOUBLE) AS price,
+        |  epoch_us(CAST(COALESCE(
+        |      json_extract_string(payload, '$."Global Quote"."07. latest trading day"'),
+        |      json_extract_string(payload, '$.globalQuote."latestTradingDay"'))
+        |    || 'T00:00:00' AS TIMESTAMP)) AS as_us,
+        |  CAST(NULL AS VARCHAR) AS error
+        |FROM p ORDER BY symbol""".stripMargin,
+
+    "s3_av_fx_parse" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'EUR/USD' ELSE 'GBPJPY' END AS pair,
+        |    CASE WHEN doc_id % 3 = 0 THEN '2024-03-01'
+        |         WHEN doc_id % 3 = 1 THEN '2024-03-01 14:30:00'
+        |         ELSE '2024-03-01T09:15:00' END AS raw_ts,
+        |    (doc_id % 13) || '.5' AS rate FROM documents),
+        |n AS (
+        |  SELECT upper(replace(pair, '/', '')) AS sym, rate,
+        |    CASE WHEN raw_ts NOT LIKE '%:%' THEN raw_ts || 'T00:00:00'
+        |         ELSE replace(raw_ts, ' ', 'T') END AS norm_ts
+        |  FROM p)
+        |SELECT substr(sym, 1, 3) AS base, substr(sym, 4, 3) AS quote,
+        |  sym AS symbol, TRY_CAST(rate AS DOUBLE) AS price,
+        |  epoch_us(CAST(norm_ts AS TIMESTAMP)) AS as_us,
+        |  substr(sym, 4, 3) AS currency
+        |FROM n ORDER BY symbol, price, as_us""".stripMargin,
+
+    "s4_yahoo_parse" ->
+      """SELECT 'Y' || doc_id AS symbol,
+        |  TRY_CAST((doc_id % 7 + 100) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.3' ELSE '.2' END AS DOUBLE) AS price,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1700000120000000 ELSE 1700000060000000 END AS as_us,
+        |  'USD' AS currency
+        |FROM documents ORDER BY symbol""".stripMargin,
+
+    "s6_plan_sink" ->
+      """WITH syms AS (SELECT DISTINCT event_type AS symbol FROM events),
+        |existing AS (SELECT symbol, 'plan A' AS text FROM syms),
+        |batch AS (
+        |  SELECT symbol, 'plan A' AS text FROM syms
+        |  UNION ALL SELECT symbol, 'plan B' FROM syms
+        |  UNION ALL SELECT symbol, 'plan B' FROM syms),
+        |fresh AS (
+        |  SELECT DISTINCT symbol, text FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |    WHERE e.symbol = b.symbol AND e.text = b.text)),
+        |merged AS (SELECT * FROM existing UNION ALL SELECT * FROM fresh)
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM merged
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "s9_seed_prices" ->
+      s"""WITH sym AS (SELECT * FROM (VALUES ('EURUSD', 1.1), ('AAPL', 190.0)) t(symbol, base_level)),
+         |idx AS (SELECT unnest(range(0, 25)) AS i),
+         |g AS (
+         |  SELECT symbol, base_level, i,
+         |    base_level * ((${h48("symbol || '#' || i")} % 1000 - 500) / 100000.0) AS step
+         |  FROM sym, idx)
+         |SELECT symbol,
+         |  round(base_level + SUM(step) OVER (PARTITION BY symbol ORDER BY i), 6) AS price,
+         |  epoch_us(TIMESTAMP '2025-01-01' + i * INTERVAL 1 HOUR) AS as_us
+         |FROM g ORDER BY symbol, as_us""".stripMargin,
+
+    "s10_demo_clear" ->
+      s"""WITH $pricesCte
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM prices
+         |WHERE source <> 'src0' GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "s11_news_impact" ->
+      """WITH news AS (SELECT * FROM (VALUES
+        |  ('Markets steady as traders await CPI data', 'wire', 'US'),
+        |  ('Central banks hold rates; guidance mixed', 'wire', 'EU'),
+        |  ('EURUSD in focus: technicals at key level', 'synthetic', 'US'))
+        |  t(title, source, country))
+        |SELECT title, source, country,
+        |  CASE WHEN lower(title) LIKE '%nfp%' OR lower(title) LIKE '%nonfarm%'
+        |         OR lower(title) LIKE '%cpi%' OR lower(title) LIKE '%inflation%'
+        |         OR lower(title) LIKE '%fomc%' OR lower(title) LIKE '%rate%'
+        |         OR lower(title) LIKE '%ecb%' OR lower(title) LIKE '%fed%'
+        |         OR lower(title) LIKE '%gdp%' OR lower(title) LIKE '%payrolls%'
+        |       THEN 'High'
+        |       WHEN lower(title) LIKE '%pmi%' OR lower(title) LIKE '%retail%'
+        |         OR lower(title) LIKE '%claims%' OR lower(title) LIKE '%confidence%'
+        |         OR lower(title) LIKE '%ppi%' OR lower(title) LIKE '%ifo%'
+        |       THEN 'Medium' ELSE 'Low' END AS impact
+        |FROM news ORDER BY title""".stripMargin,
+
+    "s12_calendar_filter" ->
+      """SELECT * FROM (VALUES
+        |  ('2025-01-03T13:30:00Z', 'US', 'Nonfarm Payrolls'),
+        |  ('2025-01-09T09:00:00Z', 'EU', 'ECB Rate Decision'))
+        |  t(when_ts, country, event)
+        |WHERE lower(country) = 'us' ORDER BY when_ts""".stripMargin,
+
+    "f4_txn_filter" ->
+      s"""WITH $txnsCte
+         |SELECT id, symbol, type FROM txns WHERE portfolio_id = 3
+         |ORDER BY id""".stripMargin,
+
+    "f5_optional_filter" ->
+      s"""WITH $journalCte
+         |SELECT 'all' AS mode, CAST(count(*) AS BIGINT) AS n FROM journal
+         |UNION ALL
+         |SELECT 'sym', CAST(count(*) AS BIGINT) FROM journal WHERE symbol = 'view'
+         |ORDER BY mode""".stripMargin,
+
+    "o4_plan_page" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY doc_id DESC LIMIT 50 OFFSET 5""".stripMargin,
+
+    "w7_ma_slope" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, ts,
+        |    CASE WHEN COUNT(value) OVER tw >= 10
+        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw
+        |                    / (100.0 * COUNT(value) OVER tw), 6) END AS ma10
+        |  FROM events
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  round(ma10 - lag(ma10, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) AS slope
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "a4_review_stats" ->
+      s"""WITH $journalCte,
+         |scoped AS (
+         |  SELECT * FROM journal
+         |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY date DESC, id DESC) <= 20),
+         |j AS (SELECT symbol, $pnlSql AS pnl, entry, stop, qty FROM scoped),
+         |j2 AS (SELECT symbol, pnl, $rSql AS r FROM j),
+         |g AS (SELECT symbol,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
+         |    SUM(CAST(round(pnl * 100) AS BIGINT)) / 100.0 AS total_pnl,
+         |    round(avg(r), 6) AS avg_r
+         |  FROM j2 GROUP BY symbol)
+         |SELECT symbol, n, wins, total_pnl, avg_r,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE round(wins * 100.0 / n) END AS winrate
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    "u5_session_replace" ->
+      """WITH mk AS (
+        |  SELECT 'T' || CAST(event_id % 50 AS VARCHAR) AS token,
+        |         event_id AS id, user_id, event_id < 5000 AS is_existing,
+        |         event_id >= 5000 AND event_id < 6000 AS is_batch
+        |  FROM events WHERE event_id < 6000),
+        |existing AS (
+        |  SELECT token, 'e' || CAST(user_id AS VARCHAR) AS email FROM mk
+        |  WHERE is_existing
+        |  QUALIFY row_number() OVER (PARTITION BY token ORDER BY id DESC) = 1),
+        |batch AS (
+        |  SELECT token, 'n' || CAST(user_id AS VARCHAR) AS email FROM mk
+        |  WHERE is_batch
+        |  QUALIFY row_number() OVER (PARTITION BY token ORDER BY id DESC) = 1)
+        |SELECT token, email FROM existing
+        |WHERE token NOT IN (SELECT token FROM batch)
+        |UNION ALL SELECT token, email FROM batch
+        |ORDER BY token""".stripMargin,
+
+    "u6_verify_code" ->
+      """WITH codes AS (
+        |  SELECT event_id AS id,
+        |    'u' || CAST(user_id % 20 AS VARCHAR) AS email,
+        |    lpad(CAST((event_id * 7) % 1000000 AS VARCHAR), 6, '0') AS code,
+        |    ts + INTERVAL 10 MINUTE AS expires_at,
+        |    CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS used
+        |  FROM events)
+        |SELECT email, code,
+        |  (used = 0 AND TIMESTAMP '2024-01-08' < expires_at) AS valid
+        |FROM codes
+        |QUALIFY row_number() OVER (PARTITION BY email, code ORDER BY id DESC) = 1
+        |ORDER BY email, code""".stripMargin,
+
+    "x13_tag_badges" ->
+      s"""WITH $journalCte
+         |SELECT id,
+         |  array_to_string(list_filter(
+         |    list_transform(string_split(tags || ' , x ,', ','), t -> trim(t)),
+         |    t -> t <> ''), '|') AS badges
+         |FROM journal ORDER BY id""".stripMargin,
+
+    "p2_alt_strategies" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id, ts, value,
+        |    CASE WHEN COUNT(value) OVER tw20 >= 20
+        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw20
+        |                    / (100.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+        |    CASE WHEN COUNT(value) OVER tw50 >= 50
+        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw50
+        |                    / (100.0 * COUNT(value) OVER tw50), 6) END AS ma50,
+        |    CASE WHEN COUNT(value) OVER tw14 >= 14
+        |         THEN round(stddev_samp(value) OVER tw14, 6) END AS sd14,
+        |    max(value) OVER tw20 AS hi20,
+        |    min(value) OVER tw20 AS lo20,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events
+        |  WINDOW tw20 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         tw50 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+        |         tw14 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |m2 AS (
+        |  SELECT *, min(sd14) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS minsd14
+        |  FROM m),
+        |a AS (
+        |  SELECT event_type,
+        |    arg_min(value, rnd) AS last,
+        |    max(CASE WHEN rnd = 1 THEN ma20 END) AS ma20_last,
+        |    max(CASE WHEN rnd = 3 THEN ma20 END) AS ma20_l3,
+        |    max(CASE WHEN rnd = 1 THEN ma50 END) AS ma50_last,
+        |    max(CASE WHEN rnd = 6 THEN ma50 END) AS ma50_l6,
+        |    max(CASE WHEN rnd = 1 THEN hi20 END) AS hi20,
+        |    max(CASE WHEN rnd = 1 THEN lo20 END) AS lo20,
+        |    max(CASE WHEN rnd = 1 THEN sd14 END) AS sd14_last,
+        |    max(CASE WHEN rnd = 1 THEN minsd14 END) AS minsd14
+        |  FROM m2 GROUP BY event_type),
+        |b AS (
+        |  SELECT event_type, last, hi20, lo20,
+        |    ma20_last - ma20_l3 AS s20, ma50_last - ma50_l6 AS s50,
+        |    COALESCE(ma20_last, last) AS ma20e, 0.005 AS atr,
+        |    (sd14_last <= minsd14 * 1.05) AS lowvol
+        |  FROM a)
+        |SELECT * FROM (
+        |  SELECT event_type, 'trend_pullback' AS strategy, 'Long' AS direction,
+        |    round(ma20e, 6) AS entry, round(ma20e - atr * 2, 6) AS stop,
+        |    round(last + atr * 3, 6) AS target
+        |  FROM b WHERE s20 > 0 AND s50 >= 0
+        |  UNION ALL
+        |  SELECT event_type, 'trend_pullback', 'Short',
+        |    round(ma20e, 6), round(ma20e + atr * 2, 6), round(last - atr * 3, 6)
+        |  FROM b WHERE s20 < 0 AND s50 <= 0
+        |  UNION ALL
+        |  SELECT event_type, 'range_breakout', 'Long',
+        |    round(hi20 + atr * 0.5, 6), round(lo20 - atr, 6),
+        |    round((hi20 + atr * 0.5) + ((hi20 + atr * 0.5) - (lo20 - atr)) * 2, 6)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT event_type, 'range_breakout', 'Short',
+        |    round(lo20 - atr * 0.5, 6), round(hi20 + atr, 6),
+        |    round((lo20 - atr * 0.5) - ((hi20 + atr) - (lo20 - atr * 0.5)) * 2, 6)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT event_type, 'vol_contraction', 'Long',
+        |    round(last + atr * 1.5, 6), round(last - atr, 6), CAST(NULL AS DOUBLE)
+        |  FROM b WHERE lowvol
+        |  UNION ALL
+        |  SELECT event_type, 'vol_contraction', 'Short',
+        |    round(last - atr * 1.5, 6), round(last + atr, 6), CAST(NULL AS DOUBLE)
+        |  FROM b WHERE lowvol
+        |  UNION ALL
+        |  SELECT event_type, 'momentum', 'Long',
+        |    round(last - atr, 6), round(last - atr * 3, 6), round(last + atr * 3, 6)
+        |  FROM b WHERE abs(s20) > 0 AND abs(s50) > 0 AND s20 > 0
+        |  UNION ALL
+        |  SELECT event_type, 'momentum', 'Short',
+        |    round(last + atr, 6), round(last + atr * 3, 6), round(last - atr * 3, 6)
+        |  FROM b WHERE abs(s20) > 0 AND abs(s50) > 0 AND s20 < 0)
+        |ORDER BY event_type, strategy, direction""".stripMargin,
+
+    "p3_entry_plan" ->
+      s"""WITH ict AS ($ictSql)
+         |SELECT event_type,
+         |  'Symbol: ' || event_type || chr(10) ||
+         |  'Bias: ' || bias || ' | PD Array: ' ||
+         |    CASE WHEN premium THEN 'premium' ELSE 'discount' END ||
+         |    ' (mid ' || ${fmtSql("mid")} || ')' || chr(10) ||
+         |  'OTE zone: ' || ${fmtSql("ote_62")} || ' - ' || ${fmtSql("ote_79")} ||
+         |    ' (62-79% of last impulse)' || chr(10) ||
+         |  CASE WHEN bias = 'bullish' THEN
+         |    'Entry: wait for a sweep of sell-side liquidity, displacement up, then refine entry in OTE (' ||
+         |      ${fmtSql("ote_62")} || '-' || ${fmtSql("ote_79")} || ')' || chr(10) ||
+         |    'Stop: below recent swing low ' || ${fmtSql("lo")} || ' (beyond liquidity).' || chr(10) ||
+         |    'Targets: take buy-side liquidity at ' || ${fmtSql("hi")} || ' and partials at CE/previous highs.'
+         |  WHEN bias = 'bearish' THEN
+         |    'Entry: wait for a sweep of buy-side liquidity, displacement down, then refine entry in OTE (' ||
+         |      ${fmtSql("ote_62")} || '-' || ${fmtSql("ote_79")} || ')' || chr(10) ||
+         |    'Stop: above recent swing high ' || ${fmtSql("hi")} || ' (beyond liquidity).' || chr(10) ||
+         |    'Targets: take sell-side liquidity at ' || ${fmtSql("lo")} || ' and partials at CE/previous lows.'
+         |  ELSE
+         |    'Bias unclear: wait for a market structure shift and displacement before engaging. Use OTE ' ||
+         |      ${fmtSql("ote_62")} || '-' || ${fmtSql("ote_79")} || ' once bias forms.'
+         |  END || chr(10) ||
+         |  'Risk: 0.5-1.0% per idea; partials at 1R/2R; move stop to breakeven after liquidity take.' || chr(10) ||
+         |  'Killzones (EST): London 2:00-5:00 | NY 7:00-10:00 (news-sensitive around 8:30).' AS plan
+         |FROM ict ORDER BY event_type""".stripMargin,
+
+    "p7_insights_demo" ->
+      """WITH syms AS (SELECT DISTINCT event_type FROM events)
+        |SELECT event_type,
+        |  '[Demo] ' ||
+        |  trim('Provide a intraday view for ' || upper(event_type) ||
+        |       ' with risks and potential trade setups. ') ||
+        |  chr(10) || chr(10) ||
+        |  'Note: Set OPENAI_API_KEY to enable live GPT insights.' ||
+        |  CASE WHEN event_type = 'view'
+        |       THEN chr(10) || chr(10) || '[Note] Vision inputs not processed in demo mode.'
+        |       ELSE '' END AS summary
+        |FROM syms ORDER BY event_type""".stripMargin
   )
 }

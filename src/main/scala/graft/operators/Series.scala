@@ -136,4 +136,87 @@ object Series {
       .select(key, "hi", "lo", "mid", "last", "premium", "bias",
         "ote_62", "ote_79")
   }
+
+  /** P2 — `buildAltStrategies` (/root/reference/static/main.js:236-321):
+    * per key over the ordered series, emit structured strategy rows
+    * (strategy, direction, entry, stop, target):
+    *  - trend pullback when MA20/MA50 slopes agree (entry at MA20,
+    *    stop 2·ATR beyond, target 3·ATR from last)
+    *  - range breakout from the 20-period hi/lo ± 0.5·ATR buffer,
+    *    stop 1·ATR beyond the far side, scale at +2R
+    *  - volatility contraction when rollingStd(14) is within 5% of its
+    *    own 14-period minimum (±1.5·ATR triggers, 1·ATR stops)
+    *  - momentum continuation when both slopes are non-zero
+    * `atr` is the per-key volatility guess (X10). One window stage + one
+    * hash aggregate + an in-row explode — two shuffles on the key total.
+    */
+  def altStrategies(df: DataFrame, key: String, ord: Column, id: Column,
+                    value: Column, atr: Column): DataFrame = {
+    val w = ordered(key, ord, id)
+    val desc = Window.partitionBy(col(key)).orderBy(ord.desc, id.desc)
+    val staged = df
+      .withColumn("_ma20", sma(value, 20, w))
+      .withColumn("_ma50", sma(value, 50, w))
+      .withColumn("_sd14", rollingStd(value, 14, w))
+      .withColumn("_hi20", max(value).over(w.rowsBetween(-19, 0)))
+      .withColumn("_lo20", min(value).over(w.rowsBetween(-19, 0)))
+      .withColumn("_minsd14", min(col("_sd14")).over(w.rowsBetween(-13, 0)))
+      .withColumn("_rnd", row_number().over(desc))
+
+    val agg = staged.groupBy(col(key)).agg(
+      min_by(value, col("_rnd")).as("_last"),
+      max(when(col("_rnd") === 1, col("_ma20"))).as("_ma20_last"),
+      max(when(col("_rnd") === 3, col("_ma20"))).as("_ma20_l3"),
+      max(when(col("_rnd") === 1, col("_ma50"))).as("_ma50_last"),
+      max(when(col("_rnd") === 6, col("_ma50"))).as("_ma50_l6"),
+      max(when(col("_rnd") === 1, col("_hi20"))).as("_hi20"),
+      max(when(col("_rnd") === 1, col("_lo20"))).as("_lo20"),
+      max(when(col("_rnd") === 1, col("_sd14"))).as("_sd14_last"),
+      max(when(col("_rnd") === 1, col("_minsd14"))).as("_minsd14"))
+
+    val s20 = col("_ma20_last") - col("_ma20_l3")
+    val s50 = col("_ma50_last") - col("_ma50_l6")
+    val trendUp = s20 > 0 && s50 >= 0
+    val trendDown = s20 < 0 && s50 <= 0
+    val lowVol = col("_sd14_last") <= col("_minsd14") * 1.05
+    val last = col("_last")
+    val ma20e = coalesce(col("_ma20_last"), last) // reference `|| last`
+    val hi20 = col("_hi20")
+    val lo20 = col("_lo20")
+    val a = atr
+
+    def strat(cond: Column, name: String, dir: String, entry: Column,
+              stop: Column, target: Column) =
+      when(cond, struct(lit(name).as("strategy"), lit(dir).as("direction"),
+        round(entry, 6).as("entry"), round(stop, 6).as("stop"),
+        round(target, 6).as("target")))
+
+    val longTrig = hi20 + a * 0.5
+    val shortTrig = lo20 - a * 0.5
+    val stopLong = lo20 - a
+    val stopShort = hi20 + a
+    val strategies = array(
+      strat(trendUp, "trend_pullback", "Long",
+        ma20e, ma20e - a * 2, last + a * 3),
+      strat(trendDown, "trend_pullback", "Short",
+        ma20e, ma20e + a * 2, last - a * 3),
+      strat(lit(true), "range_breakout", "Long",
+        longTrig, stopLong, longTrig + (longTrig - stopLong) * 2),
+      strat(lit(true), "range_breakout", "Short",
+        shortTrig, stopShort, shortTrig - (stopShort - shortTrig) * 2),
+      strat(lowVol, "vol_contraction", "Long",
+        last + a * 1.5, last - a, lit(null).cast("double")),
+      strat(lowVol, "vol_contraction", "Short",
+        last - a * 1.5, last + a, lit(null).cast("double")),
+      strat(abs(s20) > 0 && abs(s50) > 0 && s20 > 0,
+        "momentum", "Long", last - a, last - a * 3, last + a * 3),
+      strat(abs(s20) > 0 && abs(s50) > 0 && s20 < 0,
+        "momentum", "Short", last + a, last + a * 3, last - a * 3))
+
+    agg.select(col(key), explode(filter(strategies, s => s.isNotNull))
+        .as("_s"))
+      .select(col(key), col("_s.strategy").as("strategy"),
+        col("_s.direction").as("direction"), col("_s.entry").as("entry"),
+        col("_s.stop").as("stop"), col("_s.target").as("target"))
+  }
 }
