@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JIT + parquet footers, so the first measured query isn't
+    // charged for JVM startup
+    Tables(spark, sfDir).events.count()
+    Tables(spark, sfDir).documents.count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every column (count() would let

@@ -550,10 +550,9 @@ object SparkEntry {
 
     "d2_minhash_sig" -> ((s, d) => {
       T(s, d).documents
-        .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("_hs"))
         .select(col("doc_id"),
           concat_ws(",", transform(
-            Dedup.minhashFromHashes(col("_hs"), 8),
+            call_function("graft_minhash_sig", col("text"), lit(8)),
             x => x.cast("string"))).as("sig"))
         .repartition(1).sortWithinPartitions("doc_id")
     }),
@@ -566,10 +565,9 @@ object SparkEntry {
 
     "d4_simhash_sig" -> ((s, d) => {
       T(s, d).documents
-        .select(col("doc_id"), Dedup.wordHashes(col("text")).as("_wh"))
         .select(col("doc_id"),
           concat_ws("", transform(
-            Dedup.simhashFromHashes(col("_wh"), 32),
+            call_function("graft_simhash_bits", col("text"), lit(32)),
             x => x.cast("string"))).as("bits"))
         .repartition(1).sortWithinPartitions("doc_id")
     }),

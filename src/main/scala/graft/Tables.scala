@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   */
 final case class Tables(spark: SparkSession, dir: String) {
   // The driver may hand us a session without the nanos conf (see events);
-  // it is a runtime SQL conf, so set it before the first scan.
+  // it is a runtime SQL conf, so set it before the first scan. Native
+  // sketch expressions register here too, so any session that reaches a
+  // table can resolve graft_* functions.
   try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  catch { case _: Throwable => () }
+  try graft.expressions.GraftFunctions.register(spark)
   catch { case _: Throwable => () }
 
   private def t(name: String): DataFrame =

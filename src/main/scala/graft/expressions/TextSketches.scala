@@ -1,0 +1,170 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-sketch hot path.
+  *
+  * The pure-`functions._` forms of these sketches (see
+  * [[graft.pipelines.Dedup]]) are correct and oracle-documented, but
+  * higher-order-function expressions are interpreted per element —
+  * profiling showed the shingle/hash tree dominating dedup queries even
+  * after algebraic fixes. These expressions compute the identical values
+  * (word split ≡ `split(lower(trim(text)), "\s+")`, 48/60-bit md5-prefix
+  * hashes, universal-hash permutations) in one compiled pass per row.
+  *
+  * Registered per-session by [[GraftFunctions.register]]; invoked via
+  * `call_function`. Semantics stay bit-identical to the DuckDB oracles.
+  */
+object TextSketches {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** First `nBytes` of md5 as an unsigned big-endian long — equal to
+    * Spark's `conv(substring(md5(c), 1, 2*nBytes), 16, 10)::long`.
+    */
+  private def md5Prefix(s: String, nBytes: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < nBytes) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Word split matching `split(lower(trim(text)), "\\s+")` + non-empty
+    * filter: UTF8String.trim trims 0x20 only (like Spark/DuckDB `trim`),
+    * lowercase via UTF8String (Spark's own lower()).
+    */
+  private def words(input: UTF8String): Array[String] = {
+    val norm = input.trim().toLowerCase.toString
+    if (norm.isEmpty) Array.empty
+    else norm.split("\\s+").filter(_.nonEmpty)
+  }
+
+  /** Word w-shingles; shorter texts collapse to one whole-text shingle —
+    * mirrors Dedup.shingles.
+    */
+  private def shingles(ws: Array[String], w: Int): Array[String] =
+    if (ws.length >= w)
+      Array.tabulate(ws.length - w + 1)(i =>
+        ws.slice(i, i + w).mkString(" "))
+    else Array(ws.mkString(" "))
+
+  /** MinHash signature: per permutation p, min over shingles of
+    * ((2p+3)·h48 + 1000003p + 12345) mod (2^31−1).
+    */
+  case class MinHashSig(child: Expression, numPerm: Int, shingleW: Int = 3)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sh = shingles(words(input.asInstanceOf[UTF8String]), shingleW)
+      val mins = Array.fill(numPerm)(2147483647L)
+      var i = 0
+      while (i < sh.length) {
+        val h = md5Prefix(sh(i), 6)
+        var p = 0
+        while (p < numPerm) {
+          val v = (h * (p * 2 + 3) + (p * 1000003L + 12345L)) % 2147483647L
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+    override def prettyName: String = "graft_minhash_sig"
+  }
+
+  /** SimHash bit vector: every word's 48-bit hash votes ±1 per bit. */
+  case class SimHashBits(child: Expression, nBits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val ws = words(input.asInstanceOf[UTF8String])
+      val votes = new Array[Int](nBits)
+      var i = 0
+      while (i < ws.length) {
+        val h = md5Prefix(ws(i), 6)
+        var b = 0
+        while (b < nBits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(votes.map(v => if (v > 0) 1 else 0))
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashBits =
+      copy(child = c)
+    override def prettyName: String = "graft_simhash_bits"
+  }
+
+  /** Distinct 60-bit md5 shingle hashes (the n-gram Jaccard join key). */
+  case class ShingleHashes60(child: Expression, shingleW: Int = 3)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sh = shingles(words(input.asInstanceOf[UTF8String]), shingleW)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < sh.length) {
+        // 15 hex digits = 60 bits: top 7 bytes shifted down 4
+        val d = md5.get(); d.reset()
+        val bytes = d.digest(sh(i).getBytes("UTF-8"))
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (bytes(j) & 0xffL); j += 1 }
+        seen.add(h >>> 4)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : ShingleHashes60 = copy(child = c)
+    override def prettyName: String = "graft_shingle_hashes60"
+  }
+}
+
+/** Per-session registration of the native sketch functions (idempotent;
+  * survives any session the driver hands us — called from
+  * [[graft.Tables]]).
+  */
+object GraftFunctions {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal: $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => TextSketches.MinHashSig(es.head, litInt(es(1), "numPerm")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash_bits",
+      es => TextSketches.SimHashBits(es.head, litInt(es(1), "nBits")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes60",
+      es => TextSketches.ShingleHashes60(es.head,
+        if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
+  }
+}

@@ -89,9 +89,10 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
                         numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val numBands = numPerm / bandRows
-    val sig = df.select(col(idCol), shingleHashes(text).as("_hs"))
-      .select(col(idCol), minhashFromHashes(col("_hs"), numPerm).as("_sig"))
+    val sig = df.select(col(idCol),
+      call_function("graft_minhash_sig", text, lit(numPerm)).as("_sig"))
     // the banded plan feeds BOTH sides of the self-join; without an
     // explicit persist each side re-executes the whole signature
     // computation (at cluster scale: persist/checkpoint the signatures)
@@ -145,9 +146,10 @@ object Dedup {
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
                         nBits: Int = 32, chunks: Int = 4,
                         maxHamming: Int = 3): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val chunkLen = nBits / chunks
-    val sig = df.select(col(idCol), wordHashes(text).as("_wh"))
-      .select(col(idCol), simhashFromHashes(col("_wh"), nBits).as("_bits"))
+    val sig = df.select(col(idCol),
+      call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
     // persisted: both self-join sides read it (see minhashCandidates)
     val banded = sig.select(col(idCol), col("_bits"), posexplode(
       transform(sequence(lit(0), lit(chunks - 1)),
@@ -174,9 +176,10 @@ object Dedup {
     // join on 60-bit shingle hashes, not strings: same pair counts
     // (collisions negligible), far narrower shuffle rows; persisted
     // because sizes + both self-join sides consume it (3 readers)
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val sh = df.select(col(idCol), blockKey.as("_blk"),
-        explode(array_distinct(transform(shingles(text, w),
-          s => md5Hash60(s)))).as("_sh"))
+        explode(call_function("graft_shingle_hashes60", text, lit(w)))
+          .as("_sh"))
       .persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = sh.as("a").join(sh.as("b"),

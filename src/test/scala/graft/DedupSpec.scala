@@ -89,4 +89,25 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq((Seq(1, 0, 1, 0), Seq(1, 1, 0, 0))).toDF("a", "b")
     assert(df.select(Dedup.hamming($"a", $"b")).as[Int].collect().head === 2)
   }
+
+  test("native sketch expressions match the declarative forms bit-for-bit") {
+    graft.expressions.GraftFunctions.register(spark)
+    val sample = docs.unionByName(Seq(
+      (6L, "  Mixed\tWHITESPACE  and\nnewlines  here ok then "),
+      (7L, "one")).toDF("doc_id", "text"))
+    val cmp = sample.select(
+      Dedup.minhashSignature($"text", 8).as("hof_mh"),
+      call_function("graft_minhash_sig", $"text", lit(8)).as("nat_mh"),
+      Dedup.simhashBits($"text", 32).as("hof_sh"),
+      call_function("graft_simhash_bits", $"text", lit(32)).as("nat_sh"),
+      array_sort(array_distinct(transform(Dedup.shingles($"text", 3),
+        s => graft.functions.MarketFunctions.md5Hash60(s)))).as("hof_sg"),
+      array_sort(call_function("graft_shingle_hashes60", $"text", lit(3)))
+        .as("nat_sg"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getSeq[Int](2) === r.getSeq[Int](3))
+      assert(r.getSeq[Long](4) === r.getSeq[Long](5))
+    }
+  }
 }
