@@ -824,6 +824,29 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("id")
     }),
 
+    "x6b_levels_label" -> ((s, d) => {
+      val n1 = ((col("doc_id") % 997).cast("double") / 4.0)
+      val n2 = ((col("doc_id") % 89).cast("double") / 2.0)
+      val text = when(col("doc_id") % 4 === 0,
+        concat(lit("Entry: "), n1.cast("string"), lit("; stop "),
+          n2.cast("string"), lit("\nTarget tp at "),
+          (n1 + n2).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("entry near "), n1.cast("string"),
+            lit("\nrisk "), n2.cast("string"),
+            lit("; risk again "), (n2 + 1.0).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("resistance "), n1.cast("string"),
+            lit(". support "), n2.cast("string"),
+            lit(". stop out "), (n2 / 2.0).cast("string"),
+            lit("; risk "), n1.cast("string")))
+        .otherwise(lit("nothing numeric here; just words"))
+      Plans.parseLevels(
+          T(s, d).documents.select(col("doc_id"), text.as("text")),
+          "doc_id", col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "x15_code_gen" -> ((s, d) => {
       // murmur-hash based; no cross-engine oracle -> rows-only check
       T(s, d).events.select(col("user_id")).distinct()
@@ -1571,6 +1594,40 @@ object SparkEntry {
         |FROM codes
         |QUALIFY row_number() OVER (PARTITION BY email, code ORDER BY id DESC) = 1
         |ORDER BY email, code""".stripMargin,
+
+    "x6b_levels_label" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      'Entry: ' || ((doc_id % 997)::DOUBLE / 4.0) || '; stop ' ||
+        |      ((doc_id % 89)::DOUBLE / 2.0) || chr(10) || 'Target tp at ' ||
+        |      ((doc_id % 997)::DOUBLE / 4.0 + (doc_id % 89)::DOUBLE / 2.0)
+        |    WHEN doc_id % 4 = 1 THEN
+        |      'entry near ' || ((doc_id % 997)::DOUBLE / 4.0) || chr(10) ||
+        |      'risk ' || ((doc_id % 89)::DOUBLE / 2.0) || '; risk again ' ||
+        |      ((doc_id % 89)::DOUBLE / 2.0 + 1.0)
+        |    WHEN doc_id % 4 = 2 THEN
+        |      'resistance ' || ((doc_id % 997)::DOUBLE / 4.0) || '. support ' ||
+        |      ((doc_id % 89)::DOUBLE / 2.0) || '. stop out ' ||
+        |      ((doc_id % 89)::DOUBLE / 4.0) || '; risk ' ||
+        |      ((doc_id % 997)::DOUBLE / 4.0)
+        |    ELSE 'nothing numeric here; just words' END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split_regex(text, '\n|\.|;') AS l FROM d),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, l[i + 1] AS line,
+        |    TRY_CAST(NULLIF(regexp_extract(l[i + 1], '([0-9]+(\.[0-9]+)?)', 1), '') AS DOUBLE) AS num,
+        |    lower(l[i + 1]) AS t
+        |  FROM s, unnest(range(0, len(l))) u(i))
+        |SELECT doc_id,
+        |  arg_max(num, pos) FILTER (WHERE num IS NOT NULL AND t LIKE '%entry%') AS entry,
+        |  COALESCE(
+        |    arg_max(num, pos) FILTER (WHERE num IS NOT NULL AND t LIKE '%stop%'),
+        |    arg_min(num, pos) FILTER (WHERE num IS NOT NULL AND t LIKE '%risk%')) AS stop,
+        |  arg_max(num, pos) FILTER (WHERE num IS NOT NULL AND (t LIKE '%target%' OR t LIKE '%tp%')) AS target,
+        |  arg_max(num, pos) FILTER (WHERE num IS NOT NULL AND t LIKE '%resistance%') AS resistance,
+        |  arg_max(num, pos) FILTER (WHERE num IS NOT NULL AND t LIKE '%support%') AS support
+        |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x13_tag_badges" ->
       s"""WITH $journalCte

@@ -81,6 +81,39 @@ object Plans {
       when(hasImages, lit("\n\n[Note] Vision inputs not processed in " +
         "demo mode.")).otherwise(lit("")))
 
+  /** X6 — `parseLevelsFromText` (/root/reference/static/main.js:474-492):
+    * split plan text on newline/period/semicolon (yes, a literal '.'
+    * splits decimals — faithfully reproduced), take each line's FIRST
+    * number, and label by keyword. Assignment order semantics: the last
+    * keyword line wins per label, except `risk` only sets `stop` when no
+    * `stop` line exists anywhere (the reference's sequential
+    * `!levels.stop` guard collapses to: stop-lines win; else first
+    * risk-line).
+    */
+  def parseLevels(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(text, "\n|\\.|;")).as(Seq("pos", "line")))
+    val raw = regexp_extract(col("line"), "([0-9]+(\\.[0-9]+)?)", 1)
+    val staged = lines
+      .withColumn("num", when(length(raw) > 0, raw.cast("double")))
+      .withColumn("t", lower(col("line")))
+    val hasNum = col("num").isNotNull
+    def lastWhere(cond: Column) =
+      max(when(hasNum && cond, struct(col("pos"), col("num"))))
+        .getField("num")
+    def firstWhere(cond: Column) =
+      min(when(hasNum && cond, struct(col("pos"), col("num"))))
+        .getField("num")
+    val t = col("t")
+    staged.groupBy(col(idCol)).agg(
+      lastWhere(t.contains("entry")).as("entry"),
+      coalesce(lastWhere(t.contains("stop")),
+        firstWhere(t.contains("risk"))).as("stop"),
+      lastWhere(t.contains("target") || t.contains("tp")).as("target"),
+      lastWhere(t.contains("resistance")).as("resistance"),
+      lastWhere(t.contains("support")).as("support"))
+  }
+
   /** P4 — journal-coach prompt (/root/reference/static/main.js:1131-1144):
     * summary stats + a JSON-packed sample of trades.
     */
