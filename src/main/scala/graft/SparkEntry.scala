@@ -889,6 +889,45 @@ object SparkEntry {
         Seq("symbol", "direction", "qty"))
     }),
 
+    "p6_quote_view" -> ((s, d) => {
+      // P6 dashboard composite: latest quote + delta (A6) + range change
+      // over the last 50 points (A7) + tz chips of the latest tick (X8),
+      // one row per symbol — the reference assembles this client-side
+      // from 4 separate fetches (static/main.js:57-93).
+      val t = T(s, d)
+      val p = t.pricesFromEvents
+      val quote = Aggregates.quoteDelta(p, "symbol", col("as_of"),
+        col("id"), col("price"))
+      val change = Aggregates.rangeChange(p, "symbol", col("as_of"),
+          col("id"), col("price"), lastN = 50)
+        .select(col("symbol"), col("diff"), col("pct"))
+      val latestTs = p.groupBy("symbol")
+        .agg(max(struct(col("as_of"), col("id"))).getField("as_of")
+          .as("latest_at"))
+        .select(col("symbol"),
+          MarketFunctions.tzChip(col("latest_at"), "America/New_York")
+            .as("est"),
+          MarketFunctions.tzChip(col("latest_at"), "America/Los_Angeles")
+            .as("pdt"))
+      quote.join(change, Seq("symbol")).join(latestTs, Seq("symbol"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    "s7s8_json_roundtrip" -> ((s, d) => {
+      // S7/S8: export the journal to JSON, import it back, verify the
+      // relation survives (counts + cents-exact entry sums per symbol).
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_journal_json").toString
+      val j = T(s, d).journalFromEvents
+        .withColumn("date", MarketFunctions.isoUtc(col("date")))
+      j.coalesce(1).write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .groupBy("symbol").agg(count(lit(1)).as("n"),
+          Aggregates.fromCents(sum(Aggregates.cents(col("entry"))))
+            .as("sum_entry"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
     "p7_insights_demo" -> ((s, d) => {
       T(s, d).events.select(col("event_type")).distinct()
         .select(col("event_type"),
@@ -1743,6 +1782,40 @@ object SparkEntry {
          |  'Risk: 0.5-1.0% per idea; partials at 1R/2R; move stop to breakeven after liquidity take.' || chr(10) ||
          |  'Killzones (EST): London 2:00-5:00 | NY 7:00-10:00 (news-sensitive around 8:30).' AS plan
          |FROM ict ORDER BY event_type""".stripMargin,
+
+    "p6_quote_view" ->
+      s"""WITH $pricesCte,
+         |quote AS (
+         |  SELECT symbol, price,
+         |    round(price - lead(price) OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC), 6) AS delta
+         |  FROM prices
+         |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC) = 1),
+         |r AS (
+         |  SELECT symbol, price AS p,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC) AS rn
+         |  FROM prices),
+         |chg AS (
+         |  SELECT symbol, arg_min(p, rn) AS last, arg_max(p, rn) AS first
+         |  FROM r WHERE rn <= 50 GROUP BY symbol),
+         |chg2 AS (
+         |  SELECT symbol, round(last - first, 6) AS diff,
+         |    CASE WHEN first <> 0.0 THEN round((last - first) / first * 100.0, 6) END AS pct
+         |  FROM chg),
+         |lt AS (
+         |  SELECT symbol,
+         |    max(struct_pack(as_of := as_of, id := id)).as_of AS latest_at
+         |  FROM prices GROUP BY symbol)
+         |SELECT q.symbol, q.price, q.delta, c.diff, c.pct,
+         |  strftime(timezone('America/New_York', l.latest_at::TIMESTAMPTZ), '%H:%M') AS est,
+         |  strftime(timezone('America/Los_Angeles', l.latest_at::TIMESTAMPTZ), '%H:%M') AS pdt
+         |FROM quote q JOIN chg2 c USING (symbol) JOIN lt l USING (symbol)
+         |ORDER BY symbol""".stripMargin,
+
+    "s7s8_json_roundtrip" ->
+      s"""WITH $journalCte
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |  SUM(CAST(round(entry * 100) AS BIGINT)) / 100.0 AS sum_entry
+         |FROM journal GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "p7_insights_demo" ->
       """WITH syms AS (SELECT DISTINCT event_type FROM events)
