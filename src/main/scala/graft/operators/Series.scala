@@ -101,14 +101,23 @@ object Series {
     * One window stage (SMA columns) feeding one hash aggregate — two
     * shuffles total on the series key, independent of series count.
     */
+  /** Rows-from-the-end rank (1 = newest) computed on the ASCENDING
+    * window: `count(*) over partition − row_number + 1`. Identical to a
+    * descending row_number (the order is total), but shares the ascending
+    * sort already required by the frame aggregates — saves a second full
+    * sort of the partition.
+    */
+  private def rankFromEnd(key: String, w: WindowSpec): Column =
+    count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)) - row_number().over(w) + 1
+
   def analyzeICT(df: DataFrame, key: String, ord: Column, id: Column,
                  value: Column): DataFrame = {
     val w = ordered(key, ord, id)
     val withMa = df
       .withColumn("_ma10", sma(value, 10, w))
       .withColumn("_ma20", sma(value, 20, w))
-      .withColumn("_rnd", row_number().over(
-        Window.partitionBy(col(key)).orderBy(ord.desc, id.desc)))
+      .withColumn("_rnd", rankFromEnd(key, w))
 
     val agg = withMa.groupBy(col(key)).agg(
       max(value).as("hi"),
@@ -153,7 +162,6 @@ object Series {
   def altStrategies(df: DataFrame, key: String, ord: Column, id: Column,
                     value: Column, atr: Column): DataFrame = {
     val w = ordered(key, ord, id)
-    val desc = Window.partitionBy(col(key)).orderBy(ord.desc, id.desc)
     val staged = df
       .withColumn("_ma20", sma(value, 20, w))
       .withColumn("_ma50", sma(value, 50, w))
@@ -161,7 +169,7 @@ object Series {
       .withColumn("_hi20", max(value).over(w.rowsBetween(-19, 0)))
       .withColumn("_lo20", min(value).over(w.rowsBetween(-19, 0)))
       .withColumn("_minsd14", min(col("_sd14")).over(w.rowsBetween(-13, 0)))
-      .withColumn("_rnd", row_number().over(desc))
+      .withColumn("_rnd", rankFromEnd(key, w))
 
     val agg = staged.groupBy(col(key)).agg(
       min_by(value, col("_rnd")).as("_last"),
