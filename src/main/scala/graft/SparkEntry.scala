@@ -103,11 +103,11 @@ object SparkEntry {
     """WITH m AS (
       |  SELECT event_type, event_id, value,
       |    CASE WHEN COUNT(value) OVER tw10 >= 10
-      |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw10
-      |                    / (100.0 * COUNT(value) OVER tw10), 6) END AS ma10,
+      |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw10
+      |                    / (1000000.0 * COUNT(value) OVER tw10), 6) END AS ma10,
       |    CASE WHEN COUNT(value) OVER tw20 >= 20
-      |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw20
-      |                    / (100.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+      |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw20
+      |                    / (1000000.0 * COUNT(value) OVER tw20), 6) END AS ma20,
       |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
       |  FROM events
       |  WINDOW tw10 AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -989,15 +989,15 @@ object SparkEntry {
       s"""WITH $txnsCte,
          |pos AS (
          |  SELECT symbol,
-         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*100) AS BIGINT)
-         |             WHEN type = 'SELL' THEN -CAST(round(qty*100) AS BIGINT)
-         |             ELSE 0 END) / 100.0 AS qty,
-         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*price*100) AS BIGINT)
-         |             ELSE 0 END) / 100.0 AS cost,
-         |    SUM(CASE WHEN type IN ('BUY','SELL') THEN CAST(round(fees*100) AS BIGINT)
-         |             ELSE 0 END) / 100.0 AS fees,
-         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*100) AS BIGINT)
-         |             ELSE 0 END) / 100.0 AS buys
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*1000000) AS BIGINT)
+         |             WHEN type = 'SELL' THEN -CAST(round(qty*1000000) AS BIGINT)
+         |             ELSE 0 END) / 1000000.0 AS qty,
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*price*1000000) AS BIGINT)
+         |             ELSE 0 END) / 1000000.0 AS cost,
+         |    SUM(CASE WHEN type IN ('BUY','SELL') THEN CAST(round(fees*1000000) AS BIGINT)
+         |             ELSE 0 END) / 1000000.0 AS fees,
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*1000000) AS BIGINT)
+         |             ELSE 0 END) / 1000000.0 AS buys
          |  FROM txns GROUP BY symbol),
          |latest AS (
          |  SELECT symbol, price AS last FROM txns
@@ -1041,7 +1041,7 @@ object SparkEntry {
 
     "q5_star_revenue" ->
       """SELECT n_name,
-        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1063,7 +1063,7 @@ object SparkEntry {
          |g AS (SELECT symbol,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
-         |    SUM(CAST(round(pnl * 100) AS BIGINT)) / 100.0 AS total_pnl,
+         |    SUM(CAST(round(pnl * 1000000) AS BIGINT)) / 1000000.0 AS total_pnl,
          |    round(avg(r), 6) AS avg_r
          |  FROM j2 GROUP BY symbol)
          |SELECT symbol, n, wins, total_pnl, avg_r,
@@ -1105,9 +1105,9 @@ object SparkEntry {
     "q1_lineitem_agg" ->
       """WITH g AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
-        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
-        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc,
+        |    SUM(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 AS sum_qty,
+        |    SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0 AS sum_base,
+        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS sum_disc,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt,
@@ -1117,8 +1117,8 @@ object SparkEntry {
     "w1_sma5" ->
       """SELECT event_id,
         |  CASE WHEN COUNT(value) OVER tw >= 5
-        |       THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw
-        |                  / (100.0 * COUNT(value) OVER tw), 6) END AS sma
+        |       THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw
+        |                  / (1000000.0 * COUNT(value) OVER tw), 6) END AS sma
         |FROM events
         |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -1128,9 +1128,9 @@ object SparkEntry {
       s"""WITH $journalCte,
          |j AS (SELECT id, symbol, date, $pnlSql AS pnl FROM journal)
          |SELECT id,
-         |  SUM(CAST(round(pnl * 100) AS BIGINT)) OVER (
+         |  SUM(CAST(round(pnl * 1000000) AS BIGINT)) OVER (
          |    PARTITION BY symbol ORDER BY date, id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS equity
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0 AS equity
          |FROM j ORDER BY id""".stripMargin,
 
     "w3_rolling_std" ->
@@ -1575,8 +1575,8 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT event_type, event_id, ts,
         |    CASE WHEN COUNT(value) OVER tw >= 10
-        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw
-        |                    / (100.0 * COUNT(value) OVER tw), 6) END AS ma10
+        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw
+        |                    / (1000000.0 * COUNT(value) OVER tw), 6) END AS ma10
         |  FROM events
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
@@ -1594,7 +1594,7 @@ object SparkEntry {
          |g AS (SELECT symbol,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
-         |    SUM(CAST(round(pnl * 100) AS BIGINT)) / 100.0 AS total_pnl,
+         |    SUM(CAST(round(pnl * 1000000) AS BIGINT)) / 1000000.0 AS total_pnl,
          |    round(avg(r), 6) AS avg_r
          |  FROM j2 GROUP BY symbol)
          |SELECT symbol, n, wins, total_pnl, avg_r,
@@ -1680,11 +1680,11 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT event_type, event_id, ts, value,
         |    CASE WHEN COUNT(value) OVER tw20 >= 20
-        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw20
-        |                    / (100.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw20
+        |                    / (1000000.0 * COUNT(value) OVER tw20), 6) END AS ma20,
         |    CASE WHEN COUNT(value) OVER tw50 >= 50
-        |         THEN round(SUM(CAST(round(value * 100) AS BIGINT)) OVER tw50
-        |                    / (100.0 * COUNT(value) OVER tw50), 6) END AS ma50,
+        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw50
+        |                    / (1000000.0 * COUNT(value) OVER tw50), 6) END AS ma50,
         |    CASE WHEN COUNT(value) OVER tw14 >= 14
         |         THEN round(stddev_samp(value) OVER tw14, 6) END AS sd14,
         |    max(value) OVER tw20 AS hi20,
@@ -1814,7 +1814,7 @@ object SparkEntry {
     "s7s8_json_roundtrip" ->
       s"""WITH $journalCte
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |  SUM(CAST(round(entry * 100) AS BIGINT)) / 100.0 AS sum_entry
+         |  SUM(CAST(round(entry * 1000000) AS BIGINT)) / 1000000.0 AS sum_entry
          |FROM journal GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "p7_insights_demo" ->

@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  /** Exact-cents column: `round(x*100)::long`. Money sums accumulate in
-    * integer cents so results are order-independent and bit-identical
-    * across engines — the double-summation nondeterminism that plagues
-    * distributed fp aggregation simply disappears. Divide by 100.0 at
-    * the end.
+  /** Exact micro-unit column: `round(x*1e6)::long`. Money sums accumulate
+    * in integer micro-units so results are order-independent and
+    * bit-identical across engines — the double-summation nondeterminism
+    * that plagues distributed fp aggregation simply disappears — while
+    * staying faithful to 4-decimal products like qty(2dp)·price(2dp)
+    * (cents would lose up to half a cent per row). Divide by 1e6 at the
+    * end. Long capacity bounds the total at ~9.2e12 money units; beyond
+    * that (full 100 TB totals) switch the accumulator to
+    * `DecimalType(38, 6)` — same shape, wider lanes.
     */
-  def cents(c: Column): Column = round(c * 100).cast("long")
-  def fromCents(c: Column): Column = c / 100.0
+  def cents(c: Column): Column = round(c * 1000000).cast("long")
+  def fromCents(c: Column): Column = c / 1000000.0
 
   /** A1 — `compute_positions` conditional aggregation
     * (/root/reference/app/db.py:399-425): BUY adds qty/cost/fees/buys,

@@ -32,7 +32,7 @@ object Series {
     val tw = trailing(w, n)
     when(count(value).over(tw) >= n,
       round(sum(Aggregates.cents(value)).over(tw) /
-        (lit(100.0) * count(value).over(tw)), 6))
+        (lit(1000000.0) * count(value).over(tw)), 6))
   }
 
   /** W2 — running cumulative sum (equity curve,

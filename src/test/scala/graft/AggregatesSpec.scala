@@ -106,6 +106,39 @@ class AggregatesSpec extends AnyFunSuite {
       r.getDouble(3) === 7.0)
   }
 
+  test("positions property: matches a sequential reference fold on random txns") {
+    val rng = new scala.util.Random(7)
+    val types = Seq("BUY", "SELL", "DIV", "CASH", "FX")
+    val txns = (1 to 400).map { i =>
+      (i.toLong, s"S${rng.nextInt(6)}", types(rng.nextInt(types.length)),
+        math.rint(rng.nextDouble() * 1000) / 100.0,
+        math.rint(rng.nextDouble() * 10000) / 100.0,
+        math.rint(rng.nextDouble() * 100) / 100.0)
+    }
+    // reference semantics (app/db.py:405-421) as a plain fold
+    val expect = txns.groupBy(_._2).map { case (sym, rows) =>
+      var (qty, cost, fees, buys) = (0.0, 0.0, 0.0, 0.0)
+      rows.foreach { case (_, _, t, q, p, f) =>
+        if (t == "BUY") { qty += q; cost += q * p; fees += f; buys += q }
+        else if (t == "SELL") { qty -= q; fees += f }
+      }
+      sym -> (qty, cost, fees, if (buys == 0) 0.0 else cost / buys)
+    }
+    val got = Aggregates.positions(
+      txns.toDF("id", "symbol", "type", "qty", "price", "fees"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (sym, (q, c, f, ac)) =>
+      val (gq, gc, gf, gac) = got(sym)
+      assert(math.abs(gq - q) < 1e-6, s"$sym qty")
+      assert(math.abs(gc - c) < 1e-6, s"$sym cost")
+      assert(math.abs(gf - f) < 1e-6, s"$sym fees")
+      assert(math.abs(gac - ac) < 1e-5, s"$sym avg_cost")
+    }
+  }
+
   test("positionsWithMarketValue: left join keeps symbols without prices") {
     val txns = Seq((1L, "AAPL", "BUY", 2.0, 100.0, 0.0),
       (2L, "NOPX", "BUY", 1.0, 10.0, 0.0))
