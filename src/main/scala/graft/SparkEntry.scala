@@ -430,7 +430,7 @@ object SparkEntry {
         p.filter(col("id") < 50)
           .withColumn("id", col("id") + 100000)
           .withColumn("as_of", col("as_of") + expr("INTERVAL 1 HOUR")))
-      val (merged, _) = Relational.insertIgnore(p, batch,
+      val merged = Relational.insertIgnoreDf(p, batch,
         Seq("symbol", "as_of", "source"))
       merged.groupBy("symbol", "source").agg(count(lit(1)).as("n"))
         .repartition(1).sortWithinPartitions("symbol", "source")
@@ -703,7 +703,7 @@ object SparkEntry {
       val batch = existing
         .unionByName(syms.withColumn("text", lit("plan B")))
         .unionByName(syms.withColumn("text", lit("plan B")))
-      val (merged, _) = Relational.insertIgnore(existing, batch,
+      val merged = Relational.insertIgnoreDf(existing, batch,
         Seq("symbol", "text"))
       merged.groupBy("symbol").agg(count(lit(1)).as("n"))
         .repartition(1).sortWithinPartitions("symbol")

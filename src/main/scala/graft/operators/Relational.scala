@@ -52,6 +52,15 @@ object Relational {
     * Returns (new table, rows actually inserted) — the reference's 0/1
     * rowcount contract (tests/test_db.py:18) generalized to batches.
     */
+  /** Lazy form: the merged table only (no inserted-count action). */
+  def insertIgnoreDf(existing: DataFrame, batch: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val fresh = batch
+      .dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    existing.unionByName(fresh, allowMissingColumns = true)
+  }
+
   def insertIgnore(existing: DataFrame, batch: DataFrame,
                    keys: Seq[String]): (DataFrame, Long) = {
     val fresh = batch
