@@ -623,6 +623,25 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("vec_id")
     }),
 
+    "n3_ann_lsh" -> ((s, d) => {
+      val emb = T(s, d).embeddings
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(Similarity.lshBucket(col("embedding"), 4, 64) ===
+          Similarity.lshBucket(col("qv"), 4, 64))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    }),
+
+    "n4_near_dup" -> ((s, d) => {
+      Similarity.nearDupPairs(T(s, d).embeddings, "vec_id", "embedding",
+          threshold = 0.5, bits = 4, dim = 64)
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
+    }),
+
     // ---- multimodal plumbing (no SQL oracle: partition-local decode) --
 
     "m1_multimodal_features" -> ((s, d) => {
@@ -1447,6 +1466,56 @@ object SparkEntry {
          |        (a, b) -> a + b) >= 0
          |      THEN 1 ELSE 0 END), '') AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "n3_ann_lsh" -> {
+      val bucket = (v: String) =>
+        s"""array_to_string(list_transform(range(0, 4),
+           |    p -> CASE WHEN list_reduce(list_transform(range(0, 64),
+           |        d -> $v[d + 1]::DOUBLE *
+           |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
+           |        (a, b) -> a + b) >= 0
+           |      THEN 1 ELSE 0 END), '')""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |j AS (SELECT vec_id, embedding, qv FROM embeddings, q
+         |      WHERE ${bucket("embedding")} = ${bucket("qv")}),
+         |s AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b) AS dot,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b)) AS na,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
+         |  FROM j)
+         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "n4_near_dup" -> {
+      val bucket = (v: String) =>
+        s"""array_to_string(list_transform(range(0, 4),
+           |    p -> CASE WHEN list_reduce(list_transform(range(0, 64),
+           |        d -> $v[d + 1]::DOUBLE *
+           |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
+           |        (a, b) -> a + b) >= 0
+           |      THEN 1 ELSE 0 END), '')""".stripMargin
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucket("embedding")} AS bkt
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    round(
+         |      list_reduce(list_transform(range(1, 65),
+         |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (a, c) -> a + c))
+         |         * sqrt(list_reduce(list_transform(range(1, 65),
+         |             i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c))),
+         |      6) AS cosine
+         |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "s2_av_quote_parse" ->
       """WITH p AS (
