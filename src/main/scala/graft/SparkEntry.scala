@@ -636,6 +636,13 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     }),
 
+    "n5_ivf_cells" -> ((s, d) => {
+      T(s, d).embeddings
+        .select(col("vec_id"),
+          Similarity.ivfCell(col("embedding"), 8, 64).as("cell"))
+        .repartition(1).sortWithinPartitions("vec_id")
+    }),
+
     "n4_near_dup" -> ((s, d) => {
       Similarity.nearDupPairs(T(s, d).embeddings, "vec_id", "embedding",
           threshold = 0.5, bits = 4, dim = 64)
@@ -1516,6 +1523,18 @@ object SparkEntry {
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "n5_ivf_cells" ->
+      s"""SELECT vec_id,
+         |  list_sort(list_transform(range(0, 8),
+         |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+         |            d -> (embedding[d + 1]::DOUBLE -
+         |                  ((${h48("'ivf:' || CAST(c AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0))
+         |                 * (embedding[d + 1]::DOUBLE -
+         |                  ((${h48("'ivf:' || CAST(c AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0))),
+         |            (a, b) -> a + b),
+         |          'cell': c}))[1].cell AS cell
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "s2_av_quote_parse" ->
       """WITH p AS (

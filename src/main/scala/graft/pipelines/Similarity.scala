@@ -106,6 +106,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse quantizer with deterministic md5-seeded centroids (the
+    * list-training step is orthogonal to the engine shape; real
+    * deployments plug in k-means centroids). Each vector is assigned to
+    * its nearest centroid by L2; a query probes the `nprobe` nearest
+    * cells and scores only their members — at cluster scale the corpus
+    * is partitioned by cell, so a probe touches nprobe partitions.
+    */
+  private[pipelines] def centroidComponent(c: Int, d: Int): Double =
+    (md5Hash48Local(s"ivf:$c,$d") % 2000000L - 1000000L) / 1000000.0
+
+  /** Nearest-centroid cell id (ties break to the lower cell id). */
+  def ivfCell(vec: Column, k: Int, dim: Int): Column = {
+    val dists = (0 until k).map { c =>
+      val cent = array((0 until dim).map(d =>
+        lit(centroidComponent(c, d))): _*)
+      val d2 = aggregate(zip_with(toDouble(vec), cent,
+        (x, w) => (x - w) * (x - w)), lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(c).as("cell"))
+    }
+    least(dists: _*).getField("cell")
+  }
+
+  /** IVF ANN top-k: score only vectors in the query's `nprobe` nearest
+    * cells.
+    */
+  def ivfTopKCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                    query: Column, topK: Int, k: Int, dim: Int,
+                    nprobe: Int = 2): DataFrame = {
+    val qCells = (0 until k).map { c =>
+      val cent = array((0 until dim).map(d =>
+        lit(centroidComponent(c, d))): _*)
+      val d2 = aggregate(zip_with(toDouble(query), cent,
+        (x, w) => (x - w) * (x - w)), lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(c).as("cell"))
+    }
+    val probed = array_sort(array(qCells: _*))
+    val probeSet = transform(slice(probed, 1, nprobe),
+      s => s.getField("cell"))
+    corpus
+      .withColumn("_cell", ivfCell(col(vecCol), k, dim))
+      .filter(array_contains(probeSet, col("_cell")))
+      .select(col(idCol), round(cosine(col(vecCol), query), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
     * LSH-blocked: pairs must share a bucket (scale path for the
     * embedding-cosine near-dup dedup mode).

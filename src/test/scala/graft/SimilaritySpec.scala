@@ -58,6 +58,26 @@ class SimilaritySpec extends AnyFunSuite {
     ann.foreach { case (id, cos) => assert(brute(id) === cos) }
   }
 
+  test("ivfCell is deterministic; ivfTopK results agree with brute force") {
+    val rng = new scala.util.Random(3)
+    val big = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val cells = big.select($"id", Similarity.ivfCell($"vec", 4, 8).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells.values.forall(c => c >= 0 && c < 4))
+    val again = big.select(Similarity.ivfCell($"vec", 4, 8))
+      .as[Int].collect()
+    assert(again.toSeq === big.select($"id").as[Long].collect()
+      .map(cells).toSeq)
+    val q = array((0 until 8).map(i => lit(0.1f * i)): _*)
+    val brute = Similarity.topKCosine(big, "id", "vec", q, 50)
+      .as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopKCosine(big, "id", "vec", q, 5, 4, 8,
+      nprobe = 2).as[(Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, cos) => assert(brute(id) === cos) }
+  }
+
   test("nearDupPairs finds the exact-duplicate vector pair") {
     val got = Similarity.nearDupPairs(corpus, "id", "vec", 0.999)
       .as[(Long, Long, Double)].collect()
