@@ -159,13 +159,19 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int = 4,
                    dim: Int = -1): DataFrame = {
+    // norms precomputed per row (not per pair: inside the pair join the
+    // norm fold would run |bucket|× per vector), buckets persisted so
+    // both self-join sides read one evaluation
     val bucketed = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("_norm"),
       lshBucket(col(vecCol), bits, dim).as("_bucket"))
+      .persist()
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bucket") === col("b._bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine"))
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a._norm") * col("b._norm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
