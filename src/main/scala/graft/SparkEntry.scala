@@ -785,6 +785,12 @@ object SparkEntry {
         Seq(col("doc_id").desc), limit = 50, offset = 5)
     }),
 
+    "o5_next_offset" -> ((s, d) => {
+      Relational.pageStats(T(s, d).documents.select("doc_id"),
+          Seq(col("doc_id").desc), limit = 64)
+        .repartition(1).sortWithinPartitions("page")
+    }),
+
     // ---- remaining windows / aggregates (W7, A4) ----
 
     "w7_ma_slope" -> ((s, d) => {
@@ -874,13 +880,11 @@ object SparkEntry {
     }),
 
     "x15_code_gen" -> ((s, d) => {
-      // murmur-hash based; no cross-engine oracle -> rows-only check
       T(s, d).events.select(col("user_id")).distinct()
         .withColumn("email",
           concat(lit("u"), col("user_id").cast("string"), lit("@x.com")))
         .select(col("user_id"),
           MarketFunctions.sixDigitCode(col("email")).as("code"))
-        .filter(col("code").rlike("^[0-9]{6}$"))
         .repartition(1).sortWithinPartitions("user_id")
     }),
 
@@ -902,7 +906,6 @@ object SparkEntry {
     }),
 
     "p4_coach_prompt" -> ((s, d) => {
-      // to_json formatting is engine-specific -> rows-only check
       val j = T(s, d).journalFromEvents
       val pnl = MarketFunctions.pnl(col("direction"), col("qty"),
         col("entry"), col("exit"), col("fees"))
@@ -912,7 +915,7 @@ object SparkEntry {
       val trades = Series.topKRecent(j, "symbol", col("date"), col("id"), 4)
         .repartition(1).sortWithinPartitions("id")
       Plans.journalCoachPrompt(stats, trades,
-        Seq("symbol", "direction", "qty"))
+        Plans.tradeJson(Seq("symbol", "direction"), Seq("qty")))
     }),
 
     "p6_quote_view" -> ((s, d) => {
@@ -1658,6 +1661,52 @@ object SparkEntry {
     "o4_plan_page" ->
       """SELECT doc_id, lang FROM documents
         |ORDER BY doc_id DESC LIMIT 50 OFFSET 5""".stripMargin,
+
+    "o5_next_offset" ->
+      """WITH r AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id DESC) AS rn FROM documents),
+        |p AS (
+        |  SELECT (rn - 1) // 64 AS page, CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(rn) AS first_rn, max(rn) AS last_rn
+        |  FROM r GROUP BY 1)
+        |SELECT page, n_rows, first_rn, last_rn, page * 64 AS "offset",
+        |  CASE WHEN n_rows = 64 THEN page * 64 + 64 END AS next_offset
+        |FROM p ORDER BY page""".stripMargin,
+
+    "x15_code_gen" ->
+      s"""SELECT user_id,
+         |  lpad(CAST(${h48("'u' || CAST(user_id AS VARCHAR) || '@x.com'")} % 1000000 AS VARCHAR), 6, '0') AS code
+         |FROM (SELECT DISTINCT user_id FROM events)
+         |ORDER BY user_id""".stripMargin,
+
+    "p4_coach_prompt" ->
+      s"""WITH $journalCte,
+         |scoped AS (
+         |  SELECT * FROM journal
+         |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY date DESC, id DESC) <= 4),
+         |j AS (SELECT symbol, $pnlSql AS pnl, entry, stop, qty FROM journal),
+         |j2 AS (SELECT symbol, pnl, $rSql AS r FROM j),
+         |g AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
+         |    SUM(CAST(round(pnl * 1000000) AS BIGINT)) / 1000000.0 AS total_pnl,
+         |    round(avg(r), 6) AS avg_r
+         |  FROM j2),
+         |g2 AS (SELECT *,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE round(wins * 100.0 / n) END AS winrate
+         |  FROM g),
+         |tr AS (
+         |  SELECT string_agg(
+         |    '{"symbol":"' || symbol || '","direction":"' || direction ||
+         |    '","qty":' || CAST(qty AS VARCHAR) || '}', ',' ORDER BY id) AS trades
+         |  FROM scoped)
+         |SELECT 'You are a trading performance coach. Stats: n=' ||
+         |  CAST(n AS VARCHAR) || ', wins=' || CAST(wins AS VARCHAR) ||
+         |  ', winrate=' || CAST(winrate AS VARCHAR) || '%, totalPnL=' ||
+         |  CAST(total_pnl AS VARCHAR) || ', avgR=' || CAST(avg_r AS VARCHAR) ||
+         |  '. Trades: [' || trades || ']' ||
+         |  ' Give 3 concrete improvements and 1 strength.' AS prompt
+         |FROM g2, tr""".stripMargin,
 
     "w7_ma_slope" ->
       """WITH m AS (

@@ -122,10 +122,13 @@ object MarketFunctions {
     normalizeEmail(email).contains("@")
 
   /** X15 — 6-digit sign-in code (/root/reference/app/main.py:439).
-    * Deterministic variant takes a seed column for testability.
+    * Deterministic variant takes a seed column for testability. Derived
+    * from the 48-bit md5 prefix (always non-negative — murmur `hash()`
+    * could return Int.MinValue whose abs stays negative) so the DuckDB
+    * oracle reproduces the code bit-for-bit.
     */
   def sixDigitCode(seed: Column): Column =
-    lpad((abs(hash(seed)) % 1000000).cast("string"), 6, "0")
+    lpad((md5Hash48(seed) % 1000000).cast("string"), 6, "0")
 
   /** F9 — FX-like symbol classifier
     * (/root/reference/static/main.js:636,1194).

@@ -37,6 +37,26 @@ object Relational {
   def nextOffset(pageRows: Long, limit: Int, offset: Int): Option[Int] =
     if (pageRows == limit.toLong) Some(offset + limit) else None
 
+  /** O5 — the whole pagination contract as one relation: every page of
+    * the ordered stream with its row count, rank span, offset, and
+    * `next_offset` (offset+limit iff the page is full — the invariant the
+    * reference tests at tests/test_api_and_ingest.py:42-63). Consecutive
+    * pages partition the stream exactly: last_rn(page k) + 1 =
+    * first_rn(page k+1). The global row_number is inherent to global
+    * pagination (one ordered stream); real deployments serve deep pages
+    * from range metadata instead of re-sorting.
+    */
+  def pageStats(df: DataFrame, order: Seq[Column], limit: Int): DataFrame =
+    df.withColumn("_rn",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .withColumn("page", floor((col("_rn") - 1) / limit).cast("long"))
+      .groupBy("page")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_rn")).as("first_rn"), max(col("_rn")).as("last_rn"))
+      .withColumn("offset", col("page") * limit)
+      .withColumn("next_offset",
+        when(col("n_rows") === limit, col("offset") + limit))
+
   /** F3 — point lookup, newest id wins
     * (/root/reference/app/db.py:305-321).
     */

@@ -114,14 +114,28 @@ object Plans {
       lastWhere(t.contains("support")).as("support"))
   }
 
+  /** Deterministic JSON object for one trade: string fields quoted, the
+    * numeric field rendered by the engine's double→string cast (identical
+    * shortest-repr in Spark and DuckDB). `to_json` is NOT used — its
+    * struct formatting is engine-specific, which would make the coach
+    * prompt unverifiable against the SQL oracle.
+    */
+  def tradeJson(strCols: Seq[String], numCols: Seq[String]): Column = {
+    val parts =
+      strCols.map(c => concat(lit("\"" + c + "\":\""), col(c), lit("\""))) ++
+        numCols.map(c => concat(lit("\"" + c + "\":"), col(c).cast("string")))
+    concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+  }
+
   /** P4 — journal-coach prompt (/root/reference/static/main.js:1131-1144):
-    * summary stats + a JSON-packed sample of trades.
+    * summary stats + a JSON-packed sample of trades. `tradeJsonCol` is the
+    * per-trade JSON (see [[tradeJson]]); trades must arrive deterministic-
+    * ordered (single sorted partition) for a stable packed list.
     */
   def journalCoachPrompt(stats: DataFrame, trades: DataFrame,
-                         tradeCols: Seq[String],
-                         sampleK: Int = 20): DataFrame = {
+                         tradeJsonCol: Column): DataFrame = {
     val packed = trades
-      .select(to_json(struct(tradeCols.map(col): _*)).as("_j"))
+      .select(tradeJsonCol.as("_j"))
       .agg(concat_ws(",", collect_list(col("_j"))).as("_trades"))
     stats.crossJoin(packed).select(
       concat(

@@ -73,9 +73,10 @@ class PlansSpec extends AnyFunSuite {
     val trades = Seq(("EURUSD", "Long", 1.0)).toDF("symbol", "direction",
       "qty")
     val p = Plans.journalCoachPrompt(stats, trades,
-      Seq("symbol", "direction", "qty")).as[String].collect().head
+      Plans.tradeJson(Seq("symbol", "direction"), Seq("qty")))
+      .as[String].collect().head
     assert(p.contains("n=3") && p.contains("winrate=67.0"))
-    assert(p.contains("\"symbol\":\"EURUSD\""))
+    assert(p.contains("{\"symbol\":\"EURUSD\",\"direction\":\"Long\",\"qty\":1.0}"))
     assert(p.endsWith("Give 3 concrete improvements and 1 strength."))
   }
 }
