@@ -22,6 +22,7 @@ object Bench {
       // Catalyst prune the projections we are trying to measure).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally Caches.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

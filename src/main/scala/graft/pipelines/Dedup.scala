@@ -83,6 +83,25 @@ object Dedup {
   def minhashSignature(text: Column, numPerm: Int): Column =
     minhashFromHashes(shingleHashes(text), numPerm)
 
+  /** (numPerm, bandRows) for a target Jaccard threshold via the standard
+    * S-curve rule: with b bands of r rows the half-recall point sits at
+    * s ≈ (1/b)^(1/r). Scans r ∈ [2, 8] with b = maxPerm / r and picks the
+    * pair whose threshold lands closest to the target. Band-bucket keys
+    * live in a 2^(31·r) space, so random (non-similar) collisions stay
+    * negligible at any corpus size — unlike [[graft.pipelines.Similarity
+    * .bitsFor]]'s fixed bucket grid, minhash banding needs no
+    * corpus-size-dependent widening; r controls precision only.
+    */
+  def minhashParamsFor(simThreshold: Double,
+                       maxPerm: Int = 16): (Int, Int) = {
+    val picks = for (r <- 2 to 8; b = maxPerm / r; if b >= 1) yield {
+      val t = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(t - simThreshold), b * r, r)
+    }
+    val (_, perm, rows) = picks.min
+    (perm, rows)
+  }
+
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * near-dup pairs. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     * numPerm must be divisible by bandRows.
@@ -96,11 +115,11 @@ object Dedup {
     // the banded plan feeds BOTH sides of the self-join; without an
     // explicit persist each side re-executes the whole signature
     // computation (at cluster scale: persist/checkpoint the signatures)
-    val banded = sig.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(numBands - 1)),
-        b => concat_ws(",", slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
-      .as(Seq("band", "bucket")))
-      .persist()
+    val banded = graft.Caches.persist(
+      sig.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => concat_ws(",", slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
+        .as(Seq("band", "bucket"))))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -138,24 +157,50 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), _ + _)
 
+  /** (nBits, chunks) for SimHash banding sized to the corpus: recall
+    * requires chunks = maxHamming + 1 (pigeonhole: ≤ maxHamming flipped
+    * bits leave one chunk intact), and each chunk needs
+    * ceil(log2(n / targetBucketSize)) bits so its bucket grid keeps the
+    * all-pairs stage at O(Σ|bucket|²) with |bucket| ≈ target — a fixed
+    * 8-bit chunk (256 buckets) is quadratic at corpus scale. Capped at 48
+    * total bits (the md5-48 hash width).
+    */
+  def simhashParamsFor(corpusSize: Long, maxHamming: Int = 3,
+                       targetBucketSize: Long = 4096): (Int, Int) = {
+    val chunks = maxHamming + 1
+    val buckets =
+      math.max(1L, corpusSize / math.max(1L, targetBucketSize))
+    val need =
+      if (buckets <= 1L) 8
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    val chunkLen = math.min(48 / chunks, math.max(8, need))
+    (chunks * chunkLen, chunks)
+  }
+
   /** SimHash near-dup candidates: band the bit vector into chunks and
     * bucket-join on chunk equality (docs within hamming distance d share
     * at least one identical chunk when chunks > d). Returns distinct
-    * (doc_a, doc_b, hamming) pairs with hamming ≤ maxHamming.
+    * (doc_a, doc_b, hamming) pairs with hamming ≤ maxHamming. With
+    * `nBits <= 0` the (nBits, chunks) pair is derived from the corpus
+    * size via [[simhashParamsFor]] (one `count()` job).
     */
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
                         nBits: Int = 32, chunks: Int = 4,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        targetBucketSize: Long = 4096): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val chunkLen = nBits / chunks
+    val (nb, nc) =
+      if (nBits > 0) (nBits, chunks)
+      else simhashParamsFor(df.count(), maxHamming, targetBucketSize)
+    val chunkLen = nb / nc
     val sig = df.select(col(idCol),
-      call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
+      call_function("graft_simhash_bits", text, lit(nb)).as("_bits"))
     // persisted: both self-join sides read it (see minhashCandidates)
-    val banded = sig.select(col(idCol), col("_bits"), posexplode(
-      transform(sequence(lit(0), lit(chunks - 1)),
-        c => concat_ws("", slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
-      .as(Seq("chunk", "key")))
-      .persist()
+    val banded = graft.Caches.persist(
+      sig.select(col(idCol), col("_bits"), posexplode(
+        transform(sequence(lit(0), lit(nc - 1)),
+          c => concat_ws("", slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
+        .as(Seq("chunk", "key"))))
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -177,10 +222,10 @@ object Dedup {
     // (collisions negligible), far narrower shuffle rows; persisted
     // because sizes + both self-join sides consume it (3 readers)
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val sh = df.select(col(idCol), blockKey.as("_blk"),
+    val sh = graft.Caches.persist(
+      df.select(col(idCol), blockKey.as("_blk"),
         explode(call_function("graft_shingle_hashes60", text, lit(w)))
-          .as("_sh"))
-      .persist()
+          .as("_sh")))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a._blk") === col("b._blk") && col("a._sh") === col("b._sh") &&

@@ -152,20 +152,44 @@ object Similarity {
       .limit(topK)
   }
 
+  /** LSH bit-width that keeps the expected bucket size near
+    * `targetBucketSize`: ceil(log2(n / target)), clamped to
+    * [minBits, 24]. The all-pairs stage costs O(Σ|bucket|²), so bucket
+    * count must GROW with the corpus — a fixed width that is fine at
+    * sf0.1 (16 buckets) is quadratic death at 10⁹ rows. 24 bits caps the
+    * bucket-key space at 16.7M (beyond that, shard by an orthogonal key
+    * first).
+    */
+  def bitsFor(corpusSize: Long, targetBucketSize: Long = 4096,
+              minBits: Int = 4): Int = {
+    val buckets =
+      math.max(1L, corpusSize / math.max(1L, targetBucketSize))
+    val need =
+      if (buckets <= 1L) minBits
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(minBits, need))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
     * LSH-blocked: pairs must share a bucket (scale path for the
-    * embedding-cosine near-dup dedup mode).
+    * embedding-cosine near-dup dedup mode). With `bits <= 0` (the
+    * default) the bucket count is derived from the corpus size via
+    * [[bitsFor]] — one `count()` job, the price of a scale-safe default;
+    * callers that know their table stats pass `bits` explicitly.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int = 4,
-                   dim: Int = -1): DataFrame = {
+                   threshold: Double, bits: Int = -1,
+                   dim: Int = -1,
+                   targetBucketSize: Long = 4096): DataFrame = {
+    val b = if (bits > 0) bits else bitsFor(corpus.count(), targetBucketSize)
     // norms precomputed per row (not per pair: inside the pair join the
     // norm fold would run |bucket|× per vector), buckets persisted so
-    // both self-join sides read one evaluation
-    val bucketed = corpus.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("_norm"),
-      lshBucket(col(vecCol), bits, dim).as("_bucket"))
-      .persist()
+    // both self-join sides read one evaluation (released by the harness
+    // via Caches.releaseAll after the query's terminal action)
+    val bucketed = graft.Caches.persist(
+      corpus.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("_norm"),
+        lshBucket(col(vecCol), b, dim).as("_bucket")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bucket") === col("b._bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

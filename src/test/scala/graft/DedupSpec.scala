@@ -110,4 +110,44 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[Long](4) === r.getSeq[Long](5))
     }
   }
+
+  test("simhashParamsFor: recall chunks + corpus-scaled bucket grid") {
+    for (n <- Seq(1000L, 1000000L, 1000000000L); h <- Seq(2, 3)) {
+      val (nBits, chunks) = Dedup.simhashParamsFor(n, h, 4096)
+      assert(chunks === h + 1) // pigeonhole recall guarantee
+      assert(nBits <= 48 && nBits % chunks === 0)
+      val chunkLen = nBits / chunks
+      // per-chunk bucket grid ≥ n/target, unless at the 48-bit cap
+      if (chunkLen < 48 / chunks)
+        assert((1L << chunkLen) >= n / 4096L, s"n=$n h=$h len=$chunkLen")
+    }
+    // the fixed-default failure mode: 1B docs must not get 256 buckets
+    val (nb, nc) = Dedup.simhashParamsFor(1000000000L, 3, 4096)
+    assert(nb / nc >= 12)
+    // auto mode still finds the exact dup pair
+    val auto = Dedup.simhashCandidates(docs, "doc_id", $"text", nBits = -1)
+      .as[(Long, Long, Int)].collect()
+    assert(auto.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    graft.Caches.releaseAll()
+  }
+
+  test("minhashParamsFor lands the S-curve near the target threshold") {
+    for (t <- Seq(0.3, 0.5, 0.8); maxPerm <- Seq(16, 64)) {
+      val (perm, rows) = Dedup.minhashParamsFor(t, maxPerm)
+      assert(perm <= maxPerm && perm % rows === 0)
+      val bands = perm / rows
+      val curve = math.pow(1.0 / bands, 1.0 / rows)
+      assert(math.abs(curve - t) < 0.25, s"t=$t curve=$curve")
+    }
+  }
+
+  test("Caches.releaseAll unpersists banded self-join intermediates") {
+    graft.Caches.releaseAll()
+    Dedup.minhashCandidates(docs, "doc_id", $"text").collect()
+    Dedup.ngramJaccard(docs, "doc_id", $"text", lit(1)).collect()
+    assert(graft.Caches.activeCount === 2)
+    graft.Caches.releaseAll()
+    assert(graft.Caches.activeCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }

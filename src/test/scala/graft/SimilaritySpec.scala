@@ -83,4 +83,48 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(got.exists(p => p._1 == 0L && p._2 == 4L && p._3 === 1.0))
   }
+
+  test("bitsFor: bucket count scales with corpus, bounded and monotonic") {
+    // enough buckets: 2^bits ≥ n/target (until the 24-bit cap)
+    for (n <- Seq(1L, 1000L, 100000L, 10000000L, 1000000000L);
+         target <- Seq(128L, 4096L)) {
+      val b = Similarity.bitsFor(n, target)
+      assert(b >= 4 && b <= 24)
+      if (b < 24) assert((1L << b) >= n / target,
+        s"n=$n target=$target bits=$b")
+    }
+    // monotonic in corpus size
+    val seq = Seq(1L, 1000L, 100000L, 10000000L)
+      .map(Similarity.bitsFor(_, 1024))
+    assert(seq === seq.sorted)
+    // the round-1 failure mode: 1B vectors must NOT get 16 buckets
+    assert(Similarity.bitsFor(1000000000L, 4096) >= 18)
+  }
+
+  test("auto-bits nearDupPairs keeps the max bucket share bounded") {
+    val rng = new scala.util.Random(7)
+    val n = 2048
+    val big = (0L until n.toLong).map(i =>
+      (i, Seq.fill(16)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val target = 128L
+    val bits = Similarity.bitsFor(n, target)
+    assert(bits === 4) // ceil(log2(2048/128))
+    val sizes = big
+      .select(Similarity.lshBucket($"vec", bits, dim = 16).as("b"))
+      .groupBy("b").count().as[(String, Long)].collect().map(_._2)
+    // random hyperplanes over spread vectors: no bucket hogs the corpus
+    assert(sizes.max <= 4 * target,
+      s"max bucket ${sizes.max} > 4x target $target")
+    graft.Caches.releaseAll()
+  }
+
+  test("Caches.releaseAll unpersists the near-dup intermediate") {
+    graft.Caches.releaseAll()
+    val pairs = Similarity.nearDupPairs(corpus, "id", "vec", 0.5)
+    pairs.collect()
+    assert(graft.Caches.activeCount === 1)
+    graft.Caches.releaseAll()
+    assert(graft.Caches.activeCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
