@@ -8,7 +8,7 @@ import graft.functions.MarketFunctions
 import graft.functions.MarketFunctions._
 import graft.operators.{Aggregates, Relational, Series}
 import graft.pipelines.{Dedup, Multimodal, Plans, Similarity, TextAnalysis}
-import graft.sources.Ingest
+import graft.sources.{Ingest, Warehouse}
 import graft.streaming.PriceStream
 
 /** Driver contract (SURVEY.md §7): one named query per implemented
@@ -830,6 +830,24 @@ object SparkEntry {
         e.filter(col("event_id") >= 5000 && col("event_id") < 6000), "n")
       Relational.upsert(existing, batch, Seq("token"))
         .repartition(1).sortWithinPartitions("token")
+    }),
+
+    "u1b_warehouse_upsert" -> ((s, d) => {
+      // U1/U2 against the physical table-of-record: write prices
+      // symbol-partitioned, upsert a batch through the partition-pruned
+      // merge (only the 'click' directory is rewritten), read back.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_wh_q").toString
+      val p = T(s, d).pricesFromEvents
+      Warehouse.writePrices(p, root)
+      val batch = p.filter(col("symbol") === "click" && col("id") % 10 === 0)
+        .withColumn("price", col("price") + 1.0)
+      Warehouse.upsertPrices(s, root, batch)
+      Warehouse.readPrices(s, root)
+        .groupBy("symbol").agg(count(lit(1)).as("n"),
+          Aggregates.fromCents(sum(Aggregates.cents(col("price"))))
+            .as("sum_price"))
+        .repartition(1).sortWithinPartitions("symbol")
     }),
 
     "u6_verify_code" -> ((s, d) => {
@@ -1756,6 +1774,21 @@ object SparkEntry {
         |WHERE token NOT IN (SELECT token FROM batch)
         |UNION ALL SELECT token, email FROM batch
         |ORDER BY token""".stripMargin,
+
+    "u1b_warehouse_upsert" ->
+      s"""WITH $pricesCte,
+         |batch AS (
+         |  SELECT id, symbol, price + 1.0 AS price, as_of, currency, source
+         |  FROM prices WHERE symbol = 'click' AND id % 10 = 0),
+         |kept AS (
+         |  SELECT * FROM prices p
+         |  WHERE NOT EXISTS (SELECT 1 FROM batch b
+         |    WHERE b.symbol = p.symbol AND b.as_of = p.as_of
+         |      AND b.source = p.source)),
+         |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM batch)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
+         |FROM merged GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "u6_verify_code" ->
       """WITH codes AS (

@@ -1,6 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
 
 /** Physical table layout for the engine's tables-of-record — the piece
   * the reference delegates to a single SQLite file
@@ -35,4 +38,75 @@ object Warehouse {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** The merge key of the prices table-of-record — the reference's
+    * UNIQUE(symbol, as_of, source) (/root/reference/app/db.py:44).
+    */
+  val PriceKeys: Seq[String] = Seq("symbol", "as_of", "source")
+
+  /** Existing-side scan pruned to the partitions the batch touches.
+    * The batch's distinct symbols are collected driver-side — an ingest
+    * batch is watchlist-sized (the reference polls a handful of symbols),
+    * so the list is tiny — and pushed as `symbol IN (...)`, which
+    * Catalyst turns into PartitionFilters: the merge reads only the
+    * touched directories, never the whole table-of-record.
+    */
+  def prunedExisting(spark: SparkSession, root: String,
+                     batch: DataFrame): DataFrame = {
+    val syms = batch.select("symbol").distinct()
+      .collect().map(_.getString(0)).toSeq
+    readPrices(spark, root).filter(col("symbol").isin(syms: _*))
+  }
+
+  /** Partition-pruned `INSERT OR IGNORE` into the symbol-partitioned
+    * prices table (/root/reference/app/db.py:244-261): anti-join the
+    * batch against only the touched partitions, append survivors to
+    * their directories. Returns the inserted rowcount (the reference's
+    * 0/1 contract generalized to batches). Unlike the in-memory
+    * `Relational.insertIgnore`, nothing outside the batch's symbols is
+    * ever read or rewritten.
+    */
+  def insertIgnorePrices(spark: SparkSession, root: String,
+                         batch: DataFrame,
+                         keys: Seq[String] = PriceKeys): Long = {
+    val existing = prunedExisting(spark, root, batch)
+    val fresh = batch.dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*), keys, "left_anti")
+      .select(existing.columns.map(col): _*) // table column order
+      .persist()
+    val inserted = fresh.count()
+    if (inserted > 0)
+      fresh.write.mode(SaveMode.Append).partitionBy("symbol")
+        .parquet(s"$root/prices")
+    fresh.unpersist(blocking = false)
+    inserted
+  }
+
+  /** Partition-pruned keyed upsert (/root/reference/app/db.py:166-201):
+    * merge the batch into only the touched partitions and rewrite just
+    * those directories via dynamic partition overwrite. The merged rows
+    * stage through a scratch directory first — Spark refuses to
+    * overwrite a path that feeds the same plan, and at scale the staging
+    * write doubles as the shuffle barrier between read and rewrite.
+    */
+  def upsertPrices(spark: SparkSession, root: String, batch: DataFrame,
+                   keys: Seq[String] = PriceKeys): Unit = {
+    val existing = prunedExisting(spark, root, batch)
+    val merged = Relational.upsert(existing,
+      batch.select(existing.columns.map(col): _*), keys)
+    val staging =
+      s"$root/.prices_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("symbol")
+      .parquet(s"$root/prices")
+    deleteRecursively(new java.io.File(staging))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -36,6 +36,72 @@ class WarehouseSpec extends AnyFunSuite {
     assert(scanned.contains("isnotnull(symbol"))
   }
 
+  test("insertIgnorePrices: pruned anti-join, appends only fresh rows") {
+    val root = Files.createTempDirectory("graft_wh_ins").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val seed = Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "AAPL", 190.0, t0, "src0"),
+      (3L, "MSFT", 410.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")
+    Warehouse.writePrices(seed, root)
+    val batch = Seq(
+      (9L, "EURUSD", 9.99, t0, "src0"),                     // dup key: ignored
+      (4L, "EURUSD", 1.09, ts("2024-01-01 11:00:00"), "src0"), // fresh
+      (5L, "GBPUSD", 1.27, t0, "src0"))                     // fresh partition
+      .toDF("id", "symbol", "price", "as_of", "source")
+
+    // the existing-side scan is partition-pruned to the batch's symbols
+    val pruned = Warehouse.prunedExisting(spark, root, batch)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(scan.contains("EURUSD") && scan.contains("GBPUSD"), scan)
+
+    val inserted = Warehouse.insertIgnorePrices(spark, root, batch)
+    assert(inserted === 2)
+    val after = Warehouse.readPrices(spark, root)
+    assert(after.count() === 5)
+    // the dup key kept the existing row's price
+    assert(after.filter($"symbol" === "EURUSD" && $"as_of" === t0)
+      .select("price").as[Double].collect().toSeq === Seq(1.08))
+    // idempotent: re-inserting the same batch adds nothing
+    assert(Warehouse.insertIgnorePrices(spark, root, batch) === 0)
+  }
+
+  test("upsertPrices rewrites only touched partitions") {
+    val root = Files.createTempDirectory("graft_wh_ups").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val seed = Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "EURUSD", 1.09, ts("2024-01-01 11:00:00"), "src0"),
+      (3L, "AAPL", 190.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")
+    Warehouse.writePrices(seed, root)
+    val aaplDir = new java.io.File(s"$root/prices/symbol=AAPL")
+    val before = aaplDir.listFiles().map(f => f.getName -> f.lastModified)
+      .toMap
+
+    val batch = Seq(
+      (4L, "EURUSD", 2.00, t0, "src0"),                       // replaces id=1
+      (5L, "EURUSD", 1.10, ts("2024-01-01 12:00:00"), "src0")) // new row
+      .toDF("id", "symbol", "price", "as_of", "source")
+    Warehouse.upsertPrices(spark, root, batch)
+
+    val after = Warehouse.readPrices(spark, root)
+    assert(after.count() === 4)
+    assert(after.filter($"symbol" === "EURUSD" && $"as_of" === t0)
+      .select("price").as[Double].collect().toSeq === Seq(2.00))
+    // the AAPL partition's files were not rewritten
+    val afterFiles = aaplDir.listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(afterFiles === before)
+    // no staging leftovers
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith(".prices_staging")))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val a = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "vb")
