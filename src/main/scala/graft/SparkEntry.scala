@@ -250,6 +250,25 @@ object SparkEntry {
         .select("c_custkey").repartition(1).sortWithinPartitions("c_custkey")
     }),
 
+    "j6_asof_join" -> ((s, d) => {
+      // every event joined to the most recent price at-or-before its
+      // (shifted) timestamp, per symbol — the point-in-time variant of
+      // J1's latest-price lookup. Right side pre-aggregated to one row
+      // per (symbol, as_of) so the payload is deterministic.
+      val t = T(s, d)
+      val right = t.pricesFromEvents
+        .groupBy("symbol", "as_of")
+        .agg(max_by(col("price"), col("id")).as("price"))
+      val left = t.events.select(col("event_id"),
+        col("event_type").as("symbol"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"))
+      graft.operators.AsOf.asofJoin(left, right, "symbol", "t", "as_of",
+          Seq("price"))
+        .select(col("event_id"), col("symbol"),
+          unix_micros(col("t")).as("t_us"), col("price"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
     "q5_star_revenue" -> ((s, d) => {
       val t = T(s, d)
       val cust = t.customer
@@ -1085,6 +1104,20 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j6_asof_join" ->
+      s"""WITH $pricesCte,
+         |r AS (
+         |  SELECT symbol, as_of, arg_max(price, id) AS price
+         |  FROM prices GROUP BY symbol, as_of),
+         |l AS (
+         |  SELECT event_id, event_type AS symbol,
+         |         ts + INTERVAL 30 MINUTE AS t
+         |  FROM events)
+         |SELECT l.event_id, l.symbol, epoch_us(l.t) AS t_us, r.price
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.symbol = r.symbol AND l.t >= r.as_of
+         |ORDER BY l.event_id""".stripMargin,
 
     "q5_star_revenue" ->
       """SELECT n_name,

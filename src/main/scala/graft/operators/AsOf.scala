@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — SURVEY.md §2.3's marquee generalization
+  * of J1's "positions × latest price": instead of ONE latest price per
+  * symbol, every left row picks the most recent right row at or before
+  * its own timestamp (/root/reference/app/db.py:131-141 resolves the
+  * same question with a correlated latest-price subquery; generalized
+  * here to arbitrary event times).
+  *
+  * Implemented with the union-merge strategy, not a range join: tag both
+  * sides, union on the key, sort per key by (time, side), and carry the
+  * latest right payload forward with `last(ignoreNulls)` over a running
+  * rows frame. That is ONE shuffle on the key and a linear per-partition
+  * pass — a θ-join on `l.t >= r.t` would explode to |L|×|R| pairs per
+  * key before filtering, which no optimizer saves at 100 TB. Matches
+  * DuckDB's `ASOF JOIN` / pandas `merge_asof` semantics (left join:
+  * unmatched left rows keep null payload).
+  */
+object AsOf {
+
+  /** Left as-of join.
+    *
+    * @param by       equality key column (present on both sides)
+    * @param leftOn   left event-time column
+    * @param rightOn  right event-time column
+    * @param payload  right columns to carry (names must not collide with
+    *                 left columns)
+    * @param direction "backward" (most recent right ≤ left, default) or
+    *                  "forward" (earliest right ≥ left)
+    * @param allowExactMatches whether a right row at exactly the left
+    *                  timestamp counts as a match
+    *
+    * Ties among right rows on (by, rightOn) are resolved arbitrarily —
+    * pre-aggregate the right side (e.g. arg-max by ingest id) when the
+    * payload must be deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, by: String,
+               leftOn: String, rightOn: String, payload: Seq[String],
+               direction: String = "backward",
+               allowExactMatches: Boolean = true): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val clash = payload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"payload columns collide with left: $clash")
+
+    val lRow = struct(left.columns.map(col): _*)
+    val lNorm = left.select(col(by).as("_by"),
+      col(leftOn).as("_t"), lit(1).as("_side"),
+      lRow.as("_lrow"),
+      lit(null).cast(right.select(payload.map(col): _*).schema)
+        .as("_pay"))
+    val rNorm = right.select(col(by).as("_by"),
+      col(rightOn).as("_t"), lit(0).as("_side"),
+      lit(null).cast(left.schema).as("_lrow"),
+      struct(payload.map(col): _*).as("_pay"))
+
+    // traversal order: backward walks time ascending, forward descending;
+    // on timestamp ties the right row comes first iff exact matches count
+    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
+    val sOrd = if (allowExactMatches) col("_side").asc else col("_side").desc
+    val w = Window.partitionBy(col("_by")).orderBy(tOrd, sOrd)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // the payload travels as ONE struct: a right row whose payload fields
+    // are null still matches (last(ignoreNulls) on bare fields would
+    // skip it and wrongly reach further back)
+    lNorm.unionByName(rNorm)
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_lrow.*") +:
+        payload.map(p => col(s"_m.$p").as(p)): _*)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+
+/** As-of join semantics: backward/forward, exact-match toggle, unmatched
+  * left rows, and null-payload right rows.
+  */
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, "A", ts("2024-01-01 10:00:00")),
+    (2L, "A", ts("2024-01-01 10:30:00")),
+    (3L, "A", ts("2024-01-01 09:00:00")), // before any price
+    (4L, "B", ts("2024-01-01 10:00:00"))) // B has only a later price
+    .toDF("id", "sym", "t")
+
+  private val right = Seq(
+    ("A", ts("2024-01-01 09:30:00"), Some(1.0)),
+    ("A", ts("2024-01-01 10:30:00"), Some(2.0)),
+    ("B", ts("2024-01-01 11:00:00"), Some(5.0)))
+    .toDF("sym", "as_of", "price")
+
+  private def run(l: org.apache.spark.sql.DataFrame,
+                  r: org.apache.spark.sql.DataFrame,
+                  dir: String, exact: Boolean = true): Map[Long, Option[Double]] =
+    AsOf.asofJoin(l, r, "sym", "t", "as_of", Seq("price"),
+        direction = dir, allowExactMatches = exact)
+      .select("id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+
+  test("backward: most recent right at-or-before; unmatched → null") {
+    val got = run(left, right, "backward")
+    assert(got === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None,
+      4L -> None))
+  }
+
+  test("backward without exact matches skips the tied right row") {
+    val got = run(left, right, "backward", exact = false)
+    assert(got(2L) === Some(1.0))
+  }
+
+  test("forward: earliest right at-or-after") {
+    val got = run(left, right, "forward")
+    assert(got === Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(5.0)))
+  }
+
+  test("a right row with null payload still matches (no reach-back)") {
+    val r2 = right.unionByName(
+      Seq(("A", ts("2024-01-01 09:45:00"), Option.empty[Double]))
+        .toDF("sym", "as_of", "price"))
+    val got = run(left, r2, "backward")
+    assert(got(1L) === None) // 09:45 null row shadows the 09:30 price
+  }
+
+  test("one shuffle on the key: a single Exchange below the window") {
+    val plan = AsOf.asofJoin(left, right, "sym", "t", "as_of",
+      Seq("price")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges === 1, plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+}
