@@ -679,6 +679,21 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("media_id")
     }),
 
+    "m2_image_decode" -> ((s, d) => {
+      // real javax.imageio decode of deterministic solid-color PNGs:
+      // the decoded channel means are recomputable from the id, so this
+      // partition-local decode path gets a full SQL oracle.
+      val media = Multimodal.syntheticImages(s, 200)
+      Multimodal.extractFeatures(media, new Multimodal.ImageDecoder())
+        .select(col("media_id"), col("kind"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("long").as("r"),
+          element_at(col("features"), 4).cast("long").as("g"),
+          element_at(col("features"), 5).cast("long").as("b"))
+        .repartition(1).sortWithinPartitions("media_id")
+    }),
+
     // ---- ingest payload parsers (S2-S4, X12) over synthetic payloads --
 
     "s2_av_quote_parse" -> ((s, d) => {
@@ -1696,6 +1711,13 @@ object SparkEntry {
         |  ('2025-01-09T09:00:00Z', 'EU', 'ECB Rate Decision'))
         |  t(when_ts, country, event)
         |WHERE lower(country) = 'us' ORDER BY when_ts""".stripMargin,
+
+    "m2_image_decode" ->
+      """SELECT i AS media_id, 'image' AS kind,
+        |  8 + (i % 8) AS w, 8 + (i % 5) AS h,
+        |  i % 256 AS r, (i * 7) % 256 AS g, (i * 13) % 256 AS b
+        |FROM (SELECT unnest(range(0, 200)) AS i)
+        |ORDER BY media_id""".stripMargin,
 
     "f4_txn_filter" ->
       s"""WITH $txnsCte

@@ -60,6 +60,51 @@ object Multimodal {
     }
   }
 
+  /** Real image decoder backed by the JDK's built-in `javax.imageio`
+    * (PNG/BMP/GIF/JPEG readers ship with the JVM — no external deps).
+    * Features: [width, height, meanR, meanG, meanB, meanLuma, aspect, 1]
+    * for decodable images; non-image kinds and undecodable payloads fall
+    * back to `fallback`'s byte sketch with the decoded-flag 0, so a
+    * corrupt blob degrades instead of failing the partition. The decode
+    * runs partition-locally inside [[extractFeatures]] — the reference
+    * ships the same bytes as data-URL images to its vision call
+    * (/root/reference/app/main.py:694-713); here they become columns.
+    */
+  final class ImageDecoder(fallback: Decoder = new StubDecoder(8))
+      extends Decoder {
+    val featureDim: Int = 8
+
+    private def flagged(f: Array[Float]): Array[Float] =
+      f.take(featureDim - 1).padTo(featureDim - 1, 0f) :+ 0f
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      if (kind != "image") return flagged(fallback.decode(kind, payload))
+      val img =
+        try {
+          javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+        } catch { case _: Throwable => null }
+      if (img == null) return flagged(fallback.decode(kind, payload))
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n,
+        (sr + sg + sb) / (3f * n), w.toFloat / h, 1f)
+    }
+  }
+
   /** Attach a `features array<float>` column by running the decoder
     * partition-locally. Rows with null payloads pass through with null
     * features (never dropped — curation decides downstream).
@@ -100,5 +145,34 @@ object Multimodal {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+
+  /** Deterministic synthetic PNG table: image i is a solid
+    * (i%256, 7i%256, 13i%256) color at (8+i%8)×(8+i%5) — PNG is
+    * lossless, so the decoded channel means equal the seed color exactly
+    * and a SQL oracle can recompute them from the id. Payloads are
+    * ENCODED inside the executors (mapPartitions over a range), so the
+    * fixture generator itself scales like any other pipeline.
+    */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    val rows = spark.sparkContext.parallelize(0 until n, 4).map { i =>
+      val w = 8 + i % 8
+      val h = 8 + i % 5
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((i % 256) << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Row(i.toLong, "image", bos.toByteArray, Integer.valueOf(w),
+        Integer.valueOf(h), null)
+    }
+    spark.createDataFrame(rows, mediaSchema)
   }
 }

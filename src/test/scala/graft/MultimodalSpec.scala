@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.Multimodal
+
+/** Real-image decode path: javax.imageio PNG decode inside the
+  * partition-local feature extractor, plus graceful fallback for corrupt
+  * payloads and non-image kinds.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("ImageDecoder recovers size and exact channel means from PNGs") {
+    val media = Multimodal.syntheticImages(spark, 24)
+    val got = Multimodal.extractFeatures(media,
+        new Multimodal.ImageDecoder())
+      .select($"media_id", $"features")
+      .as[(Long, Seq[Float])].collect().toMap
+    for (i <- 0 until 24) {
+      val f = got(i.toLong)
+      assert(f(0) === (8 + i % 8).toFloat, s"width of $i")
+      assert(f(1) === (8 + i % 5).toFloat, s"height of $i")
+      assert(f(2) === (i % 256).toFloat, s"meanR of $i")
+      assert(f(3) === (i * 7 % 256).toFloat, s"meanG of $i")
+      assert(f(4) === (i * 13 % 256).toFloat, s"meanB of $i")
+      assert(f(7) === 1f, s"decoded flag of $i")
+    }
+  }
+
+  test("corrupt payloads and non-image kinds degrade to the byte sketch") {
+    val rows = Seq(
+      (0L, "image", Array[Byte](1, 2, 3, 4), null, null, null),  // not a PNG
+      (1L, "audio", Array.fill[Byte](32)(7), null, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6)), 1),
+      Multimodal.mediaSchema)
+    val got = Multimodal.extractFeatures(media,
+        new Multimodal.ImageDecoder())
+      .select($"media_id", $"features")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got(0L).last === 0f) // flagged undecoded, row not dropped
+    assert(got(1L).last === 0f)
+    assert(got(1L).head === 7f) // stub byte-mean sketch survives
+  }
+
+  test("null payloads pass through with null features") {
+    val media = Multimodal.syntheticMedia(spark, 14)
+    val feats = Multimodal.extractFeatures(media,
+      new Multimodal.ImageDecoder())
+    val nullRows = feats.filter($"payload".isNull)
+    assert(nullRows.count() === 2) // ids 0 and 7
+    assert(nullRows.filter($"features".isNotNull).count() === 0)
+  }
+}
