@@ -550,6 +550,32 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "st1_stream_ingest" -> ((s, d) => {
+      // ST1 as a hard signal: land the prices relation (with injected
+      // duplicate keys) in a directory, run the REAL readStream → dedupe
+      // → parquet micro-batch pipeline to completion (AvailableNow), and
+      // oracle-check the materialized table. The wide watermark keeps
+      // dedup state for the whole historical replay, so cross-batch
+      // duplicates collapse exactly like the batch DISTINCT oracle.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st1_landing").toString
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_st1_table").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st1_ckpt").toString
+      val p = T(s, d).pricesFromEvents
+      val dups = p.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 1000000)
+      p.unionByName(dups).write.mode("overwrite").parquet(landing)
+      val q = PriceStream.start(s, landing, table, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        watermark = "3650 days")
+      q.awaitTermination(180000)
+      s.read.parquet(table)
+        .groupBy("symbol", "source").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("symbol", "source")
+    }),
+
     "st_windowed_quotes" -> ((s, d) => {
       PriceStream.quotesAgg(T(s, d).pricesFromEvents, "1 hour")
         .select(unix_micros(col("window.start")).as("ws_us"), col("symbol"),
@@ -1387,6 +1413,17 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p1_ict" -> s"$ictSql ORDER BY event_type",
+
+    "st1_stream_ingest" ->
+      s"""WITH $pricesCte,
+         |landed AS (
+         |  SELECT symbol, as_of, source FROM prices
+         |  UNION ALL
+         |  SELECT symbol, as_of, source FROM prices WHERE id % 10 = 0),
+         |ded AS (SELECT DISTINCT symbol, as_of, source FROM landed)
+         |SELECT symbol, source, CAST(count(*) AS BIGINT) AS n
+         |FROM ded GROUP BY symbol, source
+         |ORDER BY symbol, source""".stripMargin,
 
     "st_windowed_quotes" ->
       s"""WITH $pricesCte

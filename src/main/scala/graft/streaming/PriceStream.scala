@@ -35,13 +35,18 @@ object PriceStream {
       .dropDuplicates(Seq("symbol", "as_of", "source"))
 
   /** ST1 — 15-second micro-batch ingest from a landing directory into a
-    * parquet prices table.
+    * parquet prices table. `watermark` bounds the dedup state window: at
+    * quote cadence "1 hour" is ample; pass a large value for exact
+    * replay-dedup over historical backfills (state is then never
+    * evicted, so a key landing in any later micro-batch still dedups).
     */
   def start(spark: SparkSession, landingDir: String, tableDir: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("15 seconds"))
+            trigger: Trigger = Trigger.ProcessingTime("15 seconds"),
+            watermark: String = "1 hour")
       : StreamingQuery =
-    dedupe(spark.readStream.schema(priceSchema).parquet(landingDir))
+    dedupe(spark.readStream.schema(priceSchema).parquet(landingDir),
+        watermark)
       .writeStream
       .format("parquet")
       .option("path", tableDir)
