@@ -22,6 +22,30 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** Catalog-backed bucketed fact tables for the co-located star join
+    * (q5b): one write per (JVM, sf dir); subsequent calls reuse the
+    * registered tables. At cluster scale this is the table-of-record
+    * layout decision — the write cost is paid once at ingest, and every
+    * orderkey join afterwards runs shuffle-free.
+    */
+  private val bucketedTags =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def prepareBucketed(s: SparkSession, d: String): (String, String) = {
+    val tag = bucketedTags.computeIfAbsent(d, dir => {
+      val h = java.lang.Integer.toHexString(dir.hashCode)
+      val t = T(s, dir)
+      Warehouse.writeBucketed(
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"graft_li_$h", "l_orderkey", 16)
+      Warehouse.writeBucketed(
+        t.orders.select("o_orderkey", "o_custkey"),
+        s"graft_ord_$h", "o_orderkey", 16)
+      h
+    })
+    (s"graft_li_$tag", s"graft_ord_$tag")
+  }
+
   /** Flagship query (P5 positions pipeline) on sf0.001; driver
     * smoke-checks rows > 0.
     */
@@ -279,6 +303,28 @@ object SparkEntry {
       t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(t.orders.select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), Seq("o_custkey"))
+        .groupBy("n_name")
+        .agg(Aggregates.fromCents(sum(Aggregates.cents(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"))
+        .repartition(1).sortWithinPartitions("n_name")
+    }),
+
+    "q5b_star_bucketed" -> ((s, d) => {
+      // q5 routed through the bucketed table-of-record layout: both fact
+      // sides bucketed on the orderkey, so the fact-fact join carries NO
+      // Exchange (WarehouseSpec asserts it) — the only shuffle left is
+      // the final groupBy.
+      val (liT, ordT) = prepareBucketed(s, d)
+      val t = T(s, d)
+      val cust = t.customer
+      val nat = t.nation
+      val dims = cust.join(broadcast(nat),
+        cust("c_nationkey") === nat("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      s.table(liT)
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(dims), Seq("o_custkey"))
         .groupBy("n_name")
         .agg(Aggregates.fromCents(sum(Aggregates.cents(
@@ -1161,6 +1207,15 @@ object SparkEntry {
          |ORDER BY l.event_id""".stripMargin,
 
     "q5_star_revenue" ->
+      """SELECT n_name,
+        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q5b_star_bucketed" ->
       """SELECT n_name,
         |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue
         |FROM lineitem

@@ -102,6 +102,19 @@ class WarehouseSpec extends AnyFunSuite {
       .exists(_.getName.startsWith(".prices_staging")))
   }
 
+  test("q5b star join is shuffle-free between the bucketed fact tables") {
+    val d = "/root/testdata/sf0.001"
+    val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
+    val plan = q5b.queryExecution.executedPlan.toString
+    // the only hash shuffle left is the final groupBy — the fact-fact
+    // join reads co-located buckets (a non-bucketed q5 carries three)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, plan)
+    // and it returns exactly what the plain q5 plan returns
+    val q5 = SparkEntry.queries("q5_star_revenue")(spark, d)
+    assert(q5b.collect().toSeq === q5.collect().toSeq)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val a = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "vb")
