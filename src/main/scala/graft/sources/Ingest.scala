@@ -107,7 +107,12 @@ object Ingest {
                  nPoints: Int = 25, startIso: String = "2025-01-01")
       : DataFrame = {
     import spark.implicits._
-    val base = symbols.toDF("symbol", "base_level")
+    // symbol ordinal assigned driver-side so the id is pure arithmetic —
+    // a row_number over Window.orderBy(symbol, i) would funnel the whole
+    // output through one partition just to mint ids
+    val base = symbols.zipWithIndex
+      .map { case ((sym, lvl), ix) => (sym, lvl, ix.toLong) }
+      .toDF("symbol", "base_level", "_six")
     val idx = spark.range(nPoints.toLong).toDF("i")
     val stepPct = (md5Hash48(concat(col("symbol"), lit("#"),
       col("i").cast("string"))) % 1000L - 500L) / 100000.0
@@ -120,7 +125,7 @@ object Ingest {
         to_timestamp(lit(startIso)) + make_interval(lit(0), lit(0), lit(0), lit(0), col("i").cast("int")))
       .withColumn("source", lit("demo"))
       .withColumn("currency", lit(null).cast("string"))
-      .withColumn("id", row_number().over(Window.orderBy("symbol", "i")))
+      .withColumn("id", (col("_six") * nPoints + col("i") + 1).cast("int"))
       .select("id", "symbol", "price", "as_of", "currency", "source")
   }
 

@@ -34,10 +34,20 @@ object Warehouse {
     * a co-located join must share bucket column and count).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the default catalog is in-memory: a previous session's files can
+    // linger at the managed location with no catalog entry, which makes
+    // saveAsTable fail with LOCATION_ALREADY_EXISTS — clear both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      table.toLowerCase)
+    if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
 
   /** The merge key of the prices table-of-record — the reference's
     * UNIQUE(symbol, as_of, source) (/root/reference/app/db.py:44).
@@ -103,6 +113,36 @@ object Warehouse {
       .partitionBy("symbol")
       .parquet(s"$root/prices")
     deleteRecursively(new java.io.File(staging))
+  }
+
+  /** Partition-pruned delete with the reference's rowcount contract
+    * (/root/reference/app/db.py:204-207): only the named symbols'
+    * directories are read and rewritten; every other partition is
+    * untouched. The touched directories are replaced outright (not
+    * dynamically overwritten) so a fully-deleted symbol ends up with no
+    * directory rather than stale rows.
+    */
+  def deleteWherePrices(spark: SparkSession, root: String,
+                        symbols: Seq[String],
+                        cond: org.apache.spark.sql.Column): Long = {
+    val touched = readPrices(spark, root)
+      .filter(col("symbol").isin(symbols: _*))
+    val matched = coalesce(cond, lit(false))
+    val deleted = touched.filter(matched).count()
+    if (deleted > 0) {
+      val staging =
+        s"$root/.prices_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      touched.filter(!matched).write.mode(SaveMode.Overwrite).parquet(staging)
+      symbols.foreach { s =>
+        deleteRecursively(new java.io.File(s"$root/prices/symbol=$s"))
+      }
+      val kept = spark.read.parquet(staging)
+      if (!kept.isEmpty)
+        kept.write.mode(SaveMode.Append).partitionBy("symbol")
+          .parquet(s"$root/prices")
+      deleteRecursively(new java.io.File(staging))
+    }
+    deleted
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

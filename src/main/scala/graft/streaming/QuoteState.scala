@@ -21,20 +21,34 @@ object QuoteState {
 
   /** Fold a batch of quotes for one symbol into the running state and
     * emit the latest quote + delta vs the previous distinct observation.
+    * Single streaming pass tracking only the two most-recent
+    * observations by (asOf, price) — O(1) memory per group, where a
+    * sort-the-batch fold would buffer a symbol's entire micro-batch
+    * (fine at quote cadence, not for a general stateful operator).
     */
   def updateSymbol(symbol: String, quotes: Iterator[Quote],
                    state: GroupState[LastQuote]): QuoteUpdate = {
-    val ordered = quotes.toSeq.sortBy(q => (q.asOf.getTime, q.price))
-    var prev = state.getOption
-    var delta: Option[Double] = None
+    def later(a: Quote, b: Quote): Boolean =
+      a.asOf.getTime > b.asOf.getTime ||
+        (a.asOf.getTime == b.asOf.getTime && a.price > b.price)
+    var best: Quote = null
+    var second: Quote = null
     var n = 0L
-    ordered.foreach { q =>
-      delta = prev.map(p => q.price - p.price)
-      prev = Some(LastQuote(q.price, q.asOf))
+    quotes.foreach { q =>
       n += 1
+      if (best == null || later(q, best)) { second = best; best = q }
+      else if (second == null || later(q, second)) second = q
     }
-    prev.foreach(state.update)
-    QuoteUpdate(symbol, prev.map(_.price).getOrElse(Double.NaN), delta, n)
+    val statePrev = state.getOption
+    val delta =
+      if (best == null) None
+      else if (second != null) Some(best.price - second.price)
+      else statePrev.map(p => best.price - p.price)
+    val latest =
+      if (best == null) statePrev
+      else Some(LastQuote(best.price, best.asOf))
+    latest.foreach(state.update)
+    QuoteUpdate(symbol, latest.map(_.price).getOrElse(Double.NaN), delta, n)
   }
 
   /** Streaming transform: quotes → per-symbol incremental delta updates.

@@ -102,6 +102,37 @@ class WarehouseSpec extends AnyFunSuite {
       .exists(_.getName.startsWith(".prices_staging")))
   }
 
+  test("deleteWherePrices rewrites only named partitions, drops empty ones") {
+    val root = Files.createTempDirectory("graft_wh_del").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val seed = Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "EURUSD", 1.09, ts("2024-01-01 11:00:00"), "src0"),
+      (3L, "GBPUSD", 1.27, t0, "src0"),
+      (4L, "AAPL", 190.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")
+    Warehouse.writePrices(seed, root)
+    val aaplDir = new java.io.File(s"$root/prices/symbol=AAPL")
+    val before = aaplDir.listFiles().map(f => f.getName -> f.lastModified)
+      .toMap
+
+    // partial delete in EURUSD, full delete of GBPUSD
+    val deleted = Warehouse.deleteWherePrices(spark, root,
+      Seq("EURUSD", "GBPUSD"), $"id" === 1L || $"symbol" === "GBPUSD")
+    assert(deleted === 2)
+    val after = Warehouse.readPrices(spark, root)
+    assert(after.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L))
+    // the fully-deleted symbol's directory is gone, not stale
+    assert(!new java.io.File(s"$root/prices/symbol=GBPUSD").exists())
+    // untouched partition files unchanged
+    assert(aaplDir.listFiles().map(f => f.getName -> f.lastModified)
+      .toMap === before)
+    // zero-match delete is a no-op
+    assert(Warehouse.deleteWherePrices(spark, root, Seq("AAPL"),
+      $"price" > 1e9) === 0)
+  }
+
   test("q5b star join is shuffle-free between the bucketed fact tables") {
     val d = "/root/testdata/sf0.001"
     val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
