@@ -701,7 +701,7 @@ object SparkEntry {
         .select(col("embedding").as("qv"))
       emb.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(Similarity.cosine(col("embedding"), col("qv")), 6)
+          round(Similarity.cosineNative(col("embedding"), col("qv")), 6)
             .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
@@ -722,7 +722,7 @@ object SparkEntry {
         .filter(Similarity.lshBucket(col("embedding"), 4, 64) ===
           Similarity.lshBucket(col("qv"), 4, 64))
         .select(col("vec_id"),
-          round(Similarity.cosine(col("embedding"), col("qv")), 6)
+          round(Similarity.cosineNative(col("embedding"), col("qv")), 6)
             .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     }),

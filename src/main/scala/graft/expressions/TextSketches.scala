@@ -3,10 +3,10 @@ package graft.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-sketch hot path.
@@ -141,6 +141,50 @@ object TextSketches {
         : ShingleHashes60 = copy(child = c)
     override def prettyName: String = "graft_shingle_hashes60"
   }
+
+  /** Dot product of two numeric arrays in one tight loop — the ANN hot
+    * path. The declarative form `aggregate(zip_with(a, b, _*_), 0.0, +)`
+    * is interpreted per element, which dominates pairwise scoring (dim
+    * multiplications × |bucket|² pairs). Semantics mirror that fold
+    * exactly: ascending-index double accumulation (bit-identical sums),
+    * null on length mismatch or null elements (zip_with pads with null
+    * and `+` propagates it).
+    */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+
+    private def elem(a: ArrayData, i: Int, et: DataType): Double =
+      et match {
+        case FloatType   => a.getFloat(i).toDouble
+        case DoubleType  => a.getDouble(i)
+        case IntegerType => a.getInt(i).toDouble
+        case LongType    => a.getLong(i).toDouble
+        case other =>
+          throw new IllegalArgumentException(s"non-numeric array: $other")
+      }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val x = l.asInstanceOf[ArrayData]
+      val y = r.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) return null
+      val lt = left.dataType.asInstanceOf[ArrayType].elementType
+      val rt = right.dataType.asInstanceOf[ArrayType].elementType
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += elem(x, i, lt) * elem(y, i, rt)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): VecDot = copy(left = l, right = r)
+    override def prettyName: String = "graft_dot"
+  }
 }
 
 /** Per-session registration of the native sketch functions (idempotent;
@@ -166,5 +210,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes60",
       es => TextSketches.ShingleHashes60(es.head,
         if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
   }
 }

@@ -23,7 +23,10 @@ object Similarity {
     transform(v, x => x.cast("double"))
 
   /** Dot product of two array<numeric> columns (left-fold, so the
-    * accumulation order is deterministic).
+    * accumulation order is deterministic). This is the DEFINITIONAL
+    * declarative form; the hot paths below use the bit-identical native
+    * [[graft.expressions.TextSketches.VecDot]] (`graft_dot`), because
+    * higher-order-function expressions are interpreted per element.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
@@ -35,16 +38,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Native (compiled single-pass) twins — require
+    * [[graft.expressions.GraftFunctions.register]] on the session, which
+    * [[graft.Tables]] and every pipeline entry point below perform.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (normNative(a) * normNative(b))
+
   /** Brute-force exact top-k by cosine against a single query vector
     * (supplied as a literal array or broadcast 1-row frame). The plan is
     * scan → project(score) → TakeOrdered(k): no shuffle, linear scan.
     */
   def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
-                 query: Column, k: Int): DataFrame =
+                 query: Column, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     corpus.select(col(idCol),
-        round(cosine(col(vecCol), query), 6).as("cosine"))
+        round(cosineNative(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
 
   /** Deterministic random hyperplane component: md5-seeded uniform in
     * [-1, 1) for (plane p, dimension d). Driver-side replica of
@@ -97,11 +112,13 @@ object Similarity {
   def annTopKCosine(corpus: DataFrame, idCol: String, vecCol: String,
                     query: Column, k: Int, bits: Int = 4,
                     dim: Int = -1): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val bucketed = corpus
       .withColumn("_bucket", lshBucket(col(vecCol), bits, dim))
     bucketed
       .filter(col("_bucket") === lshBucket(query, bits, dim))
-      .select(col(idCol), round(cosine(col(vecCol), query), 6).as("cosine"))
+      .select(col(idCol),
+        round(cosineNative(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -144,10 +161,12 @@ object Similarity {
     val probed = array_sort(array(qCells: _*))
     val probeSet = transform(slice(probed, 1, nprobe),
       s => s.getField("cell"))
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .withColumn("_cell", ivfCell(col(vecCol), k, dim))
       .filter(array_contains(probeSet, col("_cell")))
-      .select(col(idCol), round(cosine(col(vecCol), query), 6).as("cosine"))
+      .select(col(idCol),
+        round(cosineNative(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(topK)
   }
@@ -181,6 +200,7 @@ object Similarity {
                    threshold: Double, bits: Int = -1,
                    dim: Int = -1,
                    targetBucketSize: Long = 4096): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val b = if (bits > 0) bits else bitsFor(corpus.count(), targetBucketSize)
     // norms precomputed per row (not per pair: inside the pair join the
     // norm fold would run |bucket|× per vector), buckets persisted so
@@ -188,13 +208,13 @@ object Similarity {
     // via Caches.releaseAll after the query's terminal action)
     val bucketed = graft.Caches.persist(
       corpus.select(col(idCol), col(vecCol),
-        norm(col(vecCol)).as("_norm"),
+        normNative(col(vecCol)).as("_norm"),
         lshBucket(col(vecCol), b, dim).as("_bucket")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bucket") === col("b._bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        round(dotNative(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a._norm") * col("b._norm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

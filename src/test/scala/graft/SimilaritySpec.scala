@@ -84,6 +84,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(p => p._1 == 0L && p._2 == 4L && p._3 === 1.0))
   }
 
+  test("native graft_dot is bit-identical to the declarative fold") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 50).map(_ =>
+      (Seq.fill(17)(rng.nextFloat() * 4 - 2),
+        Seq.fill(17)(rng.nextDouble() * 4 - 2))).toDF("f", "d")
+    val rows = vecs.select(
+      Similarity.dot($"f", $"d"), Similarity.dotNative($"f", $"d"),
+      Similarity.cosine($"f", $"f"), Similarity.cosineNative($"f", $"f"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approx
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+    // null semantics match zip_with padding: length mismatch → null
+    val mis = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("hof"),
+        Similarity.dotNative($"a", $"b").as("nat"))
+      .collect().head
+    assert(mis.isNullAt(0) && mis.isNullAt(1))
+  }
+
   test("bitsFor: bucket count scales with corpus, bounded and monotonic") {
     // enough buckets: 2^bits ≥ n/target (until the 24-bit cap)
     for (n <- Seq(1L, 1000L, 100000L, 10000000L, 1000000000L);
