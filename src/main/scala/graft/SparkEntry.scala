@@ -669,6 +669,45 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
+    "d6_dedup_clusters" -> ((s, d) => {
+      // pairs → clusters: min-label propagation over the banded candidate
+      // graph; root == id marks the kept representative per cluster
+      val docs = T(s, d).documents
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", col("text"),
+        numPerm = 8, bandRows = 2)
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+        .repartition(1).sortWithinPartitions("id")
+    }),
+
+    "t5_pii_scrub" -> ((s, d) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact: u"), col("doc_id").cast("string"),
+            lit("@ex.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" tel +1-555-"),
+            (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(lit("")))
+      val (ne, np) = TextAnalysis.countPii(injected)
+      T(s, d).documents.select(col("doc_id"),
+          TextAnalysis.scrubPii(injected).as("scrubbed"),
+          ne.cast("long").as("n_email"), np.cast("long").as("n_phone"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "w10_series_reverse" -> ((s, d) => {
+      // W10: the client fetches newest-first then reverses for charting —
+      // last-5 per symbol re-assembled in chronological order
+      val top = Series.topKRecent(T(s, d).pricesFromEvents, "symbol",
+        col("as_of"), col("id"), 5)
+      top.groupBy("symbol").agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("as_of"), col("id"),
+              col("price")))),
+            sPt => sPt.getField("price").cast("string"))).as("series"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
     "t1_text_stats" -> ((s, d) => {
       val docs = T(s, d).documents
       TextAnalysis.qualityScore(docs, col("text"))
@@ -1521,6 +1560,62 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(range(0, 8),
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+         |  FROM sigs, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src)
+         |SELECT d.doc_id AS id,
+         |  least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "t5_pii_scrub" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact: u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN ' tel +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+         |         ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phone
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "w10_series_reverse" ->
+      s"""WITH $pricesCte,
+         |top AS (
+         |  SELECT * FROM prices
+         |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC) <= 5)
+         |SELECT symbol,
+         |  string_agg(CAST(price AS VARCHAR), ',' ORDER BY as_of, id) AS series
+         |FROM top GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "d4_simhash_sig" ->
       s"""WITH w AS (

@@ -210,6 +210,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over the candidate-pair graph — the last step
+    * of near-dup dedup: every doc gets the minimum doc id reachable
+    * through the pair graph as its cluster representative, and "keep one
+    * per cluster" is then `root == id`. Iterative min-label propagation:
+    * each round every node adopts the minimum label among itself and its
+    * neighbors, converging in O(graph diameter) rounds — banded
+    * candidates form near-cliques, so 2–3 rounds in practice, with
+    * `maxIter` bounding pathological chains. Each round is one shuffle
+    * (join + groupBy on the node id); the per-round frames are persisted
+    * through [[graft.Caches]] and released by the harness.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxIter: Int = 10): DataFrame = {
+    val edges = graft.Caches.persist(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = graft.Caches.persist(
+      nodes.select(col(idCol).as("id"), col(idCol).as("root")))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nmin = edges
+        .join(labels.select(col("id").as("dst"), col("root")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("root")).as("_nroot"))
+      val updated = graft.Caches.persist(
+        labels.join(nmin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("root"), coalesce(col("_nroot"), col("root")))
+              .as("root")))
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.root") =!= col("l.root"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** N-gram Jaccard similarity over candidate pairs (blocked by a cheap
     * key, e.g. language, to bound the pair space): explode distinct
     * shingles, self-join within blocks, and compute

@@ -103,4 +103,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5Hash60(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** PII scrubbing — the standard pre-training redaction pass. The
+    * patterns deliberately use only portable regex constructs (character
+    * classes + bounded repetition, no lookaround) so Java's engine and
+    * the oracle's RE2 match the identical spans; both replacements run
+    * as a scan-side projection (no shuffle, whole corpus streams).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def countPii(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
 }

@@ -141,6 +141,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chains collapse to the min id per cluster") {
+    val nodes = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val roots = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(roots(1L) === 1L && roots(2L) === 1L && roots(3L) === 1L)
+    assert(roots(10L) === 10L && roots(11L) === 10L)
+    assert(roots(4L) === 4L && roots(12L) === 12L) // singletons self-root
+    // keep-one-per-cluster: exactly the roots survive
+    assert(roots.count { case (id, r) => id == r } === 12 - 2 - 1)
+    graft.Caches.releaseAll()
+  }
+
   test("Caches.releaseAll unpersists banded self-join intermediates") {
     graft.Caches.releaseAll()
     Dedup.minhashCandidates(docs, "doc_id", $"text").collect()
