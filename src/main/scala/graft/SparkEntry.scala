@@ -664,8 +664,10 @@ object SparkEntry {
     }),
 
     "d5_ngram_jaccard" -> ((s, d) => {
+      // maxDf bounds every shingle join group (quadratic-hot-key guard);
+      // the oracle applies the identical document-frequency cap
       Dedup.ngramJaccard(T(s, d).documents, "doc_id", col("text"),
-          blockKey = col("lang"), w = 3, minJ = 0.1)
+          blockKey = col("lang"), w = 3, minJ = 0.1, maxDf = 100)
         .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
@@ -777,6 +779,21 @@ object SparkEntry {
       Similarity.nearDupPairs(T(s, d).embeddings, "vec_id", "embedding",
           threshold = 0.5, bits = 4, dim = 64)
         .repartition(1).sortWithinPartitions("id_a", "id_b")
+    }),
+
+    "n6_ivf_partitioned" -> ((s, d) => {
+      // the IVF serving shape: embeddings written under cell=<c>
+      // directories, probe cells computed driver-side from the query and
+      // pushed as PartitionFilters — the scan reads 2 of 8 directories
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivf").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writeEmbeddingsByCell(emb, root, k = 8, dim = 64)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfTopKPartitioned(
+        Warehouse.readEmbeddingsByCell(s, root), "vec_id", "embedding",
+        q, topK = 10, k = 8, nprobe = 2)
     }),
 
     // ---- multimodal plumbing (no SQL oracle: partition-local decode) --
@@ -1632,11 +1649,13 @@ object SparkEntry {
 
     "d5_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, lang, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (
+         |sh_all AS (
          |  SELECT doc_id, lang AS blk,
          |    unnest(list_distinct(list_transform(${shinglesSql("ws")},
          |      s -> ${h60("s")}))) AS sh
          |  FROM w),
+         |freq AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= 100),
+         |sh AS (SELECT a.* FROM sh_all a JOIN freq USING (sh)),
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
@@ -1778,6 +1797,37 @@ object SparkEntry {
          |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "n6_ivf_partitioned" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT list_transform((${cellsOf("qv")})[1:2], s -> s.cell) AS probes FROM q),
+         |cells AS (
+         |  SELECT vec_id, embedding, (${cellsOf("embedding")})[1].cell AS cell
+         |  FROM embeddings),
+         |j AS (
+         |  SELECT c.vec_id, c.embedding, q.qv
+         |  FROM cells c, q, pr WHERE list_contains(pr.probes, c.cell)),
+         |s AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b) AS dot,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b)) AS na,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
+         |  FROM j)
+         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
     "n5_ivf_cells" ->

@@ -224,31 +224,74 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
-                          maxIter: Int = 10): DataFrame = {
-    val edges = graft.Caches.persist(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = graft.Caches.persist(
-      nodes.select(col(idCol).as("id"), col(idCol).as("root")))
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val nmin = edges
-        .join(labels.select(col("id").as("dst"), col("root")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("root")).as("_nroot"))
-      val updated = graft.Caches.persist(
-        labels.join(nmin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("root"), coalesce(col("_nroot"), col("root")))
-              .as("root")))
-      converged = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.root") =!= col("l.root"))
-        .isEmpty
-      labels = updated
-      iter += 1
-    }
-    labels
+                          maxIter: Int = 10,
+                          driverMaxPairs: Long = 1000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    val p = graft.Caches.persist(
+      pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst")))
+    val nPairs = p.count()
+    val labels =
+      if (nPairs <= driverMaxPairs) {
+        // the candidate graph is the OUTPUT of LSH banding — bounded by
+        // design (16 bytes/pair; the default cap is ~16 MB). Union-find
+        // on the driver is O(E·α) and replaces 3-4 shuffle rounds whose
+        // fixed job overhead dwarfs this much data. This is a bounded
+        // collect with an explicit cap and a distributed fallback — not
+        // a driver loop over table-sized data.
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        p.collect().foreach { row =>
+          val ra = find(row.getLong(0))
+          val rb = find(row.getLong(1))
+          // union by VALUE (larger root under smaller), so every
+          // component's final root is its minimum id
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        import spark.implicits._
+        val touched = parent.keys.toSeq
+        val roots = (touched ++ touched.map(find)).distinct
+          .map(id => (id, find(id)))
+        broadcast(roots.toDF("id", "root"))
+      } else {
+        // distributed min-label propagation over graph nodes only:
+        // O(diameter) rounds, one shuffle round each
+        val edges = graft.Caches.persist(
+          p.unionByName(p.select(col("dst").as("src"),
+            col("src").as("dst"))))
+        var lbl = graft.Caches.persist(
+          edges.select(col("src").as("id")).distinct()
+            .withColumn("root", col("id")))
+        var iter = 0
+        var converged = false
+        while (iter < maxIter && !converged) {
+          val nmin = edges
+            .join(lbl.select(col("id").as("dst"), col("root")), "dst")
+            .groupBy(col("src").as("id")).agg(min(col("root")).as("_nroot"))
+          // one persisted frame serves both the convergence probe and
+          // the next round's labels (two jobs per round, not four)
+          val staged = graft.Caches.persist(
+            lbl.join(nmin, Seq("id"), "left")
+              .select(col("id"), col("root"),
+                least(col("root"), coalesce(col("_nroot"), col("root")))
+                  .as("_new")))
+          converged = staged.filter(col("_new") =!= col("root")).isEmpty
+          lbl = staged.select(col("id"), col("_new").as("root"))
+          iter += 1
+        }
+        lbl
+      }
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"))
   }
 
   /** N-gram Jaccard similarity over candidate pairs (blocked by a cheap
@@ -258,15 +301,30 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, text: Column,
                    blockKey: Column, w: Int = 3,
-                   minJ: Double = 0.1): DataFrame = {
+                   minJ: Double = 0.1,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     // join on 60-bit shingle hashes, not strings: same pair counts
     // (collisions negligible), far narrower shuffle rows; persisted
     // because sizes + both self-join sides consume it (3 readers)
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val sh = graft.Caches.persist(
-      df.select(col(idCol), blockKey.as("_blk"),
-        explode(call_function("graft_shingle_hashes60", text, lit(w)))
-          .as("_sh")))
+    val exploded = df.select(col(idCol), blockKey.as("_blk"),
+      explode(call_function("graft_shingle_hashes60", text, lit(w)))
+        .as("_sh"))
+    // document-frequency cap: an ultra-common shingle (boilerplate,
+    // stopword runs) joins df² pairs — at corpus scale ONE such shingle
+    // is a quadratic hot key. Dropping shingles with df > maxDf bounds
+    // every join group at maxDf² and barely moves Jaccard (common
+    // shingles carry no discriminative mass). Jaccard is then computed
+    // over the KEPT shingle space on both sides of the ratio.
+    val capped =
+      if (maxDf == Long.MaxValue) exploded
+      else {
+        val rare = exploded.groupBy(col("_sh"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select("_sh")
+        exploded.join(rare, "_sh")
+      }
+    val sh = graft.Caches.persist(capped)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a._blk") === col("b._blk") && col("a._sh") === col("b._sh") &&

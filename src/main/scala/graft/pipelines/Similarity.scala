@@ -145,6 +145,44 @@ object Similarity {
     least(dists: _*).getField("cell")
   }
 
+  /** Driver-side probe-cell selection for a LOCAL query vector — the
+    * serving-path twin of the in-plan probe set in [[ivfTopKCosine]]:
+    * same centroid arithmetic, same ascending-dimension accumulation,
+    * same lower-cell tie-break, so both paths pick identical cells.
+    */
+  def probeCells(query: Array[Double], k: Int, nprobe: Int): Seq[Int] =
+    (0 until k).map { c =>
+      var d2 = 0.0
+      var d = 0
+      while (d < query.length) {
+        val x = query(d) - centroidComponent(c, d)
+        d2 += x * x
+        d += 1
+      }
+      (d2, c)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** ANN top-k over a CELL-PARTITIONED corpus (see
+    * [[graft.sources.Warehouse.writeEmbeddingsByCell]]): the probe cells
+    * are computed driver-side from the query vector and pushed as
+    * `cell IN (...)` — Catalyst turns that into PartitionFilters, so the
+    * scan reads nprobe directories instead of the corpus. This is the
+    * 100 TB serving shape: cell assignment is paid once at ingest.
+    */
+  def ivfTopKPartitioned(cellPartitioned: DataFrame, idCol: String,
+                         vecCol: String, query: Array[Double], topK: Int,
+                         k: Int, nprobe: Int = 2): DataFrame = {
+    graft.expressions.GraftFunctions.register(cellPartitioned.sparkSession)
+    val probes = probeCells(query, k, nprobe)
+    val qCol = array(query.map(lit): _*)
+    cellPartitioned
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol),
+        round(cosineNative(col(vecCol), qCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** IVF ANN top-k: score only vectors in the query's `nprobe` nearest
     * cells.
     */

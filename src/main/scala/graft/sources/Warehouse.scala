@@ -115,6 +115,24 @@ object Warehouse {
     deleteRecursively(new java.io.File(staging))
   }
 
+  /** IVF-partitioned embedding layout: every vector is written under its
+    * coarse-quantizer cell directory, so an ANN probe reads only its
+    * `nprobe` cells' directories (PartitionFilters) instead of scanning
+    * the corpus — cell assignment is paid once at ingest, the 100 TB
+    * serving shape. Pair with
+    * [[graft.pipelines.Similarity.ivfTopKPartitioned]].
+    */
+  def writeEmbeddingsByCell(emb: DataFrame, root: String, k: Int,
+                            dim: Int,
+                            vecCol: String = "embedding"): Unit =
+    emb.withColumn("cell",
+        graft.pipelines.Similarity.ivfCell(col(vecCol), k, dim))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$root/embeddings")
+
+  def readEmbeddingsByCell(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/embeddings")
+
   /** Partition-pruned delete with the reference's rowcount contract
     * (/root/reference/app/db.py:204-207): only the named symbols'
     * directories are read and rewritten; every other partition is

@@ -141,16 +141,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccard maxDf drops ultra-common shingles from the pair join") {
+    val blocked = docs.withColumn("lang", lit("en"))
+    // docs 1 and 2 share every shingle; with maxDf = 1 every shared
+    // shingle (df = 2) is dropped, so no pair survives
+    val capped = Dedup.ngramJaccard(blocked, "doc_id", $"text", $"lang",
+      maxDf = 1L).collect()
+    assert(capped.isEmpty)
+    // an effectively-infinite cap reproduces the uncapped result
+    val un = Dedup.ngramJaccard(blocked, "doc_id", $"text", $"lang")
+      .as[(Long, Long, Double)].collect().toSet
+    val hi = Dedup.ngramJaccard(blocked, "doc_id", $"text", $"lang",
+      maxDf = 1000L).as[(Long, Long, Double)].collect().toSet
+    assert(un === hi)
+    graft.Caches.releaseAll()
+  }
+
   test("connectedComponents: chains collapse to the min id per cluster") {
     val nodes = (1L to 12L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val roots = Dedup.connectedComponents(nodes, "doc_id", pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(roots(1L) === 1L && roots(2L) === 1L && roots(3L) === 1L)
-    assert(roots(10L) === 10L && roots(11L) === 10L)
-    assert(roots(4L) === 4L && roots(12L) === 12L) // singletons self-root
-    // keep-one-per-cluster: exactly the roots survive
-    assert(roots.count { case (id, r) => id == r } === 12 - 2 - 1)
+    for (cap <- Seq(1000000L, 0L)) { // driver union-find AND distributed
+      val roots = Dedup.connectedComponents(nodes, "doc_id", pairs,
+          driverMaxPairs = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(roots(1L) === 1L && roots(2L) === 1L && roots(3L) === 1L)
+      assert(roots(10L) === 10L && roots(11L) === 10L)
+      assert(roots(4L) === 4L && roots(12L) === 12L) // singletons self-root
+      // keep-one-per-cluster: exactly the roots survive
+      assert(roots.count { case (id, r) => id == r } === 12 - 2 - 1)
+    }
     graft.Caches.releaseAll()
   }
 

@@ -141,6 +141,29 @@ class SimilaritySpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("IVF cell-partitioned probe prunes to the probe cells' directories") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+      .toString
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    graft.sources.Warehouse.writeEmbeddingsByCell(emb, root, k = 4, dim = 8)
+    val q = Array.tabulate(8)(i => 0.1 * i)
+    val probed = Similarity.ivfTopKPartitioned(
+      graft.sources.Warehouse.readEmbeddingsByCell(spark, root),
+      "vec_id", "embedding", q, topK = 5, k = 4, nprobe = 2)
+    // the scan carries PartitionFilters on the probe cells
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("cell"), scan)
+    // and returns exactly what the in-plan probe path returns
+    val qCol = array(q.map(lit): _*)
+    val expect = Similarity.ivfTopKCosine(emb, "vec_id", "embedding",
+      qCol, 5, 4, 8, nprobe = 2).as[(Long, Double)].collect().toSeq
+    assert(probed.as[(Long, Double)].collect().toSeq === expect)
+  }
+
   test("Caches.releaseAll unpersists the near-dup intermediate") {
     graft.Caches.releaseAll()
     val pairs = Similarity.nearDupPairs(corpus, "id", "vec", 0.5)
