@@ -710,6 +710,23 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("symbol")
     }),
 
+    "t6_hash_sample" -> ((s, d) => {
+      TextAnalysis.stratifiedHashSample(T(s, d).documents,
+          key = col("doc_id"), stratum = col("lang"),
+          rates = Map("en" -> 0.5, "de" -> 0.25), default = 0.1,
+          salt = "mix1")
+        .select("doc_id", "lang")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t7_seq_pack" -> ((s, d) => {
+      TextAnalysis.packSequences(T(s, d).documents, col("lang"),
+          col("doc_id"), TextAnalysis.tokenCountWs(col("text")),
+          window = 2048)
+        .select("doc_id", "lang", "tok", "bin")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "t1_text_stats" -> ((s, d) => {
       val docs = T(s, d).documents
       TextAnalysis.qualityScore(docs, col("text"))
@@ -1669,6 +1686,23 @@ object SparkEntry {
          |JOIN sz nb ON nb.doc_id = doc_b
          |WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t6_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60("'mix1#' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < CASE WHEN lang = 'en' THEN 0.5
+         |         WHEN lang = 'de' THEN 0.25 ELSE 0.1 END * 1000000
+         |ORDER BY doc_id""".stripMargin,
+
+    "t7_seq_pack" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok
+        |  FROM documents)
+        |SELECT doc_id, lang, tok,
+        |  CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "t1_text_stats" ->
       """WITH f AS (

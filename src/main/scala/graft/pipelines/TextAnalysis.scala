@@ -110,6 +110,42 @@ object TextAnalysis {
     * the oracle's RE2 match the identical spans; both replacements run
     * as a scan-side projection (no shuffle, whole corpus streams).
     */
+  /** Deterministic stratified sampling — training-data mixing without
+    * RNG state: a row survives iff its salted 48-bit md5 falls under the
+    * stratum's rate. Reproducible across engines, retries, and
+    * partitionings (the decision depends only on (salt, key)), which is
+    * what makes a 100 TB mixture re-buildable bit-for-bit.
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Double], default: Double,
+                           salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      md5Hash60(concat(lit(salt), lit("#"), key.cast("string")))
+        % 1000000L < rate * 1000000L)
+  }
+
+  /** Sequence packing for context-window assembly: within each stratum
+    * (domain shard), documents in a stable order are assigned to bins by
+    * exclusive-prefix-sum of their token counts over the window size —
+    * the streaming "chunked packing" a trainer's data loader consumes.
+    * Partitioned by stratum, so packing parallelizes across shards (the
+    * global-order variant is a single sort — pack per shard at scale).
+    */
+  def packSequences(df: DataFrame, stratum: Column, order: Column,
+                    tokens: Column, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order)
+    df.withColumn("tok", tokens.cast("long"))
+      .withColumn("bin",
+        floor(coalesce(
+          sum(col("tok")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)) / window).cast("long"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
 

@@ -59,4 +59,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) === fp(1))
     assert(fp(0) !== fp(2))
   }
+
+  test("stratifiedHashSample: per-stratum rates honored, reproducible") {
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def run() = TextAnalysis.stratifiedHashSample(df, $"doc_id", $"lang",
+      Map("en" -> 0.5, "de" -> 0.1), default = 0.0, salt = "s1")
+    val got = run().groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(got("en") - 1000L) < 150, got) // ~50% of 2000
+    assert(math.abs(got("de") - 200L) < 80, got)   // ~10% of 2000
+    // deterministic: same salt → identical sample; decision is per-row
+    assert(run().select("doc_id").as[Long].collect().toSet ===
+      run().select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("packSequences: bins fill in order, capacity respected") {
+    val df = (1L to 10L).map(i => (i, "en", "x " * 99 + "x"))
+      .toDF("doc_id", "lang", "text") // 100 tokens each
+    val got = TextAnalysis.packSequences(df, $"lang", $"doc_id",
+        TextAnalysis.tokenCountWs($"text"), window = 250)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // exclusive prefix sums 0,100,...,900 over window 250 →
+    // bins 0,0,0,1,1,2,2,2,3,3
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L))
+  }
 }
