@@ -768,7 +768,7 @@ object SparkEntry {
     "n2_lsh_bucket" -> ((s, d) => {
       T(s, d).embeddings
         .select(col("vec_id"),
-          Similarity.lshBucket(col("embedding"), 4, dim = 64).as("bucket"))
+          Similarity.lshBucketNative(col("embedding"), 4, 64).as("bucket"))
         .repartition(1).sortWithinPartitions("vec_id")
     }),
 
@@ -777,8 +777,8 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       emb.crossJoin(broadcast(q))
-        .filter(Similarity.lshBucket(col("embedding"), 4, 64) ===
-          Similarity.lshBucket(col("qv"), 4, 64))
+        .filter(Similarity.lshBucketNative(col("embedding"), 4, 64) ===
+          Similarity.lshBucketNative(col("qv"), 4, 64))
         .select(col("vec_id"),
           round(Similarity.cosineNative(col("embedding"), col("qv")), 6)
             .as("cosine"))
@@ -788,7 +788,7 @@ object SparkEntry {
     "n5_ivf_cells" -> ((s, d) => {
       T(s, d).embeddings
         .select(col("vec_id"),
-          Similarity.ivfCell(col("embedding"), 8, 64).as("cell"))
+          Similarity.ivfCellNative(col("embedding"), 8, 64).as("cell"))
         .repartition(1).sortWithinPartitions("vec_id")
     }),
 

@@ -142,6 +142,99 @@ object TextSketches {
     override def prettyName: String = "graft_shingle_hashes60"
   }
 
+  /** md5-seeded uniform component in [-1, 1) — the shared deterministic
+    * "randomness" for LSH hyperplanes and IVF centroids (mirrors
+    * [[graft.pipelines.Similarity.planeComponentLocal]] /
+    * `centroidComponent` and their DuckDB twins).
+    */
+  private def seededComponent(seed: String): Double =
+    (md5Prefix(seed, 6) % 2000000L - 1000000L) / 1000000.0
+
+  private def toDoubleAt(a: ArrayData, i: Int, et: DataType): Double =
+    et match {
+      case FloatType   => a.getFloat(i).toDouble
+      case DoubleType  => a.getDouble(i)
+      case IntegerType => a.getInt(i).toDouble
+      case LongType    => a.getLong(i).toDouble
+      case other =>
+        throw new IllegalArgumentException(s"non-numeric array: $other")
+    }
+
+  /** Random-hyperplane LSH bucket as a '0'/'1' string — compiled twin of
+    * [[graft.pipelines.Similarity.lshBucket]]: same plane components,
+    * same ascending-dimension dot accumulation, same `>= 0` bit rule.
+    * The plane matrix is materialized once per executor (lazy), not per
+    * row.
+    */
+  case class LshBucket(child: Expression, bits: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StringType
+
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(bits, dim)((p, d) => seededComponent(s"$p,$d"))
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val sb = new java.lang.StringBuilder(bits)
+      var p = 0
+      while (p < bits) {
+        val plane = planes(p)
+        var acc = 0.0
+        var d = 0
+        while (d < dim) {
+          acc += toDoubleAt(v, d, et) * plane(d)
+          d += 1
+        }
+        sb.append(if (acc >= 0) '1' else '0')
+        p += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(c: Expression): LshBucket =
+      copy(child = c)
+    override def prettyName: String = "graft_lsh_bucket"
+  }
+
+  /** IVF nearest-centroid cell — compiled twin of
+    * [[graft.pipelines.Similarity.ivfCell]]: same centroid components,
+    * same squared-L2 fold, ties to the lower cell id.
+    */
+  case class IvfCell(child: Expression, k: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+
+    @transient private lazy val cents: Array[Array[Double]] =
+      Array.tabulate(k, dim)((c, d) => seededComponent(s"ivf:$c,$d"))
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      var bestD2 = Double.MaxValue
+      var bestCell = 0
+      var c = 0
+      while (c < k) {
+        val cent = cents(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = toDoubleAt(v, d, et) - cent(d)
+          d2 += x * x
+          d += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; bestCell = c }
+        c += 1
+      }
+      bestCell
+    }
+
+    override protected def withNewChildInternal(c: Expression): IvfCell =
+      copy(child = c)
+    override def prettyName: String = "graft_ivf_cell"
+  }
+
   /** Dot product of two numeric arrays in one tight loop — the ANN hot
     * path. The declarative form `aggregate(zip_with(a, b, _*_), 0.0, +)`
     * is interpreted per element, which dominates pairwise scoring (dim
@@ -212,5 +305,11 @@ object GraftFunctions {
         if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      es => TextSketches.LshBucket(es.head, litInt(es(1), "bits"),
+        litInt(es(2), "dim")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ivf_cell",
+      es => TextSketches.IvfCell(es.head, litInt(es(1), "k"),
+        litInt(es(2), "dim")), "scala_udf")
   }
 }

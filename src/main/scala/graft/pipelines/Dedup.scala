@@ -318,12 +318,12 @@ object Dedup {
     // over the KEPT shingle space on both sides of the ratio.
     val capped =
       if (maxDf == Long.MaxValue) exploded
-      else {
-        val rare = exploded.groupBy(col("_sh"))
-          .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDf).select("_sh")
-        exploded.join(rare, "_sh")
-      }
+      else
+        // window count over _sh: one shuffle and one pass, where a
+        // groupBy+join would shuffle twice and execute the explode twice
+        exploded.withColumn("_df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("_sh"))))
+          .filter(col("_df") <= maxDf).drop("_df")
     val sh = graft.Caches.persist(capped)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = sh.as("a").join(sh.as("b"),

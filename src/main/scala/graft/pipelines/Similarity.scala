@@ -47,6 +47,16 @@ object Similarity {
   def normNative(a: Column): Column = sqrt(dotNative(a, a))
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (normNative(a) * normNative(b))
+  def lshBucketNative(vec: Column, bits: Int, dim: Int): Column =
+    call_function("graft_lsh_bucket", vec, lit(bits), lit(dim))
+  def ivfCellNative(vec: Column, k: Int, dim: Int): Column =
+    call_function("graft_ivf_cell", vec, lit(k), lit(dim))
+
+  /** Bucket column: the compiled expression when the dim is known, the
+    * declarative fold otherwise.
+    */
+  private def bucketCol(vec: Column, bits: Int, dim: Int): Column =
+    if (dim > 0) lshBucketNative(vec, bits, dim) else lshBucket(vec, bits)
 
   /** Brute-force exact top-k by cosine against a single query vector
     * (supplied as a literal array or broadcast 1-row frame). The plan is
@@ -114,9 +124,9 @@ object Similarity {
                     dim: Int = -1): DataFrame = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val bucketed = corpus
-      .withColumn("_bucket", lshBucket(col(vecCol), bits, dim))
+      .withColumn("_bucket", bucketCol(col(vecCol), bits, dim))
     bucketed
-      .filter(col("_bucket") === lshBucket(query, bits, dim))
+      .filter(col("_bucket") === bucketCol(query, bits, dim))
       .select(col(idCol),
         round(cosineNative(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -201,7 +211,7 @@ object Similarity {
       s => s.getField("cell"))
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
     corpus
-      .withColumn("_cell", ivfCell(col(vecCol), k, dim))
+      .withColumn("_cell", ivfCellNative(col(vecCol), k, dim))
       .filter(array_contains(probeSet, col("_cell")))
       .select(col(idCol),
         round(cosineNative(col(vecCol), query), 6).as("cosine"))
@@ -247,7 +257,7 @@ object Similarity {
     val bucketed = graft.Caches.persist(
       corpus.select(col(idCol), col(vecCol),
         normNative(col(vecCol)).as("_norm"),
-        lshBucket(col(vecCol), b, dim).as("_bucket")))
+        bucketCol(col(vecCol), b, dim).as("_bucket")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bucket") === col("b._bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -124,11 +124,13 @@ object Warehouse {
     */
   def writeEmbeddingsByCell(emb: DataFrame, root: String, k: Int,
                             dim: Int,
-                            vecCol: String = "embedding"): Unit =
+                            vecCol: String = "embedding"): Unit = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("cell",
-        graft.pipelines.Similarity.ivfCell(col(vecCol), k, dim))
+        graft.pipelines.Similarity.ivfCellNative(col(vecCol), k, dim))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$root/embeddings")
+  }
 
   def readEmbeddingsByCell(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/embeddings")

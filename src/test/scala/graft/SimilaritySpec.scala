@@ -107,6 +107,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mis.isNullAt(0) && mis.isNullAt(1))
   }
 
+  test("native lshBucket/ivfCell are bit-identical to the folds") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val vecs = (0 until 100).map(_ => Tuple1(
+      Seq.fill(16)(rng.nextFloat() * 2 - 1))).toDF("v")
+    val rows = vecs.select(
+      Similarity.lshBucket($"v", 6, dim = 16),
+      Similarity.lshBucketNative($"v", 6, 16),
+      Similarity.ivfCell($"v", 5, 16),
+      Similarity.ivfCellNative($"v", 5, 16)).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getInt(2) === r.getInt(3))
+    }
+  }
+
   test("bitsFor: bucket count scales with corpus, bounded and monotonic") {
     // enough buckets: 2^bits ≥ n/target (until the 24-bit cap)
     for (n <- Seq(1L, 1000L, 100000L, 10000000L, 1000000000L);
