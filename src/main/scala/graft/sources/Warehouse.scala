@@ -115,6 +115,35 @@ object Warehouse {
     deleteRecursively(new java.io.File(staging))
   }
 
+  /** Compact the small files that per-batch appends accumulate: rewrite
+    * only the named symbols' directories (all symbols when empty),
+    * coalescing each partition's rows into files of up to
+    * `maxRecordsPerFile`. At 100 TB the file count — not the byte count —
+    * is what degrades scan planning (footer reads, task granularity), so
+    * compaction is a first-class maintenance op; run it partition-pruned
+    * on the symbols the ingest touched.
+    */
+  def compactPrices(spark: SparkSession, root: String,
+                    symbols: Seq[String] = Nil,
+                    maxRecordsPerFile: Long = 1000000L): Unit = {
+    val all = readPrices(spark, root)
+    val touched =
+      if (symbols.isEmpty) all
+      else all.filter(col("symbol").isin(symbols: _*))
+    val staging =
+      s"$root/.prices_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    touched.coalesce(
+        math.max(1, spark.sparkContext.defaultParallelism / 2))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("symbol")
+      .parquet(s"$root/prices")
+    deleteRecursively(new java.io.File(staging))
+  }
+
   /** IVF-partitioned embedding layout: every vector is written under its
     * coarse-quantizer cell directory, so an ANN probe reads only its
     * `nprobe` cells' directories (PartitionFilters) instead of scanning

@@ -102,6 +102,34 @@ class WarehouseSpec extends AnyFunSuite {
       .exists(_.getName.startsWith(".prices_staging")))
   }
 
+  test("compactPrices collapses append fragments, preserves rows") {
+    val root = Files.createTempDirectory("graft_wh_cmp").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    Warehouse.writePrices(
+      Seq((0L, "EURUSD", 1.0, t0, "src0"), (1L, "AAPL", 190.0, t0, "src0"))
+        .toDF("id", "symbol", "price", "as_of", "source"), root)
+    // ten single-row appends → ten file fragments in the EURUSD dir
+    (1 to 10).foreach { i =>
+      Warehouse.insertIgnorePrices(spark, root,
+        Seq((100L + i, "EURUSD", 1.0 + i,
+          ts(f"2024-01-01 11:${i}%02d:00"), "src0"))
+          .toDF("id", "symbol", "price", "as_of", "source"))
+    }
+    val dir = new java.io.File(s"$root/prices/symbol=EURUSD")
+    def parquetFiles = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 10)
+    val before = Warehouse.readPrices(spark, root)
+      .orderBy("id").collect().toSeq
+    Warehouse.compactPrices(spark, root, Seq("EURUSD"))
+    assert(parquetFiles <= 4, s"still $parquetFiles files")
+    val after = Warehouse.readPrices(spark, root)
+      .orderBy("id").collect().toSeq
+    assert(after === before)
+    // only the named symbol was rewritten is implied: AAPL keeps one file
+    assert(new java.io.File(s"$root/prices/symbol=AAPL")
+      .listFiles().count(_.getName.endsWith(".parquet")) === 1)
+  }
+
   test("deleteWherePrices rewrites only named partitions, drops empty ones") {
     val root = Files.createTempDirectory("graft_wh_del").toString
     val t0 = ts("2024-01-01 10:00:00")
