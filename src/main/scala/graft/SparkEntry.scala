@@ -293,6 +293,43 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_id")
     }),
 
+    "j7_range_join" -> ((s, d) => {
+      // interval containment via bin-bucketing: one hash shuffle on
+      // (key, bin) instead of the nested-loop plan a bare BETWEEN gets
+      val e = T(s, d).events
+      val intervals = e.filter(col("event_id") % 500 === 0)
+        .select(col("event_id").as("iv_id"), col("event_type"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      graft.operators.AsOf.rangeJoin(
+          e.select(col("event_id"), col("event_type"), col("ts")),
+          intervals, "event_type", "ts", "start_ts", "end_ts",
+          binWidthSec = 3600)
+        .groupBy("iv_id").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("iv_id")
+    }),
+
+    "a9_sessionize" -> ((s, d) => {
+      val e = T(s, d).events.select(col("user_id"), col("ts"),
+        col("event_id"))
+      Series.sessionize(e, "user_id", col("ts"), col("event_id"),
+          maxGapSec = 21600)
+        .groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .repartition(1).sortWithinPartitions("user_id", "session")
+    }),
+
+    "a10_percentiles" -> ((s, d) => {
+      T(s, d).events.groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
     "q5_star_revenue" -> ((s, d) => {
       val t = T(s, d)
       val cust = t.customer
@@ -1264,6 +1301,41 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j7_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS iv_id, event_type, ts AS start_ts,
+        |         ts + INTERVAL 2 HOUR AS end_ts
+        |  FROM events WHERE event_id % 500 = 0)
+        |SELECT iv_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN iv ON e.event_type = iv.event_type
+        |  AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
+    "a9_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session
+        |  FROM g)
+        |SELECT user_id, session, CAST(count(*) AS BIGINT) AS n,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM s GROUP BY user_id, session
+        |ORDER BY user_id, session""".stripMargin,
+
+    "a10_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j6_asof_join" ->
       s"""WITH $pricesCte,

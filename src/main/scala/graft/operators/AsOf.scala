@@ -74,4 +74,32 @@ object AsOf {
       .select(col("_lrow.*") +:
         payload.map(p => col(s"_m.$p").as(p)): _*)
   }
+
+  /** Interval (range) join: left point-events matched to right
+    * [start, end] intervals containing them (bounds inclusive), equi-keyed
+    * by `by`. Spark plans a bare `l.t BETWEEN r.s AND r.e` as a
+    * nested-loop join — |L|×|R| per key. Instead both sides bucket into
+    * fixed-width time bins (the interval explodes into every bin it
+    * covers, the point into its single bin) and join on (key, bin) before
+    * the exact containment filter: one hash shuffle, pair space bounded
+    * by co-binned rows. Each (point, interval) pair meets in exactly one
+    * bin — the point's — so no dedup pass is needed.
+    *
+    * `binWidthSec` should be on the order of typical interval length:
+    * too small explodes the interval into many bins, too large degrades
+    * toward per-key all-pairs.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, by: String,
+                leftTs: String, rightStart: String, rightEnd: String,
+                binWidthSec: Long): DataFrame = {
+    val lBin = (unix_seconds(col(leftTs)) / binWidthSec).cast("long")
+    val rFrom = (unix_seconds(col(rightStart)) / binWidthSec).cast("long")
+    val rTo = (unix_seconds(col(rightEnd)) / binWidthSec).cast("long")
+    val l = left.withColumn("_bin", lBin)
+    val r = right.withColumn("_bin", explode(sequence(rFrom, rTo)))
+    l.join(r, Seq(by, "_bin"))
+      .filter(col(leftTs) >= col(rightStart) &&
+        col(leftTs) <= col(rightEnd))
+      .drop("_bin")
+  }
 }

@@ -92,6 +92,22 @@ object Series {
         Window.partitionBy(col(key)).orderBy(ord.desc, id.desc)))
       .filter(col("_rn") <= k).drop("_rn")
 
+  /** Gap-based sessionization: consecutive events of a key belong to one
+    * session until the gap to the previous event exceeds `maxGapSec`;
+    * `session` is the running count of session starts (1-based). One
+    * window pass per key — the standard behavioral-analytics shape the
+    * reference's polling UI approximates with its client-side refresh
+    * loop, generalized to arbitrary event streams.
+    */
+  def sessionize(df: DataFrame, key: String, ord: Column, id: Column,
+                 maxGapSec: Long): DataFrame = {
+    val w = ordered(key, ord, id)
+    val gap = unix_seconds(ord) - unix_seconds(lag(ord, 1).over(w))
+    val isNew = when(gap.isNull || gap > maxGapSec, 1L).otherwise(0L)
+    df.withColumn("session", sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** P1 — `analyzeICT` (/root/reference/static/main.js:336-383), the
     * reference's flagship composite: per key over the ordered series —
     * hi/lo/mid, premium/discount (last ≥ mid), directional bias from the

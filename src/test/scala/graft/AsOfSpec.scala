@@ -59,6 +59,40 @@ class AsOfSpec extends AnyFunSuite {
     assert(got(1L) === None) // 09:45 null row shadows the 09:30 price
   }
 
+  test("rangeJoin: inclusive bounds, bin-crossing intervals, no dupes") {
+    val l = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),  // exactly at start
+      (2L, "A", ts("2024-01-01 11:30:00")),  // inside, next bin
+      (3L, "A", ts("2024-01-01 12:00:00")),  // exactly at end
+      (4L, "A", ts("2024-01-01 12:00:01")),  // just past end
+      (5L, "B", ts("2024-01-01 10:30:00")))  // wrong key
+      .toDF("id", "k", "t")
+    val r = Seq(("A", 7L, ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 12:00:00"))).toDF("k", "iv", "s", "e")
+    val got = AsOf.rangeJoin(l, r, "k", "t", "s", "e", binWidthSec = 3600)
+      .select("id", "iv").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 7L), (2L, 7L), (3L, 7L)))
+    // pair space bounded: plan is a hash join on (key, bin), not a
+    // nested loop
+    val plan = AsOf.rangeJoin(l, r, "k", "t", "s", "e", 3600)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("nestedloop") && !plan.contains("cartesian"),
+      plan)
+  }
+
+  test("sessionize: gaps split sessions, running ids per key") {
+    val e = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:10:00")),  // 10 min gap: same session
+      (3L, "u1", ts("2024-01-01 12:00:00")),  // 110 min gap: new session
+      (4L, "u2", ts("2024-01-01 10:00:00")))
+      .toDF("id", "user", "t")
+    val got = graft.operators.Series.sessionize(e, "user", $"t", $"id",
+        maxGapSec = 1800)
+      .select("id", "session").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("one shuffle on the key: a single Exchange below the window") {
     val plan = AsOf.asofJoin(left, right, "sym", "t", "as_of",
       Seq("price")).queryExecution.executedPlan.toString
