@@ -330,6 +330,28 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "a11_rollup" -> ((s, d) => {
+      // hierarchical totals in ONE pass (rollup = grouping-sets), vs the
+      // reference recomputing each level with separate queries
+      T(s, d).events
+        .rollup(col("event_type"), (col("user_id") % 5).as("ubucket"))
+        .agg(count(lit(1)).as("n"),
+          Aggregates.fromCents(sum(Aggregates.cents(col("value"))))
+            .as("sum_v"))
+        .repartition(1).sortWithinPartitions("event_type", "ubucket")
+    }),
+
+    "a12_pivot" -> ((s, d) => {
+      // wide per-category columns from long rows — one shuffle; the
+      // explicit value list keeps the schema static (no discovery scan)
+      T(s, d).events
+        .groupBy((col("user_id") % 10).as("ub"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Aggregates.fromCents(sum(Aggregates.cents(col("value")))))
+        .repartition(1).sortWithinPartitions("ub")
+    }),
+
     "q5_star_revenue" -> ((s, d) => {
       val t = T(s, d)
       val cust = t.customer
@@ -1301,6 +1323,22 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "a11_rollup" ->
+      """SELECT event_type, user_id % 5 AS ubucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_v
+        |FROM events GROUP BY ROLLUP (event_type, user_id % 5)
+        |ORDER BY event_type NULLS FIRST, ubucket NULLS FIRST""".stripMargin,
+
+    "a12_pivot" ->
+      """SELECT user_id % 10 AS ub,
+        |  SUM(CASE WHEN event_type = 'click' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS click,
+        |  SUM(CASE WHEN event_type = 'error' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS view
+        |FROM events GROUP BY user_id % 10 ORDER BY ub""".stripMargin,
 
     "j7_range_join" ->
       """WITH iv AS (
