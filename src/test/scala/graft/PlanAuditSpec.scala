@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan regression guard: no registered query may silently plan a
+  * cartesian product or an unbounded nested-loop join — the two shapes
+  * that are survivable at sf0.01 and fatal at 100 TB. Queries that
+  * deliberately cross-join a broadcast single row (an ANN query vector,
+  * a global-stats row) are allowlisted explicitly.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // deliberate bounded cross joins: a broadcast single row (ANN query
+  // vector, global-stats row, histogram bounds) or a generator's
+  // watchlist × point-range product (s9: both sides literal-sized)
+  private val singleRowCross = Set(
+    "n1_ann_topk", "n3_ann_lsh", "n6_ivf_partitioned", "p4_coach_prompt",
+    "a5_histogram", "s9_seed_prices")
+
+  test("no query plans a cartesian or unbounded nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      // plan-only: building the DataFrame never executes the query, but
+      // a handful of queries run side-effecting setup (file writes,
+      // streaming) inside the builder — they still only PLAN the
+      // returned frame here
+      val plan =
+        try SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+      graft.Caches.releaseAll()
+      val bad =
+        plan.contains("CartesianProduct") ||
+          (plan.contains("BroadcastNestedLoopJoin") &&
+            !singleRowCross.contains(name)) ||
+          plan.startsWith("PLANNING FAILED")
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"scale-unsafe plans: $offenders")
+  }
+}
