@@ -786,6 +786,17 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t8_top_terms" -> ((s, d) => {
+      // corpus vocabulary statistics: exact global top-k terms — explode
+      // is map-side, the count is one shuffle with partial aggregation,
+      // and the top-k is a TakeOrdered (no global sort)
+      T(s, d).documents
+        .select(explode(Dedup.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)
+    }),
+
     "t1_text_stats" -> ((s, d) => {
       val docs = T(s, d).documents
       TextAnalysis.qualityScore(docs, col("text"))
@@ -1813,6 +1824,11 @@ object SparkEntry {
         |  CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t8_top_terms" ->
+      s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(${wordsSql("text")}) AS w FROM documents)
+         |GROUP BY w ORDER BY n DESC, word LIMIT 20""".stripMargin,
 
     "t1_text_stats" ->
       """WITH f AS (

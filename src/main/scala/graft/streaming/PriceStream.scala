@@ -74,4 +74,26 @@ object PriceStream {
         max(col("price")).as("high"),
         min(col("price")).as("low"),
         count(lit(1)).as("n"))
+
+  /** Stream-stream interval join: each price tick picks up the news items
+    * for its symbol published within the preceding `lookback`. The time
+    * bound plus watermarks on BOTH sides is what lets Structured
+    * Streaming expire join state — an unbounded stream-stream join would
+    * buffer forever. Works identically on batch frames (no watermark
+    * needed there), which the parity spec exercises.
+    */
+  def newsForTicks(prices: DataFrame, news: DataFrame,
+                   lookback: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val p = (if (prices.isStreaming) prices.withWatermark("as_of", watermark)
+             else prices)
+    val n = (if (news.isStreaming) news.withWatermark("published", watermark)
+             else news)
+      .withColumnRenamed("symbol", "n_symbol")
+    p.join(n,
+      col("symbol") === col("n_symbol") &&
+        col("published") >= col("as_of") - expr(s"INTERVAL $lookback") &&
+        col("published") <= col("as_of"))
+      .drop("n_symbol")
+  }
 }

@@ -90,6 +90,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() === 1) // in-batch duplicate key collapsed
   }
 
+  test("stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val priceRows = Seq(
+      (1L, "EURUSD", 1.08, ts("2024-01-01 10:00:00")),
+      (2L, "EURUSD", 1.09, ts("2024-01-01 12:00:00")),
+      (3L, "AAPL", 190.0, ts("2024-01-01 10:30:00")))
+    val newsRows = Seq(
+      ("EURUSD", "ecb", ts("2024-01-01 09:30:00")),  // in 10:00's window
+      ("EURUSD", "cpi", ts("2024-01-01 11:45:00")),  // in 12:00's window
+      ("AAPL", "earnings", ts("2024-01-01 08:00:00"))) // too old for 10:30
+    val pIn = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val nIn = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = PriceStream.newsForTicks(
+        pIn.toDF().toDF("id", "symbol", "price", "as_of"),
+        nIn.toDF().toDF("symbol", "headline", "published"))
+      .select("id", "headline")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      pIn.addData(priceRows: _*)
+      nIn.addData(newsRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("ssj_out").as[(Long, String)]
+        .collect().toSet
+      val batch = PriceStream.newsForTicks(
+          priceRows.toDF("id", "symbol", "price", "as_of"),
+          newsRows.toDF("symbol", "headline", "published"))
+        .select("id", "headline").as[(Long, String)].collect().toSet
+      assert(stream === batch)
+      assert(stream === Set((1L, "ecb"), (2L, "cpi")))
+    } finally q.stop()
+  }
+
   test("multimodal: partition-local decode, null payload passthrough") {
     val media = Multimodal.syntheticMedia(spark, 21)
     val feats = Multimodal.extractFeatures(media)
