@@ -352,6 +352,32 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("ub")
     }),
 
+    "j8_snapshot_diff" -> ((s, d) => {
+      // CDC between two keyed snapshots: one full-outer join classifies
+      // every key as added/removed/changed/unchanged
+      val p = T(s, d).pricesFromEvents.select("id", "symbol", "price")
+      val oldSnap = p.filter(col("id") % 3 =!= 0)
+      val newSnap = p.filter(col("id") % 2 =!= 0)
+        .withColumn("price", when(col("id") % 5 === 0, col("price") + 1.0)
+          .otherwise(col("price")))
+      graft.operators.Quality.diffSnapshots(oldSnap, newSnap,
+          Seq("id"), Seq("symbol", "price"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("status")
+    }),
+
+    "u9_quality_checks" -> ((s, d) => {
+      // expectation suite as a single-row relation of violation counts —
+      // the SQLite constraint layer re-expressed as scalable aggregates
+      val j = T(s, d).journalFromEvents
+      graft.operators.Quality.checks(j,
+        Seq(
+          "exit_set" -> col("exit").isNotNull,
+          "qty_pos" -> (col("qty") > 0),
+          "stop_below_entry" -> (col("stop") < col("entry"))),
+        dupKeys = Seq("symbol", "direction", "qty"))
+    }),
+
     "q5_star_revenue" -> ((s, d) => {
       val t = T(s, d)
       val cust = t.customer
@@ -1334,6 +1360,35 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j8_snapshot_diff" ->
+      s"""WITH $pricesCte,
+         |o AS (SELECT id, symbol, price FROM prices WHERE id % 3 <> 0),
+         |nw AS (SELECT id, symbol,
+         |         CASE WHEN id % 5 = 0 THEN price + 1.0 ELSE price END AS price
+         |       FROM prices WHERE id % 2 <> 0)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE WHEN o.id IS NULL THEN 'added'
+         |              WHEN nw.id IS NULL THEN 'removed'
+         |              WHEN o.symbol IS DISTINCT FROM nw.symbol
+         |                OR o.price IS DISTINCT FROM nw.price THEN 'changed'
+         |              ELSE 'unchanged' END AS status
+         |  FROM o FULL OUTER JOIN nw ON o.id = nw.id)
+         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "u9_quality_checks" ->
+      s"""WITH $journalCte,
+         |base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(CASE WHEN NOT COALESCE(exit IS NOT NULL, FALSE) THEN 1 END) AS BIGINT) AS bad_exit_set,
+         |    CAST(count(CASE WHEN NOT COALESCE(qty > 0, FALSE) THEN 1 END) AS BIGINT) AS bad_qty_pos,
+         |    CAST(count(CASE WHEN NOT COALESCE(stop < entry, FALSE) THEN 1 END) AS BIGINT) AS bad_stop_below_entry
+         |  FROM journal),
+         |d AS (
+         |  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS dup_keys
+         |  FROM (SELECT count(*) AS c FROM journal
+         |        GROUP BY symbol, direction, qty))
+         |SELECT * FROM base, d""".stripMargin,
 
     "a11_rollup" ->
       """SELECT event_type, user_id % 5 AS ubucket,

@@ -16,7 +16,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // watchlist × point-range product (s9: both sides literal-sized)
   private val singleRowCross = Set(
     "n1_ann_topk", "n3_ann_lsh", "n6_ivf_partitioned", "p4_coach_prompt",
-    "a5_histogram", "s9_seed_prices")
+    "a5_histogram", "s9_seed_prices", "u9_quality_checks")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"
