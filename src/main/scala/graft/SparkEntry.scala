@@ -1420,7 +1420,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -102,8 +102,12 @@ object Series {
   def sessionize(df: DataFrame, key: String, ord: Column, id: Column,
                  maxGapSec: Long): DataFrame = {
     val w = ordered(key, ord, id)
-    val gap = unix_seconds(ord) - unix_seconds(lag(ord, 1).over(w))
-    val isNew = when(gap.isNull || gap > maxGapSec, 1L).otherwise(0L)
+    // gap in MICROseconds: unix_seconds truncates sub-second parts,
+    // which shifts a x.5-second gap across the threshold relative to
+    // engines that keep fractions (caught by the sf0.1 oracle)
+    val gap = unix_micros(ord) - unix_micros(lag(ord, 1).over(w))
+    val isNew =
+      when(gap.isNull || gap > maxGapSec * 1000000L, 1L).otherwise(0L)
     df.withColumn("session", sum(isNew).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
