@@ -311,5 +311,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       es => TextSketches.IvfCell(es.head, litInt(es(1), "k"),
         litInt(es(2), "dim")), "scala_udf")
+    // optimizer rule: declarative dot-product folds compile to VecDot
+    // (idempotent append)
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.NativeSketchRewrite))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.NativeSketchRewrite
   }
 }

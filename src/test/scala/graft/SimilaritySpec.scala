@@ -107,6 +107,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mis.isNullAt(0) && mis.isNullAt(1))
   }
 
+  test("optimizer rule rewrites the declarative dot fold to graft_dot") {
+    graft.expressions.GraftFunctions.register(spark)
+    // range source, not a local relation — the optimizer would otherwise
+    // constant-fold the whole projection before the plan is inspectable
+    def vec(salt: Int) = array((0 until 12).map(j =>
+      (pmod(hash($"id" * 100 + lit(salt * 17 + j)), lit(1000))
+        .cast("float") / 500f - 1f)): _*)
+    val vecs = spark.range(30).select(vec(1).as("a"), vec(2).as("b"))
+    val viaFold = vecs.select(Similarity.dot($"a", $"b").as("d"))
+    // the optimized plan carries the compiled expression, not the HOF
+    val optimized = viaFold.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), optimized)
+    assert(!optimized.contains("aggregate("), optimized)
+    // and values equal the explicit native call exactly
+    val a = viaFold.as[Double].collect().toSeq
+    val b = vecs.select(Similarity.dotNative($"a", $"b"))
+      .as[Double].collect().toSeq
+    assert(a === b)
+  }
+
   test("native lshBucket/ivfCell are bit-identical to the folds") {
     graft.expressions.GraftFunctions.register(spark)
     val rng = new scala.util.Random(13)
