@@ -766,6 +766,20 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("id")
     }),
 
+    "d7_dedup_apply" -> ((s, d) => {
+      // the executable end of the dedup story: keep each cluster's root
+      // (semi-join on root==id), report survivors per language
+      val docs = T(s, d).documents
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", col("text"),
+        numPerm = 8, bandRows = 2)
+      val roots = Dedup.connectedComponents(docs.select("doc_id"),
+        "doc_id", pairs)
+      docs.join(roots.filter(col("id") === col("root"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("lang")
+    }),
+
     "t5_pii_scrub" -> ((s, d) => {
       val injected = concat(col("text"),
         when(col("doc_id") % 3 === 0,
@@ -1770,6 +1784,37 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d7_dedup_apply" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(range(0, 8),
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+         |  FROM sigs, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+         |kept AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |  WHERE least(d.doc_id, COALESCE(c.mn, d.doc_id)) = d.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |FROM documents JOIN kept USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
