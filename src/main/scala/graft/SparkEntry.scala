@@ -780,6 +780,18 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang")
     }),
 
+    "t9_repetition" -> ((s, d) => {
+      // make some docs measurably repetitive so the filter flag fires
+      val t = when(col("doc_id") % 10 === 0,
+        concat_ws(" ", col("text"), col("text"), col("text")))
+        .otherwise(col("text"))
+      T(s, d).documents
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(t).as("rep_ratio"))
+        .withColumn("repetitive", col("rep_ratio") > 0.3)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "t5_pii_scrub" -> ((s, d) => {
       val injected = concat(col("text"),
         when(col("doc_id") % 3 === 0,
@@ -1844,6 +1856,24 @@ object SparkEntry {
          |  least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY id""".stripMargin,
+
+    "t9_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |         THEN text || ' ' || text || ' ' || text ELSE text END AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql("t")} AS ws FROM d),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(sl) > 0
+         |         THEN round((len(sl) - len(list_distinct(sl)))
+         |                    / CAST(len(sl) AS DOUBLE), 6)
+         |         ELSE 0.0 END AS rep_ratio
+         |  FROM sh)
+         |SELECT doc_id, rep_ratio, rep_ratio > 0.3 AS repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "t5_pii_scrub" ->
       s"""WITH d AS (

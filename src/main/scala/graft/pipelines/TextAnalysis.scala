@@ -104,6 +104,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5Hash60(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Repetition ratio — the duplicate-n-gram quality filter: the
+    * fraction of a document's shingles that are repeats of an earlier
+    * one (1 − distinct/total). Highly repetitive documents (boilerplate,
+    * keyword stuffing, generation loops) score high and get filtered
+    * before training. Pure in-row array math over one shingle pass.
+    */
+  def repetitionRatio(text: Column, w: Int = 3): Column = {
+    val total = size(Dedup.shingles(text, w))
+    val distinctN = size(array_distinct(Dedup.shingles(text, w)))
+    when(total > 0,
+      round((total - distinctN) / total.cast("double"), 6)).otherwise(0.0)
+  }
+
   /** PII scrubbing — the standard pre-training redaction pass. The
     * patterns deliberately use only portable regex constructs (character
     * classes + bounded repetition, no lookaround) so Java's engine and
