@@ -961,6 +961,20 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("media_id")
     }),
 
+    "m3_audio_decode" -> ((s, d) => {
+      // real javax.sound WAV decode of deterministic square waves: with
+      // constant |sample|, RMS and mean-abs equal the seed amplitude
+      // exactly, so the audio path gets a full SQL oracle too
+      val media = Multimodal.syntheticWavs(s, 200)
+      Multimodal.extractFeatures(media, new Multimodal.AudioDecoder())
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("rate"),
+          element_at(col("features"), 2).cast("long").as("frames"),
+          element_at(col("features"), 3).cast("long").as("rms"),
+          element_at(col("features"), 4).cast("long").as("mean_abs"))
+        .repartition(1).sortWithinPartitions("media_id")
+    }),
+
     // ---- ingest payload parsers (S2-S4, X12) over synthetic payloads --
 
     "s2_av_quote_parse" -> ((s, d) => {
@@ -2238,6 +2252,14 @@ object SparkEntry {
         |  ('2025-01-09T09:00:00Z', 'EU', 'ECB Rate Decision'))
         |  t(when_ts, country, event)
         |WHERE lower(country) = 'us' ORDER BY when_ts""".stripMargin,
+
+    "m3_audio_decode" ->
+      """SELECT i AS media_id, CAST(16000 AS BIGINT) AS rate,
+        |  8000 + (i % 5) * 1600 AS frames,
+        |  1000 + (i * 37) % 20000 AS rms,
+        |  1000 + (i * 37) % 20000 AS mean_abs
+        |FROM (SELECT unnest(range(0, 200)) AS i)
+        |ORDER BY media_id""".stripMargin,
 
     "m2_image_decode" ->
       """SELECT i AS media_id, 'image' AS kind,

@@ -105,6 +105,52 @@ object Multimodal {
     }
   }
 
+  /** Real audio decoder for WAV/PCM via the JDK's built-in
+    * `javax.sound.sampled` — no external deps. Features: [sampleRate,
+    * nFrames, rms, meanAbs, durationMs, channels, 0, 1] for decodable
+    * audio; other kinds and undecodable payloads fall back with the
+    * decoded-flag 0. RMS/meanAbs are computed in exact integer space
+    * (sums of int16 squares stay far below 2^53) so fixture values are
+    * bit-reproducible.
+    */
+  final class AudioDecoder(fallback: Decoder = new StubDecoder(8))
+      extends Decoder {
+    val featureDim: Int = 8
+
+    private def flagged(f: Array[Float]): Array[Float] =
+      f.take(featureDim - 1).padTo(featureDim - 1, 0f) :+ 0f
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      if (kind != "audio") return flagged(fallback.decode(kind, payload))
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+          return flagged(fallback.decode(kind, payload))
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var sumSq = 0L
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+          sumSq += s.toLong * s
+          sumAbs += math.abs(s.toLong)
+          i += 1
+        }
+        val frames = n / fmt.getChannels
+        Array(fmt.getSampleRate, frames.toFloat,
+          math.sqrt(sumSq.toDouble / n).toFloat,
+          (sumAbs.toDouble / n).toFloat,
+          (frames * 1000.0 / fmt.getSampleRate).toFloat,
+          fmt.getChannels.toFloat, 0f, 1f)
+      } catch {
+        case _: Throwable => flagged(fallback.decode(kind, payload))
+      }
+    }
+  }
+
   /** Attach a `features array<float>` column by running the decoder
     * partition-locally. Rows with null payloads pass through with null
     * features (never dropped — curation decides downstream).
@@ -145,6 +191,40 @@ object Multimodal {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+
+  /** Deterministic synthetic WAV table: clip i is a 16 kHz mono square
+    * wave of amplitude 1000 + 37i mod 20000 over 8000 + 1600·(i mod 5)
+    * frames — |sample| is constant, so decoded RMS and mean-abs equal
+    * the amplitude EXACTLY (integer-space sums, perfect-square sqrt) and
+    * a SQL oracle recomputes every feature from the id. Headers are
+    * written by hand (44-byte canonical RIFF/PCM), encoded in the
+    * executors.
+    */
+  def syntheticWavs(spark: SparkSession, n: Int): DataFrame = {
+    val rows = spark.sparkContext.parallelize(0 until n, 4).map { i =>
+      val amp = 1000 + (i * 37) % 20000
+      val frames = 8000 + (i % 5) * 1600
+      val rate = 16000
+      val dataLen = frames * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(1.toShort) // PCM, mono
+        .putInt(rate).putInt(rate * 2)
+        .putShort(2.toShort).putShort(16.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var f = 0
+      while (f < frames) {
+        bb.putShort((if (f % 2 == 0) amp else -amp).toShort)
+        f += 1
+      }
+      Row(i.toLong, "audio", bb.array(), null, null,
+        java.lang.Long.valueOf(frames * 1000L / rate))
+    }
+    spark.createDataFrame(rows, mediaSchema)
   }
 
   /** Deterministic synthetic PNG table: image i is a solid

@@ -30,6 +30,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AudioDecoder recovers rate/frames/amplitude from WAVs exactly") {
+    val media = Multimodal.syntheticWavs(spark, 15)
+    val got = Multimodal.extractFeatures(media,
+        new Multimodal.AudioDecoder())
+      .select($"media_id", $"features")
+      .as[(Long, Seq[Float])].collect().toMap
+    for (i <- 0 until 15) {
+      val f = got(i.toLong)
+      assert(f(0) === 16000f, s"rate of $i")
+      assert(f(1) === (8000 + (i % 5) * 1600).toFloat, s"frames of $i")
+      assert(f(2) === (1000 + i * 37 % 20000).toFloat, s"rms of $i")
+      assert(f(3) === (1000 + i * 37 % 20000).toFloat, s"meanAbs of $i")
+      assert(f(7) === 1f, s"decoded flag of $i")
+    }
+  }
+
   test("corrupt payloads and non-image kinds degrade to the byte sketch") {
     val rows = Seq(
       (0L, "image", Array[Byte](1, 2, 3, 4), null, null, null),  // not a PNG
