@@ -1878,13 +1878,14 @@ object SparkEntry {
          |         THEN text || ' ' || text || ' ' || text ELSE text END AS t
          |  FROM documents),
          |w AS (SELECT doc_id, ${wordsSql("t")} AS ws FROM d),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS total,
+         |         len(list_distinct(list_transform(${shinglesSql("ws")},
+         |           s -> ${h60("s")}))) AS dn
+         |       FROM w),
          |r AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(sl) > 0
-         |         THEN round((len(sl) - len(list_distinct(sl)))
-         |                    / CAST(len(sl) AS DOUBLE), 6)
-         |         ELSE 0.0 END AS rep_ratio
+         |    round((total - dn) / CAST(total AS DOUBLE), 6) AS rep_ratio
          |  FROM sh)
          |SELECT doc_id, rep_ratio, rep_ratio > 0.3 AS repetitive
          |FROM r ORDER BY doc_id""".stripMargin,
