@@ -92,9 +92,12 @@ object AsOf {
   def rangeJoin(left: DataFrame, right: DataFrame, by: String,
                 leftTs: String, rightStart: String, rightEnd: String,
                 binWidthSec: Long): DataFrame = {
-    val lBin = (unix_seconds(col(leftTs)) / binWidthSec).cast("long")
-    val rFrom = (unix_seconds(col(rightStart)) / binWidthSec).cast("long")
-    val rTo = (unix_seconds(col(rightEnd)) / binWidthSec).cast("long")
+    // floor, not cast-truncation: truncation rounds toward zero, which
+    // would put pre-1970 timestamps in the wrong bin
+    val lBin = floor(unix_seconds(col(leftTs)) / binWidthSec).cast("long")
+    val rFrom =
+      floor(unix_seconds(col(rightStart)) / binWidthSec).cast("long")
+    val rTo = floor(unix_seconds(col(rightEnd)) / binWidthSec).cast("long")
     val l = left.withColumn("_bin", lBin)
     val r = right.withColumn("_bin", explode(sequence(rFrom, rTo)))
     l.join(r, Seq(by, "_bin"))
