@@ -975,6 +975,24 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("media_id")
     }),
 
+    "m4_video_decode" -> ((s, d) => {
+      // real multi-frame container decode with frame SAMPLING (every 2nd
+      // frame): channel sums over sampled frames are integer-exact, so
+      // the video path gets a full SQL oracle like image and audio
+      val media = Multimodal.syntheticGifs(s, 200)
+      Multimodal.extractFeatures(media,
+          new Multimodal.VideoDecoder(frameStride = 2))
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("n_frames"),
+          element_at(col("features"), 2).cast("long").as("w"),
+          element_at(col("features"), 3).cast("long").as("h"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"),
+          element_at(col("features"), 7).cast("long").as("sampled"))
+        .repartition(1).sortWithinPartitions("media_id")
+    }),
+
     // ---- ingest payload parsers (S2-S4, X12) over synthetic payloads --
 
     "s2_av_quote_parse" -> ((s, d) => {
@@ -2261,6 +2279,21 @@ object SparkEntry {
         |  1000 + (i * 37) % 20000 AS mean_abs
         |FROM (SELECT unnest(range(0, 200)) AS i)
         |ORDER BY media_id""".stripMargin,
+
+    "m4_video_decode" ->
+      """WITH base AS (
+        |  SELECT i, 2 + (i % 5) AS nf
+        |  FROM (SELECT unnest(range(0, 200)) AS i))
+        |SELECT i AS media_id, nf AS n_frames,
+        |  CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+        |  CAST(list_sum(list_transform(list_filter(range(0, nf), f -> f % 2 = 0),
+        |    f -> (i * 31 + f * 7) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(list_filter(range(0, nf), f -> f % 2 = 0),
+        |    f -> (i * 13 + f * 11) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(list_filter(range(0, nf), f -> f % 2 = 0),
+        |    f -> (i * 17 + f * 3) % 256)) AS BIGINT) AS sum_b,
+        |  CAST(len(list_filter(range(0, nf), f -> f % 2 = 0)) AS BIGINT) AS sampled
+        |FROM base ORDER BY media_id""".stripMargin,
 
     "m2_image_decode" ->
       """SELECT i AS media_id, 'image' AS kind,

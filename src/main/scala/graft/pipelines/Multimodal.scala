@@ -151,6 +151,66 @@ object Multimodal {
     }
   }
 
+  /** Real video decoder over animated-GIF containers via the JDK's
+    * multi-frame ImageIO reader — frame COUNT, frame SAMPLING (every
+    * `frameStride`-th frame), and per-channel pixel sums over the
+    * sampled frames. Sums, not means: integer sums are exact in float,
+    * so fixture features recompute bit-for-bit from the seed. Real
+    * codecs (H.264 etc.) need native libs this container lacks; the
+    * container/frame-iteration shape — seek, sample, reduce — is
+    * identical.
+    */
+  final class VideoDecoder(frameStride: Int = 2,
+                           fallback: Decoder = new StubDecoder(8))
+      extends Decoder {
+    val featureDim: Int = 8
+
+    private def flagged(f: Array[Float]): Array[Float] =
+      f.take(featureDim - 1).padTo(featureDim - 1, 0f) :+ 0f
+
+    def decode(kind: String, payload: Array[Byte]): Array[Float] = {
+      if (kind != "video") return flagged(fallback.decode(kind, payload))
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          return flagged(fallback.decode(kind, payload))
+        val reader = readers.next()
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        var f = 0
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var w = 0; var h = 0
+        var sampled = 0
+        while (f < nFrames) {
+          val img = reader.read(f)
+          w = img.getWidth; h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          sampled += 1
+          f += frameStride
+        }
+        reader.dispose()
+        val px = (w.toLong * h).toFloat
+        Array(nFrames.toFloat, w.toFloat, h.toFloat,
+          sr / px, sg / px, sb / px, sampled.toFloat, 1f)
+      } catch {
+        case _: Throwable => flagged(fallback.decode(kind, payload))
+      } finally if (iis != null) iis.close()
+    }
+  }
+
   /** Attach a `features array<float>` column by running the decoder
     * partition-locally. Rows with null payloads pass through with null
     * features (never dropped — curation decides downstream).
@@ -223,6 +283,47 @@ object Multimodal {
       }
       Row(i.toLong, "audio", bb.array(), null, null,
         java.lang.Long.valueOf(frames * 1000L / rate))
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  /** Deterministic synthetic animated-GIF table: clip i has 2 + i%5
+    * solid-color 16×16 frames (frame f's channels are id/frame
+    * arithmetic mod 256 — GIF stores ≤256 exact palette colors, so
+    * decode is lossless and a SQL oracle recomputes the sampled-frame
+    * channel sums from the id). Encoded in the executors.
+    */
+  def syntheticGifs(spark: SparkSession, n: Int): DataFrame = {
+    val rows = spark.sparkContext.parallelize(0 until n, 4).map { i =>
+      val nFrames = 2 + i % 5
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (((i * 31 + f * 7) % 256) << 16) |
+          (((i * 13 + f * 11) % 256) << 8) | ((i * 17 + f * 3) % 256)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      Row(i.toLong, "video", bos.toByteArray, Integer.valueOf(16),
+        Integer.valueOf(16), java.lang.Long.valueOf(nFrames * 100L))
     }
     spark.createDataFrame(rows, mediaSchema)
   }

@@ -46,6 +46,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("VideoDecoder samples frames and recovers exact channel sums") {
+    val media = Multimodal.syntheticGifs(spark, 12)
+    val got = Multimodal.extractFeatures(media,
+        new Multimodal.VideoDecoder(frameStride = 2))
+      .select($"media_id", $"features")
+      .as[(Long, Seq[Float])].collect().toMap
+    for (i <- 0 until 12) {
+      val f = got(i.toLong)
+      val nf = 2 + i % 5
+      val sampled = (0 until nf by 2)
+      assert(f(0) === nf.toFloat, s"frames of $i")
+      assert(f(1) === 16f && f(2) === 16f)
+      assert(f(3) === sampled.map(fr => (i * 31 + fr * 7) % 256).sum.toFloat,
+        s"sum_r of $i")
+      assert(f(6) === sampled.size.toFloat, s"sampled of $i")
+      assert(f(7) === 1f)
+    }
+  }
+
   test("corrupt payloads and non-image kinds degrade to the byte sketch") {
     val rows = Seq(
       (0L, "image", Array[Byte](1, 2, 3, 4), null, null, null),  // not a PNG
