@@ -920,6 +920,15 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     }),
 
+    "n7_batch_ann" -> ((s, d) => {
+      val emb = T(s, d).embeddings
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      Similarity.batchAnnTopK(emb, "vec_id", "embedding",
+          queries, "q_id", "qv", k = 3, bits = 4, dim = 64)
+        .repartition(1).sortWithinPartitions("q_id", "rank")
+    }),
+
     "n6_ivf_partitioned" -> ((s, d) => {
       // the IVF serving shape: embeddings written under cell=<c>
       // directories, probe cells computed driver-side from the query and
@@ -2094,6 +2103,36 @@ object SparkEntry {
          |  FROM j)
          |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
          |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "n7_batch_ann" -> {
+      val bucket = (v: String) =>
+        s"""array_to_string(list_transform(range(0, 4),
+           |    p -> CASE WHEN list_reduce(list_transform(range(0, 64),
+           |        d -> $v[d + 1]::DOUBLE *
+           |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
+           |        (a, b) -> a + b) >= 0
+           |      THEN 1 ELSE 0 END), '')""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |j AS (SELECT q.q_id, e.vec_id, e.embedding, q.qv
+         |      FROM q JOIN embeddings e
+         |        ON ${bucket("q.qv")} = ${bucket("e.embedding")}),
+         |s AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b))
+         |         * sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b))), 6) AS cosine
+         |  FROM j)
+         |SELECT q_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |FROM s
+         |QUALIFY rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
     },
 
     "n4_near_dup" -> {

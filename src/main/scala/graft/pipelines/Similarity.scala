@@ -237,6 +237,31 @@ object Similarity {
     math.min(24, math.max(minBits, need))
   }
 
+  /** Batch ANN: MANY query vectors against the corpus in one plan — the
+    * realistic serving shape (a single query is a degenerate batch). The
+    * LSH bucket becomes an EQUI-join key between the query set and the
+    * corpus, so the pair space is per-bucket, not |Q|×|corpus|; each
+    * query then keeps its top-k by a per-query window rank. At cluster
+    * scale both sides are pre-bucketed/partitioned and the join is
+    * co-located.
+    */
+  def batchAnnTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, bits: Int, dim: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol), col(vecCol),
+      bucketCol(col(vecCol), bits, dim).as("_b"))
+    val q = queries.select(col(qIdCol), col(qVecCol),
+      bucketCol(col(qVecCol), bits, dim).as("_b"))
+    q.join(c, "_b")
+      .select(col(qIdCol), col(idCol),
+        round(cosineNative(col(vecCol), col(qVecCol)), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
     * LSH-blocked: pairs must share a bucket (scale path for the
     * embedding-cosine near-dup dedup mode). With `bits <= 0` (the
