@@ -42,13 +42,38 @@ object Relational {
     * `next_offset` (offset+limit iff the page is full — the invariant the
     * reference tests at tests/test_api_and_ingest.py:42-63). Consecutive
     * pages partition the stream exactly: last_rn(page k) + 1 =
-    * first_rn(page k+1). The global row_number is inherent to global
-    * pagination (one ordered stream); real deployments serve deep pages
-    * from range metadata instead of re-sorting.
+    * first_rn(page k+1).
+    *
+    * Scale path: NO global window (a `row_number` over an unpartitioned
+    * Window funnels the entire ordered stream through one task). Instead:
+    * range-partition on the sort key, sort within partitions, derive each
+    * row's partition-local index from `monotonically_increasing_id` (upper
+    * bits = partition id, lower bits = position in partition order), count
+    * rows per partition (a ≤numShufflePartitions-row side result), and add
+    * the broadcast prefix-sum offset — global rank with every partition
+    * working in parallel.
     */
-  def pageStats(df: DataFrame, order: Seq[Column], limit: Int): DataFrame =
-    df.withColumn("_rn",
-        row_number().over(Window.orderBy(order: _*)).cast("long"))
+  def pageStats(df: DataFrame, order: Seq[Column], limit: Int): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // Persist the ranged frame: the offset pass and the rank pass must see
+    // identical partitioning (repartitionByRange samples its input).
+    val ranged = graft.Caches.persist(
+      df.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+        .withColumn("_li", col("_mid").bitwiseAND(lit((1L << 33) - 1))))
+    // Bounded driver-side collect: one row per shuffle partition.
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), col("_pid"))
+    ranged
+      .withColumn("_rn", offExpr + col("_li") + 1L)
       .withColumn("page", floor((col("_rn") - 1) / limit).cast("long"))
       .groupBy("page")
       .agg(count(lit(1)).as("n_rows"),
@@ -56,6 +81,7 @@ object Relational {
       .withColumn("offset", col("page") * limit)
       .withColumn("next_offset",
         when(col("n_rows") === limit, col("offset") + limit))
+  }
 
   /** F3 — point lookup, newest id wins
     * (/root/reference/app/db.py:305-321).

@@ -39,4 +39,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"scale-unsafe plans: $offenders")
   }
+
+  test("no query plans an unpartitioned (single-task) Window") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val globalWindows =
+        try SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+          }
+        catch { case _: Throwable => Nil }
+      graft.Caches.releaseAll()
+      if (globalWindows.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-task global Window in: $offenders — the whole ordered " +
+        "stream funnels through one partition at scale")
+  }
 }
