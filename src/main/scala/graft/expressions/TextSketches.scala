@@ -142,6 +142,118 @@ object TextSketches {
     override def prettyName: String = "graft_shingle_hashes60"
   }
 
+  /** One-pass text counters for the quality-scoring pipeline:
+    * `[n_words, n_chars, n_alpha, n_punct, tok_bpe]`. Compiled twin of
+    * the declarative forms in [[graft.pipelines.TextAnalysis]] — identical
+    * values, one scan over the code points instead of five interpreted
+    * regex/HOF passes:
+    *   - n_words ≡ `size(filter(split(text, "\\s+"), _ =!= ""))`
+    *     (maximal runs of non-`\s`; Java `\s` = ASCII space/tab/NL/VT/FF/CR)
+    *   - n_chars ≡ `length(text)` (code points)
+    *   - n_alpha ≡ `length(regexp_replace(text, "[^A-Za-z]", ""))`
+    *   - n_punct ≡ `length(regexp_replace(text, "[^.,;:!?]", ""))`
+    *   - tok_bpe ≡ `size(regexp_extract_all(text, "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))`
+    *     (alnum runs + every other non-space code point)
+    */
+  case class TextStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @inline private def isWs(cp: Int): Boolean =
+      cp == ' ' || (cp >= '\t' && cp <= '\r') // \t \n \x0B \f \r
+    @inline private def isAlpha(cp: Int): Boolean =
+      (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+    @inline private def isAlnum(cp: Int): Boolean =
+      isAlpha(cp) || (cp >= '0' && cp <= '9')
+    @inline private def isPunct(cp: Int): Boolean =
+      cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' ||
+        cp == '?'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var nWords = 0L; var nChars = 0L; var nAlpha = 0L; var nPunct = 0L
+      var tokBpe = 0L
+      var inWord = false
+      var inAlnum = false
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        nChars += 1
+        if (isWs(cp)) {
+          inWord = false; inAlnum = false
+        } else {
+          if (!inWord) { nWords += 1; inWord = true }
+          if (isAlnum(cp)) {
+            if (!inAlnum) { tokBpe += 1; inAlnum = true }
+          } else {
+            tokBpe += 1
+            inAlnum = false
+          }
+          if (isAlpha(cp)) nAlpha += 1
+          if (isPunct(cp)) nPunct += 1
+        }
+        i += Character.charCount(cp)
+      }
+      new GenericArrayData(Array(nWords, nChars, nAlpha, nPunct, tokBpe))
+    }
+    override protected def withNewChildInternal(c: Expression): TextStats =
+      copy(child = c)
+    override def prettyName: String = "graft_text_stats"
+  }
+
+  /** Count of words whose lowercase form is in a literal word set —
+    * compiled twin of `size(filter(split(text, "\\s+"), w =>
+    * lower(w).isin(set)))`. One pass, no per-row array materialization;
+    * serves both the stopword-ratio feature and per-language marker hits.
+    * The set must be a foldable literal array (it is hashed once per
+    * executor, not per row).
+    */
+  case class WordHits(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    @transient private lazy val wordSet: java.util.HashSet[String] = {
+      require(right.foldable, "graft_word_hits set must be a literal array")
+      val arr = right.eval(null).asInstanceOf[ArrayData]
+      val s = new java.util.HashSet[String](arr.numElements() * 2)
+      var i = 0
+      while (i < arr.numElements()) {
+        s.add(arr.getUTF8String(i).toString)
+        i += 1
+      }
+      s
+    }
+
+    @inline private def isWs(cp: Int): Boolean =
+      cp == ' ' || (cp >= '\t' && cp <= '\r')
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val s = l.asInstanceOf[UTF8String].toString
+      val sb = new java.lang.StringBuilder(16)
+      var hits = 0L
+      var i = 0
+      while (i <= s.length) {
+        val atEnd = i == s.length
+        val cp = if (atEnd) ' ' else s.codePointAt(i)
+        if (isWs(cp)) {
+          if (sb.length > 0) {
+            if (wordSet.contains(sb.toString.toLowerCase(java.util.Locale.ROOT)))
+              hits += 1
+            sb.setLength(0)
+          }
+          i += 1
+        } else {
+          sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+      }
+      hits
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): WordHits = copy(left = l, right = r)
+    override def prettyName: String = "graft_word_hits"
+  }
+
   /** md5-seeded uniform component in [-1, 1) — the shared deterministic
     * "randomness" for LSH hyperplanes and IVF centroids (mirrors
     * [[graft.pipelines.Similarity.planeComponentLocal]] /
@@ -303,6 +415,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes60",
       es => TextSketches.ShingleHashes60(es.head,
         if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_text_stats",
+      es => TextSketches.TextStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_hits",
+      es => TextSketches.WordHits(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",

@@ -31,14 +31,57 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
+  /** All char/word counters in one compiled pass (see
+    * [[graft.expressions.TextSketches.TextStats]]):
+    * `[n_words, n_chars, n_alpha, n_punct, tok_bpe]`. The repeated
+    * `element_at` extractions share the single underlying scan via
+    * codegen subexpression elimination.
+    */
+  def textCounts(text: Column): Column =
+    call_function("graft_text_stats", text)
+
+  /** Words whose lowercase form is in `set` — one compiled pass (see
+    * [[graft.expressions.TextSketches.WordHits]]).
+    */
+  def wordHits(text: Column, set: Seq[String]): Column =
+    call_function("graft_word_hits", text, array(set.map(lit(_)): _*))
+
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val st = textCounts(text)
+    val nWords = element_at(st, 1)
+    val nChars = element_at(st, 2)
+    val nAlpha = element_at(st, 3)
+    val nPunct = element_at(st, 4)
+    val stopHits = wordHits(text, Stopwords)
+    df.withColumn("n_words", nWords)
+      .withColumn("alpha_ratio",
+        when(nChars > 0, round(nAlpha / nChars.cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChars > 0, round(nPunct / nChars.cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nWords > 0, round(stopHits / nWords.cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("mean_word_len",
+        when(nWords > 0,
+          round((nChars - nWords + 1) / nWords.cast("double"), 6))
+          .otherwise(0.0))
+  }
+
+  /** Declarative twin of [[qualityFeatures]] — pure `functions._`
+    * (interpreted HOFs, ~6× slower at sf0.1); kept as the readable
+    * specification and for the native/declarative parity spec.
+    */
+  def qualityFeaturesDeclarative(df: DataFrame, text: Column): DataFrame = {
     val words = filter(split(text, "\\s+"), t => t =!= "")
-    val nWords = size(words)
-    val nChars = length(text)
-    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", ""))
-    val nPunct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val nWords = size(words).cast("long")
+    val nChars = length(text).cast("long")
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
     val stopHits = size(filter(words,
-      wrd => lower(wrd).isin(Stopwords.map(lit(_)): _*)))
+      wrd => lower(wrd).isin(Stopwords.map(lit(_)): _*))).cast("long")
     df.withColumn("n_words", nWords)
       .withColumn("alpha_ratio",
         when(nChars > 0, round(nAlpha / nChars.cast("double"), 6))
@@ -82,6 +125,26 @@ object TextAnalysis {
   def languageId(df: DataFrame, text: Column,
                  markers: Map[String, Seq[String]] = LangMarkers)
       : DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val nWords = element_at(textCounts(text), 1)
+    val scored = markers.toSeq.sortBy(_._1).map { case (langName, ms) =>
+      val hits = wordHits(text, ms)
+      struct(
+        when(nWords > 0, round(hits / nWords.cast("double"), 6))
+          .otherwise(0.0).as("score"),
+        lit(langName).as("lang"))
+    }
+    // arg-max over languages; ties resolve to the lexically greatest
+    // language name (deterministic).
+    val best = greatest(scored: _*)
+    df.withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
+  }
+
+  /** Declarative twin of [[languageId]] — kept for the parity spec. */
+  def languageIdDeclarative(df: DataFrame, text: Column,
+                            markers: Map[String, Seq[String]] = LangMarkers)
+      : DataFrame = {
     val words = filter(split(lower(text), "\\s+"), t => t =!= "")
     val scored = markers.toSeq.sortBy(_._1).map { case (langName, ms) =>
       val hits = size(filter(words, wrd => wrd.isin(ms.map(lit(_)): _*)))
@@ -90,8 +153,6 @@ object TextAnalysis {
           .otherwise(0.0).as("score"),
         lit(langName).as("lang"))
     }
-    // arg-max over languages; ties resolve to the lexically greatest
-    // language name (deterministic).
     val best = greatest(scored: _*)
     df.withColumn("lang_pred", best.getField("lang"))
       .withColumn("lang_score", best.getField("score"))

@@ -25,7 +25,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("quality features: ratios on a known string") {
     val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityFeatures(df, $"text").collect()(0)
-    assert(r.getAs[Int]("n_words") === 3)
+    assert(r.getAs[Long]("n_words") === 3L)
     assert(r.getAs[Double]("alpha_ratio") === 0.818182) // 9 alpha / 11 chars
     assert(r.getAs[Double]("punct_ratio") === 0.0)
     assert(r.getAs[Double]("stopword_ratio") === 0.333333) // "the"
@@ -72,6 +72,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     // deterministic: same salt → identical sample; decision is per-row
     assert(run().select("doc_id").as[Long].collect().toSet ===
       run().select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("native text counters match the declarative twins on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "text")
+    val cols = Seq("n_words", "alpha_ratio", "punct_ratio",
+      "stopword_ratio", "mean_word_len")
+    val native = TextAnalysis.qualityFeatures(docs, $"text")
+      .select("doc_id", cols: _*)
+    val decl = TextAnalysis.qualityFeaturesDeclarative(docs, $"text")
+      .select("doc_id", cols: _*)
+    assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
+    // tok_bpe: native counter ≡ declarative regexp_extract_all count
+    val tokDiff = docs.select(
+        element_at(TextAnalysis.textCounts($"text"), 5).as("n"),
+        TextAnalysis.tokenCountBpe($"text").cast("long").as("d"))
+      .filter($"n" =!= $"d").count()
+    assert(tokDiff === 0)
+  }
+
+  test("native languageId matches the declarative twin on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "text")
+    val native = TextAnalysis.languageId(docs, $"text")
+      .select("doc_id", "lang_pred", "lang_score")
+    val decl = TextAnalysis.languageIdDeclarative(docs, $"text")
+      .select("doc_id", "lang_pred", "lang_score")
+    assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
   }
 
   test("packSequences: bins fill in order, capacity respected") {
