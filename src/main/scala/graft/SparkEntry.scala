@@ -852,10 +852,11 @@ object SparkEntry {
     "t1_text_stats" -> ((s, d) => {
       val docs = T(s, d).documents
       TextAnalysis.qualityScore(docs, col("text"))
-        .withColumn("tok_ws",
-          TextAnalysis.tokenCountWs(col("text")).cast("long"))
+        // tok_ws is by construction the same count as n_words; tok_bpe
+        // rides the same one-pass native counter array
+        .withColumn("tok_ws", col("n_words").cast("long"))
         .withColumn("tok_bpe",
-          TextAnalysis.tokenCountBpe(col("text")).cast("long"))
+          element_at(TextAnalysis.textCounts(col("text")), 5))
         .withColumn("n_words", col("n_words").cast("long"))
         .select("doc_id", "n_words", "alpha_ratio", "punct_ratio",
           "stopword_ratio", "mean_word_len", "quality", "tok_ws", "tok_bpe")
@@ -947,10 +948,12 @@ object SparkEntry {
     // ---- multimodal plumbing (no SQL oracle: partition-local decode) --
 
     "m1_multimodal_features" -> ((s, d) => {
+      // stub stripe SUMS are integral floats → exact long cast, so the
+      // stub plumbing path carries a full SQL oracle like m2-m4
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1), 3).as("f0"),
+          element_at(col("features"), 1).cast("long").as("f0"),
           size(col("features")).as("dim"))
         .repartition(1).sortWithinPartitions("media_id")
     }),
@@ -2333,6 +2336,24 @@ object SparkEntry {
         |    f -> (i * 17 + f * 3) % 256)) AS BIGINT) AS sum_b,
         |  CAST(len(list_filter(range(0, nf), f -> f % 2 = 0)) AS BIGINT) AS sampled
         |FROM base ORDER BY media_id""".stripMargin,
+
+    // stub-decoder byte-stripe sums recomputed from the id: payload byte
+    // j of media i is (i*31+j) % 251, len = 64 + i%64, first stripe is
+    // the len/8 leading bytes; ids divisible by 7 have null payloads
+    "m1_multimodal_features" ->
+      """WITH ids AS (SELECT unnest(range(0, 200)) AS i),
+        |p AS (SELECT i, (64 + i % 64) // 8 AS stripe FROM ids
+        |      WHERE i % 7 <> 0),
+        |s AS (SELECT p.i, CAST(sum((p.i * 31 + j.j) % 251) AS BIGINT) AS f0
+        |      FROM p, (SELECT unnest(range(0, 15)) AS j) j
+        |      WHERE j.j < p.stripe GROUP BY p.i)
+        |SELECT ids.i AS media_id,
+        |  CASE ids.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  s.f0 AS f0,
+        |  CASE WHEN ids.i % 7 = 0 THEN NULL ELSE 8 END AS dim
+        |FROM ids LEFT JOIN s ON ids.i = s.i
+        |ORDER BY media_id""".stripMargin,
 
     "m2_image_decode" ->
       """SELECT i AS media_id, 'image' AS kind,

@@ -37,8 +37,11 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for the real codec: features are a simple
-    * byte-statistics sketch (mean/min/max/length per stripe). Replace
-    * with a real decoder in production; the pipeline shape is identical.
+    * byte-statistics sketch (unsigned-byte SUM per stripe — sums, not
+    * means: integer sums are exact in float32 for small payloads, so the
+    * stub path gets a bit-stable SQL oracle like the real decoders).
+    * Replace with a real decoder in production; the pipeline shape is
+    * identical.
     */
   final class StubDecoder(val featureDim: Int = 8) extends Decoder {
     def decode(kind: String, payload: Array[Byte]): Array[Float] = {
@@ -52,7 +55,7 @@ object Multimodal {
           var s = 0L
           var j = from
           while (j < until) { s += (payload(j) & 0xff); j += 1 }
-          out(i) = if (until > from) s.toFloat / (until - from) else 0f
+          out(i) = s.toFloat
           i += 1
         }
       }

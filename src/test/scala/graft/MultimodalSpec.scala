@@ -79,7 +79,7 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Seq[Float])].collect().toMap
     assert(got(0L).last === 0f) // flagged undecoded, row not dropped
     assert(got(1L).last === 0f)
-    assert(got(1L).head === 7f) // stub byte-mean sketch survives
+    assert(got(1L).head === 28f) // stub byte-sum sketch (4-byte stripe of 7s)
   }
 
   test("null payloads pass through with null features") {
