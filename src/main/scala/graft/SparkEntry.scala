@@ -1179,16 +1179,18 @@ object SparkEntry {
 
     "u1b_warehouse_upsert" -> ((s, d) => {
       // U1/U2 against the physical table-of-record: write prices
-      // symbol-partitioned, upsert a batch through the partition-pruned
-      // merge (only the 'click' directory is rewritten), read back.
+      // symbol-partitioned, upsert a batch through the ATOMIC versioned
+      // table (staged data dir + manifest rename — only the 'click'
+      // partition's rows are re-staged), read back the new snapshot.
       val root = java.nio.file.Files
         .createTempDirectory("graft_wh_q").toString
       val p = T(s, d).pricesFromEvents
-      Warehouse.writePrices(p, root)
+      val tbl = graft.sources.PriceTable(s, root)
+      tbl.init(p)
       val batch = p.filter(col("symbol") === "click" && col("id") % 10 === 0)
         .withColumn("price", col("price") + 1.0)
-      Warehouse.upsertPrices(s, root, batch)
-      Warehouse.readPrices(s, root)
+      tbl.upsert(batch)
+      tbl.read()
         .groupBy("symbol").agg(count(lit(1)).as("n"),
           Aggregates.fromCents(sum(Aggregates.cents(col("price"))))
             .as("sum_price"))

@@ -98,6 +98,11 @@ object Warehouse {
     * stage through a scratch directory first — Spark refuses to
     * overwrite a path that feeds the same plan, and at scale the staging
     * write doubles as the shuffle barrier between read and rewrite.
+    *
+    * NOTE: the in-place rewrite is NOT crash-atomic (a failure inside
+    * the dynamic overwrite can leave a partition half-replaced). For a
+    * table-of-record, use [[PriceTable]] — same pruned merge, committed
+    * via staged immutable dirs + an atomic manifest rename.
     */
   def upsertPrices(spark: SparkSession, root: String, batch: DataFrame,
                    keys: Seq[String] = PriceKeys): Unit = {
@@ -170,6 +175,11 @@ object Warehouse {
     * untouched. The touched directories are replaced outright (not
     * dynamically overwritten) so a fully-deleted symbol ends up with no
     * directory rather than stale rows.
+    *
+    * NOTE: a crash between the directory delete and the survivor
+    * re-append loses committed rows. For a table-of-record, use
+    * [[PriceTable.deleteWhere]] — fully-old-or-fully-new by manifest
+    * commit.
     */
   def deleteWherePrices(spark: SparkSession, root: String,
                         symbols: Seq[String],

@@ -161,6 +161,85 @@ class WarehouseSpec extends AnyFunSuite {
       $"price" > 1e9) === 0)
   }
 
+  test("PriceTable: atomic upsert/delete — crash before commit reads fully-old") {
+    val root = Files.createTempDirectory("graft_wh_atomic").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val seed = Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "EURUSD", 1.09, ts("2024-01-01 11:00:00"), "src0"),
+      (3L, "GBPUSD", 1.27, t0, "src0"),
+      (4L, "AAPL", 190.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")
+    val tbl = graft.sources.PriceTable(spark, root)
+    tbl.init(seed)
+    val before = tbl.read().orderBy("id").collect().toSeq
+
+    // inject a crash between the staged data write and the manifest
+    // rename: every mutation must leave the committed snapshot intact
+    val crashing = graft.sources.PriceTable(spark, root,
+      failpoint = p => if (p == "pre-commit") sys.error("injected crash"))
+    val batch = Seq((5L, "EURUSD", 2.00, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")
+    intercept[RuntimeException] { crashing.upsert(batch) }
+    assert(tbl.read().orderBy("id").collect().toSeq === before,
+      "crashed upsert must read fully-old")
+    intercept[RuntimeException] {
+      crashing.deleteWhere(Seq("GBPUSD"), $"symbol" === "GBPUSD")
+    }
+    assert(tbl.read().orderBy("id").collect().toSeq === before,
+      "crashed delete must read fully-old")
+    intercept[RuntimeException] { crashing.compact() }
+    assert(tbl.read().orderBy("id").collect().toSeq === before,
+      "crashed compact must read fully-old")
+
+    // the same mutations without the failpoint commit atomically
+    tbl.upsert(batch)
+    val afterUpsert = tbl.read()
+    assert(afterUpsert.count() === 4)
+    assert(afterUpsert.filter($"symbol" === "EURUSD" && $"as_of" === t0)
+      .select("price").as[Double].collect().toSeq === Seq(2.00))
+    assert(tbl.deleteWhere(Seq("GBPUSD"), $"symbol" === "GBPUSD") === 1)
+    assert(tbl.read().select("id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L, 5L))
+    // vacuum reclaims retired + orphaned (crash-staged) dirs; snapshot
+    // unchanged
+    val snap = tbl.read().orderBy("id").collect().toSeq
+    tbl.vacuum()
+    assert(tbl.read().orderBy("id").collect().toSeq === snap)
+  }
+
+  test("PriceTable: reads prune partitions; insertIgnore appends a dir") {
+    val root = Files.createTempDirectory("graft_wh_atomic2").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val tbl = graft.sources.PriceTable(spark, root)
+    tbl.init(Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "AAPL", 190.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source"))
+    assert(tbl.insertIgnore(Seq(
+      (9L, "EURUSD", 9.99, t0, "src0"), // dup key ignored
+      (3L, "GBPUSD", 1.27, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")) === 1)
+    assert(tbl.read().count() === 3)
+    // partition pruning survives the manifest indirection: a filtered
+    // read plans PartitionFilters, not a full scan
+    val q = tbl.read().filter($"symbol" === "EURUSD")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    assert(q.count() === 1)
+    // upsert leaves untouched partitions' files byte-identical
+    val dataRoot = new java.io.File(s"$root/data")
+    def aaplFiles = dataRoot.listFiles().flatMap(d =>
+      Option(new java.io.File(d, "symbol=AAPL").listFiles()).getOrElse(
+        Array.empty[java.io.File])).map(f => f.getPath -> f.lastModified)
+      .toMap
+    val before = aaplFiles
+    tbl.upsert(Seq((4L, "EURUSD", 2.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source"))
+    assert(aaplFiles === before)
+    assert(tbl.version === 3L)
+  }
+
   test("q5b star join is shuffle-free between the bucketed fact tables") {
     val d = "/root/testdata/sf0.001"
     val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
