@@ -262,8 +262,11 @@ object Dedup {
           .map(id => (id, find(id)))
         broadcast(roots.toDF("id", "root"))
       } else {
-        // distributed min-label propagation over graph nodes only:
-        // O(diameter) rounds, one shuffle round each
+        // distributed min-label propagation with POINTER DOUBLING: each
+        // round first takes the min root over graph neighbors, then
+        // shortcuts every label through its root's label — chain depth
+        // halves per round, so convergence is O(log diameter) and the
+        // default bound covers diameters up to ~2^maxIter
         val edges = graft.Caches.persist(
           p.unionByName(p.select(col("dst").as("src"),
             col("src").as("dst"))))
@@ -276,17 +279,42 @@ object Dedup {
           val nmin = edges
             .join(lbl.select(col("id").as("dst"), col("root")), "dst")
             .groupBy(col("src").as("id")).agg(min(col("root")).as("_nroot"))
+          val prop = lbl.join(nmin, Seq("id"), "left")
+            .select(col("id"), col("root"),
+              least(col("root"), coalesce(col("_nroot"), col("root")))
+                .as("_p"))
+          // pointer jump: _pp = label of my new root (roots always carry
+          // their own label, so a missing match means "already a root")
+          val staged = graft.Caches.persist(
+            prop.join(
+              prop.select(col("id").as("_p"), col("_p").as("_pp")),
+              Seq("_p"), "left")
+            .select(col("id"), col("root"),
+              least(col("_p"), coalesce(col("_pp"), col("_p")))
+                .as("_new")))
           // one persisted frame serves both the convergence probe and
           // the next round's labels (two jobs per round, not four)
-          val staged = graft.Caches.persist(
-            lbl.join(nmin, Seq("id"), "left")
-              .select(col("id"), col("root"),
-                least(col("root"), coalesce(col("_nroot"), col("root")))
-                  .as("_new")))
           converged = staged.filter(col("_new") =!= col("root")).isEmpty
           lbl = staged.select(col("id"), col("_new").as("root"))
+          // truncate lineage every few rounds: the iterated join plan
+          // otherwise grows without bound and optimizer time blows up
+          // on high-diameter graphs. The checkpoint's RDD-level persist
+          // is invisible to Dataset.unpersist, so its release is hooked
+          // into Caches explicitly.
+          if (!converged && iter % 3 == 2) {
+            lbl = lbl.localCheckpoint()
+            lbl.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                graft.Caches.onRelease(() => lr.rdd.unpersist(false))
+            }
+          }
           iter += 1
         }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds " +
+              s"(component diameter > ~2^$maxIter): raise maxIter — " +
+              "returning partial labels would silently mis-cluster")
         lbl
       }
     nodes.select(col(idCol).cast("long").as("id"))

@@ -173,6 +173,33 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("connectedComponents: 40-node chain converges distributed in ≤10 rounds") {
+    // diameter 40 ≫ maxIter=10: plain min-label propagation would stop
+    // early and silently mis-label; pointer doubling reaches the whole
+    // chain in O(log diameter) rounds. Also exercises the periodic
+    // localCheckpoint lineage cut (≥3 rounds run).
+    val n = 40L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val roots = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        driverMaxPairs = 0L) // force the distributed path
+      .as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(roots(_) === 1L), roots)
+    graft.Caches.releaseAll()
+  }
+
+  test("connectedComponents: non-convergence throws instead of mis-labeling") {
+    val n = 12L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // diameter 12 cannot be covered in 1 round even with doubling
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "doc_id", pairs,
+        driverMaxPairs = 0L, maxIter = 1).collect()
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("Caches.releaseAll unpersists banded self-join intermediates") {
     graft.Caches.releaseAll()
     Dedup.minhashCandidates(docs, "doc_id", $"text").collect()
