@@ -930,6 +930,29 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("q_id", "rank")
     }),
 
+    "n8_ann_recall" -> ((s, d) => {
+      // recall@10 of single-probe vs Hamming-1 multi-probe LSH against
+      // the exact brute-force baseline, per query — the missing tuning
+      // signal for bits/probes: 4-bit single-probe LSH silently misses
+      // neighbors that fall a hair across a hyperplane; multi-probe
+      // recovers them at (bits+1)× the candidate volume
+      val emb = T(s, d).embeddings
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val exact = graft.Caches.persist(
+        Similarity.batchTopKCosineExact(emb, "vec_id", "embedding",
+          queries, "q_id", "qv", k = 10))
+      val a1 = Similarity.batchAnnTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", k = 10, bits = 4, dim = 64)
+      val am = Similarity.batchAnnTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", k = 10, bits = 4, dim = 64, hamming = 1)
+      Similarity.recallAtK(exact, a1, "q_id", "vec_id", 10,
+          as = "recall_1probe")
+        .join(Similarity.recallAtK(exact, am, "q_id", "vec_id", 10,
+          as = "recall_multiprobe"), Seq("q_id"))
+        .repartition(1).sortWithinPartitions("q_id")
+    }),
+
     "n6_ivf_partitioned" -> ((s, d) => {
       // the IVF serving shape: embeddings written under cell=<c>
       // directories, probe cells computed driver-side from the query and
@@ -937,7 +960,10 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_ivf").toString
       val emb = T(s, d).embeddings
-      Warehouse.writeEmbeddingsByCell(emb, root, k = 8, dim = 64)
+      // the md5 seed grid, NOT trained centroids: this query's DuckDB
+      // oracle reproduces the centroid arithmetic symbolically
+      Warehouse.writeEmbeddingsByCell(emb, root, k = 8, dim = 64,
+        centroids = Some(Similarity.seedCentroids(8, 64)))
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       Similarity.ivfTopKPartitioned(
@@ -2138,6 +2164,49 @@ object SparkEntry {
          |FROM s
          |QUALIFY rank <= 3
          |ORDER BY q_id, rank""".stripMargin
+    },
+
+    "n8_ann_recall" -> {
+      val bucket = (v: String) =>
+        s"""array_to_string(list_transform(range(0, 4),
+           |    p -> CASE WHEN list_reduce(list_transform(range(0, 64),
+           |        d -> $v[d + 1]::DOUBLE *
+           |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
+           |        (a, b) -> a + b) >= 0
+           |      THEN 1 ELSE 0 END), '')""".stripMargin
+      val cos = (a: String, b: String) =>
+        s"""round(list_reduce(list_transform(range(1, 65),
+           |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+           |  / (sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+           |     * sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |allp AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${cos("e.embedding", "q.qv")} AS cosine,
+         |    hamming(${bucket("q.qv")}, ${bucket("e.embedding")}) AS hd
+         |  FROM q, embeddings e),
+         |ex AS (SELECT q_id, vec_id FROM allp
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) <= 10),
+         |a1 AS (SELECT q_id, vec_id FROM allp WHERE hd = 0
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) <= 10),
+         |am AS (SELECT q_id, vec_id FROM allp WHERE hd <= 1
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) <= 10),
+         |r1 AS (SELECT ex.q_id, count(a1.vec_id) / 10.0 AS recall_1probe
+         |  FROM ex LEFT JOIN a1 ON ex.q_id = a1.q_id AND ex.vec_id = a1.vec_id
+         |  GROUP BY ex.q_id),
+         |rm AS (SELECT ex.q_id, count(am.vec_id) / 10.0 AS recall_multiprobe
+         |  FROM ex LEFT JOIN am ON ex.q_id = am.q_id AND ex.vec_id = am.vec_id
+         |  GROUP BY ex.q_id)
+         |SELECT r1.q_id, r1.recall_1probe, rm.recall_multiprobe
+         |FROM r1 JOIN rm ON r1.q_id = rm.q_id
+         |ORDER BY 1""".stripMargin
     },
 
     "n4_near_dup" -> {

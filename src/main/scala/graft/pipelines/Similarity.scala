@@ -114,24 +114,80 @@ object Similarity {
         when(d >= 0, lit(1)).otherwise(lit(0))
       }))
 
+  /** Multi-probe bucket set: the bucket itself plus every bucket at
+    * Hamming distance 1 (each bit flipped once). A vector near a
+    * hyperplane lands on either side by a hair's width — single-probe
+    * LSH silently misses those neighbors; probing the bits+1 adjacent
+    * buckets recovers them at bits+1× the candidate volume. The recall
+    * gain is measured by `n8_ann_recall` / SimilaritySpec.
+    */
+  def probeBuckets(bucket: Column, bits: Int): Column = {
+    val flips = (0 until bits).map { i =>
+      concat(substring(bucket, 1, i),
+        when(substring(bucket, i + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(bucket, i + 2, bits - i - 1))
+    }
+    array(bucket +: flips: _*)
+  }
+
   /** ANN top-k via LSH bucketing: score only vectors whose bucket matches
     * the query's bucket (approximate — may return < k rows when the
-    * bucket is small). At cluster scale the corpus is pre-bucketed and
-    * partitioned by bucket, so a query touches one partition.
+    * bucket is small). `hamming = 1` enables multi-probe: candidates from
+    * the query's bucket AND all single-bit-flip buckets (see
+    * [[probeBuckets]]). At cluster scale the corpus is pre-bucketed and
+    * partitioned by bucket, so a query touches 1 (or bits+1) partitions.
     */
   def annTopKCosine(corpus: DataFrame, idCol: String, vecCol: String,
                     query: Column, k: Int, bits: Int = 4,
-                    dim: Int = -1): DataFrame = {
+                    dim: Int = -1, hamming: Int = 0): DataFrame = {
+    require(hamming <= 1, "only Hamming-1 multi-probe is supported")
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val qb = bucketCol(query, bits, dim)
     val bucketed = corpus
       .withColumn("_bucket", bucketCol(col(vecCol), bits, dim))
-    bucketed
-      .filter(col("_bucket") === bucketCol(query, bits, dim))
+    val candidates =
+      if (hamming <= 0) bucketed.filter(col("_bucket") === qb)
+      else bucketed.filter(array_contains(probeBuckets(qb, bits),
+        col("_bucket")))
+    candidates
       .select(col(idCol),
         round(cosineNative(col(vecCol), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** EXACT batch top-k — the evaluation baseline recall is measured
+    * against: every query scores the whole corpus (queries broadcast;
+    * rank on the rounded cosine with an id tie-break so the top-k SET is
+    * deterministic and engine-independent).
+    */
+  def batchTopKCosineExact(corpus: DataFrame, idCol: String,
+                           vecCol: String, queries: DataFrame,
+                           qIdCol: String, qVecCol: String,
+                           k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        round(cosineNative(col(vecCol), col(qVecCol)), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-query recall@k of an approximate result against the exact one
+    * (both shaped (qId, id), pre-limited to k rows per query). Queries
+    * whose approximate set misses everything still get a row (recall 0).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, qIdCol: String,
+                idCol: String, k: Int,
+                as: String = "recall"): DataFrame =
+    exact.select(qIdCol, idCol)
+      .join(approx.select(qIdCol, idCol).withColumn("_hit", lit(1)),
+        Seq(qIdCol, idCol), "left")
+      .groupBy(qIdCol)
+      .agg((sum(coalesce(col("_hit"), lit(0))) / k.toDouble).as(as))
 
   /** IVF coarse quantizer with deterministic md5-seeded centroids (the
     * list-training step is orthogonal to the engine shape; real
@@ -154,6 +210,89 @@ object Similarity {
     }
     least(dists: _*).getField("cell")
   }
+
+  /** Nearest cell over TRAINED centroids (row-major literal matrix) —
+    * compiled assignment via
+    * [[graft.expressions.TextSketches.IvfCellAt]].
+    */
+  def ivfCellAtNative(vec: Column, cents: Array[Array[Double]]): Column =
+    call_function("graft_ivf_cell_at", vec, lit(cents.flatten),
+      lit(cents(0).length))
+
+  /** The md5 grid as an explicit centroid matrix (k-means seed; also the
+    * oracle-documented assignment when used with [[ivfCellAtNative]]).
+    */
+  def seedCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k, dim)((c, d) => centroidComponent(c, d))
+
+  /** Deterministic dataframe-native Lloyd k-means for IVF centroids.
+    * Untrained (md5-random) centroids give unbalanced cells and poor
+    * probe quality on clustered real-world embeddings; a few Lloyd
+    * rounds fix both. Determinism: seeded init from the md5 grid, and
+    * the per-cell means accumulate in DECIMAL (exact, order-independent
+    * sums), so the result is bit-identical across partitionings and
+    * retries. Each round is one assignment scan + one (cell, dim)
+    * aggregation of k×dim rows; at 100 TB train on a hash-sampled
+    * subset ([[TextAnalysis.stratifiedHashSample]]) — the centroids
+    * only need the distribution, not the corpus.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, k: Int,
+                        dim: Int, iters: Int = 4): Array[Array[Double]] = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    var cents = seedCentroids(k, dim)
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(ivfCellAtNative(col(vecCol), cents).as("_cell"),
+          posexplode(toDouble(col(vecCol))))
+        .groupBy("_cell", "pos")
+        .agg(avg(col("col").cast("decimal(38,18)")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() // empty cells keep their seed
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Mean distance of each vector to its assigned centroid plus cell
+    * sizes — the training-quality diagnostics (lower mean distance,
+    * flatter cells = better probe behavior).
+    */
+  def ivfQuality(corpus: DataFrame, vecCol: String,
+                 cents: Array[Array[Double]]): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val dim = cents(0).length
+    val d2 = (0 until cents.length).map { c =>
+      val cl = array(cents(c).map(lit): _*)
+      struct(aggregate(zip_with(toDouble(col(vecCol)), cl,
+        (x, w) => (x - w) * (x - w)), lit(0.0), (a, x) => a + x).as("d2"),
+        lit(c).as("cell"))
+    }
+    corpus
+      .select(ivfCellAtNative(col(vecCol), cents).as("cell"),
+        sqrt(least(d2: _*).getField("d2")).as("dist"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("dist").as("mean_dist"))
+  }
+
+  /** Driver-side probe cells for TRAINED centroids — mirror of
+    * [[probeCells]] with an explicit matrix.
+    */
+  def probeCellsAt(query: Array[Double], cents: Array[Array[Double]],
+                   nprobe: Int): Seq[Int] =
+    cents.indices.map { c =>
+      var d2 = 0.0
+      var d = 0
+      while (d < query.length) {
+        val x = query(d) - cents(c)(d)
+        d2 += x * x
+        d += 1
+      }
+      (d2, c)
+    }.sorted.take(nprobe).map(_._2)
 
   /** Driver-side probe-cell selection for a LOCAL query vector — the
     * serving-path twin of the in-plan probe set in [[ivfTopKCosine]]:
@@ -181,9 +320,14 @@ object Similarity {
     */
   def ivfTopKPartitioned(cellPartitioned: DataFrame, idCol: String,
                          vecCol: String, query: Array[Double], topK: Int,
-                         k: Int, nprobe: Int = 2): DataFrame = {
+                         k: Int, nprobe: Int = 2,
+                         centroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     graft.expressions.GraftFunctions.register(cellPartitioned.sparkSession)
-    val probes = probeCells(query, k, nprobe)
+    val probes = centroids match {
+      case Some(cents) => probeCellsAt(query, cents, nprobe)
+      case None        => probeCells(query, k, nprobe)
+    }
     val qCol = array(query.map(lit): _*)
     cellPartitioned
       .filter(col("cell").isin(probes: _*))
@@ -247,12 +391,19 @@ object Similarity {
     */
   def batchAnnTopK(corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int, bits: Int, dim: Int): DataFrame = {
+                   k: Int, bits: Int, dim: Int,
+                   hamming: Int = 0): DataFrame = {
+    require(hamming <= 1, "only Hamming-1 multi-probe is supported")
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol), col(vecCol),
       bucketCol(col(vecCol), bits, dim).as("_b"))
-    val q = queries.select(col(qIdCol), col(qVecCol),
+    val q0 = queries.select(col(qIdCol), col(qVecCol),
       bucketCol(col(qVecCol), bits, dim).as("_b"))
+    // multi-probe stays an EQUI-join: the query side explodes into its
+    // bits+1 probe buckets (all distinct, so no candidate duplicates)
+    val q =
+      if (hamming <= 0) q0
+      else q0.withColumn("_b", explode(probeBuckets(col("_b"), bits)))
     q.join(c, "_b")
       .select(col(qIdCol), col(idCol),
         round(cosineNative(col(vecCol), col(qVecCol)), 6).as("cosine"))

@@ -200,6 +200,102 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.as[(Long, Double)].collect().toSeq === expect)
   }
 
+  test("multi-probe LSH: recall@10 ≥ single-probe, measured vs brute force") {
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val exact = graft.Caches.persist(
+      Similarity.batchTopKCosineExact(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", k = 10))
+    def meanRecall(hamming: Int): Double = {
+      val approx = Similarity.batchAnnTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", k = 10, bits = 4, dim = 64,
+        hamming = hamming)
+      Similarity.recallAtK(exact, approx, "q_id", "vec_id", 10)
+        .agg(avg($"recall")).as[Double].collect()(0)
+    }
+    val r1 = meanRecall(0)
+    val rm = meanRecall(1)
+    info(f"recall@10 single-probe=$r1%.3f multi-probe=$rm%.3f")
+    // Measured on the synthetic corpus: single ≈ 0.17, multi ≈ 0.54.
+    // Absolute recall is bounded by the DATA here — these embeddings are
+    // near-random, so true top-10 neighbors sit at ~60° and agree with a
+    // random hyperplane only ~2/3 of the time per bit (0.67⁴ ≈ 0.2 —
+    // matching the single-probe measurement). The engine-side contract
+    // this spec pins down: recall is MEASURED (the tuning signal exists),
+    // multi-probe is monotone, and Hamming-1 probing recovers a large
+    // multiple of what single-probe finds at (bits+1)× candidates. On a
+    // real clustered corpus (neighbors at ~20°, 0.94/bit) the same
+    // params give single ≈ 0.78, multi ≈ 0.95+.
+    assert(rm >= r1)
+    assert(rm >= 2.0 * r1,
+      f"multi-probe $rm%.3f should far exceed single-probe $r1%.3f here")
+    assert(rm >= 0.45, f"multi-probe recall@10 $rm%.3f below 0.45")
+    graft.Caches.releaseAll()
+  }
+
+  test("recall on a clustered corpus: multi-probe reaches ≥0.9") {
+    // the complement of the synthetic-corpus test above: build a corpus
+    // with REAL neighbor structure (10 tight clusters, members ≈ 15° off
+    // their center) and verify the same 4-bit/Hamming-1 params reach the
+    // recall a production tuner would expect
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val v = c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val exact = graft.Caches.persist(
+      Similarity.batchTopKCosineExact(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", k = 10))
+    val approx = Similarity.batchAnnTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "qv", k = 10, bits = 4, dim = 64, hamming = 1)
+    val rm = Similarity.recallAtK(exact, approx, "q_id", "vec_id", 10)
+      .agg(avg($"recall")).as[Double].collect()(0)
+    info(f"clustered-corpus multi-probe recall@10=$rm%.3f")
+    assert(rm >= 0.9, f"clustered multi-probe recall $rm%.3f below 0.9")
+    graft.Caches.releaseAll()
+  }
+
+  test("ivfCellAt over the seed grid ≡ the md5 ivfCell expression") {
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val seed = Similarity.seedCentroids(8, 64)
+    val diff = emb.select(
+        Similarity.ivfCellNative($"embedding", 8, 64).as("a"),
+        Similarity.ivfCellAtNative($"embedding", seed).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff === 0)
+  }
+
+  test("trained IVF centroids: lower mean distance, flatter cells than seed") {
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val seed = Similarity.seedCentroids(8, 64)
+    val trained = Similarity.trainIvfCentroids(emb, "embedding", 8, 64)
+    def stats(cents: Array[Array[Double]]): (Double, Long) = {
+      val rows = Similarity.ivfQuality(emb, "embedding", cents)
+        .select($"n".cast("long"), $"mean_dist").as[(Long, Double)]
+        .collect()
+      val total = rows.map(_._1).sum
+      val wMean = rows.map { case (n, m) => n * m }.sum / total
+      (wMean, rows.map(_._1).max)
+    }
+    val (seedDist, seedMaxCell) = stats(seed)
+    val (trainedDist, trainedMaxCell) = stats(trained)
+    info(f"seed: meanDist=$seedDist%.4f maxCell=$seedMaxCell; " +
+      f"trained: meanDist=$trainedDist%.4f maxCell=$trainedMaxCell")
+    assert(trainedDist < seedDist,
+      "Lloyd rounds must reduce mean point-to-centroid distance")
+    assert(trainedMaxCell <= seedMaxCell,
+      "training must not make the largest cell worse")
+    // determinism: retraining reproduces the exact same centroids
+    val again = Similarity.trainIvfCentroids(emb, "embedding", 8, 64)
+    assert(trained.flatten.toSeq === again.flatten.toSeq)
+  }
+
   test("Caches.releaseAll unpersists the near-dup intermediate") {
     graft.Caches.releaseAll()
     val pairs = Similarity.nearDupPairs(corpus, "id", "vec", 0.5)
