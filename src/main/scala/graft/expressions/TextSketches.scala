@@ -347,6 +347,52 @@ object TextSketches {
     override def prettyName: String = "graft_ivf_cell"
   }
 
+  /** Nearest-centroid cell over an ARBITRARY centroid matrix passed as a
+    * flattened literal array (row-major, k×dim) — the assignment step
+    * for trained (k-means) IVF centroids, where [[IvfCell]]'s md5 grid
+    * no longer applies. Same squared-L2 fold and lower-cell tie-break as
+    * [[IvfCell]]; the matrix is unflattened once per executor.
+    */
+  case class IvfCellAt(left: Expression, right: Expression, dim: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+
+    @transient private lazy val cents: Array[Array[Double]] = {
+      require(right.foldable, "centroid matrix must be a literal array")
+      val flat = right.eval(null).asInstanceOf[ArrayData]
+      require(flat.numElements() % dim == 0,
+        s"flattened centroids (${flat.numElements()}) not divisible by dim $dim")
+      Array.tabulate(flat.numElements() / dim, dim)((c, d) =>
+        flat.getDouble(c * dim + d))
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val v = l.asInstanceOf[ArrayData]
+      if (v.numElements() < dim) return null
+      val et = left.dataType.asInstanceOf[ArrayType].elementType
+      var bestD2 = Double.MaxValue
+      var bestCell = 0
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = toDoubleAt(v, d, et) - cent(d)
+          d2 += x * x
+          d += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; bestCell = c }
+        c += 1
+      }
+      bestCell
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): IvfCellAt = copy(left = l, right = r)
+    override def prettyName: String = "graft_ivf_cell_at"
+  }
+
   /** Dot product of two numeric arrays in one tight loop — the ANN hot
     * path. The declarative form `aggregate(zip_with(a, b, _*_), 0.0, +)`
     * is interpreted per element, which dominates pairwise scoring (dim
@@ -427,6 +473,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       es => TextSketches.IvfCell(es.head, litInt(es(1), "k"),
         litInt(es(2), "dim")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ivf_cell_at",
+      es => TextSketches.IvfCellAt(es.head, es(1), litInt(es(2), "dim")),
+      "scala_udf")
     // optimizer rule: declarative dot-product folds compile to VecDot
     // (idempotent append)
     val rules = spark.experimental.extraOptimizations

@@ -158,10 +158,17 @@ object Warehouse {
     */
   def writeEmbeddingsByCell(emb: DataFrame, root: String, k: Int,
                             dim: Int,
-                            vecCol: String = "embedding"): Unit = {
+                            vecCol: String = "embedding",
+                            centroids: Option[Array[Array[Double]]] = None)
+      : Unit = {
     graft.expressions.GraftFunctions.register(emb.sparkSession)
+    // default: trained k-means centroids (balanced cells, tight probes);
+    // pass Similarity.seedCentroids(k, dim) explicitly to reproduce the
+    // oracle-documented md5 grid
+    val cents = centroids.getOrElse(
+      graft.pipelines.Similarity.trainIvfCentroids(emb, vecCol, k, dim))
     emb.withColumn("cell",
-        graft.pipelines.Similarity.ivfCellNative(col(vecCol), k, dim))
+        graft.pipelines.Similarity.ivfCellAtNative(col(vecCol), cents))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$root/embeddings")
   }
