@@ -12,6 +12,15 @@ import org.apache.spark.sql.DataFrame
   * the signatures" must have an owner. Pipelines register through
   * [[persist]]; the harness (Verify / Bench / a serving layer) calls
   * [[releaseAll]] after each query's terminal action.
+  *
+  * CONTRACT: the registry is process-global, so the library entry points
+  * that persist intermediates (Dedup banding/CC, Similarity near-dup,
+  * pageStats) are single-query-at-a-time: `releaseAll()` after one
+  * query's terminal action unpersists any OTHER in-flight query's
+  * intermediates too (correctness survives — Spark recomputes — but the
+  * self-join persists are silently lost). A concurrent serving layer
+  * should serialize queries through this registry or hold its own
+  * lifecycle around the pipeline calls.
   */
 object Caches {
 

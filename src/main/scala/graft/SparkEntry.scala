@@ -32,17 +32,26 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def prepareBucketed(s: SparkSession, d: String): (String, String) = {
-    val tag = bucketedTags.computeIfAbsent(d, dir => {
-      val h = java.lang.Integer.toHexString(dir.hashCode)
-      val t = T(s, dir)
-      Warehouse.writeBucketed(
-        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
-        s"graft_li_$h", "l_orderkey", 16)
-      Warehouse.writeBucketed(
-        t.orders.select("o_orderkey", "o_custkey"),
-        s"graft_ord_$h", "o_orderkey", 16)
-      h
-    })
+    val h = java.lang.Integer.toHexString(d.hashCode)
+    // memo key includes the session: saveAsTable registers in the
+    // CALLING session's in-memory catalog, so a second SparkSession in
+    // the same JVM must re-write rather than trust another session's
+    // memo; tableExists double-checks against out-of-band drops
+    val tag = bucketedTags.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$d",
+      _ => {
+        if (!(s.catalog.tableExists(s"graft_li_$h") &&
+              s.catalog.tableExists(s"graft_ord_$h"))) {
+          val t = T(s, d)
+          Warehouse.writeBucketed(
+            t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+            s"graft_li_$h", "l_orderkey", 16)
+          Warehouse.writeBucketed(
+            t.orders.select("o_orderkey", "o_custkey"),
+            s"graft_ord_$h", "o_orderkey", 16)
+        }
+        h
+      })
     (s"graft_li_$tag", s"graft_ord_$tag")
   }
 

@@ -282,12 +282,17 @@ object TextSketches {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType =
       org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = true // short vectors degrade to null
 
     @transient private lazy val planes: Array[Array[Double]] =
       Array.tabulate(bits, dim)((p, d) => seededComponent(s"$p,$d"))
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      // ragged/short vector → null, not ArrayIndexOutOfBounds: a single
+      // malformed row must degrade like the declarative twins, not fail
+      // the whole job
+      if (v.numElements() < dim) return null
       val et = child.dataType.asInstanceOf[ArrayType].elementType
       val sb = new java.lang.StringBuilder(bits)
       var p = 0
@@ -317,12 +322,14 @@ object TextSketches {
   case class IvfCell(child: Expression, k: Int, dim: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true // short vectors degrade to null
 
     @transient private lazy val cents: Array[Array[Double]] =
       Array.tabulate(k, dim)((c, d) => seededComponent(s"ivf:$c,$d"))
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() < dim) return null // degrade, don't fail the job
       val et = child.dataType.asInstanceOf[ArrayType].elementType
       var bestD2 = Double.MaxValue
       var bestCell = 0
@@ -356,6 +363,7 @@ object TextSketches {
   case class IvfCellAt(left: Expression, right: Expression, dim: Int)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true // short vectors degrade to null
 
     @transient private lazy val cents: Array[Array[Double]] = {
       require(right.foldable, "centroid matrix must be a literal array")

@@ -65,14 +65,25 @@ object AsOf {
     val w = Window.partitionBy(col("_by")).orderBy(tOrd, sOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // null event times never match (merge_asof / DuckDB ASOF semantics).
+    // Routed explicitly rather than through sort order: a null-t left row
+    // would otherwise sort LAST under `desc` (forward) and spuriously
+    // match the minimum-t right row, and a null-t right row would sort
+    // FIRST under `asc` (backward) and leak its payload everywhere.
+    val lNull = lNorm.filter(col("_t").isNull)
+    val merged = lNorm.filter(col("_t").isNotNull)
+      .unionByName(rNorm.filter(col("_t").isNotNull))
+
     // the payload travels as ONE struct: a right row whose payload fields
     // are null still matches (last(ignoreNulls) on bare fields would
     // skip it and wrongly reach further back)
-    lNorm.unionByName(rNorm)
+    merged
       .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(col("_lrow.*") +:
         payload.map(p => col(s"_m.$p").as(p)): _*)
+      .unionByName(lNull.select(col("_lrow.*") +:
+        payload.map(p => col(s"_pay.$p").as(p)): _*))
   }
 
   /** Interval (range) join: left point-events matched to right

@@ -93,6 +93,26 @@ class AsOfSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("null event times never match, in either direction") {
+    // merge_asof / DuckDB ASOF semantics: a null-timestamp left row gets
+    // a null payload (it would otherwise sort last under forward's desc
+    // order and spuriously match the minimum-t right row), and a
+    // null-timestamp right row matches nothing (it would otherwise sort
+    // first under backward's asc order and leak its payload everywhere)
+    val lNull = left.unionByName(
+      Seq((9L, "A", null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("id", "sym", "t"))
+    val rNull = right.unionByName(
+      Seq(("A", null.asInstanceOf[java.sql.Timestamp], Some(99.0)))
+        .toDF("sym", "as_of", "price"))
+    for (dir <- Seq("backward", "forward")) {
+      val got = run(lNull, rNull, dir)
+      assert(got(9L) === None, s"null left t must not match ($dir)")
+      assert(!got.values.flatten.exists(_ == 99.0),
+        s"null right t must never contribute payload ($dir)")
+    }
+  }
+
   test("one shuffle on the key: a single Exchange below the window") {
     val plan = AsOf.asofJoin(left, right, "sym", "t", "as_of",
       Seq("price")).queryExecution.executedPlan.toString
