@@ -765,6 +765,19 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
+    "d8_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: every 97th document plays the eval
+      // benchmark; training docs are flagged by exact 3-gram shingle
+      // collisions against it (the apply step mirrors d7's anti-join)
+      val docs = T(s, d).documents
+      val contam = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.contaminationHits(train, "doc_id", col("text"),
+          contam, col("text"))
+        .withColumn("hits", col("hits").cast("long"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "d6_dedup_clusters" -> ((s, d) => {
       // pairs → clusters: min-label propagation over the banded candidate
       // graph; root == id marks the kept representative per cluster
@@ -2019,6 +2032,19 @@ object SparkEntry {
          |JOIN sz nb ON nb.doc_id = doc_b
          |WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d8_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(${shinglesSql("ws")},
+         |      s -> ${h60("s")}))) AS sh
+         |  FROM w),
+         |c AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |t AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM t JOIN c USING (sh)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "t6_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents

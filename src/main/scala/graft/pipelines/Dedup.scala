@@ -322,6 +322,43 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("root"))
   }
 
+  /** Benchmark decontamination hits — the pre-training hygiene pass:
+    * count, per training document, the exact w-gram shingles it shares
+    * with a contamination corpus (eval benchmarks, held-out sets).
+    * Exact-hash membership rather than MinHash, because decontamination
+    * policies are phrased as counts of exact n-gram collisions. Both
+    * sides explode their DISTINCT 60-bit shingle hashes (one compiled
+    * pass per row); the equi-join on the hash is one shuffle, and the
+    * contamination side — benchmarks are tiny next to a training corpus —
+    * is broadcast by Catalyst at scale.
+    */
+  def contaminationHits(train: DataFrame, idCol: String, text: Column,
+                        contam: DataFrame, contamText: Column,
+                        w: Int = 3): DataFrame = {
+    graft.expressions.GraftFunctions.register(train.sparkSession)
+    val tSh = train.select(col(idCol),
+      explode(call_function("graft_shingle_hashes60", text, lit(w)))
+        .as("_sh"))
+    val cSh = contam.select(
+      explode(call_function("graft_shingle_hashes60", contamText, lit(w)))
+        .as("_sh"))
+      .distinct()
+    tSh.join(cSh, "_sh")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Apply decontamination: drop training documents with ≥ `minHits`
+    * shingle collisions against the contamination corpus (anti-join on
+    * the flagged ids).
+    */
+  def decontaminate(train: DataFrame, idCol: String, text: Column,
+                    contam: DataFrame, contamText: Column,
+                    w: Int = 3, minHits: Int = 1): DataFrame = {
+    val flagged = contaminationHits(train, idCol, text, contam,
+      contamText, w).filter(col("hits") >= minHits).select(idCol)
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard similarity over candidate pairs (blocked by a cheap
     * key, e.g. language, to bound the pair space): explode distinct
     * shingles, self-join within blocks, and compute

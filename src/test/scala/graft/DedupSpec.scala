@@ -157,6 +157,27 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("decontaminate: shingle collisions flag and drop tainted docs") {
+    val contam = Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps high today"), // shares 3-grams
+      (2L, "completely unrelated text about spark engines"),
+      (3L, "the quick brown fox jumps over lazy dogs entirely")) // superset
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(train, "doc_id", $"text",
+        contam, $"text")
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown","quick brown fox","brown fox jumps"
+    assert(hits(1L) === 3L)
+    assert(hits(3L) >= 6L)      // near-superset: most shingles collide
+    assert(!hits.contains(2L))  // clean doc never appears
+    val kept = Dedup.decontaminate(train, "doc_id", $"text",
+        contam, $"text", minHits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("connectedComponents: chains collapse to the min id per cluster") {
     val nodes = (1L to 12L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

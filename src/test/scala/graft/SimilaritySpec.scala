@@ -261,6 +261,29 @@ class SimilaritySpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("IVF recall@10 rises with nprobe; probing all cells is exact") {
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def recallAt(nprobe: Int): Double = {
+      val per = queries.map { case (qid, qv) =>
+        val qCol = array(qv.map(v => lit(v.toDouble)): _*)
+        val exact = Similarity.topKCosine(emb, "vec_id", "embedding",
+          qCol, 10).select("vec_id").as[Long].collect().toSet
+        val approx = Similarity.ivfTopKCosine(emb, "vec_id", "embedding",
+          qCol, topK = 10, k = 8, dim = 64, nprobe = nprobe)
+          .select("vec_id").as[Long].collect().toSet
+        (exact.intersect(approx).size / 10.0, qid)
+      }
+      per.map(_._1).sum / per.length
+    }
+    val sweep = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+    info(sweep.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+    // monotone in nprobe, and probing every cell IS brute force
+    assert(sweep.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a })
+    assert(sweep.last._2 === 1.0)
+  }
+
   test("ivfCellAt over the seed grid ≡ the md5 ivfCell expression") {
     val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
     val seed = Similarity.seedCentroids(8, 64)
