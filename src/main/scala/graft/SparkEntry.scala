@@ -765,6 +765,27 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
+    "t10_corpus_shuffle" -> ((s, d) => {
+      // deterministic training-order shuffle: global rank by salted hash
+      // via the scale-safe globalRanks (no single-task window)
+      TextAnalysis.deterministicShuffle(
+          T(s, d).documents.select("doc_id"), col("doc_id"), "epoch-0")
+        .withColumnRenamed("_rn", "rn")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t11_chunk" -> ((s, d) => {
+      // sliding-window chunking (32-word windows, stride 24): in-row
+      // generate, no shuffle — the embedding/context-window prep pass
+      TextAnalysis.chunkWords(T(s, d).documents.select("doc_id", "text"),
+          col("text"), chunkSize = 32, stride = 24)
+        .select(col("doc_id"),
+          col("chunk_ix").cast("long").as("chunk_ix"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          col("chunk"))
+        .repartition(1).sortWithinPartitions("doc_id", "chunk_ix")
+    }),
+
     "d8_decontaminate" -> ((s, d) => {
       // benchmark decontamination: every 97th document plays the eval
       // benchmark; training docs are flagged by exact 3-gram shingle
@@ -2032,6 +2053,22 @@ object SparkEntry {
          |JOIN sz nb ON nb.doc_id = doc_b
          |WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t10_corpus_shuffle" ->
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY
+         |    ${h60("'epoch-0#' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS BIGINT) AS rn
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t11_chunk" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |f AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+         |st AS (SELECT doc_id, ws, n, unnest(range(0, n, 24)) AS s FROM f)
+         |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_ix,
+         |  CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(ws[s + 1 : s + 32], ' ') AS chunk
+         |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
 
     "d8_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),

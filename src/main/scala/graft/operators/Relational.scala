@@ -53,7 +53,13 @@ object Relational {
     * the broadcast prefix-sum offset — global rank with every partition
     * working in parallel.
     */
-  def pageStats(df: DataFrame, order: Seq[Column], limit: Int): DataFrame = {
+  /** Scale-safe GLOBAL ranks: the whole frame with a `_rn` column giving
+    * each row's 1-based rank in `order`, computed with NO single-task
+    * window — range partition on the sort key, partition-local indices
+    * from `monotonically_increasing_id`, broadcast prefix-sum offsets.
+    * Backs [[pageStats]] and the deterministic corpus shuffle.
+    */
+  def globalRanks(df: DataFrame, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     // Persist the ranged frame: the offset pass and the rank pass must see
@@ -74,6 +80,11 @@ object Relational {
       else element_at(typedLit(offsets), col("_pid"))
     ranged
       .withColumn("_rn", offExpr + col("_li") + 1L)
+      .drop("_mid", "_pid", "_li")
+  }
+
+  def pageStats(df: DataFrame, order: Seq[Column], limit: Int): DataFrame =
+    globalRanks(df, order)
       .withColumn("page", floor((col("_rn") - 1) / limit).cast("long"))
       .groupBy("page")
       .agg(count(lit(1)).as("n_rows"),
@@ -81,7 +92,6 @@ object Relational {
       .withColumn("offset", col("page") * limit)
       .withColumn("next_offset",
         when(col("n_rows") === limit, col("offset") + limit))
-  }
 
   /** F3 — point lookup, newest id wins
     * (/root/reference/app/db.py:305-321).

@@ -226,6 +226,45 @@ object TextAnalysis {
           lit(0L)) / window).cast("long"))
   }
 
+  /** Deterministic corpus shuffle — training-order randomization without
+    * RNG state: every row ranked by its salted 60-bit md5 (ties broken by
+    * the key). Reproducible across partitionings/retries like
+    * [[stratifiedHashSample]], and the rank is computed with the
+    * scale-safe [[graft.operators.Relational.globalRanks]] (NO
+    * single-task window). Changing the salt reshuffles — epoch ordering
+    * is `salt = s"epoch-$n"`.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column,
+                           salt: String): DataFrame =
+    graft.operators.Relational.globalRanks(
+      df.withColumn("_h",
+        md5Hash60(concat(lit(salt), lit("#"), key.cast("string")))),
+      Seq(col("_h").asc, key.asc))
+      .drop("_h")
+
+  /** Sliding-window word chunking — context-window / embedding prep:
+    * each document explodes into windows of `chunkSize` words advancing
+    * by `stride` (overlap = chunkSize − stride). Pure in-row generate →
+    * the corpus streams through one scan with no shuffle; documents with
+    * no words yield no chunks.
+    */
+  def chunkWords(df: DataFrame, text: Column, chunkSize: Int,
+                 stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val ws = Dedup.words(text)
+    df.withColumn("_ws", ws)
+      .filter(size(col("_ws")) > 0)
+      .select(col("*"),
+        posexplode(sequence(lit(0), size(col("_ws")) - 1, lit(stride))))
+      .withColumnRenamed("pos", "chunk_ix")
+      .select(col("*"),
+        array_join(slice(col("_ws"), col("col") + 1, lit(chunkSize)), " ")
+          .as("chunk"),
+        least(lit(chunkSize), size(col("_ws")) - col("col"))
+          .as("chunk_tokens"))
+      .drop("_ws", "col")
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
 

@@ -102,6 +102,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
   }
 
+  test("deterministicShuffle: exact permutation, reproducible, salt-keyed") {
+    val df = (1L to 100L).toDF("id")
+    def run(salt: String) =
+      TextAnalysis.deterministicShuffle(df, $"id", salt)
+        .select("id", "_rn").as[(Long, Long)].collect().toMap
+    val e0 = run("epoch-0")
+    assert(e0.values.toSeq.sorted === (1L to 100L)) // ranks are 1..n exactly
+    assert(e0 === run("epoch-0"))                   // reproducible
+    assert(e0 !== run("epoch-1"))                   // salt reshuffles
+    // and it is not the identity order
+    assert(e0.count { case (id, rn) => id == rn } < 20)
+    graft.Caches.releaseAll()
+  }
+
+  test("chunkWords: stride windows with overlap; empty docs drop out") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWords(df, $"text", chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_ix", "chunk_tokens", "chunk")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.map(_._1).forall(_ == 1L)) // whitespace-only doc: no chunks
+    assert(got.map(_._4).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(got.map(_._3).toSeq === Seq(4, 4, 4, 1))
+  }
+
   test("packSequences: bins fill in order, capacity respected") {
     val df = (1L to 10L).map(i => (i, "en", "x " * 99 + "x"))
       .toDF("doc_id", "lang", "text") // 100 tokens each
