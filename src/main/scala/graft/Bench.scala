@@ -55,8 +55,12 @@ object Bench {
       name -> times.min
     }
     val total = results.map(_._2).sum
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // renders 0.7 as "0,7000" on comma-decimal locales — invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def jsonMap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +

@@ -26,20 +26,12 @@ object Caches {
 
   private val active =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val hooks =
-    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist `df` and register it for later release. */
   def persist(df: DataFrame): DataFrame = {
     active.add(df)
     df.persist()
   }
-
-  /** Register a cleanup thunk run at the next [[releaseAll]] — for
-    * resources `Dataset.unpersist` can't reach (e.g. the RDD-level
-    * persistence behind `localCheckpoint`).
-    */
-  def onRelease(f: () => Unit): Unit = hooks.add(f)
 
   /** Unpersist every registered intermediate (non-blocking: block frees
     * proceed asynchronously while the next query starts).
@@ -51,14 +43,8 @@ object Caches {
       catch { case _: Throwable => () }
       d = active.poll()
     }
-    var h = hooks.poll()
-    while (h != null) {
-      try h()
-      catch { case _: Throwable => () }
-      h = hooks.poll()
-    }
   }
 
   /** Number of currently-registered (not yet released) intermediates. */
-  def activeCount: Int = active.size() + hooks.size()
+  def activeCount: Int = active.size()
 }

@@ -70,19 +70,26 @@ object AsOf {
     // would otherwise sort LAST under `desc` (forward) and spuriously
     // match the minimum-t right row, and a null-t right row would sort
     // FIRST under `asc` (backward) and leak its payload everywhere.
-    val lNull = lNorm.filter(col("_t").isNull)
-    val merged = lNorm.filter(col("_t").isNotNull)
-      .unionByName(rNorm.filter(col("_t").isNotNull))
+    val leftNullable = left.schema(leftOn).nullable
+    val merged =
+      (if (leftNullable) lNorm.filter(col("_t").isNotNull) else lNorm)
+        .unionByName(
+          if (right.schema(rightOn).nullable)
+            rNorm.filter(col("_t").isNotNull)
+          else rNorm)
 
     // the payload travels as ONE struct: a right row whose payload fields
     // are null still matches (last(ignoreNulls) on bare fields would
     // skip it and wrongly reach further back)
-    merged
+    val matched = merged
       .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(col("_lrow.*") +:
         payload.map(p => col(s"_m.$p").as(p)): _*)
-      .unionByName(lNull.select(col("_lrow.*") +:
+    // the extra left scan only exists when null timestamps are possible
+    if (!leftNullable) matched
+    else matched.unionByName(
+      lNorm.filter(col("_t").isNull).select(col("_lrow.*") +:
         payload.map(p => col(s"_pay.$p").as(p)): _*))
   }
 

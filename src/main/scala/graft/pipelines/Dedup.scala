@@ -279,10 +279,14 @@ object Dedup {
           val nmin = edges
             .join(lbl.select(col("id").as("dst"), col("root")), "dst")
             .groupBy(col("src").as("id")).agg(min(col("root")).as("_nroot"))
-          val prop = lbl.join(nmin, Seq("id"), "left")
-            .select(col("id"), col("root"),
-              least(col("root"), coalesce(col("_nroot"), col("root")))
-                .as("_p"))
+          // persisted: the pointer-jump self-join reads `prop` from both
+          // sides, and Spark re-executes a diamond's shared subplan once
+          // per consumer (the edges join + min agg would run twice)
+          val prop = graft.Caches.persist(
+            lbl.join(nmin, Seq("id"), "left")
+              .select(col("id"), col("root"),
+                least(col("root"), coalesce(col("_nroot"), col("root")))
+                  .as("_p")))
           // pointer jump: _pp = label of my new root (roots always carry
           // their own label, so a missing match means "already a root")
           val staged = graft.Caches.persist(
@@ -296,18 +300,15 @@ object Dedup {
           // the next round's labels (two jobs per round, not four)
           converged = staged.filter(col("_new") =!= col("root")).isEmpty
           lbl = staged.select(col("id"), col("_new").as("root"))
-          // truncate lineage every few rounds: the iterated join plan
-          // otherwise grows without bound and optimizer time blows up
-          // on high-diameter graphs. The checkpoint's RDD-level persist
-          // is invisible to Dataset.unpersist, so its release is hooked
-          // into Caches explicitly.
-          if (!converged && iter % 3 == 2) {
-            lbl = lbl.localCheckpoint()
-            lbl.queryExecution.analyzed.collectFirst {
-              case lr: org.apache.spark.sql.execution.LogicalRDD =>
-                graft.Caches.onRelease(() => lr.rdd.unpersist(false))
-            }
-          }
+          // truncate the SQL plan every few rounds: the iterated join
+          // plan otherwise grows without bound and optimizer time blows
+          // up on high-diameter graphs. Re-wrapping the RDD (not
+          // localCheckpoint) keeps release semantics recompute-safe: an
+          // unpersisted round recomputes from source instead of dying on
+          // a dropped checkpoint block.
+          if (!converged && iter % 3 == 2)
+            lbl = graft.Caches.persist(
+              spark.createDataFrame(lbl.rdd, lbl.schema))
           iter += 1
         }
         if (!converged)

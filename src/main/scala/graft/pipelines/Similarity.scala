@@ -179,6 +179,9 @@ object Similarity {
   /** Per-query recall@k of an approximate result against the exact one
     * (both shaped (qId, id), pre-limited to k rows per query). Queries
     * whose approximate set misses everything still get a row (recall 0).
+    * The denominator is the query's ACTUAL exact-set size, not the
+    * nominal k — on a corpus smaller than k a perfect match must read
+    * 1.0, not |corpus|/k.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, qIdCol: String,
                 idCol: String, k: Int,
@@ -187,7 +190,8 @@ object Similarity {
       .join(approx.select(qIdCol, idCol).withColumn("_hit", lit(1)),
         Seq(qIdCol, idCol), "left")
       .groupBy(qIdCol)
-      .agg((sum(coalesce(col("_hit"), lit(0))) / k.toDouble).as(as))
+      .agg((sum(coalesce(col("_hit"), lit(0))) /
+        count(lit(1)).cast("double")).as(as))
 
   /** IVF coarse quantizer with deterministic md5-seeded centroids (the
     * list-training step is orthogonal to the engine shape; real
@@ -244,6 +248,9 @@ object Similarity {
       val means = corpus
         .select(ivfCellAtNative(col(vecCol), cents).as("_cell"),
           posexplode(toDouble(col(vecCol))))
+        // ragged/short vectors get a null cell (the expressions degrade
+        // rather than throw) — they must not crash the trainer either
+        .filter(col("_cell").isNotNull)
         .groupBy("_cell", "pos")
         .agg(avg(col("col").cast("decimal(38,18)")).as("m"))
         .collect()

@@ -88,12 +88,18 @@ final case class PriceTable(spark: SparkSession, root: String,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Partition values actually present in a committed data dir. */
+  /** Partition values actually present in a committed data dir. Spark
+    * Hive-escapes special characters in partition paths (`BRK/B` →
+    * `symbol=BRK%2FB`), so directory names must be UNescaped back to the
+    * raw column values the manifest and the `symbol IN (...)` filters
+    * speak — otherwise escaped symbols silently vanish from reads.
+    */
   private def dirSymbols(rel: String): Seq[String] =
     Option(new java.io.File(s"$root/$rel").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("symbol="))
-      .map(_.getName.stripPrefix("symbol=")).toSeq
+      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.getName.stripPrefix("symbol="))).toSeq
 
   /** Stage rows into a fresh immutable dir; returns (relDir, symbols). */
   private def stage(rows: DataFrame, coalesceTo: Int = 0,

