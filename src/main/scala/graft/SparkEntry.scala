@@ -779,6 +779,13 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id", "chunk_ix")
     }),
 
+    "t12_tfidf" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(T(s, d).documents.select("doc_id", "text"),
+          "doc_id", col("text"), topN = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .repartition(1).sortWithinPartitions("doc_id", "rank")
+    }),
+
     "d8_decontaminate" -> ((s, d) => {
       // benchmark decontamination: every 97th document plays the eval
       // benchmark; training docs are flagged by exact 3-gram shingle
@@ -2062,6 +2069,25 @@ object SparkEntry {
          |  CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
          |  array_to_string(ws[s + 1 : s + 32], ' ') AS chunk
          |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    "t12_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |tok AS (SELECT doc_id, len(ws) AS nw, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS c, any_value(nw) AS nw
+         |       FROM tok GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round((CAST(c AS DOUBLE) / CAST(nw AS DOUBLE)) *
+         |      (ln(CAST(n.n + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 1)) + 1),
+         |      6) AS tfidf
+         |  FROM tf, dfq, n WHERE tf.term = dfq.term)
+         |SELECT doc_id, term, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+         |FROM sc QUALIFY rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "d8_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),

@@ -265,6 +265,38 @@ object TextAnalysis {
       .drop("_ws", "col")
   }
 
+  /** TF-IDF top terms per document — the classic corpus-weighting pass
+    * (keyword extraction, relevance features): tf = term count / doc
+    * word count, idf = ln((N+1)/(df+1)) + 1 (smoothed), top `topN`
+    * terms per doc by weight with a term tie-break. Two aggregations
+    * (both map-side combinable) + one broadcast-sized term-frequency
+    * join; per-doc ranking partitions by doc (no global window).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, text: Column,
+                    topN: Int = 5): DataFrame = {
+    val ws = Dedup.words(text)
+    val tokens = df.select(col(idCol), explode(ws).as("term"),
+      size(ws).as("_nw"))
+    // persisted: both the document-frequency aggregate and the scoring
+    // join read the per-(doc, term) counts
+    val tf = graft.Caches.persist(
+      tokens.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("_c"), first(col("_nw")).as("_nw")))
+    val n = df.count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round((col("_c").cast("double") / col("_nw").cast("double")) *
+          (log(lit((n + 1).toDouble) / (col("_df").cast("double") + 1d))
+            + 1d), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
 

@@ -130,6 +130,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === Seq(4, 4, 4, 1))
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; ranks per doc") {
+    val df = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian"),
+      (3L, "banana fig"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", $"text", topN = 2)
+      .select("doc_id", "term", "rank")
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._3).map(_._2).toSeq }
+    // "banana" appears in every doc (idf floor) → doc-unique terms win;
+    // doc 1: apple tf=2/4 beats cherry tf=1/4 (same idf)
+    assert(got(1L) === Seq("apple", "cherry"))
+    assert(got(2L).head === "durian" || got(2L).head === "banana")
+    // the common term never outranks a same-tf unique term
+    assert(got(3L).head === "fig")
+    graft.Caches.releaseAll()
+  }
+
   test("packSequences: bins fill in order, capacity respected") {
     val df = (1L to 10L).map(i => (i, "en", "x " * 99 + "x"))
       .toDF("doc_id", "lang", "text") // 100 tokens each
