@@ -786,6 +786,19 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id", "rank")
     }),
 
+    "d9_leakage_split" -> ((s, d) => {
+      // leakage-safe train/val split: hash the near-dup CLUSTER ROOT so
+      // paraphrase groups never straddle the boundary
+      val docs = T(s, d).documents
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", col("text"),
+        numPerm = 8, bandRows = 2)
+      val roots = Dedup.connectedComponents(docs.select("doc_id"),
+        "doc_id", pairs)
+      Dedup.leakageSafeSplit(docs.select("doc_id"), "doc_id", roots,
+          trainFrac = 0.8, salt = "split-0")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "d8_decontaminate" -> ((s, d) => {
       // benchmark decontamination: every 97th document plays the eval
       // benchmark; training docs are flagged by exact 3-gram shingle
@@ -1971,6 +1984,40 @@ object SparkEntry {
          |  least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY id""".stripMargin,
+
+    "d9_leakage_split" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(range(0, 8),
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+         |  FROM sigs, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+         |r AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN ${h60("'split-0#' || CAST(root AS VARCHAR)")} % 1000000
+         |            < 0.8 * 1000000
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "t9_repetition" ->
       s"""WITH d AS (

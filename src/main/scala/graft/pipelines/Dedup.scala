@@ -360,6 +360,28 @@ object Dedup {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/validation split: assign every document to a
+    * split by the salted hash of its near-dup CLUSTER ROOT, not its own
+    * id — near-duplicates always land on the same side, so validation
+    * never scores on a paraphrase of a training document. Composes
+    * [[connectedComponents]] roots with the deterministic hash-split
+    * rule ([[TextAnalysis.stratifiedHashSample]]'s): reproducible across
+    * partitionings, retries, and engines.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+                       roots: DataFrame, trainFrac: Double,
+                       salt: String): DataFrame = {
+    val byRoot = docs.join(
+      roots.select(col("id").as(idCol), col("root")), Seq(idCol), "left")
+      .withColumn("_root", coalesce(col("root"), col(idCol)))
+    byRoot.withColumn("split",
+        when(graft.functions.MarketFunctions.md5Hash60(
+          concat(lit(salt), lit("#"), col("_root").cast("string")))
+          % 1000000L < trainFrac * 1000000L, lit("train"))
+          .otherwise(lit("val")))
+      .drop("_root", "root")
+  }
+
   /** N-gram Jaccard similarity over candidate pairs (blocked by a cheap
     * key, e.g. language, to bound the pair space): explode distinct
     * shingles, self-join within blocks, and compute

@@ -178,6 +178,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(2L))
   }
 
+  test("leakageSafeSplit: clusters never straddle the train/val boundary") {
+    val nodes = (1L to 200L).toDF("doc_id")
+    // 50 clusters of 3 (1-2-3, 4-5-6, ...) + 50 singletons
+    val pairs = (0L until 50L).flatMap(c =>
+      Seq((c * 3 + 1, c * 3 + 2), (c * 3 + 2, c * 3 + 3)))
+      .toDF("doc_a", "doc_b")
+    val roots = Dedup.connectedComponents(nodes, "doc_id", pairs)
+    val split = Dedup.leakageSafeSplit(nodes, "doc_id", roots,
+      trainFrac = 0.8, salt = "s")
+    // every cluster resolves to exactly one split side
+    val straddlers = split
+      .join(roots.select($"id".as("doc_id"), $"root"), "doc_id")
+      .groupBy("root").agg(countDistinct($"split").as("nsides"))
+      .filter($"nsides" > 1).count()
+    assert(straddlers === 0)
+    // the split fraction lands near the requested 80/20
+    val frac = split.filter($"split" === "train").count() / 200.0
+    assert(frac > 0.6 && frac < 0.95, s"train frac $frac")
+    graft.Caches.releaseAll()
+  }
+
   test("connectedComponents: chains collapse to the min id per cluster") {
     val nodes = (1L to 12L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
