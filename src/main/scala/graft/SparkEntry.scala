@@ -986,6 +986,20 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("q_id", "rank")
     }),
 
+    "n9_quantize_int8" -> ((s, d) => {
+      // per-vector symmetric int8 quantization: the 4× embedding-store
+      // shrink; summarized by checksum columns (sum/min/max of the int
+      // codes) plus the exact scale
+      val q = Similarity.quantizeInt8(col("embedding"))
+      T(s, d).embeddings
+        .select(col("vec_id"),
+          round(q.getField("scale"), 6).as("scale"),
+          aggregate(q.getField("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(q.getField("q")).as("q_min"),
+          array_max(q.getField("q")).as("q_max"))
+        .repartition(1).sortWithinPartitions("vec_id")
+    }),
+
     "n8_ann_recall" -> ((s, d) => {
       // recall@10 of single-probe vs Hamming-1 multi-probe LSH against
       // the exact brute-force baseline, per query — the missing tuning
@@ -2303,6 +2317,23 @@ object SparkEntry {
          |QUALIFY rank <= 3
          |ORDER BY q_id, rank""".stripMargin
     },
+
+    "n9_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, round(s, 6) AS scale,
+        |    CASE WHEN s > 0
+        |      THEN list_transform(embedding,
+        |             x -> CAST(round(x::DOUBLE / s * 127) AS INTEGER))
+        |      ELSE list_transform(embedding, x -> 0) END AS qs
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  list_min(qs) AS q_min, list_max(qs) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "n8_ann_recall" -> {
       val bucket = (v: String) =>

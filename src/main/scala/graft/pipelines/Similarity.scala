@@ -370,6 +370,28 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Symmetric int8 quantization of an embedding: each vector scales by
+    * its own max-abs to [-127, 127] ints plus a per-vector scale — the
+    * 4× storage shrink a 100 TB embedding store runs on. Pure in-row
+    * transform (scan-side, no shuffle); zero vectors quantize to zeros
+    * with scale 0. Reconstruction error per component ≤ scale/254.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x.cast("double"))))
+    struct(
+      when(m > 0,
+        transform(vec, x => round(x.cast("double") / m * 127).cast("int")))
+        .otherwise(transform(vec, _ => lit(0)))
+        .as("q"),
+      m.as("scale")) // full precision — rounding belongs to display
+  }
+
+  /** Dequantize back to doubles (the serving-side pair of
+    * [[quantizeInt8]]).
+    */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / 127d)
+
   /** LSH bit-width that keeps the expected bucket size near
     * `targetBucketSize`: ceil(log2(n / target)), clamped to
     * [minBits, 24]. The all-pairs stage costs O(Σ|bucket|²), so bucket

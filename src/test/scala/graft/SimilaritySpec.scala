@@ -292,6 +292,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sweep.last._2 === 1.0)
   }
 
+  test("int8 quantization: reconstruction error ≤ scale/254 per component") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val q = Similarity.quantizeInt8($"embedding")
+    val err = emb.select(
+        $"embedding",
+        Similarity.dequantizeInt8(q.getField("q"), q.getField("scale"))
+          .as("deq"),
+        q.getField("scale").as("scale"))
+      .select(aggregate(
+        zip_with($"embedding", $"deq", (a, b) => abs(a.cast("double") - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("maxerr"),
+        $"scale")
+      .filter($"maxerr" > $"scale" / 254.0 + 1e-9)
+      .count()
+    assert(err === 0)
+  }
+
   test("ivfCellAt over the seed grid ≡ the md5 ivfCell expression") {
     val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
     val seed = Similarity.seedCentroids(8, 64)
