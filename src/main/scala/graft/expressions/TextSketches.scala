@@ -354,6 +354,45 @@ object TextSketches {
     override def prettyName: String = "graft_ivf_cell"
   }
 
+  /** Per-row term counts as a map<term, count> in one compiled pass —
+    * the TF side of TF-IDF without shuffling every token occurrence:
+    * exploding this map ships one row per DISTINCT (doc, term) instead
+    * of one per word, and the per-doc count aggregation happens in-row
+    * for free. Same word split as [[MinHashSig]] (trim, lower, `\s+`).
+    */
+  case class TermCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, IntegerType,
+        valueContainsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val ws = words(input.asInstanceOf[UTF8String])
+      val counts = new java.util.LinkedHashMap[String, Int]()
+      var i = 0
+      while (i < ws.length) {
+        counts.merge(ws(i), 1, Integer.sum)
+        i += 1
+      }
+      val keys = new Array[AnyRef](counts.size)
+      val vals = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var k = 0
+      while (it.hasNext) {
+        val e = it.next()
+        keys(k) = UTF8String.fromString(e.getKey)
+        vals(k) = e.getValue
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
+    }
+    override protected def withNewChildInternal(c: Expression): TermCounts =
+      copy(child = c)
+    override def prettyName: String = "graft_term_counts"
+  }
+
   /** Nearest-centroid cell over an ARBITRARY centroid matrix passed as a
     * flattened literal array (row-major, k×dim) — the assignment step
     * for trained (k-means) IVF centroids, where [[IvfCell]]'s md5 grid
@@ -473,6 +512,8 @@ object GraftFunctions {
       es => TextSketches.TextStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_word_hits",
       es => TextSketches.WordHits(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_term_counts",
+      es => TextSketches.TermCounts(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",

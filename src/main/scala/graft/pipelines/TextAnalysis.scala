@@ -274,14 +274,18 @@ object TextAnalysis {
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, text: Column,
                     topN: Int = 5): DataFrame = {
-    val ws = Dedup.words(text)
-    val tokens = df.select(col(idCol), explode(ws).as("term"),
-      size(ws).as("_nw"))
-    // persisted: both the document-frequency aggregate and the scoring
-    // join read the per-(doc, term) counts
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    // per-doc term counts computed IN-ROW (one compiled pass), so the
+    // explode ships one row per DISTINCT (doc, term) — not one per word
+    // occurrence — and the first shuffle disappears entirely; persisted
+    // because both the document-frequency aggregate and the scoring
+    // join read it
     val tf = graft.Caches.persist(
-      tokens.groupBy(col(idCol), col("term"))
-        .agg(count(lit(1)).as("_c"), first(col("_nw")).as("_nw")))
+      df.select(col(idCol),
+          element_at(textCounts(text), 1).as("_nw"),
+          explode(call_function("graft_term_counts", text)))
+        .withColumnRenamed("key", "term")
+        .withColumnRenamed("value", "_c"))
     val n = df.count()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
     val scored = tf.join(dfreq, "term")
