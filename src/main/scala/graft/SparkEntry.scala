@@ -786,6 +786,21 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id", "rank")
     }),
 
+    "d10_incremental_dedup" -> ((s, d) => {
+      // merge a new batch against an already-deduped corpus: exact
+      // copies (re-landed corpus docs under new ids) drop on the
+      // fingerprint; near-dups drop on shared MinHash band buckets —
+      // batch × corpus, never corpus²
+      val docs = T(s, d).documents
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val copies = corpus.filter(col("doc_id") % 21 === 1)
+        .withColumn("doc_id", col("doc_id") + 500000)
+      val batch = docs.filter(col("doc_id") % 3 === 0).unionByName(copies)
+      Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+        .select("doc_id", "lang")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "d9_leakage_split" -> ((s, d) => {
       // leakage-safe train/val split: hash the near-dup CLUSTER ROOT so
       // paraphrase groups never straddle the boundary
@@ -1998,6 +2013,42 @@ object SparkEntry {
          |  least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY id""".stripMargin,
+
+    "d10_incremental_dedup" -> {
+      val fpSql = (t: String) =>
+        h60(s"regexp_replace(lower(trim($t)), '\\s+', ' ', 'g')")
+      val bandsOf = (src: String) =>
+        s"""SELECT doc_id, b AS band,
+           |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+           |  FROM (
+           |    SELECT doc_id, list_transform(range(0, 8),
+           |      p -> list_min(list_transform(
+           |        list_transform(${shinglesSql("ws")}, s -> ${h48("s")}),
+           |        h -> $permHashSql))) AS sig
+           |    FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM $src) t0
+           |  ) t1, range(0, 4) t(b)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0),
+         |batchall AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, text, lang FROM corpus
+         |  WHERE doc_id % 21 = 1),
+         |bkeep AS (
+         |  SELECT * FROM (SELECT *, ${fpSql("text")} AS fp FROM batchall)
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |bex AS (
+         |  SELECT bkeep.* FROM bkeep
+         |  WHERE fp NOT IN (SELECT ${fpSql("text")} FROM corpus)),
+         |bb AS (${bandsOf("bex")}),
+         |cb AS (SELECT DISTINCT band, bucket FROM (${bandsOf("corpus")}) c0),
+         |hits AS (
+         |  SELECT DISTINCT bb.doc_id FROM bb
+         |  JOIN cb ON bb.band = cb.band AND bb.bucket = cb.bucket)
+         |SELECT doc_id, lang FROM bex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "d9_leakage_split" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),

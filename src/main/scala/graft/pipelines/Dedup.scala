@@ -106,20 +106,31 @@ object Dedup {
     * near-dup pairs. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     * numPerm must be divisible by bandRows.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
-                        numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
+  /** MinHash band buckets of every document: (id, band, bucket) rows —
+    * the join key space for banded candidate generation, shared by the
+    * self-join ([[minhashCandidates]]) and the batch-vs-corpus join
+    * ([[incrementalDedup]]).
+    */
+  def bandBuckets(df: DataFrame, idCol: String, text: Column,
+                  numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val numBands = numPerm / bandRows
-    val sig = df.select(col(idCol),
-      call_function("graft_minhash_sig", text, lit(numPerm)).as("_sig"))
+    df.select(col(idCol),
+        call_function("graft_minhash_sig", text, lit(numPerm)).as("_sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => concat_ws(",",
+            slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
+        .as(Seq("band", "bucket")))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
     // the banded plan feeds BOTH sides of the self-join; without an
     // explicit persist each side re-executes the whole signature
     // computation (at cluster scale: persist/checkpoint the signatures)
     val banded = graft.Caches.persist(
-      sig.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => concat_ws(",", slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
-        .as(Seq("band", "bucket"))))
+      bandBuckets(df, idCol, text, numPerm, bandRows))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -321,6 +332,45 @@ object Dedup {
     nodes.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+  }
+
+  /** Incremental dedup — merge a NEW batch into an already-deduped
+    * corpus WITHOUT re-deduping the corpus (the 100 TB ingest shape: a
+    * daily crawl lands against an existing table-of-record):
+    *
+    *  1. within-batch + batch-vs-corpus EXACT dedup on the normalized
+    *     fingerprint (keep the lowest batch id per fingerprint, drop
+    *     anything the corpus already has);
+    *  2. NEAR-dup: batch docs sharing any MinHash band bucket with a
+    *     corpus doc drop (batch × corpus equi-join on (band, bucket) —
+    *     candidate space scales with the batch, never corpus²).
+    *
+    * Returns the surviving batch rows. At cluster scale the corpus-side
+    * fingerprints and band buckets are precomputed at ingest and
+    * bucket-partitioned, so each batch merge touches only its buckets.
+    * Near-dups WITHIN the batch survive (they are new content); run the
+    * full d6/d7 clustering on the batch first if they should collapse.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, numPerm: Int = 8,
+                       bandRows: Int = 2): DataFrame = {
+    val fp = (t: Column) => TextAnalysis.fingerprint(t)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col(idCol).asc)
+    val batchExact = batch
+      .withColumn("_fp", fp(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(corpus.select(fp(col(textCol)).as("_fp")).distinct(),
+        Seq("_fp"), "left_anti")
+      .drop("_fp", "_rn")
+    val survivors = graft.Caches.persist(batchExact)
+    val hits = bandBuckets(survivors, idCol, col(textCol), numPerm,
+        bandRows)
+      .join(bandBuckets(corpus, idCol, col(textCol), numPerm, bandRows)
+        .select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+      .select(idCol).distinct()
+    survivors.join(hits, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination hits — the pre-training hygiene pass:

@@ -178,6 +178,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(2L))
   }
 
+  test("incrementalDedup: exact and near dups drop, fresh content survives") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different corpus text about spark engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "THE QUICK  brown fox jumps over the lazy dog"), // exact (normalized)
+      (11L, "the quick brown fox jumps over the lazy dog indeed"), // near-dup
+      (12L, "entirely novel content with unique words here"), // fresh
+      (13L, "Entirely  NOVEL content with unique words here")) // dup of 12 in-batch
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(12L))
+    graft.Caches.releaseAll()
+  }
+
   test("leakageSafeSplit: clusters never straddle the train/val boundary") {
     val nodes = (1L to 200L).toDF("doc_id")
     // 50 clusters of 3 (1-2-3, 4-5-6, ...) + 50 singletons
