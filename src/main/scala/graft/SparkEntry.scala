@@ -758,6 +758,32 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
+    "st2_doc_stream_dedup" -> ((s, d) => {
+      // streaming content dedup: land documents (plus exact re-lands
+      // under new ids), run the readStream → fingerprint-dedupe →
+      // parquet pipeline to completion, oracle-check the kept counts
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st2_landing").toString
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_st2_table").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st2_ckpt").toString
+      val docs = T(s, d).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id") % 86400L)
+            .as("ts"))
+      val relands = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 900000)
+      docs.unionByName(relands).write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.DocStream.start(s, landing, table, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        watermark = "3650 days")
+      q.awaitTermination(180000)
+      s.read.parquet(table)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("lang", "source")
+    }),
+
     "t10_corpus_shuffle" -> ((s, d) => {
       // deterministic training-order shuffle: global rank by salted hash
       // via the scale-safe globalRanks (no single-task window)
@@ -2165,6 +2191,19 @@ object SparkEntry {
          |JOIN sz nb ON nb.doc_id = doc_b
          |WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "st2_doc_stream_dedup" ->
+      s"""WITH landed AS (
+         |  SELECT lang, source, text FROM documents
+         |  UNION ALL
+         |  SELECT lang, source, text FROM documents WHERE doc_id % 11 = 0),
+         |ded AS (
+         |  SELECT DISTINCT lang, source,
+         |    ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM landed)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |FROM ded GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
 
     "t10_corpus_shuffle" ->
       s"""SELECT doc_id,

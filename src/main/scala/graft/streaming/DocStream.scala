@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.pipelines.TextAnalysis
+
+/** Streaming CONTENT dedup for a document landing zone — the streaming
+  * twin of [[graft.pipelines.Dedup.incrementalDedup]]'s exact stage: a
+  * crawl drops files into a directory, every micro-batch fingerprints
+  * the text (lowercased, whitespace-collapsed — same key as the batch
+  * dedup and its DuckDB oracle) and `dropDuplicates` keeps the first
+  * document per (lang, source, fingerprint) stratum, with the watermark
+  * bounding dedup state. Stratifying by (lang, source) keeps the output
+  * deterministic when the same text lands under different metadata (the
+  * survivor's stratum is then fixed) — cross-stratum near-dup collapse
+  * stays a batch job ([[graft.pipelines.Dedup.connectedComponents]]).
+  */
+object DocStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("ts", TimestampType)))
+
+  /** Watermarked content-dedup transform, shared by batch parity tests
+    * and the live stream.
+    */
+  def dedupeByContent(incoming: DataFrame,
+                      watermark: String = "1 hour"): DataFrame =
+    incoming
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates(Seq("lang", "source", "fp"))
+
+  /** Micro-batch file-source pipeline: landing dir → content dedup →
+    * parquet table. Pass `Trigger.AvailableNow()` + a very wide
+    * watermark for an exact historical replay (state never evicted ≡
+    * batch DISTINCT).
+    */
+  def start(spark: SparkSession, landingDir: String, tableDir: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("15 seconds"),
+            watermark: String = "1 hour"): StreamingQuery =
+    dedupeByContent(
+        spark.readStream.schema(docSchema).parquet(landingDir), watermark)
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

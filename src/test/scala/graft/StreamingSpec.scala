@@ -123,6 +123,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("doc stream content-dedup keeps one row per (lang, source, text)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, String, String,
+      java.sql.Timestamp)]
+    val docs = in.toDF()
+      .toDF("doc_id", "text", "lang", "source", "ts")
+    val q = graft.streaming.DocStream.dedupeByContent(docs, "10 days")
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (1L, "Hello  World", "en", "crawl", ts),
+      (2L, "hello world", "en", "crawl", ts),   // dup of 1 (normalized)
+      (3L, "hello world", "de", "crawl", ts),   // different stratum: kept
+      (4L, "fresh text", "en", "crawl", ts))
+    q.processAllAvailable()
+    in.addData((5L, "HELLO   world", "en", "crawl", ts)) // cross-batch dup
+    q.processAllAvailable()
+    val kept = spark.table("doc_dedup").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
   test("multimodal: partition-local decode, null payload passthrough") {
     val media = Multimodal.syntheticMedia(spark, 21)
     val feats = Multimodal.extractFeatures(media)
