@@ -102,14 +102,10 @@ object Dedup {
     (perm, rows)
   }
 
-  /** MinHash + LSH banding: docs sharing any band bucket become candidate
-    * near-dup pairs. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
-    * numPerm must be divisible by bandRows.
-    */
   /** MinHash band buckets of every document: (id, band, bucket) rows —
     * the join key space for banded candidate generation, shared by the
     * self-join ([[minhashCandidates]]) and the batch-vs-corpus join
-    * ([[incrementalDedup]]).
+    * ([[incrementalDedup]]). `numPerm` must be divisible by `bandRows`.
     */
   def bandBuckets(df: DataFrame, idCol: String, text: Column,
                   numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
@@ -124,6 +120,10 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * near-dup pairs. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    * `numPerm` must be divisible by `bandRows`.
+    */
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
                         numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
     // the banded plan feeds BOTH sides of the self-join; without an
@@ -355,15 +355,15 @@ object Dedup {
                        textCol: String, numPerm: Int = 8,
                        bandRows: Int = 2): DataFrame = {
     val fp = (t: Column) => TextAnalysis.fingerprint(t)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_fp")).orderBy(col(idCol).asc)
-    val batchExact = batch
-      .withColumn("_fp", fp(col(textCol)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    // same survivor rule as [[exact]] (lowest id per fingerprint, picked
+    // with a min() aggregate — no window sort), plus the corpus anti-join
+    val keyed = batch.withColumn("_fp", fp(col(textCol)))
+    val keep = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val batchExact = keyed
+      .join(keep, Seq("_fp", idCol), "left_semi")
       .join(corpus.select(fp(col(textCol)).as("_fp")).distinct(),
         Seq("_fp"), "left_anti")
-      .drop("_fp", "_rn")
+      .drop("_fp")
     val survivors = graft.Caches.persist(batchExact)
     val hits = bandBuckets(survivors, idCol, col(textCol), numPerm,
         bandRows)

@@ -286,12 +286,15 @@ object TextAnalysis {
           explode(call_function("graft_term_counts", text)))
         .withColumnRenamed("key", "term")
         .withColumnRenamed("value", "_c"))
-    val n = df.count()
+    // the corpus size joins in LAZILY (broadcast 1-row aggregate) — an
+    // eager df.count() here would fire a full extra scan as a side
+    // effect of merely BUILDING the plan
+    val nDf = df.agg(count(lit(1)).cast("double").as("_n"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round((col("_c").cast("double") / col("_nw").cast("double")) *
-          (log(lit((n + 1).toDouble) / (col("_df").cast("double") + 1d))
+          (log((col("_n") + 1d) / (col("_df").cast("double") + 1d))
             + 1d), 6))
     scored
       .withColumn("rank", row_number().over(

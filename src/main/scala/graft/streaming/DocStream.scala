@@ -28,14 +28,22 @@ object DocStream {
     StructField("ts", TimestampType)))
 
   /** Watermarked content-dedup transform, shared by batch parity tests
-    * and the live stream.
+    * and the live stream. `dropDuplicatesWithinWatermark` — NOT plain
+    * `dropDuplicates` — because the event-time column is not part of the
+    * content key: the plain form would never evict per-key state (it
+    * only cleans state for keys that include the watermarked column), so
+    * a long-running ingest would grow the state store without bound.
+    * The within-watermark form evicts each fingerprint once it falls
+    * behind the watermark; a duplicate arriving later than the watermark
+    * delay is re-admitted (at that point it is the batch layer's job —
+    * [[graft.pipelines.Dedup.incrementalDedup]]).
     */
   def dedupeByContent(incoming: DataFrame,
                       watermark: String = "1 hour"): DataFrame =
     incoming
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicates(Seq("lang", "source", "fp"))
+      .dropDuplicatesWithinWatermark(Seq("lang", "source", "fp"))
 
   /** Micro-batch file-source pipeline: landing dir → content dedup →
     * parquet table. Pass `Trigger.AvailableNow()` + a very wide
