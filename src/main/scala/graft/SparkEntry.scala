@@ -784,6 +784,21 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang", "source")
     }),
 
+    "t13_token_mix" -> ((s, d) => {
+      // token-budget mixing: sample per-language strata to target token
+      // shares (60/25/15) of a fixed budget, counting n_chars as the
+      // token proxy; output the achieved mixture
+      TextAnalysis.tokenBudgetMix(
+          T(s, d).documents.select("doc_id", "lang", "n_chars"),
+          col("doc_id"), col("lang"), col("n_chars"),
+          targetShares = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15),
+          tokenBudget = 500000L, salt = "mix-r3")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_tokens"))
+        .repartition(1).sortWithinPartitions("lang")
+    }),
+
     "t10_corpus_shuffle" -> ((s, d) => {
       // deterministic training-order shuffle: global rank by salted hash
       // via the scale-safe globalRanks (no single-task window)
@@ -2204,6 +2219,29 @@ object SparkEntry {
          |SELECT lang, source, CAST(count(*) AS BIGINT) AS n
          |FROM ded GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
+
+    // NOTE: share literals are ::DOUBLE — DuckDB parses bare decimal
+    // literals as DECIMAL, whose exact arithmetic diverges from the
+    // engine's double rates at the sampling boundary
+    "t13_token_mix" ->
+      s"""WITH inv AS (
+         |  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS tok
+         |  FROM documents GROUP BY lang),
+         |rates AS (
+         |  SELECT lang,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      500000 * CASE lang WHEN 'en' THEN 0.6::DOUBLE
+         |                         WHEN 'de' THEN 0.25::DOUBLE
+         |                         ELSE 0.15::DOUBLE END / tok) AS rate
+         |  FROM inv WHERE lang IN ('en', 'de', 'fr')),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars
+         |  FROM documents d JOIN rates r ON d.lang = r.lang
+         |  WHERE ${h60("'mix-r3#' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < r.rate * 1000000)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t10_corpus_shuffle" ->
       s"""SELECT doc_id,

@@ -226,6 +226,32 @@ object TextAnalysis {
           lit(0L)) / window).cast("long"))
   }
 
+  /** Token-budget corpus mixing — the data-mixing step trainers run:
+    * sample each stratum (source/language shard) at the rate that hits
+    * its TARGET SHARE of a total token budget in expectation, by tokens
+    * rather than documents. Per-stratum rates derive from one grouped
+    * token-sum aggregate (a bounded, strata-sized driver collect —
+    * rates must be plan literals for the hash rule), then rows survive
+    * by the same salted-hash decision as [[stratifiedHashSample]]:
+    * reproducible across partitionings, retries, and engines. A stratum
+    * whose target exceeds its inventory caps at rate 1 (everything
+    * kept) — resolving the shortfall by re-weighting other strata is a
+    * policy decision left to the caller.
+    */
+  def tokenBudgetMix(df: DataFrame, key: Column, stratum: Column,
+                     tokens: Column, targetShares: Map[String, Double],
+                     tokenBudget: Long, salt: String): DataFrame = {
+    val inventory = df.groupBy(stratum.as("_stratum"))
+      .agg(sum(tokens.cast("long")).as("_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = targetShares.flatMap { case (k, share) =>
+      inventory.get(k).map { have =>
+        k -> math.min(1.0, tokenBudget * share / have.toDouble)
+      }
+    }
+    stratifiedHashSample(df, key, stratum, rates, default = 0.0, salt)
+  }
+
   /** Deterministic corpus shuffle — training-order randomization without
     * RNG state: every row ranked by its salted 60-bit md5 (ties broken by
     * the key). Reproducible across partitionings/retries like

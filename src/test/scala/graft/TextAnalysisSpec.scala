@@ -102,6 +102,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
   }
 
+  test("tokenBudgetMix: achieved tokens track target shares; rates cap at 1") {
+    // en: 4000 docs × 100 tokens = 400k inventory; de: 40 × 100 = 4k
+    val df = ((0L until 4000L).map(i => (i, "en", 100L)) ++
+      (0L until 40L).map(i => (10000L + i, "de", 100L)))
+      .toDF("doc_id", "lang", "tok")
+    val got = TextAnalysis.tokenBudgetMix(df, $"doc_id", $"lang", $"tok",
+        targetShares = Map("en" -> 0.5, "de" -> 0.5),
+        tokenBudget = 100000L, salt = "m")
+      .groupBy("lang").agg(sum($"tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    // en target: 50k of 400k → rate 0.125; hash sampling lands near it
+    assert(math.abs(got("en") - 50000L) < 15000L, got)
+    // de target (50k) exceeds inventory (4k) → rate caps at 1, all kept
+    assert(got("de") === 4000L)
+  }
+
   test("deterministicShuffle: exact permutation, reproducible, salt-keyed") {
     val df = (1L to 100L).toDF("id")
     def run(salt: String) =
