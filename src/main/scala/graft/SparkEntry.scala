@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.MarketFunctions
 import graft.functions.MarketFunctions._
 import graft.operators.{Aggregates, Relational, Series}
-import graft.pipelines.{Dedup, Multimodal, Plans, Similarity, TextAnalysis}
+import graft.pipelines.{Dedup, Multimodal, Plans, Similarity, TextAnalysis, Web}
 import graft.sources.{Ingest, Warehouse}
 import graft.streaming.PriceStream
 
@@ -901,6 +901,46 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.repetitionRatio(t).as("rep_ratio"))
         .withColumn("repetitive", col("rep_ratio") > 0.3)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t14_domain_cap" -> ((s, d) => {
+      // URL canonicalization + per-domain cap: synthetic URLs carry the
+      // classic noise (uppercase scheme/host, default port, trailing
+      // slash, utm_* params, fragments); normalization collapses them,
+      // then each registered domain keeps its first 30 docs
+      val docs = T(s, d).documents
+      val url = concat(lit("HTTPS://WWW."), col("source"), lit(".COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("?utm_source=feed&ref=x&utm_campaign=a")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit(""))
+      )
+      Web.capPerDomain(
+          docs.select(col("doc_id"),
+            Web.normalizeUrl(url).as("url_norm"),
+            Web.registeredDomain(url).as("domain")),
+          col("domain"), Seq(col("doc_id").asc), maxDocs = 30)
+        .withColumn("domain_rank", col("domain_rank").cast("long"))
+        .repartition(1).sortWithinPartitions("domain", "doc_id")
+    }),
+
+    "t15_quality_rules" -> ((s, d) => {
+      // rule-based curation gate (Gopher-style): every 13th doc gets
+      // symbol stuffing appended so the symbol-ratio rule fires; the
+      // word-count / word-length / stopword rules discriminate on the
+      // corpus as-is
+      val t = when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" ### ... ### ...")))
+        .otherwise(col("text"))
+      TextAnalysis.qualityRules(
+          T(s, d).documents.select(col("doc_id"), t.as("t")), col("t"),
+          minWords = 25, maxWords = 10000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+          maxSymbolRatio = 0.05, minStopHits = 2)
+        .drop("t")
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
@@ -2143,6 +2183,77 @@ object SparkEntry {
          |  FROM sh)
          |SELECT doc_id, rep_ratio, rep_ratio > 0.3 AS repetitive
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t14_domain_cap" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'HTTPS://WWW.' || source || '.COM' ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+         |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN '?utm_source=feed&ref=x&utm_campaign=a' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag
+         |      FROM u),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(nofrag,
+         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
+         |      ':(80|443)$$', '') AS host,
+         |    regexp_replace(regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$$', '')
+         |      AS path,
+         |    COALESCE(array_to_string(list_filter(
+         |      string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+         |      x -> NOT regexp_matches(x, '^utm_') AND x <> ''), '&'), '')
+         |      AS q
+         |  FROM p),
+         |n AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || host || path ||
+         |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  FROM parts)
+         |SELECT doc_id, url_norm, domain, domain_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+         |    AS domain_rank FROM n)
+         |WHERE domain_rank <= 30
+         |ORDER BY domain, doc_id""".stripMargin,
+
+    "t15_quality_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' ### ... ### ...'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, t, ${wordsSql("t")} AS ws, length(t) AS nc
+         |      FROM d),
+         |f AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    CASE WHEN len(ws) > 0
+         |         THEN round((nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6)
+         |         ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN len(ws) > 0
+         |         THEN round(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+         |                    / CAST(len(ws) AS DOUBLE), 6)
+         |         ELSE 1.0 END AS symbol_ratio,
+         |    len(list_filter(ws, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','it','for','on'], x)))
+         |      AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+         |  n_words >= 25 AND n_words <= 10000 AS pass_words,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 5.0 AS pass_word_len,
+         |  symbol_ratio <= 0.05 AS pass_symbols,
+         |  stop_hits >= 2 AS pass_stops,
+         |  (n_words >= 25 AND n_words <= 10000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
+         |    AND symbol_ratio <= 0.05 AND stop_hits >= 2 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "t5_pii_scrub" ->
       s"""WITH d AS (

@@ -110,6 +110,50 @@ object TextAnalysis {
         + round(least(lit(1.0), col("stopword_ratio") * 5.0) * 1e6)
             .cast("long") * 3) / 1e7)
 
+  /** Rule-based document gate — the Gopher/C4-style curation filter
+    * (Rae et al. 2021 §A1.1 "quality filtering" heuristics, re-expressed
+    * as one scan-side projection): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio ("#"/"..." stuffing), and a minimum
+    * stopword presence (gibberish/navigation pages carry none). Emits
+    * the measured features, one boolean per rule, and the conjunction
+    * `keep` — keeping flags rather than filtering in place is what lets
+    * a curation run audit WHICH rule dropped a document. All features
+    * ride the one-pass compiled [[textCounts]]/[[wordHits]]
+    * expressions, so a 100 TB corpus pays a single scan and no shuffle.
+    */
+  def qualityRules(df: DataFrame, text: Column,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0,
+                   maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   minStopHits: Int = 2,
+                   stops: Seq[String] = Stopwords): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val st = textCounts(text)
+    val nWords = element_at(st, 1)
+    val nChars = element_at(st, 2)
+    val meanWl = when(nWords > 0,
+      round((nChars - nWords + 1) / nWords.cast("double"), 6))
+      .otherwise(0.0)
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val symRatio = when(nWords > 0,
+      round(symbols / nWords.cast("double"), 6)).otherwise(1.0)
+    val stopHits = wordHits(text, stops)
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanWl)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("pass_words",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("pass_word_len",
+        meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen)
+      .withColumn("pass_symbols", symRatio <= maxSymbolRatio)
+      .withColumn("pass_stops", stopHits >= minStopHits)
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") &&
+          col("pass_symbols") && col("pass_stops"))
+  }
+
   /** Language-ID by stopword-profile hit rate: score(text, lang) =
     * fraction of the language's marker words present. The marker lists
     * are parameters; real deployments plug in per-language n-gram

@@ -41,6 +41,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1) > got(0))
   }
 
+  test("qualityRules: each rule fires on its own violation") {
+    val long = ("the cat sat on the mat and it is a hat " * 3).trim
+    val df = Seq(
+      (1L, long),                        // passes everything
+      (2L, "too short"),                 // fails word-count floor
+      (3L, long + " ### ... ### ... ### ... ### ..."), // fails symbols
+      (4L, ("zzz qqq www vvv kkk " * 6).trim))         // fails stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityRules(df, $"text",
+        minWords = 10, maxWords = 100, minMeanWordLen = 2.0,
+        maxMeanWordLen = 6.0, maxSymbolRatio = 0.1, minStopHits = 2)
+      .orderBy("doc_id")
+      .select("pass_words", "pass_word_len", "pass_symbols", "pass_stops",
+        "keep")
+      .collect()
+    assert(got(0).toSeq === Seq(true, true, true, true, true))
+    assert(got(1).getAs[Boolean]("pass_words") === false)
+    assert(got(1).getAs[Boolean]("keep") === false)
+    assert(got(2).getAs[Boolean]("pass_symbols") === false)
+    assert(got(2).getAs[Boolean]("keep") === false)
+    assert(got(3).getAs[Boolean]("pass_stops") === false)
+    assert(got(3).getAs[Boolean]("keep") === false)
+  }
+
   test("languageId: marker-word argmax picks the right language") {
     val df = Seq(
       (1L, "the cat and the dog went to the park"),
