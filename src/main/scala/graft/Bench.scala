@@ -21,10 +21,32 @@ object Bench {
     "s5_insert_ignore", "u1b_warehouse_upsert", "st1_stream_ingest",
     "m2_image_decode", "o5_next_offset")
 
+  /** Per-query times of the PREVIOUS bench run, read from the
+    * `BENCH_FULL.json` this run will overwrite. Parsed with a two-token
+    * scan rather than a JSON library (none on the unmanaged classpath):
+    * every `"name":1.234` decimal pair after the `"queries"` key is a
+    * query time (the only other decimal, the leading `"value"`, sits
+    * before it, and `"reps"`/`"sf"` are an integer and a string).
+    */
+  private def previousTimes(): Map[String, Double] =
+    try {
+      val txt = new String(
+        Files.readAllBytes(Paths.get("BENCH_FULL.json")),
+        StandardCharsets.UTF_8)
+      val qStart = txt.indexOf("\"queries\":")
+      if (qStart < 0) Map.empty
+      else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+        .findAllMatchIn(txt.substring(qStart))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val backoffMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "15000").toLong
+    val prev = previousTimes()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,13 +79,25 @@ object Bench {
       case (name, fn) => name -> minOfN(fn, reps)
     }
     // A box-load spike spanning one query's back-to-back reps survives
-    // min-of-N (observed: a 0.9s aggregation reported at 17.9s). Queries
-    // whose min still exceeds the threshold get re-measured minutes
-    // later, when the spike has passed; keep the overall min.
-    val slowCut = 2.0
+    // min-of-N (observed: a 0.9s aggregation reported at 17.9s, and a
+    // 0.12s point lookup at 1.8s — under any fixed absolute cut). The
+    // detector is therefore RELATIVE: a min that regressed >3× vs the
+    // previous run's recorded time for the same query is attributed to
+    // load, not to the plan, and re-measured. The 0.25s floor keeps
+    // millisecond jitter (0.03s→0.10s) from triggering; the absolute
+    // 2s cut still covers queries with no history (new this round, or
+    // no BENCH_FULL.json on disk).
+    def spiky(name: String, t: Double): Boolean = prev.get(name) match {
+      case Some(p) => t > math.max(3 * p, 0.25)
+      case None    => t > 2.0
+    }
+    val flagged = firstPass.collect { case (n, t) if spiky(n, t) => n }.toSet
+    // back-to-back re-measure lands inside the same load spike that
+    // caused the flag; sleep first so "measured later" is actually true
+    if (flagged.nonEmpty) Thread.sleep(backoffMs)
     val results = firstPass.map { case (name, t) =>
-      if (t <= slowCut) name -> t
-      else name -> math.min(t, minOfN(SparkEntry.queries(name), reps))
+      if (!flagged(name)) name -> t
+      else name -> math.min(t, minOfN(SparkEntry.queries(name), reps * 2))
     }
     val total = results.map(_._2).sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
