@@ -127,6 +127,11 @@ object TextAnalysis {
                    maxMeanWordLen: Double = 10.0,
                    maxSymbolRatio: Double = 0.1,
                    minStopHits: Int = 2,
+                   maxBulletRatio: Double = 0.9,
+                   maxEllipsisRatio: Double = 0.3,
+                   minAlphaWordRatio: Double = 0.8,
+                   maxRepetition: Double = 0.3,
+                   repWindow: Int = 3,
                    stops: Seq[String] = Stopwords): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val st = textCounts(text)
@@ -139,19 +144,51 @@ object TextAnalysis {
     val symRatio = when(nWords > 0,
       round(symbols / nWords.cast("double"), 6)).otherwise(1.0)
     val stopHits = wordHits(text, stops)
+    // line-shape rules (Gopher's formatting heuristics): lines counted
+    // with a -1 split limit (trailing empties survive → denominator is
+    // the true line count); bullet/ellipsis hits counted by (?m)
+    // multiline regex — explicit [ \t] classes, not \s, so Java and the
+    // oracle's RE2 agree on every span
+    val nLines = size(split(text, "\n", -1))
+    val bulletHits = size(regexp_extract_all(text,
+      lit("(?m)^[ \\t]*[-*•]"), lit(0)))
+    val bulletRatio = round(bulletHits / nLines.cast("double"), 6)
+    val ellipsisHits = size(regexp_extract_all(text,
+      lit("(?m)(\\.\\.\\.|…)$"), lit(0)))
+    val ellipsisRatio = round(ellipsisHits / nLines.cast("double"), 6)
+    // fraction of words containing at least one alphabetic character —
+    // the regex cannot cross whitespace, so its matches are exactly the
+    // whitespace tokens with ≥1 alpha (same tokenization as n_words)
+    val alphaWords = size(regexp_extract_all(text,
+      lit("[^ \\t\\n\\r\\f]*[A-Za-z][^ \\t\\n\\r\\f]*"), lit(0)))
+    val alphaWordRatio = when(nWords > 0,
+      round(alphaWords / nWords.cast("double"), 6)).otherwise(0.0)
+    // duplicate-n-gram rule: rides the same compiled shingle-hash pass
+    // as the standalone repetition operator (t9)
+    val repRatio = repetitionRatio(text, repWindow)
     df.withColumn("n_words", nWords)
       .withColumn("mean_word_len", meanWl)
       .withColumn("symbol_ratio", symRatio)
       .withColumn("stop_hits", stopHits)
+      .withColumn("bullet_ratio", bulletRatio)
+      .withColumn("ellipsis_ratio", ellipsisRatio)
+      .withColumn("alpha_word_ratio", alphaWordRatio)
+      .withColumn("rep_ratio", repRatio)
       .withColumn("pass_words",
         nWords >= minWords && nWords <= maxWords)
       .withColumn("pass_word_len",
         meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen)
       .withColumn("pass_symbols", symRatio <= maxSymbolRatio)
       .withColumn("pass_stops", stopHits >= minStopHits)
+      .withColumn("pass_bullets", bulletRatio <= maxBulletRatio)
+      .withColumn("pass_ellipsis", ellipsisRatio <= maxEllipsisRatio)
+      .withColumn("pass_alpha_words", alphaWordRatio >= minAlphaWordRatio)
+      .withColumn("pass_repetition", repRatio <= maxRepetition)
       .withColumn("keep",
         col("pass_words") && col("pass_word_len") &&
-          col("pass_symbols") && col("pass_stops"))
+          col("pass_symbols") && col("pass_stops") &&
+          col("pass_bullets") && col("pass_ellipsis") &&
+          col("pass_alpha_words") && col("pass_repetition"))
   }
 
   /** Language-ID by stopword-profile hit rate: score(text, lang) =
@@ -183,6 +220,72 @@ object TextAnalysis {
     val best = greatest(scored: _*)
     df.withColumn("lang_pred", best.getField("lang"))
       .withColumn("lang_score", best.getField("score"))
+  }
+
+  /** Character-trigram profiles per language — the train-free n-gram
+    * language-ID tables (Cavnar–Trenkle style, trimmed to the head of
+    * each language's trigram frequency rank). Trigrams are over the
+    * lowercased, whitespace-collapsed text, spaces included — the
+    * word-boundary grams (" de", "en ") carry most of the signal.
+    * Unlike the stopword profiles, these fire on short fragments and on
+    * morphology ("sch", "cht", "ión") even when no function word is
+    * present.
+    */
+  val LangTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "ing", "ng ", "and", "nd ", " an",
+      " of", "of ", " to", "to ", "ed ", " in", "in ", "ion", " is",
+      "is ", " it", "it ", "at ", "es ", "er ", " re", "re ", "on ",
+      "ent", "tio", " a ", "or "),
+    "de" -> Seq("en ", "er ", "der", " de", "ie ", "die", " di", "ch ",
+      "sch", " sc", "ein", " ei", "ich", "und", " un", "cht", "ung",
+      "gen", "ten", " ge", "das", " da", "ist", " is", "st ", "ber",
+      "nde", "ne ", "ter", "hen"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ",
+      " la", "et ", " et", "ion", "que", " qu", "ue ", "re ", " re",
+      "les", " co", "des", "ais", "ait", "eur", "our", " pa", "tio",
+      "ns ", "on ", "ur ", "ite"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "en ",
+      " en", "as ", "es ", " es", "que", " qu", "ue ", "ar ", " co",
+      "ión", "ado", "los", " lo", "del", "ien", "nte", "con", " se",
+      "ra ", "da ", "ció", " y "))
+
+  /** N-gram language ID: score(doc, lang) = fraction of the language's
+    * profile trigrams present in the doc — arg-max over languages, ties
+    * to the lexically greatest name. A profile trigram is "present" iff
+    * it is a SUBSTRING of the normalized text, which is exactly
+    * membership in the doc's trigram set but needs no trigram
+    * materialization: the plan is ~120 codegen'd `Contains` probes per
+    * row (literal needles, tight byte search), not a per-doc array
+    * explode + 4 hash intersections (the array form measured 14s at
+    * sf0.1; this form is sub-second). Scan-side, no shuffle. Robust
+    * where [[languageId]]'s stopword profiles fail — short fragments
+    * and texts that happen to avoid function words.
+    */
+  def languageIdNgram(df: DataFrame, text: Column,
+                      profiles: Map[String, Seq[String]] = LangTrigrams)
+      : DataFrame = {
+    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val scored = profiles.toSeq.sortBy(_._1).map { case (langName, grams) =>
+      val prof = grams.distinct
+      val hits = prof.map(g => s.contains(lit(g)).cast("int"))
+        .reduce(_ + _)
+      struct(
+        round(hits / lit(prof.size.toDouble), 6).as("score"),
+        lit(langName).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    df.withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
+  }
+
+  /** The [[languageIdNgram]] scoring for one language rendered as
+    * DuckDB SQL over normalized-text expression `s` — interpolated into
+    * oracle twins so both engines share one profile table.
+    */
+  def langScoreSql(s: String, lang: String): String = {
+    val prof = LangTrigrams(lang).distinct
+    val arr = prof.map(g => s"'$g'").mkString("[", ", ", "]")
+    s"round(len(list_filter($arr, p -> contains($s, p))) / ${prof.size}.0, 6)"
   }
 
   /** Declarative twin of [[languageId]] — kept for the parity spec. */

@@ -20,48 +20,153 @@ object Web {
   /** Canonicalized URL:
     *  - fragment dropped;
     *  - scheme and host lowercased;
-    *  - default ports (:80, :443) dropped;
+    *  - the scheme's OWN default port dropped (`:80` for http, `:443`
+    *    for https — an explicit `http://host:443` names a different
+    *    resource and survives);
     *  - trailing slashes on the path dropped;
-    *  - `utm_*` tracking parameters removed (other params keep their
-    *    original order — full param sorting is a policy choice left to
-    *    the caller).
+    *  - `utm_*` tracking parameters removed.
+    * With `strict = false` (the default, and the oracle-mirrored mode)
+    * remaining params keep their original order and percent-escapes are
+    * untouched. With `strict = true`, percent-escapes of UNRESERVED
+    * characters (RFC 3986 §2.3: ALPHA / DIGIT / `-._~`) are decoded and
+    * the surviving params are sorted — `%7Euser` and `~user`, and any
+    * two orderings of the same param set, canonicalize identically.
+    * Reserved escapes (`%2F`, `%3D`, …) are left alone in both modes:
+    * decoding them changes URL structure.
     * Inputs without a `scheme://` shape pass through lowercased.
     */
-  def normalizeUrl(url: Column): Column = {
+  def normalizeUrl(url: Column, strict: Boolean = false): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = lower(regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
-    val hostNoPort = regexp_replace(host, ":(80|443)$", "")
-    val path = regexp_extract(noFrag,
+    val hostNoPort =
+      when(scheme === "http", regexp_replace(host, ":80$", ""))
+        .when(scheme === "https", regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    val path0 = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
-    val pathNorm = regexp_replace(path, "/+$", "")
+    val path = {
+      val p = regexp_replace(path0, "/+$", "")
+      if (strict) pctDecodeUnreserved(p) else p
+    }
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
-    val kept = filter(split(query, "&"),
+    val kept0 = filter(split(query, "&"),
       p => !(p.rlike("^utm_") || p === ""))
+    val kept =
+      if (strict) array_sort(transform(kept0, pctDecodeUnreserved(_)))
+      else kept0
     val queryNorm = array_join(kept, "&")
     when(scheme === "", lower(noFrag))
-      .otherwise(concat(scheme, lit("://"), hostNoPort, pathNorm,
+      .otherwise(concat(scheme, lit("://"), hostNoPort, path,
         when(queryNorm === "", lit(""))
           .otherwise(concat(lit("?"), queryNorm))))
   }
 
-  /** Lowercased host of a URL (port dropped). */
-  def urlHost(url: Column): Column =
-    regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-      ":[0-9]+$", "")
+  /** Decode `%XX` escapes of RFC 3986 unreserved characters only
+    * (ALPHA / DIGIT / `-._~`); every other escape — and every malformed
+    * `%` — passes through byte-for-byte. Pure array/string expressions:
+    * split on `%`, then each fragment's leading two chars decide
+    * (valid-hex ∧ unreserved code point) → decode, else re-attach `%`.
+    */
+  private[pipelines] def pctDecodeUnreserved(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    val head = element_at(parts, 1)
+    val rest = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val decoded = transform(rest, p => {
+      val hex = substring(p, 1, 2)
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved =
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+          (code >= 48 && code <= 57) || code.isin(45, 46, 95, 126)
+      when(hex.rlike("^[0-9A-Fa-f]{2}$") && unreserved,
+        concat(call_function("char", code), p.substr(lit(3), length(p))))
+        .otherwise(concat(lit("%"), p))
+    })
+    concat(head, array_join(decoded, ""))
+  }
 
-  /** Registered domain approximation: the last two dot-labels of the
-    * host (`www.news.example.com` → `example.com`). Real deployments
-    * plug in the public-suffix list; the operator shape (extract → group
-    * → cap) is the scalable part.
+  /** Lowercased host of a URL (port dropped). An input without a
+    * `scheme://` prefix is treated as a bare host-and-path (`bbc.co.uk/
+    * news` → `bbc.co.uk`) — a crawl frontier is full of scheme-less
+    * links, and collapsing them all into one "" domain would let
+    * [[capPerDomain]] silently discard them as a single site.
+    */
+  def urlHost(url: Column): Column = {
+    val withScheme =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val bare = regexp_extract(url, "^([^/?#]+)", 1)
+    regexp_replace(
+      lower(when(withScheme =!= "", withScheme).otherwise(bare)),
+      ":[0-9]+$", "")
+  }
+
+  /** Registered (registrable) domain per the public-suffix algorithm:
+    * one label more than the longest matching public suffix, over the
+    * bundled [[PublicSuffixes]] snapshot — `news.bbc.co.uk` →
+    * `bbc.co.uk`, `a.github.io` → `a.github.io`, while
+    * `www.news.example.com` → `example.com`. Unknown TLDs use the PSL
+    * default `*` rule (last label is the suffix); a host that IS a
+    * public suffix (or empty) returns unchanged. Literal-set membership
+    * (Catalyst `InSet` hash lookups) over the host's label array — no
+    * UDF, no join, scan-side.
     */
   def registeredDomain(url: Column): Column = {
     val h = urlHost(url)
-    when(h.rlike("[^.]+\\.[^.]+$"),
-      regexp_extract(h, "([^.]+\\.[^.]+)$", 1)).otherwise(h)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      array_join(slice(labels, -k, k), ".")
+    val s1 = element_at(labels, -1)
+    val s2 = lastK(2)
+    val s3 = lastK(3)
+    // longest matching suffix rule, PSL precedence: exceptions carve
+    // out of wildcards; plain rules and wildcards are unioned
+    val suf3 = n >= 3 && s3.isInCollection(PublicSuffixes.plain3)
+    val suf2 = n >= 2 && !s2.isInCollection(PublicSuffixes.exceptions) &&
+      (s2.isInCollection(PublicSuffixes.plain2) ||
+        s1.isInCollection(PublicSuffixes.wildcardParents))
+    val k = when(suf3, 3).when(suf2, 2).otherwise(1)
+    when(n > k, array_join(slice(labels, (k + 1) * -1, k + 1), "."))
+      .otherwise(h)
+  }
+
+  /** The [[registeredDomain]] suffix match rendered as DuckDB SQL over
+    * host expression `host`, against the SAME [[PublicSuffixes]] tables
+    * — interpolated into oracle twins so Spark and the oracle share one
+    * suffix snapshot by construction.
+    */
+  def registeredDomainSql(host: String): String = {
+    import PublicSuffixes.{sqlList => L}
+    s"""CASE
+       |  WHEN len(string_split($host, '.')) >
+       |    (CASE
+       |      WHEN len(string_split($host, '.')) >= 3 AND list_contains(
+       |        ${L(PublicSuffixes.plain3)},
+       |        array_to_string(string_split($host, '.')[-3:], '.')) THEN 3
+       |      WHEN len(string_split($host, '.')) >= 2
+       |        AND NOT list_contains(${L(PublicSuffixes.exceptions)},
+       |          array_to_string(string_split($host, '.')[-2:], '.'))
+       |        AND (list_contains(${L(PublicSuffixes.plain2)},
+       |            array_to_string(string_split($host, '.')[-2:], '.'))
+       |          OR list_contains(${L(PublicSuffixes.wildcardParents)},
+       |            string_split($host, '.')[-1])) THEN 2
+       |      ELSE 1 END)
+       |  THEN array_to_string(string_split($host, '.')[
+       |    -1 - (CASE
+       |      WHEN len(string_split($host, '.')) >= 3 AND list_contains(
+       |        ${L(PublicSuffixes.plain3)},
+       |        array_to_string(string_split($host, '.')[-3:], '.')) THEN 3
+       |      WHEN len(string_split($host, '.')) >= 2
+       |        AND NOT list_contains(${L(PublicSuffixes.exceptions)},
+       |          array_to_string(string_split($host, '.')[-2:], '.'))
+       |        AND (list_contains(${L(PublicSuffixes.plain2)},
+       |            array_to_string(string_split($host, '.')[-2:], '.'))
+       |          OR list_contains(${L(PublicSuffixes.wildcardParents)},
+       |            string_split($host, '.')[-1])) THEN 2
+       |      ELSE 1 END):], '.')
+       |  ELSE $host END""".stripMargin
   }
 
   /** Keep at most `maxDocs` rows per domain, by `order` (ties must be

@@ -2,10 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.pipelines.TextAnalysis
+
+/** A landed document with its registered domain, as consumed by
+  * [[DocStream.capPerDomainStream]].
+  */
+final case class DomainDoc(doc_id: Long, lang: String, source: String,
+                           ts: java.sql.Timestamp, domain: String)
 
 /** Streaming CONTENT dedup for a document landing zone — the streaming
   * twin of [[graft.pipelines.Dedup.incrementalDedup]]'s exact stage: a
@@ -60,6 +67,65 @@ object DocStream {
       .format("parquet")
       .option("path", tableDir)
       .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  val domainDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("ts", TimestampType),
+    StructField("domain", StringType)))
+
+  /** Streaming per-domain document cap — the incremental twin of
+    * [[graft.pipelines.Web.capPerDomain]]: each domain's ADMITTED count
+    * lives in `flatMapGroupsWithState` keyed state, so the cap holds
+    * across micro-batches and restarts (the count rides the checkpoint)
+    * without ever re-scanning the corpus. Within a micro-batch a
+    * domain's arrivals are admitted in `doc_id` order, which makes a
+    * single-batch `AvailableNow` replay bit-equal to the batch cap
+    * ordered by `doc_id` (the parity StreamingSpec proves it, including
+    * across a stop/restart).
+    *
+    * State is ONE long per domain and must never expire — the cap is a
+    * corpus-lifetime budget, not a window (`NoTimeout` is the point,
+    * not a leak: state size is |domains|, not |docs|).
+    */
+  def capPerDomainStream(incoming: DataFrame, maxDocs: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    incoming
+      .select(col("doc_id"), col("lang"), col("source"), col("ts"),
+        col("domain"))
+      .as[DomainDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (_: String, docs: Iterator[DomainDoc], state: GroupState[Long]) => {
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, maxDocs - admitted).toInt
+          val take = docs.toArray.sortBy(_.doc_id).take(room)
+          if (take.nonEmpty) state.update(admitted + take.length)
+          take.iterator
+        })
+      .toDF()
+  }
+
+  /** Micro-batch file-source pipeline: landing dir (docs with a
+    * precomputed `domain` column) → per-domain cap → parquet table.
+    */
+  def startDomainCap(spark: SparkSession, landingDir: String,
+                     tableDir: String, checkpointDir: String, maxDocs: Int,
+                     trigger: Trigger = Trigger.ProcessingTime("15 seconds"))
+      : StreamingQuery =
+    capPerDomainStream(
+        spark.readStream.schema(domainDocSchema).parquet(landingDir),
+        maxDocs)
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
       .trigger(trigger)
       .start()
 }

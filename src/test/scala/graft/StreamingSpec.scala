@@ -148,6 +148,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("streaming domain cap: state spans batches and restarts; parity with batch cap") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.pipelines.Web
+    val landing = Files.createTempDirectory("st_cap_landing").toString
+    val table = Files.createTempDirectory("st_cap_table").toString
+    val ckpt = Files.createTempDirectory("st_cap_ckpt").toString
+    val ts0 = ts("2024-01-01 10:00:00")
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "domain")
+      .withColumn("lang", lit("en")).withColumn("source", lit("crawl"))
+      .withColumn("ts", lit(ts0))
+      .select("doc_id", "lang", "source", "ts", "domain")
+    // batch 1: a.com lands 6 docs (cap 4 admits the 4 lowest), b.com 2
+    val b1 = docs(Seq(1L -> "a.com", 2L -> "a.com", 3L -> "a.com",
+      4L -> "a.com", 5L -> "a.com", 6L -> "a.com", 7L -> "b.com",
+      8L -> "b.com"))
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    val q1 = graft.streaming.DocStream.startDomainCap(spark, landing,
+      table, ckpt, maxDocs = 4, trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    // restart from the checkpoint: a.com is already full (its count
+    // must survive), b.com has room for 2 of 3, c.com is fresh
+    val b2 = docs(Seq(11L -> "a.com", 12L -> "b.com", 13L -> "b.com",
+      14L -> "b.com", 15L -> "c.com"))
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    val q2 = graft.streaming.DocStream.startDomainCap(spark, landing,
+      table, ckpt, maxDocs = 4, trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val got = spark.read.parquet(table).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 4L, 7L, 8L, 12L, 13L, 15L))
+    // arrival order equals doc_id order here, so the streaming result
+    // must equal the batch cap over the full union
+    val expected = Web.capPerDomain(b1.unionByName(b2), col("domain"),
+        Seq(col("doc_id").asc), maxDocs = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+
   test("multimodal: partition-local decode, null payload passthrough") {
     val media = Multimodal.syntheticMedia(spark, 21)
     val feats = Multimodal.extractFeatures(media)

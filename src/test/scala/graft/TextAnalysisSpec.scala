@@ -42,27 +42,76 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("qualityRules: each rule fires on its own violation") {
-    val long = ("the cat sat on the mat and it is a hat " * 3).trim
+    // a clean passing doc: varied words, stopwords present, no
+    // formatting pathologies, no repeated shingles
+    val base = "the cat sat on a warm mat near the door and it did like " +
+      "that spot for one lazy day then a big dog came to rest close by " +
+      "and all was good in the afternoon sun"
     val df = Seq(
-      (1L, long),                        // passes everything
-      (2L, "too short"),                 // fails word-count floor
-      (3L, long + " ### ... ### ... ### ... ### ..."), // fails symbols
-      (4L, ("zzz qqq www vvv kkk " * 6).trim))         // fails stopwords
+      (1L, base),                                     // passes everything
+      (2L, "too short"),                              // fails word count
+      (3L, base + " ### # ### # ### #"),              // fails symbols
+      (4L, "zest quarrel wisdom velvet kestrel motif garden lamp " +
+        "meadow bay copper vine"),                    // fails stopwords
+      (5L, "- the cat ran far one\n- a dog sat down two\n" +
+        "- it went up high three\n- is this fine now four\n" +
+        "- of them all here five\n- to go out there six\n" +
+        "- in all ways good seven\n- for me and you eight\n" +
+        "- on top so very nine\n- and so it ends ten"), // fails bullet ratio
+      (6L, "the cat sat still...\nand a dog ran far...\nit is quiet now...\n" +
+        "for all of us here...\nin a sunny field\nis it any good\n" +
+        "the end is not near\nfor it to be done\nand on we gladly go\n" +
+        "it is a fine wrap"),                         // fails ellipsis ratio
+      (7L, "the 111 222 333 444 555 666 777 888 999 a 000 12 34"),
+                                                      // fails alpha-word ratio
+      (8L, ("the cat sat on the mat " * 8).trim))     // fails repetition
       .toDF("doc_id", "text")
+    val rules = Seq("pass_words", "pass_word_len", "pass_symbols",
+      "pass_stops", "pass_bullets", "pass_ellipsis", "pass_alpha_words",
+      "pass_repetition")
     val got = TextAnalysis.qualityRules(df, $"text",
         minWords = 10, maxWords = 100, minMeanWordLen = 2.0,
         maxMeanWordLen = 6.0, maxSymbolRatio = 0.1, minStopHits = 2)
       .orderBy("doc_id")
-      .select("pass_words", "pass_word_len", "pass_symbols", "pass_stops",
-        "keep")
+      .select((rules :+ "keep").map(col): _*)
       .collect()
-    assert(got(0).toSeq === Seq(true, true, true, true, true))
-    assert(got(1).getAs[Boolean]("pass_words") === false)
-    assert(got(1).getAs[Boolean]("keep") === false)
-    assert(got(2).getAs[Boolean]("pass_symbols") === false)
-    assert(got(2).getAs[Boolean]("keep") === false)
-    assert(got(3).getAs[Boolean]("pass_stops") === false)
-    assert(got(3).getAs[Boolean]("keep") === false)
+    assert(got(0).toSeq === Seq.fill(9)(true))
+    val expectFail = Map(2 -> "pass_words", 3 -> "pass_symbols",
+      4 -> "pass_stops", 5 -> "pass_bullets", 6 -> "pass_ellipsis",
+      7 -> "pass_alpha_words", 8 -> "pass_repetition")
+    expectFail.foreach { case (id, rule) =>
+      val row = got(id - 1)
+      assert(row.getAs[Boolean](rule) === false, s"doc $id should fail $rule")
+      assert(row.getAs[Boolean]("keep") === false, s"doc $id should be dropped")
+    }
+    // and each violator fails ONLY its own rule (word-count doc aside,
+    // whose two-word body legitimately also misses the stopword floor)
+    expectFail.filterNot(_._1 == 2).foreach { case (id, rule) =>
+      val row = got(id - 1)
+      rules.filterNot(_ == rule).foreach { other =>
+        assert(row.getAs[Boolean](other) === true,
+          s"doc $id should pass $other")
+      }
+    }
+  }
+
+  test("languageIdNgram: trigram profiles identify short marker-free docs") {
+    val df = Seq(
+      // German with none of the six stopword markers — the trigram
+      // morphology ("sch", "cht", "ich") is the only signal
+      (1L, "schlechtes wetter macht schnelle fahrten gefährlich"),
+      (2L, "the quick brown fox jumped over the lazy dog"),
+      (3L, "nous partons rapidement pour les montagnes"),
+      (4L, "los estados grandes tienen ciudades hermosas"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageIdNgram(df, $"text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect()
+    assert(got.toSeq === Seq("de", "en", "fr", "es"))
+    // the stopword profiles have zero signal on doc 1 (every language
+    // scores 0 → arbitrary tie-break); the trigram profiles do not
+    val stop = TextAnalysis.languageId(df, $"text")
+      .orderBy("doc_id").select("lang_score").as[Double].collect()
+    assert(stop(0) === 0.0)
   }
 
   test("languageId: marker-word argmax picks the right language") {

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipelines.Web
 
-/** URL canonicalization + per-domain capping. */
+/** URL canonicalization + public-suffix domains + per-domain capping. */
 class WebSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
@@ -30,14 +30,79 @@ class WebSpec extends AnyFunSuite {
     assert(got(6) === "not a url at all")
   }
 
-  test("registeredDomain takes the last two host labels") {
+  test("normalizeUrl drops only the scheme's own default port") {
     val got = Seq(
-      "https://www.news.example.com/x",
-      "https://example.com/y",
-      "https://localhost/z")
-      .toDF("url")
+      "http://example.com:443/x",  // NOT http's default — a distinct resource
+      "https://example.com:80/x",  // NOT https's default
+      "http://example.com:80/x",
+      "https://example.com:443/x",
+      "ftp://example.com:80/x")    // unknown scheme: ports never touched
+      .toDF("url").select(Web.normalizeUrl($"url").as("n"))
+      .as[String].collect()
+    assert(got(0) === "http://example.com:443/x")
+    assert(got(1) === "https://example.com:80/x")
+    assert(got(2) === "http://example.com/x")
+    assert(got(3) === "https://example.com/x")
+    assert(got(4) === "ftp://example.com:80/x")
+  }
+
+  test("registeredDomain follows the public-suffix list") {
+    val cases = Seq(
+      "https://news.bbc.co.uk/politics" -> "bbc.co.uk",
+      "https://a.github.io/repo"        -> "a.github.io",
+      "https://www.news.example.com/x"  -> "example.com",
+      "https://example.com/y"           -> "example.com",
+      "https://blog.amy.blogspot.co.uk" -> "amy.blogspot.co.uk",
+      "https://shop.acme.com.au/cart"   -> "acme.com.au",
+      "https://x.y.gov.ck/z"            -> "y.gov.ck", // wildcard *.ck
+      "https://a.www.ck/z"              -> "www.ck",   // exception !www.ck
+      "https://deep.sub.mystery.zz/q"   -> "mystery.zz", // unknown TLD: * rule
+      "https://localhost/z"             -> "localhost",
+      "https://co.uk/"                  -> "co.uk")    // host IS a suffix
+    val got = cases.map(_._1).toDF("url")
       .select(Web.registeredDomain($"url").as("d")).as[String].collect()
-    assert(got.toSeq === Seq("example.com", "example.com", "localhost"))
+    assert(got.toSeq === cases.map(_._2))
+  }
+
+  test("scheme-less inputs are treated as bare host-and-path") {
+    val got = Seq(
+      "news.bbc.co.uk/politics/story",
+      "a.github.io",
+      "www.example.com:8080/x?q=1")
+      .toDF("url")
+      .select(Web.urlHost($"url").as("h"),
+        Web.registeredDomain($"url").as("d"))
+      .as[(String, String)].collect()
+    assert(got(0) === ("news.bbc.co.uk", "bbc.co.uk"))
+    assert(got(1) === ("a.github.io", "a.github.io"))
+    assert(got(2) === ("www.example.com", "example.com"))
+  }
+
+  test("strict mode percent-decodes unreserved chars and sorts params") {
+    val got = Seq(
+      "https://ex.com/%7Euser/%41bc",       // %7E → ~, %41 → A
+      "https://ex.com/~user/Abc",
+      "https://ex.com/a%2Fb",               // %2F reserved: untouched
+      "https://ex.com/p?b=2&a=1",
+      "https://ex.com/p?a=1&b=2",
+      "https://ex.com/p?a=%31",             // %31 → 1: sorts with a=1
+      "https://ex.com/bad%zz%4")            // malformed escapes pass through
+      .toDF("url")
+      .select(Web.normalizeUrl($"url", strict = true).as("n"))
+      .as[String].collect()
+    assert(got(0) === "https://ex.com/~user/Abc")
+    assert(got(1) === "https://ex.com/~user/Abc")
+    assert(got(2) === "https://ex.com/a%2Fb")
+    assert(got(3) === "https://ex.com/p?a=1&b=2")
+    assert(got(4) === "https://ex.com/p?a=1&b=2")
+    assert(got(5) === "https://ex.com/p?a=1")
+    assert(got(6) === "https://ex.com/bad%zz%4")
+    // default mode leaves escapes and param order alone
+    val loose = Seq("https://ex.com/p?b=2&a=1", "https://ex.com/%7Euser")
+      .toDF("url").select(Web.normalizeUrl($"url").as("n"))
+      .as[String].collect()
+    assert(loose(0) === "https://ex.com/p?b=2&a=1")
+    assert(loose(1) === "https://ex.com/%7Euser")
   }
 
   test("capPerDomain keeps the first N per domain, deterministically") {
