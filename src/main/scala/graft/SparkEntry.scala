@@ -784,6 +784,38 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang", "source")
     }),
 
+    "st3_domain_cap_stream" -> ((s, d) => {
+      // streaming per-domain cap: land documents with their PSL
+      // registered domain, run the readStream → stateful-cap → parquet
+      // pipeline to completion (one AvailableNow batch ⇒ admission in
+      // doc_id order, so the cap is oracle-checkable), count survivors
+      // per domain. Cross-batch/restart state is StreamingSpec's job.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st3_landing").toString
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_st3_table").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st3_ckpt").toString
+      val tld = when(col("doc_id") % 6 === 0, lit(".CO.UK"))
+        .when(col("doc_id") % 11 === 0, lit(".GITHUB.IO"))
+        .otherwise(lit(".COM"))
+      val url = concat(lit("HTTPS://WWW."), col("source"), tld, lit("/"),
+        col("doc_id").cast("string"))
+      T(s, d).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id") % 86400L)
+            .as("ts"),
+          Web.registeredDomain(url).as("domain"))
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.DocStream.startDomainCap(s, landing, table,
+        ckpt, maxDocs = 40,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(180000)
+      s.read.parquet(table)
+        .groupBy("domain").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("domain")
+    }),
+
     "t13_token_mix" -> ((s, d) => {
       // token-budget mixing: sample per-language strata to target token
       // shares (60/25/15) of a fixed budget, counting n_chars as the
@@ -907,10 +939,15 @@ object SparkEntry {
     "t14_domain_cap" -> ((s, d) => {
       // URL canonicalization + per-domain cap: synthetic URLs carry the
       // classic noise (uppercase scheme/host, default port, trailing
-      // slash, utm_* params, fragments); normalization collapses them,
-      // then each registered domain keeps its first 30 docs
+      // slash, utm_* params, fragments) over a TLD mix that exercises
+      // the public-suffix snapshot (plain .com, registry .co.uk,
+      // private-registry .github.io); normalization collapses the
+      // noise, then each REGISTERED domain keeps its first 30 docs
       val docs = T(s, d).documents
-      val url = concat(lit("HTTPS://WWW."), col("source"), lit(".COM"),
+      val tld = when(col("doc_id") % 6 === 0, lit(".CO.UK"))
+        .when(col("doc_id") % 11 === 0, lit(".GITHUB.IO"))
+        .otherwise(lit(".COM"))
+      val url = concat(lit("HTTPS://WWW."), col("source"), tld,
         when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
         lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"),
         when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
@@ -928,12 +965,24 @@ object SparkEntry {
     }),
 
     "t15_quality_rules" -> ((s, d) => {
-      // rule-based curation gate (Gopher-style): every 13th doc gets
-      // symbol stuffing appended so the symbol-ratio rule fires; the
+      // rule-based curation gate (full Gopher set): targeted injections
+      // make each rule fire on a known doc stratum — symbol stuffing
+      // (%13), bullet-list walls (%17), ellipsis-trailed lines (%19),
+      // numeric gibberish (%23), triple-repeated bodies (%29); the
       // word-count / word-length / stopword rules discriminate on the
       // corpus as-is
       val t = when(col("doc_id") % 13 === 0,
-        concat(col("text"), lit(" ### ... ### ...")))
+          concat(col("text"), lit(" ### ... ### ...")))
+        .when(col("doc_id") % 17 === 0,
+          concat(lit("• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j\n"),
+            col("text")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit("\nwait...\nhold...\nmore...\nsoon...\nnext...\nlast...")))
+        .when(col("doc_id") % 23 === 0,
+          lit("data 111 222 333 444 555 666 777 888 999 000"))
+        .when(col("doc_id") % 29 === 0,
+          concat_ws(" ", col("text"), col("text"), col("text")))
         .otherwise(col("text"))
       TextAnalysis.qualityRules(
           T(s, d).documents.select(col("doc_id"), t.as("t")), col("t"),
@@ -1017,6 +1066,15 @@ object SparkEntry {
 
     "t3_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(T(s, d).documents, col("text"))
+        .select("doc_id", "lang", "lang_pred", "lang_score")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t3b_lang_id_ngram" -> ((s, d) => {
+      // character-trigram language ID — the profile-table method that
+      // still fires on short / function-word-free text where the
+      // stopword profiles (t3) go blind
+      TextAnalysis.languageIdNgram(T(s, d).documents, col("text"))
         .select("doc_id", "lang", "lang_pred", "lang_score")
         .repartition(1).sortWithinPartitions("doc_id")
     }),
@@ -1382,6 +1440,30 @@ object SparkEntry {
       val batch = p.filter(col("symbol") === "click" && col("id") % 10 === 0)
         .withColumn("price", col("price") + 1.0)
       tbl.upsert(batch)
+      tbl.read()
+        .groupBy("symbol").agg(count(lit(1)).as("n"),
+          Aggregates.fromCents(sum(Aggregates.cents(col("price"))))
+            .as("sum_price"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    "u1c_table_upsert" -> ((s, d) => {
+      // full mutation lifecycle on the ATOMIC versioned table (staged
+      // immutable dirs + manifest rename): init WITHOUT every 4th row,
+      // INSERT OR IGNORE a half-overlapping batch (the overlap must be
+      // ignored), upsert a price bump on 'click', delete a keyed
+      // subrange of 'view', then read the committed snapshot back.
+      // Every mutation is a manifest commit — the same path
+      // WarehouseSpec failpoint-tests for fully-old-or-fully-new.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tbl_q").toString
+      val p = T(s, d).pricesFromEvents
+      val tbl = graft.sources.PriceTable(s, root)
+      tbl.init(p.filter(col("id") % 4 =!= 0))
+      tbl.insertIgnore(p.filter(col("id") % 2 === 0))
+      tbl.upsert(p.filter(col("symbol") === "click" && col("id") % 10 === 0)
+        .withColumn("price", col("price") + 1.0))
+      tbl.deleteWhere(Seq("view"), col("id") % 7 === 0)
       tbl.read()
         .groupBy("symbol").agg(count(lit(1)).as("n"),
           Aggregates.fromCents(sum(Aggregates.cents(col("price"))))
@@ -2187,7 +2269,10 @@ object SparkEntry {
     "t14_domain_cap" ->
       s"""WITH u AS (
          |  SELECT doc_id,
-         |    'HTTPS://WWW.' || source || '.COM' ||
+         |    'HTTPS://WWW.' || source ||
+         |    CASE WHEN doc_id % 6 = 0 THEN '.CO.UK'
+         |         WHEN doc_id % 11 = 0 THEN '.GITHUB.IO'
+         |         ELSE '.COM' END ||
          |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
          |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
          |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
@@ -2197,13 +2282,12 @@ object SparkEntry {
          |  FROM documents),
          |p AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag
          |      FROM u),
-         |parts AS (
+         |parts0 AS (
          |  SELECT doc_id,
          |    lower(regexp_extract(nofrag,
          |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |    regexp_replace(lower(regexp_extract(nofrag,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
-         |      ':(80|443)$$', '') AS host,
+         |    lower(regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS host0,
          |    regexp_replace(regexp_extract(nofrag,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$$', '')
          |      AS path,
@@ -2212,11 +2296,17 @@ object SparkEntry {
          |      x -> NOT regexp_matches(x, '^utm_') AND x <> ''), '&'), '')
          |      AS q
          |  FROM p),
+         |parts AS (
+         |  SELECT doc_id, scheme, path, q,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$$', '')
+         |         ELSE host0 END AS host
+         |  FROM parts0),
          |n AS (
          |  SELECT doc_id,
          |    scheme || '://' || host || path ||
          |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
-         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |    ${pipelines.Web.registeredDomainSql("host")} AS domain
          |  FROM parts)
          |SELECT doc_id, url_norm, domain, domain_rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id)
@@ -2228,12 +2318,25 @@ object SparkEntry {
       s"""WITH d AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 13 = 0 THEN text || ' ### ... ### ...'
+         |         WHEN doc_id % 17 = 0 THEN
+         |           e'• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j\n'
+         |             || text
+         |         WHEN doc_id % 19 = 0 THEN text ||
+         |           e'\nwait...\nhold...\nmore...\nsoon...\nnext...\nlast...'
+         |         WHEN doc_id % 23 = 0 THEN
+         |           'data 111 222 333 444 555 666 777 888 999 000'
+         |         WHEN doc_id % 29 = 0 THEN text || ' ' || text || ' ' || text
          |         ELSE text END AS t
          |  FROM documents),
          |w AS (SELECT doc_id, t, ${wordsSql("t")} AS ws, length(t) AS nc
          |      FROM d),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS total,
+         |         len(list_distinct(list_transform(${shinglesSql("ws")},
+         |           s -> ${h60("s")}))) AS dn
+         |       FROM w),
          |f AS (
-         |  SELECT doc_id, len(ws) AS n_words,
+         |  SELECT w.doc_id, len(ws) AS n_words,
          |    CASE WHEN len(ws) > 0
          |         THEN round((nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6)
          |         ELSE 0.0 END AS mean_word_len,
@@ -2243,16 +2346,36 @@ object SparkEntry {
          |         ELSE 1.0 END AS symbol_ratio,
          |    len(list_filter(ws, x -> list_contains(
          |      ['the','a','of','and','to','in','is','it','for','on'], x)))
-         |      AS stop_hits
-         |  FROM w)
+         |      AS stop_hits,
+         |    round(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]'))
+         |      / CAST(len(string_split(t, chr(10))) AS DOUBLE), 6)
+         |      AS bullet_ratio,
+         |    round(len(regexp_extract_all(t, '(?m)(\\.\\.\\.|…)$$'))
+         |      / CAST(len(string_split(t, chr(10))) AS DOUBLE), 6)
+         |      AS ellipsis_ratio,
+         |    CASE WHEN len(ws) > 0
+         |         THEN round(len(regexp_extract_all(t,
+         |                '[^ \t\n\r\f]*[A-Za-z][^ \t\n\r\f]*'))
+         |              / CAST(len(ws) AS DOUBLE), 6)
+         |         ELSE 0.0 END AS alpha_word_ratio,
+         |    round((sh.total - sh.dn) / CAST(sh.total AS DOUBLE), 6)
+         |      AS rep_ratio
+         |  FROM w JOIN sh ON w.doc_id = sh.doc_id)
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+         |  bullet_ratio, ellipsis_ratio, alpha_word_ratio, rep_ratio,
          |  n_words >= 25 AND n_words <= 10000 AS pass_words,
          |  mean_word_len >= 3.0 AND mean_word_len <= 5.0 AS pass_word_len,
          |  symbol_ratio <= 0.05 AS pass_symbols,
          |  stop_hits >= 2 AS pass_stops,
+         |  bullet_ratio <= 0.9 AS pass_bullets,
+         |  ellipsis_ratio <= 0.3 AS pass_ellipsis,
+         |  alpha_word_ratio >= 0.8 AS pass_alpha_words,
+         |  rep_ratio <= 0.3 AS pass_repetition,
          |  (n_words >= 25 AND n_words <= 10000)
          |    AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
-         |    AND symbol_ratio <= 0.05 AND stop_hits >= 2 AS keep
+         |    AND symbol_ratio <= 0.05 AND stop_hits >= 2
+         |    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+         |    AND alpha_word_ratio >= 0.8 AND rep_ratio <= 0.3 AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "t5_pii_scrub" ->
@@ -2330,6 +2453,22 @@ object SparkEntry {
          |SELECT lang, source, CAST(count(*) AS BIGINT) AS n
          |FROM ded GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
+
+    // independently-derived expected domains (the PSL mechanics
+    // themselves are oracle-tested via t14's registeredDomainSql twin)
+    "st3_domain_cap_stream" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    source || CASE WHEN doc_id % 6 = 0 THEN '.co.uk'
+        |                   WHEN doc_id % 11 = 0 THEN '.github.io'
+        |                   ELSE '.com' END AS domain
+        |  FROM documents),
+        |capped AS (
+        |  SELECT * FROM docs
+        |  QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+        |    <= 40)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n
+        |FROM capped GROUP BY domain ORDER BY domain""".stripMargin,
 
     // NOTE: share literals are ::DOUBLE — DuckDB parses bare decimal
     // literals as DECIMAL, whose exact arithmetic diverges from the
@@ -2473,6 +2612,26 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_pred,
         |  greatest(s_de, s_en, s_es, s_fr) AS lang_score
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t3b_lang_id_ngram" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.langScoreSql("s", "de")} AS s_de,
+         |    ${TextAnalysis.langScoreSql("s", "en")} AS s_en,
+         |    ${TextAnalysis.langScoreSql("s", "es")} AS s_es,
+         |    ${TextAnalysis.langScoreSql("s", "fr")} AS s_fr
+         |  FROM w)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |       ELSE 'de' END AS lang_pred,
+         |  greatest(s_de, s_en, s_es, s_fr) AS lang_score
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,
@@ -2968,6 +3127,30 @@ object SparkEntry {
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
          |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM merged GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "u1c_table_upsert" ->
+      s"""WITH $pricesCte,
+         |base AS (SELECT * FROM prices WHERE id % 4 <> 0),
+         |ins AS (
+         |  SELECT * FROM prices p WHERE id % 2 = 0
+         |    AND NOT EXISTS (SELECT 1 FROM base b
+         |      WHERE b.symbol = p.symbol AND b.as_of = p.as_of
+         |        AND b.source = p.source)),
+         |after_ins AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+         |batch AS (
+         |  SELECT id, symbol, price + 1.0 AS price, as_of, currency, source
+         |  FROM prices WHERE symbol = 'click' AND id % 10 = 0),
+         |kept AS (
+         |  SELECT * FROM after_ins p
+         |  WHERE NOT EXISTS (SELECT 1 FROM batch b
+         |    WHERE b.symbol = p.symbol AND b.as_of = p.as_of
+         |      AND b.source = p.source)),
+         |after_up AS (SELECT * FROM kept UNION ALL SELECT * FROM batch),
+         |final AS (
+         |  SELECT * FROM after_up WHERE NOT (symbol = 'view' AND id % 7 = 0))
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
+         |FROM final GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "u6_verify_code" ->
       """WITH codes AS (
