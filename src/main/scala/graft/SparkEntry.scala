@@ -993,6 +993,21 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t16_boilerplate" -> ((s, d) => {
+      // CCNet-style boilerplate strip: every source's docs get a
+      // synthetic site template (nav header + copyright footer); the
+      // per-domain line-frequency pass must remove exactly those lines
+      // and keep each doc's body intact, in order
+      val docs = T(s, d).documents
+      val templ = concat(lit("NAV "), col("source"), lit(" HOME\n"),
+        col("text"), lit("\n(c) "), col("source"), lit(" all rights"))
+      Web.removeBoilerplateLines(
+          docs.select(col("doc_id"), col("source"), templ.as("t")),
+          col("doc_id"), col("source"), col("t"),
+          minDocs = 5, maxFrac = 0.5)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "t5_pii_scrub" -> ((s, d) => {
       val injected = concat(col("text"),
         when(col("doc_id") % 3 === 0,
@@ -1603,6 +1618,35 @@ object SparkEntry {
             lit("intraday"), lit(null).cast("string"),
             col("event_type") === "view").as("summary"))
         .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "p8_curation_pipeline" -> ((s, d) => {
+      // end-to-end curation composition — the pipeline a training-data
+      // run actually executes: quality gate → exact dedup (min doc_id
+      // per fingerprint survives) → per-source cap → mixture
+      // accounting. Every stage is the library op verified on its own
+      // elsewhere; this proves they compose into ONE plan with no
+      // driver round-trip between stages.
+      import org.apache.spark.sql.expressions.Window
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d).documents
+      val gated = docs
+        .withColumn("n_words",
+          element_at(TextAnalysis.textCounts(col("text")), 1))
+        .withColumn("stop_hits",
+          TextAnalysis.wordHits(col("text"), TextAnalysis.Stopwords))
+        .filter(col("n_words") >= 25 && col("stop_hits") >= 2)
+      val deduped = gated
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+      Web.capPerDomain(deduped, col("source"), Seq(col("doc_id").asc),
+          maxDocs = 60)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"))
+        .repartition(1).sortWithinPartitions("lang", "source")
     })
   )
 
@@ -2341,7 +2385,7 @@ object SparkEntry {
          |         THEN round((nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6)
          |         ELSE 0.0 END AS mean_word_len,
          |    CASE WHEN len(ws) > 0
-         |         THEN round(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+         |         THEN round(len(regexp_extract_all(t, '#|\\.\\.\\.|…'))
          |                    / CAST(len(ws) AS DOUBLE), 6)
          |         ELSE 1.0 END AS symbol_ratio,
          |    len(list_filter(ws, x -> list_contains(
@@ -2377,6 +2421,34 @@ object SparkEntry {
          |    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
          |    AND alpha_word_ratio >= 0.8 AND rep_ratio <= 0.3 AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // independently-derived formulation: per-domain boilerplate LIST +
+    // in-row list_filter (the engine's anti-join form must agree)
+    "t16_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS domain,
+        |    'NAV ' || source || ' HOME' || chr(10) || text || chr(10) ||
+        |    '(c) ' || source || ' all rights' AS t
+        |  FROM documents),
+        |freq AS (
+        |  SELECT domain, line, count(*) AS n FROM (
+        |    SELECT DISTINCT doc_id, domain,
+        |      unnest(string_split(t, chr(10))) AS line
+        |    FROM d)
+        |  GROUP BY domain, line),
+        |dd AS (SELECT domain, count(*) AS docs FROM d GROUP BY domain),
+        |bl AS (
+        |  SELECT f.domain, list(f.line) AS bls
+        |  FROM freq f JOIN dd ON f.domain = dd.domain
+        |  WHERE f.n >= 5
+        |    AND CAST(f.n AS DOUBLE) / CAST(dd.docs AS DOUBLE) >= 0.5
+        |  GROUP BY f.domain)
+        |SELECT d.doc_id, d.domain,
+        |  array_to_string(list_filter(string_split(d.t, chr(10)),
+        |    l -> NOT COALESCE(list_contains(b.bls, l), FALSE)), chr(10))
+        |    AS clean_text
+        |FROM d LEFT JOIN bl b ON d.domain = b.domain
+        |ORDER BY doc_id""".stripMargin,
 
     "t5_pii_scrub" ->
       s"""WITH d AS (
@@ -3360,6 +3432,30 @@ object SparkEntry {
         |  CASE WHEN event_type = 'view'
         |       THEN chr(10) || chr(10) || '[Note] Vision inputs not processed in demo mode.'
         |       ELSE '' END AS summary
-        |FROM syms ORDER BY event_type""".stripMargin
+        |FROM syms ORDER BY event_type""".stripMargin,
+
+    "p8_curation_pipeline" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, source, text,
+         |    len(${wordsSql("text")}) AS n_words,
+         |    len(list_filter(${wordsSql("text")}, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','it','for','on'], x)))
+         |      AS stop_hits
+         |  FROM documents),
+         |g AS (SELECT * FROM w WHERE n_words >= 25 AND stop_hits >= 2),
+         |dd AS (
+         |  SELECT * FROM (
+         |    SELECT *,
+         |      ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}
+         |        AS fp
+         |    FROM g)
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |c AS (
+         |  SELECT * FROM dd
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |    <= 60)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

@@ -140,7 +140,8 @@ object TextAnalysis {
     val meanWl = when(nWords > 0,
       round((nChars - nWords + 1) / nWords.cast("double"), 6))
       .otherwise(0.0)
-    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val symbols =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
     val symRatio = when(nWords > 0,
       round(symbols / nWords.cast("double"), 6)).otherwise(1.0)
     val stopHits = wordHits(text, stops)

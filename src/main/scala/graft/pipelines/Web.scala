@@ -179,4 +179,52 @@ object Web {
     df.withColumn("domain_rank",
         row_number().over(Window.partitionBy(domain).orderBy(order: _*)))
       .filter(col("domain_rank") <= maxDocs)
+
+  /** CCNet-style per-domain boilerplate line removal: a line is
+    * boilerplate when it appears in ≥ `minDocs` documents AND in more
+    * than `maxFrac` of its domain's documents (navigation bars, cookie
+    * banners, copyright footers — the lines a template stamps onto
+    * every page of a site). Every occurrence of a boilerplate line is
+    * dropped; documents keep their remaining lines in order (a document
+    * that was ALL boilerplate survives as an empty string).
+    *
+    * Plan shape (the scalable formulation): explode lines once, count
+    * each line ONCE PER DOCUMENT (`dropDuplicates`) into per-(domain,
+    * line) document frequencies, join the per-domain doc totals
+    * (broadcast — one row per domain), then remove via LEFT ANTI join
+    * on (domain, line) and reassemble with an order-preserving
+    * `collect_list(struct(pos, line))` + `array_sort` per document.
+    * Both shuffles key on (domain, line) / doc id — no per-domain line
+    * dictionary ever materializes on the driver or in one task, so a
+    * mega-domain costs parallel partitions, not memory.
+    *
+    * Output: the input row (id, domain) plus `clean_text`.
+    */
+  def removeBoilerplateLines(df: DataFrame, id: Column, domain: Column,
+                             text: Column, minDocs: Int = 5,
+                             maxFrac: Double = 0.5): DataFrame = {
+    val base = df.select(id.as("_id"), domain.as("_domain"), text.as("_t"))
+    val lines = base
+      .select(col("_id"), col("_domain"),
+        posexplode(split(col("_t"), "\n", -1)).as(Seq("_pos", "_line")))
+    val docFreq = lines
+      .dropDuplicates("_id", "_domain", "_line")
+      .groupBy("_domain", "_line").agg(count(lit(1)).as("_n"))
+    val domainDocs = base.groupBy("_domain")
+      .agg(count(lit(1)).as("_docs"))
+    val boiler = docFreq
+      .join(broadcast(domainDocs), "_domain")
+      .filter(col("_n") >= minDocs &&
+        col("_n").cast("double") / col("_docs").cast("double") >= maxFrac)
+      .select("_domain", "_line")
+    val kept = lines.join(boiler, Seq("_domain", "_line"), "left_anti")
+      .groupBy("_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line")), "\n").as("clean_text"))
+    base.select(col("_id"), col("_domain"))
+      .join(kept, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"), col("_domain").as("domain"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -105,6 +105,28 @@ class WebSpec extends AnyFunSuite {
     assert(loose(1) === "https://ex.com/%7Euser")
   }
 
+  test("removeBoilerplateLines strips template lines per domain only") {
+    val rows =
+      (1L to 6L).map(i => (i, "a.com", s"SHARED LINE\nbody a$i")) ++
+        Seq((7L, "b.com", "SHARED LINE\nbody b7"),
+          (8L, "b.com", "body b8"), (9L, "b.com", "body b9"),
+          (10L, "b.com", "body b10"), (11L, "b.com", "body b11"),
+          (12L, "b.com", "body b12"),
+          (13L, "a.com", "SHARED LINE")) // all-boilerplate doc
+    val got = pipelines.Web.removeBoilerplateLines(
+        rows.toDF("id", "domain", "text"),
+        $"id", $"domain", $"text", minDocs = 3, maxFrac = 0.5)
+      .orderBy("doc_id").select("clean_text").as[String].collect()
+    // removed across a.com (7/7 docs carry it)...
+    assert(got(0) === "body a1")
+    assert(got(5) === "body a6")
+    // ...but b.com's single occurrence (1/6 < 0.5) survives
+    assert(got(6) === "SHARED LINE\nbody b7")
+    assert(got(7) === "body b8")
+    // a doc that was pure template survives as an empty string
+    assert(got(12) === "")
+  }
+
   test("capPerDomain keeps the first N per domain, deterministically") {
     val df = (1L to 10L).map(i => (i, s"d${i % 2}.com")).toDF("id", "domain")
     val got = Web.capPerDomain(df, $"domain", Seq($"id".asc), maxDocs = 3)
