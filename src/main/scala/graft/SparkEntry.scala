@@ -993,6 +993,15 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t17_unigram_logprob" -> ((s, d) => {
+      // perplexity-proxy quality scoring: corpus-estimated unigram
+      // −ln p averaged per doc (micro-unit integer accumulation, so
+      // the score is identical under any partitioning)
+      TextAnalysis.unigramLogProb(T(s, d).documents, "doc_id",
+          col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "t16_boilerplate" -> ((s, d) => {
       // CCNet-style boilerplate strip: every source's docs get a
       // synthetic site template (nav header + copyright footer); the
@@ -2421,6 +2430,22 @@ object SparkEntry {
          |    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
          |    AND alpha_word_ratio >= 0.8 AND rep_ratio <= 0.3 AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t17_unigram_logprob" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS word
+         |  FROM documents),
+         |v AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+         |t AS (SELECT count(*) AS tot FROM w),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS nll_u
+         |  FROM w JOIN v USING (word), t)
+         |SELECT doc_id,
+         |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // independently-derived formulation: per-domain boilerplate LIST +
     // in-row list_filter (the engine's anti-join form must agree)

@@ -306,6 +306,37 @@ object TextAnalysis {
       .withColumn("lang_score", best.getField("score"))
   }
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter (what CCNet runs a KenLM for, reduced to the train-free
+    * unigram case): score(doc) = mean over tokens of −ln p(word), with
+    * p estimated from the corpus itself. Out-of-distribution documents
+    * (gibberish, wrong language, boilerplate soup) score high and get
+    * filtered; a threshold is the caller's policy.
+    *
+    * Plan shape: one word explode, one map-side-combinable vocab
+    * aggregate, a broadcast 1-row total, and one shuffle join on word
+    * (the same shape as TF-IDF). Each token's −ln p is rounded to
+    * integer MICRO-UNITS before the per-doc sum, so the aggregate is
+    * order-independent and bit-reproducible across partitionings and
+    * engines — a float sum would differ in the last ulp per shuffle
+    * layout.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val words = df.select(col(idCol),
+      explode(Dedup.words(text)).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = words.agg(count(lit(1)).as("tot"))
+    words.join(vocab, "word").crossJoin(broadcast(total))
+      .withColumn("nll_u",
+        round(-log(col("wc").cast("double") / col("tot").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy(idCol)
+      .agg((sum(col("nll_u")).cast("double") / count(lit(1)) / 1e6)
+          .as("avg_nll"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Document fingerprint: 60-bit md5 of the normalized text (lowercase,
     * whitespace-collapsed) — an order-stable exact-dup key shared with
     * the DuckDB oracle.

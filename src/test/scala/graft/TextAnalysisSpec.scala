@@ -95,6 +95,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramLogProb: out-of-distribution docs score higher") {
+    // 9 docs of common words + 1 of corpus-rare words: the rare doc's
+    // mean -ln p must dominate
+    val common = (1L to 9L).map(i => (i, "the cat sat on the mat"))
+    val df = (common :+ (10L, "zyx qwv plk jhg")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", $"text")
+      .orderBy("doc_id").select("avg_nll").as[Double].collect()
+    assert(got(9) > got(0) * 2)
+    // reproducible under a different partitioning (micro-unit sums)
+    val re = TextAnalysis.unigramLogProb(df.repartition(7), "doc_id",
+        $"text")
+      .orderBy("doc_id").select("avg_nll").as[Double].collect()
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("languageIdNgram: trigram profiles identify short marker-free docs") {
     val df = Seq(
       // German with none of the six stopword markers — the trigram
