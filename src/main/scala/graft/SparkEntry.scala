@@ -110,6 +110,10 @@ object SparkEntry {
   private def h48(x: String) = s"('0x' || substr(md5($x), 1, 12))::BIGINT"
 
   /** DuckDB mirrors of Dedup.words / Dedup.shingles / permHash. */
+  // RE2 hex escape for vertical tab, kept out of the interpolated SQL
+  // literals (the s-interpolator rejects \x as a Scala escape)
+  private val VtEsc = "\\x0B"
+
   private def wordsSql(t: String) =
     s"list_filter(regexp_split_to_array(lower(trim($t)), '\\s+'), w -> w <> '')"
   private def shinglesSql(ws: String, w: Int = 3) =
@@ -703,7 +707,8 @@ object SparkEntry {
       val q = PriceStream.start(s, landing, table, ckpt,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         watermark = "3650 days")
-      q.awaitTermination(180000)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
       s.read.parquet(table)
         .groupBy("symbol", "source").agg(count(lit(1)).as("n"))
         .repartition(1).sortWithinPartitions("symbol", "source")
@@ -778,7 +783,8 @@ object SparkEntry {
       val q = graft.streaming.DocStream.start(s, landing, table, ckpt,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         watermark = "3650 days")
-      q.awaitTermination(180000)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
       s.read.parquet(table)
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
         .repartition(1).sortWithinPartitions("lang", "source")
@@ -810,7 +816,8 @@ object SparkEntry {
       val q = graft.streaming.DocStream.startDomainCap(s, landing, table,
         ckpt, maxDocs = 40,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination(180000)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
       s.read.parquet(table)
         .groupBy("domain").agg(count(lit(1)).as("n"))
         .repartition(1).sortWithinPartitions("domain")
@@ -2400,15 +2407,17 @@ object SparkEntry {
          |    len(list_filter(ws, x -> list_contains(
          |      ['the','a','of','and','to','in','is','it','for','on'], x)))
          |      AS stop_hits,
-         |    round(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]'))
-         |      / CAST(len(string_split(t, chr(10))) AS DOUBLE), 6)
-         |      AS bullet_ratio,
-         |    round(len(regexp_extract_all(t, '(?m)(\\.\\.\\.|…)$$'))
-         |      / CAST(len(string_split(t, chr(10))) AS DOUBLE), 6)
-         |      AS ellipsis_ratio,
+         |    round(len(regexp_extract_all(replace(t, chr(13), ''),
+         |        '(?m)^[ \t]*[-*•]'))
+         |      / CAST(len(string_split(replace(t, chr(13), ''), chr(10)))
+         |        AS DOUBLE), 6) AS bullet_ratio,
+         |    round(len(regexp_extract_all(replace(t, chr(13), ''),
+         |        '(?m)(\\.\\.\\.|…)$$'))
+         |      / CAST(len(string_split(replace(t, chr(13), ''), chr(10)))
+         |        AS DOUBLE), 6) AS ellipsis_ratio,
          |    CASE WHEN len(ws) > 0
          |         THEN round(len(regexp_extract_all(t,
-         |                '[^ \t\n\r\f]*[A-Za-z][^ \t\n\r\f]*'))
+         |                '[^ \t\n\r\f$VtEsc]*[A-Za-z][^ \t\n\r\f$VtEsc]*'))
          |              / CAST(len(ws) AS DOUBLE), 6)
          |         ELSE 0.0 END AS alpha_word_ratio,
          |    round((sh.total - sh.dn) / CAST(sh.total AS DOUBLE), 6)
@@ -2713,7 +2722,8 @@ object SparkEntry {
     "t3b_lang_id_ngram" ->
       s"""WITH w AS (
          |  SELECT doc_id, lang,
-         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+         |    regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ',
+         |      'g') AS s
          |  FROM documents),
          |sc AS (
          |  SELECT doc_id, lang,

@@ -149,19 +149,25 @@ object TextAnalysis {
     // with a -1 split limit (trailing empties survive → denominator is
     // the true line count); bullet/ellipsis hits counted by (?m)
     // multiline regex — explicit [ \t] classes, not \s, so Java and the
-    // oracle's RE2 agree on every span
-    val nLines = size(split(text, "\n", -1))
-    val bulletHits = size(regexp_extract_all(text,
+    // oracle's RE2 agree on every span. CRs are stripped first: Java's
+    // (?m) anchors also fire around \r (and U+0085/U+2028/U+2029)
+    // while RE2's
+    // fire only at \n, so \r\n texts would otherwise count differently
+    // in the two engines
+    val lineText = regexp_replace(text, "\r", "")
+    val nLines = size(split(lineText, "\n", -1))
+    val bulletHits = size(regexp_extract_all(lineText,
       lit("(?m)^[ \\t]*[-*•]"), lit(0)))
     val bulletRatio = round(bulletHits / nLines.cast("double"), 6)
-    val ellipsisHits = size(regexp_extract_all(text,
+    val ellipsisHits = size(regexp_extract_all(lineText,
       lit("(?m)(\\.\\.\\.|…)$"), lit(0)))
     val ellipsisRatio = round(ellipsisHits / nLines.cast("double"), 6)
     // fraction of words containing at least one alphabetic character —
     // the regex cannot cross whitespace, so its matches are exactly the
-    // whitespace tokens with ≥1 alpha (same tokenization as n_words)
+    // whitespace tokens with ≥1 alpha (same tokenization as n_words;
+    // \x0B included because Java's \s+ split treats it as a separator)
     val alphaWords = size(regexp_extract_all(text,
-      lit("[^ \\t\\n\\r\\f]*[A-Za-z][^ \\t\\n\\r\\f]*"), lit(0)))
+      lit("[^ \\t\\n\\r\\f\\x0B]*[A-Za-z][^ \\t\\n\\r\\f\\x0B]*"), lit(0)))
     val alphaWordRatio = when(nWords > 0,
       round(alphaWords / nWords.cast("double"), 6)).otherwise(0.0)
     // duplicate-n-gram rule: rides the same compiled shingle-hash pass
@@ -265,7 +271,12 @@ object TextAnalysis {
   def languageIdNgram(df: DataFrame, text: Column,
                       profiles: Map[String, Seq[String]] = LangTrigrams)
       : DataFrame = {
-    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // null text coalesces to "" (score 0 everywhere) — a null would
+    // otherwise propagate into the struct comparison, where Spark's
+    // greatest and the oracle's CASE-over-greatest break ties
+    // differently
+    val s = regexp_replace(lower(trim(coalesce(text, lit("")))),
+      "\\s+", " ")
     val scored = profiles.toSeq.sortBy(_._1).map { case (langName, grams) =>
       val prof = grams.distinct
       val hits = prof.map(g => s.contains(lit(g)).cast("int"))
@@ -313,10 +324,12 @@ object TextAnalysis {
     * (gibberish, wrong language, boilerplate soup) score high and get
     * filtered; a threshold is the caller's policy.
     *
-    * Plan shape: one word explode, one map-side-combinable vocab
-    * aggregate, a broadcast 1-row total, and one shuffle join on word
-    * (the same shape as TF-IDF). Each token's −ln p is rounded to
-    * integer MICRO-UNITS before the per-doc sum, so the aggregate is
+    * Plan shape: two word-explode passes (one building the vocab, one
+    * feeding the scoring join — the classic two-pass LM estimate), a
+    * broadcast 1-row total summed from the |vocab|-sized aggregate
+    * (NOT a third corpus pass), and one shuffle join on word (the same
+    * shape as TF-IDF). Each token's −ln p is rounded to integer
+    * MICRO-UNITS before the per-doc sum, so the aggregate is
     * order-independent and bit-reproducible across partitionings and
     * engines — a float sum would differ in the last ulp per shuffle
     * layout.
@@ -326,7 +339,7 @@ object TextAnalysis {
     val words = df.select(col(idCol),
       explode(Dedup.words(text)).as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("wc"))
-    val total = words.agg(count(lit(1)).as("tot"))
+    val total = vocab.agg(sum(col("wc")).as("tot"))
     words.join(vocab, "word").crossJoin(broadcast(total))
       .withColumn("nll_u",
         round(-log(col("wc").cast("double") / col("tot").cast("double"))

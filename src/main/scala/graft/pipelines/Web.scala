@@ -52,11 +52,15 @@ object Web {
       if (strict) pctDecodeUnreserved(p) else p
     }
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
-    val kept0 = filter(split(query, "&"),
-      p => !(p.rlike("^utm_") || p === ""))
-    val kept =
-      if (strict) array_sort(transform(kept0, pctDecodeUnreserved(_)))
-      else kept0
+    // strict mode decodes BEFORE the utm filter — "utm%5Fsource" must
+    // be recognized and removed like "utm_source", or two encodings of
+    // one URL would strict-canonicalize differently
+    val rawParams = split(query, "&")
+    val params =
+      if (strict) transform(rawParams, pctDecodeUnreserved(_))
+      else rawParams
+    val kept0 = filter(params, p => !(p.rlike("^utm_") || p === ""))
+    val kept = if (strict) array_sort(kept0) else kept0
     val queryNorm = array_join(kept, "&")
     when(scheme === "", lower(noFrag))
       .otherwise(concat(scheme, lit("://"), hostNoPort, path,
@@ -217,13 +221,16 @@ object Web {
       .filter(col("_n") >= minDocs &&
         col("_n").cast("double") / col("_docs").cast("double") >= maxFrac)
       .select("_domain", "_line")
+    // group AND re-join on (id, domain): ids are only assumed unique
+    // WITHIN a domain (per-shard/per-site ids are common), so grouping
+    // by id alone could interleave two sites' documents
     val kept = lines.join(boiler, Seq("_domain", "_line"), "left_anti")
-      .groupBy("_id")
+      .groupBy("_id", "_domain")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
           x => x.getField("_line")), "\n").as("clean_text"))
     base.select(col("_id"), col("_domain"))
-      .join(kept, Seq("_id"), "left")
+      .join(kept, Seq("_id", "_domain"), "left")
       .select(col("_id").as("doc_id"), col("_domain").as("domain"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }

@@ -104,9 +104,24 @@ object DocStream {
         (_: String, docs: Iterator[DomainDoc], state: GroupState[Long]) => {
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, maxDocs - admitted).toInt
-          val take = docs.toArray.sortBy(_.doc_id).take(room)
-          if (take.nonEmpty) state.update(admitted + take.length)
-          take.iterator
+          if (room == 0) Iterator.empty
+          else {
+            // bounded selection: keep the `room` lowest doc_ids via a
+            // size-capped max-heap instead of materializing + sorting
+            // the whole group — a mega-domain's micro-batch costs
+            // O(room) memory, not O(batch)
+            val heap = new scala.collection.mutable.PriorityQueue[
+              DomainDoc]()(Ordering.by(_.doc_id))
+            docs.foreach { d =>
+              if (heap.size < room) heap.enqueue(d)
+              else if (d.doc_id < heap.head.doc_id) {
+                heap.dequeue(); heap.enqueue(d)
+              }
+            }
+            val take = heap.toArray.sortBy(_.doc_id)
+            state.update(admitted + take.length)
+            take.iterator
+          }
         })
       .toDF()
   }

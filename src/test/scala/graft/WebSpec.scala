@@ -86,7 +86,8 @@ class WebSpec extends AnyFunSuite {
       "https://ex.com/p?b=2&a=1",
       "https://ex.com/p?a=1&b=2",
       "https://ex.com/p?a=%31",             // %31 → 1: sorts with a=1
-      "https://ex.com/bad%zz%4")            // malformed escapes pass through
+      "https://ex.com/bad%zz%4",            // malformed escapes pass through
+      "https://ex.com/p?utm%5Fsource=feed&a=1") // encoded utm_ still removed
       .toDF("url")
       .select(Web.normalizeUrl($"url", strict = true).as("n"))
       .as[String].collect()
@@ -97,12 +98,27 @@ class WebSpec extends AnyFunSuite {
     assert(got(4) === "https://ex.com/p?a=1&b=2")
     assert(got(5) === "https://ex.com/p?a=1")
     assert(got(6) === "https://ex.com/bad%zz%4")
+    assert(got(7) === "https://ex.com/p?a=1")
     // default mode leaves escapes and param order alone
     val loose = Seq("https://ex.com/p?b=2&a=1", "https://ex.com/%7Euser")
       .toDF("url").select(Web.normalizeUrl($"url").as("n"))
       .as[String].collect()
     assert(loose(0) === "https://ex.com/p?b=2&a=1")
     assert(loose(1) === "https://ex.com/%7Euser")
+  }
+
+  test("PublicSuffixes snapshot is well-formed") {
+    import graft.pipelines.PublicSuffixes._
+    val tiers = Seq(
+      (plain2, 1), (plain3, 2), (wildcardParents, 0), (exceptions, 1))
+    tiers.foreach { case (xs, dots) =>
+      assert(xs.distinct.size === xs.size, "duplicate suffix entries")
+      xs.foreach { s =>
+        assert(s === s.toLowerCase && !s.startsWith(".") &&
+          !s.endsWith(".") && !s.contains(" "), s"malformed entry: $s")
+        assert(s.count(_ == '.') === dots, s"wrong label count: $s")
+      }
+    }
   }
 
   test("removeBoilerplateLines strips template lines per domain only") {
