@@ -1185,6 +1185,29 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("vec_id")
     }),
 
+    "n10_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: lexical hits (query-term occurrences) fused
+      // with embedding cosine (query = vec 0) via Reciprocal Rank
+      // Fusion — both rankings computed with the scale-safe
+      // globalRanks, fused top-20 by 1/(60+r_lex) + 1/(60+r_vec)
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d).documents
+      val emb = T(s, d).embeddings
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(docs("doc_id"),
+          TextAnalysis.wordHits(col("text"),
+              Seq("data", "query", "join", "spark"))
+            .cast("double").as("_lex"),
+          round(Similarity.cosineNative(col("embedding"), col("qv")), 6)
+            .as("_vec"))
+      Similarity.hybridTopKRrf(joined, col("doc_id"), col("_lex"),
+          col("_vec"), k = 60, topN = 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "n8_ann_recall" -> ((s, d) => {
       // recall@10 of single-probe vs Hamming-1 multi-probe LSH against
       // the exact brute-force baseline, per query — the missing tuning
@@ -2758,6 +2781,36 @@ object SparkEntry {
         |  FROM embeddings, q)
         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "n10_hybrid_rrf" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |j AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(list_filter(${wordsSql("d.text")},
+         |      x -> list_contains(['data','query','join','spark'], x)))
+         |      AS DOUBLE) AS lex,
+         |    round(
+         |      list_reduce(list_transform(range(1, 65),
+         |        i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE),
+         |        (a, b) -> a + b)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+         |           (a, b) -> a + b))
+         |         * sqrt(list_reduce(list_transform(range(1, 65),
+         |             i -> qv[i]::DOUBLE * qv[i]::DOUBLE),
+         |             (a, b) -> a + b))), 6) AS vec
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY lex DESC, doc_id)
+         |      AS BIGINT) AS lex_rank,
+         |    CAST(row_number() OVER (ORDER BY vec DESC, doc_id)
+         |      AS BIGINT) AS vec_rank
+         |  FROM j)
+         |SELECT doc_id, lex_rank, vec_rank,
+         |  round(CAST(1.0 AS DOUBLE) / (60 + lex_rank)
+         |    + CAST(1.0 AS DOUBLE) / (60 + vec_rank), 6) AS rrf
+         |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "n2_lsh_bucket" ->
       s"""SELECT vec_id,

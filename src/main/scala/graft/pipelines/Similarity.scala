@@ -471,4 +471,40 @@ object Similarity {
           (col("a._norm") * col("b._norm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009):
+    * fuse a lexical score and a vector score through their RANKS —
+    * `rrf = 1/(k + lex_rank) + 1/(k + vec_rank)` — which needs no score
+    * normalization (the classic failure of weighted-sum fusion when the
+    * two scales differ). Ranks are GLOBAL but computed with the
+    * scale-safe [[graft.operators.Relational.globalRanks]] (range
+    * partition + broadcast prefix offsets — NO single-task window), so
+    * the fusion survives a corpus that does not fit one partition. Ties
+    * break by id, making both rankings and the fused top-N
+    * deterministic.
+    *
+    * Input: one row per candidate with its id, lexical score, and
+    * vector score already computed. Output: `id, lex_rank, vec_rank,
+    * rrf`, the top `topN` by fused score.
+    */
+  def hybridTopKRrf(scored: DataFrame, id: Column, lexScore: Column,
+                    vecScore: Column, k: Int = 60, topN: Int = 10)
+      : DataFrame = {
+    import graft.operators.Relational.globalRanks
+    val base = scored.select(id.as("id"), lexScore.as("_lex"),
+      vecScore.as("_vec"))
+    val lexRanked = globalRanks(base,
+      Seq(col("_lex").desc, col("id").asc))
+      .withColumnRenamed("_rn", "lex_rank")
+    val bothRanked = globalRanks(lexRanked,
+      Seq(col("_vec").desc, col("id").asc))
+      .withColumnRenamed("_rn", "vec_rank")
+    bothRanked
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(k) + col("lex_rank"))
+          + lit(1.0) / (lit(k) + col("vec_rank")), 6))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topN)
+      .select("id", "lex_rank", "vec_rank", "rrf")
+  }
 }

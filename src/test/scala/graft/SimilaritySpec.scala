@@ -353,4 +353,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(graft.Caches.activeCount === 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("hybridTopKRrf: fusion prefers candidates strong in both modalities") {
+    val df = Seq(
+      (1L, 10.0, 0.1), // lexical champion, vector dud
+      (2L, 0.0, 0.99), // vector champion, lexical dud
+      (3L, 8.0, 0.9),  // strong in both — must win the fusion
+      (4L, 1.0, 0.2))
+      .toDF("id", "lex", "vec")
+    val got = Similarity.hybridTopKRrf(df, $"id", $"lex", $"vec",
+      k = 60, topN = 4).collect()
+    graft.Caches.releaseAll()
+    // lex ranks: 1,3,4,2 ; vec ranks: 2,3,4,1 → rrf puts 3 first and
+    // breaks the symmetric 1-vs-2 tie by id
+    assert(got.map(_.getAs[Long]("id")).toSeq === Seq(3L, 1L, 2L, 4L))
+    assert(got.head.getAs[Double]("rrf") > got(1).getAs[Double]("rrf"))
+  }
 }
