@@ -2369,8 +2369,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |    lower(regexp_extract(nofrag,
          |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |    lower(regexp_extract(nofrag,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS host0,
+         |    regexp_replace(lower(regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
+         |      '^[^/@]*@', '') AS host0,
          |    regexp_replace(regexp_extract(nofrag,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$$', '')
          |      AS path,

@@ -39,8 +39,12 @@ object Web {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(noFrag,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    // userinfo ("user:pass@host") is dropped BEFORE the port strip —
+    // crawl URLs carry it, and leaving it in would both leak
+    // credentials into canonical keys and defeat host equality
+    val host = lower(regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1),
+      "^[^/@]*@", ""))
     val hostNoPort =
       when(scheme === "http", regexp_replace(host, ":80$", ""))
         .when(scheme === "https", regexp_replace(host, ":443$", ""))
@@ -102,7 +106,9 @@ object Web {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     val bare = regexp_extract(url, "^([^/?#]+)", 1)
     regexp_replace(
-      lower(when(withScheme =!= "", withScheme).otherwise(bare)),
+      regexp_replace(
+        lower(when(withScheme =!= "", withScheme).otherwise(bare)),
+        "^[^/@]*@", ""), // userinfo
       ":[0-9]+$", "")
   }
 
@@ -132,7 +138,10 @@ object Web {
       (s2.isInCollection(PublicSuffixes.plain2) ||
         s1.isInCollection(PublicSuffixes.wildcardParents))
     val k = when(suf3, 3).when(suf2, 2).otherwise(1)
-    when(n > k, array_join(slice(labels, (k + 1) * -1, k + 1), "."))
+    // an IPv4 literal has no registrable domain — suffix math over its
+    // octets would return garbage like "0.1"; return the address
+    when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
+      .when(n > k, array_join(slice(labels, (k + 1) * -1, k + 1), "."))
       .otherwise(h)
   }
 
@@ -144,6 +153,8 @@ object Web {
   def registeredDomainSql(host: String): String = {
     import PublicSuffixes.{sqlList => L}
     s"""CASE
+       |  WHEN regexp_matches($host,
+       |    '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN $host
        |  WHEN len(string_split($host, '.')) >
        |    (CASE
        |      WHEN len(string_split($host, '.')) >= 3 AND list_contains(
