@@ -61,21 +61,43 @@ final case class PriceTable(spark: SparkSession, root: String,
   /** Committed version number (0 = uninitialized). */
   def version: Long = currentManifest.map(_._1).getOrElse(0L)
 
+  /** All committed (non-vacuumed) versions, ascending. */
+  def versions: Seq[Long] =
+    Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(_.getName match {
+        case ManifestRe(n) => Some(n.toLong)
+        case _             => None
+      }).sorted.toSeq
+
+  private def manifestFileAt(v: Long): Option[java.io.File] = {
+    val f = new java.io.File(rootFile, f"manifest-$v%012d.txt")
+    if (f.isFile) Some(f) else None
+  }
+
   /** dir → assigned partition values (Star = every partition in dir). */
   private def readManifest(): Seq[(String, Seq[String])] =
-    currentManifest match {
-      case None => Nil
-      case Some((_, f)) =>
-        Files.readAllLines(f.toPath).asScala.toSeq
-          .filter(_.nonEmpty).map { line =>
-            val Array(dir, syms) = line.split("\t", 2)
-            dir -> (if (syms == Star) Seq(Star)
-                    else if (syms.isEmpty) Nil
-                    else syms.split(",").toSeq)
-          }
-    }
+    currentManifest.map(_._2).map(parseManifest).getOrElse(Nil)
 
-  private def writeManifest(entries: Seq[(String, Seq[String])]): Unit = {
+  private def parseManifest(f: java.io.File): Seq[(String, Seq[String])] =
+    Files.readAllLines(f.toPath).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(dir, syms) = line.split("\t", 2)
+        dir -> (if (syms == Star) Seq(Star)
+                else if (syms.isEmpty) Nil
+                else syms.split(",").toSeq)
+      }
+
+  /** Publish `entries` as version `base + 1`. The manifest body is
+    * fully written to a temp file first, then published with a hard
+    * LINK (not a rename): `link(2)` is atomic like rename, but FAILS if
+    * the target exists — which is exactly the optimistic-concurrency
+    * check. Two writers that both read base N race to create
+    * `manifest-(N+1)`; the loser gets a
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * overwriting the winner's commit (POSIX rename would replace it).
+    */
+  private def writeManifest(entries: Seq[(String, Seq[String])],
+                            base: Long): Unit = {
     val body = entries
       .filter { case (_, syms) => syms.nonEmpty }
       .map { case (d, syms) => d + "\t" + syms.mkString(",") }
@@ -83,9 +105,16 @@ final case class PriceTable(spark: SparkSession, root: String,
     val tmp = new java.io.File(rootFile, s".manifest-tmp-${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, body)
     failpoint("pre-commit")
-    Files.move(tmp.toPath,
-      new java.io.File(rootFile, f"manifest-${version + 1}%012d.txt").toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    val target =
+      new java.io.File(rootFile, f"manifest-${base + 1}%012d.txt").toPath
+    try Files.createLink(target, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit: version ${base + 1} already exists under " +
+            s"$root (another writer committed after this mutation read " +
+            s"version $base); re-read and retry")
+    } finally Files.deleteIfExists(tmp.toPath)
   }
 
   /** Partition values actually present in a committed data dir. Spark
@@ -125,8 +154,9 @@ final case class PriceTable(spark: SparkSession, root: String,
 
   /** Initialize (or replace) the table with `prices` as version+1. */
   def init(prices: DataFrame): Unit = {
+    val base = version
     val (rel, _) = stage(prices)
-    writeManifest(Seq(rel -> Seq(Star)))
+    writeManifest(Seq(rel -> Seq(Star)), base)
   }
 
   /** Current committed snapshot. Each data dir contributes only its
@@ -135,11 +165,28 @@ final case class PriceTable(spark: SparkSession, root: String,
   def read(): DataFrame = {
     val entries = readManifest()
     require(entries.nonEmpty, s"no committed manifest under $root")
+    resolve(entries)
+  }
+
+  /** Time travel: the snapshot as of committed version `v` — data dirs
+    * are immutable and superseded manifests stay on disk until
+    * [[vacuum]], so every un-vacuumed version remains exactly
+    * reconstructable (reproducing "the corpus the model trained on" is
+    * a provenance requirement, not a luxury). After a vacuum only the
+    * current version resolves.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val f = manifestFileAt(v).getOrElse(sys.error(
+      s"version $v not found under $root (vacuumed or never committed); " +
+        s"available: ${versions.mkString(", ")}"))
+    resolve(parseManifest(f))
+  }
+
+  private def resolve(entries: Seq[(String, Seq[String])]): DataFrame =
     entries.map { case (d, syms) =>
       val df = spark.read.parquet(s"$root/$d")
       if (syms == Seq(Star)) df else df.filter(col("symbol").isin(syms: _*))
     }.reduce(_.unionByName(_))
-  }
 
   private def batchSymbols(batch: DataFrame): Seq[String] =
     batch.select("symbol").distinct().collect().map(_.getString(0)).toSeq
@@ -154,6 +201,7 @@ final case class PriceTable(spark: SparkSession, root: String,
     */
   def insertIgnore(batch: DataFrame,
                    keys: Seq[String] = Warehouse.PriceKeys): Long = {
+    val base = version
     val existing = prunedExisting(batch)
     val fresh = batch.dropDuplicates(keys)
       .join(existing.select(keys.map(col): _*), keys, "left_anti")
@@ -162,7 +210,7 @@ final case class PriceTable(spark: SparkSession, root: String,
     val inserted = fresh.count()
     if (inserted > 0) {
       val (rel, syms) = stage(fresh)
-      writeManifest(readManifest() :+ (rel -> syms))
+      writeManifest(readManifest() :+ (rel -> syms), base)
     }
     fresh.unpersist(blocking = false)
     inserted
@@ -175,12 +223,13 @@ final case class PriceTable(spark: SparkSession, root: String,
     */
   def upsert(batch: DataFrame,
              keys: Seq[String] = Warehouse.PriceKeys): Unit = {
+    val base = version
     val existing = prunedExisting(batch)
     val merged = Relational.upsert(existing,
       batch.select(existing.columns.map(col): _*), keys)
     val touched = batchSymbols(batch).toSet
     val (rel, syms) = stage(merged)
-    writeManifest(without(readManifest(), touched) :+ (rel -> syms))
+    writeManifest(without(readManifest(), touched) :+ (rel -> syms), base)
   }
 
   /** Delete matching rows within the named partitions, with the
@@ -189,12 +238,14 @@ final case class PriceTable(spark: SparkSession, root: String,
     * append window.
     */
   def deleteWhere(symbols: Seq[String], cond: Column): Long = {
+    val base = version
     val touched = read().filter(col("symbol").isin(symbols: _*))
     val matched = coalesce(cond, lit(false))
     val deleted = touched.filter(matched).count()
     if (deleted > 0) {
       val (rel, syms) = stage(touched.filter(!matched))
-      writeManifest(without(readManifest(), symbols.toSet) :+ (rel -> syms))
+      writeManifest(without(readManifest(), symbols.toSet) :+ (rel -> syms),
+        base)
     }
     deleted
   }
@@ -205,6 +256,7 @@ final case class PriceTable(spark: SparkSession, root: String,
     */
   def compact(symbols: Seq[String] = Nil,
               maxRecordsPerFile: Long = 1000000L): Unit = {
+    val base = version
     val all = read()
     val touched =
       if (symbols.isEmpty) all
@@ -217,7 +269,8 @@ final case class PriceTable(spark: SparkSession, root: String,
     val (rel, syms) = stage(touched,
       coalesceTo = math.max(1, spark.sparkContext.defaultParallelism / 2),
       maxRecordsPerFile = maxRecordsPerFile)
-    writeManifest(without(readManifest(), touchedSet) :+ (rel -> syms))
+    writeManifest(without(readManifest(), touchedSet) :+ (rel -> syms),
+      base)
   }
 
   /** Reclaim data dirs no manifest-current entry references (retired by
@@ -230,13 +283,15 @@ final case class PriceTable(spark: SparkSession, root: String,
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && !live.contains(f.getName))
       .foreach(PriceTable.deleteRecursively)
-    // drop superseded manifests (the current one stays)
+    // drop superseded manifests (the current one stays) and any temp
+    // manifest a pre-commit crash left behind
     currentManifest.foreach { case (cur, _) =>
       Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
         .foreach { f =>
           f.getName match {
-            case ManifestRe(n) if n.toLong < cur => f.delete()
-            case _                               => ()
+            case ManifestRe(n) if n.toLong < cur             => f.delete()
+            case n if n.startsWith(".manifest-tmp-")          => f.delete()
+            case _                                            => ()
           }
         }
     }

@@ -208,6 +208,55 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tbl.read().orderBy("id").collect().toSeq === snap)
   }
 
+  test("PriceTable: time travel + optimistic concurrency") {
+    val root = Files.createTempDirectory("graft_wh_tt").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val seed = Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "GBPUSD", 1.27, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source")
+    val tbl = graft.sources.PriceTable(spark, root)
+    tbl.init(seed)
+    tbl.upsert(Seq((1L, "EURUSD", 2.00, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source"))
+    assert(tbl.versions === Seq(1L, 2L))
+    // every un-vacuumed version reconstructs exactly
+    assert(tbl.readVersion(1)
+      .filter($"symbol" === "EURUSD").select("price")
+      .as[Double].collect().toSeq === Seq(1.08))
+    assert(tbl.read()
+      .filter($"symbol" === "EURUSD").select("price")
+      .as[Double].collect().toSeq === Seq(2.00))
+
+    // optimistic concurrency: writer B commits between writer A's
+    // base read and A's publish (simulated inside A's failpoint) —
+    // A must fail with ConcurrentModificationException, NOT silently
+    // clobber B's commit
+    var raced = false
+    val racing = graft.sources.PriceTable(spark, root, failpoint = p =>
+      if (p == "pre-commit" && !raced) {
+        raced = true
+        graft.sources.PriceTable(spark, root).upsert(
+          Seq((2L, "GBPUSD", 9.99, t0, "src0"))
+            .toDF("id", "symbol", "price", "as_of", "source"))
+      })
+    intercept[java.util.ConcurrentModificationException] {
+      racing.upsert(Seq((1L, "EURUSD", 3.00, t0, "src0"))
+        .toDF("id", "symbol", "price", "as_of", "source"))
+    }
+    // B's commit is the surviving head; A's update is absent
+    assert(tbl.read().orderBy("symbol").select("price")
+      .as[Double].collect().toSeq === Seq(2.00, 9.99))
+
+    // vacuum retires history: only the head remains readable
+    val head = tbl.version
+    tbl.vacuum()
+    assert(tbl.versions === Seq(head))
+    intercept[RuntimeException] { tbl.readVersion(1) }
+    assert(tbl.read().orderBy("symbol").select("price")
+      .as[Double].collect().toSeq === Seq(2.00, 9.99))
+  }
+
   test("PriceTable: reads prune partitions; insertIgnore appends a dir") {
     val root = Files.createTempDirectory("graft_wh_atomic2").toString
     val t0 = ts("2024-01-01 10:00:00")
