@@ -17,7 +17,9 @@ object Bench {
   private val headline = Seq(
     "q1_lineitem_agg", "q5_star_revenue", "q5b_star_bucketed",
     "j1_positions", "j6_asof_join", "d3_minhash_pairs", "d6_dedup_clusters",
-    "n1_ann_topk", "n3_ann_lsh", "n6_ivf_partitioned", "t1_text_stats",
+    "n1_ann_topk", "n3_ann_lsh", "n6_ivf_partitioned", "n10_hybrid_rrf",
+    "t1_text_stats", "t15_quality_rules", "t16_boilerplate",
+    "t17_unigram_logprob", "p8_curation_pipeline",
     "s5_insert_ignore", "u1b_warehouse_upsert", "st1_stream_ingest",
     "m2_image_decode", "o5_next_offset")
 

@@ -70,6 +70,21 @@ object DocStream {
       .trigger(trigger)
       .start()
 
+  /** Curated streaming ingest: content dedup composed with the
+    * stateless Gopher quality gate — duplicates are dropped by keyed
+    * state, then each survivor is gated scan-side (`keep`) before it
+    * reaches the table. The gate adds NO state: it is the same one-scan
+    * projection as the batch [[TextAnalysis.qualityRules]], so the
+    * composition's only stateful piece remains the dedup. Rule columns
+    * are retained in the output for audit (WHICH rule dropped a doc).
+    */
+  def curate(incoming: DataFrame, watermark: String = "1 hour",
+             minWords: Int = 50, minStopHits: Int = 2): DataFrame =
+    TextAnalysis.qualityRules(
+        dedupeByContent(incoming, watermark), col("text"),
+        minWords = minWords, minStopHits = minStopHits)
+      .filter(col("keep"))
+
   val domainDocSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("lang", StringType),

@@ -148,6 +148,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("curated stream: content dedup composes with the stateless quality gate") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = ts("2024-01-01 10:00:00")
+    val goodA = "the cat sat on a warm mat and it did like that spot " +
+      "for one lazy day in the afternoon sun"
+    val goodB = "a big dog came to rest close by and all was good in " +
+      "the garden for the rest of it"
+    val in = MemoryStream[(Long, String, String, String,
+      java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "lang", "source", "ts")
+    val q = graft.streaming.DocStream
+      .curate(docs, "10 days", minWords = 10, minStopHits = 2)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (1L, goodA, "en", "crawl", t0),
+      (2L, goodA, "en", "crawl", t0),  // exact dup → dropped by state
+      (3L, "too short", "en", "crawl", t0), // fails the gate, stateless
+      (4L, goodB, "en", "crawl", t0))
+    q.processAllAvailable()
+    in.addData((5L, goodB, "en", "crawl", t0)) // cross-batch dup
+    q.processAllAvailable()
+    val kept = spark.table("curated").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 4L))
+    // the audit columns survive into the curated table
+    assert(spark.table("curated").columns.contains("pass_words"))
+  }
+
   test("streaming domain cap: state spans batches and restarts; parity with batch cap") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.pipelines.Web
