@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-sketch hot path.
@@ -483,6 +483,63 @@ object TextSketches {
         l: Expression, r: Expression): VecDot = copy(left = l, right = r)
     override def prettyName: String = "graft_dot"
   }
+
+  /** Symmetric int8 quantization of a numeric vector in ONE pass:
+    * `struct(q: array<int>, scale: double)` with `q_i = round(x_i /
+    * scale * 127)` (HALF_UP, away from zero — Spark `round`
+    * semantics) and `scale = max |x_i|`; an all-zero vector quantizes
+    * to zeros with scale 0. The declarative twin
+    * ([[graft.pipelines.Similarity.quantizeInt8Declarative]]) walks
+    * the array four-plus times through interpreted lambdas and cannot
+    * share the max across the struct fields; this loop reads each
+    * element twice. Null elements → null result (like [[VecDot]]).
+    */
+  case class QuantizeInt8(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("q", ArrayType(IntegerType, containsNull = false)),
+      StructField("scale", DoubleType)))
+
+    private def elem(a: ArrayData, i: Int, et: DataType): Double =
+      et match {
+        case FloatType   => a.getFloat(i).toDouble
+        case DoubleType  => a.getDouble(i)
+        case IntegerType => a.getInt(i).toDouble
+        case LongType    => a.getLong(i).toDouble
+        case other =>
+          throw new IllegalArgumentException(s"non-numeric array: $other")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      var m = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val d = math.abs(elem(x, i, et))
+        if (d > m) m = d
+        i += 1
+      }
+      val out = new Array[Int](n)
+      if (m > 0) {
+        i = 0
+        while (i < n) {
+          val d = elem(x, i, et) / m * 127.0
+          // HALF_UP away from zero, matching Spark round() / BigDecimal
+          out(i) = (math.signum(d) * math.floor(math.abs(d) + 0.5)).toInt
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        new GenericArrayData(out), m)
+    }
+
+    override protected def withNewChildInternal(c: Expression)
+        : QuantizeInt8 = copy(child = c)
+    override def prettyName: String = "graft_quantize_int8"
+  }
 }
 
 /** Per-session registration of the native sketch functions (idempotent;
@@ -535,6 +592,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ivf_cell_at",
       es => TextSketches.IvfCellAt(es.head, es(1), litInt(es(2), "dim")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize_int8",
+      es => TextSketches.QuantizeInt8(es.head), "scala_udf")
     // optimizer rule: declarative dot-product folds compile to VecDot
     // (idempotent append)
     val rules = spark.experimental.extraOptimizations

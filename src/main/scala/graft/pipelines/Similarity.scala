@@ -376,7 +376,16 @@ object Similarity {
     * transform (scan-side, no shuffle); zero vectors quantize to zeros
     * with scale 0. Reconstruction error per component ≤ scale/254.
     */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    call_function("graft_quantize_int8", vec)
+
+  /** Declarative twin of [[quantizeInt8]] — kept as the readable
+    * specification and for the native/declarative parity spec; the
+    * interpreted HOFs walk the array 4+ times (and the struct's
+    * consumers re-derive `q` per reference), which measured ~1s at
+    * sf0.1 vs the one-pass compiled expression.
+    */
+  def quantizeInt8Declarative(vec: Column): Column = {
     val m = array_max(transform(vec, x => abs(x.cast("double"))))
     struct(
       when(m > 0,

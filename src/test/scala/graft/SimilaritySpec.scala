@@ -354,6 +354,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("QuantizeInt8 native matches the declarative twin bit-for-bit") {
+    graft.expressions.GraftFunctions.register(spark)
+    val vecs: Seq[Array[Float]] = Seq(
+      Array(0.5f, -1.0f, 0.25f, -0.75f),
+      Array(0.0f, 0.0f),          // all-zero: q zeros, scale 0
+      Array(-3.5f, 3.5f, 1.0f),
+      // -1/254*127 = -0.5: HALF_UP (away from zero) gives -1; a
+      // math.round-based native would give 0 and fail here
+      Array(1.0f, -1.0f, 254.0f),
+      Array(1e-8f, -1e-8f, 1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    def flat(c: org.apache.spark.sql.Column) = Seq(
+      col("id"), c.getField("q").as("q"), c.getField("scale").as("sc"))
+    val n = df.select(flat(Similarity.quantizeInt8($"embedding")): _*)
+      .orderBy("id").as[(Long, Seq[Int], Double)].collect().toSeq
+    val d = df.select(
+        flat(Similarity.quantizeInt8Declarative($"embedding")): _*)
+      .orderBy("id").as[(Long, Seq[Int], Double)].collect().toSeq
+    assert(n === d)
+    assert(n(3)._2 === Seq(1, -1, 127)) // the HALF_UP tie, away from zero
+  }
+
   test("hybridTopKRrf: fusion prefers candidates strong in both modalities") {
     val df = Seq(
       (1L, 10.0, 0.1), // lexical champion, vector dud
