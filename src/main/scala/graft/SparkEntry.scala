@@ -1095,6 +1095,29 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t18_quality_deciles" -> ((s, d) => {
+      // quality calibration report: rank the corpus by quality score
+      // (scale-safe globalRanks — NO single-task ntile window), bucket
+      // into deciles by rank arithmetic against a broadcast total, and
+      // summarize each decile with exact micro-unit averages
+      val scored = TextAnalysis.qualityScore(T(s, d).documents,
+          col("text"))
+        .select(col("doc_id"), col("quality"))
+      Relational.globalRanks(scored,
+          Seq(col("quality").asc, col("doc_id").asc))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+        .withColumn("decile",
+          floor(((col("_rn") - 1) * 10).cast("double") / col("_n"))
+            .cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("quality")), 7).as("min_q"),
+          round(max(col("quality")), 7).as("max_q"),
+          (sum(round(col("quality") * 1e7).cast("long")).cast("double")
+            / count(lit(1)) / 1e7).as("avg_q"))
+        .repartition(1).sortWithinPartitions("decile")
+    }),
+
     "t3_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(T(s, d).documents, col("text"))
         .select("doc_id", "lang", "lang_pred", "lang_score")
@@ -2722,6 +2745,45 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok_bpe
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t18_quality_deciles" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ws, w -> lower(w) IN
+        |      ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stop_hits
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_chars > 0 THEN round(n_alpha / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_words > 0 THEN round(stop_hits / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio
+        |  FROM g),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CAST(round(least(1.0, n_words / 100.0) * 1000000) AS BIGINT) * 4
+        |     + CAST(round(alpha_ratio * 1000000) AS BIGINT) * 3
+        |     + CAST(round(least(1.0, stopword_ratio * 5.0) * 1000000) AS BIGINT) * 3)
+        |    / 10000000.0 AS quality
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, quality,
+        |    row_number() OVER (ORDER BY quality, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM q)
+        |SELECT CAST(floor((rn - 1) * 10 / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(quality), 7) AS min_q,
+        |  round(max(quality), 7) AS max_q,
+        |  CAST(sum(CAST(round(quality * 10000000) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 10000000.0 AS avg_q
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "t3_lang_id" ->
       """WITH w AS (

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "n8_ann_recall", // exact-baseline cross: 8 broadcast query rows
     "t12_tfidf",     // corpus-size: broadcast 1-row aggregate
     "t17_unigram_logprob", // corpus-total: broadcast 1-row aggregate
-    "n10_hybrid_rrf")      // query-vector: broadcast 1 row
+    "n10_hybrid_rrf",      // query-vector: broadcast 1 row
+    "t18_quality_deciles") // corpus-total: broadcast 1-row aggregate
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"
