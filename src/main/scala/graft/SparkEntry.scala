@@ -1185,6 +1185,19 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     }),
 
+    "n11_semantic_clusters" -> ((s, d) => {
+      // SemDeDup-style semantic clustering: LSH-blocked embedding
+      // cosine pairs (n4's operator) feed the distributed
+      // connected-components min-label propagation (d6's operator) —
+      // root == id marks each semantic cluster's representative
+      val emb = T(s, d).embeddings
+      val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.5, bits = 4, dim = 64)
+      Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+          pairs, "id_a", "id_b")
+        .repartition(1).sortWithinPartitions("id")
+    }),
+
     "n7_batch_ann" -> ((s, d) => {
       val emb = T(s, d).embeddings
       val queries = emb.filter(col("vec_id") < 8)
@@ -3025,6 +3038,42 @@ object SparkEntry {
          |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "n11_semantic_clusters" -> {
+      val bucket = (v: String) =>
+        s"""array_to_string(list_transform(range(0, 4),
+           |    p -> CASE WHEN list_reduce(list_transform(range(0, 64),
+           |        d -> $v[d + 1]::DOUBLE *
+           |             ((${h48("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)),
+           |        (a, b) -> a + b) >= 0
+           |      THEN 1 ELSE 0 END), '')""".stripMargin
+      s"""WITH RECURSIVE b AS (
+         |  SELECT vec_id, embedding, ${bucket("embedding")} AS bkt
+         |  FROM embeddings),
+         |p0 AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |  WHERE round(
+         |      list_reduce(list_transform(range(1, 65),
+         |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (a, c) -> a + c))
+         |         * sqrt(list_reduce(list_transform(range(1, 65),
+         |             i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c))),
+         |      6) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p0
+         |  UNION SELECT id_b, id_a FROM p0),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src)
+         |SELECT e.vec_id AS id,
+         |  least(e.vec_id, COALESCE(c.mn, e.vec_id)) AS root
+         |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+         |ORDER BY id""".stripMargin
     },
 
     "n6_ivf_partitioned" -> {
