@@ -114,8 +114,18 @@ object SparkEntry {
   // literals (the s-interpolator rejects \x as a Scala escape)
   private val VtEsc = "\\x0B"
 
+  // strip every non-\n line terminator Java's (?m) anchors fire at but
+  // RE2's do not: \r, NEL (U+0085), LS (U+2028), PS (U+2029) — plain
+  // substring replaces, mirroring the engine's regexp_replace class
+  private def stripLineSeps(t: String) =
+    s"replace(replace(replace(replace($t, chr(13), ''), chr(133), ''), " +
+      s"chr(8232), ''), chr(8233), '')"
+
+  // the split class is [\s\x0B]+, not \s+: Java's \s (the engine's
+  // tokenizer) includes vertical tab, RE2's does not — without \x0B a
+  // VT-bearing doc tokenizes differently in the two engines
   private def wordsSql(t: String) =
-    s"list_filter(regexp_split_to_array(lower(trim($t)), '\\s+'), w -> w <> '')"
+    s"list_filter(regexp_split_to_array(lower(trim($t)), '[\\s\\x0B]+'), w -> w <> '')"
   private def shinglesSql(ws: String, w: Int = 3) =
     s"""CASE WHEN len($ws) >= $w
        |  THEN list_transform(range(0, len($ws) - ${w - 1}),
@@ -1103,9 +1113,12 @@ object SparkEntry {
       val scored = TextAnalysis.qualityScore(T(s, d).documents,
           col("text"))
         .select(col("doc_id"), col("quality"))
-      Relational.globalRanks(scored,
-          Seq(col("quality").asc, col("doc_id").asc))
-        .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+      val ranked = Relational.globalRanks(scored,
+        Seq(col("quality").asc, col("doc_id").asc))
+      // total = max rank, read from the frame globalRanks already
+      // persisted — NOT a second full quality-scoring corpus scan
+      ranked
+        .crossJoin(broadcast(ranked.agg(max(col("_rn")).as("_n"))))
         .withColumn("decile",
           floor(((col("_rn") - 1) * 10).cast("double") / col("_n"))
             .cast("long"))
@@ -2407,7 +2420,7 @@ object SparkEntry {
          |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          |    regexp_replace(lower(regexp_extract(nofrag,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
-         |      '^[^/@]*@', '') AS host0,
+         |      '^[^/]*@', '') AS host0,
          |    regexp_replace(regexp_extract(nofrag,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$$', '')
          |      AS path,
@@ -2467,13 +2480,13 @@ object SparkEntry {
          |    len(list_filter(ws, x -> list_contains(
          |      ['the','a','of','and','to','in','is','it','for','on'], x)))
          |      AS stop_hits,
-         |    round(len(regexp_extract_all(replace(t, chr(13), ''),
+         |    round(len(regexp_extract_all(${stripLineSeps("t")},
          |        '(?m)^[ \t]*[-*•]'))
-         |      / CAST(len(string_split(replace(t, chr(13), ''), chr(10)))
+         |      / CAST(len(string_split(${stripLineSeps("t")}, chr(10)))
          |        AS DOUBLE), 6) AS bullet_ratio,
-         |    round(len(regexp_extract_all(replace(t, chr(13), ''),
+         |    round(len(regexp_extract_all(${stripLineSeps("t")},
          |        '(?m)(\\.\\.\\.|…)$$'))
-         |      / CAST(len(string_split(replace(t, chr(13), ''), chr(10)))
+         |      / CAST(len(string_split(${stripLineSeps("t")}, chr(10)))
          |        AS DOUBLE), 6) AS ellipsis_ratio,
          |    CASE WHEN len(ws) > 0
          |         THEN round(len(regexp_extract_all(t,

@@ -492,7 +492,11 @@ object TextSketches {
     * ([[graft.pipelines.Similarity.quantizeInt8Declarative]]) walks
     * the array four-plus times through interpreted lambdas and cannot
     * share the max across the struct fields; this loop reads each
-    * element twice. Null elements → null result (like [[VecDot]]).
+    * element twice. Contract divergence at degenerate inputs: a NULL
+    * ELEMENT nulls the whole struct here (like [[VecDot]]) where the
+    * twin nulls only the affected q slots — the parity spec covers
+    * well-formed (non-null-element) vectors, which is what an
+    * embedding column contains.
     */
   case class QuantizeInt8(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -514,6 +518,11 @@ object TextSketches {
       val x = v.asInstanceOf[ArrayData]
       val n = x.numElements()
       val et = child.dataType.asInstanceOf[ArrayType].elementType
+      // empty input mirrors the declarative twin: array_max over an
+      // empty array is NULL, so scale is null with an empty q
+      if (n == 0)
+        return org.apache.spark.sql.catalyst.InternalRow(
+          new GenericArrayData(Array.emptyIntArray), null)
       var m = 0.0
       var i = 0
       while (i < n) {
@@ -527,8 +536,12 @@ object TextSketches {
         i = 0
         while (i < n) {
           val d = elem(x, i, et) / m * 127.0
-          // HALF_UP away from zero, matching Spark round() / BigDecimal
-          out(i) = (math.signum(d) * math.floor(math.abs(d) + 0.5)).toInt
+          // HALF_UP exactly as Spark round(): BigDecimal, NOT
+          // floor(abs+0.5) — for d = 0.49999999999999994 the latter
+          // computes abs(d)+0.5 == 1.0 in IEEE arithmetic and rounds
+          // UP where BigDecimal correctly rounds down
+          out(i) = java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
           i += 1
         }
       }

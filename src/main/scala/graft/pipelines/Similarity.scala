@@ -376,6 +376,11 @@ object Similarity {
     * transform (scan-side, no shuffle); zero vectors quantize to zeros
     * with scale 0. Reconstruction error per component ≤ scale/254.
     */
+  /** One-pass compiled quantization — requires
+    * [[graft.expressions.GraftFunctions.register]] on the session (a
+    * Column-level helper cannot self-register; `Tables` and every
+    * DataFrame-level pipeline op register defensively).
+    */
   def quantizeInt8(vec: Column): Column =
     call_function("graft_quantize_int8", vec)
 

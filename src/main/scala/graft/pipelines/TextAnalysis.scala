@@ -149,12 +149,13 @@ object TextAnalysis {
     // with a -1 split limit (trailing empties survive → denominator is
     // the true line count); bullet/ellipsis hits counted by (?m)
     // multiline regex — explicit [ \t] classes, not \s, so Java and the
-    // oracle's RE2 agree on every span. CRs are stripped first: Java's
-    // (?m) anchors also fire around \r (and U+0085/U+2028/U+2029)
-    // while RE2's
-    // fire only at \n, so \r\n texts would otherwise count differently
+    // oracle's RE2 agree on every span. Non-\n line terminators are
+    // stripped first: Java's (?m) anchors fire around \r, U+0085
+    // (NEL), U+2028 (LS) and U+2029 (PS) while RE2's fire only at \n,
+    // so texts carrying any of them would otherwise count differently
     // in the two engines
-    val lineText = regexp_replace(text, "\r", "")
+    val lineText =
+      regexp_replace(text, "[\\r\\u0085\\u2028\\u2029]", "")
     val nLines = size(split(lineText, "\n", -1))
     val bulletHits = size(regexp_extract_all(lineText,
       lit("(?m)^[ \\t]*[-*•]"), lit(0)))

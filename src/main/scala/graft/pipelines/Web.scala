@@ -44,7 +44,7 @@ object Web {
     // credentials into canonical keys and defeat host equality
     val host = lower(regexp_replace(
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1),
-      "^[^/@]*@", ""))
+      "^[^/]*@", ""))
     val hostNoPort =
       when(scheme === "http", regexp_replace(host, ":80$", ""))
         .when(scheme === "https", regexp_replace(host, ":443$", ""))
@@ -108,7 +108,7 @@ object Web {
     regexp_replace(
       regexp_replace(
         lower(when(withScheme =!= "", withScheme).otherwise(bare)),
-        "^[^/@]*@", ""), // userinfo
+        "^[^/]*@", ""), // userinfo (to the LAST @)
       ":[0-9]+$", "")
   }
 

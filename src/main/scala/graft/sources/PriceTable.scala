@@ -284,14 +284,19 @@ final case class PriceTable(spark: SparkSession, root: String,
       .filter(f => f.isDirectory && !live.contains(f.getName))
       .foreach(PriceTable.deleteRecursively)
     // drop superseded manifests (the current one stays) and any temp
-    // manifest a pre-commit crash left behind
+    // manifest a pre-commit crash left behind. Temp manifests are
+    // AGE-GATED: a fresh one may belong to a writer currently between
+    // its write and its link-publish — deleting it would turn that
+    // commit into a NoSuchFileException instead of a clean OCC retry
+    val tmpCutoff = System.currentTimeMillis() - 60 * 60 * 1000L
     currentManifest.foreach { case (cur, _) =>
       Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
         .foreach { f =>
           f.getName match {
-            case ManifestRe(n) if n.toLong < cur             => f.delete()
-            case n if n.startsWith(".manifest-tmp-")          => f.delete()
-            case _                                            => ()
+            case ManifestRe(n) if n.toLong < cur => f.delete()
+            case n if n.startsWith(".manifest-tmp-")
+                && f.lastModified() < tmpCutoff  => f.delete()
+            case _                               => ()
           }
         }
     }
