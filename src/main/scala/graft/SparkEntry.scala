@@ -346,6 +346,17 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "a13_approx_percentiles" -> ((s, d) => {
+      // mergeable percentile sketch: fixed-bin histogram + in-bin
+      // interpolation — the scale substitute for a10's exact
+      // percentile (whose global sort dies at 100 TB); two parallel
+      // aggregation passes, a ≤bins-row driver collect, deterministic
+      // fixed-order arithmetic
+      Aggregates.approxPercentilesHist(T(s, d).events, col("value"),
+          ps = Seq(0.5, 0.9, 0.95, 0.99), bins = 1000)
+        .repartition(1).sortWithinPartitions("p")
+    }),
+
     "a11_rollup" -> ((s, d) => {
       // hierarchical totals in ONE pass (rollup = grouping-sets), vs the
       // reference recomputing each level with separate queries
@@ -1918,6 +1929,40 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a13_approx_percentiles" ->
+      """WITH b AS (
+        |  SELECT CAST(min(value) AS DOUBLE) AS lo,
+        |         CAST(max(value) AS DOUBLE) AS hi,
+        |         count(*) AS n
+        |  FROM events),
+        |s AS (
+        |  SELECT lo, hi, n,
+        |    CASE WHEN hi = lo THEN CAST(1.0 AS DOUBLE)
+        |         ELSE (hi - lo) / 1000 END AS step
+        |  FROM b),
+        |h AS (
+        |  SELECT least(999, greatest(0,
+        |    CAST(floor((CAST(value AS DOUBLE) - lo) / step) AS BIGINT)))
+        |    AS bin
+        |  FROM events, s),
+        |c AS (SELECT bin, count(*) AS cnt FROM h GROUP BY bin),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cdf
+        |        FROM c),
+        |t(p) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.95::DOUBLE),
+        |                (0.99::DOUBLE)),
+        |pick AS (
+        |  SELECT t.p, min(cum.bin) AS b
+        |  FROM t, cum, s WHERE cum.cdf >= t.p * s.n GROUP BY t.p),
+        |e AS (
+        |  SELECT pick.p, pick.b, cum.cnt,
+        |    COALESCE((SELECT max(c2.cdf) FROM cum c2
+        |              WHERE c2.bin < pick.b), 0) AS cum_before
+        |  FROM pick JOIN cum ON cum.bin = pick.b)
+        |SELECT e.p,
+        |  round(s.lo + (e.b + (e.p * s.n - e.cum_before) / e.cnt)
+        |    * (s.hi - s.lo) / 1000, 6) AS est
+        |FROM e, s ORDER BY p""".stripMargin,
 
     "j6_asof_join" ->
       s"""WITH $pricesCte,

@@ -116,6 +116,52 @@ object Aggregates {
     binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Mergeable approximate percentiles from a fixed-bin histogram —
+    * the scale substitute for exact percentiles (a10), whose global
+    * sort is the thing that does NOT survive 100 TB. Two fully
+    * parallel aggregation passes (global min/max/count, then bin
+    * counts — both map-side combinable and mergeable across
+    * partitions/files/days), a ≤`bins`-row driver collect, and linear
+    * interpolation inside the target bin:
+    * `est = lo + (bin + (p·n − cdf_before)/cnt_bin) · (hi − lo)/bins`.
+    * Binning mirrors [[histogram10]] (clamp, degenerate max==min →
+    * bin 0). Error is bounded by one bin width; the result is exact
+    * integer-count arithmetic plus a fixed-order float expression, so
+    * it is bit-reproducible across partitionings and engines.
+    */
+  def approxPercentilesHist(df: DataFrame, v: Column, ps: Seq[Double],
+                            bins: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.agg(min(v).cast("double").as("mn"),
+      max(v).cast("double").as("mx"), count(lit(1)).as("n")).collect()(0)
+    val (mn, mx, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    val step = if (mx == mn) 1.0 else (mx - mn) / bins
+    val counts = df.select(
+        least(lit(bins - 1L), greatest(lit(0L),
+          floor((v.cast("double") - mn) / step))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cdf = (0 until bins)
+      .scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).tail
+    val rows = ps.map { p =>
+      val target = p * n
+      val bIx = cdf.indexWhere(_ >= target) match {
+        case -1 => bins - 1
+        case i  => i
+      }
+      val cumBefore = if (bIx == 0) 0L else cdf(bIx - 1)
+      val cnt = counts.getOrElse(bIx, 0L)
+      val frac = if (cnt == 0) 0.0 else (target - cumBefore) / cnt.toDouble
+      val est = mn + (bIx + frac) * (mx - mn) / bins
+      // Spark round() semantics (BigDecimal HALF_UP) so the driver-side
+      // arithmetic hashes identically to the oracle's round(x, 6)
+      (p, java.math.BigDecimal.valueOf(est)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    rows.toDF("p", "est")
+  }
+
   /** A6 — watchlist quote + delta (/root/reference/static/main.js:554-570):
     * per key the two most recent values; delta = last − prev.
     * One window pass; the per-key series is bounded so the window state

@@ -71,6 +71,28 @@ class AggregatesSpec extends AnyFunSuite {
     assert(fb.toSeq === Seq((0, 3L)))
   }
 
+  test("approxPercentilesHist: within one bin width of exact; degenerate flat input") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val got = Aggregates.approxPercentilesHist(df, $"v",
+        ps = Seq(0.5, 0.9, 0.99), bins = 1000)
+      .orderBy("p").as[(Double, Double)].collect().toMap
+    val binWidth = (10000.0 - 1.0) / 1000
+    // exact percentiles of 1..10000 are ~p*10000
+    assert(math.abs(got(0.5) - 5000.0) <= binWidth)
+    assert(math.abs(got(0.9) - 9000.0) <= binWidth)
+    assert(math.abs(got(0.99) - 9900.0) <= binWidth)
+    // reproducible under a different partitioning (mergeable counts)
+    val re = Aggregates.approxPercentilesHist(df.repartition(13), $"v",
+        ps = Seq(0.5, 0.9, 0.99), bins = 1000)
+      .orderBy("p").as[(Double, Double)].collect().toMap
+    assert(re === got)
+    // max == min collapses to the single value
+    val flat = Seq(5.0, 5.0, 5.0).toDF("v")
+    val fp = Aggregates.approxPercentilesHist(flat, $"v", Seq(0.5), 10)
+      .as[(Double, Double)].collect()
+    assert(fp.toSeq === Seq((0.5, 5.0)))
+  }
+
   test("quoteDelta: last minus prev; single-row key has null delta") {
     val df = Seq(
       (1L, "A", ts("2024-01-01 00:00:00"), 10.0),
