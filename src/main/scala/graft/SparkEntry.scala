@@ -357,6 +357,16 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("p")
     }),
 
+    "a14_hll_distinct" -> ((s, d) => {
+      // deterministic HLL distinct sketch beside the exact count: the
+      // mergeable register table is the distributed part; the spec
+      // checks the estimate lands within HLL's expected error band
+      val e = T(s, d).events
+      Aggregates.approxCountDistinctHll(e, col("user_id"), p = 8)
+        .crossJoin(broadcast(
+          e.agg(countDistinct(col("user_id")).as("exact"))))
+    }),
+
     "a11_rollup" -> ((s, d) => {
       // hierarchical totals in ONE pass (rollup = grouping-sets), vs the
       // reference recomputing each level with separate queries
@@ -1963,6 +1973,39 @@ object SparkEntry {
         |  round(s.lo + (e.b + (e.p * s.n - e.cum_before) / e.cnt)
         |    * (s.hi - s.lo) / 1000, 6) AS est
         |FROM e, s ORDER BY p""".stripMargin,
+
+    "a14_hll_distinct" ->
+      s"""WITH hx AS (
+         |  SELECT ${h60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |rw AS (
+         |  SELECT CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w
+         |  FROM hx),
+         |rr AS (
+         |  SELECT idx,
+         |    max(CASE WHEN w = 0 THEN 53
+         |             ELSE 53 - length(format('{:b}', w)) END) AS rho
+         |  FROM rw GROUP BY idx),
+         |allr AS (
+         |  SELECT r.i AS idx, COALESCE(rr.rho, 0) AS rho
+         |  FROM range(0, 256) r(i) LEFT JOIN rr ON rr.idx = r.i),
+         |agg AS (
+         |  SELECT
+         |    list_sum(list(pow(2.0, -rho)::DOUBLE ORDER BY idx)) AS z,
+         |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM allr),
+         |e AS (
+         |  SELECT CASE
+         |      WHEN 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256)
+         |             * 256 * 256 / z <= 2.5::DOUBLE * 256
+         |           AND zeros > 0
+         |        THEN 256 * ln(256.0::DOUBLE / zeros)
+         |      ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256)
+         |             * 256 * 256 / z END AS e0
+         |  FROM agg)
+         |SELECT round(e0, 6) AS est,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         |    AS exact
+         |FROM e""".stripMargin,
 
     "j6_asof_join" ->
       s"""WITH $pricesCte,

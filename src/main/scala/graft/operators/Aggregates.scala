@@ -162,6 +162,55 @@ object Aggregates {
     rows.toDF("p", "est")
   }
 
+  /** Deterministic HyperLogLog distinct-count sketch (Flajolet et al.
+    * 2007): registers from the salted 60-bit md5 — low `p` bits pick
+    * the register (exact bit ops, no float division), the remaining
+    * bits' leading-zero rank updates it via `max` (fully mergeable
+    * across partitions/files/days — the point of the sketch). Estimate
+    * = `α·m²/Σ2^-M_j` with the standard small-range linear-counting
+    * correction, computed driver-side over the m-row collected
+    * register table in FIXED ascending-register order, so the float
+    * sum — and therefore the estimate — is bit-reproducible across
+    * partitionings and engines. Unlike
+    * `approx_count_distinct` (whose HLL++ bias tables are
+    * implementation-specific), every step here is mirrorable in the
+    * DuckDB oracle.
+    */
+  def approxCountDistinctHll(df: DataFrame, key: Column, p: Int = 8)
+      : DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val wBits = 60 - p
+    val h = graft.functions.MarketFunctions.md5Hash60(key.cast("string"))
+    val regs = df.select(h.bitwiseAND(lit((m - 1).toLong)).cast("int")
+          .as("idx"),
+        shiftrightunsigned(h, p).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))))
+      .groupBy("idx").agg(max(col("rho")).as("rho"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var z = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val mi = regs.getOrElse(i, 0)
+      if (mi == 0) zeros += 1
+      z += math.pow(2.0, -mi)
+      i += 1
+    }
+    val raw = alpha * m * m / z
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    Seq(java.math.BigDecimal.valueOf(est)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      .toDF("est")
+  }
+
   /** A6 — watchlist quote + delta (/root/reference/static/main.js:554-570):
     * per key the two most recent values; delta = last − prev.
     * One window pass; the per-key series is bounded so the window state

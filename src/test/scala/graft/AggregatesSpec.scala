@@ -93,6 +93,24 @@ class AggregatesSpec extends AnyFunSuite {
     assert(fp.toSeq === Seq((0.5, 5.0)))
   }
 
+  test("approxCountDistinctHll: estimate within the sketch's error band; reproducible") {
+    // 5000 distinct keys, each duplicated 3x — duplicates must not move
+    // the registers
+    val df = (1 to 15000).map(i => s"user-${i % 5000}").toDF("k")
+    val est = Aggregates.approxCountDistinctHll(df, $"k", p = 8)
+      .as[Double].collect()(0)
+    // p=8 → relative std error ≈ 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.20, s"est=$est")
+    val re = Aggregates.approxCountDistinctHll(df.repartition(11), $"k",
+      p = 8).as[Double].collect()(0)
+    assert(re === est)
+    // small cardinality exercises the linear-counting correction
+    val small = (1 to 40).map(i => s"u$i").toDF("k")
+    val se = Aggregates.approxCountDistinctHll(small, $"k", p = 8)
+      .as[Double].collect()(0)
+    assert(math.abs(se - 40.0) / 40.0 < 0.25, s"small est=$se")
+  }
+
   test("quoteDelta: last minus prev; single-row key has null delta") {
     val df = Seq(
       (1L, "A", ts("2024-01-01 00:00:00"), 10.0),
