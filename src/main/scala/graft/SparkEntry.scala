@@ -1944,7 +1944,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT CAST(min(value) AS DOUBLE) AS lo,
         |         CAST(max(value) AS DOUBLE) AS hi,
-        |         count(*) AS n
+        |         count(value) AS n
         |  FROM events),
         |s AS (
         |  SELECT lo, hi, n,
@@ -1955,7 +1955,7 @@ object SparkEntry {
         |  SELECT least(999, greatest(0,
         |    CAST(floor((CAST(value AS DOUBLE) - lo) / step) AS BIGINT)))
         |    AS bin
-        |  FROM events, s),
+        |  FROM events, s WHERE value IS NOT NULL),
         |c AS (SELECT bin, count(*) AS cnt FROM h GROUP BY bin),
         |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cdf
         |        FROM c),
@@ -2308,7 +2308,7 @@ object SparkEntry {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
          |SELECT min(doc_id) AS doc_id FROM doubled
-         |GROUP BY ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}
+         |GROUP BY ${h60("regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g')")}
          |ORDER BY doc_id""".stripMargin,
 
     "d2_minhash_sig" ->
@@ -2399,7 +2399,7 @@ object SparkEntry {
 
     "d10_incremental_dedup" -> {
       val fpSql = (t: String) =>
-        h60(s"regexp_replace(lower(trim($t)), '\\s+', ' ', 'g')")
+        h60(s"regexp_replace(lower(trim($t)), '[\\s\\x0B]+', ' ', 'g')")
       val bandsOf = (src: String) =>
         s"""SELECT doc_id, b AS band,
            |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
@@ -2715,7 +2715,7 @@ object SparkEntry {
          |  SELECT lang, source, text FROM documents WHERE doc_id % 11 = 0),
          |ded AS (
          |  SELECT DISTINCT lang, source,
-         |    ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+         |    ${h60("regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g')")} AS fp
          |  FROM landed)
          |SELECT lang, source, CAST(count(*) AS BIGINT) AS n
          |FROM ded GROUP BY lang, source
@@ -2922,7 +2922,7 @@ object SparkEntry {
     "t3b_lang_id_ngram" ->
       s"""WITH w AS (
          |  SELECT doc_id, lang,
-         |    regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ',
+         |    regexp_replace(lower(trim(COALESCE(text, ''))), '[\\s\\x0B]+', ' ',
          |      'g') AS s
          |  FROM documents),
          |sc AS (
@@ -2942,7 +2942,7 @@ object SparkEntry {
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,
-         |  ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+         |  ${h60("regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g')")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "n1_ann_topk" ->
@@ -3747,7 +3747,7 @@ object SparkEntry {
          |dd AS (
          |  SELECT * FROM (
          |    SELECT *,
-         |      ${h60("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}
+         |      ${h60("regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g')")}
          |        AS fp
          |    FROM g)
          |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),

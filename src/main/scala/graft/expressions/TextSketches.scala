@@ -536,12 +536,16 @@ object TextSketches {
         i = 0
         while (i < n) {
           val d = elem(x, i, et) / m * 127.0
-          // HALF_UP exactly as Spark round(): BigDecimal, NOT
-          // floor(abs+0.5) — for d = 0.49999999999999994 the latter
-          // computes abs(d)+0.5 == 1.0 in IEEE arithmetic and rounds
-          // UP where BigDecimal correctly rounds down
-          out(i) = java.math.BigDecimal.valueOf(d)
-            .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+          // HALF_UP exactly as Spark round() / BigDecimal, allocation-
+          // free: a − floor(a) is EXACT for a in [0, 127] (Sterbenz),
+          // so comparing the fraction to 0.5 decides the tie the same
+          // way BigDecimal's decimal test does. NOT floor(abs+0.5):
+          // for d = 0.49999999999999994, abs+0.5 == 1.0 in IEEE
+          // arithmetic and would round UP where HALF_UP rounds down.
+          val a = math.abs(d)
+          val fl = math.floor(a)
+          val r = if (a - fl >= 0.5) fl + 1.0 else fl
+          out(i) = (math.signum(d) * r).toInt
           i += 1
         }
       }

@@ -134,10 +134,13 @@ object Aggregates {
     val spark = df.sparkSession
     import spark.implicits._
     val b = df.agg(min(v).cast("double").as("mn"),
-      max(v).cast("double").as("mx"), count(lit(1)).as("n")).collect()(0)
+      max(v).cast("double").as("mx"), count(v).as("n")).collect()(0)
+    // empty (or all-null-value) input: the oracle formulation yields
+    // zero rows — return the same, not an NPE on the null min
+    if (b.isNullAt(0)) return Seq.empty[(Double, Double)].toDF("p", "est")
     val (mn, mx, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
     val step = if (mx == mn) 1.0 else (mx - mn) / bins
-    val counts = df.select(
+    val counts = df.where(v.isNotNull).select(
         least(lit(bins - 1L), greatest(lit(0L),
           floor((v.cast("double") - mn) / step))).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
@@ -184,7 +187,10 @@ object Aggregates {
     val m = 1 << p
     val wBits = 60 - p
     val h = graft.functions.MarketFunctions.md5Hash60(key.cast("string"))
-    val regs = df.select(h.bitwiseAND(lit((m - 1).toLong)).cast("int")
+    // null keys are ignored, matching countDistinct and the oracle
+    // (whose register join drops the null-hash group)
+    val regs = df.where(key.isNotNull)
+      .select(h.bitwiseAND(lit((m - 1).toLong)).cast("int")
           .as("idx"),
         shiftrightunsigned(h, p).as("w"))
       .withColumn("rho",

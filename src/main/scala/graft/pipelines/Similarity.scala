@@ -373,10 +373,9 @@ object Similarity {
   /** Symmetric int8 quantization of an embedding: each vector scales by
     * its own max-abs to [-127, 127] ints plus a per-vector scale — the
     * 4× storage shrink a 100 TB embedding store runs on. Pure in-row
-    * transform (scan-side, no shuffle); zero vectors quantize to zeros
-    * with scale 0. Reconstruction error per component ≤ scale/254.
-    */
-  /** One-pass compiled quantization — requires
+    * one-pass compiled expression (scan-side, no shuffle); zero vectors
+    * quantize to zeros with scale 0. Reconstruction error per component
+    * ≤ scale/254. Requires
     * [[graft.expressions.GraftFunctions.register]] on the session (a
     * Column-level helper cannot self-register; `Tables` and every
     * DataFrame-level pipeline op register defensively).
