@@ -948,6 +948,22 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("id")
     }),
 
+    "d12_dedup_stats" -> ((s, d) => {
+      // dedup impact report — the "what did dedup buy" summary a
+      // curation run publishes: cluster-size distribution (how many
+      // singletons, pairs, bigger families) and docs per size class,
+      // from the same candidate graph d6 clusters
+      val docs = T(s, d).documents
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", col("text"),
+        numPerm = 8, bandRows = 2)
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", (col("cluster_size") * col("n_clusters"))
+          .cast("long"))
+        .repartition(1).sortWithinPartitions("cluster_size")
+    }),
+
     "d7_dedup_apply" -> ((s, d) => {
       // the executable end of the dedup story: keep each cluster's root
       // (semi-join on root==id), report survivors per language
@@ -2396,6 +2412,40 @@ object SparkEntry {
          |  least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY id""".stripMargin,
+
+    "d12_dedup_stats" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(range(0, 8),
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+         |  FROM sigs, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+         |roots AS (
+         |  SELECT d.doc_id AS id,
+         |    least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sizes AS (SELECT root, count(*) AS cluster_size
+         |          FROM roots GROUP BY root)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "d10_incremental_dedup" -> {
       val fpSql = (t: String) =>
