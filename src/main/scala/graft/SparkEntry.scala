@@ -1142,6 +1142,19 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t19_cms_heavy_hitters" -> ((s, d) => {
+      // Count-Min heavy hitters over the corpus word stream: the
+      // mergeable d×w counter grid estimates the exact top-20's
+      // counts; min-over-rows never undercounts (the invariant column
+      // proves it on every row)
+      Aggregates.countMinTopK(
+          T(s, d).documents.select(
+            explode(Dedup.words(col("text"))).as("word")),
+          col("word"), k = 20)
+        .withColumnRenamed("item", "word")
+        .repartition(1).sortWithinPartitions("word")
+    }),
+
     "t18_quality_deciles" -> ((s, d) => {
       // quality calibration report: rank the corpus by quality score
       // (scale-safe globalRanks — NO single-task ntile window), bucket
@@ -2909,6 +2922,34 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok_bpe
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t19_cms_heavy_hitters" ->
+      s"""WITH wx AS (
+         |  SELECT unnest(${wordsSql("text")}) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS n_true FROM wx GROUP BY word),
+         |top AS (
+         |  SELECT word, n_true FROM wc
+         |  ORDER BY n_true DESC, word LIMIT 20),
+         |cells AS (
+         |  SELECT t.i,
+         |    ${h60("'cms' || CAST(t.i AS VARCHAR) || '#' || word")} % 1024
+         |      AS cell,
+         |    sum(n_true) AS c
+         |  FROM wc, range(0, 4) t(i) GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT top.word, top.n_true, t.i,
+         |    ${h60("'cms' || CAST(t.i AS VARCHAR) || '#' || top.word")} % 1024
+         |      AS cell
+         |  FROM top, range(0, 4) t(i)),
+         |est AS (
+         |  SELECT cand.word, cand.n_true, min(cells.c) AS cms_est
+         |  FROM cand JOIN cells
+         |    ON cells.i = cand.i AND cells.cell = cand.cell
+         |  GROUP BY 1, 2)
+         |SELECT word, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(cms_est AS BIGINT) AS cms_est,
+         |  cms_est >= n_true AS overestimates
+         |FROM est ORDER BY word""".stripMargin,
 
     "t18_quality_deciles" ->
       """WITH f AS (

@@ -217,6 +217,51 @@ object Aggregates {
       .toDF("est")
   }
 
+  /** Count-Min sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    * 2005) — the third of the mergeable-sketch trio (percentiles:
+    * [[approxPercentilesHist]], distincts: [[approxCountDistinctHll]]).
+    * The sketch is a d×w counter grid updated by salted md5 hashes:
+    * one grouped aggregate over the d-fold-exploded item stream (map-
+    * side combinable, mergeable across partitions/files/days — d·w
+    * counters summarize an unbounded stream). `estimate(x) = min over
+    * rows of cell(x)` NEVER undercounts (only collisions inflate).
+    * Returns the exact top-`k` items (the candidate set) with their
+    * true counts, sketch estimates, and the overestimate invariant —
+    * at corpus scale the exact pass is replaced by per-partition
+    * candidates, while the SKETCH side is the part that must stay
+    * mergeable. Every hash is deterministic md5, so estimates are
+    * bit-identical across engines and partitionings.
+    */
+  def countMinTopK(items: DataFrame, item: Column, k: Int,
+                   d: Int = 4, w: Int = 1024): DataFrame = {
+    import graft.functions.MarketFunctions.md5Hash60
+    val base = items.select(item.cast("string").as("item"))
+      .where(col("item").isNotNull)
+    def cellOf(it: Column, i: Column): Column =
+      md5Hash60(concat(lit("cms"), i.cast("string"), lit("#"), it)) % w
+    // one explode+aggregate over the occurrence stream; the d-fold
+    // expansion then runs over the VOCAB-sized count table (cell count
+    // = Σ counts of items hashing there — algebraically identical to
+    // exploding every occurrence d times, at 1/|avg count| the rows)
+    val wordCounts = graft.Caches.persist(
+      base.groupBy("item").agg(count(lit(1)).as("n_true")))
+    val exact = wordCounts
+      .orderBy(col("n_true").desc, col("item").asc).limit(k)
+    val cells = wordCounts
+      .select(col("item"), col("n_true"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), cellOf(col("item"), col("i")).as("cell"),
+        col("n_true"))
+      .groupBy("i", "cell").agg(sum(col("n_true")).as("c"))
+    val cand = exact
+      .select(col("item"), col("n_true"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("cell", cellOf(col("item"), col("i")))
+    cand.join(cells, Seq("i", "cell"))
+      .groupBy("item", "n_true").agg(min(col("c")).as("cms_est"))
+      .withColumn("overestimates", col("cms_est") >= col("n_true"))
+  }
+
   /** A6 — watchlist quote + delta (/root/reference/static/main.js:554-570):
     * per key the two most recent values; delta = last − prev.
     * One window pass; the per-key series is bounded so the window state

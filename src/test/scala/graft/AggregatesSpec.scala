@@ -111,6 +111,20 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(se - 40.0) / 40.0 < 0.25, s"small est=$se")
   }
 
+  test("countMinTopK: estimates never undercount; hot key stays near truth") {
+    val items = (Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"cold-$i"))
+      .toDF("x")
+    val got = Aggregates.countMinTopK(items, $"x", k = 5)
+      .orderBy($"n_true".desc, $"item").collect()
+    assert(got.head.getAs[String]("item") === "hot")
+    assert(got.head.getAs[Long]("n_true") === 500L)
+    // the CMS invariant: min-over-rows never undercounts
+    assert(got.forall(_.getAs[Boolean]("overestimates")))
+    // with 2500 occurrences over 1024 cells × 4 rows, collisions
+    // inflate the hot key's estimate only slightly
+    assert(got.head.getAs[Long]("cms_est") - 500L <= 50L)
+  }
+
   test("quoteDelta: last minus prev; single-row key has null delta") {
     val df = Seq(
       (1L, "A", ts("2024-01-01 00:00:00"), 10.0),
