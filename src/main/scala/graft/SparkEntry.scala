@@ -2881,7 +2881,7 @@ object SparkEntry {
     "t7_seq_pack" ->
       """WITH f AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), w -> w <> '')) AS BIGINT) AS tok
         |  FROM documents)
         |SELECT doc_id, lang, tok,
         |  CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
@@ -2896,7 +2896,7 @@ object SparkEntry {
     "t1_text_stats" ->
       """WITH f AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), w -> w <> '') AS ws,
         |    CAST(length(text) AS BIGINT) AS n_chars
         |  FROM documents),
         |g AS (
@@ -2919,8 +2919,8 @@ object SparkEntry {
         |   + CAST(round(alpha_ratio * 1000000) AS BIGINT) * 3
         |   + CAST(round(least(1.0, stopword_ratio * 5.0) * 1000000) AS BIGINT) * 3)
         |  / 10000000.0 AS quality,
-        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok_ws,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok_bpe
+        |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), w -> w <> '')) AS BIGINT) AS tok_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s\x0B]')) AS BIGINT) AS tok_bpe
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "t19_cms_heavy_hitters" ->
@@ -2954,7 +2954,7 @@ object SparkEntry {
     "t18_quality_deciles" ->
       """WITH f AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), w -> w <> '') AS ws,
         |    CAST(length(text) AS BIGINT) AS n_chars
         |  FROM documents),
         |g AS (
@@ -2993,7 +2993,7 @@ object SparkEntry {
     "t3_lang_id" ->
       """WITH w AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), x -> x <> '') AS ws
         |  FROM documents),
         |sc AS (
         |  SELECT doc_id, lang,
