@@ -196,8 +196,8 @@ object Web {
       .filter(col("domain_rank") <= maxDocs)
 
   /** CCNet-style per-domain boilerplate line removal: a line is
-    * boilerplate when it appears in ≥ `minDocs` documents AND in more
-    * than `maxFrac` of its domain's documents (navigation bars, cookie
+    * boilerplate when it appears in ≥ `minDocs` documents AND in at
+    * least `maxFrac` of its domain's documents (navigation bars, cookie
     * banners, copyright footers — the lines a template stamps onto
     * every page of a site). Every occurrence of a boilerplate line is
     * dropped; documents keep their remaining lines in order (a document
@@ -205,13 +205,18 @@ object Web {
     *
     * Plan shape (the scalable formulation): explode lines once, count
     * each line ONCE PER DOCUMENT (`dropDuplicates`) into per-(domain,
-    * line) document frequencies, join the per-domain doc totals
-    * (broadcast — one row per domain), then remove via LEFT ANTI join
-    * on (domain, line) and reassemble with an order-preserving
-    * `collect_list(struct(pos, line))` + `array_sort` per document.
-    * Both shuffles key on (domain, line) / doc id — no per-domain line
-    * dictionary ever materializes on the driver or in one task, so a
-    * mega-domain costs parallel partitions, not memory.
+    * line) document frequencies, join the per-domain doc totals on
+    * `_domain` — deliberately WITHOUT a `broadcast()` hint: the totals
+    * frame is one row per domain, which on a real crawl is 10⁷–10⁸
+    * rows, far past broadcast size. The join key is already `docFreq`'s
+    * shuffle key so the sort-merge/shuffle-hash join costs no extra
+    * shuffle of the big side, and AQE still converts to broadcast at
+    * runtime when the domain count is genuinely small. Then remove via
+    * LEFT ANTI join on (domain, line) and reassemble with an
+    * order-preserving `collect_list(struct(pos, line))` + `array_sort`
+    * per document. Both shuffles key on (domain, line) / doc id — no
+    * per-domain line dictionary ever materializes on the driver or in
+    * one task, so a mega-domain costs parallel partitions, not memory.
     *
     * Output: the input row (id, domain) plus `clean_text`.
     */
@@ -228,7 +233,7 @@ object Web {
     val domainDocs = base.groupBy("_domain")
       .agg(count(lit(1)).as("_docs"))
     val boiler = docFreq
-      .join(broadcast(domainDocs), "_domain")
+      .join(domainDocs, "_domain")
       .filter(col("_n") >= minDocs &&
         col("_n").cast("double") / col("_docs").cast("double") >= maxFrac)
       .select("_domain", "_line")

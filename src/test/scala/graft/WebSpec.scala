@@ -167,6 +167,24 @@ class WebSpec extends AnyFunSuite {
     assert(got(12) === "")
   }
 
+  test("removeBoilerplateLines plans without a mandatory broadcast") {
+    // The per-domain totals frame is one row PER DOMAIN — 10⁷–10⁸ rows
+    // on a real crawl — so a broadcast() hint on it is a scale-killer:
+    // the whole frame would be built on the driver and replicated to
+    // every executor. The plan must leave the strategy to the planner
+    // (AQE still broadcasts at runtime when the domain count is small).
+    val rows = (1L to 20L).map(i => (i, s"d${i % 4}.com", s"line\nbody $i"))
+    val df = pipelines.Web.removeBoilerplateLines(
+      rows.toDF("id", "domain", "text"), $"id", $"domain", $"text")
+    val forced = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+          j.hint.rightHint.exists(_.strategy.nonEmpty) => j.hint.toString
+    }
+    assert(forced.isEmpty,
+      s"mandatory join-strategy hints in removeBoilerplateLines: $forced")
+  }
+
   test("capPerDomain keeps the first N per domain, deterministically") {
     val df = (1L to 10L).map(i => (i, s"d${i % 2}.com")).toDF("id", "domain")
     val got = Web.capPerDomain(df, $"domain", Seq($"id".asc), maxDocs = 3)
