@@ -105,6 +105,32 @@ object SparkEntry {
       |     ELSE pnl / (abs(COALESCE(entry,0) - COALESCE(stop,0)) * abs(COALESCE(qty,0)))
       |END""".stripMargin
 
+  // Non-Latin fixtures injected into the t15/t3b/t20 strata — the same
+  // literal reaches Spark via lit() and DuckDB via interpolation (BMP
+  // code points only, no quotes/backslashes, so both engines see
+  // byte-identical UTF-8)
+  private val ZhSample =
+    "本报记者今天在北京报道，这是一个关于大数据处理系统的新闻。我们的研究人员说，" +
+      "他们在过去的一年中对这个问题进行了大量的分析工作，结果表明新的方法能够在很大的" +
+      "数据集上得到更好的效果。专家认为，这样的技术对国家的发展有重要的意义，也能为" +
+      "人们的生活带来方便。他说，我们会继续努力，把这项工作做得更好。"
+  private val JaSample =
+    "これは大きなデータを処理するための新しいシステムについての記事です。研究者たちは、" +
+      "この方法がとても速いことを示しました。私たちは、これからもこの仕事を続けていきます。" +
+      "その結果は、多くの人々の生活に役立つものになるでしょう。"
+  private val RuSample =
+    "Это статья о новой системе для обработки больших данных. " +
+      "Исследователи показали, что этот метод работает очень быстро и " +
+      "надежно. Мы продолжим эту работу, чтобы результаты были полезны " +
+      "для многих людей в разных странах."
+  private val KoSample =
+    "이것은 빅데이터를 처리하는 새로운 시스템에 대한 기사입니다. " +
+      "연구자들은 이 방법이 매우 빠르다는 것을 보여주었습니다. " +
+      "우리는 앞으로도 이 일을 계속할 것입니다."
+  private val ArSample =
+    "هذه مقالة عن نظام جديد لمعالجة البيانات الكبيرة. أظهر الباحثون أن " +
+      "هذه الطريقة سريعة وموثوقة. وسوف نواصل هذا العمل في السنوات القادمة."
+
   /** DuckDB 60/48-bit md5 hash mirroring MarketFunctions.md5Hash60/48. */
   private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
   private def h48(x: String) = s"('0x' || substr(md5($x), 1, 12))::BIGINT"
@@ -1020,12 +1046,14 @@ object SparkEntry {
 
     "t15_quality_rules" -> ((s, d) => {
       // rule-based curation gate (full Gopher set): targeted injections
-      // make each rule fire on a known doc stratum — symbol stuffing
-      // (%13), bullet-list walls (%17), ellipsis-trailed lines (%19),
-      // numeric gibberish (%23), triple-repeated bodies (%29); the
-      // word-count / word-length / stopword rules discriminate on the
-      // corpus as-is
-      val t = when(col("doc_id") % 13 === 0,
+      // make each rule fire on a known doc stratum — a Chinese paragraph
+      // (%31, first so it owns its stratum) exercises the CJK unit-count
+      // path, symbol stuffing (%13), bullet-list walls (%17),
+      // ellipsis-trailed lines (%19), numeric gibberish (%23),
+      // triple-repeated bodies (%29); the word-count / word-length /
+      // stopword rules discriminate on the corpus as-is
+      val t = when(col("doc_id") % 31 === 0, lit(ZhSample))
+        .when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" ### ... ### ...")))
         .when(col("doc_id") % 17 === 0,
           concat(lit("• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j\n"),
@@ -1190,9 +1218,33 @@ object SparkEntry {
     "t3b_lang_id_ngram" -> ((s, d) => {
       // character-trigram language ID — the profile-table method that
       // still fires on short / function-word-free text where the
-      // stopword profiles (t3) go blind
-      TextAnalysis.languageIdNgram(T(s, d).documents, col("text"))
+      // stopword profiles (t3) go blind; zh/ja/ru strata injected so
+      // the non-Latin profiles (hanzi/kana function grams, Cyrillic
+      // trigrams) are oracle-exercised, not just present
+      val t = when(col("doc_id") % 31 === 0, lit(ZhSample))
+        .when(col("doc_id") % 37 === 0, lit(JaSample))
+        .when(col("doc_id") % 41 === 0, lit(RuSample))
+        .otherwise(col("text"))
+      TextAnalysis.languageIdNgram(
+          T(s, d).documents.select(col("doc_id"), col("lang"), t.as("t")),
+          col("t"))
         .select("doc_id", "lang", "lang_pred", "lang_score")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t20_script_ratios" -> ((s, d) => {
+      // script-ratio audit columns — a multilingual crawl's cheapest
+      // routing signal (fraction of Han/Kana/Hangul/Cyrillic/Arabic
+      // code points); non-Latin strata injected so every class fires
+      val t = when(col("doc_id") % 31 === 0, lit(ZhSample))
+        .when(col("doc_id") % 37 === 0, lit(JaSample))
+        .when(col("doc_id") % 41 === 0, lit(RuSample))
+        .when(col("doc_id") % 43 === 0, lit(KoSample))
+        .when(col("doc_id") % 47 === 0, lit(ArSample))
+        .otherwise(col("text"))
+      TextAnalysis.scriptRatios(
+          T(s, d).documents.select(col("doc_id"), t.as("t")), col("t"))
+        .drop("t")
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
@@ -2601,7 +2653,8 @@ object SparkEntry {
     "t15_quality_rules" ->
       s"""WITH d AS (
          |  SELECT doc_id,
-         |    CASE WHEN doc_id % 13 = 0 THEN text || ' ### ... ### ...'
+         |    CASE WHEN doc_id % 31 = 0 THEN '$ZhSample'
+         |         WHEN doc_id % 13 = 0 THEN text || ' ### ... ### ...'
          |         WHEN doc_id % 17 = 0 THEN
          |           e'• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j\n'
          |             || text
@@ -2612,7 +2665,9 @@ object SparkEntry {
          |         WHEN doc_id % 29 = 0 THEN text || ' ' || text || ' ' || text
          |         ELSE text END AS t
          |  FROM documents),
-         |w AS (SELECT doc_id, t, ${wordsSql("t")} AS ws, length(t) AS nc
+         |w AS (SELECT doc_id, t, ${wordsSql("t")} AS ws, length(t) AS nc,
+         |        len(regexp_extract_all(t,
+         |          '${pipelines.TextAnalysis.CjkClass}')) AS ncjk
          |      FROM d),
          |sh AS (SELECT doc_id,
          |         CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS total,
@@ -2621,12 +2676,16 @@ object SparkEntry {
          |       FROM w),
          |f AS (
          |  SELECT w.doc_id, len(ws) AS n_words,
+         |    len(ws) + ncjk AS n_units,
+         |    CASE WHEN nc > 0
+         |         THEN round(ncjk / CAST(nc AS DOUBLE), 6)
+         |         ELSE 0.0 END AS cjk_ratio,
          |    CASE WHEN len(ws) > 0
          |         THEN round((nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6)
          |         ELSE 0.0 END AS mean_word_len,
-         |    CASE WHEN len(ws) > 0
+         |    CASE WHEN len(ws) + ncjk > 0
          |         THEN round(len(regexp_extract_all(t, '#|\\.\\.\\.|…'))
-         |                    / CAST(len(ws) AS DOUBLE), 6)
+         |                    / CAST(len(ws) + ncjk AS DOUBLE), 6)
          |         ELSE 1.0 END AS symbol_ratio,
          |    len(list_filter(ws, x -> list_contains(
          |      ['the','a','of','and','to','in','is','it','for','on'], x)))
@@ -2647,21 +2706,27 @@ object SparkEntry {
          |    round((sh.total - sh.dn) / CAST(sh.total AS DOUBLE), 6)
          |      AS rep_ratio
          |  FROM w JOIN sh ON w.doc_id = sh.doc_id)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+         |SELECT doc_id, n_words, n_units, cjk_ratio, mean_word_len,
+         |  symbol_ratio, stop_hits,
          |  bullet_ratio, ellipsis_ratio, alpha_word_ratio, rep_ratio,
-         |  n_words >= 25 AND n_words <= 10000 AS pass_words,
-         |  mean_word_len >= 3.0 AND mean_word_len <= 5.0 AS pass_word_len,
+         |  n_units >= 25 AND n_units <= 10000 AS pass_words,
+         |  cjk_ratio >= 0.3 OR
+         |    (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
+         |    AS pass_word_len,
          |  symbol_ratio <= 0.05 AS pass_symbols,
-         |  stop_hits >= 2 AS pass_stops,
+         |  cjk_ratio >= 0.3 OR stop_hits >= 2 AS pass_stops,
          |  bullet_ratio <= 0.9 AS pass_bullets,
          |  ellipsis_ratio <= 0.3 AS pass_ellipsis,
-         |  alpha_word_ratio >= 0.8 AS pass_alpha_words,
+         |  cjk_ratio >= 0.3 OR alpha_word_ratio >= 0.8 AS pass_alpha_words,
          |  rep_ratio <= 0.3 AS pass_repetition,
-         |  (n_words >= 25 AND n_words <= 10000)
-         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
-         |    AND symbol_ratio <= 0.05 AND stop_hits >= 2
+         |  (n_units >= 25 AND n_units <= 10000)
+         |    AND (cjk_ratio >= 0.3 OR
+         |      (mean_word_len >= 3.0 AND mean_word_len <= 5.0))
+         |    AND symbol_ratio <= 0.05
+         |    AND (cjk_ratio >= 0.3 OR stop_hits >= 2)
          |    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
-         |    AND alpha_word_ratio >= 0.8 AND rep_ratio <= 0.3 AS keep
+         |    AND (cjk_ratio >= 0.3 OR alpha_word_ratio >= 0.8)
+         |    AND rep_ratio <= 0.3 AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "t17_unigram_logprob" ->
@@ -3011,25 +3076,66 @@ object SparkEntry {
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t3b_lang_id_ngram" ->
-      s"""WITH w AS (
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 31 = 0 THEN '$ZhSample'
+         |         WHEN doc_id % 37 = 0 THEN '$JaSample'
+         |         WHEN doc_id % 41 = 0 THEN '$RuSample'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |w AS (
          |  SELECT doc_id, lang,
          |    regexp_replace(lower(trim(COALESCE(text, ''))), '[\\s\\x0B]+', ' ',
          |      'g') AS s
-         |  FROM documents),
+         |  FROM d),
          |sc AS (
          |  SELECT doc_id, lang,
          |    ${TextAnalysis.langScoreSql("s", "de")} AS s_de,
          |    ${TextAnalysis.langScoreSql("s", "en")} AS s_en,
          |    ${TextAnalysis.langScoreSql("s", "es")} AS s_es,
-         |    ${TextAnalysis.langScoreSql("s", "fr")} AS s_fr
-         |  FROM w)
+         |    ${TextAnalysis.langScoreSql("s", "fr")} AS s_fr,
+         |    ${TextAnalysis.langScoreSql("s", "ja")} AS s_ja,
+         |    ${TextAnalysis.langScoreSql("s", "ru")} AS s_ru,
+         |    ${TextAnalysis.langScoreSql("s", "zh")} AS s_zh
+         |  FROM w),
+         |m AS (
+         |  SELECT *, greatest(s_de, s_en, s_es, s_fr, s_ja, s_ru, s_zh)
+         |    AS mx
+         |  FROM sc)
          |SELECT doc_id, lang,
-         |  CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
-         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |  CASE WHEN s_zh = mx THEN 'zh'
+         |       WHEN s_ru = mx THEN 'ru'
+         |       WHEN s_ja = mx THEN 'ja'
+         |       WHEN s_fr = mx THEN 'fr'
+         |       WHEN s_es = mx THEN 'es'
+         |       WHEN s_en = mx THEN 'en'
          |       ELSE 'de' END AS lang_pred,
-         |  greatest(s_de, s_en, s_es, s_fr) AS lang_score
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |  mx AS lang_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t20_script_ratios" -> {
+      // one ratio column per ScriptClasses entry, generated from the
+      // SAME class table the Spark side compiles — one snapshot, two
+      // engines by construction
+      val ratioCols = TextAnalysis.ScriptClasses.map { case (n, cls) =>
+        s"""CASE WHEN length(t) > 0
+           |    THEN round(len(regexp_extract_all(t, '$cls'))
+           |      / CAST(length(t) AS DOUBLE), 6)
+           |    ELSE 0.0 END AS ${n}_ratio""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 31 = 0 THEN '$ZhSample'
+         |         WHEN doc_id % 37 = 0 THEN '$JaSample'
+         |         WHEN doc_id % 41 = 0 THEN '$RuSample'
+         |         WHEN doc_id % 43 = 0 THEN '$KoSample'
+         |         WHEN doc_id % 47 = 0 THEN '$ArSample'
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $ratioCols
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,

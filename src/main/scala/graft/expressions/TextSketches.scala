@@ -143,10 +143,10 @@ object TextSketches {
   }
 
   /** One-pass text counters for the quality-scoring pipeline:
-    * `[n_words, n_chars, n_alpha, n_punct, tok_bpe]`. Compiled twin of
-    * the declarative forms in [[graft.pipelines.TextAnalysis]] — identical
-    * values, one scan over the code points instead of five interpreted
-    * regex/HOF passes:
+    * `[n_words, n_chars, n_alpha, n_punct, tok_bpe, n_cjk]`. Compiled
+    * twin of the declarative forms in [[graft.pipelines.TextAnalysis]] —
+    * identical values, one scan over the code points instead of six
+    * interpreted regex/HOF passes:
     *   - n_words ≡ `size(filter(split(text, "\\s+"), _ =!= ""))`
     *     (maximal runs of non-`\s`; Java `\s` = ASCII space/tab/NL/VT/FF/CR)
     *   - n_chars ≡ `length(text)` (code points)
@@ -154,6 +154,9 @@ object TextSketches {
     *   - n_punct ≡ `length(regexp_replace(text, "[^.,;:!?]", ""))`
     *   - tok_bpe ≡ `size(regexp_extract_all(text, "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))`
     *     (alnum runs + every other non-space code point)
+    *   - n_cjk ≡ `size(regexp_extract_all(text, TextAnalysis.CjkClass))`
+    *     (Hiragana/Katakana, CJK Unified + Ext A, Hangul syllables —
+    *     the no-whitespace scripts where a word-count gate goes blind)
     */
   case class TextStats(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -168,11 +171,16 @@ object TextSketches {
     @inline private def isPunct(cp: Int): Boolean =
       cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' ||
         cp == '?'
+    @inline private def isCjk(cp: Int): Boolean =
+      (cp >= 0x3040 && cp <= 0x30FF) || // Hiragana + Katakana
+        (cp >= 0x3400 && cp <= 0x4DBF) || // CJK Unified Ext A
+        (cp >= 0x4E00 && cp <= 0x9FFF) || // CJK Unified
+        (cp >= 0xAC00 && cp <= 0xD7A3)    // Hangul syllables
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       var nWords = 0L; var nChars = 0L; var nAlpha = 0L; var nPunct = 0L
-      var tokBpe = 0L
+      var tokBpe = 0L; var nCjk = 0L
       var inWord = false
       var inAlnum = false
       var i = 0
@@ -191,10 +199,12 @@ object TextSketches {
           }
           if (isAlpha(cp)) nAlpha += 1
           if (isPunct(cp)) nPunct += 1
+          if (isCjk(cp)) nCjk += 1
         }
         i += Character.charCount(cp)
       }
-      new GenericArrayData(Array(nWords, nChars, nAlpha, nPunct, tokBpe))
+      new GenericArrayData(Array(nWords, nChars, nAlpha, nPunct, tokBpe,
+        nCjk))
     }
     override protected def withNewChildInternal(c: Expression): TextStats =
       copy(child = c)

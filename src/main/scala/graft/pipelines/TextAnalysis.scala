@@ -24,6 +24,44 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"),
       lit(0)))
 
+  /** Character class matching the no-whitespace CJK scripts — Hiragana +
+    * Katakana, CJK Unified (+ Ext A), Hangul syllables. `\x{...}` hex
+    * escapes parse identically in Java's engine and the oracle's RE2, so
+    * the SAME string serves both sides. One CJK code point ≈ one word
+    * for gating purposes (see [[qualityRules]]).
+    */
+  val CjkClass: String =
+    "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]"
+
+  /** Script → character-class table for the script-ratio features (the
+    * multilingual-crawl audit columns: a document's dominant script is
+    * the cheapest routing signal there is — it needs no model, no token
+    * table, and shortcuts language-ID for non-Latin text). Portable
+    * `\x{...}` ranges, shared verbatim with the DuckDB oracle.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "han" -> "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
+    "kana" -> "[\\x{3040}-\\x{30FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7A3}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]")
+
+  /** Per-script code-point fractions: one `<script>_ratio` column per
+    * [[ScriptClasses]] entry (0.0 on empty text). One counting regex
+    * pass per script, all scan-side — no shuffle, no UDF.
+    */
+  def scriptRatios(df: DataFrame, text: Column): DataFrame = {
+    val nChars = length(text)
+    ScriptClasses.foldLeft(df) { case (acc, (scriptName, cls)) =>
+      acc.withColumn(s"${scriptName}_ratio",
+        when(nChars > 0,
+          round(size(regexp_extract_all(text, lit(cls), lit(0)))
+            / nChars.cast("double"), 6))
+          .otherwise(0.0))
+    }
+  }
+
   /** Quality signals: length, alpha ratio, punctuation ratio, stopword
     * ratio, mean word length — the standard cheap pre-filter features for
     * corpus curation.
@@ -120,6 +158,18 @@ object TextAnalysis {
     * a curation run audit WHICH rule dropped a document. All features
     * ride the one-pass compiled [[textCounts]]/[[wordHits]]
     * expressions, so a 100 TB corpus pays a single scan and no shuffle.
+    *
+    * CJK-safe: `n_words` counts whitespace tokens, which on Chinese/
+    * Japanese/Korean text is ≈1 per paragraph — an English-tuned gate
+    * would silently discard essentially all CJK content in a
+    * multilingual crawl. Instead, the unit count `n_units = n_words +
+    * n_cjk` treats each CJK code point as one word-like unit (the same
+    * compiled pass supplies both counters), `pass_words` and the symbol
+    * denominator use units, and the three Latin-specific rules
+    * (mean word length, English stopwords, alpha-word fraction) are
+    * bypassed when `cjk_ratio ≥ cjkRatioMin` — the per-language
+    * re-tuning a multilingual pipeline would plug in per shard. The
+    * emitted `cjk_ratio` column keeps the routing auditable.
     */
   def qualityRules(df: DataFrame, text: Column,
                    minWords: Int = 50, maxWords: Int = 100000,
@@ -132,18 +182,24 @@ object TextAnalysis {
                    minAlphaWordRatio: Double = 0.8,
                    maxRepetition: Double = 0.3,
                    repWindow: Int = 3,
-                   stops: Seq[String] = Stopwords): DataFrame = {
+                   stops: Seq[String] = Stopwords,
+                   cjkRatioMin: Double = 0.3): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val st = textCounts(text)
     val nWords = element_at(st, 1)
     val nChars = element_at(st, 2)
+    val nCjk = element_at(st, 6)
+    val nUnits = nWords + nCjk
+    val cjkRatio = when(nChars > 0,
+      round(nCjk / nChars.cast("double"), 6)).otherwise(0.0)
+    val isCjk = cjkRatio >= cjkRatioMin
     val meanWl = when(nWords > 0,
       round((nChars - nWords + 1) / nWords.cast("double"), 6))
       .otherwise(0.0)
     val symbols =
       size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
-    val symRatio = when(nWords > 0,
-      round(symbols / nWords.cast("double"), 6)).otherwise(1.0)
+    val symRatio = when(nUnits > 0,
+      round(symbols / nUnits.cast("double"), 6)).otherwise(1.0)
     val stopHits = wordHits(text, stops)
     // line-shape rules (Gopher's formatting heuristics): lines counted
     // with a -1 split limit (trailing empties survive → denominator is
@@ -175,6 +231,8 @@ object TextAnalysis {
     // as the standalone repetition operator (t9)
     val repRatio = repetitionRatio(text, repWindow)
     df.withColumn("n_words", nWords)
+      .withColumn("n_units", nUnits)
+      .withColumn("cjk_ratio", cjkRatio)
       .withColumn("mean_word_len", meanWl)
       .withColumn("symbol_ratio", symRatio)
       .withColumn("stop_hits", stopHits)
@@ -183,14 +241,15 @@ object TextAnalysis {
       .withColumn("alpha_word_ratio", alphaWordRatio)
       .withColumn("rep_ratio", repRatio)
       .withColumn("pass_words",
-        nWords >= minWords && nWords <= maxWords)
+        nUnits >= minWords && nUnits <= maxWords)
       .withColumn("pass_word_len",
-        meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen)
+        isCjk || (meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen))
       .withColumn("pass_symbols", symRatio <= maxSymbolRatio)
-      .withColumn("pass_stops", stopHits >= minStopHits)
+      .withColumn("pass_stops", isCjk || stopHits >= minStopHits)
       .withColumn("pass_bullets", bulletRatio <= maxBulletRatio)
       .withColumn("pass_ellipsis", ellipsisRatio <= maxEllipsisRatio)
-      .withColumn("pass_alpha_words", alphaWordRatio >= minAlphaWordRatio)
+      .withColumn("pass_alpha_words",
+        isCjk || alphaWordRatio >= minAlphaWordRatio)
       .withColumn("pass_repetition", repRatio <= maxRepetition)
       .withColumn("keep",
         col("pass_words") && col("pass_word_len") &&
@@ -255,7 +314,24 @@ object TextAnalysis {
     "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "en ",
       " en", "as ", "es ", " es", "que", " qu", "ue ", "ar ", " co",
       "ión", "ado", "los", " lo", "del", "ien", "nte", "con", " se",
-      "ra ", "da ", "ció", " y "))
+      "ra ", "da ", "ció", " y "),
+    // no-whitespace scripts profile on 1–2-char function grams instead
+    // of space-boundary trigrams (there are no spaces to anchor on):
+    // zh = the high-frequency hanzi function words; ja = the hiragana
+    // particles/auxiliaries that wrap every sentence (kanji overlap
+    // with zh is fine — the ja profile outscoring zh on kana is what
+    // disambiguates); ru = ordinary Cyrillic trigrams, spaces included
+    "zh" -> Seq("的", "是", "了", "在", "不", "有", "我", "他", "这",
+      "中", "大", "上", "国", "个", "到", "们", "来", "时", "为", "和",
+      "地", "年", "出", "就", "人", "也", "对", "能", "会", "说"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と",
+      "し", "れ", "さ", "ある", "いる", "する", "から", "こと", "です",
+      "ます", "した", "ない", "って", "など", "まで", "もの", "という",
+      "られ", "その", "これ", "なっ"),
+    "ru" -> Seq(" пр", " не", " на", " по", " в ", " и ", " с ", " то",
+      " ко", " ра", " за", " об", "ого", "ени", "ост", "ств", "ать",
+      "ние", "ет ", "ли ", "на ", "то ", "про", "ова", "ая ", "ый ",
+      "ть ", "ния", "ных", "ции"))
 
   /** N-gram language ID: score(doc, lang) = fraction of the language's
     * profile trigrams present in the doc — arg-max over languages, ties

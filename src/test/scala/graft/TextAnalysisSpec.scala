@@ -129,6 +129,78 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(stop(0) === 0.0)
   }
 
+  test("CJK documents pass the quality gate via the unit count") {
+    // a ~500-char Chinese news paragraph: n_words (whitespace tokens)
+    // is 1, so the English-tuned gate would silently discard it — the
+    // CJK path (n_units = words + CJK code points, Latin-specific
+    // rules bypassed at cjk_ratio ≥ 0.3) must keep it
+    val zhPara = ("本报记者今天在北京报道，这是一个关于大数据处理系统的新闻。" +
+      "我们的研究人员说，他们在过去的一年中对这个问题进行了大量的分析工作。" +
+      "结果表明，新的方法能够在很大的数据集上得到更好的效果，速度也比以前快了很多。" +
+      "专家认为，这样的技术对国家的发展有重要的意义，也能为人们的生活带来方便。" +
+      "很多公司已经开始使用这个系统来处理他们每天产生的大量数据。" +
+      "学校和研究所也在教学生怎么使用这些新的工具。" +
+      "他说，我们会继续努力，把这项工作做得更好，让更多的人从中受益。") * 3
+    assert(zhPara.length >= 500)
+    val en = "the cat sat on a warm mat near the door and it did like " +
+      "that spot for one lazy day then a big dog came to rest close by " +
+      "and all was good in the afternoon sun"
+    val df = Seq((1L, zhPara), (2L, en), (3L, "短文")) // 2 chars: too short
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityRules(df, $"text",
+        minWords = 25, maxWords = 10000, minMeanWordLen = 3.0,
+        maxMeanWordLen = 5.0, maxSymbolRatio = 0.05, minStopHits = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("keep") === true, "zh paragraph dropped")
+    assert(got(0).getAs[Double]("cjk_ratio") > 0.8)
+    assert(got(0).getAs[Long]("n_units") > 400L)
+    // the English doc still rides the original rules (cjk_ratio 0)
+    assert(got(1).getAs[Boolean]("keep") === true)
+    assert(got(1).getAs[Double]("cjk_ratio") === 0.0)
+    assert(got(1).getAs[Long]("n_units") === got(1).getAs[Long]("n_words"))
+    // a 2-character fragment fails the unit floor, CJK or not
+    assert(got(2).getAs[Boolean]("pass_words") === false)
+  }
+
+  test("languageIdNgram identifies zh/ja/ru alongside the Latin four") {
+    val df = Seq(
+      (1L, "我们的研究人员说，他们对这个问题进行了大量的分析工作，" +
+        "结果是新的方法能够得到更好的效果。"),
+      (2L, "これは新しいシステムについての記事です。この方法がとても" +
+        "速いことを示しました。"),
+      (3L, "Исследователи нового метода показали, что эта программа " +
+        "для обработки данных работает очень быстро и надежно, и она " +
+        "полезна для многих людей и организации."),
+      (4L, "the quick brown fox jumped over the lazy dog and then ran"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageIdNgram(df, $"text")
+      .orderBy("doc_id")
+      .select("lang_pred", "lang_score").as[(String, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq("zh", "ja", "ru", "en"))
+    assert(got.forall(_._2 > 0.2), got.mkString(", "))
+  }
+
+  test("scriptRatios: per-script code-point fractions") {
+    val df = Seq(
+      (1L, "hello world"),            // no non-Latin scripts
+      (2L, "这是中文"),                // 4 Han / 4 chars
+      (3L, "これはテスト"),            // 6 kana / 6 chars
+      (4L, "한국어 텍스트"),            // 6 hangul / 7 chars (one space)
+      (5L, "Это текст"),              // 8 cyrillic / 9 chars
+      (6L, "نص عربي"))                // 6 arabic / 7 chars
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptRatios(df, $"text").orderBy("doc_id")
+      .select("han_ratio", "kana_ratio", "hangul_ratio",
+        "cyrillic_ratio", "arabic_ratio")
+      .as[(Double, Double, Double, Double, Double)].collect()
+    assert(got(0) === ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(1)._1 === 1.0)
+    assert(got(2)._2 === 1.0)
+    assert(got(3)._3 === 0.857143)
+    assert(got(4)._4 === 0.888889)
+    assert(got(5)._5 === 0.857143)
+  }
+
   test("languageId: marker-word argmax picks the right language") {
     val df = Seq(
       (1L, "the cat and the dog went to the park"),
@@ -178,6 +250,17 @@ class TextAnalysisSpec extends AnyFunSuite {
         TextAnalysis.tokenCountBpe($"text").cast("long").as("d"))
       .filter($"n" =!= $"d").count()
     assert(tokDiff === 0)
+    // n_cjk: native counter ≡ declarative CjkClass count — checked on
+    // mixed-script literals (the corpus is Latin, so it alone would
+    // only prove 0 ≡ 0)
+    val mixed = (docs.select($"text") union Seq(
+      "英語 and 中文 mixed カタカナ text 한국어",
+      "これは日本語です", "pure latin", "Ещё кириллица",
+      "").toDF("text")).select(
+        element_at(TextAnalysis.textCounts($"text"), 6).as("n"),
+        size(regexp_extract_all($"text",
+          lit(TextAnalysis.CjkClass), lit(0))).cast("long").as("d"))
+    assert(mixed.filter($"n" =!= $"d").count() === 0)
   }
 
   test("native languageId matches the declarative twin on the corpus") {
