@@ -114,13 +114,18 @@ object Web {
 
   /** Registered (registrable) domain per the public-suffix algorithm:
     * one label more than the longest matching public suffix, over the
-    * bundled [[PublicSuffixes]] snapshot — `news.bbc.co.uk` →
+    * full bundled [[PublicSuffixes]] list — `news.bbc.co.uk` →
     * `bbc.co.uk`, `a.github.io` → `a.github.io`, while
-    * `www.news.example.com` → `example.com`. Unknown TLDs use the PSL
-    * default `*` rule (last label is the suffix); a host that IS a
-    * public suffix (or empty) returns unchanged. Literal-set membership
-    * (Catalyst `InSet` hash lookups) over the host's label array — no
-    * UDF, no join, scan-side.
+    * `www.news.example.com` → `example.com`. Tiers are data-driven up
+    * to [[PublicSuffixes.maxK]] labels (the real list reaches 5 —
+    * `x.s3.dualstack.ap-south-1.amazonaws.com` keeps all six labels);
+    * exception rules outrank everything per the PSL algorithm
+    * (`a.b.kawasaki.jp` → `b.kawasaki.jp` by wildcard, but
+    * `a.city.kawasaki.jp` → `city.kawasaki.jp` by `!city.kawasaki.jp`).
+    * Unknown TLDs use the PSL default `*` rule (last label is the
+    * suffix); a host that IS a public suffix (or empty) returns
+    * unchanged. Literal-set membership (Catalyst `InSet` hash lookups)
+    * over the host's label array — no UDF, no join, scan-side.
     */
   def registeredDomain(url: Column): Column = {
     val h = urlHost(url)
@@ -128,60 +133,75 @@ object Web {
     val n = size(labels)
     def lastK(k: Int): Column =
       array_join(slice(labels, -k, k), ".")
-    val s1 = element_at(labels, -1)
-    val s2 = lastK(2)
-    val s3 = lastK(3)
-    // longest matching suffix rule, PSL precedence: exceptions carve
-    // out of wildcards; plain rules and wildcards are unioned
-    val suf3 = n >= 3 && s3.isInCollection(PublicSuffixes.plain3)
-    val suf2 = n >= 2 && !s2.isInCollection(PublicSuffixes.exceptions) &&
-      (s2.isInCollection(PublicSuffixes.plain2) ||
-        s1.isInCollection(PublicSuffixes.wildcardParents))
-    val k = when(suf3, 3).when(suf2, 2).otherwise(1)
+    // exception tiers first (longest first), then plain/wildcard
+    // tiers longest-suffix first — each case yields the suffix label
+    // count k; the registrable domain is the last min(n, k+1) labels
+    val excCases: Seq[(Column, Int)] = PublicSuffixes.excTiers.map { t =>
+      ((n >= t) && lastK(t).isInCollection(PublicSuffixes.exceptions(t)),
+        t - 1)
+    }
+    val sufCases: Seq[(Column, Int)] = (PublicSuffixes.maxK to 2 by -1)
+      .flatMap { t =>
+        val ps = PublicSuffixes.plain(t)
+        val ws = PublicSuffixes.wildParents(t - 1)
+        val hit = Seq(
+          if (ps.nonEmpty) Some(lastK(t).isInCollection(ps)) else None,
+          if (ws.nonEmpty) Some(lastK(t - 1).isInCollection(ws)) else None)
+          .flatten
+        if (hit.isEmpty) None
+        else Some(((n >= t) && hit.reduce(_ || _), t))
+      }
+    val k = (excCases ++ sufCases).foldRight(lit(1)) {
+      case ((cond, kk), acc) => when(cond, kk).otherwise(acc)
+    }
+    val m = least(n, k + 1)
     // an IPv4 literal has no registrable domain — suffix math over its
     // octets would return garbage like "0.1"; return the address
     when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
-      .when(n > k, array_join(slice(labels, (k + 1) * -1, k + 1), "."))
-      .otherwise(h)
+      .otherwise(array_join(slice(labels, -m, m), "."))
   }
 
   /** The [[registeredDomain]] suffix match rendered as DuckDB SQL over
     * host expression `host`, against the SAME [[PublicSuffixes]] tables
     * — interpolated into oracle twins so Spark and the oracle share one
-    * suffix snapshot by construction.
+    * suffix snapshot by construction. Each tier's literal list appears
+    * exactly once (the suffix label count k is computed in a single
+    * CASE and consumed by one slice).
     */
   def registeredDomainSql(host: String): String = {
     import PublicSuffixes.{sqlList => L}
+    def lastK(k: Int): String =
+      s"array_to_string(string_split($host, '.')[-$k:], '.')"
+    val n = s"len(string_split($host, '.'))"
+    val excArms = PublicSuffixes.excTiers.map { t =>
+      s"""WHEN $n >= $t AND list_contains(
+         |    ${L(PublicSuffixes.exceptions(t))}, ${lastK(t)})
+         |    THEN ${t - 1}""".stripMargin
+    }
+    val sufArms = (PublicSuffixes.maxK to 2 by -1).flatMap { t =>
+      val ps = PublicSuffixes.plain(t)
+      val ws = PublicSuffixes.wildParents(t - 1)
+      val hits = Seq(
+        if (ps.nonEmpty) Some(s"list_contains(${L(ps)}, ${lastK(t)})")
+        else None,
+        if (ws.nonEmpty)
+          Some(s"list_contains(${L(ws)}, ${lastK(t - 1)})")
+        else None).flatten
+      if (hits.isEmpty) None
+      else Some(
+        s"""WHEN $n >= $t AND (${hits.mkString("\n    OR ")})
+           |    THEN $t""".stripMargin)
+    }
+    val kCase =
+      s"""CASE
+         |  ${(excArms ++ sufArms).mkString("\n  ")}
+         |  ELSE 1 END""".stripMargin
     s"""CASE
        |  WHEN regexp_matches($host,
        |    '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN $host
-       |  WHEN len(string_split($host, '.')) >
-       |    (CASE
-       |      WHEN len(string_split($host, '.')) >= 3 AND list_contains(
-       |        ${L(PublicSuffixes.plain3)},
-       |        array_to_string(string_split($host, '.')[-3:], '.')) THEN 3
-       |      WHEN len(string_split($host, '.')) >= 2
-       |        AND NOT list_contains(${L(PublicSuffixes.exceptions)},
-       |          array_to_string(string_split($host, '.')[-2:], '.'))
-       |        AND (list_contains(${L(PublicSuffixes.plain2)},
-       |            array_to_string(string_split($host, '.')[-2:], '.'))
-       |          OR list_contains(${L(PublicSuffixes.wildcardParents)},
-       |            string_split($host, '.')[-1])) THEN 2
-       |      ELSE 1 END)
-       |  THEN array_to_string(string_split($host, '.')[
-       |    -1 - (CASE
-       |      WHEN len(string_split($host, '.')) >= 3 AND list_contains(
-       |        ${L(PublicSuffixes.plain3)},
-       |        array_to_string(string_split($host, '.')[-3:], '.')) THEN 3
-       |      WHEN len(string_split($host, '.')) >= 2
-       |        AND NOT list_contains(${L(PublicSuffixes.exceptions)},
-       |          array_to_string(string_split($host, '.')[-2:], '.'))
-       |        AND (list_contains(${L(PublicSuffixes.plain2)},
-       |            array_to_string(string_split($host, '.')[-2:], '.'))
-       |          OR list_contains(${L(PublicSuffixes.wildcardParents)},
-       |            string_split($host, '.')[-1])) THEN 2
-       |      ELSE 1 END):], '.')
-       |  ELSE $host END""".stripMargin
+       |  ELSE array_to_string(string_split($host, '.')[
+       |    (- least($n, ($kCase) + 1)):], '.')
+       |  END""".stripMargin
   }
 
   /** Keep at most `maxDocs` rows per domain, by `order` (ties must be

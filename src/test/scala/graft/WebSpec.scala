@@ -131,18 +131,53 @@ class WebSpec extends AnyFunSuite {
     assert(loose(1) === "https://ex.com/%7Euser")
   }
 
-  test("PublicSuffixes snapshot is well-formed") {
+  test("PublicSuffixes: bundled full list parses and is well-formed") {
     import graft.pipelines.PublicSuffixes._
-    val tiers = Seq(
-      (plain2, 1), (plain3, 2), (wildcardParents, 0), (exceptions, 1))
-    tiers.foreach { case (xs, dots) =>
-      assert(xs.distinct.size === xs.size, "duplicate suffix entries")
+    // the real list's shape: suffixes to 5 labels, thousands of
+    // 2/3-label registries, both kawasaki rules, IDN doubled with
+    // punycode
+    assert(maxK === 5)
+    assert(plain(2).size > 5000, s"plain2 = ${plain(2).size}")
+    assert(plain(3).size > 2000, s"plain3 = ${plain(3).size}")
+    assert(plain(4).nonEmpty && plain(5).nonEmpty)
+    assert(wildParents(1).contains("ck"))
+    assert(wildParents(2).contains("kawasaki.jp"))
+    assert(exceptions(3).contains("city.kawasaki.jp"))
+    assert(exceptions(2).contains("www.ck"))
+    assert(plain(2).contains("公司.cn") && plain(2).contains("xn--55qx5d.cn"),
+      "IDN entries must carry both Unicode and punycode forms")
+    (2 to maxK).foreach { k =>
+      val xs = plain(k) ++ exceptions(k) ++ wildParents(k - 1)
+      assert(xs.distinct.size === xs.size, s"duplicate entries at k=$k")
       xs.foreach { s =>
         assert(s === s.toLowerCase && !s.startsWith(".") &&
-          !s.endsWith(".") && !s.contains(" "), s"malformed entry: $s")
-        assert(s.count(_ == '.') === dots, s"wrong label count: $s")
+          !s.endsWith(".") && !s.contains(" ") && !s.contains("'"),
+          s"malformed entry: $s")
       }
     }
+  }
+
+  test("registeredDomain: deep tiers, wildcards, exceptions, IDN") {
+    val cases = Seq(
+      // 5-label plain rule (amazonaws S3 dualstack)
+      "https://bkt.s3.dualstack.ap-south-1.amazonaws.com/key" ->
+        "bkt.s3.dualstack.ap-south-1.amazonaws.com",
+      // 4-label plain rule
+      "https://x.pvt.k12.ma.us/" -> "x.pvt.k12.ma.us",
+      // wildcard *.kawasaki.jp: suffix = b.kawasaki.jp
+      "https://x.a.b.kawasaki.jp/p" -> "a.b.kawasaki.jp",
+      "https://b.kawasaki.jp/" -> "b.kawasaki.jp", // host IS a suffix
+      // exception !city.kawasaki.jp outranks the wildcard
+      "https://w.city.kawasaki.jp/p" -> "city.kawasaki.jp",
+      // IDN suffix, Unicode and punycode forms of 公司.cn
+      "https://foo.公司.cn/x" -> "foo.公司.cn",
+      "https://bar.xn--55qx5d.cn/x" -> "bar.xn--55qx5d.cn",
+      // 3-label wildcard parent (*.compute.amazonaws.com)
+      "https://ec2-1-2-3-4.eu-west-1.compute.amazonaws.com/" ->
+        "ec2-1-2-3-4.eu-west-1.compute.amazonaws.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(Web.registeredDomain($"url").as("d")).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
   }
 
   test("removeBoilerplateLines strips template lines per domain only") {
