@@ -880,6 +880,32 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("domain")
     }),
 
+    "st4_cms_stream" -> ((s, d) => {
+      // streaming Count-Min heavy hitters: land the corpus word stream,
+      // run the readStream → (space-saving candidates + grid deltas) →
+      // parquet pipeline to completion, then rank the candidate union
+      // by the reconstructed grid's min-over-rows estimate. One
+      // AvailableNow batch and an eviction-free cap ⇒ bit-equal to the
+      // batch sketch the oracle computes; cross-batch/restart state and
+      // the eviction path are StreamingSpec's job.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st4_landing").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st4_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st4_ckpt").toString
+      T(s, d).documents
+        .select(explode(Dedup.words(col("text"))).as("item"))
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.HeavyHitters.start(s, landing, sink, ckpt,
+        shards = 8, cap = 64, d = 4, w = 1024)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      graft.streaming.HeavyHitters.topK(s.read.parquet(sink), k = 20)
+        .withColumnRenamed("item", "word")
+        .repartition(1).sortWithinPartitions("word")
+    }),
+
     "t13_token_mix" -> ((s, d) => {
       // token-budget mixing: sample per-language strata to target token
       // shares (60/25/15) of a fixed budget, counting n_chars as the
@@ -2864,6 +2890,36 @@ object SparkEntry {
         |    <= 40)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n
         |FROM capped GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // independently-derived twin of the streaming sketch: with one
+    // AvailableNow batch and an eviction-free cap, every word is a
+    // candidate with its exact count, and the final ranking is by the
+    // SAME d×w grid estimate the stream's merged deltas reconstruct
+    "st4_cms_stream" ->
+      s"""WITH wx AS (
+         |  SELECT unnest(${wordsSql("text")}) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS n_true FROM wx GROUP BY word),
+         |cells AS (
+         |  SELECT t.i,
+         |    ${h60("'cms' || CAST(t.i AS VARCHAR) || '#' || word")} % 1024
+         |      AS cell,
+         |    sum(n_true) AS c
+         |  FROM wc, range(0, 4) t(i) GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT wc.word, wc.n_true, t.i,
+         |    ${h60("'cms' || CAST(t.i AS VARCHAR) || '#' || wc.word")} % 1024
+         |      AS cell
+         |  FROM wc, range(0, 4) t(i)),
+         |est AS (
+         |  SELECT cand.word, cand.n_true, min(cells.c) AS cms_est
+         |  FROM cand JOIN cells
+         |    ON cells.i = cand.i AND cells.cell = cand.cell
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT * FROM est ORDER BY cms_est DESC, word LIMIT 20)
+         |SELECT word, CAST(n_true AS BIGINT) AS ss_count,
+         |  CAST(cms_est AS BIGINT) AS cms_est
+         |FROM top ORDER BY word""".stripMargin,
 
     // NOTE: share literals are ::DOUBLE — DuckDB parses bare decimal
     // literals as DECIMAL, whose exact arithmetic diverges from the

@@ -227,10 +227,14 @@ object Aggregates {
     * rows of cell(x)` NEVER undercounts (only collisions inflate).
     * Returns the exact top-`k` items (the candidate set) with their
     * true counts, sketch estimates, and the overestimate invariant —
-    * at corpus scale the exact pass is replaced by per-partition
-    * candidates, while the SKETCH side is the part that must stay
-    * mergeable. Every hash is deterministic md5, so estimates are
-    * bit-identical across engines and partitionings.
+    * this batch form deliberately uses the exact aggregate as its
+    * candidate source so the oracle can check the estimates against
+    * ground truth; the candidate path that needs NO exact global
+    * counts (bounded space-saving maps per item shard, unioned, then
+    * grid-estimated) is [[graft.streaming.HeavyHitters]] (st4), whose
+    * single-batch replay is bit-equal to this sketch's estimates.
+    * Every hash is deterministic md5, so estimates are bit-identical
+    * across engines and partitionings.
     */
   def countMinTopK(items: DataFrame, item: Column, k: Int,
                    d: Int = 4, w: Int = 1024): DataFrame = {

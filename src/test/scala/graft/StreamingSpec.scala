@@ -217,6 +217,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming heavy hitters: deltas merge across batches and a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.HeavyHitters
+    val landing = Files.createTempDirectory("st_hh_landing").toString
+    val sink = Files.createTempDirectory("st_hh_sink").toString
+    val ckpt = Files.createTempDirectory("st_hh_ckpt").toString
+    def land(items: Seq[String]): Unit =
+      items.toDF("item").coalesce(1).write.mode("append").parquet(landing)
+    val b1 = Seq.fill(30)("apple") ++ Seq.fill(20)("pear") ++
+      Seq.fill(5)("plum") ++ Seq("kiwi", "lime")
+    val b2 = Seq.fill(25)("pear") ++ Seq.fill(10)("plum") ++
+      Seq.fill(3)("kiwi") ++ Seq("apple")
+    land(b1)
+    HeavyHitters.start(spark, landing, sink, ckpt, shards = 4, cap = 16,
+      d = 4, w = 64, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    // restart from the checkpoint: candidate counts and grid deltas
+    // must continue, not reset
+    land(b2)
+    HeavyHitters.start(spark, landing, sink, ckpt, shards = 4, cap = 16,
+      d = 4, w = 64, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val got = HeavyHitters.topK(spark.read.parquet(sink), k = 3,
+        d = 4, w = 64)
+      .select("item", "ss_count", "cms_est")
+      .as[(String, Long, Long)].collect().toSet
+    // expected: exact counts of the union (cap never evicts here) and
+    // estimates from the same grid math, merged over both batches
+    val trueCounts: Map[String, Long] = (b1 ++ b2).groupBy(identity)
+      .map { case (it, xs) => it -> xs.size.toLong }
+    val cellPairs: Seq[((Int, Long), Long)] = trueCounts.toSeq
+      .flatMap { case (it, n) =>
+        (0 until 4).map(i => (i, HeavyHitters.cellOf(i, it, 64)) -> n)
+      }
+    val cells: Map[(Int, Long), Long] = cellPairs.groupBy(_._1)
+      .map { case (kk, xs) => kk -> xs.map(_._2).sum }
+    def est(it: String): Long =
+      (0 until 4).map(i =>
+        cells((i, HeavyHitters.cellOf(i, it, 64)))).min
+    val expected = trueCounts.toSeq
+      .map { case (it, n) => (it, n, est(it)) }
+      .sortBy { case (it, _, e) => (-e, it) }.take(3).toSet
+    assert(got === expected)
+    // the sketch never undercounts
+    assert(got.forall { case (it, n, e) => e >= n })
+  }
+
+  test("space-saving fold: order-free, deterministic eviction, MG bound") {
+    import graft.streaming.HeavyHitters.ssFold
+    val batch = Seq("a" -> 50L, "b" -> 30L, "c" -> 20L, "d" -> 2L,
+      "e" -> 1L, "f" -> 1L)
+    // input order must not matter (the fold sorts per batch)
+    val m1 = ssFold(Map.empty[String, Long], batch, cap = 4)
+    val m2 = ssFold(Map.empty[String, Long],
+      scala.util.Random.shuffle(batch), cap = 4)
+    assert(m1 === m2)
+    assert(m1.size === 4)
+    // Misra–Gries guarantee: any item with true count > total/cap is a
+    // candidate, and candidate counts never undercount the truth
+    val total = batch.map(_._2).sum // 104; threshold = 26
+    val truth = batch.toMap
+    truth.filter(_._2 > total / 4).keys
+      .foreach(it => assert(m1.contains(it), s"$it must survive"))
+    m1.foreach { case (it, c) => assert(c >= truth.getOrElse(it, 0L)) }
+    // folding a second batch accumulates, evicts the minimum, and the
+    // newcomer inherits min + n (the space-saving overestimate)
+    val m3 = ssFold(m1, Seq("z" -> 5L), cap = 4)
+    assert(m3.size === 4)
+    assert(m3.contains("z") && m3("z") === m1.values.min + 5L)
+  }
+
   test("multimodal: partition-local decode, null payload passthrough") {
     val media = Multimodal.syntheticMedia(spark, 21)
     val feats = Multimodal.extractFeatures(media)
