@@ -1408,6 +1408,28 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("q_id")
     }),
 
+    "n12_pq_topk" -> ((s, d) => {
+      // product-quantization ADC recall report against the exact
+      // baseline (n8's harness): normalized vectors encode to 8
+      // one-byte codes (32× smaller than fp32, 8× smaller than int8),
+      // queries score codes via codebook lookups — never raw vectors.
+      // Seed codebooks here so the DuckDB twin shares them as
+      // literals; the TRAINED-codebook path (Lloyd per subspace) is
+      // SimilaritySpec's job.
+      val emb = T(s, d).embeddings
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+      val exact = graft.Caches.persist(
+        Similarity.batchTopKCosineExact(emb, "vec_id", "embedding",
+          queries, "q_id", "qv", k = 10))
+      val approx = Similarity.batchPqTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", k = 10, cb)
+      Similarity.recallAtK(exact, approx, "q_id", "vec_id", 10,
+          as = "recall_pq")
+        .repartition(1).sortWithinPartitions("q_id")
+    }),
+
     "n6_ivf_partitioned" -> ((s, d) => {
       // the IVF serving shape: embeddings written under cell=<c>
       // directories, probe cells computed driver-side from the query and
@@ -3366,6 +3388,63 @@ object SparkEntry {
          |SELECT r1.q_id, r1.recall_1probe, rm.recall_multiprobe
          |FROM r1 JOIN rm ON r1.q_id = rm.q_id
          |ORDER BY 1""".stripMargin
+    },
+
+    // PQ twin: the seed codebooks interpolate as one nested literal
+    // (cast to DOUBLE[][][] — bare decimals parse as DECIMAL, whose
+    // exact arithmetic diverges from the engine's double math)
+    "n12_pq_topk" -> {
+      val cb = pipelines.Similarity.pqSeedCodebooks(8, 16, 8)
+      val cbSql = cb.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val cos = (a: String, b: String) =>
+        s"""round(list_reduce(list_transform(range(1, 65),
+           |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+           |  / (sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+           |     * sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+      s"""WITH cbt AS (SELECT ($cbSql)::DOUBLE[][][] AS cb),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(1, 65), i -> embedding[i]::DOUBLE /
+         |      sqrt(list_reduce(list_transform(range(1, 65),
+         |        i2 -> embedding[i2]::DOUBLE * embedding[i2]::DOUBLE),
+         |        (a, b) -> a + b))) AS xn
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 8), j ->
+         |      list_sort(list_transform(range(0, 16), c -> {'d2':
+         |        list_reduce(list_transform(range(0, 8), dd ->
+         |          (xn[j * 8 + dd + 1] - cb[j + 1][c + 1][dd + 1])
+         |          * (xn[j * 8 + dd + 1] - cb[j + 1][c + 1][dd + 1])),
+         |          (a, b) -> a + b),
+         |        'cell': c}))[1].cell) AS code
+         |  FROM e, cbt),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, xn AS qn
+         |      FROM e WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.q_id, codes.vec_id,
+         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |      list_reduce(list_transform(range(0, 8), dd ->
+         |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) AS s
+         |  FROM q, codes, cbt),
+         |ap AS (SELECT q_id, vec_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) <= 10),
+         |ex AS (
+         |  SELECT q.q_id, e2.vec_id,
+         |    ${cos("e2.embedding", "q.qv")} AS cosine
+         |  FROM q, embeddings e2
+         |  QUALIFY row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY cosine DESC, e2.vec_id) <= 10)
+         |SELECT ex.q_id,
+         |  count(ap.vec_id) / CAST(count(*) AS DOUBLE) AS recall_pq
+         |FROM ex LEFT JOIN ap
+         |  ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
     },
 
     "n4_near_dup" -> {

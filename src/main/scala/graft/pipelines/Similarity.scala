@@ -241,9 +241,11 @@ object Similarity {
     * only need the distribution, not the corpus.
     */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, k: Int,
-                        dim: Int, iters: Int = 4): Array[Array[Double]] = {
+                        dim: Int, iters: Int = 4,
+                        seed: Option[Array[Array[Double]]] = None)
+      : Array[Array[Double]] = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    var cents = seedCentroids(k, dim)
+    var cents = seed.getOrElse(seedCentroids(k, dim))
     for (_ <- 0 until iters) {
       val means = corpus
         .select(ivfCellAtNative(col(vecCol), cents).as("_cell"),
@@ -519,5 +521,124 @@ object Similarity {
       .orderBy(col("rrf").desc, col("id").asc)
       .limit(topN)
       .select("id", "lex_rank", "vec_rank", "rrf")
+  }
+
+  // ------------------------------------------------ product quantization
+
+  /** L2-normalized double copy of an embedding column. Normalizing
+    * BEFORE encoding makes the PQ inner product an estimate of cosine
+    * directly (Jégou et al. 2011's ADC, on the unit sphere), so PQ
+    * results rank on the same scale the exact baseline uses.
+    */
+  def normalized(vec: Column): Column = {
+    val v = toDouble(vec)
+    transform(v, x => x / norm(vec))
+  }
+
+  /** md5-seeded PQ sub-codebooks (`m` subspaces × `ks` centroids ×
+    * `subDim`) — deterministic, data-free, and literal-interpolatable
+    * into the DuckDB oracle (the same role [[seedCentroids]] plays for
+    * IVF). Real deployments refine them with [[trainPqCodebooks]].
+    */
+  def pqSeedCodebooks(m: Int, ks: Int, subDim: Int)
+      : Array[Array[Array[Double]]] =
+    Array.tabulate(m, ks, subDim)((j, c, d) =>
+      (md5Hash48Local(s"pq:$j:$c,$d") % 2000000L - 1000000L) / 1000000.0)
+
+  /** Per-subspace deterministic Lloyd refinement of the PQ codebooks:
+    * subspace `j` trains on the corpus's normalized `j`-th subvectors
+    * with [[trainIvfCentroids]]'s exact-DECIMAL means, seeded from
+    * [[pqSeedCodebooks]] — bit-reproducible across partitionings. At
+    * 100 TB train on a hash-sampled subset; codebooks only need the
+    * distribution.
+    */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, ks: Int,
+                       dim: Int, iters: Int = 4)
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val seeds = pqSeedCodebooks(m, ks, subDim)
+    Array.tabulate(m) { j =>
+      val sub = corpus.select(
+        slice(normalized(col(vecCol)), j * subDim + 1, subDim).as("_sub"))
+      trainIvfCentroids(sub, "_sub", ks, subDim, iters,
+        seed = Some(seeds(j)))
+    }
+  }
+
+  /** PQ encoding: per subspace, the nearest codebook centroid id — an
+    * `m`-code array (one byte per code at ks ≤ 256; a 64-dim fp32
+    * vector compresses 256/m ×). Rides the compiled [[ivfCellAtNative]]
+    * assignment per subspace; input must be [[normalized]].
+    */
+  def pqEncode(vecN: Column, cb: Array[Array[Array[Double]]]): Column =
+    array(cb.indices.map { j =>
+      val subDim = cb(j)(0).length
+      ivfCellAtNative(slice(vecN, j * subDim + 1, subDim), cb(j))
+    }: _*)
+
+  /** ADC (asymmetric distance computation) score: the query stays
+    * exact, each code dereferences its centroid — score = Σ over
+    * subspaces of ⟨query_sub, codebook[j][code_j]⟩, an inner-product
+    * estimate of cosine for normalized inputs. Pure lookup arithmetic
+    * over literal codebook arrays: the scan reads m-byte codes, never
+    * raw vectors.
+    */
+  def pqScore(qN: Column, codes: Column,
+              cb: Array[Array[Array[Double]]]): Column =
+    cb.indices.map { j =>
+      val subDim = cb(j)(0).length
+      val cbCol = array(cb(j).map(cent => array(cent.map(lit): _*)): _*)
+      val cent = element_at(cbCol, element_at(codes, j + 1) + 1)
+      aggregate(zip_with(slice(qN, j * subDim + 1, subDim), cent,
+        (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+
+  /** Batch PQ top-k: encode the corpus once (m bytes per vector),
+    * broadcast the normalized queries, rank every (query, code) pair by
+    * ADC score with an id tie-break. Same harness shape as
+    * [[batchTopKCosineExact]] so [[recallAtK]] grades it directly.
+    */
+  def batchPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  k: Int, cb: Array[Array[Array[Double]]]): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val codes = corpus.select(col(idCol),
+      pqEncode(normalized(col(vecCol)), cb).as("_codes"))
+    val qn = queries.select(col(qIdCol),
+      normalized(col(qVecCol)).as("_qn"))
+    codes.crossJoin(broadcast(qn))
+      .select(col(qIdCol), col(idCol),
+        round(pqScore(col("_qn"), col("_codes"), cb), 6).as("pq_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("pq_score").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ-select + exact re-rank — the standard serving composition: the
+    * m-byte codes pick `cand` candidates per query (cheap, whole-corpus
+    * scan over codes only), then the exact vectors of JUST those
+    * candidates are read back and re-scored by true cosine for the
+    * final top-`k`. Quantization error only costs recall when a true
+    * neighbor falls outside the candidate set, so recall is tunable by
+    * `cand` while the full-precision read stays |queries|·cand rows —
+    * the 100 TB layout is codes in fast storage, vectors read by id.
+    */
+  def batchPqTopKRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String,
+                        qVecCol: String, k: Int, cand: Int,
+                        cb: Array[Array[Array[Double]]]): DataFrame = {
+    val selected = batchPqTopK(corpus, idCol, vecCol, queries, qIdCol,
+      qVecCol, cand, cb).select(col(qIdCol), col(idCol))
+    selected
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        round(cosineNative(col(vecCol), col(qVecCol)), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
   }
 }

@@ -377,6 +377,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n(3)._2 === Seq(1, -1, 127)) // the HALF_UP tie, away from zero
   }
 
+  test("PQ: trained codebooks beat seed; recall holds at 1/4 of int8's bytes") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val exact = graft.Caches.persist(Similarity.batchTopKCosineExact(
+      emb, "vec_id", "embedding", queries, "q_id", "qv", k = 10))
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, "q_id", "vec_id", 10)
+        .agg(avg("recall")).as[Double].collect()(0)
+    // 16 subspaces × 16 centroids: 16 one-byte codes = 1/4 of int8's
+    // 64 bytes, 1/16 of fp32
+    val seedCb = Similarity.pqSeedCodebooks(16, 16, 4)
+    val trainedCb = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 16, ks = 16, dim = 64)
+    val seedR = meanRecall(Similarity.batchPqTopK(emb, "vec_id",
+      "embedding", queries, "q_id", "qv", 10, seedCb))
+    val trainedR = meanRecall(Similarity.batchPqTopK(emb, "vec_id",
+      "embedding", queries, "q_id", "qv", 10, trainedCb))
+    // PQ-select + exact re-rank (the serving composition): codes pick
+    // 200 candidates, true cosine re-ranks — the exact read touches
+    // 200 of 500 vectors per query
+    val rerankR = meanRecall(Similarity.batchPqTopKRerank(emb, "vec_id",
+      "embedding", queries, "q_id", "qv", k = 10, cand = 200, trainedCb))
+    // int8 comparison: top-10 over dequantized (reconstructed) vectors
+    val recon = emb.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("_s"))
+      .select($"vec_id",
+        Similarity.dequantizeInt8($"_s.q", $"_s.scale").as("embedding"))
+    val int8R = meanRecall(Similarity.batchTopKCosineExact(recon,
+      "vec_id", "embedding", queries, "q_id", "qv", k = 10))
+    info(f"recall@10 — pq_seed: $seedR%.3f, pq_trained: $trainedR%.3f, " +
+      f"pq+rerank(200): $rerankR%.3f, int8: $int8R%.3f")
+    assert(trainedR >= seedR,
+      f"training must not hurt: $trainedR%.3f < $seedR%.3f")
+    // raw 16-byte codes cannot out-rank 64-byte int8 on isotropic
+    // synthetic embeddings (cosine spreads are tiny); the serving
+    // composition recovers recall while reading exact vectors for only
+    // the candidate slice
+    assert(rerankR >= 0.9, f"PQ+rerank recall@10 $rerankR%.3f")
+    graft.Caches.releaseAll()
+  }
+
+  test("PQ codes round-trip: m codes, each a valid codebook index") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    val codes = emb.select(
+        Similarity.pqEncode(Similarity.normalized($"embedding"), cb)
+          .as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(_.length === 8))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+    // codes discriminate: not every vector lands on one code word
+    assert(codes.distinct.length > codes.length / 4)
+  }
+
   test("hybridTopKRrf: fusion prefers candidates strong in both modalities") {
     val df = Seq(
       (1L, 10.0, 0.1), // lexical champion, vector dud
