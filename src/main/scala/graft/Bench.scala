@@ -23,23 +23,39 @@ object Bench {
     "s5_insert_ignore", "u1b_warehouse_upsert", "st1_stream_ingest",
     "m2_image_decode", "o5_next_offset")
 
-  /** Per-query times of the PREVIOUS bench run, read from the
-    * `BENCH_FULL.json` this run will overwrite. Parsed with a two-token
-    * scan rather than a JSON library (none on the unmanaged classpath):
-    * every `"name":1.234` decimal pair after the `"queries"` key is a
-    * query time (the only other decimal, the leading `"value"`, sits
-    * before it, and `"reps"`/`"sf"` are an integer and a string).
+  /** `"name":1.234` pairs of ONE flat JSON object in `txt`, keyed by
+    * `key` — the scan is bounded to the object's own braces (flat by
+    * construction, so the first `}` closes it), never reading pairs
+    * from later fields. Parsed with a two-token scan rather than a
+    * JSON library (none on the unmanaged classpath).
     */
-  private def previousTimes(): Map[String, Double] =
+  private def objectTimes(txt: String, key: String): Map[String, Double] = {
+    val kStart = txt.indexOf("\"" + key + "\":{")
+    if (kStart < 0) Map.empty
+    else {
+      val open = txt.indexOf('{', kStart)
+      val close = txt.indexOf('}', open)
+      if (close < 0) Map.empty
+      else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+        .findAllMatchIn(txt.substring(open, close + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Per-query historical-minimum times, read from the
+    * `BENCH_FULL.json` this run will overwrite. The floor — not the
+    * raw previous time — is the spike baseline: a load-inflated
+    * previous run must not inflate the threshold with it (a genuine
+    * regression would then pass unmeasured). Older files without a
+    * `floors` object fall back to their `queries` times.
+    */
+  private def previousFloors(): Map[String, Double] =
     try {
       val txt = new String(
         Files.readAllBytes(Paths.get("BENCH_FULL.json")),
         StandardCharsets.UTF_8)
-      val qStart = txt.indexOf("\"queries\":")
-      if (qStart < 0) Map.empty
-      else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-        .findAllMatchIn(txt.substring(qStart))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val f = objectTimes(txt, "floors")
+      if (f.nonEmpty) f else objectTimes(txt, "queries")
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -48,7 +64,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val backoffMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "15000").toLong
-    val prev = previousTimes()
+    val floors = previousFloors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,14 +99,16 @@ object Bench {
     // A box-load spike spanning one query's back-to-back reps survives
     // min-of-N (observed: a 0.9s aggregation reported at 17.9s, and a
     // 0.12s point lookup at 1.8s — under any fixed absolute cut). The
-    // detector is therefore RELATIVE: a min that regressed >3× vs the
-    // previous run's recorded time for the same query is attributed to
-    // load, not to the plan, and re-measured. The 0.25s floor keeps
-    // millisecond jitter (0.03s→0.10s) from triggering; the absolute
-    // 2s cut still covers queries with no history (new this round, or
-    // no BENCH_FULL.json on disk).
-    def spiky(name: String, t: Double): Boolean = prev.get(name) match {
-      case Some(p) => t > math.max(3 * p, 0.25)
+    // detector is therefore RELATIVE: a min that regressed >2× vs the
+    // query's HISTORICAL-MINIMUM time is attributed to load, not to
+    // the plan, and re-measured once at end of run. The floor baseline
+    // (not the raw previous time) keeps a load-inflated prior run from
+    // inflating the threshold; the 0.25s floor keeps millisecond
+    // jitter (0.03s→0.10s) from triggering; the absolute 2s cut still
+    // covers queries with no history (new this round, or no
+    // BENCH_FULL.json on disk).
+    def spiky(name: String, t: Double): Boolean = floors.get(name) match {
+      case Some(p) => t > math.max(2 * p, 0.25)
       case None    => t > 2.0
     }
     val flagged = firstPass.collect { case (n, t) if spiky(n, t) => n }.toSet
@@ -109,9 +127,15 @@ object Bench {
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
+    // ratchet the historical floor: min(this run, previous floor) —
+    // the next run's spike baseline
+    val newFloors = results.map { case (n, t) =>
+      n -> math.min(t, floors.getOrElse(n, t))
+    }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s""""queries":${jsonMap(results)},"floors":${jsonMap(newFloors)},""" +
+      s""""sf":"$sfDir"}"""
     val tmp = Paths.get("BENCH_FULL.json.tmp")
     Files.write(tmp, (full + "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get("BENCH_FULL.json"),
