@@ -1705,7 +1705,9 @@ object SparkEntry {
       // immutable dirs + manifest rename): init WITHOUT every 4th row,
       // INSERT OR IGNORE a half-overlapping batch (the overlap must be
       // ignored), upsert a price bump on 'click', delete a keyed
-      // subrange of 'view', then read the committed snapshot back.
+      // subrange of 'view', then COMPACT the accumulated small files,
+      // VACUUM the retired dirs, and read the committed snapshot back —
+      // the oracle hash proves maintenance is content-preserving.
       // Every mutation is a manifest commit — the same path
       // WarehouseSpec failpoint-tests for fully-old-or-fully-new.
       val root = java.nio.file.Files
@@ -1717,6 +1719,8 @@ object SparkEntry {
       tbl.upsert(p.filter(col("symbol") === "click" && col("id") % 10 === 0)
         .withColumn("price", col("price") + 1.0))
       tbl.deleteWhere(Seq("view"), col("id") % 7 === 0)
+      tbl.compact()
+      tbl.vacuum()
       tbl.read()
         .groupBy("symbol").agg(count(lit(1)).as("n"),
           Aggregates.fromCents(sum(Aggregates.cents(col("price"))))

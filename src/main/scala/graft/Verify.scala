@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing names restrict the dump (fast single-query
-    // parity iteration); the driver passes none and gets everything
+    // parity iteration); the driver passes none and gets everything.
+    // Unknown names fail fast — a typo would otherwise produce an
+    // empty output dir that looks like a passing run
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"valid names are in SparkEntry.queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.{Files, FileSystemException, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -107,13 +107,26 @@ final case class PriceTable(spark: SparkSession, root: String,
     failpoint("pre-commit")
     val target =
       new java.io.File(rootFile, f"manifest-${base + 1}%012d.txt").toPath
+    def concurrent(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit: version ${base + 1} already exists under " +
+          s"$root (another writer committed after this mutation read " +
+          s"version $base); re-read and retry")
     try Files.createLink(target, tmp.toPath)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit: version ${base + 1} already exists under " +
-            s"$root (another writer committed after this mutation read " +
-            s"version $base); re-read and retry")
+      case _: java.nio.file.FileAlreadyExistsException => concurrent()
+      // filesystems without hard links (some object-store mounts /
+      // network FS): fall back to a no-replace atomic move — the same
+      // fails-if-target-exists OCC contract, minus link(2)'s guarantee
+      // against a concurrent create BETWEEN the existence check and
+      // the move (single-writer-per-version remains safe; true
+      // multi-writer tables belong on a link-capable filesystem)
+      case _: UnsupportedOperationException | _: FileSystemException =>
+        if (Files.exists(target)) concurrent()
+        try Files.move(tmp.toPath, target) // no REPLACE_EXISTING: fails
+        catch {                            // if the target appeared
+          case _: java.nio.file.FileAlreadyExistsException => concurrent()
+        }
     } finally Files.deleteIfExists(tmp.toPath)
   }
 

@@ -104,6 +104,8 @@ object Warehouse {
     * table-of-record, use [[PriceTable]] — same pruned merge, committed
     * via staged immutable dirs + an atomic manifest rename.
     */
+  @deprecated("not crash-atomic; use PriceTable.upsert (same pruned " +
+    "merge, committed via staged immutable dirs + manifest rename)", "r6")
   def upsertPrices(spark: SparkSession, root: String, batch: DataFrame,
                    keys: Seq[String] = PriceKeys): Unit = {
     val existing = prunedExisting(spark, root, batch)
@@ -216,6 +218,8 @@ object Warehouse {
     * [[PriceTable.deleteWhere]] — fully-old-or-fully-new by manifest
     * commit.
     */
+  @deprecated("not crash-atomic; use PriceTable.deleteWhere " +
+    "(fully-old-or-fully-new by manifest commit)", "r6")
   def deleteWherePrices(spark: SparkSession, root: String,
                         symbols: Seq[String],
                         cond: org.apache.spark.sql.Column): Long = {

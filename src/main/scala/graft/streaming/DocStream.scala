@@ -143,12 +143,22 @@ object DocStream {
 
   /** Micro-batch file-source pipeline: landing dir (docs with a
     * precomputed `domain` column) → per-domain cap → parquet table.
+    *
+    * Bit-equality with the batch `capPerDomain` (the st3 oracle and
+    * the parity spec) additionally requires that each landed fileset
+    * arrives as ONE micro-batch: admission is lowest-doc_id-first
+    * WITHIN a batch, so a read limit that splits the backlog (e.g. a
+    * `maxFilesPerTrigger` option) re-orders admission and the cap,
+    * while still exact in SIZE, may keep different doc_ids than the
+    * global doc_id-ordered batch cap. The source is therefore built
+    * here without read-limit options — add none when extending.
     */
   def startDomainCap(spark: SparkSession, landingDir: String,
                      tableDir: String, checkpointDir: String, maxDocs: Int,
                      trigger: Trigger = Trigger.ProcessingTime("15 seconds"))
       : StreamingQuery =
     capPerDomainStream(
+        // deliberately NO .option("maxFilesPerTrigger", ...): see above
         spark.readStream.schema(domainDocSchema).parquet(landingDir),
         maxDocs)
       .writeStream

@@ -70,7 +70,9 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.insertIgnorePrices(spark, root, batch) === 0)
   }
 
-  test("upsertPrices rewrites only touched partitions") {
+  test("upsertPrices (deprecated compat path) rewrites only touched partitions") {
+    // kept only as the non-atomic compat path; tables-of-record use
+    // PriceTable.upsert (the deprecation points every caller there)
     val root = Files.createTempDirectory("graft_wh_ups").toString
     val t0 = ts("2024-01-01 10:00:00")
     val seed = Seq(
@@ -130,7 +132,9 @@ class WarehouseSpec extends AnyFunSuite {
       .listFiles().count(_.getName.endsWith(".parquet")) === 1)
   }
 
-  test("deleteWherePrices rewrites only named partitions, drops empty ones") {
+  test("deleteWherePrices (deprecated compat path) rewrites only named partitions, drops empty ones") {
+    // kept only as the non-atomic compat path; tables-of-record use
+    // PriceTable.deleteWhere (the deprecation points every caller there)
     val root = Files.createTempDirectory("graft_wh_del").toString
     val t0 = ts("2024-01-01 10:00:00")
     val seed = Seq(
