@@ -131,6 +131,14 @@ object SparkEntry {
     "هذه مقالة عن نظام جديد لمعالجة البيانات الكبيرة. أظهر الباحثون أن " +
       "هذه الطريقة سريعة وموثوقة. وسوف نواصل هذا العمل في السنوات القادمة."
 
+  // 40 words exactly — one whole chunk at chunkSize 40, so every doc
+  // that carries it produces a bit-identical passage fingerprint
+  private val SpamPassage =
+    "click here to claim your free prize now this limited time offer " +
+      "will not last long act fast and share this amazing deal with all " +
+      "of your friends before the countdown timer at the bottom of this " +
+      "page runs out"
+
   /** DuckDB 60/48-bit md5 hash mirroring MarketFunctions.md5Hash60/48. */
   private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
   private def h48(x: String) = s"('0x' || substr(md5($x), 1, 12))::BIGINT"
@@ -1430,6 +1438,34 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("q_id")
     }),
 
+    "n13_ivfpq_topk" -> ((s, d) => {
+      // IVFADC — the composed 100 TB ANN serving layout: embeddings
+      // cell-partitioned at ingest (IVF, n6's layout), the query probes
+      // 2 of 8 directories (PartitionFilters prune the scan), PQ codes
+      // pick 50 candidates inside the probed cells (ADC over 8-byte
+      // codes — no raw vectors on the select path), exact cosine
+      // re-ranks just that slice to the final top-10. Every stage is
+      // the library op verified on its own (n5/n6/n12); this proves
+      // they compose into one pruned plan.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writeEmbeddingsByCell(emb, root, k = 8, dim = 64,
+        centroids = Some(Similarity.seedCentroids(8, 64)))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val probes = Similarity.probeCells(q, k = 8, nprobe = 2)
+      val pruned = Warehouse.readEmbeddingsByCell(s, root)
+        .filter(col("cell").isin(probes: _*))
+      val queries = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      Similarity.batchPqTopKRerank(pruned, "vec_id", "embedding",
+          queries, "q_id", "qv", k = 10, cand = 50,
+          cb = Similarity.pqSeedCodebooks(8, 16, 8))
+        .select(col("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "n6_ivf_partitioned" -> ((s, d) => {
       // the IVF serving shape: embeddings written under cell=<c>
       // directories, probe cells computed driver-side from the query and
@@ -1860,6 +1896,42 @@ object SparkEntry {
             lit("intraday"), lit(null).cast("string"),
             col("event_type") === "view").as("summary"))
         .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "p9_passage_dedup" -> ((s, d) => {
+      // passage-level dedup — the within-document granularity document
+      // dedup misses (Lee et al. 2022's finding: boilerplate passages
+      // repeat across otherwise-unique pages): chunk each doc into
+      // non-overlapping 40-word passages (stride = chunkSize, so
+      // reassembly is lossless), fingerprint each passage, keep only
+      // the corpus-wide first occurrence (lowest (doc_id, chunk_ix)),
+      // reassemble surviving passages in order. A 40-word spam
+      // paragraph is prepended to every 5th doc — exactly one chunk,
+      // so it must survive once and vanish everywhere else.
+      import org.apache.spark.sql.expressions.Window
+      val t = when(col("doc_id") % 5 === 0,
+        concat(lit(SpamPassage + " "), col("text"))).otherwise(col("text"))
+      val docs = T(s, d).documents.select(col("doc_id"), t.as("t"))
+      val chunks = TextAnalysis.chunkWords(docs, col("t"),
+          chunkSize = 40, stride = 40)
+        .select(col("doc_id"), col("chunk_ix"), col("chunk"))
+      val deduped = chunks
+        .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id", "chunk_ix")))
+        .filter(col("_rn") === 1)
+      val rebuilt = deduped.groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_chunks"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_ix"),
+                col("chunk")))),
+              x => x.getField("chunk")), " ").as("clean_text"))
+      docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "p8_curation_pipeline" -> ((s, d) => {
@@ -3513,6 +3585,76 @@ object SparkEntry {
          |ORDER BY id""".stripMargin
     },
 
+    // IVFADC twin: n6's symbolic cell assignment prunes to the probe
+    // cells, n12's literal codebooks pick 50 ADC candidates, exact
+    // cosine re-ranks the slice
+    "n13_ivfpq_topk" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      val cb = pipelines.Similarity.pqSeedCodebooks(8, 16, 8)
+      val cbSql = cb.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val cos = (a: String, b: String) =>
+        s"""round(list_reduce(list_transform(range(1, 65),
+           |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+           |  / (sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+           |     * sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+      val xnOf = (v: String) =>
+        s"""list_transform(range(1, 65), i -> $v[i]::DOUBLE /
+           |      sqrt(list_reduce(list_transform(range(1, 65),
+           |        i2 -> $v[i2]::DOUBLE * $v[i2]::DOUBLE),
+           |        (a, b) -> a + b)))""".stripMargin
+      s"""WITH cbt AS (SELECT ($cbSql)::DOUBLE[][][] AS cb),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id = 0),
+         |pr AS (SELECT list_transform((${cellsOf("qv")})[1:2],
+         |         x -> x.cell) AS probes FROM q),
+         |cells AS (
+         |  SELECT vec_id, embedding,
+         |    (${cellsOf("embedding")})[1].cell AS cell
+         |  FROM embeddings),
+         |pruned AS (
+         |  SELECT c.vec_id, c.embedding FROM cells c, pr
+         |  WHERE list_contains(pr.probes, c.cell)),
+         |e AS (SELECT vec_id, embedding, ${xnOf("embedding")} AS xn
+         |      FROM pruned),
+         |codes AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 8), j ->
+         |      list_sort(list_transform(range(0, 16), c -> {'d2':
+         |        list_reduce(list_transform(range(0, 8), dd ->
+         |          (xn[j * 8 + dd + 1] - cb[j + 1][c + 1][dd + 1])
+         |          * (xn[j * 8 + dd + 1] - cb[j + 1][c + 1][dd + 1])),
+         |          (a, b) -> a + b),
+         |        'cell': c}))[1].cell) AS code
+         |  FROM e, cbt),
+         |qe AS (SELECT q_id, qv, ${xnOf("qv")} AS qn FROM q),
+         |sc AS (
+         |  SELECT qe.q_id, codes.vec_id,
+         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |      list_reduce(list_transform(range(0, 8), dd ->
+         |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) AS s
+         |  FROM qe, codes, cbt),
+         |sel AS (SELECT q_id, vec_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) <= 50),
+         |rer AS (
+         |  SELECT sel.vec_id, ${cos("p.embedding", "q.qv")} AS cosine
+         |  FROM sel JOIN pruned p ON sel.vec_id = p.vec_id, q)
+         |SELECT vec_id, cosine FROM rer
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "n6_ivf_partitioned" -> {
       val cent = (c: String, d: String) =>
         s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
@@ -4070,6 +4212,35 @@ object SparkEntry {
         |       THEN chr(10) || chr(10) || '[Note] Vision inputs not processed in demo mode.'
         |       ELSE '' END AS summary
         |FROM syms ORDER BY event_type""".stripMargin,
+
+    // independently-derived formulation: lateral unnest over chunk
+    // starts + QUALIFY first-occurrence + ordered string_agg
+    "p9_passage_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$SpamPassage ' || text
+         |         ELSE text END AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql("t")} AS ws FROM d),
+         |ch AS (
+         |  SELECT doc_id, CAST(u.st // 40 AS INT) AS chunk_ix,
+         |    array_to_string(ws[u.st + 1 : u.st + 40], ' ') AS chunk
+         |  FROM w, unnest(range(0, len(ws), 40)) AS u(st)
+         |  WHERE len(ws) > 0),
+         |dd AS (
+         |  SELECT doc_id, chunk_ix, chunk FROM (
+         |    SELECT *, ${h60("chunk")} AS fp FROM ch)
+         |  QUALIFY row_number() OVER (PARTITION BY fp
+         |    ORDER BY doc_id, chunk_ix) = 1),
+         |rb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+         |    string_agg(chunk, ' ' ORDER BY chunk_ix) AS clean_text
+         |  FROM dd GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(rb.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+         |  COALESCE(rb.clean_text, '') AS clean_text
+         |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "p8_curation_pipeline" ->
       s"""WITH w AS (

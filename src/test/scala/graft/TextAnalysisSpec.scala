@@ -201,6 +201,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5)._5 === 0.857143)
   }
 
+  test("passage dedup: shared chunk survives once, reassembly is ordered") {
+    import org.apache.spark.sql.expressions.Window
+    // two docs share their first 5-word passage; chunking at 5 words
+    // with stride 5 makes it one chunk — dedup must keep doc 1's copy
+    // and doc 2 must reassemble to its unique remainder, in order
+    val shared = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, shared + " one two three four five"),
+      (2L, shared + " six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkWords(df, $"text", 5, 5)
+      .select($"doc_id", $"chunk_ix", $"chunk")
+      .withColumn("fp", TextAnalysis.fingerprint($"chunk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "chunk_ix")))
+      .filter($"rn" === 1)
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"chunk_ix", $"chunk"))),
+          x => x.getField("chunk")), " ").as("clean"))
+      .orderBy("doc_id").select("clean").as[String].collect()
+    assert(rebuilt(0) === shared + " one two three four five")
+    assert(rebuilt(1) === "six seven eight nine ten")
+  }
+
   test("languageId: marker-word argmax picks the right language") {
     val df = Seq(
       (1L, "the cat and the dog went to the park"),
