@@ -1084,8 +1084,10 @@ object SparkEntry {
       // (%31, first so it owns its stratum) exercises the CJK unit-count
       // path, symbol stuffing (%13), bullet-list walls (%17),
       // ellipsis-trailed lines (%19), numeric gibberish (%23),
-      // triple-repeated bodies (%29); the word-count / word-length /
-      // stopword rules discriminate on the corpus as-is
+      // triple-repeated bodies (%29, which also drives the top-bigram
+      // char fraction), duplicate-line walls (%37) and duplicate
+      // paragraphs (%41); the word-count / word-length / stopword rules
+      // discriminate on the corpus as-is
       val t = when(col("doc_id") % 31 === 0, lit(ZhSample))
         .when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" ### ... ### ...")))
@@ -1099,6 +1101,14 @@ object SparkEntry {
           lit("data 111 222 333 444 555 666 777 888 999 000"))
         .when(col("doc_id") % 29 === 0,
           concat_ws(" ", col("text"), col("text"), col("text")))
+        .when(col("doc_id") % 37 === 0,
+          concat(col("text"),
+            lit("\nsame nav line here\nsame nav line here\n" +
+              "same nav line here\nsame nav line here")))
+        .when(col("doc_id") % 41 === 0,
+          concat(col("text"),
+            lit("\n\nrepeated footer para\n\nrepeated footer para\n\n" +
+              "repeated footer para")))
         .otherwise(col("text"))
       TextAnalysis.qualityRules(
           T(s, d).documents.select(col("doc_id"), t.as("t")), col("t"),
@@ -1241,6 +1251,24 @@ object SparkEntry {
           (sum(round(col("quality") * 1e7).cast("long")).cast("double")
             / count(lit(1)) / 1e7).as("avg_q"))
         .repartition(1).sortWithinPartitions("decile")
+    }),
+
+    "t20_dsir_resample" -> ((s, d) => {
+      // DSIR importance resampling: 64 hashed unigram feature buckets,
+      // target = the English slice, raw = the whole corpus; each doc
+      // scores the summed per-occurrence log-likelihood ratio (integer
+      // micro-units, so the sum is partition-invariant) and the 100
+      // most-target-like docs are selected by scale-safe global rank
+      val weighted = TextAnalysis.dsirWeights(
+          T(s, d).documents.select(col("doc_id"), col("lang"),
+            col("text")),
+          "doc_id", col("text"), col("lang") === "en")
+        .select(col("doc_id"), col("weight_micro"))
+      Relational.globalRanks(weighted,
+          Seq(col("weight_micro").desc, col("doc_id").asc))
+        .withColumnRenamed("_rn", "sel_rank")
+        .withColumn("selected", col("sel_rank") <= 100)
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "t3_lang_id" -> ((s, d) => {
@@ -2787,17 +2815,34 @@ object SparkEntry {
          |         WHEN doc_id % 23 = 0 THEN
          |           'data 111 222 333 444 555 666 777 888 999 000'
          |         WHEN doc_id % 29 = 0 THEN text || ' ' || text || ' ' || text
+         |         WHEN doc_id % 37 = 0 THEN text ||
+         |           e'\nsame nav line here\nsame nav line here' ||
+         |           e'\nsame nav line here\nsame nav line here'
+         |         WHEN doc_id % 41 = 0 THEN text ||
+         |           e'\n\nrepeated footer para\n\nrepeated footer para' ||
+         |           e'\n\nrepeated footer para'
          |         ELSE text END AS t
          |  FROM documents),
          |w AS (SELECT doc_id, t, ${wordsSql("t")} AS ws, length(t) AS nc,
          |        len(regexp_extract_all(t,
-         |          '${pipelines.TextAnalysis.CjkClass}')) AS ncjk
+         |          '${pipelines.TextAnalysis.CjkClass}')) AS ncjk,
+         |        list_filter(string_split(${stripLineSeps("t")}, chr(10)),
+         |          x -> x <> '') AS nel,
+         |        list_filter(string_split_regex(${stripLineSeps("t")},
+         |          '\\n{2,}'), x -> x <> '') AS pel
          |      FROM d),
          |sh AS (SELECT doc_id,
          |         CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS total,
          |         len(list_distinct(list_transform(${shinglesSql("ws")},
          |           s -> ${h60("s")}))) AS dn
          |       FROM w),
+         |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+         |        FROM w, LATERAL UNNEST(range(1, len(ws))) AS r(i)
+         |        WHERE len(ws) >= 2),
+         |bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+         |top AS (SELECT doc_id, c, length(bg) AS blen, row_number()
+         |          OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+         |        FROM bgc),
          |f AS (
          |  SELECT w.doc_id, len(ws) AS n_words,
          |    len(ws) + ncjk AS n_units,
@@ -2828,11 +2873,26 @@ object SparkEntry {
          |              / CAST(len(ws) AS DOUBLE), 6)
          |         ELSE 0.0 END AS alpha_word_ratio,
          |    round((sh.total - sh.dn) / CAST(sh.total AS DOUBLE), 6)
-         |      AS rep_ratio
-         |  FROM w JOIN sh ON w.doc_id = sh.doc_id)
+         |      AS rep_ratio,
+         |    CASE WHEN len(nel) > 0
+         |         THEN round((len(nel) - len(list_distinct(nel)))
+         |              / CAST(len(nel) AS DOUBLE), 6)
+         |         ELSE 0.0 END AS dup_line_frac,
+         |    CASE WHEN len(pel) > 0
+         |         THEN round((len(pel) - len(list_distinct(pel)))
+         |              / CAST(len(pel) AS DOUBLE), 6)
+         |         ELSE 0.0 END AS dup_para_frac,
+         |    CASE WHEN nc > 0
+         |         THEN least(CAST(1.0 AS DOUBLE),
+         |              round(COALESCE(top.c, 0) * COALESCE(top.blen, 0)
+         |                / CAST(nc AS DOUBLE), 6))
+         |         ELSE 0.0 END AS top_bigram_frac
+         |  FROM w JOIN sh ON w.doc_id = sh.doc_id
+         |    LEFT JOIN top ON w.doc_id = top.doc_id AND top.rn = 1)
          |SELECT doc_id, n_words, n_units, cjk_ratio, mean_word_len,
          |  symbol_ratio, stop_hits,
          |  bullet_ratio, ellipsis_ratio, alpha_word_ratio, rep_ratio,
+         |  dup_line_frac, dup_para_frac, top_bigram_frac,
          |  n_units >= 25 AND n_units <= 10000 AS pass_words,
          |  cjk_ratio >= 0.3 OR
          |    (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
@@ -2843,6 +2903,9 @@ object SparkEntry {
          |  ellipsis_ratio <= 0.3 AS pass_ellipsis,
          |  cjk_ratio >= 0.3 OR alpha_word_ratio >= 0.8 AS pass_alpha_words,
          |  rep_ratio <= 0.3 AS pass_repetition,
+         |  dup_line_frac <= 0.3 AS pass_dup_lines,
+         |  dup_para_frac <= 0.3 AS pass_dup_paras,
+         |  top_bigram_frac <= 0.2 AS pass_top_bigram,
          |  (n_units >= 25 AND n_units <= 10000)
          |    AND (cjk_ratio >= 0.3 OR
          |      (mean_word_len >= 3.0 AND mean_word_len <= 5.0))
@@ -2850,7 +2913,9 @@ object SparkEntry {
          |    AND (cjk_ratio >= 0.3 OR stop_hits >= 2)
          |    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
          |    AND (cjk_ratio >= 0.3 OR alpha_word_ratio >= 0.8)
-         |    AND rep_ratio <= 0.3 AS keep
+         |    AND rep_ratio <= 0.3
+         |    AND dup_line_frac <= 0.3 AND dup_para_frac <= 0.3
+         |    AND top_bigram_frac <= 0.2 AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "t17_unigram_logprob" ->
@@ -3208,6 +3273,34 @@ object SparkEntry {
         |  CAST(sum(CAST(round(quality * 10000000) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 10000000.0 AS avg_q
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "t20_dsir_resample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, unnest(${wordsSql("text")}) AS wd
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, ${h48("wd")} % 64 AS bk FROM w),
+         |cnt AS (SELECT bk,
+         |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+         |          count(*) AS rc
+         |        FROM b GROUP BY bk),
+         |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
+         |ratio AS (SELECT bk,
+         |            CAST(round((ln((tc + 1.0) / (tt + 64.0))
+         |              - ln((rc + 1.0) / (rt + 64.0))) * 1000000) AS BIGINT)
+         |              AS rm
+         |          FROM cnt, tot),
+         |dw AS (SELECT doc_id, sum(rm) AS wm
+         |       FROM b JOIN ratio USING (bk) GROUP BY doc_id),
+         |full_w AS (
+         |  SELECT d.doc_id, CAST(COALESCE(dw.wm, 0) AS BIGINT)
+         |      AS weight_micro
+         |  FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id)
+         |SELECT doc_id, weight_micro,
+         |  row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+         |    AS sel_rank,
+         |  row_number() OVER (ORDER BY weight_micro DESC, doc_id) <= 100
+         |    AS selected
+         |FROM full_w ORDER BY doc_id""".stripMargin,
 
     "t3_lang_id" ->
       """WITH w AS (

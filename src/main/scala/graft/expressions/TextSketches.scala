@@ -142,6 +142,55 @@ object TextSketches {
     override def prettyName: String = "graft_shingle_hashes60"
   }
 
+  /** Most-frequent word w-shingle of a document: `[count, char_len]`,
+    * ties broken by the byte-wise-smallest shingle string (UTF-8 order —
+    * the same binary collation DuckDB's `ORDER BY` uses, so the oracle's
+    * `row_number() OVER (ORDER BY c DESC, bg)` lands on the identical
+    * shingle). `[0, 0]` when the text has fewer than `w` words. Fuels
+    * the Gopher "top n-gram character fraction" rule, which divides
+    * `count · char_len` by the document's character count — a keyword-
+    * stuffed page concentrates its characters in one n-gram. One
+    * hash-map pass over the shingle stream; `char_len` counts code
+    * points (Spark `length` ≡ DuckDB `length`).
+    */
+  case class TopShingleFreq(child: Expression, shingleW: Int = 2)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val ws = words(input.asInstanceOf[UTF8String])
+      if (ws.length < shingleW)
+        return new GenericArrayData(Array(0L, 0L))
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i <= ws.length - shingleW) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = 1
+        while (j < shingleW) { sb.append(' ').append(ws(i + j)); j += 1 }
+        val k = sb.toString
+        val prev = counts.get(k)
+        counts.put(k, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      var bestS: UTF8String = null
+      var bestC = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestC) {
+          bestC = e.getValue
+          bestS = UTF8String.fromString(e.getKey)
+        } else if (e.getValue == bestC) {
+          val s = UTF8String.fromString(e.getKey)
+          if (s.compareTo(bestS) < 0) bestS = s
+        }
+      }
+      new GenericArrayData(Array(bestC, bestS.numChars().toLong))
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : TopShingleFreq = copy(child = c)
+    override def prettyName: String = "graft_top_shingle"
+  }
+
   /** One-pass text counters for the quality-scoring pipeline:
     * `[n_words, n_chars, n_alpha, n_punct, tok_bpe, n_cjk]`. Compiled
     * twin of the declarative forms in [[graft.pipelines.TextAnalysis]] —
@@ -602,6 +651,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes60",
       es => TextSketches.ShingleHashes60(es.head,
         if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_top_shingle",
+      es => TextSketches.TopShingleFreq(es.head,
+        if (es.length > 1) litInt(es(1), "w") else 2), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats",
       es => TextSketches.TextStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_word_hits",

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.MarketFunctions.md5Hash60
+import graft.functions.MarketFunctions.{md5Hash48, md5Hash60}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, n-gram language ID, and document
@@ -151,8 +151,10 @@ object TextAnalysis {
   /** Rule-based document gate — the Gopher/C4-style curation filter
     * (Rae et al. 2021 §A1.1 "quality filtering" heuristics, re-expressed
     * as one scan-side projection): word-count bounds, mean-word-length
-    * bounds, symbol-to-word ratio ("#"/"..." stuffing), and a minimum
-    * stopword presence (gibberish/navigation pages carry none). Emits
+    * bounds, symbol-to-word ratio ("#"/"..." stuffing), a minimum
+    * stopword presence (gibberish/navigation pages carry none), and the
+    * structural-repetition trio (duplicate-line fraction,
+    * duplicate-paragraph fraction, top-bigram character fraction). Emits
     * the measured features, one boolean per rule, and the conjunction
     * `keep` — keeping flags rather than filtering in place is what lets
     * a curation run audit WHICH rule dropped a document. All features
@@ -183,7 +185,10 @@ object TextAnalysis {
                    maxRepetition: Double = 0.3,
                    repWindow: Int = 3,
                    stops: Seq[String] = Stopwords,
-                   cjkRatioMin: Double = 0.3): DataFrame = {
+                   cjkRatioMin: Double = 0.3,
+                   maxDupLineFrac: Double = 0.3,
+                   maxDupParaFrac: Double = 0.3,
+                   maxTopBigramFrac: Double = 0.2): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val st = textCounts(text)
     val nWords = element_at(st, 1)
@@ -230,6 +235,27 @@ object TextAnalysis {
     // duplicate-n-gram rule: rides the same compiled shingle-hash pass
     // as the standalone repetition operator (t9)
     val repRatio = repetitionRatio(text, repWindow)
+    // Gopher's structural-repetition trio: the fraction of non-empty
+    // lines (and of blank-line-separated paragraphs) that repeat an
+    // earlier one — mirror/template pages — and the fraction of the
+    // document's characters claimed by its single most frequent word
+    // bigram (keyword stuffing). All in-row array math over the already
+    // line-separator-normalized text; the bigram argmax is one compiled
+    // hash-map pass ([[graft.expressions.TextSketches.TopShingleFreq]])
+    val neLines = filter(split(lineText, "\n", -1), l => l =!= "")
+    val nNeLines = size(neLines)
+    val dupLineFrac = when(nNeLines > 0,
+      round((nNeLines - size(array_distinct(neLines)))
+        / nNeLines.cast("double"), 6)).otherwise(0.0)
+    val paras = filter(split(lineText, "\\n{2,}", -1), p => p =!= "")
+    val nParas = size(paras)
+    val dupParaFrac = when(nParas > 0,
+      round((nParas - size(array_distinct(paras)))
+        / nParas.cast("double"), 6)).otherwise(0.0)
+    val topBg = call_function("graft_top_shingle", text, lit(2))
+    val topBigramFrac = when(nChars > 0,
+      least(lit(1.0), round(element_at(topBg, 1) * element_at(topBg, 2)
+        / nChars.cast("double"), 6))).otherwise(0.0)
     df.withColumn("n_words", nWords)
       .withColumn("n_units", nUnits)
       .withColumn("cjk_ratio", cjkRatio)
@@ -240,6 +266,9 @@ object TextAnalysis {
       .withColumn("ellipsis_ratio", ellipsisRatio)
       .withColumn("alpha_word_ratio", alphaWordRatio)
       .withColumn("rep_ratio", repRatio)
+      .withColumn("dup_line_frac", dupLineFrac)
+      .withColumn("dup_para_frac", dupParaFrac)
+      .withColumn("top_bigram_frac", topBigramFrac)
       .withColumn("pass_words",
         nUnits >= minWords && nUnits <= maxWords)
       .withColumn("pass_word_len",
@@ -251,11 +280,16 @@ object TextAnalysis {
       .withColumn("pass_alpha_words",
         isCjk || alphaWordRatio >= minAlphaWordRatio)
       .withColumn("pass_repetition", repRatio <= maxRepetition)
+      .withColumn("pass_dup_lines", dupLineFrac <= maxDupLineFrac)
+      .withColumn("pass_dup_paras", dupParaFrac <= maxDupParaFrac)
+      .withColumn("pass_top_bigram", topBigramFrac <= maxTopBigramFrac)
       .withColumn("keep",
         col("pass_words") && col("pass_word_len") &&
           col("pass_symbols") && col("pass_stops") &&
           col("pass_bullets") && col("pass_ellipsis") &&
-          col("pass_alpha_words") && col("pass_repetition"))
+          col("pass_alpha_words") && col("pass_repetition") &&
+          col("pass_dup_lines") && col("pass_dup_paras") &&
+          col("pass_top_bigram"))
   }
 
   /** Language-ID by stopword-profile hit rate: score(text, lang) =
@@ -425,6 +459,56 @@ object TextAnalysis {
       .agg((sum(col("nll_u")).cast("double") / count(lit(1)) / 1e6)
           .as("avg_nll"),
         count(lit(1)).as("n_words"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash every word
+    * into `buckets` feature buckets, fit add-one-smoothed bag-of-words
+    * models over the TARGET slice (`isTarget`) and the RAW corpus (all
+    * rows), and score each document by the summed per-occurrence
+    * log-likelihood ratio `Σ count(w) · [ln p̂_target(b(w)) −
+    * ln p̂_raw(b(w))]`. Documents that look like the target distribution
+    * score high; training-data curation keeps the top slice.
+    *
+    * Scale shape: one explode → 64-group partial aggregate (a
+    * bucket-count vector, NOT a vocabulary — the collect is
+    * `buckets` rows regardless of corpus size), then one scan where
+    * each doc's weight is in-row arithmetic over its compiled
+    * [[graft.expressions.TextSketches.TermCounts]] map against the
+    * broadcast log-ratio array. Weights are integer micro-units
+    * (per-bucket ratio rounded BEFORE the per-doc sum), so the result
+    * is bit-identical under any partitioning — the float-sum trap the
+    * quality score documents.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, text: Column,
+                  isTarget: Column, buckets: Int = 64): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val bucketOf = (w: Column) =>
+      pmod(md5Hash48(w), lit(buckets.toLong)).cast("int")
+    val occ = df.select(isTarget.as("_is_t"),
+        explode(Dedup.words(text)).as("_w"))
+      .select(col("_is_t"), bucketOf(col("_w")).as("_b"))
+    // bounded driver collect: exactly `buckets` rows of partial sums
+    val counts = occ.groupBy("_b")
+      .agg(sum(when(col("_is_t"), 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val tTot = counts.valuesIterator.map(_._1).sum.toDouble
+    val rTot = counts.valuesIterator.map(_._2).sum.toDouble
+    // HALF_UP (away from zero), not math.round (toward +∞): log-ratios
+    // go negative and the two modes differ there at exact .5 ties
+    val ratioMicro: Array[Long] = Array.tabulate(buckets) { b =>
+      val (tc, rc) = counts.getOrElse(b, (0L, 0L))
+      BigDecimal((math.log((tc + 1.0) / (tTot + buckets))
+          - math.log((rc + 1.0) / (rTot + buckets))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val tc = call_function("graft_term_counts", text)
+    val weight = aggregate(map_entries(tc), lit(0L), (acc, e) =>
+      acc + e.getField("value").cast("long")
+        * element_at(typedLit(ratioMicro), bucketOf(e.getField("key")) + 1))
+    df.withColumn("weight_micro", weight)
   }
 
   /** Document fingerprint: 60-bit md5 of the normalized text (lowercase,

@@ -64,35 +64,91 @@ class TextAnalysisSpec extends AnyFunSuite {
         "it is a fine wrap"),                         // fails ellipsis ratio
       (7L, "the 111 222 333 444 555 666 777 888 999 a 000 12 34"),
                                                       // fails alpha-word ratio
-      (8L, ("the cat sat on the mat " * 8).trim))     // fails repetition
+      (8L, ("the cat sat on the mat " * 8).trim),     // fails repetition
+      // 5 copies of a one-word line among 6 unique content lines: the
+      // duplicate-LINE fraction fires while the word stream's trigrams
+      // stay distinct (repetition passes)
+      (9L, "the cat sat warm\nmenu\nand a dog ran far\nmenu\n" +
+        "it is quiet now\nmenu\nfor all of us here\nmenu\n" +
+        "in a sunny field\nmenu"),
+      // a repeated single-line paragraph diluted by two big unique
+      // multi-line paragraphs: dup-PARAGRAPH fires, dup-line stays
+      // under threshold (2 dup lines of 13)
+      (10L, "the cat sat on a mat\nand a dog ran far off\n" +
+        "it is a quiet day\nfor all of us here\nin a sunny field\n\n" +
+        "contact us about this offer\n\n" +
+        "the barn owl went out late\nand the fox hid down low\n" +
+        "it was a dark cool night\nfor the two of them\nin the old wood\n\n" +
+        "contact us about this offer\n\ncontact us about this offer"),
+      // one bigram owns most of the characters while every trigram is
+      // unique (the joining stopwords differ): top-bigram fires alone
+      (11L, "stormy watch the stormy watch a stormy watch of " +
+        "stormy watch and stormy watch to stormy watch in " +
+        "stormy watch is stormy watch it stormy watch for stormy watch on"))
       .toDF("doc_id", "text")
     val rules = Seq("pass_words", "pass_word_len", "pass_symbols",
       "pass_stops", "pass_bullets", "pass_ellipsis", "pass_alpha_words",
-      "pass_repetition")
+      "pass_repetition", "pass_dup_lines", "pass_dup_paras",
+      "pass_top_bigram")
     val got = TextAnalysis.qualityRules(df, $"text",
         minWords = 10, maxWords = 100, minMeanWordLen = 2.0,
         maxMeanWordLen = 6.0, maxSymbolRatio = 0.1, minStopHits = 2)
       .orderBy("doc_id")
       .select((rules :+ "keep").map(col): _*)
       .collect()
-    assert(got(0).toSeq === Seq.fill(9)(true))
-    val expectFail = Map(2 -> "pass_words", 3 -> "pass_symbols",
-      4 -> "pass_stops", 5 -> "pass_bullets", 6 -> "pass_ellipsis",
-      7 -> "pass_alpha_words", 8 -> "pass_repetition")
-    expectFail.foreach { case (id, rule) =>
+    assert(got(0).toSeq === Seq.fill(12)(true))
+    // expected failures per violator; doc 8's eight-fold body repeat
+    // legitimately concentrates characters in one bigram too, so the
+    // top-bigram rule co-fires with repetition there
+    val expectFail = Map(
+      2 -> Set("pass_words"), 3 -> Set("pass_symbols"),
+      4 -> Set("pass_stops"), 5 -> Set("pass_bullets"),
+      6 -> Set("pass_ellipsis"), 7 -> Set("pass_alpha_words"),
+      8 -> Set("pass_repetition", "pass_top_bigram"),
+      9 -> Set("pass_dup_lines"), 10 -> Set("pass_dup_paras"),
+      11 -> Set("pass_top_bigram"))
+    expectFail.foreach { case (id, fails) =>
       val row = got(id - 1)
-      assert(row.getAs[Boolean](rule) === false, s"doc $id should fail $rule")
+      fails.foreach { rule =>
+        assert(row.getAs[Boolean](rule) === false,
+          s"doc $id should fail $rule")
+      }
       assert(row.getAs[Boolean]("keep") === false, s"doc $id should be dropped")
     }
-    // and each violator fails ONLY its own rule (word-count doc aside,
-    // whose two-word body legitimately also misses the stopword floor)
-    expectFail.filterNot(_._1 == 2).foreach { case (id, rule) =>
+    // and each violator fails ONLY its expected rules (word-count doc
+    // aside, whose two-word body legitimately also misses the stopword
+    // floor and, at two words, the one-bigram-owns-the-text rule)
+    expectFail.filterNot(_._1 == 2).foreach { case (id, fails) =>
       val row = got(id - 1)
-      rules.filterNot(_ == rule).foreach { other =>
+      rules.filterNot(fails).foreach { other =>
         assert(row.getAs[Boolean](other) === true,
           s"doc $id should pass $other")
       }
     }
+  }
+
+  test("dsirWeights: target-like docs outrank out-of-target docs") {
+    // 6 English-slice docs (the target), 6 invented-vocabulary docs,
+    // plus one doc OUTSIDE the target slice whose words look like the
+    // target — DSIR's whole point is that it scores high anyway
+    val target = (1L to 6L).map(i =>
+      (i, "en", "the cat sat on the mat and it was good"))
+    val ood = (7L to 12L).map(i =>
+      (i, "xx", "zork blag frum qux gleep snarf vex jubb"))
+    val lookalike = (13L, "xx", "the cat sat on a mat and it was fine")
+    val df = (target ++ ood :+ lookalike).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.dsirWeights(df, "doc_id", $"text",
+        $"lang" === "en")
+      .orderBy("doc_id").select("weight_micro").as[Long].collect()
+    assert(got(0) > 0, "target doc should score positive")
+    assert(got(6) < 0, "out-of-distribution doc should score negative")
+    assert(got(12) > got(6),
+      "target-looking doc outside the slice should outrank true OOD")
+    // bit-identical under a different partitioning (integer micro-units)
+    val re = TextAnalysis.dsirWeights(df.repartition(7), "doc_id",
+        $"text", $"lang" === "en")
+      .orderBy("doc_id").select("weight_micro").as[Long].collect()
+    assert(re.toSeq === got.toSeq)
   }
 
   test("unigramLogProb: out-of-distribution docs score higher") {
