@@ -24,6 +24,39 @@ object Profile {
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    if (args.headOption.contains("gate")) {
+      // quality-gate component profile: which expression pays for what
+      graft.expressions.GraftFunctions.register(spark)
+      val t = col("text")
+      time("gate_full")(
+        graft.pipelines.TextAnalysis.qualityRules(docs, t))
+      time("gate_full_warm")(
+        graft.pipelines.TextAnalysis.qualityRules(docs, t))
+      time("text_counts")(docs.select(
+        graft.pipelines.TextAnalysis.textCounts(t).as("st")))
+      time("word_hits")(docs.select(graft.pipelines.TextAnalysis
+        .wordHits(t, graft.pipelines.TextAnalysis.Stopwords).as("sh")))
+      time("dup_structure")(docs.select(
+        call_function("graft_dup_structure", t).as("ds")))
+      time("top_shingle")(docs.select(
+        call_function("graft_top_shingle", t, lit(2)).as("tb")))
+      time("shingle_hashes")(docs.select(
+        call_function("graft_shingle_hashes60", t, lit(3)).as("hs")))
+      time("line_regexes")(docs.select(
+        size(regexp_extract_all(
+          regexp_replace(t, "[\\r\\u0085\\u2028\\u2029]", ""),
+          lit("(?m)^[ \\t]*[-*•]"), lit(0))).as("b"),
+        size(regexp_extract_all(
+          regexp_replace(t, "[\\r\\u0085\\u2028\\u2029]", ""),
+          lit("(?m)(\\.\\.\\.|…)$"), lit(0))).as("e"),
+        size(regexp_extract_all(t,
+          lit("[^ \\t\\n\\r\\f\\x0B]*[A-Za-z][^ \\t\\n\\r\\f\\x0B]*"),
+          lit(0))).as("a"),
+        size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0)))
+          .as("s")))
+      spark.stop()
+      return
+    }
     time("scan")(docs.select("doc_id", "text"))
     time("words")(docs.select(Dedup.words(col("text")).as("w")))
     time("shingles")(docs.select(Dedup.shingles(col("text")).as("s")))

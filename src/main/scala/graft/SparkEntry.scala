@@ -449,6 +449,24 @@ object SparkEntry {
         dupKeys = Seq("symbol", "direction", "qty"))
     }),
 
+    "u10_zorder_layout" -> ((s, d) => {
+      // Z-order (Morton) table layout: interleave the user and day
+      // buckets into one sort key so per-file min/max footer stats stay
+      // narrow in BOTH dimensions; the result is the file manifest a
+      // writer would produce — per-file stats plus which files a 2-D
+      // box query (users 40-49 × five January days) actually opens.
+      // A ts-sorted layout prunes only the day predicate; the LayoutSpec
+      // proves the Z layout opens strictly fewer files for this box.
+      val ev = T(s, d).events
+        .select(col("event_id"), col("user_id").as("u"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val laid = operators.Layout.assignZFiles(ev,
+        Seq(col("u"), col("day")), col("event_id"), rowsPerFile = 250)
+      operators.Layout.fileStats(laid, Seq("u", "day"),
+          Map("u" -> (40L, 49L), "day" -> (19727L, 19731L)))
+        .repartition(1).sortWithinPartitions("file_id")
+    }),
+
     "q5_star_revenue" -> ((s, d) => {
       val t = T(s, d)
       val cust = t.customer
@@ -2121,6 +2139,28 @@ object SparkEntry {
          |  FROM (SELECT count(*) AS c FROM journal
          |        GROUP BY symbol, direction, qty))
          |SELECT * FROM base, d""".stripMargin,
+
+    // the Z-value SQL is generated from the SAME (bit, dim) → position
+    // map as the engine's column expression — agreement by construction
+    "u10_zorder_layout" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id AS u,
+         |    epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |z AS (SELECT event_id, u, day,
+         |        ${operators.Layout.zValueSql(
+                    Seq("(u % 65536)", "(day % 65536)"))} AS zv
+         |      FROM e),
+         |r AS (SELECT u, day,
+         |        row_number() OVER (ORDER BY zv, event_id) AS rn
+         |      FROM z),
+         |f AS (SELECT (rn - 1) // 250 AS file_id, u, day FROM r)
+         |SELECT file_id, min(u) AS min_u, max(u) AS max_u,
+         |  min(day) AS min_day, max(day) AS max_day,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  (min(u) <= 49 AND max(u) >= 40
+         |    AND min(day) <= 19731 AND max(day) >= 19727) AS scanned
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
 
     "a11_rollup" ->
       """SELECT event_type, user_id % 5 AS ubucket,

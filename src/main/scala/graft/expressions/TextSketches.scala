@@ -160,6 +160,58 @@ object TextSketches {
       val ws = words(input.asInstanceOf[UTF8String])
       if (ws.length < shingleW)
         return new GenericArrayData(Array(0L, 0L))
+      if (shingleW == 2) evalPacked(ws) else evalStrings(ws)
+    }
+
+    /** Bigram fast path: intern words to dense ids, count (id, id)
+      * pairs packed in one long — zero per-position string building;
+      * only count-tied bigrams materialize strings for the byte-order
+      * tie-break.
+      */
+    private def evalPacked(ws: Array[String]): Any = {
+      val ids = new java.util.HashMap[String, Integer]()
+      val byId = new java.util.ArrayList[String]()
+      val wid = new Array[Int](ws.length)
+      var i = 0
+      while (i < ws.length) {
+        var id = ids.get(ws(i))
+        if (id == null) {
+          id = Integer.valueOf(ids.size); ids.put(ws(i), id)
+          byId.add(ws(i))
+        }
+        wid(i) = id.intValue()
+        i += 1
+      }
+      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      i = 0
+      while (i < ws.length - 1) {
+        val k = java.lang.Long.valueOf((wid(i).toLong << 32) | wid(i + 1))
+        val prev = counts.get(k)
+        counts.put(k, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      var bestKey = -1L
+      var bestS: UTF8String = null
+      var bestC = 0L
+      def strOf(key: Long): UTF8String = UTF8String.fromString(
+        byId.get((key >>> 32).toInt) + " " + byId.get(key.toInt))
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestC) {
+          bestC = e.getValue; bestKey = e.getKey; bestS = null
+        } else if (e.getValue == bestC) {
+          if (bestS == null) bestS = strOf(bestKey)
+          val s = strOf(e.getKey)
+          if (s.compareTo(bestS) < 0) { bestKey = e.getKey; bestS = s }
+        }
+      }
+      if (bestS == null) bestS = strOf(bestKey)
+      new GenericArrayData(Array(bestC, bestS.numChars().toLong))
+    }
+
+    /** General w: the straightforward string-keyed count. */
+    private def evalStrings(ws: Array[String]): Any = {
       val counts = new java.util.HashMap[String, java.lang.Long]()
       var i = 0
       while (i <= ws.length - shingleW) {
@@ -189,6 +241,71 @@ object TextSketches {
     override protected def withNewChildInternal(c: Expression)
         : TopShingleFreq = copy(child = c)
     override def prettyName: String = "graft_top_shingle"
+  }
+
+  /** One-pass line/paragraph duplication counters:
+    * `[ne_lines, distinct_lines, ne_paras, distinct_paras]` — the
+    * inputs to the Gopher duplicate-line / duplicate-paragraph
+    * fractions. Compiled twin of the declarative form in
+    * [[graft.pipelines.TextAnalysis.qualityRules]]:
+    *   - lines ≡ `filter(split(strip(text), "\n", -1), _ =!= "")`
+    *   - paras ≡ `filter(split(strip(text), "\n{2,}", -1), _ =!= "")`
+    * where `strip` removes the non-`\n` line terminators (`\r`, NEL,
+    * LS, PS) exactly like the `lineText` normalization — one scan over
+    * the code units instead of a regex replace plus two splits and
+    * four interpreted HOF passes. A single `\n` stays inside its
+    * paragraph's text (including one left dangling at end-of-input,
+    * which Java's `split("\n{2,}", -1)` keeps in the final segment).
+    */
+  case class DupStructure(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val lineSet = new java.util.HashSet[String]()
+      val paraSet = new java.util.HashSet[String]()
+      var neLines = 0L
+      var neParas = 0L
+      val lineBuf = new java.lang.StringBuilder
+      val paraBuf = new java.lang.StringBuilder
+      var nlRun = 0
+      def finishLine(): Unit = {
+        if (lineBuf.length > 0) {
+          neLines += 1; lineSet.add(lineBuf.toString); lineBuf.setLength(0)
+        }
+      }
+      def finishPara(): Unit = {
+        if (paraBuf.length > 0) {
+          neParas += 1; paraSet.add(paraBuf.toString); paraBuf.setLength(0)
+        }
+      }
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\r' || c == '\u0085' || c == '\u2028' ||
+            c == '\u2029') {
+          // stripped line separators: invisible to lines AND paragraphs
+        } else if (c == '\n') {
+          finishLine()
+          nlRun += 1
+        } else {
+          if (nlRun == 1) paraBuf.append('\n') // intra-paragraph newline
+          else if (nlRun >= 2) finishPara()    // paragraph separator
+          nlRun = 0
+          lineBuf.append(c)
+          paraBuf.append(c)
+        }
+        i += 1
+      }
+      finishLine()
+      if (nlRun == 1) paraBuf.append('\n') // trailing \n stays in segment
+      finishPara()
+      new GenericArrayData(Array(neLines, lineSet.size.toLong,
+        neParas, paraSet.size.toLong))
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : DupStructure = copy(child = c)
+    override def prettyName: String = "graft_dup_structure"
   }
 
   /** One-pass text counters for the quality-scoring pipeline:
@@ -651,6 +768,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes60",
       es => TextSketches.ShingleHashes60(es.head,
         if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dup_structure",
+      es => TextSketches.DupStructure(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_top_shingle",
       es => TextSketches.TopShingleFreq(es.head,
         if (es.length > 1) litInt(es(1), "w") else 2), "scala_udf")

@@ -344,6 +344,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(mixed.filter($"n" =!= $"d").count() === 0)
   }
 
+  test("native DupStructure matches the declarative split form") {
+    graft.expressions.GraftFunctions.register(spark)
+    // pathological line/paragraph shapes: every stripped separator,
+    // dangling single newlines, runs of 2+, leading/trailing blanks,
+    // whitespace-only lines (non-empty by contract), and duplicates
+    val docs = (Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"text") union Seq(
+        "a\nb\na\nb\na", "a\n\nb\n\na", "one line",
+        "a\r\nb\r\na", "ab c d", "",
+        "\n\nx\n\n", "x\n", "x\ny\n\nx\ny", "  \n  \nz",
+        "p one\nstill p one\n\np two\n\np one\nstill p one",
+        "tail newline\n\nkeeps\n", "\n\n\n", "a\n\n\n\nb"
+      ).toDF("text"))
+    val lineText =
+      regexp_replace($"text", "[\\r\\u0085\\u2028\\u2029]", "")
+    val neLines = filter(split(lineText, "\n", -1), l => l =!= "")
+    val paras = filter(split(lineText, "\\n{2,}", -1), p => p =!= "")
+    val ds = call_function("graft_dup_structure", $"text")
+    val diff = docs.select(
+        element_at(ds, 1).as("nl"), element_at(ds, 2).as("dl"),
+        element_at(ds, 3).as("np"), element_at(ds, 4).as("dp"),
+        size(neLines).cast("long").as("enl"),
+        size(array_distinct(neLines)).cast("long").as("edl"),
+        size(paras).cast("long").as("enp"),
+        size(array_distinct(paras)).cast("long").as("edp"))
+      .filter($"nl" =!= $"enl" || $"dl" =!= $"edl" ||
+        $"np" =!= $"enp" || $"dp" =!= $"edp")
+    assert(diff.count() === 0, diff.collect().mkString("; "))
+  }
+
   test("native languageId matches the declarative twin on the corpus") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
       .select("doc_id", "text")
