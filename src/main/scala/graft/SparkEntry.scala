@@ -932,6 +932,34 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("word")
     }),
 
+    "st5_hll_stream" -> ((s, d) => {
+      // streaming HLL distinct: land the corpus word stream, run the
+      // readStream → rising-register deltas → parquet pipeline to
+      // completion, reconstruct registers by MAX over the log, and
+      // estimate through the batch sketch's shared fold — bit-equal to
+      // a14 on the same items (registers are monotone, so replay and
+      // batch order cannot change them). Cross-batch/restart behavior
+      // is StreamingSpec's job.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st5_landing").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st5_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st5_ckpt").toString
+      T(s, d).documents
+        .select(explode(Dedup.words(col("text"))).as("item"))
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.HllStream.start(s, landing, sink, ckpt,
+        shards = 8, p = 8)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      graft.streaming.HllStream.estimate(s.read.parquet(sink), p = 8)
+        .crossJoin(broadcast(
+          T(s, d).documents
+            .select(explode(Dedup.words(col("text"))).as("item"))
+            .agg(countDistinct(col("item")).as("exact"))))
+    }),
+
     "t13_token_mix" -> ((s, d) => {
       // token-budget mixing: sample per-language strata to target token
       // shares (60/25/15) of a fixed budget, counting n_chars as the
@@ -1011,6 +1039,21 @@ object SparkEntry {
       val contam = docs.filter(col("doc_id") % 97 === 0)
       val train = docs.filter(col("doc_id") % 97 =!= 0)
       Dedup.contaminationHits(train, "doc_id", col("text"),
+          contam, col("text"))
+        .withColumn("hits", col("hits").cast("long"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "d13_bloom_decontaminate" -> ((s, d) => {
+      // d8's contamination contract through a Bloom runtime filter: the
+      // benchmark shingle set compiles to a broadcast 128 KiB bit array
+      // probed in-row BEFORE the join, so only Bloom-positive shingles
+      // shuffle. No false negatives → identical answer → the oracle is
+      // the exact join; DedupSpec pins path equality and selectivity
+      val docs = T(s, d).documents
+      val contam = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.bloomContaminationHits(train, "doc_id", col("text"),
           contam, col("text"))
         .withColumn("hits", col("hits").cast("long"))
         .repartition(1).sortWithinPartitions("doc_id")
@@ -3098,6 +3141,42 @@ object SparkEntry {
     // AvailableNow batch and an eviction-free cap, every word is a
     // candidate with its exact count, and the final ranking is by the
     // SAME d×w grid estimate the stream's merged deltas reconstruct
+    // registers are monotone ⇒ the streaming delta log reconstructs the
+    // exact batch register table; the oracle mirrors the a14 sketch on
+    // the word stream
+    "st5_hll_stream" ->
+      s"""WITH wx AS (
+         |  SELECT unnest(${wordsSql("text")}) AS item FROM documents),
+         |hx AS (SELECT ${h60("item")} AS h FROM wx),
+         |rw AS (
+         |  SELECT CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w
+         |  FROM hx),
+         |rr AS (
+         |  SELECT idx,
+         |    max(CASE WHEN w = 0 THEN 53
+         |             ELSE 53 - length(format('{:b}', w)) END) AS rho
+         |  FROM rw GROUP BY idx),
+         |allr AS (
+         |  SELECT r.i AS idx, COALESCE(rr.rho, 0) AS rho
+         |  FROM range(0, 256) r(i) LEFT JOIN rr ON rr.idx = r.i),
+         |agg AS (
+         |  SELECT
+         |    list_sum(list(pow(2.0, -rho)::DOUBLE ORDER BY idx)) AS z,
+         |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM allr),
+         |e AS (
+         |  SELECT CASE
+         |      WHEN 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256)
+         |             * 256 * 256 / z <= 2.5::DOUBLE * 256
+         |           AND zeros > 0
+         |        THEN 256 * ln(256.0::DOUBLE / zeros)
+         |      ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256)
+         |             * 256 * 256 / z END AS e0
+         |  FROM agg)
+         |SELECT round(e0, 6) AS est,
+         |  (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM wx) AS exact
+         |FROM e""".stripMargin,
+
     "st4_cms_stream" ->
       s"""WITH wx AS (
          |  SELECT unnest(${wordsSql("text")}) AS word FROM documents),
@@ -3183,6 +3262,21 @@ object SparkEntry {
          |ORDER BY doc_id, rank""".stripMargin,
 
     "d8_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(${shinglesSql("ws")},
+         |      s -> ${h60("s")}))) AS sh
+         |  FROM w),
+         |c AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |t AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM t JOIN c USING (sh)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the Bloom prefilter is exactness-preserving (no false negatives),
+    // so the oracle is the same exact-join formulation as d8's
+    "d13_bloom_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
          |sh AS (
          |  SELECT doc_id,

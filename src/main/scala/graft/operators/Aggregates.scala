@@ -198,6 +198,17 @@ object Aggregates {
           .otherwise(lit(wBits + 1) - length(bin(col("w")))))
       .groupBy("idx").agg(max(col("rho")).as("rho"))
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    Seq(hllEstimate(regs, p)).toDF("est")
+  }
+
+  /** Driver-side HLL estimate from a register table: `α·m²/Σ2^-M_j`
+    * with the small-range linear-counting correction, summed in FIXED
+    * ascending-register order so the float fold is bit-reproducible.
+    * Shared by the batch sketch above and the streaming register log
+    * ([[graft.streaming.HllStream]]), which must agree bit-for-bit.
+    */
+  def hllEstimate(regs: Map[Int, Int], p: Int): Double = {
+    val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     var z = 0.0
     var zeros = 0
@@ -212,9 +223,8 @@ object Aggregates {
     val est =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
       else raw
-    Seq(java.math.BigDecimal.valueOf(est)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-      .toDF("est")
+    java.math.BigDecimal.valueOf(est)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   /** Count-Min sketch heavy-hitter estimation (Cormode & Muthukrishnan

@@ -398,6 +398,76 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("hits"))
   }
 
+  /** Bloom filter over a (small) set of 60-bit shingle hashes, built as
+    * an aggregation: k = 3 bit positions per hash are independent
+    * 20-bit slices of the md5-derived hash (no re-hashing needed), the
+    * 2^20-bit array lives as 16384 longs OR-folded per word — the
+    * collect is array-sized, never set-sized. Returned as a literal
+    * array column ready to broadcast into a scan-side probe.
+    */
+  def bloomBits(hashes: DataFrame, hashCol: String,
+                mBits: Int = 1 << 20): Column = {
+    require(mBits % 64 == 0 && mBits <= (1 << 20),
+      "mBits must be a multiple of 64, at most 2^20 (the slice width)")
+    val mask = (mBits - 1).toLong
+    val positions = array((0 until 3).map(j =>
+      shiftrightunsigned(col(hashCol), j * 20).bitwiseAND(lit(mask))): _*)
+    val words = hashes.select(explode(positions).as("_pos"))
+      .select((col("_pos") / 64).cast("int").as("_widx"),
+        expr("shiftleft(1L, cast(_pos % 64 as int))").as("_bit"))
+      .groupBy("_widx").agg(expr("bit_or(_bit)").as("_word"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val arr = Array.tabulate(mBits / 64)(i => words.getOrElse(i, 0L))
+    typedLit(arr)
+  }
+
+  /** Scan-side Bloom probe for a 60-bit hash against a `bloomBits`
+    * array bound to column `bloomCol`: true iff all three sliced bit
+    * positions are set — no false negatives, so filtering with it
+    * before an exact join preserves the join's result.
+    */
+  def bloomMightContain(hashCol: String, bloomCol: String,
+                        mBits: Int = 1 << 20): Column = {
+    val mask = (mBits - 1).toLong
+    (0 until 3).map { j =>
+      expr(s"(shiftright(element_at($bloomCol, " +
+        s"cast((shiftright($hashCol, ${j * 20}) & $mask) / 64 as int) + 1), " +
+        s"cast((shiftright($hashCol, ${j * 20}) & $mask) % 64 as int)) " +
+        s"& 1) = 1")
+    }.reduce(_ && _)
+  }
+
+  /** [[contaminationHits]] with a Bloom runtime filter: the
+    * contamination shingle set (benchmarks — small by nature) compiles
+    * to a 128 KiB bit array broadcast to every task, and the training
+    * corpus's exploded shingles are probed IN-ROW before the exact
+    * join. At 100 TB this is the difference between shuffling every
+    * training shingle (the d8 plan's cost) and shuffling only the
+    * Bloom-positive ones (≈ the true matches + a vanishing false-
+    * positive trickle at k=3, m=2^20); no false negatives means the
+    * result is bit-identical to the exact join, which is what the
+    * oracle checks.
+    */
+  def bloomContaminationHits(train: DataFrame, idCol: String,
+                             text: Column, contam: DataFrame,
+                             contamText: Column, w: Int = 3,
+                             mBits: Int = 1 << 20): DataFrame = {
+    graft.expressions.GraftFunctions.register(train.sparkSession)
+    val cSh = contam.select(
+        explode(call_function("graft_shingle_hashes60", contamText,
+          lit(w))).as("_sh"))
+      .distinct()
+    val bloom = bloomBits(cSh, "_sh", mBits)
+    val tSh = train.select(col(idCol),
+        explode(call_function("graft_shingle_hashes60", text, lit(w)))
+          .as("_sh"))
+      .withColumn("_bloom", bloom)
+      .filter(bloomMightContain("_sh", "_bloom", mBits))
+      .drop("_bloom")
+    tSh.join(cSh, "_sh")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+  }
+
   /** Apply decontamination: drop training documents with ≥ `minHits`
     * shingle collisions against the contamination corpus (anti-join on
     * the flagged ids).

@@ -259,6 +259,39 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("bloomContaminationHits: identical to the exact join, and selective") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001").documents
+    val contam = corpus.filter($"doc_id" % 11 === 0)
+    val train = corpus.filter($"doc_id" % 11 =!= 0)
+    val exact = Dedup.contaminationHits(train, "doc_id", $"text",
+        contam, $"text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val bloomed = Dedup.bloomContaminationHits(train, "doc_id", $"text",
+        contam, $"text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(bloomed === exact, "Bloom prefilter must not change the answer")
+    assert(exact.nonEmpty, "fixture should produce at least one hit")
+    // selectivity: the prefilter passes only Bloom-positive shingles —
+    // a superset of the true matches, far below the full shingle stream
+    graft.expressions.GraftFunctions.register(spark)
+    val tSh = train.select($"doc_id",
+      explode(call_function("graft_shingle_hashes60", $"text", lit(3)))
+        .as("_sh"))
+    val cSh = contam.select(
+        explode(call_function("graft_shingle_hashes60", $"text", lit(3)))
+          .as("_sh"))
+      .distinct()
+    val bloom = Dedup.bloomBits(cSh, "_sh")
+    val total = tSh.count()
+    val passed = tSh.withColumn("_bloom", bloom)
+      .filter(Dedup.bloomMightContain("_sh", "_bloom")).count()
+    val matches = tSh.join(cSh, "_sh").count()
+    assert(passed >= matches, "no false negatives allowed")
+    assert(passed < total / 5,
+      s"prefilter should drop most shingles (passed $passed of $total)")
+    graft.Caches.releaseAll()
+  }
+
   test("Caches.releaseAll unpersists banded self-join intermediates") {
     graft.Caches.releaseAll()
     Dedup.minhashCandidates(docs, "doc_id", $"text").collect()

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t17_unigram_logprob", // corpus-total: broadcast 1-row aggregate
     "n10_hybrid_rrf",      // query-vector: broadcast 1 row
     "t18_quality_deciles", // corpus-total: broadcast 1-row aggregate
-    "a14_hll_distinct")    // exact-count: broadcast 1 row beside 1 row
+    "a14_hll_distinct",    // exact-count: broadcast 1 row beside 1 row
+    "st5_hll_stream")      // same shape: 1-row estimate beside 1 row
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -264,6 +264,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (it, n, e) => e >= n })
   }
 
+  test("streaming HLL: registers rise monotonically across batches and a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.HllStream
+    val landing = Files.createTempDirectory("st_hll_landing").toString
+    val sink = Files.createTempDirectory("st_hll_sink").toString
+    val ckpt = Files.createTempDirectory("st_hll_ckpt").toString
+    def land(items: Seq[String]): Unit =
+      items.toDF("item").coalesce(1).write.mode("append").parquet(landing)
+    val b1 = (1 to 300).map(i => s"url-$i") ++ Seq.fill(50)("url-1")
+    val b2 = (200 to 500).map(i => s"url-$i") // 200-300 are re-sights
+    land(b1)
+    HllStream.start(spark, landing, sink, ckpt, shards = 4, p = 8,
+      trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    // restart from the checkpoint: registers must continue, not reset,
+    // and re-sighted items must emit nothing new (their rho is held)
+    land(b2)
+    HllStream.start(spark, landing, sink, ckpt, shards = 4, p = 8,
+      trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    val streamed = HllStream.estimate(spark.read.parquet(sink), p = 8)
+      .as[Double].head()
+    // the delta log must reconstruct the batch sketch's registers
+    // exactly → identical estimate on the union of the two batches
+    val batchEst = graft.operators.Aggregates.approxCountDistinctHll(
+        (b1 ++ b2).toDF("item"), col("item"), p = 8)
+      .as[Double].head()
+    assert(streamed === batchEst)
+    // and the estimate tracks the truth within HLL's error band
+    val exact = (b1 ++ b2).distinct.size
+    assert(math.abs(streamed - exact) / exact < 0.25,
+      s"estimate $streamed too far from exact $exact")
+    // delta emission: the log stays register-sized, not stream-sized
+    val logRows = spark.read.parquet(sink).count()
+    assert(logRows <= 512, s"delta log too large: $logRows rows")
+  }
+
   test("space-saving fold: order-free, deterministic eviction, MG bound") {
     import graft.streaming.HeavyHitters.ssFold
     val batch = Seq("a" -> 50L, "b" -> 30L, "c" -> 20L, "d" -> 2L,
