@@ -1555,6 +1555,27 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "n14_ivfpq_persist" -> ((s, d) => {
+      // n13's IVFADC composition served from the PERSISTED index: raw
+      // vectors AND m-byte codes live as sibling cell-partitioned
+      // tables with centroids/codebooks beside them; serving probes 2
+      // of 8 cells, ADC-selects over the codes table only (no raw
+      // vectors on the select path), and reads back just the
+      // candidates for the exact rerank. Same parameters as n13 ⇒ same
+      // answer ⇒ same oracle; WarehouseSpec pins inline/persisted
+      // equality and pruning on both scans
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_idx").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "n6_ivf_partitioned" -> ((s, d) => {
       // the IVF serving shape: embeddings written under cell=<c>
       // directories, probe cells computed driver-side from the query and
@@ -2055,7 +2076,13 @@ object SparkEntry {
 
   // ---------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleBase +
+    // n14 serves the SAME answer as n13, from the persisted index:
+    // identical centroids, codebooks, probes, candidate count, and
+    // tie-breaks — so its oracle IS n13's
+    ("n14_ivfpq_persist" -> oracleBase("n13_ivfpq_topk"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
 
     "s1_scan_page" ->
       """SELECT event_id, event_type, value FROM events

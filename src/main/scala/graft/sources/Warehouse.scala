@@ -206,6 +206,101 @@ object Warehouse {
       k = cents.length, nprobe = nprobe, centroids = Some(cents))
   }
 
+  /** Persist the full IVFPQ index layout under `root`: the raw vectors
+    * cell-partitioned ([[writeEmbeddingsByCell]] — `embeddings/cell=…`
+    * plus `centroids.txt`), the m-byte PQ codes as their OWN
+    * cell-partitioned table (`codes/cell=…` — the ADC select path
+    * scans only these narrow rows, never raw vectors), and the
+    * codebooks next to the data (`codebooks.txt`, full double repr).
+    * Codes and vectors share the cell assignment by construction, so
+    * one probe list prunes both scans.
+    */
+  def writePqIndex(emb: DataFrame, root: String, k: Int, dim: Int,
+                   m: Int, ks: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   centroids: Option[Array[Array[Double]]] = None,
+                   codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : Unit = {
+    writeEmbeddingsByCell(emb, root, k, dim, vecCol, centroids)
+    val cents = readEmbeddingCentroids(root)
+    val cb = codebooks.getOrElse(graft.pipelines.Similarity
+      .trainPqCodebooks(emb, vecCol, m, ks, dim))
+    emb.withColumn("cell",
+        graft.pipelines.Similarity.ivfCellAtNative(col(vecCol), cents))
+      .withColumn("code", graft.pipelines.Similarity.pqEncode(
+        graft.pipelines.Similarity.normalized(col(vecCol)), cb))
+      .select(col(idCol), col("cell"), col("code"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$root/codes")
+    val body = cb.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        s"$j;$c;" + cent.map(java.lang.Double.toString).mkString(",")
+      }
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/codebooks.txt"), body)
+  }
+
+  def readPqCodes(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/codes")
+
+  /** The exact codebooks the codes table was encoded with. */
+  def readPqCodebooks(root: String): Array[Array[Array[Double]]] = {
+    val rows = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/codebooks.txt"))
+      .split("\n")
+      .map { line =>
+        val Array(j, c, vs) = line.split(";", 3)
+        (j.toInt, c.toInt, vs.split(",").map(_.toDouble))
+      }
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { case (j, c, v) => out(j)(c) = v }
+    out
+  }
+
+  /** IVFADC serving against the PERSISTED index — no raw vectors on
+    * the select path: probe cells rank by the layout's own centroids,
+    * the pruned `codes/` scan ADC-scores candidates (`cand` by
+    * (score desc, id)), and only those ids' raw vectors are read back
+    * (same pruned cells) for the exact-cosine top-`topK`. Bit-equal to
+    * the inline composition (`Similarity.batchPqTopKRerank` over a
+    * pruned frame) because codes, probes, and tie-breaks are shared —
+    * WarehouseSpec asserts equality and that both scans prune.
+    */
+  def ivfPqServe(spark: SparkSession, root: String,
+                 query: Array[Double], topK: Int, nprobe: Int = 2,
+                 cand: Int = 50,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val cents = readEmbeddingCentroids(root)
+    val cb = readPqCodebooks(root)
+    val probes = graft.pipelines.Similarity
+      .probeCellsAt(query, cents, nprobe)
+    val qNorm = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / n)
+    }
+    val selected = readPqCodes(spark, root)
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol),
+        round(graft.pipelines.Similarity.pqScore(
+          array(qNorm.map(lit): _*), col("code"), cb), 6).as("pq_score"))
+      .orderBy(col("pq_score").desc, col(idCol).asc).limit(cand)
+      .select(idCol)
+    readEmbeddingsByCell(spark, root)
+      .filter(col("cell").isin(probes: _*))
+      .join(selected, idCol)
+      .select(col(idCol),
+        round(graft.pipelines.Similarity.cosineNative(col(vecCol),
+          array(query.map(lit): _*)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Partition-pruned delete with the reference's rowcount contract
     * (/root/reference/app/db.py:204-207): only the named symbols'
     * directories are read and rewritten; every other partition is

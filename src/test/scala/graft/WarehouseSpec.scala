@@ -316,6 +316,47 @@ class WarehouseSpec extends AnyFunSuite {
       Seq("AAPL"))
   }
 
+  test("persisted IVFPQ index serves the inline composition's answer, pruned") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_pq_idx").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cb))
+    // round-trip: codebooks and centroids parse back bit-identically
+    assert(Warehouse.readPqCodebooks(root).map(_.toSeq.map(_.toSeq)).toSeq
+      === cb.map(_.toSeq.map(_.toSeq)).toSeq)
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val served = Warehouse.ivfPqServe(spark, root, q, topK = 5,
+      nprobe = 2, cand = 20)
+    // equality with the inline path over the same pruned cells
+    val probes = Similarity.probeCellsAt(q, cents, 2)
+    val pruned = Warehouse.readEmbeddingsByCell(spark, root)
+      .filter($"cell".isin(probes: _*))
+    val queries = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val inline = Similarity.batchPqTopKRerank(pruned, "vec_id",
+        "embedding", queries, "q_id", "qv", k = 5, cand = 20, cb = cb)
+      .select("vec_id", "cosine")
+    assert(served.orderBy($"cosine".desc, $"vec_id")
+        .as[(Long, Double)].collect().toSeq
+      === inline.orderBy($"cosine".desc, $"vec_id")
+        .as[(Long, Double)].collect().toSeq)
+    // both serving scans prune to the probed cells
+    val codesPlan = Warehouse.readPqCodes(spark, root)
+      .filter($"cell".isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(codesPlan.contains("PartitionFilters"), codesPlan)
+    val vecPlan = pruned.queryExecution.executedPlan.toString
+    assert(vecPlan.contains("PartitionFilters"), vecPlan)
+    // the ADC select path never touches the raw vector column: the
+    // codes table simply does not carry it
+    assert(!Warehouse.readPqCodes(spark, root).columns
+      .contains("embedding"))
+  }
+
   test("q5b star join is shuffle-free between the bucketed fact tables") {
     val d = "/root/testdata/sf0.001"
     val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
