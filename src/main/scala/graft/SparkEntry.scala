@@ -449,6 +449,26 @@ object SparkEntry {
         dupKeys = Seq("symbol", "direction", "qty"))
     }),
 
+    "q6_skew_salted" -> ((s, d) => {
+      // skew tools under the oracle: the hot-key fact stream (events,
+      // where one event_type dominates) joins a small dim through an
+      // 8-bucket salted join, then aggregates through the two-phase
+      // salted sum — salting must be invisible in the answer (the
+      // oracle is the plain join + groupBy), it only reshapes tasks
+      val ev = T(s, d).events
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("weight", length(col("event_type")).cast("long"))
+      val joined = operators.Skew.saltedJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")),
+        dim, Seq("event_type"), col("event_id"), buckets = 8)
+      operators.Skew.saltedSum(joined, Seq("event_type"),
+          round(col("value") * 1e6).cast("long") * col("weight"),
+          col("event_id"), buckets = 8, resultName = "sum_wv_micro")
+        .join(ev.groupBy("event_type").agg(count(lit(1)).as("n")),
+          "event_type")
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
     "u10_zorder_layout" -> ((s, d) => {
       // Z-order (Morton) table layout: interleave the user and day
       // buckets into one sort key so per-file min/max footer stats stay
@@ -930,6 +950,35 @@ object SparkEntry {
       graft.streaming.HeavyHitters.topK(s.read.parquet(sink), k = 20)
         .withColumnRenamed("item", "word")
         .repartition(1).sortWithinPartitions("word")
+    }),
+
+    "st6_session_stream" -> ((s, d) => {
+      // streaming gap sessionization: land the events table plus ONE
+      // punctuation row (user −1, stamped gap+1h past the horizon —
+      // the close-the-books pattern), replay through session_window
+      // under a 0s watermark, and oracle the closed sessions against
+      // batch gaps-and-islands. The sentinel's own session never
+      // finalizes, so it cannot appear in the sink.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st6_landing").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st6_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st6_ckpt").toString
+      import s.implicits._
+      val ev = T(s, d).events.select("user_id", "ts", "event_id")
+      val horizon = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinel = java.sql.Timestamp.from(
+        horizon.toInstant.plusSeconds(21600 + 3600))
+      ev.unionByName(
+          Seq((-1L, sentinel, -1L)).toDF("user_id", "ts", "event_id"))
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.SessionStream.start(s, landing, sink,
+        ckpt, gapSec = 21600)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      s.read.parquet(sink)
+        .repartition(1).sortWithinPartitions("user_id", "start_us")
     }),
 
     "st5_hll_stream" -> ((s, d) => {
@@ -2210,6 +2259,20 @@ object SparkEntry {
          |        GROUP BY symbol, direction, qty))
          |SELECT * FROM base, d""".stripMargin,
 
+    // salting is semantics-invisible: the oracle is the PLAIN join +
+    // group-by the salted plan must reproduce exactly
+    "q6_skew_salted" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS BIGINT) AS weight
+        |  FROM events)
+        |SELECT e.event_type,
+        |  CAST(sum(CAST(round(e.value * 1000000) AS BIGINT) * dim.weight)
+        |    AS BIGINT) AS sum_wv_micro,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     // the Z-value SQL is generated from the SAME (bit, dim) → position
     // map as the engine's column expression — agreement by construction
     "u10_zorder_layout" ->
@@ -3168,6 +3231,27 @@ object SparkEntry {
     // AvailableNow batch and an eviction-free cap, every word is a
     // candidate with its exact count, and the final ranking is by the
     // SAME d×w grid estimate the stream's merged deltas reconstruct
+    // batch gaps-and-islands with session_window's boundary convention
+    // (a gap of exactly 21600s BREAKS, hence >=); the sentinel user -1
+    // is withheld by the watermark, so the oracle never sees it either
+    "st6_session_stream" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 21600 SECONDS
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, start_us""".stripMargin,
+
     // registers are monotone ⇒ the streaming delta log reconstructs the
     // exact batch register table; the oracle mirrors the a14 sketch on
     // the word stream

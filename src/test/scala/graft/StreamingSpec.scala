@@ -299,6 +299,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(logRows <= 512, s"delta log too large: $logRows rows")
   }
 
+  test("streaming sessions: state merges across batches and a restart; sentinel closes") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.SessionStream
+    val landing = Files.createTempDirectory("st_sess_landing").toString
+    val sink = Files.createTempDirectory("st_sess_sink").toString
+    val ckpt = Files.createTempDirectory("st_sess_ckpt").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    def at(h: Int) = java.sql.Timestamp.from(
+      t0.toInstant.plusSeconds(h * 3600L))
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("user_id", "ts", "event_id").coalesce(1)
+        .write.mode("append").parquet(landing)
+    // batch 1: user 1's session opens (2 events, 1h apart; gap 6h)
+    land(Seq((1L, at(0), 1L), (1L, at(1), 2L)))
+    SessionStream.start(spark, landing, sink, ckpt, gapSec = 21600,
+      trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    // nothing can close yet: the watermark sits at the newest event
+    assert(spark.read.parquet(sink).count() === 0)
+    // batch 2 after a restart: one more event EXTENDS the open session
+    // (state survives the checkpoint); user 2 opens a far-future
+    // session that doubles as the closing punctuation for user 1
+    land(Seq((1L, at(2), 3L), (2L, at(20), 4L)))
+    SessionStream.start(spark, landing, sink, ckpt, gapSec = 21600,
+      trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    val got = spark.read.parquet(sink)
+      .select("user_id", "n", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // ONE session of 3 events — not a 2-event session plus a 1-event
+    // session, which is what a state reset would produce
+    assert(got === Seq((1L,
+      3L,
+      at(0).toInstant.toEpochMilli * 1000L,
+      at(2).toInstant.toEpochMilli * 1000L)))
+  }
+
   test("space-saving fold: order-free, deterministic eviction, MG bound") {
     import graft.streaming.HeavyHitters.ssFold
     val batch = Seq("a" -> 50L, "b" -> 30L, "c" -> 20L, "d" -> 2L,
