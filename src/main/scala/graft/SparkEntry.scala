@@ -981,6 +981,40 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("user_id", "start_us")
     }),
 
+    "st7_stream_join" -> ((s, d) => {
+      // stream-stream interval join replay: land the event stream and
+      // the impulse stream (j7's every-500th event opening a 2h impact
+      // window) in separate landing dirs, replay both through the
+      // watermarked stream-stream join with a replay-wide delay (the
+      // data spans 30 days; 3650 days ⇒ nothing evicts, nothing is
+      // late), and count joined events per impulse — the oracle is the
+      // batch range join, j7's own shape. Bounded-state eviction under
+      // a TIGHT delay is StreamingSpec's job, not the oracle's.
+      val eventsDir = java.nio.file.Files
+        .createTempDirectory("graft_st7_events").toString
+      val impulsesDir = java.nio.file.Files
+        .createTempDirectory("graft_st7_impulses").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st7_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st7_ckpt").toString
+      val ev = T(s, d).events
+        .select("event_id", "event_type", "ts", "value")
+      ev.write.mode("overwrite").parquet(eventsDir)
+      ev.filter(col("event_id") % 500 === 0)
+        .select(col("event_id").as("iv_id"),
+          col("event_type").as("i_type"), col("ts").as("i_ts"))
+        .write.mode("overwrite").parquet(impulsesDir)
+      val q = graft.streaming.IntervalJoinStream.start(s, eventsDir,
+        impulsesDir, sink, ckpt, windowSec = 7200,
+        watermarkDelay = "3650 days")
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      s.read.parquet(sink).groupBy("iv_id")
+        .agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("iv_id")
+    }),
+
     "st5_hll_stream" -> ((s, d) => {
       // streaming HLL distinct: land the corpus word stream, run the
       // readStream → rising-register deltas → parquet pipeline to
@@ -2090,6 +2124,21 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "d13_span_dedup" -> ((s, d) => {
+      // span-level exact-substring duplication: sliding 15-word grams
+      // (vs p9's fixed 40-word blocks — these catch a repeat at ANY
+      // alignment), dup grams marked corpus-wide, overlapping marks
+      // merged per doc into maximal spans. The same spam passage is
+      // prepended to every 5th doc, so those docs must report one
+      // merged leading span ≥ its 40 words regardless of where the
+      // passage's own words repeat inside the doc body.
+      val t = when(col("doc_id") % 5 === 0,
+        concat(lit(SpamPassage + " "), col("text"))).otherwise(col("text"))
+      val docs = T(s, d).documents.select(col("doc_id"), t.as("t"))
+      Dedup.duplicatedSpans(docs, "doc_id", col("t"), spanWords = 15)
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
@@ -3251,6 +3300,18 @@ object SparkEntry {
         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+
+    // a full replay under a wide watermark evicts nothing, so the
+    // stream-stream join ≡ the batch range join (j7's formulation)
+    "st7_stream_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS iv_id, event_type, ts AS start_ts,
+        |         ts + INTERVAL 2 HOUR AS end_ts
+        |  FROM events WHERE event_id % 500 = 0)
+        |SELECT iv_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN iv ON e.event_type = iv.event_type
+        |  AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
 
     // registers are monotone ⇒ the streaming delta log reconstructs the
     // exact batch register table; the oracle mirrors the a14 sketch on
@@ -4579,6 +4640,46 @@ object SparkEntry {
          |  COALESCE(rb.clean_text, '') AS clean_text
          |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // grams are compared as their literal text (no hash on either
+    // side), so dup detection agrees by construction; islands merge on
+    // pos > running-max(pos) + 15, the same break predicate
+    "d13_span_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$SpamPassage ' || text
+         |         ELSE text END AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql("t")} AS ws FROM d),
+         |g AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    array_to_string(ws[u.i + 1 : u.i + 15], ' ') AS gram
+         |  FROM w, unnest(range(0, len(ws) - 14)) AS u(i)
+         |  WHERE len(ws) >= 15),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN max(pos) OVER wp IS NULL
+         |           OR pos > max(pos) OVER wp + 15 THEN 1 ELSE 0 END AS brk
+         |  FROM m
+         |  WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |s AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b),
+         |sp AS (
+         |  SELECT doc_id, isl, min(pos) AS s0, max(pos) + 15 AS e0
+         |  FROM s GROUP BY doc_id, isl),
+         |tot AS (SELECT doc_id, len(ws) AS tot_tokens FROM w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e0 - s0) AS BIGINT) AS dup_tokens,
+         |  CAST(tot_tokens AS BIGINT) AS tot_tokens,
+         |  CAST(sum(e0 - s0) * 1000000 // tot_tokens AS BIGINT)
+         |    AS dup_frac_micro
+         |FROM sp JOIN tot USING (doc_id)
+         |GROUP BY doc_id, tot_tokens ORDER BY doc_id""".stripMargin,
 
     "p8_curation_pipeline" ->
       s"""WITH w AS (

@@ -549,4 +549,69 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Span-level exact-substring duplication (the word-granularity form
+    * of Lee et al. 2022's ExactSubstr dedup): every sliding `spanWords`
+    * window whose exact text occurs anywhere else in the corpus —
+    * another document OR another position of the same document — marks
+    * its `[pos, pos+spanWords)` word span, overlapping/adjacent marked
+    * spans merge per document (gaps-and-islands over a running max
+    * position), and the report is per-document duplicated-token mass.
+    * This is the granularity both document dedup ([[minhashCandidates]])
+    * and fixed-block passage dedup (p9's non-overlapping chunks) miss:
+    * windows SLIDE, so a repeated region is caught at any alignment and
+    * merged back into one maximal span.
+    *
+    * Scale shape: the gram exploder is O(words) rows per document (the
+    * shuffle-friendly substitute for a suffix array); duplicate
+    * detection is one map-side-combinable count per distinct gram text
+    * plus a hash-shuffle join back on the gram; island merging and the
+    * final rollup partition by document. The duplicated-token fraction
+    * is integer micro-units (long division) so every row is bit-stable
+    * under any partitioning.
+    *
+    * Returns `(idCol, n_spans, dup_tokens, tot_tokens,
+    * dup_frac_micro)` for documents with at least one duplicated span.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, text: Column,
+                      spanWords: Int = 15): DataFrame = {
+    require(spanWords > 0, "spanWords must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(text)
+    val docs = df.withColumn("_ws", ws)
+      .filter(size(col("_ws")) >= spanWords)
+      .select(col(idCol), col("_ws"))
+    val grams = docs.select(col(idCol), col("_ws"),
+        posexplode(transform(
+          sequence(lit(0), size(col("_ws")) - spanWords),
+          i => array_join(slice(col("_ws"), i + 1, lit(spanWords)), " "))))
+      .select(col(idCol), col("pos"), col("col").as("_gram"))
+    val dupGrams = grams.groupBy("_gram")
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") > 1)
+      .select("_gram")
+    val marked = grams.join(dupGrams, "_gram").select(col(idCol), col("pos"))
+    val prior = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = marked
+      .withColumn("_brk",
+        when(max(col("pos")).over(prior).isNull ||
+          col("pos") > max(col("pos")).over(prior) + spanWords, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_brk")).over(run))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("_s0"),
+        (max(col("pos")) + spanWords).as("_e0"))
+    islands.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_e0") - col("_s0")).as("dup_tokens"))
+      .join(docs.select(col(idCol),
+        size(col("_ws")).cast("long").as("tot_tokens")), idCol)
+      .withColumn("dup_frac_micro",
+        expr("dup_tokens * 1000000 div tot_tokens"))
+      .select(col(idCol), col("n_spans"), col("dup_tokens"),
+        col("tot_tokens"), col("dup_frac_micro"))
+  }
 }

@@ -292,6 +292,36 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("duplicatedSpans: maximal merged span at any alignment; within-doc repeat") {
+    // doc 10 and 11 share an 8-word run at DIFFERENT word offsets
+    // (1 vs 3); with L=4 the five sliding dup grams must merge into
+    // ONE maximal span of exactly the 8 shared words in each doc
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val spanDocs = Seq(
+      (10L, s"intro $shared and unique closing words here"),
+      (11L, s"one two three $shared totally different tail text"),
+      // doc 12 repeats its own 4-word run (within-doc dup, 2 spans)
+      (12L, "red green blue cyan stop stop stop red green blue cyan end"),
+      (13L, "entirely novel content with no repeats anywhere at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(spanDocs, "doc_id", $"text",
+        spanWords = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 10: words 1..8 (8 tokens of 14); doc 11: words 3..10 (8 of 15)
+    // doc 12: "red green blue cyan" at 0 and 7 — gap 7 > 4 ⇒ 2 spans
+    assert(got === Seq(
+      (10L, 1L, 8L, 14L, 571428L),
+      (11L, 1L, 8L, 15L, 533333L),
+      (12L, 2L, 8L, 12L, 666666L)))
+    // partitioning must not change a single row
+    val re = Dedup.duplicatedSpans(spanDocs.repartition(7), "doc_id",
+        $"text", spanWords = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+  }
+
   test("Caches.releaseAll unpersists banded self-join intermediates") {
     graft.Caches.releaseAll()
     Dedup.minhashCandidates(docs, "doc_id", $"text").collect()

@@ -334,6 +334,74 @@ class StreamingSpec extends AnyFunSuite {
       at(2).toInstant.toEpochMilli * 1000L)))
   }
 
+  test("stream-stream join: impulse state survives a restart; tight watermark evicts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.IntervalJoinStream
+    val t0 = ts("2024-01-01 10:00:00")
+    def at(min: Int) = java.sql.Timestamp.from(
+      t0.toInstant.plusSeconds(min * 60L))
+    def run(evDir: String, ivDir: String, sink: String, ckpt: String,
+            delay: String): Unit =
+      IntervalJoinStream.start(spark, evDir, ivDir, sink, ckpt,
+        windowSec = 7200, watermarkDelay = delay,
+        trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    def land(dir: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(dir)
+
+    // wide delay: an impulse landed in batch 1 still matches an event
+    // arriving after a stop/restart (buffered side rode the checkpoint)
+    locally {
+      val ev = Files.createTempDirectory("st7_ev").toString
+      val iv = Files.createTempDirectory("st7_iv").toString
+      val sink = Files.createTempDirectory("st7_sink").toString
+      val ckpt = Files.createTempDirectory("st7_ckpt").toString
+      land(iv, Seq((900L, "A", at(0))).toDF("iv_id", "i_type", "i_ts"))
+      // schema-complete empty events side so batch 1 plans both sources
+      land(ev, Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+        .toDF("event_id", "event_type", "ts", "value"))
+      run(ev, iv, sink, ckpt, "30 days")
+      assert(spark.read.parquet(sink).count() === 0)
+      land(ev, Seq((1L, "A", at(60), 1.0), (2L, "B", at(60), 1.0),
+        (3L, "A", at(200), 1.0)).toDF("event_id", "event_type", "ts", "value"))
+      run(ev, iv, sink, ckpt, "30 days")
+      // only the same-type in-window event joins: not B, not t0+200min
+      val got = spark.read.parquet(sink)
+        .select("iv_id", "event_id").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((900L, 1L)))
+    }
+
+    // tight delay: batch 1 lands a far-future row on BOTH sides (the
+    // global watermark is the MIN of the two input watermarks — an
+    // idle side holds everything back), dragging the watermark past
+    // the first impulse's window, so its state EVICTS when the next
+    // batch's cleanup runs. Spark processes a batch's input against
+    // existing state BEFORE cleanup, so batch 2's late event may still
+    // match (allowed; not guaranteed) — but batch 3's identical-window
+    // event MUST find nothing: if state had survived, it would match
+    // exactly as the wide-delay block proved.
+    locally {
+      val ev = Files.createTempDirectory("st7t_ev").toString
+      val iv = Files.createTempDirectory("st7t_iv").toString
+      val sink = Files.createTempDirectory("st7t_sink").toString
+      val ckpt = Files.createTempDirectory("st7t_ckpt").toString
+      land(iv, Seq((900L, "A", at(0)), (901L, "Z2", at(600)))
+        .toDF("iv_id", "i_type", "i_ts"))
+      land(ev, Seq((99L, "Z", at(600), 1.0))
+        .toDF("event_id", "event_type", "ts", "value"))
+      run(ev, iv, sink, ckpt, "0 seconds")
+      land(ev, Seq((1L, "A", at(60), 1.0))
+        .toDF("event_id", "event_type", "ts", "value"))
+      run(ev, iv, sink, ckpt, "0 seconds")
+      val afterB2 = spark.read.parquet(sink).count()
+      assert(afterB2 <= 1)
+      land(ev, Seq((2L, "A", at(61), 1.0))
+        .toDF("event_id", "event_type", "ts", "value"))
+      run(ev, iv, sink, ckpt, "0 seconds")
+      assert(spark.read.parquet(sink).count() === afterB2,
+        "impulse state was not evicted by the watermark")
+    }
+  }
+
   test("space-saving fold: order-free, deterministic eviction, MG bound") {
     import graft.streaming.HeavyHitters.ssFold
     val batch = Seq("a" -> 50L, "b" -> 30L, "c" -> 20L, "d" -> 2L,
