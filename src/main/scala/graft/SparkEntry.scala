@@ -449,6 +449,26 @@ object SparkEntry {
         dupKeys = Seq("symbol", "direction", "qty"))
     }),
 
+    "g1_pagerank" -> ((s, d) => {
+      // transition-graph centrality: per-user consecutive event pairs
+      // (ordered by ts with the event_id tiebreak) define a weighted
+      // click graph over event types; 10 synchronous PageRank power
+      // iterations in integer pico-units rank the types. The graph
+      // derivation is one partitioned window + one (src,dst) shuffle;
+      // the iterations run over the aggregated edge list only.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = T(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      operators.Graph.pageRank(edges, "src", "dst", "w", iters = 10)
+        .repartition(1).sortWithinPartitions("node")
+    }),
+
     "q6_skew_salted" -> ((s, d) => {
       // skew tools under the oracle: the hot-key fact stream (events,
       // where one event_type dominates) joins a small dim through an
@@ -998,14 +1018,26 @@ object SparkEntry {
         .createTempDirectory("graft_st7_sink").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_st7_ckpt").toString
+      // bounded replay slice (first 10 days): the stream-stream join
+      // writes BOTH sides through the state store, so the replay cost
+      // scales with landed volume, not with what the query proves
       val ev = T(s, d).events
+        .filter(col("ts") < lit("2024-01-11").cast("timestamp"))
         .select("event_id", "event_type", "ts", "value")
-      ev.write.mode("overwrite").parquet(eventsDir)
+      ev.coalesce(4).write.mode("overwrite").parquet(eventsDir)
       ev.filter(col("event_id") % 500 === 0)
         .select(col("event_id").as("iv_id"),
           col("event_type").as("i_type"), col("ts").as("i_ts"))
-        .write.mode("overwrite").parquet(impulsesDir)
-      val q = graft.streaming.IntervalJoinStream.start(s, eventsDir,
+        .coalesce(1).write.mode("overwrite").parquet(impulsesDir)
+      // the stream-stream join keeps TWO state stores per shuffle
+      // partition; the join key domain here is 5 event types, so the
+      // session default (32) would pay 2×27 empty stores' checkpoint
+      // I/O every batch. Size the stream's partitions to the keyed
+      // cardinality at first start — the checkpoint pins it thereafter
+      // (production sizing, not a local-mode hack).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.IntervalJoinStream.start(ss, eventsDir,
         impulsesDir, sink, ckpt, windowSec = 7200,
         watermarkDelay = "3650 days")
       if (!q.awaitTermination(180000))
@@ -1268,6 +1300,16 @@ object SparkEntry {
       // −ln p averaged per doc (micro-unit integer accumulation, so
       // the score is identical under any partitioning)
       TextAnalysis.unigramLogProb(T(s, d).documents, "doc_id",
+          col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t21_bigram_logprob" -> ((s, d) => {
+      // perplexity-proxy one Markov order up: corpus-estimated
+      // add-one-smoothed −ln p(w|prev) averaged per doc; transition
+      // improbability separates word salad from prose even when the
+      // unigram mix is identical
+      TextAnalysis.bigramLogProb(T(s, d).documents, "doc_id",
           col("text"))
         .repartition(1).sortWithinPartitions("doc_id")
     }),
@@ -1653,6 +1695,29 @@ object SparkEntry {
       Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
         centroids = Some(Similarity.seedCentroids(8, 64)),
         codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    "n15_index_append" -> ((s, d) => {
+      // index maintenance without rebuild: four fifths of the corpus
+      // builds the index, the remaining fifth arrives late and APPENDS
+      // — cell-assigned by the persisted centroids, encoded with the
+      // persisted codebooks, new files only (no existing partition
+      // rewritten). Frozen model ⇒ the appended index is identical to
+      // a one-shot build over everything, so n13's oracle still
+      // grades the serve
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_append").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb.filter(col("vec_id") % 5 =!= 0), root,
+        k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      Warehouse.appendToPqIndex(
+        emb.filter(col("vec_id") % 5 === 0), root)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
@@ -2178,7 +2243,10 @@ object SparkEntry {
     // n14 serves the SAME answer as n13, from the persisted index:
     // identical centroids, codebooks, probes, candidate count, and
     // tie-breaks — so its oracle IS n13's
-    ("n14_ivfpq_persist" -> oracleBase("n13_ivfpq_topk"))
+    ("n14_ivfpq_persist" -> oracleBase("n13_ivfpq_topk")) +
+    // n15 appends to the persisted index under a frozen model — same
+    // cells, same codes, same serve as a one-shot build ⇒ n13's oracle
+    ("n15_index_append" -> oracleBase("n13_ivfpq_topk"))
 
   private lazy val oracleBase: Map[String, String] = Map(
 
@@ -2307,6 +2375,51 @@ object SparkEntry {
          |  FROM (SELECT count(*) AS c FROM journal
          |        GROUP BY symbol, direction, qty))
          |SELECT * FROM base, d""".stripMargin,
+
+    // fixed-point arithmetic mirrored term-for-term: per-edge floor
+    // division, dangling share d // n, damping (x * 85) // 100 — the
+    // ten iterations are UNROLLED as chained CTEs (r1..r10), so no
+    // recursive-CTE aggregation semantics are relied on
+    "g1_pagerank" -> {
+      val R = 1000000000000L
+      // MATERIALIZED is load-bearing: each step reads its predecessor
+      // twice, so inlining would expand r10 into 2^10 copies of the
+      // whole chain
+      def step(k: Int): String =
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    c0.c0 + ((COALESCE(c.contrib, 0) + dg.d // cnt.n) * 85)
+           |      // 100 AS rank
+           |  FROM nodes n CROSS JOIN cnt CROSS JOIN c0
+           |  CROSS JOIN (
+           |    SELECT COALESCE(sum(p.rank), 0) AS d FROM r${k - 1} p
+           |    WHERE p.node NOT IN (SELECT src FROM edges)) dg
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.rank * e.w // e.wout) AS contrib
+           |    FROM edges e JOIN r${k - 1} p ON p.node = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      s"""WITH el AS (
+         |  SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |edges0 AS (
+         |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM el WHERE src IS NOT NULL GROUP BY src, event_type),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wout
+         |  FROM edges0),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges0
+         |    UNION ALL SELECT dst FROM edges0)),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |c0 AS (SELECT (($R * 15) // 100) // n AS c0 FROM cnt),
+         |r0 AS (SELECT node, $R // cnt.n AS rank FROM nodes CROSS JOIN cnt),
+         |${(1 to 10).map(step).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank_pico
+         |FROM r10 ORDER BY node""".stripMargin
+    },
 
     // salting is semantics-invisible: the oracle is the PLAIN join +
     // group-by the salted plan must reproduce exactly
@@ -3156,6 +3269,32 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_words
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // add-one bigram mirrored term-for-term: BOS sentinel at i=0,
+    // integer-exact (c2+1)/(c1+nv) numerators cast once to double,
+    // micro-unit rounding before the per-doc sum
+    "t21_bigram_logprob" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN u.i = 0 THEN '<s>' ELSE ws[u.i] END AS prev,
+         |    ws[u.i + 1] AS word
+         |  FROM w, unnest(range(0, len(ws))) AS u(i)),
+         |bg AS (SELECT prev, word, count(*) AS c2 FROM p
+         |  GROUP BY prev, word),
+         |ctx AS (SELECT prev, sum(c2) AS c1 FROM bg GROUP BY prev),
+         |v AS (SELECT count(DISTINCT word) AS nv FROM bg),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) /
+         |      CAST(c1 + nv AS DOUBLE)) * 1000000) AS BIGINT) AS nll_u
+         |  FROM p JOIN bg USING (prev, word) JOIN ctx USING (prev), v)
+         |SELECT doc_id,
+         |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0
+         |    AS avg_nll_bigram,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // independently-derived formulation: per-domain boilerplate LIST +
     // in-row list_filter (the engine's anti-join form must agree)
     "t16_boilerplate" ->
@@ -3304,12 +3443,14 @@ object SparkEntry {
     // a full replay under a wide watermark evicts nothing, so the
     // stream-stream join ≡ the batch range join (j7's formulation)
     "st7_stream_join" ->
-      """WITH iv AS (
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-11'),
+        |iv AS (
         |  SELECT event_id AS iv_id, event_type, ts AS start_ts,
         |         ts + INTERVAL 2 HOUR AS end_ts
-        |  FROM events WHERE event_id % 500 = 0)
+        |  FROM ev WHERE event_id % 500 = 0)
         |SELECT iv_id, CAST(count(*) AS BIGINT) AS n
-        |FROM events e JOIN iv ON e.event_type = iv.event_type
+        |FROM ev e JOIN iv ON e.event_type = iv.event_type
         |  AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
         |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
 

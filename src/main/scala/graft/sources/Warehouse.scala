@@ -261,6 +261,41 @@ object Warehouse {
     out
   }
 
+  /** Append a late-arriving batch to a persisted IVFPQ index WITHOUT
+    * rebuilding it: new rows are assigned to cells by the index's
+    * PERSISTED centroids and encoded with its PERSISTED codebooks (the
+    * model is frozen on append — retraining would silently re-shape
+    * cells and code meanings under the existing entries), then land as
+    * NEW parquet files inside the same `cell=…` partition directories
+    * of both the raw-vector table and the codes table. No existing
+    * file is rewritten, so an append costs O(batch), not O(index) —
+    * the maintenance discipline a 100 TB embedding store needs (daily
+    * crawl increments against a trillion-row index). Because cell
+    * assignment and codes are pure functions of the frozen model, the
+    * appended index is file-layout-aside IDENTICAL to one built from
+    * the unioned corpus with the same centroids/codebooks, and every
+    * serving path answers identically (`n15_index_append` proves it
+    * against n13's oracle; WarehouseSpec pins base+append ≡ full).
+    */
+  def appendToPqIndex(batch: DataFrame, root: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val cents = readEmbeddingCentroids(root)
+    val cb = readPqCodebooks(root)
+    val cell = graft.pipelines.Similarity
+      .ivfCellAtNative(col(vecCol), cents)
+    batch.withColumn("cell", cell)
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$root/embeddings")
+    batch.withColumn("cell", cell)
+      .withColumn("code", graft.pipelines.Similarity.pqEncode(
+        graft.pipelines.Similarity.normalized(col(vecCol)), cb))
+      .select(col(idCol), col("cell"), col("code"))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$root/codes")
+  }
+
   /** IVFADC serving against the PERSISTED index — no raw vectors on
     * the select path: probe cells rank by the layout's own centroids,
     * the pruned `codes/` scan ADC-scores candidates (`cand` by

@@ -25,7 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "n10_hybrid_rrf",      // query-vector: broadcast 1 row
     "t18_quality_deciles", // corpus-total: broadcast 1-row aggregate
     "a14_hll_distinct",    // exact-count: broadcast 1 row beside 1 row
-    "st5_hll_stream")      // same shape: 1-row estimate beside 1 row
+    "st5_hll_stream",      // same shape: 1-row estimate beside 1 row
+    "g1_pagerank",         // dangling mass: broadcast 1-row aggregate
+    "t21_bigram_logprob")  // vocab size: broadcast 1-row aggregate
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -166,6 +166,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("bigramLogProb: improbable transitions score higher at equal unigram mix") {
+    // 9 docs of the same sentence + 1 doc that PERMUTES those exact
+    // words: unigram stats are near-identical, but the shuffled
+    // transitions are corpus-rare, so only the bigram score separates
+    val common = (1L to 9L).map(i => (i, "the cat sat on the mat"))
+    val df = (common :+ (10L, "mat the on cat the sat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", $"text")
+      .orderBy("doc_id").select("avg_nll_bigram").as[Double].collect()
+    assert(got(9) > got(0) * 1.5,
+      "word salad must score well above in-distribution prose")
+    // and the unigram score must NOT separate them (the point of t21)
+    val uni = TextAnalysis.unigramLogProb(df, "doc_id", $"text")
+      .orderBy("doc_id").select("avg_nll").as[Double].collect()
+    assert(uni(9) < uni(0) * 1.1)
+    // bit-identical under a different partitioning (micro-unit sums)
+    val re = TextAnalysis.bigramLogProb(df.repartition(7), "doc_id",
+        $"text")
+      .orderBy("doc_id").select("avg_nll_bigram").as[Double].collect()
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("languageIdNgram: trigram profiles identify short marker-free docs") {
     val df = Seq(
       // German with none of the six stopword markers — the trigram

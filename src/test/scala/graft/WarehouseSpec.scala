@@ -357,6 +357,53 @@ class WarehouseSpec extends AnyFunSuite {
       .contains("embedding"))
   }
 
+  test("appendToPqIndex: frozen-model append equals one-shot build, rewrites nothing") {
+    import graft.pipelines.Similarity
+    def listFiles(dir: String): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(base).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet"))
+          out(base.relativize(p).toString) =
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    val incRoot = Files.createTempDirectory("graft_pq_inc").toString
+    Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), incRoot,
+      k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cb))
+    val before = listFiles(incRoot)
+    Warehouse.appendToPqIndex(emb.filter($"vec_id" % 5 === 0), incRoot)
+    val after = listFiles(incRoot)
+    // append-only: every pre-existing file survives untouched
+    before.foreach { case (f, mtime) =>
+      assert(after.get(f) === Some(mtime), s"rewrote $f")
+    }
+    assert(after.size > before.size)
+    // codes after append = codes of a one-shot build over everything
+    val fullRoot = Files.createTempDirectory("graft_pq_full").toString
+    Warehouse.writePqIndex(emb, fullRoot, k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(cents), codebooks = Some(cb))
+    def codes(root: String) = Warehouse.readPqCodes(spark, root)
+      .select($"vec_id", $"cell".cast("int"),
+        $"code".cast("string"))
+      .orderBy("vec_id").collect().toSeq
+    assert(codes(incRoot) === codes(fullRoot))
+    // and the serve answers identically
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve(root: String) = Warehouse.ivfPqServe(spark, root, q,
+        topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(serve(incRoot) === serve(fullRoot))
+  }
+
   test("q5b star join is shuffle-free between the bucketed fact tables") {
     val d = "/root/testdata/sf0.001"
     val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
