@@ -972,6 +972,36 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("word")
     }),
 
+    "st8_percentile_stream" -> ((s, d) => {
+      // streaming percentile sketch: land the events value stream plus
+      // st6's punctuation row, replay through the fixed-bin
+      // ([0,600)/1000) tumbling-day histogram under a 0s watermark,
+      // reconstruct bin counts by SUM over the finalized-window log,
+      // and read out through the batch sketch's own CDF fold — the
+      // oracle is a13's formulation with the fixed bounds inlined
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st8_landing").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st8_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st8_ckpt").toString
+      import s.implicits._
+      val ev = T(s, d).events.select(col("ts"), col("value"))
+      val horizon = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinel = java.sql.Timestamp.from(
+        horizon.toInstant.plusSeconds(86400 + 3600))
+      ev.unionByName(Seq((sentinel, 0.0)).toDF("ts", "value"))
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.HistStream.start(s, landing, sink, ckpt,
+        lo = 0.0, hi = 600.0, bins = 1000)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      graft.streaming.HistStream.estimate(s.read.parquet(sink),
+          lo = 0.0, hi = 600.0, bins = 1000,
+          ps = Seq(0.5, 0.9, 0.95, 0.99))
+        .orderBy("p")
+    }),
+
     "st6_session_stream" -> ((s, d) => {
       // streaming gap sessionization: land the events table plus ONE
       // punctuation row (user −1, stamped gap+1h past the horizon —
@@ -3422,6 +3452,35 @@ object SparkEntry {
     // batch gaps-and-islands with session_window's boundary convention
     // (a gap of exactly 21600s BREAKS, hence >=); the sentinel user -1
     // is withheld by the watermark, so the oracle never sees it either
+    // a13's CDF-interpolation formulation with the stream's FIXED bin
+    // bounds inlined ([0,600)/1000 — step written as the same division
+    // the engine computes); the sentinel's window never finalizes, so
+    // the sink holds exactly the real events' histogram
+    "st8_percentile_stream" ->
+      """WITH h AS (
+        |  SELECT least(999, greatest(0,
+        |    CAST(floor((CAST(value AS DOUBLE) - 0.0::DOUBLE) /
+        |      (600.0::DOUBLE / 1000)) AS BIGINT))) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS cnt FROM h GROUP BY bin),
+        |n AS (SELECT sum(cnt) AS n FROM c),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cdf
+        |        FROM c),
+        |t(p) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.95::DOUBLE),
+        |                (0.99::DOUBLE)),
+        |pick AS (
+        |  SELECT t.p, min(cum.bin) AS b
+        |  FROM t, cum, n WHERE cum.cdf >= t.p * n.n GROUP BY t.p),
+        |e AS (
+        |  SELECT pick.p, pick.b, cum.cnt,
+        |    COALESCE((SELECT max(c2.cdf) FROM cum c2
+        |              WHERE c2.bin < pick.b), 0) AS cum_before
+        |  FROM pick JOIN cum ON cum.bin = pick.b)
+        |SELECT e.p,
+        |  round(0.0::DOUBLE + (e.b + (e.p * n.n - e.cum_before) / e.cnt)
+        |    * (600.0::DOUBLE - 0.0::DOUBLE) / 1000, 6) AS est
+        |FROM e, n ORDER BY p""".stripMargin,
+
     "st6_session_stream" ->
       """WITH o AS (
         |  SELECT user_id, ts,

@@ -145,9 +145,21 @@ object Aggregates {
           floor((v.cast("double") - mn) / step))).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    percentilesFromHist(counts, n, mn, mx, bins, ps).toDF("p", "est")
+  }
+
+  /** The CDF-interpolation fold shared by every consumer of a fixed-bin
+    * histogram — the batch sketch above, and the streaming delta-log
+    * reconstruction ([[graft.streaming.HistStream.estimate]]). Fixed
+    * ascending-bin order and BigDecimal HALF_UP rounding keep the
+    * estimate bit-reproducible across partitionings and engines.
+    */
+  private[graft] def percentilesFromHist(counts: Map[Int, Long], n: Long,
+      mn: Double, mx: Double, bins: Int, ps: Seq[Double])
+      : Seq[(Double, Double)] = {
     val cdf = (0 until bins)
       .scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).tail
-    val rows = ps.map { p =>
+    ps.map { p =>
       val target = p * n
       val bIx = cdf.indexWhere(_ >= target) match {
         case -1 => bins - 1
@@ -162,7 +174,6 @@ object Aggregates {
       (p, java.math.BigDecimal.valueOf(est)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
     }
-    rows.toDF("p", "est")
   }
 
   /** Deterministic HyperLogLog distinct-count sketch (Flajolet et al.

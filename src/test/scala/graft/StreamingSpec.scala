@@ -334,6 +334,45 @@ class StreamingSpec extends AnyFunSuite {
       at(2).toInstant.toEpochMilli * 1000L)))
   }
 
+  test("streaming histogram: window counts merge across batches and a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.HistStream
+    val landing = Files.createTempDirectory("st_hist_landing").toString
+    val sink = Files.createTempDirectory("st_hist_sink").toString
+    val ckpt = Files.createTempDirectory("st_hist_ckpt").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    def at(h: Int) = java.sql.Timestamp.from(
+      t0.toInstant.plusSeconds(h * 3600L))
+    def land(rows: Seq[(java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("ts", "value").coalesce(1)
+        .write.mode("append").parquet(landing)
+    // batch 1: three day-1 values — the day-1 window stays open (the
+    // watermark sits at the newest event), nothing in the sink yet
+    land(Seq((at(0), 5.0), (at(1), 15.0), (at(2), 15.0)))
+    HistStream.start(spark, landing, sink, ckpt, lo = 0.0, hi = 100.0,
+      bins = 10, trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    assert(spark.read.parquet(sink).count() === 0)
+    // batch 2 after a restart: one more day-1 value must MERGE into the
+    // held window (state survives the checkpoint), and a far-future row
+    // closes the books on day 1
+    land(Seq((at(3), 15.0), (at(72), 99.0)))
+    HistStream.start(spark, landing, sink, ckpt, lo = 0.0, hi = 100.0,
+      bins = 10, trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    val got = spark.read.parquet(sink)
+      .select("bin", "cnt").as[(Int, Long)].collect().toSeq.sorted
+    // bin 0 (value 5) once, bin 1 (value 15) THREE times — a state
+    // reset would have emitted a 2-count day-1 fragment plus a 1-count
+    // one; the far-future row's own window stays open and unemitted
+    assert(got === Seq((0, 1L), (1, 3L)))
+    // read-out equals the batch fixed-bin fold over the same values
+    val est = HistStream.estimate(spark.read.parquet(sink),
+        lo = 0.0, hi = 100.0, bins = 10, ps = Seq(0.5))
+      .as[(Double, Double)].collect().toSeq
+    // n=4, target=2, first bin with cdf>=2 is bin 1 (cdf 4):
+    // est = 0 + (1 + (2-1)/3) * 10 = 13.333333
+    assert(est === Seq((0.5, 13.333333)))
+  }
+
   test("stream-stream join: impulse state survives a restart; tight watermark evicts") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.IntervalJoinStream
