@@ -380,6 +380,17 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "a15_grouped_percentiles" -> ((s, d) => {
+      // per-group percentile sketch, no driver collect anywhere: the
+      // grouped form of a13 that survives 10^8 groups — bounds joined
+      // back on the key, group-partitioned CDF window, in-row
+      // interpolation
+      Aggregates.groupedApproxPercentiles(T(s, d).events,
+          col("event_type"), col("value"),
+          ps = Seq(0.5, 0.9, 0.99), bins = 500)
+        .repartition(1).sortWithinPartitions("key", "p")
+    }),
+
     "a13_approx_percentiles" -> ((s, d) => {
       // mergeable percentile sketch: fixed-bin histogram + in-bin
       // interpolation — the scale substitute for a10's exact
@@ -2537,6 +2548,43 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the grouped formulation: same binning/CDF/interpolation as a13
+    // but per event_type, with cum_before = cdf - cnt (the identity the
+    // engine uses in-row instead of a correlated subquery)
+    "a15_grouped_percentiles" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, CAST(min(value) AS DOUBLE) AS lo,
+        |         CAST(max(value) AS DOUBLE) AS hi, count(value) AS n
+        |  FROM events GROUP BY event_type),
+        |s AS (
+        |  SELECT k, lo, hi, n,
+        |    CASE WHEN hi = lo THEN CAST(1.0 AS DOUBLE)
+        |         ELSE (hi - lo) / 500 END AS step
+        |  FROM b),
+        |h AS (
+        |  SELECT e.event_type AS k, least(499, greatest(0,
+        |    CAST(floor((CAST(e.value AS DOUBLE) - s.lo) / s.step)
+        |      AS BIGINT))) AS bin
+        |  FROM events e JOIN s ON s.k = e.event_type
+        |  WHERE e.value IS NOT NULL),
+        |c AS (SELECT k, bin, count(*) AS cnt FROM h GROUP BY k, bin),
+        |cum AS (SELECT k, bin, cnt,
+        |          sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS cdf
+        |        FROM c),
+        |t(p) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+        |pick AS (
+        |  SELECT cum.k, t.p, min(cum.bin) AS b
+        |  FROM t, cum JOIN s ON s.k = cum.k
+        |  WHERE cum.cdf >= t.p * s.n GROUP BY cum.k, t.p),
+        |e AS (
+        |  SELECT pick.k, pick.p, pick.b, cum.cnt,
+        |    cum.cdf - cum.cnt AS cum_before
+        |  FROM pick JOIN cum ON cum.k = pick.k AND cum.bin = pick.b)
+        |SELECT e.k AS key, e.p,
+        |  CAST(floor((s.lo + (e.b + (e.p * s.n - e.cum_before) / e.cnt)
+        |    * (s.hi - s.lo) / 500) * 1000000) AS BIGINT) AS est_micro
+        |FROM e JOIN s ON s.k = e.k ORDER BY key, p""".stripMargin,
 
     "a13_approx_percentiles" ->
       """WITH b AS (

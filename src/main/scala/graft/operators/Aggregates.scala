@@ -148,6 +148,61 @@ object Aggregates {
     percentilesFromHist(counts, n, mn, mx, bins, ps).toDF("p", "est")
   }
 
+  /** Per-GROUP histogram percentiles, fully declarative — where the
+    * global sketch above collects its ≤bins-row histogram to the
+    * driver, a grouped variant cannot (10⁸ groups × bins rows is not a
+    * driver structure), so every step here stays a distributed plan:
+    * per-group bounds are one aggregate joined back on the group key
+    * (shuffle join; AQE broadcasts when the group count is genuinely
+    * small), binning is scan-side arithmetic, the CDF is a window
+    * partitioned BY GROUP (never a single task), percentile targets
+    * explode from a literal array, and the interpolation runs in-row
+    * using `cdf − cnt` for the cumulative-before term. Same
+    * fixed-order arithmetic as the shared fold, so estimates are
+    * bit-reproducible across partitionings and engines.
+    *
+    * Returns `(key, p, est_micro)` — one row per group × requested
+    * percentile, the estimate in integer micro-units via FLOOR of the
+    * double product (not a 6-decimal round: Java's BigDecimal HALF_UP
+    * and C-library scaled rounding disagree on representation ties at
+    * the .5 boundary, while floor of the bit-identical product is
+    * engine-portable).
+    */
+  def groupedApproxPercentiles(df: DataFrame, key: Column, v: Column,
+                               ps: Seq[Double], bins: Int = 1000)
+      : DataFrame = {
+    val b = df.groupBy(key.as("k"))
+      .agg(min(v).cast("double").as("lo"),
+        max(v).cast("double").as("hi"), count(v).as("n"))
+      .withColumn("step",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("hi") - col("lo")) / bins))
+    val h = df.where(v.isNotNull)
+      .select(key.as("k"), v.cast("double").as("v"))
+      .join(b, "k")
+      .select(col("k"),
+        least(lit(bins - 1L), greatest(lit(0L),
+          floor((col("v") - col("lo")) / col("step")))).as("bin"))
+    val cum = h.groupBy("k", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cdf", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy("bin")))
+    val picked = cum
+      .join(b.select(col("k"), col("n")), "k")
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .where(col("cdf") >= col("p") * col("n"))
+      .groupBy("k", "p").agg(min(col("bin")).as("b"))
+    picked
+      .join(cum.withColumnRenamed("bin", "b"), Seq("k", "b"))
+      .join(b, "k")
+      .select(col("k").as("key"), col("p"),
+        floor((col("lo") +
+          (col("b") + (col("p") * col("n") - (col("cdf") - col("cnt")))
+            / col("cnt"))
+          * (col("hi") - col("lo")) / lit(bins)) * 1e6)
+          .cast("long").as("est_micro"))
+  }
+
   /** The CDF-interpolation fold shared by every consumer of a fixed-bin
     * histogram — the batch sketch above, and the streaming delta-log
     * reconstruction ([[graft.streaming.HistStream.estimate]]). Fixed

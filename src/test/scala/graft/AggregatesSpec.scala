@@ -93,6 +93,35 @@ class AggregatesSpec extends AnyFunSuite {
     assert(fp.toSeq === Seq((0.5, 5.0)))
   }
 
+  test("groupedApproxPercentiles: per-group answers match the global sketch per slice") {
+    // two groups with disjoint distributions: each group's grouped
+    // answer must equal the GLOBAL sketch run on that slice alone
+    val df = ((1 to 5000).map(i => ("a", i.toDouble)) ++
+      (1 to 2000).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val got = Aggregates.groupedApproxPercentiles(df, $"g", $"v",
+        ps = Seq(0.5, 0.9), bins = 100)
+      .orderBy("key", "p").as[(String, Double, Long)].collect().toSeq
+    val expected = Seq("a", "b").flatMap { g =>
+      Aggregates.approxPercentilesHist(df.filter($"g" === g), $"v",
+          ps = Seq(0.5, 0.9), bins = 100)
+        .orderBy("p").as[(Double, Double)].collect().toSeq
+        .map { case (p, est) => (g, p, est) }
+    }
+    // grouped emits floor-micro, the global sketch emits round-6: the
+    // same underlying estimate within one micro-unit
+    got.zip(expected).foreach { case ((gk, gp, micro), (ek, ep, est)) =>
+      assert(gk === ek && gp === ep)
+      assert(math.abs(micro / 1e6 - est) <= 1e-6,
+        s"$gk p=$gp micro=$micro est=$est")
+    }
+    // reproducible under a different partitioning (mergeable counts,
+    // fixed-order interpolation)
+    val re = Aggregates.groupedApproxPercentiles(df.repartition(13),
+        $"g", $"v", ps = Seq(0.5, 0.9), bins = 100)
+      .orderBy("key", "p").as[(String, Double, Long)].collect().toSeq
+    assert(re === got)
+  }
+
   test("approxCountDistinctHll: estimate within the sketch's error band; reproducible") {
     // 5000 distinct keys, each duplicated 3x — duplicates must not move
     // the registers
