@@ -1241,6 +1241,30 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("cluster_size")
     }),
 
+    "d14_best_keep_dedup" -> ((s, d) => {
+      // dedup SELECTION POLICY: keep each near-dup cluster's
+      // best-quality member (here: word count, doc_id ascending as the
+      // deterministic tie-break) instead of d7's smallest-id root —
+      // what a production pipeline actually ships. Same cluster
+      // derivation as d7; one root-partitioned window picks the keeper
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d).documents
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", col("text"),
+        numPerm = 8, bandRows = 2)
+      val roots = Dedup.connectedComponents(docs.select("doc_id"),
+        "doc_id", pairs)
+      docs.withColumn("n_words", size(Dedup.words(col("text"))))
+        .join(roots.select(col("id").as("doc_id"), col("root")),
+          "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("root")
+            .orderBy(col("n_words").desc, col("doc_id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("root"), col("doc_id").as("kept_id"),
+          col("n_words").cast("long").as("n_words"))
+        .repartition(1).sortWithinPartitions("root")
+    }),
+
     "d7_dedup_apply" -> ((s, d) => {
       // the executable end of the dedup story: keep each cluster's root
       // (semi-join on root==id), report survivors per language
@@ -3112,6 +3136,44 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // d7's cluster derivation, then the keeper is the ARGMAX by word
+    // count (doc_id ascending tie-break) inside each root's partition
+    "d14_best_keep_dedup" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(range(0, 8),
+         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+         |  FROM sigs, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+         |r AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sel AS (
+         |  SELECT r.root, r.doc_id, len(w.ws) AS n_words,
+         |    row_number() OVER (PARTITION BY r.root
+         |      ORDER BY len(w.ws) DESC, r.doc_id ASC) AS rk
+         |  FROM r JOIN w ON w.doc_id = r.doc_id)
+         |SELECT root, doc_id AS kept_id, CAST(n_words AS BIGINT) AS n_words
+         |FROM sel WHERE rk = 1 ORDER BY root""".stripMargin,
 
     "d9_leakage_split" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
