@@ -1379,6 +1379,25 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t22_html_to_text" -> ((s, d) => {
+      // HTML→text extraction: every doc is wrapped in a synthetic page
+      // (title, style+script payloads with angle-bracket content, a
+      // comment, entity-laden footer); the extractor must drop the
+      // payloads wholesale, strip tags, decode entities, and recover
+      // the body text — scan-side column expressions only
+      val docs = T(s, d).documents
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body { color: red; }</style>"),
+        lit("<script type=\"a\">var x = 1 < 2 && y > 3;</script>"),
+        lit("</head><!-- generated --><body><p>"), col("text"),
+        lit("</p><div>&amp;amp; &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>"))
+      docs.select(col("doc_id"),
+          Web.htmlToText(html).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "t16_boilerplate" -> ((s, d) => {
       // CCNet-style boilerplate strip: every source's docs get a
       // synthetic site template (nav header + copyright footer); the
@@ -3408,6 +3427,42 @@ object SparkEntry {
          |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll,
          |  CAST(count(*) AS BIGINT) AS n_words
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same strip/decode chain term-for-term ('g' flag: DuckDB
+    // regexp_replace is first-match-only by default, Spark's is global;
+    // &amp; decodes LAST so '&amp;amp;' yields the literal '&amp;')
+    "t22_html_to_text" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>body { color: red; }</style>' ||
+        |    '<script type="a">var x = 1 < 2 && y > 3;</script>' ||
+        |    '</head><!-- generated --><body><p>' || text ||
+        |    '</p><div>&amp;amp; &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+        |            ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g') AS t
+        |  FROM src),
+        |decoded AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM stripped)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '[\s\x0B]+', ' ', 'g')) AS clean_text,
+        |  CAST(length(trim(regexp_replace(t, '[\s\x0B]+', ' ', 'g')))
+        |    AS BIGINT) AS n_chars
+        |FROM decoded ORDER BY doc_id""".stripMargin,
 
     // add-one bigram mirrored term-for-term: BOS sentinel at i=0,
     // integer-exact (c2+1)/(c1+nv) numerators cast once to double,

@@ -270,4 +270,34 @@ object Web {
       .select(col("_id").as("doc_id"), col("_domain").as("domain"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** HTML → text extraction — step one of any web-corpus pipeline
+    * (what trafilatura/jusText do before any quality gate can run),
+    * reduced to the deterministic core: drop `<script>`/`<style>`
+    * payloads and comments wholesale, strip remaining tags, decode the
+    * common entities, collapse whitespace. Pure chained
+    * `regexp_replace`/`replace` column expressions — codegen'd,
+    * scan-side, no shuffle, mirrorable term-for-term in the oracle.
+    *
+    * RE2-parity constraints (the oracle engine has no backreferences):
+    * script and style blocks are matched by SEPARATE non-greedy
+    * patterns rather than one `<(script|style)>.*?</\1>`; whitespace
+    * collapses via the `[\s\x0B]` class both engines agree on.
+    * Entity decoding is the literal five XML entities plus `&nbsp;`
+    * and decimal `&#NN;` is left as-is — a full HTML5 entity table is
+    * data, not logic, and belongs in a resource like the PSL if ever
+    * needed.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[\\s\\x0B]+", " "))
+  }
 }

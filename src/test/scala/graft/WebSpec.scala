@@ -220,6 +220,28 @@ class WebSpec extends AnyFunSuite {
       s"mandatory join-strategy hints in removeBoilerplateLines: $forced")
   }
 
+  test("htmlToText: payload blocks drop whole, tags strip, entities decode once") {
+    val html =
+      """<html><head><title>T</title>
+        |<style>p { font-size: 2em; }</style>
+        |<script>if (a < b && c > d) { alert("x"); }</script></head>
+        |<!-- hidden
+        |comment --><body><p>Hello &amp;amp; &lt;world&gt;,
+        |&quot;quoted&quot;&nbsp;&#39;s&#39;</p></body></html>""".stripMargin
+    val got = Seq(html).toDF("h").select(Web.htmlToText($"h").as("t"))
+      .as[String].collect()(0)
+    // script/style payloads (with their angle brackets) vanish whole;
+    // the multi-line comment goes despite the newline; &amp;amp;
+    // decodes exactly once to the literal '&amp;'
+    assert(got === """T Hello &amp; <world>, "quoted" 's'""")
+    // a block left OPEN degrades to tag-stripping, not to eating the
+    // rest of the document (non-greedy needs a closer to match)
+    val open = "<p>before</p><script>var x = 1;<p>after</p>"
+    val g2 = Seq(open).toDF("h").select(Web.htmlToText($"h").as("t"))
+      .as[String].collect()(0)
+    assert(g2 === "before var x = 1; after")
+  }
+
   test("capPerDomain keeps the first N per domain, deterministically") {
     val df = (1L to 10L).map(i => (i, s"d${i % 2}.com")).toDF("id", "domain")
     val got = Web.capPerDomain(df, $"domain", Seq($"id".asc), maxDocs = 3)
