@@ -1379,6 +1379,29 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t23_robots_filter" -> ((s, d) => {
+      // crawl-frontier robots gate (RFC 9309 longest-match): per-source
+      // rule sets exercising the override (Disallow /de beaten by the
+      // longer Allow /de/1*), the exact-length tie (/fr both ways —
+      // allow wins), and unmatched langs defaulting to allowed
+      val docs = T(s, d).documents
+      val rules = docs.select(col("source").as("domain")).distinct()
+        .select(col("domain"), explode(array(
+          struct(lit("/de").as("prefix"), lit(false).as("allow")),
+          struct(lit("/de/1").as("prefix"), lit(true).as("allow")),
+          struct(lit("/fr").as("prefix"), lit(false).as("allow")),
+          struct(lit("/fr").as("prefix"), lit(true).as("allow"))))
+          .as("r"))
+        .select(col("domain"), col("r.prefix").as("prefix"),
+          col("r.allow").as("allow"))
+      val path = concat(lit("/"), col("lang"), lit("/"),
+        col("doc_id").cast("string"))
+      Web.robotsAllowed(
+          docs.select(col("doc_id"), col("source"), path.as("p")),
+          col("doc_id"), col("source"), col("p"), rules)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "t22_html_to_text" -> ((s, d) => {
       // HTML→text extraction: every doc is wrapped in a synthetic page
       // (title, style+script payloads with angle-bracket content, a
@@ -3427,6 +3450,32 @@ object SparkEntry {
          |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll,
          |  CAST(count(*) AS BIGINT) AS n_words
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // longest-prefix argmax mirrored: length DESC then allow DESC
+    // (boolean DESC ranks true first in both engines), no-match rows
+    // default to allowed through the left join
+    "t23_robots_filter" ->
+      """WITH rules(prefix, allow) AS (VALUES
+        |    ('/de', false), ('/de/1', true), ('/fr', false),
+        |    ('/fr', true)),
+        |dr AS (
+        |  SELECT s.source AS domain, r.prefix, r.allow
+        |  FROM (SELECT DISTINCT source FROM documents) s, rules r),
+        |d AS (
+        |  SELECT doc_id, source AS domain,
+        |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT d.doc_id, dr.allow,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY length(dr.prefix) DESC, dr.allow DESC) AS rk
+        |  FROM d JOIN dr ON dr.domain = d.domain
+        |  WHERE starts_with(d.path, dr.prefix))
+        |SELECT d.doc_id, d.domain, d.path,
+        |  COALESCE(m.allow, true) AS allowed
+        |FROM d LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) m
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the same strip/decode chain term-for-term ('g' flag: DuckDB
     // regexp_replace is first-match-only by default, Spark's is global;

@@ -271,6 +271,41 @@ object Web {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Robots-exclusion evaluation (the longest-match semantics Google
+    * documents and RFC 9309 standardizes): for each (domain, path),
+    * the most specific — longest-prefix — matching rule decides, and
+    * on an exact length tie the LEAST restrictive (allow) rule wins;
+    * a path matching no rule is allowed. The crawl-frontier filter
+    * that runs before any fetch.
+    *
+    * Scale shape: one key join on domain (rules tables are small per
+    * domain — AQE broadcasts a genuinely small rule set, otherwise the
+    * shuffle is keyed and the per-row fan-out is bounded by
+    * rules-per-domain), one doc-partitioned window for the argmax,
+    * one left join back for the no-rule default. No driver state.
+    *
+    * `rules` columns: `(domain, prefix, allow)`. Returns the input
+    * keys plus `allowed`.
+    */
+  def robotsAllowed(df: DataFrame, id: Column, domain: Column,
+                    path: Column, rules: DataFrame): DataFrame = {
+    val base = df.select(id.as("_id"), domain.as("_domain"),
+      path.as("_path"))
+    val r = rules.select(col("domain").as("_domain"),
+      col("prefix").as("_prefix"), col("allow").as("_allow"))
+    val verdict = base.join(r, "_domain")
+      .filter(col("_path").startsWith(col("_prefix")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id")
+          .orderBy(length(col("_prefix")).desc, col("_allow").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("_id"), col("_allow"))
+    base.join(verdict, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"), col("_domain").as("domain"),
+        col("_path").as("path"),
+        coalesce(col("_allow"), lit(true)).as("allowed"))
+  }
+
   /** HTML → text extraction — step one of any web-corpus pipeline
     * (what trafilatura/jusText do before any quality gate can run),
     * reduced to the deterministic core: drop `<script>`/`<style>`

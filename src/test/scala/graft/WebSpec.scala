@@ -220,6 +220,25 @@ class WebSpec extends AnyFunSuite {
       s"mandatory join-strategy hints in removeBoilerplateLines: $forced")
   }
 
+  test("robotsAllowed: longest match wins, allow breaks ties, no-rule allows") {
+    val rules = Seq(
+      ("a.com", "/private", false), ("a.com", "/private/ok", true),
+      ("a.com", "/x", false), ("a.com", "/x", true))
+      .toDF("domain", "prefix", "allow")
+    val docs = Seq(
+      (1L, "a.com", "/private/secret"), // blocked by /private
+      (2L, "a.com", "/private/ok/page"), // longer allow overrides
+      (3L, "a.com", "/x/tie"),           // exact-length tie: allow wins
+      (4L, "a.com", "/open"),            // no rule matches: allowed
+      (5L, "b.com", "/private/secret"))  // no rules for domain: allowed
+      .toDF("id", "dom", "p")
+    val got = Web.robotsAllowed(docs, $"id", $"dom", $"p", rules)
+      .orderBy("doc_id").select("doc_id", "allowed")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, false), (2L, true), (3L, true), (4L, true),
+      (5L, true)))
+  }
+
   test("htmlToText: payload blocks drop whole, tags strip, entities decode once") {
     val html =
       """<html><head><title>T</title>
