@@ -480,6 +480,26 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("node")
     }),
 
+    "g2_trustrank" -> ((s, d) => {
+      // seed-biased PageRank (TrustRank): teleport AND dangling mass
+      // flow only to the trusted seeds, so rank reaches a node solely
+      // through link paths from the seed set — the spam-demotion /
+      // focused-crawl ranking. Same transition graph as g1, trusted
+      // seeds = {click, view}
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = T(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      operators.Graph.trustRank(edges, "src", "dst", "w",
+          seeds = Seq("click", "view"), iters = 10)
+        .repartition(1).sortWithinPartitions("node")
+    }),
+
     "q6_skew_salted" -> ((s, d) => {
       // skew tools under the oracle: the hot-key fact stream (events,
       // where one event_type dominates) joins a small dim through an
@@ -2523,6 +2543,52 @@ object SparkEntry {
          |cnt AS (SELECT count(*) AS n FROM nodes),
          |c0 AS (SELECT (($R * 15) // 100) // n AS c0 FROM cnt),
          |r0 AS (SELECT node, $R // cnt.n AS rank FROM nodes CROSS JOIN cnt),
+         |${(1 to 10).map(step).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank_pico
+         |FROM r10 ORDER BY node""".stripMargin
+    },
+
+    // g1's fixed-point arithmetic with the teleport/dangling terms
+    // gated on seed membership; ten unrolled MATERIALIZED steps
+    "g2_trustrank" -> {
+      val R = 1000000000000L
+      val S = "('click', 'view')"
+      def step(k: Int): String =
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    (CASE WHEN n.node IN $S THEN c0.c0 ELSE 0 END) +
+           |    ((COALESCE(c.contrib, 0) +
+           |      CASE WHEN n.node IN $S THEN dg.d // sc.ns ELSE 0 END)
+           |     * 85) // 100 AS rank
+           |  FROM nodes n CROSS JOIN sc CROSS JOIN c0
+           |  CROSS JOIN (
+           |    SELECT COALESCE(sum(p.rank), 0) AS d FROM r${k - 1} p
+           |    WHERE p.node NOT IN (SELECT src FROM edges)) dg
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.rank * e.w // e.wout) AS contrib
+           |    FROM edges e JOIN r${k - 1} p ON p.node = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      s"""WITH el AS (
+         |  SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |edges0 AS (
+         |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM el WHERE src IS NOT NULL GROUP BY src, event_type),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wout
+         |  FROM edges0),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges0
+         |    UNION ALL SELECT dst FROM edges0)),
+         |sc AS (SELECT count(*) AS ns FROM nodes WHERE node IN $S),
+         |c0 AS (SELECT (($R * 15) // 100) // ns AS c0 FROM sc),
+         |r0 AS (
+         |  SELECT node,
+         |    CASE WHEN node IN $S THEN $R // sc.ns ELSE 0 END AS rank
+         |  FROM nodes CROSS JOIN sc),
          |${(1 to 10).map(step).mkString(",\n")}
          |SELECT node, CAST(rank AS BIGINT) AS rank_pico
          |FROM r10 ORDER BY node""".stripMargin

@@ -43,7 +43,32 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 10,
-               total: Long = 1000000000000L): DataFrame = {
+               total: Long = 1000000000000L): DataFrame =
+    rankImpl(edges, srcCol, dstCol, wCol, iters, total, seeds = None)
+
+  /** Seed-biased PageRank — TrustRank (Gyöngyi et al. 2004) /
+    * personalized PageRank: the teleport mass and every dangling
+    * node's redistributed rank go ONLY to the trusted `seeds` instead
+    * of uniformly to all nodes, so rank can reach a node exclusively
+    * through link paths from the seed set. The standard web-curation
+    * uses: demote spam hosts (no path from trusted seeds ⇒ rank decays
+    * to zero) and prioritize a topic-focused crawl frontier. Same
+    * fixed-point pico-unit arithmetic, same per-iteration plan shape
+    * as [[pageRank]]; ranks start as the teleport vector
+    * (`total div |seeds|` on seeds, 0 elsewhere). Seeds absent from
+    * the graph's node set are ignored (their teleport share vanishes
+    * like floor mass); at least one seed must be present.
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                wCol: String, seeds: Seq[String], iters: Int = 10,
+                total: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty, "trustRank needs at least one seed")
+    rankImpl(edges, srcCol, dstCol, wCol, iters, total, Some(seeds))
+  }
+
+  private def rankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int, total: Long,
+                       seeds: Option[Seq[String]]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val agg = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol)).as("w"))
@@ -55,8 +80,22 @@ object Graph {
     val srcs = el.select(col("src").as("node")).distinct()
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
-    val c0 = (total * 15L / 100L) / n
-    var ranks = nodes.withColumn("rank", lit(total / n))
+    // teleport basis: all nodes (classic) or the present seeds only
+    val nT = seeds match {
+      case None     => n
+      case Some(ss) =>
+        val present = nodes.filter(col("node").isin(ss: _*)).count()
+        require(present > 0, "no seed is present in the graph")
+        present
+    }
+    val isTeleport = seeds match {
+      case None     => lit(true)
+      case Some(ss) => col("node").isin(ss: _*)
+    }
+    val c0 = (total * 15L / 100L) / nT
+    var ranks = nodes
+      .withColumn("rank",
+        when(isTeleport, lit(total / nT)).otherwise(lit(0L)))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = el.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -67,10 +106,13 @@ object Graph {
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
+        // `div` (integer floor division) via expr: Column `/` would be
+        // double division and break the fixed-point bit contract
+        .withColumn("_prop", coalesce(col("contrib"), lit(0L)) +
+          when(isTeleport, expr(s"d div $nT")).otherwise(lit(0L)))
         .select(col("node"),
-          (lit(c0) +
-            expr(s"(coalesce(contrib, 0) + d div $n) * 85 div 100"))
-            .as("rank"))
+          (when(isTeleport, lit(c0)).otherwise(lit(0L)) +
+            expr("(_prop * 85) div 100")).as("rank"))
       // eager checkpoint EVERY round, deliberately: `next` reads
       // `ranks` twice (contrib join + dangling aggregate), so an
       // unmaterialized predecessor doubles the recompute tree per

@@ -46,6 +46,33 @@ class GraphSpec extends AnyFunSuite {
     assert(sp === base)
   }
 
+  test("trustRank: unreachable-from-seeds decays to zero; all-seeds ≡ pageRank") {
+    // A is trusted; C pumps into B but has no inbound path from A, so
+    // C's rank must decay to exactly zero (it starts at 0 and only
+    // teleport/dangling mass — seeds-only — could refill it)
+    val e = Seq(("A", "B", 1L), ("C", "B", 1L)).toDF("src", "dst", "w")
+    val r = Graph.trustRank(e, "src", "dst", "w", seeds = Seq("A"),
+        iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(r("C") === 0L)
+    assert(r("A") > 0L && r("B") > 0L)
+    // B additionally receives nothing through C (C never has mass to
+    // push), so total mass ≈ total (floor losses only)
+    assert(r.values.sum > 1000000000000L - 1000L)
+    // seeding EVERY node reduces exactly to the uniform operator
+    val all = Graph.trustRank(edges, "src", "dst", "w",
+        seeds = Seq("A", "B", "C"), iters = 10)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    val uni = Graph.pageRank(edges, "src", "dst", "w", iters = 10)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(all === uni)
+    // absent seeds are ignored; an all-absent seed set refuses
+    assertThrows[IllegalArgumentException] {
+      Graph.trustRank(edges, "src", "dst", "w", seeds = Seq("ZZ"),
+        iters = 2).collect()
+    }
+  }
+
   test("dangling-only graph: uniform stationary ranks") {
     // one edge A->B: B is dangling, its mass teleports back; symmetric
     // enough that both ranks stay positive and total is conserved

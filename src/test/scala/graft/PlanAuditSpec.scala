@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "a14_hll_distinct",    // exact-count: broadcast 1 row beside 1 row
     "st5_hll_stream",      // same shape: 1-row estimate beside 1 row
     "g1_pagerank",         // dangling mass: broadcast 1-row aggregate
+    "g2_trustrank",        // same shape: broadcast 1-row dangling row
     "t21_bigram_logprob")  // vocab size: broadcast 1-row aggregate
 
   test("no query plans a cartesian or unbounded nested-loop join") {
