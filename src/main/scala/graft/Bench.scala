@@ -42,21 +42,25 @@ object Bench {
     }
   }
 
-  /** Per-query historical-minimum times, read from the
-    * `BENCH_FULL.json` this run will overwrite. The floor — not the
-    * raw previous time — is the spike baseline: a load-inflated
-    * previous run must not inflate the threshold with it (a genuine
-    * regression would then pass unmeasured). Older files without a
-    * `floors` object fall back to their `queries` times.
+  /** Per-query historical-minimum times plus the previous run's
+    * still-elevated set, read from the `BENCH_FULL.json` this run will
+    * overwrite. The floor — not the raw previous time — is the spike
+    * baseline: a load-inflated previous run must not inflate the
+    * threshold with it (a genuine regression would then pass
+    * unmeasured). Older files without a `floors` object fall back to
+    * their `queries` times; `elevated` records queries whose
+    * re-measure CONFIRMED a >2×-floor time — the floor-reset
+    * handshake's first half (see main).
     */
-  private def previousFloors(): Map[String, Double] =
+  private def previousState(): (Map[String, Double], Map[String, Double]) =
     try {
       val txt = new String(
         Files.readAllBytes(Paths.get("BENCH_FULL.json")),
         StandardCharsets.UTF_8)
       val f = objectTimes(txt, "floors")
-      if (f.nonEmpty) f else objectTimes(txt, "queries")
-    } catch { case _: Throwable => Map.empty }
+      (if (f.nonEmpty) f else objectTimes(txt, "queries"),
+        objectTimes(txt, "elevated"))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,7 +68,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val backoffMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "15000").toLong
-    val floors = previousFloors()
+    val (floors, prevElevated) = previousState()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -127,15 +131,39 @@ object Bench {
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
+    // Floor-reset handshake: a query whose SOURCE legitimately got more
+    // expensive would otherwise be flagged and re-measured on every run
+    // forever (the floor keeps its stale pre-change minimum). A flagged
+    // query whose post-backoff re-measure STILL exceeds the threshold
+    // is recorded in `elevated`; when the next run confirms it again,
+    // the floor ratchets UP to the better of the two confirmed times —
+    // two independent runs agreeing is the source-change signal a
+    // transient load spike can't fake (the spike would have to span
+    // both runs' backoffs).
+    val stillElevated = results
+      .collect { case (n, t) if flagged(n) && spiky(n, t) => n -> t }
+      .toMap
+    val resets = stillElevated.collect {
+      case (n, t) if prevElevated.contains(n) =>
+        n -> math.min(t, prevElevated(n))
+    }
+    resets.foreach { case (n, f) =>
+      System.err.println(
+        s"[bench] floor reset: $n confirmed elevated in two consecutive " +
+        s"runs (${num(stillElevated(n))}s; old floor " +
+        s"${floors.get(n).map(num).getOrElse("none")}) — new floor ${num(f)}")
+    }
+    val elevated = (stillElevated -- resets.keySet).toSeq.sortBy(_._1)
     // ratchet the historical floor: min(this run, previous floor) —
-    // the next run's spike baseline
+    // the next run's spike baseline; reset queries take the confirmed
+    // elevated time instead of the stale minimum
     val newFloors = results.map { case (n, t) =>
-      n -> math.min(t, floors.getOrElse(n, t))
+      n -> resets.getOrElse(n, math.min(t, floors.getOrElse(n, t)))
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jsonMap(results)},"floors":${jsonMap(newFloors)},""" +
-      s""""sf":"$sfDir"}"""
+      s""""elevated":${jsonMap(elevated)},"sf":"$sfDir"}"""
     val tmp = Paths.get("BENCH_FULL.json.tmp")
     Files.write(tmp, (full + "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get("BENCH_FULL.json"),

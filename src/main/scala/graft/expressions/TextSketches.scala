@@ -792,6 +792,8 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_int8",
       es => TextSketches.QuantizeInt8(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_registered_domain",
+      es => Domains.RegisteredDomain(es.head), "scala_udf")
     // optimizer rule: declarative dot-product folds compile to VecDot
     // (idempotent append)
     val rules = spark.experimental.extraOptimizations

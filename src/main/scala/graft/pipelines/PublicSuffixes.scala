@@ -74,6 +74,60 @@ object PublicSuffixes {
     */
   val excTiers: Seq[Int] = excByK.keys.toSeq.sorted.reverse
 
+  // hash-set views for the per-row matcher ([[registeredDomainOf]]) —
+  // object state, so the ~9.6k strings live once per executor JVM
+  // (loaded from the jar's resource) and NEVER ride a task closure
+  private val plainSets = plainByK.map { case (k, v) => k -> v.toSet }
+  private val wildSets = wildByParentK.map { case (k, v) => k -> v.toSet }
+  private val excSets = excByK.map { case (k, v) => k -> v.toSet }
+
+  private val ipv4 =
+    java.util.regex.Pattern.compile("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")
+
+  /** The registered (registrable) domain of a lowercased `host`, by the
+    * PSL longest-match algorithm — the imperative twin of
+    * [[Web.registeredDomainSql]]'s CASE cascade, consulted by the
+    * `graft_registered_domain` native expression. Semantics (kept in
+    * lock-step with the SQL mirror, which interpolates the SAME rule
+    * tables): exception tiers longest-first decide k = tier−1; else the
+    * longest tier with a plain-suffix or wildcard-parent hit decides
+    * k = tier; else the PSL default `*` rule (k = 1). Result = last
+    * min(n, k+1) labels. IPv4 literals and hosts that ARE a suffix (or
+    * empty) return unchanged.
+    */
+  def registeredDomainOf(host: String): String = {
+    if (ipv4.matcher(host).matches()) return host
+    val labels = host.split("\\.", -1)
+    val n = labels.length
+    // suf(k) = last k labels joined — one backward pass, probed per tier
+    // (sized to cover exception tiers too, should one ever exceed maxK)
+    val top = math.min(n, math.max(maxK, excTiers.headOption.getOrElse(0)))
+    val suf = new Array[String](top + 1)
+    var i = 1
+    while (i <= top) {
+      suf(i) =
+        if (i == 1) labels(n - 1) else labels(n - i) + "." + suf(i - 1)
+      i += 1
+    }
+    var k = 0
+    val excIt = excTiers.iterator
+    while (k == 0 && excIt.hasNext) {
+      val t = excIt.next()
+      if (t <= top && excSets(t).contains(suf(t))) k = t - 1
+    }
+    if (k == 0) {
+      var t = math.min(top, maxK)
+      while (k == 0 && t >= 2) {
+        if (plainSets.get(t).exists(_.contains(suf(t))) ||
+            wildSets.get(t - 1).exists(_.contains(suf(t - 1)))) k = t
+        t -= 1
+      }
+      if (k == 0) k = 1
+    }
+    val m = math.min(n, k + 1)
+    if (m == n) host else suf(m)
+  }
+
   /** Render a suffix set as a DuckDB list literal (entries are domain
     * labels — lowercase, no quotes/backslashes to escape).
     */

@@ -124,41 +124,22 @@ object Web {
     * `a.city.kawasaki.jp` → `city.kawasaki.jp` by `!city.kawasaki.jp`).
     * Unknown TLDs use the PSL default `*` rule (last label is the
     * suffix); a host that IS a public suffix (or empty) returns
-    * unchanged. Literal-set membership (Catalyst `InSet` hash lookups)
-    * over the host's label array — no UDF, no join, scan-side.
+    * unchanged.
+    *
+    * Executed by the `graft_registered_domain` native expression
+    * ([[graft.expressions.Domains.RegisteredDomain]]): the suffix
+    * tables are JVM-singleton state loaded from the jar's bundled
+    * resource, so the task closure carries one tree node — the earlier
+    * all-literal `InSet` cascade serialized the ~9.6k suffixes into
+    * every task binary (~1 MB) of every domain-touching stage, which a
+    * 100k-task stage pays in scheduler and network time. Scan-side and
+    * driver-free either way; the oracle mirror
+    * [[registeredDomainSql]] interpolates the same rule tables.
     */
   def registeredDomain(url: Column): Column = {
-    val h = urlHost(url)
-    val labels = split(h, "\\.")
-    val n = size(labels)
-    def lastK(k: Int): Column =
-      array_join(slice(labels, -k, k), ".")
-    // exception tiers first (longest first), then plain/wildcard
-    // tiers longest-suffix first — each case yields the suffix label
-    // count k; the registrable domain is the last min(n, k+1) labels
-    val excCases: Seq[(Column, Int)] = PublicSuffixes.excTiers.map { t =>
-      ((n >= t) && lastK(t).isInCollection(PublicSuffixes.exceptions(t)),
-        t - 1)
-    }
-    val sufCases: Seq[(Column, Int)] = (PublicSuffixes.maxK to 2 by -1)
-      .flatMap { t =>
-        val ps = PublicSuffixes.plain(t)
-        val ws = PublicSuffixes.wildParents(t - 1)
-        val hit = Seq(
-          if (ps.nonEmpty) Some(lastK(t).isInCollection(ps)) else None,
-          if (ws.nonEmpty) Some(lastK(t - 1).isInCollection(ws)) else None)
-          .flatten
-        if (hit.isEmpty) None
-        else Some(((n >= t) && hit.reduce(_ || _), t))
-      }
-    val k = (excCases ++ sufCases).foldRight(lit(1)) {
-      case ((cond, kk), acc) => when(cond, kk).otherwise(acc)
-    }
-    val m = least(n, k + 1)
-    // an IPv4 literal has no registrable domain — suffix math over its
-    // octets would return garbage like "0.1"; return the address
-    when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
-      .otherwise(array_join(slice(labels, -m, m), "."))
+    graft.expressions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_registered_domain", urlHost(url))
   }
 
   /** The [[registeredDomain]] suffix match rendered as DuckDB SQL over
