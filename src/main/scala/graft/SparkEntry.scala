@@ -998,6 +998,16 @@ object SparkEntry {
         shards = 8, cap = 64, d = 4, w = 1024)
       if (!q.awaitTermination(180000))
         sys.error("streaming query did not finish within 180s")
+      // the oracle's ss_count == exact-count equality holds only in the
+      // eviction-free regime (per-shard distinct words <= cap); fail
+      // loudly if fixture growth ever breaks that precondition instead
+      // of surfacing as an opaque hash mismatch
+      val evicted =
+        graft.streaming.HeavyHitters.evictionCount(s.read.parquet(sink))
+      require(evicted == 0L,
+        s"st4 fixture outgrew the eviction-free regime (cap 64/shard): " +
+        s"$evicted space-saving evictions — the exact-count oracle no " +
+        s"longer applies; raise cap or weaken the oracle")
       graft.streaming.HeavyHitters.topK(s.read.parquet(sink), k = 20)
         .withColumnRenamed("item", "word")
         .repartition(1).sortWithinPartitions("word")
@@ -2319,7 +2329,7 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
-    "d13_span_dedup" -> ((s, d) => {
+    "d15_span_dedup" -> ((s, d) => {
       // span-level exact-substring duplication: sliding 15-word grams
       // (vs p9's fixed 40-word blocks — these catch a repeat at ANY
       // alignment), dup grams marked corpus-wide, overlapping marks
@@ -5124,7 +5134,7 @@ object SparkEntry {
     // grams are compared as their literal text (no hash on either
     // side), so dup detection agrees by construction; islands merge on
     // pos > running-max(pos) + 15, the same break predicate
-    "d13_span_dedup" ->
+    "d15_span_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 5 = 0 THEN '$SpamPassage ' || text

@@ -252,12 +252,15 @@ object Web {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** Robots-exclusion evaluation (the longest-match semantics Google
-    * documents and RFC 9309 standardizes): for each (domain, path),
-    * the most specific — longest-prefix — matching rule decides, and
-    * on an exact length tie the LEAST restrictive (allow) rule wins;
-    * a path matching no rule is allowed. The crawl-frontier filter
-    * that runs before any fetch.
+  /** Robots-exclusion evaluation, longest LITERAL-prefix match: for
+    * each (domain, path), the most specific — longest-prefix —
+    * matching rule decides, and on an exact length tie the LEAST
+    * restrictive (allow) rule wins; a path matching no rule is
+    * allowed. This is RFC 9309's precedence order restricted to
+    * literal rules — `*`/`$` wildcard patterns and percent-decoding
+    * (both part of full RFC 9309 rule matching) are NOT evaluated; a
+    * rule set containing them must be expanded or dropped upstream.
+    * The crawl-frontier filter that runs before any fetch.
     *
     * Scale shape: one key join on domain (rules tables are small per
     * domain — AQE broadcasts a genuinely small rule set, otherwise the

@@ -65,19 +65,24 @@ object HeavyHitters {
     * count + n (the classic overestimate — a candidate's count is
     * never below its true count). Batch entries are folded in
     * ascending item order, so the result depends only on the batch
-    * SEQUENCE, not on partitioning or iterator order.
+    * SEQUENCE, not on partitioning or iterator order. Also returns the
+    * number of evictions this batch performed: once a shard has ever
+    * evicted, its candidate counts are upper bounds rather than exact,
+    * so downstream exactness claims (the st4 oracle's bit-equality)
+    * need the zero-eviction precondition to be CHECKABLE, not assumed.
     */
   private[graft] def ssFold(counts: Map[String, Long],
                                 batch: Seq[(String, Long)],
-                                cap: Int): Map[String, Long] =
-    batch.sortBy(_._1).foldLeft(counts) { case (m, (item, n)) =>
-      if (m.contains(item)) m.updated(item, m(item) + n)
-      else if (m.size < cap) m.updated(item, n)
-      else {
-        val (minItem, minCount) =
-          m.minBy { case (it, c) => (c, it) }
-        (m - minItem).updated(item, minCount + n)
-      }
+                                cap: Int): (Map[String, Long], Long) =
+    batch.sortBy(_._1).foldLeft((counts, 0L)) {
+      case ((m, ev), (item, n)) =>
+        if (m.contains(item)) (m.updated(item, m(item) + n), ev)
+        else if (m.size < cap) (m.updated(item, n), ev)
+        else {
+          val (minItem, minCount) =
+            m.minBy { case (it, c) => (c, it) }
+          ((m - minItem).updated(item, minCount + n), ev + 1)
+        }
     }
 
   case class HHIn(item: String, shard: Int)
@@ -111,7 +116,7 @@ object HeavyHitters {
             batch = batch.updated(r.item, batch.getOrElse(r.item, 0L) + 1L)
           }
           val prev = state.getOption.getOrElse(HHState(Map.empty, 0L))
-          val counts = ssFold(prev.counts, batch.toSeq, cap)
+          val (counts, evictions) = ssFold(prev.counts, batch.toSeq, cap)
           val seq = prev.seq + 1
           state.update(HHState(counts, seq))
           val cellRows = batch.toSeq
@@ -126,7 +131,11 @@ object HeavyHitters {
             .map { case (item, n) =>
               HHEmit(shard, "cand", item, -1, -1L, n, seq)
             }
-          (cellRows ++ candRows).iterator
+          // per-batch eviction count: a mergeable diagnostic row (sum
+          // over the log = lifetime evictions). topK ignores the kind;
+          // readers that claim exactness assert the sum is zero
+          val evictRow = HHEmit(shard, "evict", "", -1, -1L, evictions, seq)
+          (cellRows ++ candRows ++ Seq(evictRow)).iterator
         })
       .toDF()
   }
@@ -149,6 +158,15 @@ object HeavyHitters {
       .outputMode("append")
       .trigger(trigger)
       .start()
+
+  /** Lifetime space-saving evictions recorded in the sink log (sum of
+    * per-batch `evict` rows). Zero ⇔ every shard's candidate counts
+    * are exact — the precondition under which [[topK]]'s `ss_count`
+    * equals the true count (what st4's oracle bit-equality relies on).
+    */
+  def evictionCount(sinkRows: DataFrame): Long =
+    sinkRows.filter(col("kind") === "evict")
+      .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
 
   /** Batch read-back: reconstruct the global grid (sum of deltas),
     * take each shard's LATEST candidate snapshot, estimate every

@@ -446,10 +446,11 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Seq("a" -> 50L, "b" -> 30L, "c" -> 20L, "d" -> 2L,
       "e" -> 1L, "f" -> 1L)
     // input order must not matter (the fold sorts per batch)
-    val m1 = ssFold(Map.empty[String, Long], batch, cap = 4)
-    val m2 = ssFold(Map.empty[String, Long],
+    val (m1, ev1) = ssFold(Map.empty[String, Long], batch, cap = 4)
+    val (m2, ev2) = ssFold(Map.empty[String, Long],
       scala.util.Random.shuffle(batch), cap = 4)
     assert(m1 === m2)
+    assert(ev1 === ev2 && ev1 === 2L) // e and f each displaced a minimum
     assert(m1.size === 4)
     // Misra–Gries guarantee: any item with true count > total/cap is a
     // candidate, and candidate counts never undercount the truth
@@ -460,8 +461,9 @@ class StreamingSpec extends AnyFunSuite {
     m1.foreach { case (it, c) => assert(c >= truth.getOrElse(it, 0L)) }
     // folding a second batch accumulates, evicts the minimum, and the
     // newcomer inherits min + n (the space-saving overestimate)
-    val m3 = ssFold(m1, Seq("z" -> 5L), cap = 4)
+    val (m3, ev3) = ssFold(m1, Seq("z" -> 5L), cap = 4)
     assert(m3.size === 4)
+    assert(ev3 === 1L)
     assert(m3.contains("z") && m3("z") === m1.values.min + 5L)
   }
 
