@@ -660,6 +660,57 @@ object TextSketches {
     override def prettyName: String = "graft_dot"
   }
 
+  /** L2 normalization of a numeric vector in ONE pass: the sum of
+    * squares accumulates in index order — bit-identical to the
+    * declarative left fold `aggregate(zip_with(v, v, _*_), 0.0, _+_)`
+    * — then each element divides by `sqrt(sum)`. The declarative form
+    * re-evaluates the norm subtree once PER ELEMENT inside
+    * `transform` (O(dim²) interpreted work per row); this loop reads
+    * the array once. A zero vector is returned unchanged (divisor 1)
+    * instead of propagating NaN into downstream PQ codes; a null
+    * element nulls the whole array (like [[VecDot]]).
+    */
+  case class VecL2Normalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+
+    private def elem(a: ArrayData, i: Int, et: DataType): Double =
+      et match {
+        case FloatType   => a.getFloat(i).toDouble
+        case DoubleType  => a.getDouble(i)
+        case IntegerType => a.getInt(i).toDouble
+        case LongType    => a.getLong(i).toDouble
+        case other =>
+          throw new IllegalArgumentException(s"non-numeric array: $other")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val out = new Array[Double](n)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val d = elem(x, i, et)
+        out(i) = d
+        acc += d * d
+        i += 1
+      }
+      val nrm = math.sqrt(acc)
+      val div = if (nrm == 0.0) 1.0 else nrm
+      i = 0
+      while (i < n) { out(i) = out(i) / div; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): VecL2Normalize = copy(child = newChild)
+    override def prettyName: String = "graft_l2_normalize"
+  }
+
   /** Symmetric int8 quantization of a numeric vector in ONE pass:
     * `struct(q: array<int>, scale: double)` with `q_i = round(x_i /
     * scale * 127)` (HALF_UP, away from zero — Spark `round`
@@ -781,6 +832,8 @@ object GraftFunctions {
       es => TextSketches.TermCounts(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2_normalize",
+      es => TextSketches.VecL2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       es => TextSketches.LshBucket(es.head, litInt(es(1), "bits"),
         litInt(es(2), "dim")), "scala_udf")

@@ -529,8 +529,23 @@ object Similarity {
     * BEFORE encoding makes the PQ inner product an estimate of cosine
     * directly (Jégou et al. 2011's ADC, on the unit sphere), so PQ
     * results rank on the same scale the exact baseline uses.
+    *
+    * Compiled one-pass [[graft.expressions.TextSketches.VecL2Normalize]]
+    * (requires [[graft.expressions.GraftFunctions.register]], which
+    * every pipeline entry point performs): the definitional
+    * `transform(v, x => x / norm(v))` re-evaluates the norm fold once
+    * per element — O(dim²) interpreted work per row — and yields
+    * NaN on a zero vector, which the native form returns unchanged.
+    * Sum-of-squares order and per-element division are bit-identical
+    * to the declarative fold for non-zero vectors (SimilaritySpec).
     */
-  def normalized(vec: Column): Column = {
+  def normalized(vec: Column): Column =
+    call_function("graft_l2_normalize", vec)
+
+  /** The definitional declarative twin of [[normalized]] — kept as
+    * the spec's parity baseline; not used on any hot path.
+    */
+  def normalizedDeclarative(vec: Column): Column = {
     val v = toDouble(vec)
     transform(v, x => x / norm(vec))
   }
@@ -555,6 +570,7 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, ks: Int,
                        dim: Int, iters: Int = 4)
       : Array[Array[Array[Double]]] = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val seeds = pqSeedCodebooks(m, ks, subDim)

@@ -107,6 +107,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mis.isNullAt(0) && mis.isNullAt(1))
   }
 
+  test("native graft_l2_normalize ≡ declarative twin; zero vec unchanged") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(23)
+    val vecs = (0 until 50).map(_ =>
+      Tuple1(Seq.fill(16)(rng.nextFloat() * 4 - 2))).toDF("v")
+    vecs.select(
+        Similarity.normalized($"v").as("nat"),
+        Similarity.normalizedDeclarative($"v").as("dec"))
+      .as[(Seq[Double], Seq[Double])].collect()
+      .foreach { case (nat, dec) =>
+        assert(nat === dec) // exact, element by element
+      }
+    // zero vector: declarative yields NaN, native returns it unchanged
+    val z = Seq(Tuple1(Seq(0.0f, 0.0f, 0.0f))).toDF("v")
+      .select(Similarity.normalized($"v")).as[Seq[Double]].collect().head
+    assert(z === Seq(0.0, 0.0, 0.0))
+  }
+
   test("optimizer rule rewrites the declarative dot fold to graft_dot") {
     graft.expressions.GraftFunctions.register(spark)
     // range source, not a local relation — the optimizer would otherwise
