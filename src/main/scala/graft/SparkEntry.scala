@@ -1451,6 +1451,48 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t24_warc_extract" -> ((s, d) => {
+      // WARC/WET container ingestion roundtrip: each source's docs are
+      // framed as ISO-28500 records — response records carry HTTP
+      // status+header framing on top of the body, conversion (WET)
+      // records carry the body bare — concatenated into one container
+      // per source and split back by the streaming reader. Byte-exact
+      // Content-Length slicing must recover every body verbatim
+      // (multi-byte UTF-8 and all), with HTTP framing stripped only
+      // where present. The 100 TB path reads real containers via
+      // binaryFile (one file = one task = one streamed iterator); this
+      // harness synthesizes the containers scan-side to make the split
+      // oracle-checkable
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d).documents
+      val isResp = col("doc_id") % 3 === 0
+      val payload = when(isResp, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+          col("text"))).otherwise(col("text"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: "),
+        when(isResp, lit("response")).otherwise(lit("conversion")),
+        lit("\r\nWARC-Target-URI: http://"), col("source"),
+        lit("/doc/"), col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2024-01-0"),
+        (col("doc_id") % 9 + 1).cast("string"),
+        lit("T00:00:00Z\r\nContent-Length: "),
+        length(encode(payload, "UTF-8")).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      docs.groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), rec.as("rec")))),
+          r => r.getField("rec")), "").as("container"))
+        .select(explode(graft.sources.Warc.warcSplit(
+          encode(col("container"), "UTF-8"))).as("r"))
+        .select(col("r.url").as("url"), col("r.rtype").as("rtype"),
+          col("r.date").as("warc_date"),
+          col("r.n_headers").cast("long").as("n_headers"),
+          length(col("r.body")).cast("long").as("n_bytes"),
+          decode(col("r.body"), "UTF-8").as("body"))
+        .repartition(1).sortWithinPartitions("url")
+    }),
+
     "t16_boilerplate" -> ((s, d) => {
       // CCNet-style boilerplate strip: every source's docs get a
       // synthetic site template (nav header + copyright footer); the
@@ -3614,6 +3656,20 @@ object SparkEntry {
          |    AS avg_nll_bigram,
          |  CAST(count(*) AS BIGINT) AS n_tokens
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle never parses WARC — it states what a byte-exact
+    // roundtrip must recover per document (body == text, HTTP framing
+    // gone, 4 WARC headers, strlen = octet count), so any framing
+    // error in the reader surfaces as a body/n_bytes mismatch
+    "t24_warc_extract" ->
+      """SELECT 'http://' || source || '/doc/' || doc_id AS url,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'response'
+        |       ELSE 'conversion' END AS rtype,
+        |  '2024-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS warc_date,
+        |  CAST(4 AS BIGINT) AS n_headers,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  text AS body
+        |FROM documents ORDER BY url""".stripMargin,
 
     // independently-derived formulation: per-domain boilerplate LIST +
     // in-row list_filter (the engine's anti-join form must agree)

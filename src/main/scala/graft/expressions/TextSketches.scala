@@ -847,6 +847,8 @@ object GraftFunctions {
       es => TextSketches.QuantizeInt8(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_registered_domain",
       es => Domains.RegisteredDomain(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_warc_split",
+      es => graft.sources.Warc.WarcSplit(es.head), "scala_udf")
     // optimizer rule: declarative dot-product folds compile to VecDot
     // (idempotent append)
     val rules = spark.experimental.extraOptimizations
