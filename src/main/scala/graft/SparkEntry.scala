@@ -1636,6 +1636,34 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "t25_quality_clf" -> ((s, d) => {
+      // trained quality classifier: multinomial NB over the DSIR
+      // hashed-64-bucket unigram feature space. Every doc gets a
+      // labeled twin (clean = high, keyword-stuffed = low); the model
+      // trains on the doc_id%3≠0 split only and scores the HELD-OUT
+      // docs in-row against the broadcast micro-unit weights — the
+      // learned half of the quality gate (rules catch structure, this
+      // catches fluent spam; see TextAnalysisSpec for the
+      // rules-pass/clf-fail separation)
+      val docs = T(s, d).documents
+      val spamText = concat(
+        concat_ws(" ", slice(Dedup.words(col("text")), 1, 10)),
+        lit(" buy cheap deal click here free offer best price win now"
+          + " buy cheap deal click here free offer best price win now"))
+      val variants = docs.select(col("doc_id"), lit(0L).as("variant"),
+          col("text").as("t"))
+        .unionAll(docs.select(col("doc_id"), lit(1L).as("variant"),
+          spamText.as("t")))
+      val model = TextAnalysis.trainQualityClf(
+        variants.filter(col("doc_id") % 3 =!= 0), col("t"),
+        col("variant") === 0)
+      TextAnalysis.scoreQualityClf(
+          variants.filter(col("doc_id") % 3 === 0), col("t"), model)
+        .select(col("doc_id"), col("variant"),
+          col("clf_micro").cast("long").as("clf_micro"), col("clf_pass"))
+        .repartition(1).sortWithinPartitions("doc_id", "variant")
+    }),
+
     "t3_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(T(s, d).documents, col("text"))
         .select("doc_id", "lang", "lang_pred", "lang_score")
@@ -4153,6 +4181,54 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY weight_micro DESC, doc_id) <= 100
          |    AS selected
          |FROM full_w ORDER BY doc_id""".stripMargin,
+
+    // the ENTIRE training run is mirrored (bucket counts → smoothed
+    // log-ratios → prior), all 64 buckets materialized so unseen
+    // buckets carry their smoothed (nonzero) weight exactly like the
+    // engine's Array.tabulate; scoring is the same micro-unit sum
+    "t25_quality_clf" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS variant, text AS t
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS variant,
+         |    array_to_string(${wordsSql("text")}[1:10], ' ') ||
+         |    ' buy cheap deal click here free offer best price win now' ||
+         |    ' buy cheap deal click here free offer best price win now'
+         |      AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, variant, unnest(${wordsSql("t")}) AS wd
+         |      FROM v),
+         |b AS (SELECT doc_id, variant, ${h48("wd")} % 64 AS bk FROM w),
+         |allb AS (SELECT unnest(range(0, 64)) AS bk),
+         |cnt0 AS (SELECT bk,
+         |           sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS pc,
+         |           sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nc
+         |         FROM b WHERE doc_id % 3 <> 0 GROUP BY bk),
+         |cnt AS (SELECT allb.bk, COALESCE(pc, 0) AS pc,
+         |          COALESCE(nc, 0) AS nc
+         |        FROM allb LEFT JOIN cnt0 ON allb.bk = cnt0.bk),
+         |tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt),
+         |ratio AS (SELECT bk,
+         |            CAST(round((ln((pc + 1.0) / (pt + 64.0))
+         |              - ln((nc + 1.0) / (nt + 64.0))) * 1000000)
+         |              AS BIGINT) AS rm
+         |          FROM cnt, tot),
+         |pr AS (SELECT CAST(round(ln(
+         |           (sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) + 1.0)
+         |         / (sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) + 1.0))
+         |         * 1000000) AS BIGINT) AS pm
+         |       FROM v WHERE doc_id % 3 <> 0),
+         |sc AS (SELECT doc_id, variant, sum(rm) AS sm
+         |       FROM b JOIN ratio USING (bk)
+         |       WHERE doc_id % 3 = 0 GROUP BY doc_id, variant)
+         |SELECT v.doc_id, v.variant,
+         |  CAST(COALESCE(sc.sm, 0) + pr.pm AS BIGINT) AS clf_micro,
+         |  (COALESCE(sc.sm, 0) + pr.pm) >= 0 AS clf_pass
+         |FROM v CROSS JOIN pr
+         |LEFT JOIN sc ON v.doc_id = sc.doc_id AND v.variant = sc.variant
+         |WHERE v.doc_id % 3 = 0
+         |ORDER BY v.doc_id, v.variant""".stripMargin,
 
     "t3_lang_id" ->
       """WITH w AS (

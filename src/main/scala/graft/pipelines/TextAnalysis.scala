@@ -559,6 +559,79 @@ object TextAnalysis {
     df.withColumn("weight_micro", weight)
   }
 
+  /** A trained quality-classifier model: per-bucket log-likelihood-
+    * ratio weights over [[dsirWeights]]'s hashed unigram feature space
+    * plus the class-prior log-ratio, all in integer micro-units so
+    * scoring is bit-deterministic under any partitioning. The whole
+    * model is `buckets + 1` longs — broadcastable as a literal array
+    * and small enough to mirror into an oracle query verbatim.
+    */
+  final case class QualityClfModel(ratioMicro: Array[Long],
+                                   priorMicro: Long, buckets: Int)
+
+  /** Train a multinomial Naive-Bayes quality classifier (the learned
+    * half of a CCNet/GPT-3-lineage quality gate — rules catch
+    * structural junk, the classifier catches fluent spam) on a labeled
+    * corpus: `label` true = high quality. Feature extraction is the
+    * DSIR pipeline's: every word hashes into `buckets` buckets, and
+    * per-class add-one-smoothed bucket models yield
+    * `ratio(b) = ln p̂(b|hi) − ln p̂(b|lo)` (micro-units, HALF_UP —
+    * rounded per bucket BEFORE any doc sum). The driver collect is
+    * exactly `buckets` partial-count rows plus one doc-count row,
+    * regardless of corpus size — 100 TB-safe by construction.
+    */
+  def trainQualityClf(labeled: DataFrame, text: Column, label: Column,
+                      buckets: Int = 64): QualityClfModel = {
+    graft.expressions.GraftFunctions.register(labeled.sparkSession)
+    val bucketOf = (w: Column) =>
+      pmod(md5Hash48(w), lit(buckets.toLong)).cast("int")
+    val occ = labeled.select(label.as("_pos"),
+        explode(Dedup.words(text)).as("_w"))
+      .select(col("_pos"), bucketOf(col("_w")).as("_b"))
+    val counts = occ.groupBy("_b")
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("pc"),
+        count(lit(1)).as("tc"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2) - r.getLong(1))))
+      .toMap
+    val pTot = counts.valuesIterator.map(_._1).sum.toDouble
+    val nTot = counts.valuesIterator.map(_._2).sum.toDouble
+    val ratioMicro: Array[Long] = Array.tabulate(buckets) { b =>
+      val (pc, nc) = counts.getOrElse(b, (0L, 0L))
+      BigDecimal((math.log((pc + 1.0) / (pTot + buckets))
+          - math.log((nc + 1.0) / (nTot + buckets))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val dc = labeled.agg(
+      sum(when(label, 1L).otherwise(0L)).as("np"),
+      sum(when(label, 0L).otherwise(1L)).as("nn")).collect()(0)
+    val priorMicro = BigDecimal(
+        math.log((dc.getLong(0) + 1.0) / (dc.getLong(1) + 1.0)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    QualityClfModel(ratioMicro, priorMicro, buckets)
+  }
+
+  /** Score documents against a trained [[QualityClfModel]] in-row:
+    * `clf_micro = prior + Σ count(w) · ratio(b(w))` over the compiled
+    * [[graft.expressions.TextSketches.TermCounts]] map and the literal
+    * weight array (scan-side arithmetic, no shuffle, no model join);
+    * `clf_pass = clf_micro ≥ 0` is the NB decision. A wordless doc
+    * scores exactly the prior.
+    */
+  def scoreQualityClf(df: DataFrame, text: Column,
+                      model: QualityClfModel): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val bucketOf = (w: Column) =>
+      pmod(md5Hash48(w), lit(model.buckets.toLong)).cast("int")
+    val tc = call_function("graft_term_counts", text)
+    val score = aggregate(map_entries(tc), lit(model.priorMicro),
+      (acc, e) => acc + e.getField("value").cast("long")
+        * element_at(typedLit(model.ratioMicro),
+            bucketOf(e.getField("key")) + 1))
+    df.withColumn("clf_micro", score)
+      .withColumn("clf_pass", col("clf_micro") >= 0)
+  }
+
   /** Document fingerprint: 60-bit md5 of the normalized text (lowercase,
     * whitespace-collapsed) — an order-stable exact-dup key shared with
     * the DuckDB oracle.

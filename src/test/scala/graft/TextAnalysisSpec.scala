@@ -337,6 +337,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       run().select("doc_id").as[Long].collect().toSet)
   }
 
+  test("quality clf separates gate-passing spam from prose; rules do not") {
+    // fluent keyword-stuffing: sentence-shaped, stopword-bearing,
+    // varied trigrams — engineered to sail through every structural
+    // rule, which is exactly the gap the learned classifier closes
+    val prose = Seq(
+      "The committee reviewed the annual report in detail and concluded that the results were broadly in line with expectations for the year. Several members asked for further analysis of the regional figures, and the chair agreed to circulate a revised summary before the next scheduled meeting in October so that everyone could prepare properly.",
+      "When the storm finally passed, the villagers came down to the harbour to inspect the boats and found that most of the damage was limited to torn sails and a few broken spars. The older fishermen said it had been the worst wind in thirty years, though the records kept by the harbourmaster suggested otherwise.",
+      "Researchers at the institute published a study describing how migratory birds adjust their routes in response to shifting weather patterns. The work, which drew on two decades of tracking data, suggests that some species are far more flexible than previously believed and can relocate their stopover sites by hundreds of kilometres.",
+      "The library reopened after the renovation with longer opening hours and a new reading room on the second floor. Visitors praised the quiet atmosphere and the improved lighting, while staff noted that the catalogue migration had gone smoothly and that most requests were now being fulfilled within a single working day.")
+    val spam = Seq(
+      "Shop the best deals today and save big on every order with our amazing discount codes. Buy now and get free shipping to your door, plus exclusive offers on watches, bags, shoes and jewellery. Do not miss this limited chance to win great prizes and earn cash back on all your favourite brands online.",
+      "Get the lowest prices on cheap flights and hotel rooms when you book through our site today. Huge savings await you, with special offers updated daily and bonus points on every purchase. Join millions of happy customers and claim your welcome voucher now before this incredible promotion ends, because our friendly team is standing by to help you save even more.",
+      "Earn money fast from home with this simple trick that banks do not want you to know. Sign up today for instant access to our proven system, unlock premium tips and start winning big right away. Thousands already cashed out their rewards, so click now and secure your free bonus offer.",
+      "Best casino games and live betting odds are waiting for you with a huge welcome bonus on your first deposit. Spin the wheel today for free coins, claim daily rewards and enjoy instant payouts. Download now and join the top players winning real cash prizes every single hour of the day.")
+    val docs = (prose.map((_, true)) ++ spam.map((_, false))).zipWithIndex
+      .map { case ((t, hi), i) => (i.toLong, t, hi) }
+      .toDF("id", "text", "hi")
+    // rules alone: EVERY doc (spam included) passes the gate
+    val gate = TextAnalysis.qualityRules(docs, $"text")
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(gate.values.forall(identity),
+      s"spec premise: all docs must pass the rules gate, got $gate")
+    // train on 3 of each class, hold out one of each (ids 3 and 7)
+    val train = docs.filter($"id" =!= 3L && $"id" =!= 7L)
+    val model = TextAnalysis.trainQualityClf(train, $"text", $"hi")
+    assert(model.priorMicro === 0L) // balanced split
+    val got = TextAnalysis.scoreQualityClf(
+        docs.filter($"id" === 3L || $"id" === 7L), $"text", model)
+      .select($"id", $"clf_pass").as[(Long, Boolean)].collect().toMap
+    assert(got(3L) === true)  // held-out prose keeps
+    assert(got(7L) === false) // held-out spam drops
+  }
+
   test("native text counters match the declarative twins on the corpus") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
       .select("doc_id", "text")
