@@ -168,6 +168,91 @@ object SparkEntry {
   private val permHashSql =
     "(h * (p * 2 + 3) + (p * 1000003 + 12345)) % 2147483647"
 
+  /** DuckDB mirror of the ENTIRE BPE run (TextAnalysis.trainBpe +
+    * TextSketches.BpeEncode) as WITH-clause members — training is
+    * stage-unrolled (one pair-count + best-pick + apply CTE triple per
+    * merge, ties broken `count DESC, left, right` exactly like the
+    * trainer), encoding is one recursive CTE that walks the learned
+    * merge table in rank order, re-applying a merge until its pattern
+    * no longer occurs (the trainer's replace-to-fixpoint rule). The
+    * caller's query must start `WITH RECURSIVE`. Exposes:
+    *   - `bmrg(rk, ml, mr)` — the learned merge table;
+    *   - `btok(wd, toks)`   — per distinct corpus word, its token list;
+    *   - `bdoc(doc_id, bpe_tokens, encoding)` — per document, the
+    *     subword token count and the space-joined token stream.
+    * The training apply-stage nests replace() 6 deep: one
+    * replace-all pass halves the surviving occurrences of a
+    * self-overlapping pair, so 6 passes reach fixpoint for words up to
+    * 64 tokens (the corpus max is 8).
+    */
+  private def bpeSqlCtes(numMerges: Int = 32, topWords: Int = 1024)
+      : String = {
+    val sep = "chr(31)"
+    def seedSql(w: String) =
+      s"$sep || regexp_replace($w, '(.)', '\\1' || $sep, 'g')"
+    def toksSql(s: String) =
+      s"list_filter(string_split($s, $sep), x -> x <> '')"
+    val stages = (0 until numMerges).map { i =>
+      val pat = s"$sep || b.l || $sep || b.r || $sep"
+      val rep = s"$sep || b.l || b.r || $sep"
+      val applied = (1 to 6).foldLeft("g.s") { (acc, _) =>
+        s"replace($acc, $pat, $rep)"
+      }
+      s"""bpc$i AS (
+         |  SELECT z.toks[z.j] AS l, z.toks[z.j + 1] AS r, sum(z.n) AS c
+         |  FROM (
+         |    SELECT t.n, t.toks, unnest(range(1, len(t.toks))) AS j
+         |    FROM (SELECT n, ${toksSql("s")} AS toks FROM bseg$i) t) z
+         |  GROUP BY 1, 2),
+         |bbp$i AS (SELECT l, r FROM bpc$i ORDER BY c DESC, l, r LIMIT 1),
+         |bseg${i + 1} AS (
+         |  SELECT g.wd, g.n,
+         |    CASE WHEN b.l IS NULL THEN g.s ELSE $applied END AS s
+         |  FROM bseg$i g LEFT JOIN bbp$i b ON true)""".stripMargin
+    }.mkString(",\n")
+    val mrg = (0 until numMerges)
+      .map(i => s"SELECT $i AS rk, l AS ml, r AS mr FROM bbp$i")
+      .mkString(" UNION ALL ")
+    val encPat = s"$sep || m.ml || $sep || m.mr || $sep"
+    s"""bwf AS (
+       |  SELECT wd, count(*) AS n FROM (
+       |    SELECT unnest(${wordsSql("text")}) AS wd FROM documents) u
+       |  GROUP BY wd ORDER BY n DESC, wd LIMIT $topWords),
+       |bseg0 AS (SELECT wd, n, ${seedSql("wd")} AS s FROM bwf),
+       |$stages,
+       |bmrg AS ($mrg),
+       |bcw AS (SELECT DISTINCT unnest(${wordsSql("text")}) AS wd
+       |        FROM documents),
+       |benc AS (
+       |  SELECT wd, ${seedSql("wd")} AS s, 0 AS i FROM bcw
+       |  UNION ALL
+       |  SELECT e.wd,
+       |    CASE WHEN m.ml IS NOT NULL AND contains(e.s, $encPat)
+       |      THEN replace(e.s, $encPat,
+       |                   $sep || m.ml || m.mr || $sep)
+       |      ELSE e.s END,
+       |    CASE WHEN m.ml IS NOT NULL AND contains(e.s, $encPat)
+       |      THEN e.i ELSE e.i + 1 END
+       |  FROM benc e LEFT JOIN bmrg m ON m.rk = e.i
+       |  WHERE e.i < $numMerges),
+       |btok AS (
+       |  SELECT wd, ${toksSql("s")} AS toks
+       |  FROM benc WHERE i = $numMerges),
+       |bdoc AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(x.bt, 0) AS BIGINT) AS bpe_tokens,
+       |    COALESCE(x.enc, '') AS encoding
+       |  FROM documents d LEFT JOIN (
+       |    SELECT q.doc_id, sum(len(t.toks)) AS bt,
+       |      array_to_string(flatten(list(t.toks ORDER BY q.p)), ' ')
+       |        AS enc
+       |    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS p
+       |          FROM (SELECT doc_id, ${wordsSql("text")} AS ws
+       |                FROM documents) ww) q
+       |    JOIN btok t ON t.wd = q.ws[q.p]
+       |    GROUP BY q.doc_id) x ON x.doc_id = d.doc_id)""".stripMargin
+  }
+
   /** 4-decimal price format mirroring Plans.fmtPrice. */
   private def fmtSql(x: String) =
     s"CAST(CAST(round(($x) * 10000) AS BIGINT) / 10000.0 AS VARCHAR)"
@@ -1148,16 +1233,23 @@ object SparkEntry {
 
     "t13_token_mix" -> ((s, d) => {
       // token-budget mixing: sample per-language strata to target token
-      // shares (60/25/15) of a fixed budget, counting n_chars as the
-      // token proxy; output the achieved mixture
-      TextAnalysis.tokenBudgetMix(
-          T(s, d).documents.select("doc_id", "lang", "n_chars"),
-          col("doc_id"), col("lang"), col("n_chars"),
+      // shares (60/25/15) of a fixed budget, denominated in REAL
+      // subword tokens (the t26 trained BPE, not the old n_chars
+      // proxy — a char proxy mis-states per-language budgets wherever
+      // mean word length differs across languages); output the
+      // achieved mixture
+      val docs = T(s, d).documents
+      val model = TextAnalysis.trainBpe(docs, col("text"))
+      val toked = docs.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.bpeTokens(col("text"), model)).cast("long")
+          .as("tok"))
+      TextAnalysis.tokenBudgetMix(toked,
+          col("doc_id"), col("lang"), col("tok"),
           targetShares = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15),
-          tokenBudget = 500000L, salt = "mix-r3")
+          tokenBudget = 20000L, salt = "mix-r3")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("n_tokens"))
+          sum(col("tok")).as("n_tokens"))
         .repartition(1).sortWithinPartitions("lang")
     }),
 
@@ -1547,8 +1639,13 @@ object SparkEntry {
     }),
 
     "t7_seq_pack" -> ((s, d) => {
-      TextAnalysis.packSequences(T(s, d).documents, col("lang"),
-          col("doc_id"), TextAnalysis.tokenCountWs(col("text")),
+      // sequence packing denominated in REAL subword tokens (the t26
+      // trained BPE) — a whitespace proxy under-fills context windows
+      // by however much the tokenizer splits words
+      val docs = T(s, d).documents
+      val model = TextAnalysis.trainBpe(docs, col("text"))
+      TextAnalysis.packSequences(docs, col("lang"), col("doc_id"),
+          size(TextAnalysis.bpeTokens(col("text"), model)).cast("long"),
           window = 2048)
         .select("doc_id", "lang", "tok", "bin")
         .repartition(1).sortWithinPartitions("doc_id")
@@ -1662,6 +1759,26 @@ object SparkEntry {
         .select(col("doc_id"), col("variant"),
           col("clf_micro").cast("long").as("clf_micro"), col("clf_pass"))
         .repartition(1).sortWithinPartitions("doc_id", "variant")
+    }),
+
+    "t26_bpe_tokenize" -> ((s, d) => {
+      // learned subword tokenizer: deterministic BPE (32 merges,
+      // frequency-then-lexicographic tie-breaks) trained on the
+      // corpus's own word-frequency summary, then every document
+      // re-encoded scan-side against the one-literal merge table. The
+      // oracle mirrors the ENTIRE training run (stage-unrolled
+      // pair-count/best-pick/apply CTEs) plus the greedy encoder (a
+      // recursive CTE over distinct words), so the trainer and the
+      // encoder are both certified — no frozen fixture-dependent
+      // weights
+      val docs = T(s, d).documents
+      val model = TextAnalysis.trainBpe(docs, col("text"))
+      docs.select(col("doc_id"),
+          TextAnalysis.bpeTokens(col("text"), model).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("bpe_tokens"),
+          array_join(col("toks"), " ").as("encoding"))
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     "t3_lang_id" -> ((s, d) => {
@@ -3953,23 +4070,25 @@ object SparkEntry {
     // literals as DECIMAL, whose exact arithmetic diverges from the
     // engine's double rates at the sampling boundary
     "t13_token_mix" ->
-      s"""WITH inv AS (
-         |  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS tok
-         |  FROM documents GROUP BY lang),
+      s"""WITH RECURSIVE ${bpeSqlCtes()},
+         |inv AS (
+         |  SELECT d.lang, CAST(sum(b.bpe_tokens) AS DOUBLE) AS tok
+         |  FROM documents d JOIN bdoc b USING (doc_id) GROUP BY d.lang),
          |rates AS (
          |  SELECT lang,
          |    least(CAST(1.0 AS DOUBLE),
-         |      500000 * CASE lang WHEN 'en' THEN 0.6::DOUBLE
-         |                         WHEN 'de' THEN 0.25::DOUBLE
-         |                         ELSE 0.15::DOUBLE END / tok) AS rate
+         |      20000 * CASE lang WHEN 'en' THEN 0.6::DOUBLE
+         |                        WHEN 'de' THEN 0.25::DOUBLE
+         |                        ELSE 0.15::DOUBLE END / tok) AS rate
          |  FROM inv WHERE lang IN ('en', 'de', 'fr')),
          |kept AS (
-         |  SELECT d.doc_id, d.lang, d.n_chars
-         |  FROM documents d JOIN rates r ON d.lang = r.lang
+         |  SELECT d.doc_id, d.lang, b.bpe_tokens AS tok
+         |  FROM documents d JOIN bdoc b USING (doc_id)
+         |  JOIN rates r ON d.lang = r.lang
          |  WHERE ${h60("'mix-r3#' || CAST(doc_id AS VARCHAR)")} % 1000000
          |    < r.rate * 1000000)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_chars) AS BIGINT) AS n_tokens
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t10_corpus_shuffle" ->
@@ -4043,14 +4162,19 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "t7_seq_pack" ->
-      """WITH f AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), w -> w <> '')) AS BIGINT) AS tok
-        |  FROM documents)
-        |SELECT doc_id, lang, tok,
-        |  CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${bpeSqlCtes()},
+         |f AS (
+         |  SELECT d.doc_id, d.lang, b.bpe_tokens AS tok
+         |  FROM documents d JOIN bdoc b USING (doc_id))
+         |SELECT doc_id, lang, tok,
+         |  CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t26_bpe_tokenize" ->
+      s"""WITH RECURSIVE ${bpeSqlCtes()}
+         |SELECT doc_id, bpe_tokens, encoding
+         |FROM bdoc ORDER BY doc_id""".stripMargin,
 
     "t8_top_terms" ->
       s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n

@@ -377,6 +377,95 @@ object TextSketches {
     override def prettyName: String = "graft_text_stats"
   }
 
+  /** Greedy byte-pair encoding over a trained merge table
+    * ([[graft.pipelines.TextAnalysis.trainBpe]]): the learned subword
+    * tokenizer that makes token-denominated operators (budget mixing,
+    * sequence packing) honest — the char-class `tok_bpe` proxy in
+    * [[TextStats]] over/under-counts real subword tokens by 2-4×.
+    *
+    * Encoding semantics (deterministic, shared bit-for-bit with the
+    * DuckDB oracle mirror): each word (the standard whitespace split,
+    * lowercased) is seeded as its code-point sequence joined by the
+    * `` boundary separator; merges apply strictly in training-rank
+    * order, each via leftmost non-overlapping replace-all repeated to
+    * fixpoint (a run `a a a a` under merge `a+a` becomes `aa aa`, never
+    * `aa a a`). The merge table arrives as one literal spec string —
+    * pairs `leftright` joined by `` — so the task closure
+    * ships bytes, not structures, and the identical literal interpolates
+    * into the oracle SQL.
+    *
+    * Per-task encode cache: natural text re-uses a small vocabulary
+    * (Zipf), so each distinct word is encoded once per task, not once
+    * per occurrence — the standard tokenizer-serving trick. The cache is
+    * `@transient lazy`, so executors build their own and the driver
+    * ships none; capped so adversarial vocabularies cannot balloon task
+    * memory.
+    */
+  case class BpeEncode(child: Expression, mergesSpec: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+    @transient private lazy val merges: Array[(String, String)] =
+      if (mergesSpec.isEmpty) Array.empty
+      else mergesSpec.split('').map { m =>
+        val i = m.indexOf('')
+        require(i > 0, s"malformed BPE merge spec entry: $m")
+        val pat = "" + m.substring(0, i) + "" +
+          m.substring(i + 1) + ""
+        val rep = "" + m.substring(0, i) + m.substring(i + 1) +
+          ""
+        (pat, rep)
+      }
+
+    @transient private lazy val cache =
+      new java.util.HashMap[String, Array[UTF8String]]()
+    private val CacheCap = 65536
+
+    /** Seed segmentation: ` c1  c2 … ` over code
+      * points (never splits surrogate pairs; mirrors the oracle's
+      * RE2 `(.)` per-code-point insertion).
+      */
+    private def seed(w: String): String = {
+      val sb = new java.lang.StringBuilder(w.length * 2 + 1)
+      sb.append('')
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append('')
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+
+    private def encodeWord(w: String): Array[UTF8String] = {
+      val hit = cache.get(w)
+      if (hit != null) return hit
+      var s = seed(w)
+      var i = 0
+      while (i < merges.length) {
+        val (pat, rep) = merges(i)
+        while (s.contains(pat)) s = s.replace(pat, rep)
+        i += 1
+      }
+      val toks = s.split('').filter(_.nonEmpty)
+        .map(UTF8String.fromString)
+      if (cache.size < CacheCap) cache.put(w, toks)
+      toks
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val ws = words(input.asInstanceOf[UTF8String])
+      val out = Array.newBuilder[UTF8String]
+      var i = 0
+      while (i < ws.length) { out ++= encodeWord(ws(i)); i += 1 }
+      new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): BpeEncode =
+      copy(child = c)
+    override def prettyName: String = "graft_bpe_encode"
+  }
+
   /** Count of words whose lowercase form is in a literal word set —
     * compiled twin of `size(filter(split(text, "\\s+"), w =>
     * lower(w).isin(set)))`. One pass, no per-row array materialization;
@@ -798,6 +887,14 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"$what must be a literal: $other")
   }
 
+  private def litStr(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => ""
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal: $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotent per session: pipelines call register() defensively on
@@ -830,6 +927,9 @@ object GraftFunctions {
       es => TextSketches.WordHits(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_term_counts",
       es => TextSketches.TermCounts(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_encode",
+      es => TextSketches.BpeEncode(es.head, litStr(es(1), "merges")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2_normalize",

@@ -632,6 +632,96 @@ object TextAnalysis {
       .withColumn("clf_pass", col("clf_micro") >= 0)
   }
 
+  /** A trained BPE merge table in application order. `spec` is the
+    * single-literal wire form [[graft.expressions.TextSketches.BpeEncode]]
+    * consumes (pairs `leftright` joined by `` — one string
+    * literal in the task closure, and the same table the oracle SQL
+    * mirrors as a `VALUES` list).
+    */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    def spec: String =
+      merges.map { case (l, r) => l + "" + r }.mkString("")
+  }
+
+  /** Train a deterministic byte-pair-encoding merge table (Sennrich
+    * 2016's algorithm over a word-frequency summary — the same
+    * formulation SentencePiece/HF train from): seed every word as its
+    * code-point sequence, then `numMerges` times merge the
+    * highest-frequency adjacent token pair (ties broken
+    * lexicographically by left then right token, so training is
+    * bit-reproducible under any partitioning or hash-map order).
+    *
+    * The distributed part is one word-count groupBy; the driver then
+    * trains on the top-`topWords` (freq desc, word asc) summary — a
+    * TakeOrdered-bounded collect, never corpus-sized, exactly how
+    * production tokenizers train from a frequency table rather than raw
+    * text. Merge application uses leftmost non-overlapping
+    * replace-all to fixpoint — the identical rule
+    * [[graft.expressions.TextSketches.BpeEncode]] and the DuckDB oracle
+    * apply, so trained table + encoder are bit-consistent end to end.
+    */
+  def trainBpe(df: DataFrame, text: Column, numMerges: Int = 32,
+               topWords: Int = 1024): BpeModel = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val Sep = ''
+    val wf = df.select(explode(Dedup.words(text)).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_w").asc)
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def seed(w: String): String = {
+      val sb = new java.lang.StringBuilder(w.length * 2 + 1)
+      sb.append(Sep)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append(Sep)
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    var vocab = wf.map { case (w, n) => (seed(w), n) }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, n) =>
+        val toks = s.split(Sep).filter(_.nonEmpty)
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = counts.toSeq
+          .sortBy { case ((pl, pr), c) => (-c, pl, pr) }.head
+        val pat = s"$Sep$l$Sep$r$Sep"
+        val rep = s"$Sep$l$r$Sep"
+        vocab = vocab.map { case (s, n) =>
+          var t = s
+          while (t.contains(pat)) t = t.replace(pat, rep)
+          (t, n)
+        }
+        merges += ((l, r))
+        m += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Token array of `text` under a trained [[BpeModel]] — scan-side,
+    * per-task word-cache, no shuffle. Requires
+    * `GraftFunctions.register` to have run in the session ([[trainBpe]]
+    * and `Tables` both do).
+    */
+  def bpeTokens(text: Column, model: BpeModel): Column =
+    call_function("graft_bpe_encode", text, lit(model.spec))
+
   /** Document fingerprint: 60-bit md5 of the normalized text (lowercase,
     * whitespace-collapsed) — an order-stable exact-dup key shared with
     * the DuckDB oracle.
