@@ -175,15 +175,23 @@ object SparkEntry {
     * trainer), encoding is one recursive CTE that walks the learned
     * merge table in rank order, re-applying a merge until its pattern
     * no longer occurs (the trainer's replace-to-fixpoint rule). The
-    * caller's query must start `WITH RECURSIVE`. Exposes:
+    * caller's query must start `WITH RECURSIVE`. Every non-recursive
+    * member is MATERIALIZED: the 32 training stages reference their
+    * predecessors repeatedly, and DuckDB's default CTE inlining
+    * expands that chain combinatorially (observed: fd exhaustion
+    * killing the oracle); materialization evaluates each stage once.
+    * Exposes:
     *   - `bmrg(rk, ml, mr)` — the learned merge table;
     *   - `btok(wd, toks)`   — per distinct corpus word, its token list;
     *   - `bdoc(doc_id, bpe_tokens, encoding)` — per document, the
     *     subword token count and the space-joined token stream.
-    * The training apply-stage nests replace() 6 deep: one
-    * replace-all pass halves the surviving occurrences of a
-    * self-overlapping pair, so 6 passes reach fixpoint for words up to
-    * 64 tokens (the corpus max is 8).
+    * The training apply-stage nests replace() 6 deep. replace() is
+    * leftmost non-overlapping, so on a run of a self-overlapping pair
+    * each pass rewrites alternating occurrences and the next pass sees
+    * freshly adjacent ones — convergence is much faster than halving
+    * (simulated: 6 passes reach fixpoint for runs of 4000+ tokens).
+    * The corpus max word is 8 tokens, so the fixed depth has orders of
+    * magnitude of headroom.
     */
   private def bpeSqlCtes(numMerges: Int = 32, topWords: Int = 1024)
       : String = {
@@ -198,14 +206,15 @@ object SparkEntry {
       val applied = (1 to 6).foldLeft("g.s") { (acc, _) =>
         s"replace($acc, $pat, $rep)"
       }
-      s"""bpc$i AS (
+      s"""bpc$i AS MATERIALIZED (
          |  SELECT z.toks[z.j] AS l, z.toks[z.j + 1] AS r, sum(z.n) AS c
          |  FROM (
          |    SELECT t.n, t.toks, unnest(range(1, len(t.toks))) AS j
          |    FROM (SELECT n, ${toksSql("s")} AS toks FROM bseg$i) t) z
          |  GROUP BY 1, 2),
-         |bbp$i AS (SELECT l, r FROM bpc$i ORDER BY c DESC, l, r LIMIT 1),
-         |bseg${i + 1} AS (
+         |bbp$i AS MATERIALIZED (
+         |  SELECT l, r FROM bpc$i ORDER BY c DESC, l, r LIMIT 1),
+         |bseg${i + 1} AS MATERIALIZED (
          |  SELECT g.wd, g.n,
          |    CASE WHEN b.l IS NULL THEN g.s ELSE $applied END AS s
          |  FROM bseg$i g LEFT JOIN bbp$i b ON true)""".stripMargin
@@ -214,15 +223,17 @@ object SparkEntry {
       .map(i => s"SELECT $i AS rk, l AS ml, r AS mr FROM bbp$i")
       .mkString(" UNION ALL ")
     val encPat = s"$sep || m.ml || $sep || m.mr || $sep"
-    s"""bwf AS (
+    s"""bwf AS MATERIALIZED (
        |  SELECT wd, count(*) AS n FROM (
        |    SELECT unnest(${wordsSql("text")}) AS wd FROM documents) u
        |  GROUP BY wd ORDER BY n DESC, wd LIMIT $topWords),
-       |bseg0 AS (SELECT wd, n, ${seedSql("wd")} AS s FROM bwf),
+       |bseg0 AS MATERIALIZED (
+       |  SELECT wd, n, ${seedSql("wd")} AS s FROM bwf),
        |$stages,
-       |bmrg AS ($mrg),
-       |bcw AS (SELECT DISTINCT unnest(${wordsSql("text")}) AS wd
-       |        FROM documents),
+       |bmrg AS MATERIALIZED ($mrg),
+       |bcw AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(${wordsSql("text")}) AS wd
+       |  FROM documents),
        |benc AS (
        |  SELECT wd, ${seedSql("wd")} AS s, 0 AS i FROM bcw
        |  UNION ALL
@@ -235,10 +246,10 @@ object SparkEntry {
        |      THEN e.i ELSE e.i + 1 END
        |  FROM benc e LEFT JOIN bmrg m ON m.rk = e.i
        |  WHERE e.i < $numMerges),
-       |btok AS (
+       |btok AS MATERIALIZED (
        |  SELECT wd, ${toksSql("s")} AS toks
        |  FROM benc WHERE i = $numMerges),
-       |bdoc AS (
+       |bdoc AS MATERIALIZED (
        |  SELECT d.doc_id,
        |    CAST(COALESCE(x.bt, 0) AS BIGINT) AS bpe_tokens,
        |    COALESCE(x.enc, '') AS encoding

@@ -25,6 +25,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fail fast — with the table and column named — when the driver
+    * regenerates the testdata with a shape the adapters don't produce.
+    * Round 8 burned entirely on silent drift (events.ts flipped from
+    * INT64-nanos to tz-naive micros and 12 queries died in analysis);
+    * one require here turns the next drift into a one-line diagnosis.
+    */
+  private def assertTypes(name: String, df: DataFrame,
+                          expected: (String, org.apache.spark.sql.types.DataType)*): DataFrame = {
+    expected.foreach { case (c, dt) =>
+      val actual = df.schema(c).dataType
+      require(actual == dt,
+        s"testdata drift: $name.$c is $actual, expected $dt after adaptation " +
+        s"— update Tables.$name's adapter for the new parquet shape")
+    }
+    df
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -32,20 +49,45 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
-    * cannot read as a timestamp; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
-    * nanos, which we truncate to a micros TimestampType (the data is
-    * micro-aligned; DuckDB's `epoch_us` truncates identically).
+  /** `events.parquet` has shipped `ts` in two physical shapes across
+    * driver regenerations, both normalized here to a micros
+    * `TimestampType` so every downstream `unix_micros`/`window` call
+    * resolves:
+    *   - INT64 TIMESTAMP(NANOS): unreadable as a timestamp by Spark;
+    *     with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces
+    *     as LongType nanos, truncated to micros (the data is
+    *     micro-aligned; DuckDB's `epoch_us` truncates identically);
+    *   - tz-naive timestamp[us] (the 2026-08-13 regen): Spark 4 reads
+    *     it as TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+    *     `cast(TimestampType)` preserves the instant and the DuckDB
+    *     oracle (which reads the naive micros directly) sees identical
+    *     values.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val adapted = raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+    assertTypes("events", adapted,
+      "event_id" -> LongType, "ts" -> TimestampType)
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def documents: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    assertTypes("documents", t("documents"),
+      "doc_id" -> LongType, "text" -> StringType)
+  }
+  def embeddings: DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val df = assertTypes("embeddings", t("embeddings"), "vec_id" -> LongType)
+    val et = df.schema("embedding").dataType
+    require(et match { case ArrayType(FloatType, _) => true; case _ => false },
+      s"testdata drift: embeddings.embedding is $et, expected array<float> " +
+      "— update Tables.embeddings' adapter for the new parquet shape")
+    df
+  }
 
   /** `prices`-shaped view of `events` (symbol ≈ event_type, price ≈ value,
     * as_of ≈ ts, id ≈ event_id) — the reference's quote time-series
