@@ -62,6 +62,37 @@ object Bench {
         objectTimes(txt, "elevated"))
     } catch { case _: Throwable => (Map.empty, Map.empty) }
 
+  /** Min-of-n timing of one query — the bench's measurement core,
+    * factored out so the failure contract is spec-testable. A failed
+    * rep must NOT be timed as a success: round 8's testdata drift made
+    * 12 queries die in analysis, and the old swallow-and-time shape
+    * recorded their 0.05-0.15s failure latency as a "speedup" and
+    * ratcheted the floors down to it. Left = the error of a query
+    * whose EVERY rep failed; Right = min over the successful reps (a
+    * transient single-rep failure still yields a real timing).
+    */
+  private[graft] def timeQuery(
+      spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      n: Int): Either[String, Double] = {
+    var lastErr = "unknown failure"
+    val ok = (1 to n).flatMap { _ =>
+      val t0 = System.nanoTime()
+      // noop sink forces full evaluation of every column (count() would
+      // let Catalyst prune the projections we are trying to measure).
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          lastErr = (t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("")).take(300)
+          None
+      } finally Caches.releaseAll()
+    }
+    if (ok.nonEmpty) Right(ok.min) else Left(lastErr)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,22 +115,18 @@ object Bench {
     Tables(spark, sfDir).documents.count()
     SparkEntry.prepareBucketed(spark, sfDir)
     def minOfN(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               n: Int): Double =
-      (1 to n).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink forces full evaluation of every column (count() would
-        // let Catalyst prune the projections we are trying to measure).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        finally Caches.releaseAll()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+               n: Int): Either[String, Double] = timeQuery(spark, sfDir, fn, n)
     // min-of-N: the first execution of a plan is charged for
     // whole-stage-codegen JIT (hundreds of ms of compiler time landing
     // on whichever query runs it first); the min reports steady state
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val firstAttempt = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> minOfN(fn, reps)
     }
+    val errors = firstAttempt.collect { case (n, Left(e)) => n -> e }
+    errors.foreach { case (n, e) =>
+      System.err.println(s"[bench] FAILED $n: $e")
+    }
+    val firstPass = firstAttempt.collect { case (n, Right(t)) => n -> t }
     // A box-load spike spanning one query's back-to-back reps survives
     // min-of-N (observed: a 0.9s aggregation reported at 17.9s, and a
     // 0.12s point lookup at 1.8s — under any fixed absolute cut). The
@@ -121,8 +148,13 @@ object Bench {
     if (flagged.nonEmpty) Thread.sleep(backoffMs)
     val results = firstPass.map { case (name, t) =>
       if (!flagged(name)) name -> t
-      else name -> math.min(t, minOfN(SparkEntry.queries(name), reps * 2))
+      else name -> (minOfN(SparkEntry.queries(name), reps * 2) match {
+        case Right(t2) => math.min(t, t2)
+        case Left(_)   => t // first pass succeeded; keep its timing
+      })
     }
+    // `total` covers successful queries only; `failed`/`errors` carry
+    // the rest so a dead query can never masquerade as a fast one.
     val total = results.map(_._2).sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders 0.7 as "0,7000" on comma-decimal locales — invalid JSON
@@ -156,12 +188,24 @@ object Bench {
     val elevated = (stillElevated -- resets.keySet).toSeq.sortBy(_._1)
     // ratchet the historical floor: min(this run, previous floor) —
     // the next run's spike baseline; reset queries take the confirmed
-    // elevated time instead of the stale minimum
+    // elevated time instead of the stale minimum. A FAILED query's
+    // floor is carried forward untouched: its failure latency is not a
+    // runtime, and once fixed it must be judged against its last real
+    // baseline, not a poisoned one.
     val newFloors = results.map { case (n, t) =>
       n -> resets.getOrElse(n, math.min(t, floors.getOrElse(n, t)))
+    } ++ errors.flatMap { case (n, _) => floors.get(n).map(n -> _) }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    def jsonStrMap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+        .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""failed":${errors.size},"errors":${jsonStrMap(errors)},""" +
       s""""queries":${jsonMap(results)},"floors":${jsonMap(newFloors)},""" +
       s""""elevated":${jsonMap(elevated)},"sf":"$sfDir"}"""
     val tmp = Paths.get("BENCH_FULL.json.tmp")
@@ -173,6 +217,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jsonMap(head)},"nqueries":${results.size},""" +
+      s""""failed":${errors.size},""" +
       s""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
