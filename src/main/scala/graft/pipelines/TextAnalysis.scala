@@ -638,6 +638,18 @@ object TextAnalysis {
     * literal in the task closure, and the same table the oracle SQL
     * mirrors as a `VALUES` list).
     */
+  /** Lexicographic order over a string's UTF-8 bytes (unsigned) — the
+    * binary collation DuckDB and Spark's UTF8String both sort by.
+    * Scala's default String ordering compares UTF-16 code units, which
+    * disagrees with byte order exactly where surrogates sort above
+    * U+E000–U+FFFF; training tie-breaks must use this ordering to stay
+    * bit-identical with the SQL oracle.
+    */
+  private[graft] val Utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   final case class BpeModel(merges: Seq[(String, String)]) {
     def spec: String =
       merges.map { case (l, r) => l + "" + r }.mkString("")
@@ -669,6 +681,18 @@ object TextAnalysis {
       .orderBy(col("_n").desc, col("_w").asc)
       .limit(topWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Injectivity guard for the model wire format: merge tokens are
+    // concatenations of word characters, and BpeModel.spec /
+    // BpeEncode's segmentation delimit them with U+001D/U+001E/U+001F.
+    // Those three are NOT whitespace under either engine's word split,
+    // so a corpus word carrying one would flow into a token, mis-split
+    // the spec, and silently diverge Spark from the oracle — fail fast
+    // here instead.
+    wf.foreach { case (w, _) =>
+      require(!w.exists(c => c == '' || c == '' || c == ''),
+        "trainBpe: corpus word contains a BPE spec separator code point " +
+        s"(U+001D/U+001E/U+001F): ${w.map(c => f"U+${c.toInt}%04X").mkString(" ")}")
+    }
     def seed(w: String): String = {
       val sb = new java.lang.StringBuilder(w.length * 2 + 1)
       sb.append(Sep)
@@ -698,8 +722,13 @@ object TextAnalysis {
       }
       if (counts.isEmpty) exhausted = true
       else {
+        // tie-break by UTF-8 bytes, not Scala's UTF-16 code units: the
+        // DuckDB oracle's `ORDER BY c DESC, l, r` compares under binary
+        // (UTF-8) collation, and the two orders diverge for ties
+        // between supplementary-plane code points and U+E000–U+FFFF.
         val ((l, r), _) = counts.toSeq
-          .sortBy { case ((pl, pr), c) => (-c, pl, pr) }.head
+          .sortBy { case ((pl, pr), c) => (-c, pl, pr) }(
+            Ordering.Tuple3(Ordering.Long, Utf8Ordering, Utf8Ordering)).head
         val pat = s"$Sep$l$Sep$r$Sep"
         val rep = s"$Sep$l$r$Sep"
         vocab = vocab.map { case (s, n) =>
