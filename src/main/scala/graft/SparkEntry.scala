@@ -2059,6 +2059,37 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "n16_pq_residual_recall" -> ((s, d) => {
+      // equal-byte PQ shootout: raw coding vs residual coding (the IVF
+      // cell's normalized centroid subtracted before encoding, ADC adds
+      // its dot product back — Jégou et al. 2011 §IV), both 8×4-bit
+      // codes from the same md5 seed grid, residual codebooks scaled to
+      // the residuals' tighter spread. Recall@10 per query against the
+      // exact baseline shows the same code budget buying more precision
+      // when it is spent on the offset-from-centroid distribution — the
+      // measured case for residual-coding the persisted IVFPQ index.
+      val emb = T(s, d).embeddings
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val exact = graft.Caches.persist(
+        Similarity.batchTopKCosineExact(emb, "vec_id", "embedding",
+          queries, "q_id", "qv", k = 10))
+      val cents = Similarity.seedCentroids(8, 64)
+      val cbRaw = Similarity.pqSeedCodebooks(8, 16, 8)
+      // 0.25: a power of two, so the scaled literals are exact in both
+      // engines; the scale matches the residual norm on the unit sphere
+      val cbRes = cbRaw.map(_.map(_.map(_ * 0.25)))
+      val raw = Similarity.batchPqTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", 10, cbRaw)
+      val res = Similarity.batchPqTopKResidual(emb, "vec_id", "embedding",
+        queries, "q_id", "qv", 10, cents, cbRes)
+      Similarity.recallAtK(exact, raw, "q_id", "vec_id", 10,
+          as = "recall_pq_raw")
+        .join(Similarity.recallAtK(exact, res, "q_id", "vec_id", 10,
+          as = "recall_pq_residual"), Seq("q_id"))
+        .repartition(1).sortWithinPartitions("q_id")
+    }),
+
     "n6_ivf_partitioned" -> ((s, d) => {
       // the IVF serving shape: embeddings written under cell=<c>
       // directories, probe cells computed driver-side from the query and
@@ -4809,6 +4840,120 @@ object SparkEntry {
          |  FROM sel JOIN pruned p ON sel.vec_id = p.vec_id, q)
          |SELECT vec_id, cosine FROM rer
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // residual-vs-raw PQ twin: every constant (the seed codebooks, their
+    // 0.25-scaled residual copies, the seed centroid matrix, and its
+    // normalized copy) interpolates as a literal computed by the SAME
+    // Scala code the engine uses, so the SQL re-derives cells,
+    // residuals, codes, and both ADC scores from identical doubles
+    "n16_pq_residual_recall" -> {
+      val cbRaw = pipelines.Similarity.pqSeedCodebooks(8, 16, 8)
+      val cbRes = cbRaw.map(_.map(_.map(_ * 0.25)))
+      val cents = pipelines.Similarity.seedCentroids(8, 64)
+      val centsN = pipelines.Similarity.normalizedCentroids(cents)
+      def lit3(a: Array[Array[Array[Double]]]) =
+        a.map(_.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+      def lit2(a: Array[Array[Double]]) =
+        a.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val cos = (a: String, b: String) =>
+        s"""round(list_reduce(list_transform(range(1, 65),
+           |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+           |  / (sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+           |     * sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+      s"""WITH cbt AS (SELECT (${lit3(cbRaw)})::DOUBLE[][][] AS cb,
+         |    (${lit3(cbRes)})::DOUBLE[][][] AS cbr,
+         |    (${lit2(cents)})::DOUBLE[][] AS ct,
+         |    (${lit2(centsN)})::DOUBLE[][] AS ctn),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(1, 65), i -> embedding[i]::DOUBLE /
+         |      sqrt(list_reduce(list_transform(range(1, 65),
+         |        i2 -> embedding[i2]::DOUBLE * embedding[i2]::DOUBLE),
+         |        (a, b) -> a + b))) AS xn
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT e.vec_id, e.xn,
+         |    list_sort(list_transform(range(0, 8), c -> {'d2':
+         |      list_reduce(list_transform(range(0, 64),
+         |        d -> (e.embedding[d + 1]::DOUBLE - ct[c + 1][d + 1])
+         |           * (e.embedding[d + 1]::DOUBLE - ct[c + 1][d + 1])),
+         |        (a, b) -> a + b),
+         |      'cell': c}))[1].cell AS cell
+         |  FROM e, cbt),
+         |cr AS (
+         |  SELECT c.vec_id, c.cell,
+         |    list_transform(range(1, 65), i -> c.xn[i] - ctn[c.cell + 1][i])
+         |      AS r
+         |  FROM cells c, cbt),
+         |rawc AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 8), j ->
+         |      list_sort(list_transform(range(0, 16), cc -> {'d2':
+         |        list_reduce(list_transform(range(0, 8), dd ->
+         |          (xn[j * 8 + dd + 1] - cb[j + 1][cc + 1][dd + 1])
+         |          * (xn[j * 8 + dd + 1] - cb[j + 1][cc + 1][dd + 1])),
+         |          (a, b) -> a + b),
+         |        'cell': cc}))[1].cell) AS code
+         |  FROM e, cbt),
+         |resc AS (
+         |  SELECT cr.vec_id, cr.cell,
+         |    list_transform(range(0, 8), j ->
+         |      list_sort(list_transform(range(0, 16), cc -> {'d2':
+         |        list_reduce(list_transform(range(0, 8), dd ->
+         |          (r[j * 8 + dd + 1] - cbr[j + 1][cc + 1][dd + 1])
+         |          * (r[j * 8 + dd + 1] - cbr[j + 1][cc + 1][dd + 1])),
+         |          (a, b) -> a + b),
+         |        'cell': cc}))[1].cell) AS code
+         |  FROM cr, cbt),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, xn AS qn
+         |      FROM e WHERE vec_id < 8),
+         |scr AS (
+         |  SELECT q.q_id, rawc.vec_id,
+         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |      list_reduce(list_transform(range(0, 8), dd ->
+         |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) AS s
+         |  FROM q, rawc, cbt),
+         |scs AS (
+         |  SELECT q.q_id, resc.vec_id,
+         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |      list_reduce(list_transform(range(0, 8), dd ->
+         |        qn[j * 8 + dd + 1] * cbr[j + 1][code[j + 1] + 1][dd + 1]),
+         |        (a, b) -> a + b)), (a, b) -> a + b)
+         |    + list_reduce(list_transform(range(1, 65),
+         |        i -> qn[i] * ctn[resc.cell + 1][i]), (a, b) -> a + b), 6)
+         |      AS s
+         |  FROM q, resc, cbt),
+         |apr AS (SELECT q_id, vec_id FROM scr
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) <= 10),
+         |aps AS (SELECT q_id, vec_id FROM scs
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) <= 10),
+         |ex AS (
+         |  SELECT q.q_id, e2.vec_id,
+         |    ${cos("e2.embedding", "q.qv")} AS cosine
+         |  FROM q, embeddings e2
+         |  QUALIFY row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY cosine DESC, e2.vec_id) <= 10),
+         |rr AS (SELECT ex.q_id,
+         |    count(apr.vec_id) / CAST(count(*) AS DOUBLE) AS recall_pq_raw
+         |  FROM ex LEFT JOIN apr
+         |    ON ex.q_id = apr.q_id AND ex.vec_id = apr.vec_id
+         |  GROUP BY ex.q_id),
+         |rs AS (SELECT ex.q_id,
+         |    count(aps.vec_id) / CAST(count(*) AS DOUBLE)
+         |      AS recall_pq_residual
+         |  FROM ex LEFT JOIN aps
+         |    ON ex.q_id = aps.q_id AND ex.vec_id = aps.vec_id
+         |  GROUP BY ex.q_id)
+         |SELECT rr.q_id, rr.recall_pq_raw, rs.recall_pq_residual
+         |FROM rr JOIN rs ON rr.q_id = rs.q_id
+         |ORDER BY rr.q_id""".stripMargin
     },
 
     "n6_ivf_partitioned" -> {

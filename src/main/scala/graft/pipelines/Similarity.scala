@@ -632,6 +632,102 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // --------------------------------------------- residual (IVF+PQ) coding
+
+  /** L2-normalized copy of a centroid matrix. Residual PQ operates on
+    * the unit sphere (vectors are [[normalized]] before encoding), so
+    * the coarse term subtracted from them must live there too —
+    * subtracting the raw centroid would leave residuals dominated by
+    * the centroid's own magnitude instead of the vector's offset.
+    */
+  def normalizedCentroids(cents: Array[Array[Double]])
+      : Array[Array[Double]] =
+    cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c.clone() else c.map(_ / n)
+    }
+
+  /** Residual of a normalized vector against its cell's normalized
+    * centroid: `xn − cn(cell)` (Jégou et al. 2011 §IV — the second
+    * quantizer codes the offset from the coarse one, which is far more
+    * concentrated than the raw distribution, so the same code budget
+    * buys more precision).
+    */
+  def residualAt(vecN: Column, cell: Column,
+                 centsN: Array[Array[Double]]): Column = {
+    val cm = array(centsN.map(c => array(c.map(lit): _*)): _*)
+    zip_with(vecN, element_at(cm, cell + 1), (x, w) => x - w)
+  }
+
+  /** Inner product of a normalized query with its candidate's cell
+    * centroid — the coarse term ADC adds back under residual coding:
+    * ⟨q, y⟩ ≈ ⟨q, cn(cell)⟩ + ⟨q, residual-decode⟩.
+    */
+  def centroidDot(qN: Column, cell: Column,
+                  centsN: Array[Array[Double]]): Column = {
+    val cm = array(centsN.map(c => array(c.map(lit): _*)): _*)
+    aggregate(zip_with(qN, element_at(cm, cell + 1), (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Per-subspace Lloyd refinement on RESIDUAL subvectors — the
+    * codebooks residual ADC dereferences must be trained on the
+    * distribution they encode. `seedScale` shrinks the md5 seed grid
+    * toward the residuals' much smaller spread so the first assignment
+    * pass already separates them (the ±1 raw-scale grid would park
+    * every residual in a handful of cells).
+    */
+  def trainResidualPqCodebooks(corpus: DataFrame, vecCol: String,
+                               cents: Array[Array[Double]], m: Int,
+                               ks: Int, dim: Int, iters: Int = 4,
+                               seedScale: Double = 0.25)
+      : Array[Array[Array[Double]]] = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val centsN = normalizedCentroids(cents)
+    val res = corpus.select(
+      residualAt(normalized(col(vecCol)),
+        ivfCellAtNative(col(vecCol), cents), centsN).as("_res"))
+    val seeds = pqSeedCodebooks(m, ks, subDim)
+      .map(_.map(_.map(_ * seedScale)))
+    Array.tabulate(m) { j =>
+      val sub = res.select(slice(col("_res"), j * subDim + 1, subDim)
+        .as("_sub"))
+      trainIvfCentroids(sub, "_sub", ks, subDim, iters,
+        seed = Some(seeds(j)))
+    }
+  }
+
+  /** Residual-coded batch PQ top-k — [[batchPqTopK]]'s shape at the
+    * same code budget (m codes, ks centroids), but each vector encodes
+    * `xn − cn(cell)` and ADC adds the coarse term `⟨q, cn(cell)⟩` back,
+    * plus one byte-ish `cell` per row the IVF layout stores anyway.
+    * [[recallAtK]] grades both against the same exact baseline;
+    * SimilaritySpec pins residual ≥ raw at equal bytes.
+    */
+  def batchPqTopKResidual(corpus: DataFrame, idCol: String,
+                          vecCol: String, queries: DataFrame,
+                          qIdCol: String, qVecCol: String, k: Int,
+                          cents: Array[Array[Double]],
+                          cb: Array[Array[Array[Double]]]): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val centsN = normalizedCentroids(cents)
+    val cell = ivfCellAtNative(col(vecCol), cents)
+    val codes = corpus.select(col(idCol), cell.as("_cell"),
+      pqEncode(residualAt(normalized(col(vecCol)), cell, centsN), cb)
+        .as("_codes"))
+    val qn = queries.select(col(qIdCol), normalized(col(qVecCol)).as("_qn"))
+    codes.crossJoin(broadcast(qn))
+      .select(col(qIdCol), col(idCol),
+        round(pqScore(col("_qn"), col("_codes"), cb) +
+          centroidDot(col("_qn"), col("_cell"), centsN), 6).as("pq_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("pq_score").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** PQ-select + exact re-rank — the standard serving composition: the
     * m-byte codes pick `cand` candidates per query (cheap, whole-corpus
     * scan over codes only), then the exact vectors of JUST those

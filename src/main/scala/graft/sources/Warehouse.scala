@@ -220,16 +220,19 @@ object Warehouse {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    centroids: Option[Array[Array[Double]]] = None,
-                   codebooks: Option[Array[Array[Array[Double]]]] = None)
+                   codebooks: Option[Array[Array[Array[Double]]]] = None,
+                   residual: Boolean = false)
       : Unit = {
     writeEmbeddingsByCell(emb, root, k, dim, vecCol, centroids)
     val cents = readEmbeddingCentroids(root)
-    val cb = codebooks.getOrElse(graft.pipelines.Similarity
-      .trainPqCodebooks(emb, vecCol, m, ks, dim))
+    val cb = codebooks.getOrElse(
+      if (residual) graft.pipelines.Similarity
+        .trainResidualPqCodebooks(emb, vecCol, cents, m, ks, dim)
+      else graft.pipelines.Similarity
+        .trainPqCodebooks(emb, vecCol, m, ks, dim))
     emb.withColumn("cell",
         graft.pipelines.Similarity.ivfCellAtNative(col(vecCol), cents))
-      .withColumn("code", graft.pipelines.Similarity.pqEncode(
-        graft.pipelines.Similarity.normalized(col(vecCol)), cb))
+      .withColumn("code", pqCodeFor(vecCol, cents, cb, residual))
       .select(col(idCol), col("cell"), col("code"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$root/codes")
@@ -240,6 +243,37 @@ object Warehouse {
     }.mkString("\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/codebooks.txt"), body)
+    // The coding scheme is part of the index's frozen model: codes
+    // written as residuals are meaningless under raw ADC (and vice
+    // versa), so serve/append must read the flag from the layout, never
+    // take it as a parameter they could get wrong.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/pqmeta.txt"),
+      s"residual=$residual")
+  }
+
+  /** True iff the index at `root` was written with residual coding;
+    * indexes from before the flag existed are raw.
+    */
+  def readPqResidualFlag(root: String): Boolean = {
+    val p = java.nio.file.Paths.get(s"$root/pqmeta.txt")
+    java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.readString(p).trim == "residual=true"
+  }
+
+  /** The m-code PQ encoding of `vecCol` under the index's frozen model:
+    * raw coding quantizes the normalized vector; residual coding
+    * quantizes its offset from the cell's normalized centroid.
+    */
+  private def pqCodeFor(vecCol: String, cents: Array[Array[Double]],
+                        cb: Array[Array[Array[Double]]],
+                        residual: Boolean): org.apache.spark.sql.Column = {
+    val S = graft.pipelines.Similarity
+    val vecN = S.normalized(col(vecCol))
+    if (residual)
+      S.pqEncode(S.residualAt(vecN, S.ivfCellAtNative(col(vecCol), cents),
+        S.normalizedCentroids(cents)), cb)
+    else S.pqEncode(vecN, cb)
   }
 
   def readPqCodes(spark: SparkSession, root: String): DataFrame =
@@ -289,8 +323,8 @@ object Warehouse {
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$root/embeddings")
     batch.withColumn("cell", cell)
-      .withColumn("code", graft.pipelines.Similarity.pqEncode(
-        graft.pipelines.Similarity.normalized(col(vecCol)), cb))
+      .withColumn("code",
+        pqCodeFor(vecCol, cents, cb, readPqResidualFlag(root)))
       .select(col(idCol), col("cell"), col("code"))
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$root/codes")
@@ -319,11 +353,19 @@ object Warehouse {
       val n = math.sqrt(query.map(x => x * x).sum)
       query.map(_ / n)
     }
+    val qnCol = array(qNorm.map(lit): _*)
+    // residual indexes store offsets from the cell centroid, so ADC
+    // adds the coarse term ⟨q, cn(cell)⟩ back; raw indexes score the
+    // codes alone. The flag comes from the layout itself.
+    val adc =
+      if (readPqResidualFlag(root))
+        graft.pipelines.Similarity.pqScore(qnCol, col("code"), cb) +
+          graft.pipelines.Similarity.centroidDot(qnCol, col("cell"),
+            graft.pipelines.Similarity.normalizedCentroids(cents))
+      else graft.pipelines.Similarity.pqScore(qnCol, col("code"), cb)
     val selected = readPqCodes(spark, root)
       .filter(col("cell").isin(probes: _*))
-      .select(col(idCol),
-        round(graft.pipelines.Similarity.pqScore(
-          array(qNorm.map(lit): _*), col("code"), cb), 6).as("pq_score"))
+      .select(col(idCol), round(adc, 6).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol).asc).limit(cand)
       .select(idCol)
     readEmbeddingsByCell(spark, root)

@@ -438,6 +438,45 @@ class SimilaritySpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("residual PQ ≥ raw PQ at equal bytes (seed-scaled and trained)") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val exact = graft.Caches.persist(Similarity.batchTopKCosineExact(
+      emb, "vec_id", "embedding", queries, "q_id", "qv", k = 10))
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, "q_id", "vec_id", 10)
+        .agg(avg("recall")).as[Double].collect()(0)
+    val cents = Similarity.seedCentroids(8, 64)
+    // equal bytes both sides: 8 codes × 16 centroids (4 bits each)
+    val cbRaw = Similarity.pqSeedCodebooks(8, 16, 8)
+    val rawSeedR = meanRecall(Similarity.batchPqTopK(emb, "vec_id",
+      "embedding", queries, "q_id", "qv", 10, cbRaw))
+    val resSeedR = meanRecall(Similarity.batchPqTopKResidual(emb,
+      "vec_id", "embedding", queries, "q_id", "qv", 10, cents,
+      cbRaw.map(_.map(_.map(_ * 0.25)))))
+    val cbRawT = Similarity.trainPqCodebooks(emb, "embedding", 8, 16, 64,
+      iters = 1)
+    val cbResT = Similarity.trainResidualPqCodebooks(emb, "embedding",
+      cents, 8, 16, 64, iters = 1)
+    val rawTR = meanRecall(Similarity.batchPqTopK(emb, "vec_id",
+      "embedding", queries, "q_id", "qv", 10, cbRawT))
+    val resTR = meanRecall(Similarity.batchPqTopKResidual(emb, "vec_id",
+      "embedding", queries, "q_id", "qv", 10, cents, cbResT))
+    info(f"recall@10 — raw_seed: $rawSeedR%.3f, res_seed: $resSeedR%.3f, " +
+      f"raw_trained1: $rawTR%.3f, res_trained1: $resTR%.3f")
+    // the residual distribution is tighter than the raw sphere, so the
+    // same 4-bit-per-subspace budget buys more precision (Jégou 2011);
+    // the synthetic embeddings are isotropic (unclustered), so the edge
+    // is modest — ≥, not ≫
+    assert(resSeedR >= rawSeedR,
+      f"seed: residual $resSeedR%.3f < raw $rawSeedR%.3f")
+    assert(resTR >= rawTR,
+      f"trained: residual $resTR%.3f < raw $rawTR%.3f")
+    graft.Caches.releaseAll()
+  }
+
   test("PQ codes round-trip: m codes, each a valid codebook index") {
     import graft.pipelines.Similarity
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings

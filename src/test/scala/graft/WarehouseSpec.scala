@@ -357,6 +357,58 @@ class WarehouseSpec extends AnyFunSuite {
       .contains("embedding"))
   }
 
+  test("residual PQ index: flag persisted, codes differ, serve still exact within probes") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cbRes = Similarity.pqSeedCodebooks(8, 16, 8)
+      .map(_.map(_.map(_ * 0.25)))
+    val rawRoot = Files.createTempDirectory("graft_pq_raw").toString
+    val resRoot = Files.createTempDirectory("graft_pq_res").toString
+    Warehouse.writePqIndex(emb, rawRoot, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    Warehouse.writePqIndex(emb, resRoot, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cbRes), residual = true)
+    assert(!Warehouse.readPqResidualFlag(rawRoot))
+    assert(Warehouse.readPqResidualFlag(resRoot))
+    // residual coding actually changed the codes (a silent no-op would
+    // pass every equality test below)
+    def codes(root: String) = Warehouse.readPqCodes(spark, root)
+      .select($"vec_id", $"code".cast("string"))
+      .orderBy("vec_id").as[(Long, String)].collect().toSeq
+    assert(codes(rawRoot) !== codes(resRoot))
+    // with cand covering the probed cells, ADC selection cannot drop a
+    // true neighbor, so the residual serve must equal the exact
+    // brute-force top-k within the probed cells
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val probes = Similarity.probeCellsAt(q, cents, 2)
+    val pruned = Warehouse.readEmbeddingsByCell(spark, resRoot)
+      .filter($"cell".isin(probes: _*))
+    val queries = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val prunedN = pruned.count().toInt
+    val exact = Similarity.batchTopKCosineExact(pruned, "vec_id",
+        "embedding", queries, "q_id", "qv", k = 5)
+      .select("vec_id", "cosine")
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val served = Warehouse.ivfPqServe(spark, resRoot, q, topK = 5,
+        nprobe = 2, cand = prunedN)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(served === exact)
+    // residual append honors the persisted flag: base+append codes
+    // equal the one-shot residual build
+    val incRoot = Files.createTempDirectory("graft_pq_res_inc").toString
+    Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), incRoot,
+      k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cbRes), residual = true)
+    Warehouse.appendToPqIndex(emb.filter($"vec_id" % 5 === 0), incRoot)
+    assert(codes(incRoot) === codes(resRoot))
+  }
+
   test("appendToPqIndex: frozen-model append equals one-shot build, rewrites nothing") {
     import graft.pipelines.Similarity
     def listFiles(dir: String): Map[String, Long] = {
