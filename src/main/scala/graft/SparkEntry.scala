@@ -1513,17 +1513,23 @@ object SparkEntry {
     }),
 
     "t23_robots_filter" -> ((s, d) => {
-      // crawl-frontier robots gate (RFC 9309 longest-match): per-source
-      // rule sets exercising the override (Disallow /de beaten by the
-      // longer Allow /de/1*), the exact-length tie (/fr both ways —
-      // allow wins), and unmatched langs defaulting to allowed
+      // crawl-frontier robots gate (RFC 9309): per-source rule sets
+      // exercising the longest-match override (Disallow /de beaten by
+      // the longer Allow /de/1), the exact-length tie (/fr both ways —
+      // allow wins), a wildcard+anchor rule (*1$ — any path ending in
+      // 1), a mid-pattern wildcard (/e*/2), a percent-encoded pattern
+      // (/%65n ≡ /en, whose decoded length ties *1$ — allow wins), and
+      // unmatched langs defaulting to allowed
       val docs = T(s, d).documents
       val rules = docs.select(col("source").as("domain")).distinct()
         .select(col("domain"), explode(array(
           struct(lit("/de").as("prefix"), lit(false).as("allow")),
           struct(lit("/de/1").as("prefix"), lit(true).as("allow")),
           struct(lit("/fr").as("prefix"), lit(false).as("allow")),
-          struct(lit("/fr").as("prefix"), lit(true).as("allow"))))
+          struct(lit("/fr").as("prefix"), lit(true).as("allow")),
+          struct(lit("*1$").as("prefix"), lit(false).as("allow")),
+          struct(lit("/e*/2").as("prefix"), lit(false).as("allow")),
+          struct(lit("/%65n").as("prefix"), lit(true).as("allow"))))
           .as("r"))
         .select(col("domain"), col("r.prefix").as("prefix"),
           col("r.allow").as("allow"))
@@ -3759,28 +3765,53 @@ object SparkEntry {
     // longest-prefix argmax mirrored: length DESC then allow DESC
     // (boolean DESC ranks true first in both engines), no-match rows
     // default to allowed through the left join
-    "t23_robots_filter" ->
-      """WITH rules(prefix, allow) AS (VALUES
-        |    ('/de', false), ('/de/1', true), ('/fr', false),
-        |    ('/fr', true)),
-        |dr AS (
-        |  SELECT s.source AS domain, r.prefix, r.allow
-        |  FROM (SELECT DISTINCT source FROM documents) s, rules r),
-        |d AS (
-        |  SELECT doc_id, source AS domain,
-        |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path
-        |  FROM documents),
-        |m AS (
-        |  SELECT d.doc_id, dr.allow,
-        |    row_number() OVER (PARTITION BY d.doc_id
-        |      ORDER BY length(dr.prefix) DESC, dr.allow DESC) AS rk
-        |  FROM d JOIN dr ON dr.domain = d.domain
-        |  WHERE starts_with(d.path, dr.prefix))
-        |SELECT d.doc_id, d.domain, d.path,
-        |  COALESCE(m.allow, true) AS allowed
-        |FROM d LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) m
-        |  USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    // RFC 9309 twin: percent-decode via tokenize→hex→unhex→decode (the
+    // oracle engine has no URL decoder; the engine uses the identical
+    // construction), pattern→regex emitting the same ^ … .* … $
+    // fragment grammar, precedence by decoded byte length with allow
+    // breaking exact ties
+    "t23_robots_filter" -> {
+      def pd(x: String) =
+        s"""decode(unhex(COALESCE(list_aggregate(list_transform(
+           |      regexp_extract_all($x, '%[0-9A-Fa-f]{2}|%|[^%]+'),
+           |      t -> CASE WHEN upper(t) = '%2F' THEN '253246'
+           |                WHEN regexp_matches(t, '^%[0-9A-Fa-f]{2}$$')
+           |                  THEN upper(t[2:3])
+           |                ELSE hex(t) END), 'string_agg', ''), '')))""".stripMargin
+      def esc(x: String) =
+        s"""regexp_replace($x, '([\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$$\\|\\\\])', '\\\\\\1', 'g')"""
+      // the concat operator stays at line ends: a leading || would lose
+      // a pipe to the enclosing query's stripMargin
+      def rex(p: String) =
+        s"""('^' || list_aggregate(list_transform(
+           |    string_split(CASE WHEN ends_with($p, '$$')
+           |        THEN $p[1:length($p) - 1] ELSE $p END, '*'),
+           |    sg -> ${esc(pd("sg"))}), 'string_agg', '.*') ||
+           |  CASE WHEN ends_with($p, '$$') THEN '$$' ELSE '' END)""".stripMargin
+      s"""WITH rules(prefix, allow) AS (VALUES
+         |    ('/de', false), ('/de/1', true), ('/fr', false),
+         |    ('/fr', true), ('*1$$', false), ('/e*/2', false),
+         |    ('/%65n', true)),
+         |dr AS (
+         |  SELECT s.source AS domain, r.prefix, r.allow
+         |  FROM (SELECT DISTINCT source FROM documents) s, rules r),
+         |d AS (
+         |  SELECT doc_id, source AS domain,
+         |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path
+         |  FROM documents),
+         |m AS (
+         |  SELECT d.doc_id, dr.allow,
+         |    row_number() OVER (PARTITION BY d.doc_id
+         |      ORDER BY strlen(${pd("dr.prefix")}) DESC,
+         |        dr.allow DESC) AS rk
+         |  FROM d JOIN dr ON dr.domain = d.domain
+         |  WHERE regexp_matches(${pd("d.path")}, ${rex("dr.prefix")}))
+         |SELECT d.doc_id, d.domain, d.path,
+         |  COALESCE(m.allow, true) AS allowed
+         |FROM d LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) m
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the same strip/decode chain term-for-term ('g' flag: DuckDB
     // regexp_replace is first-match-only by default, Spark's is global;

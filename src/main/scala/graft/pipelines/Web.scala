@@ -252,21 +252,59 @@ object Web {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** Robots-exclusion evaluation, longest LITERAL-prefix match: for
-    * each (domain, path), the most specific — longest-prefix —
-    * matching rule decides, and on an exact length tie the LEAST
-    * restrictive (allow) rule wins; a path matching no rule is
-    * allowed. This is RFC 9309's precedence order restricted to
-    * literal rules — `*`/`$` wildcard patterns and percent-decoding
-    * (both part of full RFC 9309 rule matching) are NOT evaluated; a
-    * rule set containing them must be expanded or dropped upstream.
-    * The crawl-frontier filter that runs before any fetch.
+  /** RFC 9309 percent-decoding for robots matching: every `%XX` escape
+    * decodes to its octet EXCEPT `%2F` (an encoded slash is distinct
+    * from a path separator — RFC 9309 §2.2.2), which is preserved,
+    * case-normalized to `%2F`; a stray `%` stays literal. Built from
+    * tokenize → hex → unhex → decode so the identical construction
+    * runs in the SQL oracle (which has no URL decoder); decoded bytes
+    * must form valid UTF-8 — both engines agree on the valid case,
+    * and robots paths in the wild are ASCII-dominated.
+    */
+  def percentDecode(s: Column): Column = {
+    val toks = regexp_extract_all(s, lit("%[0-9A-Fa-f]{2}|%|[^%]+"),
+      lit(0))
+    val hexed = transform(toks, t =>
+      when(upper(t) === "%2F", lit("253246")) // hex("%2F"), kept encoded
+        .when(t.rlike("^%[0-9A-Fa-f]{2}$"), upper(substring(t, 2, 2)))
+        .otherwise(hex(t)))
+    decode(unhex(concat_ws("", hexed)), "UTF-8")
+  }
+
+  /** Anchored regex equivalent of an RFC 9309 path pattern: `*`
+    * matches any character run, a TRAILING `$` anchors at end-of-path,
+    * every literal segment is percent-decoded then regex-escaped. The
+    * specials are read from the RAW pattern (so an encoded `%24` stays
+    * a literal dollar) and the output uses only `^`, `$`, `.*` and
+    * escaped literals — a fragment Java regex and RE2 interpret
+    * identically, so the oracle matches byte-for-byte.
+    */
+  def robotsPatternRegex(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored,
+      substr(pattern, lit(1), length(pattern) - 1)).otherwise(pattern)
+    val esc = transform(split(body, "\\*", -1), s0 =>
+      regexp_replace(percentDecode(s0),
+        "([\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|\\\\])", "\\\\$1"))
+    concat(lit("^"), array_join(esc, ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Robots-exclusion evaluation, RFC 9309 rule matching: patterns may
+    * use `*` (any character run) and a trailing `$` (end anchor), both
+    * sides are percent-decoded (`%2F` preserved) before comparison,
+    * and for each (domain, path) the most specific match — most octets
+    * in the decoded pattern — decides; on an exact length tie the
+    * LEAST restrictive (allow) rule wins; a path matching no rule is
+    * allowed. The crawl-frontier filter that runs before any fetch.
     *
     * Scale shape: one key join on domain (rules tables are small per
     * domain — AQE broadcasts a genuinely small rule set, otherwise the
     * shuffle is keyed and the per-row fan-out is bounded by
     * rules-per-domain), one doc-partitioned window for the argmax,
-    * one left join back for the no-rule default. No driver state.
+    * one left join back for the no-rule default. Pattern→regex
+    * compilation is a scan-side column expression on the (small) rules
+    * side of the join. No driver state.
     *
     * `rules` columns: `(domain, prefix, allow)`. Returns the input
     * keys plus `allowed`.
@@ -276,12 +314,16 @@ object Web {
     val base = df.select(id.as("_id"), domain.as("_domain"),
       path.as("_path"))
     val r = rules.select(col("domain").as("_domain"),
-      col("prefix").as("_prefix"), col("allow").as("_allow"))
-    val verdict = base.join(r, "_domain")
-      .filter(col("_path").startsWith(col("_prefix")))
+      robotsPatternRegex(col("prefix")).as("_regex"),
+      octet_length(percentDecode(col("prefix"))).as("_plen"),
+      col("allow").as("_allow"))
+    val verdict = base
+      .withColumn("_pdec", percentDecode(col("_path")))
+      .join(r, "_domain")
+      .filter(regexp_like(col("_pdec"), col("_regex")))
       .withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("_id")
-          .orderBy(length(col("_prefix")).desc, col("_allow").desc)))
+          .orderBy(col("_plen").desc, col("_allow").desc)))
       .filter(col("_rk") === 1)
       .select(col("_id"), col("_allow"))
     base.join(verdict, Seq("_id"), "left")

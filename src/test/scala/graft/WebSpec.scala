@@ -239,6 +239,41 @@ class WebSpec extends AnyFunSuite {
       (5L, true)))
   }
 
+  test("robotsAllowed: RFC 9309 wildcards, end anchor, percent-decoding") {
+    val rules = Seq(
+      ("a.com", "/*.pdf$", false),  // any path ending .pdf
+      ("a.com", "/pub", true),
+      ("a.com", "/a*/b", false),    // mid-pattern wildcard
+      ("a.com", "/%70riv", false),  // %70 = 'p' — pattern decodes
+      ("a.com", "/dollar%24", true) // %24 = literal '$', NOT an anchor
+    ).toDF("domain", "prefix", "allow")
+    val docs = Seq(
+      (1L, "a.com", "/pub/doc.pdf"),     // *.pdf$(6) beats /pub(4)
+      (2L, "a.com", "/pub/doc.pdfx"),    // $ anchors: .pdfx ≠ .pdf end
+      (3L, "a.com", "/ax/yz/b2"),        // /a*/b matches via the gap
+      (4L, "a.com", "/privy"),           // decoded /priv prefix blocks
+      (5L, "a.com", "/%70rivy"),         // path decodes too → same rule
+      (6L, "a.com", "/dollar$x"),        // literal $ matched, allowed
+      (7L, "a.com", "/a/c"))             // /a*/b needs the /b part
+      .toDF("id", "dom", "p")
+    val got = Web.robotsAllowed(docs, $"id", $"dom", $"p", rules)
+      .orderBy("doc_id").select("doc_id", "allowed")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, false), (2L, true), (3L, false), (4L, false),
+      (5L, false), (6L, true), (7L, true)))
+  }
+
+  test("percentDecode: %2F preserved case-normalized, stray % literal") {
+    val got = Seq(("/a%20b%2Fc%2fd%e2%82%ac%x%", ""))
+      .toDF("s", "e")
+      .select(Web.percentDecode($"s"), Web.percentDecode($"e"))
+      .as[(String, String)].collect()(0)
+    // %20 decodes, %2F/%2f stay (case-normalized), multi-byte UTF-8
+    // escapes decode, a malformed escape and a stray % stay literal
+    assert(got._1 === "/a b%2Fc%2Fd€%x%")
+    assert(got._2 === "")
+  }
+
   test("htmlToText: payload blocks drop whole, tags strip, entities decode once") {
     val html =
       """<html><head><title>T</title>
