@@ -2394,6 +2394,36 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("symbol")
     }),
 
+    "u1d_doc_table" -> ((s, d) => {
+      // the documents corpus on the same atomic manifest table the
+      // prices table-of-record uses (DocTable = AtomicTable partitioned
+      // by source, keyed by doc_id): init WITHOUT every 3rd doc, INSERT
+      // OR IGNORE an overlapping even-id batch (overlap ignored),
+      // upsert a re-tagged batch (lang := 'xx' on every 10th doc),
+      // delete a keyed subrange of two source partitions, COMPACT,
+      // VACUUM, read the committed snapshot back — the oracle hash
+      // proves the documents lifecycle is content-preserving exactly as
+      // u1c proves it for prices. Every mutation is one manifest
+      // commit — the fully-old-or-fully-new path WarehouseSpec
+      // failpoint-tests and StreamingSpec fences for exactly-once
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_doc_tbl").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.DocTable(s, root)
+      tbl.init(docs.filter(col("doc_id") % 3 =!= 0))
+      tbl.insertIgnore(docs.filter(col("doc_id") % 2 === 0))
+      tbl.upsert(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx")))
+      tbl.deleteWhere(Seq("src4", "src7"), col("n_chars") % 5 === 0)
+      tbl.compact()
+      tbl.vacuum()
+      tbl.read()
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source", "lang")
+    }),
+
     "u6_verify_code" -> ((s, d) => {
       val codes = T(s, d).events.select(
         col("event_id").as("id"),
@@ -5334,6 +5364,24 @@ object SparkEntry {
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
          |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM final GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // DocTable lifecycle mirror: membership algebra over doc_id (init
+    // minus thirds, union evens, delete keyed subrange in two source
+    // partitions) with the upsert's lang re-tag as a CASE — compaction
+    // and vacuum are content-preserving by contract, so the oracle
+    // needs only the logical final state
+    "u1d_doc_table" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents
+        |  WHERE (doc_id % 3 <> 0 OR doc_id % 2 = 0)
+        |    AND NOT (source IN ('src4', 'src7') AND n_chars % 5 = 0))
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "u6_verify_code" ->
       """WITH codes AS (

@@ -1,0 +1,398 @@
+package graft.sources
+
+import java.nio.file.{Files, FileSystemException}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Atomic, versioned table-of-record over any schema, partitioned by
+  * `partCol` and keyed by `defaultKeys`.
+  *
+  * An in-place partitioned layout ([[Warehouse.upsertPrices]] /
+  * [[Warehouse.deleteWherePrices]]) mutates partition directories
+  * directly: a crash between the directory delete and the re-append
+  * loses committed rows. The reference gets mutation atomicity for free
+  * from SQLite transactions (/root/reference/app/db.py:23-30); at
+  * 100 TB the equivalent is a manifest commit protocol, which this
+  * class implements:
+  *
+  *  - Data lives in immutable write directories
+  *    `root/data/<id>/<partCol>=.../` — never rewritten, never appended
+  *    to after their commit.
+  *  - A manifest file `root/manifest-NNNNNNNNNNNN.txt` maps each data
+  *    dir to the partition values readers may take from it (`*` = all),
+  *    and records per-stream high-water batch ids (`#txn` lines) for
+  *    exactly-once streaming commits.
+  *  - Readers resolve the HIGHEST-numbered manifest; each mutation
+  *    stages its new data dir first, then publishes a new manifest via
+  *    write-to-temp + atomic link (hard link fails if the target
+  *    exists — the optimistic-concurrency check).
+  *
+  * A crash before the publish leaves only staged (unreferenced) files:
+  * readers still see the previous manifest — fully-old. After the
+  * publish they see fully-new. There is no in-between, which is the
+  * property [[graft.WarehouseSpec]] proves by injecting a failure at
+  * the `pre-commit` failpoint. Orphaned/retired dirs are reclaimed by
+  * [[vacuum]].
+  *
+  * Exactly-once streaming: a mutation called with `txn = Some((stream,
+  * batchId))` is SKIPPED when `batchId` is at or below the stream's
+  * recorded high-water mark, and otherwise records the new mark IN THE
+  * SAME manifest commit as the data — so a `foreachBatch` replay after
+  * a sink-side crash (micro-batch delivered, checkpoint not yet
+  * advanced) cannot double-commit: either the manifest carries both the
+  * data and the mark, or neither.
+  *
+  * Contracts: single writer per version (OCC turns a race into a clean
+  * [[java.util.ConcurrentModificationException]]); partition values
+  * must not contain tab, comma, or newline (escape at ingest). Scan
+  * pruning is preserved: every read applies `partCol IN (...)` per data
+  * dir, which Catalyst turns into PartitionFilters.
+  */
+final case class AtomicTable(spark: SparkSession, root: String,
+                             partCol: String,
+                             defaultKeys: Seq[String],
+                             failpoint: String => Unit = _ => ()) {
+
+  import AtomicTable.{ManifestRe, Star, TxnPrefix}
+
+  private def rootFile = new java.io.File(root)
+
+  private def currentManifest: Option[(Long, java.io.File)] =
+    Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case ManifestRe(n) => Some((n.toLong, f))
+          case _             => None
+        }
+      }.sortBy(_._1).lastOption
+
+  /** Committed version number (0 = uninitialized). */
+  def version: Long = currentManifest.map(_._1).getOrElse(0L)
+
+  /** All committed (non-vacuumed) versions, ascending. */
+  def versions: Seq[Long] =
+    Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(_.getName match {
+        case ManifestRe(n) => Some(n.toLong)
+        case _             => None
+      }).sorted.toSeq
+
+  private def manifestFileAt(v: Long): Option[java.io.File] = {
+    val f = new java.io.File(rootFile, f"manifest-$v%012d.txt")
+    if (f.isFile) Some(f) else None
+  }
+
+  /** dir → assigned partition values (Star = every partition in dir). */
+  private def readManifest(): Seq[(String, Seq[String])] =
+    currentManifest.map(_._2).map(parseManifest).getOrElse(Nil)
+
+  private def parseManifest(f: java.io.File): Seq[(String, Seq[String])] =
+    Files.readAllLines(f.toPath).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(dir, syms) = line.split("\t", 2)
+        dir -> (if (syms == Star) Seq(Star)
+                else if (syms.isEmpty) Nil
+                else syms.split(",").toSeq)
+      }
+
+  /** Per-stream committed high-water batch ids (the `#txn` lines). */
+  private def readTxns(): Map[String, Long] =
+    currentManifest.map(_._2).map { f =>
+      Files.readAllLines(f.toPath).asScala
+        .filter(_.startsWith(TxnPrefix))
+        .map { line =>
+          val Array(_, stream, id) = line.split("\t", 3)
+          stream -> id.toLong
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The last batch id committed for `stream`, if any — the replay
+    * fence for exactly-once `foreachBatch` sinks.
+    */
+  def lastCommittedBatch(stream: String): Option[Long] =
+    readTxns().get(stream)
+
+  /** Publish `entries` (+ carried txn marks) as version `base + 1`. The
+    * manifest body is fully written to a temp file first, then
+    * published with a hard LINK (not a rename): `link(2)` is atomic
+    * like rename, but FAILS if the target exists — which is exactly the
+    * optimistic-concurrency check. Two writers that both read base N
+    * race to create `manifest-(N+1)`; the loser gets a
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * overwriting the winner's commit (POSIX rename would replace it).
+    */
+  private def writeManifest(entries: Seq[(String, Seq[String])],
+                            base: Long,
+                            txns: Map[String, Long]): Unit = {
+    val txnLines = txns.toSeq.sortBy(_._1)
+      .map { case (s, id) => s"$TxnPrefix\t$s\t$id" }
+    val dataLines = entries
+      .filter { case (_, syms) => syms.nonEmpty }
+      .map { case (d, syms) => d + "\t" + syms.mkString(",") }
+    val body = (txnLines ++ dataLines).mkString("\n")
+    val tmp = new java.io.File(rootFile, s".manifest-tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp.toPath, body)
+    failpoint("pre-commit")
+    val target =
+      new java.io.File(rootFile, f"manifest-${base + 1}%012d.txt").toPath
+    def concurrent(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit: version ${base + 1} already exists under " +
+          s"$root (another writer committed after this mutation read " +
+          s"version $base); re-read and retry")
+    try Files.createLink(target, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => concurrent()
+      // filesystems without hard links (some object-store mounts /
+      // network FS): fall back to a no-replace atomic move — the same
+      // fails-if-target-exists OCC contract, minus link(2)'s guarantee
+      // against a concurrent create BETWEEN the existence check and
+      // the move (single-writer-per-version remains safe; true
+      // multi-writer tables belong on a link-capable filesystem)
+      case _: UnsupportedOperationException | _: FileSystemException =>
+        if (Files.exists(target)) concurrent()
+        try Files.move(tmp.toPath, target) // no REPLACE_EXISTING: fails
+        catch {                            // if the target appeared
+          case _: java.nio.file.FileAlreadyExistsException => concurrent()
+        }
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Partition values actually present in a committed data dir. Spark
+    * Hive-escapes special characters in partition paths (`BRK/B` →
+    * `symbol=BRK%2FB`), so directory names must be UNescaped back to the
+    * raw column values the manifest and the `partCol IN (...)` filters
+    * speak — otherwise escaped values silently vanish from reads.
+    */
+  private def dirParts(rel: String): Seq[String] =
+    Option(new java.io.File(s"$root/$rel").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.getName.stripPrefix(s"$partCol="))).toSeq
+
+  /** Stage rows into a fresh immutable dir; returns (relDir, parts). */
+  private def stage(rows: DataFrame, coalesceTo: Int = 0,
+                    maxRecordsPerFile: Long = 0L): (String, Seq[String]) = {
+    val rel = s"data/${UUID.randomUUID().toString.take(12)}"
+    val shaped = if (coalesceTo > 0) rows.coalesce(coalesceTo) else rows
+    val w = shaped.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    (if (maxRecordsPerFile > 0L)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(s"$root/$rel")
+    (rel, dirParts(rel))
+  }
+
+  /** Remove `touched` partitions from every entry's assignment (entries
+    * that kept nothing fall away in writeManifest).
+    */
+  private def without(entries: Seq[(String, Seq[String])],
+                      touched: Set[String]): Seq[(String, Seq[String])] =
+    entries.map { case (d, syms) =>
+      val explicit = if (syms == Seq(Star)) dirParts(d) else syms
+      d -> explicit.filterNot(touched)
+    }
+
+  /** True iff `txn` names an already-committed batch — the mutation
+    * must be a no-op (a `foreachBatch` replay after a crash).
+    */
+  private def alreadyCommitted(txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (stream, id) =>
+      lastCommittedBatch(stream).exists(id <= _)
+    }
+
+  private def withTxn(txn: Option[(String, Long)]): Map[String, Long] =
+    readTxns() ++ txn.map { case (s, id) => s -> id }
+
+  /** Initialize (or replace) the table with `rows` as version+1. */
+  def init(rows: DataFrame): Unit = {
+    val base = version
+    val (rel, _) = stage(rows)
+    writeManifest(Seq(rel -> Seq(Star)), base, readTxns())
+  }
+
+  /** Current committed snapshot. Each data dir contributes only its
+    * assigned partitions (`partCol IN (...)` → PartitionFilters).
+    */
+  def read(): DataFrame = {
+    val entries = readManifest()
+    require(entries.nonEmpty, s"no committed manifest under $root")
+    resolve(entries)
+  }
+
+  /** Time travel: the snapshot as of committed version `v` — data dirs
+    * are immutable and superseded manifests stay on disk until
+    * [[vacuum]], so every un-vacuumed version remains exactly
+    * reconstructable (reproducing "the corpus the model trained on" is
+    * a provenance requirement, not a luxury). After a vacuum only the
+    * current version resolves.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val f = manifestFileAt(v).getOrElse(sys.error(
+      s"version $v not found under $root (vacuumed or never committed); " +
+        s"available: ${versions.mkString(", ")}"))
+    resolve(parseManifest(f))
+  }
+
+  private def resolve(entries: Seq[(String, Seq[String])]): DataFrame =
+    entries.map { case (d, syms) =>
+      val df = spark.read.parquet(s"$root/$d")
+      if (syms == Seq(Star)) df else df.filter(col(partCol).isin(syms: _*))
+    }.reduce(_.unionByName(_))
+
+  private def batchParts(batch: DataFrame): Seq[String] =
+    batch.select(partCol).distinct().collect().map(_.getString(0)).toSeq
+
+  /** Existing rows pruned to the batch's partitions. */
+  def prunedExisting(batch: DataFrame): DataFrame =
+    read().filter(col(partCol).isin(batchParts(batch): _*))
+
+  /** `INSERT OR IGNORE`: append-only commit — a new data dir with the
+    * fresh rows joins the manifest; no existing assignment changes.
+    * Returns the inserted rowcount (0 for a replayed `txn` batch).
+    */
+  def insertIgnore(batch: DataFrame,
+                   keys: Seq[String] = defaultKeys,
+                   txn: Option[(String, Long)] = None): Long = {
+    if (alreadyCommitted(txn)) return 0L
+    val base = version
+    val existing = prunedExisting(batch)
+    val fresh = batch.dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*), keys, "left_anti")
+      .select(existing.columns.map(col): _*)
+      .persist()
+    val inserted = fresh.count()
+    if (inserted > 0 || txn.nonEmpty) {
+      val entries =
+        if (inserted > 0) { val (rel, ps) = stage(fresh)
+          readManifest() :+ (rel -> ps) }
+        else readManifest() // still commit: the txn mark must advance
+      writeManifest(entries, base, withTxn(txn))
+    }
+    fresh.unpersist(blocking = false)
+    inserted
+  }
+
+  /** Keyed upsert: merge batch into its partitions' current rows, stage
+    * the merged partitions as one new dir, commit a manifest where the
+    * touched partitions resolve ONLY to the new dir. Untouched
+    * partitions' bytes are never read or rewritten. A replayed `txn`
+    * batch is a no-op.
+    */
+  def upsert(batch: DataFrame,
+             keys: Seq[String] = defaultKeys,
+             txn: Option[(String, Long)] = None): Unit = {
+    if (alreadyCommitted(txn)) return
+    val base = version
+    val existing = prunedExisting(batch)
+    val merged = Relational.upsert(existing,
+      batch.select(existing.columns.map(col): _*), keys)
+    val touched = batchParts(batch).toSet
+    val (rel, ps) = stage(merged)
+    writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,
+      withTxn(txn))
+  }
+
+  /** Delete matching rows within the named partitions, with the
+    * reference's deleted-rowcount contract. Fully-emptied partitions
+    * simply leave the manifest — no stale directory, no delete-then-
+    * append window.
+    */
+  def deleteWhere(parts: Seq[String], cond: Column): Long = {
+    val base = version
+    val touched = read().filter(col(partCol).isin(parts: _*))
+    val matched = coalesce(cond, lit(false))
+    val deleted = touched.filter(matched).count()
+    if (deleted > 0) {
+      val (rel, ps) = stage(touched.filter(!matched))
+      writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
+        base, readTxns())
+    }
+    deleted
+  }
+
+  /** Compact the named partitions' fragments (all when empty) into one
+    * fresh dir of few, bounded files — same commit protocol, so a crash
+    * mid-compaction never loses rows.
+    */
+  def compact(parts: Seq[String] = Nil,
+              maxRecordsPerFile: Long = 1000000L): Unit = {
+    val base = version
+    val all = read()
+    val touched =
+      if (parts.isEmpty) all
+      else all.filter(col(partCol).isin(parts: _*))
+    val touchedSet =
+      if (parts.nonEmpty) parts.toSet
+      else readManifest().flatMap { case (d, syms) =>
+        if (syms == Seq(Star)) dirParts(d) else syms
+      }.toSet
+    val (rel, ps) = stage(touched,
+      coalesceTo = math.max(1, spark.sparkContext.defaultParallelism / 2),
+      maxRecordsPerFile = maxRecordsPerFile)
+    writeManifest(without(readManifest(), touchedSet) :+ (rel -> ps),
+      base, readTxns())
+  }
+
+  /** Reclaim data dirs no manifest-current entry references (retired by
+    * upsert/delete/compact, or orphaned by a pre-commit crash). Run
+    * after readers of old snapshots have drained.
+    */
+  def vacuum(): Unit = {
+    val live = readManifest().map(_._1.stripPrefix("data/")).toSet
+    Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && !live.contains(f.getName))
+      .foreach(AtomicTable.deleteRecursively)
+    // drop superseded manifests (the current one stays) and any temp
+    // manifest a pre-commit crash left behind. Temp manifests are
+    // AGE-GATED: a fresh one may belong to a writer currently between
+    // its write and its link-publish — deleting it would turn that
+    // commit into a NoSuchFileException instead of a clean OCC retry
+    val tmpCutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    currentManifest.foreach { case (cur, _) =>
+      Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach { f =>
+          f.getName match {
+            case ManifestRe(n) if n.toLong < cur => f.delete()
+            case n if n.startsWith(".manifest-tmp-")
+                && f.lastModified() < tmpCutoff  => f.delete()
+            case _                               => ()
+          }
+        }
+    }
+  }
+}
+
+object AtomicTable {
+  private val ManifestRe = "manifest-(\\d{12})\\.txt".r
+  private val Star = "*"
+  private val TxnPrefix = "#txn"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete()
+  }
+}
+
+/** The curated-documents corpus as an [[AtomicTable]]: partitioned by
+  * `source` (crawl provenance — the partition a curation batch
+  * naturally touches), keyed by `doc_id`. Gives the documents corpus
+  * the same fully-old-or-fully-new commit, time travel, and OCC that
+  * prices already had, plus exactly-once streaming commits via the
+  * `txn` marks.
+  */
+object DocTable {
+  def apply(spark: SparkSession, root: String,
+            failpoint: String => Unit = _ => ()): AtomicTable =
+    AtomicTable(spark, root, partCol = "source",
+      defaultKeys = Seq("doc_id"), failpoint = failpoint)
+}

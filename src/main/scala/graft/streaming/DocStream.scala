@@ -85,6 +85,39 @@ object DocStream {
         minWords = minWords, minStopHits = minStopHits)
       .filter(col("keep"))
 
+  /** Exactly-once curated commit into an [[graft.sources.AtomicTable]]
+    * documents corpus ([[graft.sources.DocTable]]): every micro-batch
+    * of the curated stream lands through `foreachBatch` as ONE manifest
+    * commit that also records the (stream, batchId) high-water mark.
+    * The failure this closes: `foreachBatch` is at-least-once — a crash
+    * after the sink write but before the checkpoint advances makes
+    * Spark re-deliver the batch on restart. A plain parquet sink would
+    * duplicate those rows; here the replayed batch id is at or below
+    * the mark recorded WITH the data, so the table skips it — the
+    * commit is exactly-once because mark and data share one atomic
+    * manifest publish. StreamingSpec proves the fence across a
+    * restart; the table must be initialized (one seed commit) before
+    * the stream starts.
+    */
+  def startCuratedCommit(spark: SparkSession, landingDir: String,
+                         table: graft.sources.AtomicTable,
+                         checkpointDir: String,
+                         stream: String = "curate",
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         watermark: String = "1 hour",
+                         minWords: Int = 50,
+                         minStopHits: Int = 2): StreamingQuery =
+    curate(spark.readStream.schema(docSchema).parquet(landingDir),
+        watermark, minWords, minStopHits)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        table.insertIgnore(df, txn = Some((stream, id)))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   val domainDocSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("lang", StringType),

@@ -179,6 +179,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("curated").columns.contains("pass_words"))
   }
 
+  test("exactly-once doc-table commit: a replayed batch cannot double-commit") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.pipelines.TextAnalysis
+    val landing = Files.createTempDirectory("st_tbl_landing").toString
+    val ckpt = Files.createTempDirectory("st_tbl_ckpt").toString
+    val root = Files.createTempDirectory("st_tbl_root").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val prose = "the cat sat on a warm mat and it did like that spot " +
+      "for one lazy day in the afternoon sun"
+    def docs(ids: Seq[Long], source: String) = ids
+      .map(i => (i, s"$prose v$i", "en", source, t0))
+      .toDF("doc_id", "text", "lang", "source", "ts")
+    // seed commit: the table needs one init with the curated schema
+    // (qualityRules over a fingerprinted frame = curate's output shape)
+    def curatedShape(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityRules(
+          df.withColumn("fp", TextAnalysis.fingerprint($"text")),
+          $"text", minWords = 10, minStopHits = 2)
+        .filter($"keep")
+    val tbl = graft.sources.DocTable(spark, root)
+    tbl.init(curatedShape(docs(Seq(100L), "seed")))
+    // batch 1 lands and commits; note the recorded high-water mark
+    docs(Seq(1L, 2L), "crawl").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val q1 = graft.streaming.DocStream.startCuratedCommit(spark, landing,
+      tbl, ckpt, watermark = "10 days", minWords = 10, minStopHits = 2)
+    q1.awaitTermination(120000)
+    val afterB1 = tbl.read().select("doc_id").as[Long].collect().toSet
+    assert(afterB1 === Set(100L, 1L, 2L))
+    val mark = tbl.lastCommittedBatch("curate").get
+    val v1 = tbl.version
+    // simulate foreachBatch's at-least-once replay (crash after sink
+    // commit, before the checkpoint advanced): re-delivering the SAME
+    // batch id must be fenced before any work — zero rows, no version
+    assert(tbl.insertIgnore(curatedShape(docs(Seq(1L, 2L), "crawl")),
+      txn = Some(("curate", mark))) === 0L)
+    assert(tbl.version === v1)
+    // restart from the checkpoint with no new input: no commit either
+    val q2 = graft.streaming.DocStream.startCuratedCommit(spark, landing,
+      tbl, ckpt, watermark = "10 days", minWords = 10, minStopHits = 2)
+    q2.awaitTermination(120000)
+    assert(tbl.version === v1)
+    // new data after the restart commits exactly once, mark advances
+    docs(Seq(3L), "crawl").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val q3 = graft.streaming.DocStream.startCuratedCommit(spark, landing,
+      tbl, ckpt, watermark = "10 days", minWords = 10, minStopHits = 2)
+    q3.awaitTermination(120000)
+    val finalIds = tbl.read().select("doc_id").as[Long].collect().toSeq
+    assert(finalIds.sorted === Seq(1L, 2L, 3L, 100L))
+    assert(tbl.lastCommittedBatch("curate").get > mark)
+  }
+
   test("streaming domain cap: state spans batches and restarts; parity with batch cap") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.pipelines.Web
