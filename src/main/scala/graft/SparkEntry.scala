@@ -576,6 +576,36 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("node")
     }),
 
+    "g3_rank_stream" -> ((s, d) => {
+      // the streaming delta-refresh path (GraphStream: edge-delta log +
+      // warm-started rank refresh per micro-batch) run over g1's
+      // transition graph as ONE AvailableNow batch from a cold start —
+      // the refresh is then exactly pageRank(iters=10) over the same
+      // aggregated edges, so the streamed ranks hash-match g1's
+      // oracle, proving the maintained edge log + refresh compute the
+      // batch fixed-point arithmetic, not an approximation of it
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = T(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_gs_landing").toString
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_gs_state").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_gs_ckpt").toString
+      edges.coalesce(1).write.mode("overwrite").parquet(landing)
+      streaming.GraphStream.start(s, landing, state, ckpt,
+        refreshIters = 10).awaitTermination(120000)
+      streaming.GraphStream.latestRanks(s, state).get
+        .repartition(1).sortWithinPartitions("node")
+    }),
+
     "g2_trustrank" -> ((s, d) => {
       // seed-biased PageRank (TrustRank): teleport AND dangling mass
       // flow only to the trusted seeds, so rank reaches a node solely
@@ -2648,7 +2678,11 @@ object SparkEntry {
     ("n14_ivfpq_persist" -> oracleBase("n13_ivfpq_topk")) +
     // n15 appends to the persisted index under a frozen model — same
     // cells, same codes, same serve as a one-shot build ⇒ n13's oracle
-    ("n15_index_append" -> oracleBase("n13_ivfpq_topk"))
+    ("n15_index_append" -> oracleBase("n13_ivfpq_topk")) +
+    // g3 replays g1's transition graph through the streaming
+    // delta-refresh path as one cold-start batch: same aggregated
+    // edges, same 10 fixed-point iterations ⇒ g1's oracle
+    ("g3_rank_stream" -> oracleBase("g1_pagerank"))
 
   private lazy val oracleBase: Map[String, String] = Map(
 

@@ -66,10 +66,77 @@ object Graph {
     rankImpl(edges, srcCol, dstCol, wCol, iters, total, Some(seeds))
   }
 
-  private def rankImpl(edges: DataFrame, srcCol: String, dstCol: String,
-                       wCol: String, iters: Int, total: Long,
-                       seeds: Option[Seq[String]]): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
+  /** Warm-started PageRank: iterate from `init` (`(node, rank_pico)` —
+    * a previous run's output) instead of the uniform vector. After a
+    * small edge delta the previous fixed point is already near the new
+    * one, so a handful of iterations recovers it — the delta-refresh
+    * that keeps a continuously-crawled link graph's ranks current
+    * without paying the cold-start iteration count per batch
+    * ([[graft.streaming.GraphStream]]). Nodes new to the graph start
+    * at 0 (the teleport term re-injects their mass); departed nodes'
+    * entries are dropped.
+    */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                   wCol: String, init: DataFrame, iters: Int = 10,
+                   total: Long = 1000000000000L): DataFrame =
+    rankImpl(edges, srcCol, dstCol, wCol, iters, total, seeds = None,
+      init = Some(init))
+
+  /** Warm-started TrustRank — [[pageRankWarm]] with the seed-restricted
+    * teleport basis of [[trustRank]]: the delta-refresh for a
+    * continuously-maintained spam-demotion / focused-crawl ranking.
+    */
+  def trustRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: Seq[String], init: DataFrame,
+                    iters: Int = 10,
+                    total: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty, "trustRank needs at least one seed")
+    rankImpl(edges, srcCol, dstCol, wCol, iters, total, Some(seeds),
+      init = Some(init))
+  }
+
+  /** PageRank iterated until the fixed point is STABLE: stop when no
+    * node's rank moved more than `tol` pico-units between consecutive
+    * iterations (or at `maxIters`). Returns the ranks and the number
+    * of iterations actually run — the delta-refresh efficiency signal
+    * (warm restarts after small deltas should stabilize in far fewer
+    * rounds than a cold start). The integer arithmetic makes the
+    * stability test exact and engine-independent.
+    */
+  def pageRankUntilStable(edges: DataFrame, srcCol: String,
+                          dstCol: String, wCol: String,
+                          init: Option[DataFrame] = None,
+                          maxIters: Int = 50, tol: Long = 0L,
+                          total: Long = 1000000000000L)
+      : (DataFrame, Int) = {
+    val ctx = buildCtx(edges, srcCol, dstCol, wCol, total, seeds = None)
+    var ranks = initRanks(ctx, init, total)
+    var it = 0
+    var stable = false
+    while (it < maxIters && !stable) {
+      val next = step(ctx, ranks).localCheckpoint(true)
+      val moved = next
+        .join(ranks.withColumnRenamed("rank", "_prev"), "node")
+        .agg(coalesce(max(abs(col("rank") - col("_prev"))), lit(0L)))
+        .collect()(0).getLong(0)
+      stable = moved <= tol
+      ranks = next
+      it += 1
+    }
+    (ranks.withColumnRenamed("rank", "rank_pico"), it)
+  }
+
+  /** Graph-shape context shared by every rank variant: the aggregated
+    * weighted edge list with per-src out-weights, the node set, the
+    * teleport basis, and the per-iteration constants.
+    */
+  private final case class RankCtx(el: DataFrame, nodes: DataFrame,
+                                   srcs: DataFrame, nT: Long, c0: Long,
+                                   isTeleport: org.apache.spark.sql.Column)
+
+  private def buildCtx(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, total: Long,
+                       seeds: Option[Seq[String]]): RankCtx = {
     val agg = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol)).as("w"))
     val el = graft.Caches.persist(
@@ -92,32 +159,56 @@ object Graph {
       case None     => lit(true)
       case Some(ss) => col("node").isin(ss: _*)
     }
-    val c0 = (total * 15L / 100L) / nT
-    var ranks = nodes
-      .withColumn("rank",
-        when(isTeleport, lit(total / nT)).otherwise(lit(0L)))
-      .localCheckpoint(true)
+    RankCtx(el, nodes, srcs, nT, (total * 15L / 100L) / nT, isTeleport)
+  }
+
+  /** Start vector: the teleport distribution (cold), or `init`
+    * projected onto the current node set (warm — new nodes at 0).
+    */
+  private def initRanks(ctx: RankCtx, init: Option[DataFrame],
+                        total: Long = 1000000000000L): DataFrame =
+    (init match {
+      case None => ctx.nodes.withColumn("rank",
+        when(ctx.isTeleport, lit(total / ctx.nT)).otherwise(lit(0L)))
+      case Some(prev) => ctx.nodes
+        .join(prev.withColumnRenamed("rank_pico", "rank"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("rank"), lit(0L)).as("rank"))
+    }).localCheckpoint(true)
+
+  /** One synchronous power iteration in pico-unit integer arithmetic. */
+  private def step(ctx: RankCtx, ranks: DataFrame): DataFrame = {
+    val contrib = ctx.el
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .withColumn("c", expr("rank * w div wout"))
+      .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
+    val dangling = ranks.join(ctx.srcs, Seq("node"), "left_anti")
+      .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
+    ctx.nodes
+      .join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(dangling))
+      // `div` (integer floor division) via expr: Column `/` would be
+      // double division and break the fixed-point bit contract
+      .withColumn("_prop", coalesce(col("contrib"), lit(0L)) +
+        when(ctx.isTeleport, expr(s"d div ${ctx.nT}")).otherwise(lit(0L)))
+      .select(col("node"),
+        (when(ctx.isTeleport, lit(ctx.c0)).otherwise(lit(0L)) +
+          expr("(_prop * 85) div 100")).as("rank"))
+  }
+
+  private def rankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int, total: Long,
+                       seeds: Option[Seq[String]],
+                       init: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val ctx = buildCtx(edges, srcCol, dstCol, wCol, total, seeds)
+    var ranks = initRanks(ctx, init, total)
     for (_ <- 1 to iters) {
-      val contrib = el.join(ranks.withColumnRenamed("node", "src"), "src")
-        .withColumn("c", expr("rank * w div wout"))
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
-      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
-      val next = nodes
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        // `div` (integer floor division) via expr: Column `/` would be
-        // double division and break the fixed-point bit contract
-        .withColumn("_prop", coalesce(col("contrib"), lit(0L)) +
-          when(isTeleport, expr(s"d div $nT")).otherwise(lit(0L)))
-        .select(col("node"),
-          (when(isTeleport, lit(c0)).otherwise(lit(0L)) +
-            expr("(_prop * 85) div 100")).as("rank"))
-      // eager checkpoint EVERY round, deliberately: `next` reads
+      // eager checkpoint EVERY round, deliberately: `step` reads
       // `ranks` twice (contrib join + dangling aggregate), so an
       // unmaterialized predecessor doubles the recompute tree per
       // round — measured 2× slower when checkpointing every 3rd
-      ranks = next.localCheckpoint(true)
+      ranks = step(ctx, ranks).localCheckpoint(true)
     }
     ranks.withColumnRenamed("rank", "rank_pico")
   }

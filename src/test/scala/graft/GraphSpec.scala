@@ -82,4 +82,85 @@ class GraphSpec extends AnyFunSuite {
     assert(r("B") > r("A")) // B gets all of A's flow, A only recycles
     assert(r.values.sum > 1000000000000L - 100L)
   }
+
+  test("streaming delta refresh converges to the batch ranks") {
+    import graft.streaming.GraphStream
+    val landing = java.nio.file.Files
+      .createTempDirectory("gs_landing").toString
+    val state = java.nio.file.Files.createTempDirectory("gs_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gs_ckpt").toString
+    val d1 = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val d2 = Seq(("c", "a", 2L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val d3 = Seq(("c", "b", 1L), ("d", "a", 3L)).toDF("src", "dst", "w")
+    // three deltas, each its own micro-batch across checkpoint restarts
+    for (d <- Seq(d1, d2, d3)) {
+      d.coalesce(1).write.mode("append").parquet(landing)
+      GraphStream.start(spark, landing, state, ckpt, refreshIters = 6)
+        .awaitTermination(120000)
+    }
+    // 1) the maintained edge log is lossless: a cold run over the
+    // accumulated state is bit-equal to the batch engine on the union
+    val full = d1.unionByName(d2).unionByName(d3)
+    val coldState = Graph.pageRank(GraphStream.edgeState(spark, state),
+      "src", "dst", "w", iters = 10).as[(String, Long)].collect().toMap
+    val coldBatch = Graph.pageRank(full, "src", "dst", "w", iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(coldState === coldBatch)
+    // 2) warm-started stabilization from the streamed ranks lands on
+    // the batch fixed point (within integer floor noise) in fewer
+    // iterations than a cold start needs
+    val warm = GraphStream.latestRanks(spark, state).get
+    val (warmStable, itWarm) = Graph.pageRankUntilStable(full, "src",
+      "dst", "w", init = Some(warm), maxIters = 60, tol = 5L)
+    val (batchStable, itCold) = Graph.pageRankUntilStable(full, "src",
+      "dst", "w", init = None, maxIters = 60, tol = 5L)
+    val w2 = warmStable.as[(String, Long)].collect().toMap
+    val b2 = batchStable.as[(String, Long)].collect().toMap
+    assert(w2.keySet === b2.keySet)
+    val maxDiff = w2.keySet.map(k => math.abs(w2(k) - b2(k))).max
+    assert(maxDiff <= 200L,
+      s"warm/cold stable ranks diverged by $maxDiff pico-units")
+    assert(itWarm <= itCold,
+      s"warm start took $itWarm iterations vs cold $itCold")
+    // 3) an at-least-once replay of an already-committed batch id is
+    // fenced: neither the edge log nor the snapshots change
+    val edgesBefore = GraphStream.edgeState(spark, state)
+      .as[(String, String, Long)].collect().toSet
+    GraphStream.refresh(spark, state,
+      Seq(("z", "z", 99L)).toDF("src", "dst", "w"), batchId = 0L,
+      refreshIters = 6)
+    assert(GraphStream.edgeState(spark, state)
+      .as[(String, String, Long)].collect().toSet === edgesBefore)
+  }
+
+  test("streaming trustRank refresh: cold batch is bit-exact, warm delta conserves") {
+    import graft.streaming.GraphStream
+    val landing = java.nio.file.Files
+      .createTempDirectory("gs_tr_landing").toString
+    val state = java.nio.file.Files
+      .createTempDirectory("gs_tr_state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gs_tr_ckpt").toString
+    val d1 = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    d1.coalesce(1).write.mode("append").parquet(landing)
+    GraphStream.start(spark, landing, state, ckpt, refreshIters = 10,
+      seeds = Seq("a")).awaitTermination(120000)
+    val streamed = GraphStream.latestRanks(spark, state).get
+      .as[(String, Long)].collect().toMap
+    val batch = Graph.trustRank(d1, "src", "dst", "w", Seq("a"),
+      iters = 10).as[(String, Long)].collect().toMap
+    assert(streamed === batch) // cold single batch ≡ batch trustRank
+    // a warm delta refresh keeps the node universe and (approximate)
+    // mass conservation — the machinery proven convergent for pageRank
+    // runs identically under the seed-restricted teleport
+    val d2 = Seq(("c", "d", 1L), ("d", "a", 1L)).toDF("src", "dst", "w")
+    d2.coalesce(1).write.mode("append").parquet(landing)
+    GraphStream.start(spark, landing, state, ckpt, refreshIters = 6,
+      seeds = Seq("a")).awaitTermination(120000)
+    val warm = GraphStream.latestRanks(spark, state).get
+      .as[(String, Long)].collect().toMap
+    assert(warm.keySet === Set("a", "b", "c", "d"))
+    assert(warm.values.sum > 900000000000L) // ~total, floor losses only
+  }
 }
