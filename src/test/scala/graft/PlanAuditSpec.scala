@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "a5_histogram", "s9_seed_prices", "u9_quality_checks",
     "n8_ann_recall", // exact-baseline cross: 8 broadcast query rows
     "n12_pq_topk",   // same harness: 8 broadcast query rows vs codes
+    "n16_pq_residual_recall", // same harness: 8 broadcast query rows
     "n13_ivfpq_topk", // IVFADC: 1 broadcast query row vs pruned cells
     "t12_tfidf",     // corpus-size: broadcast 1-row aggregate
     "t17_unigram_logprob", // corpus-total: broadcast 1-row aggregate
