@@ -2415,6 +2415,29 @@ object SparkEntry {
       tbl.upsert(p.filter(col("symbol") === "click" && col("id") % 10 === 0)
         .withColumn("price", col("price") + 1.0))
       tbl.deleteWhere(Seq("view"), col("id") % 7 === 0)
+      tbl.read()
+        .groupBy("symbol").agg(count(lit(1)).as("n"),
+          Aggregates.fromCents(sum(Aggregates.cents(col("price"))))
+            .as("sum_price"))
+        .repartition(1).sortWithinPartitions("symbol")
+    }),
+
+    "u1e_table_maintenance" -> ((s, d) => {
+      // the MAINTENANCE half of the table lifecycle, measured on its
+      // own (split out of u1c so the mutation path isn't charged for
+      // it): a fragmented table — init plus four insert-ignore commits
+      // of disjoint id slices — is compacted into one bounded-file dir
+      // and vacuumed; the read-back must hash the same as the logical
+      // union, proving compaction and vacuum are content-preserving.
+      // At 100 TB this is the nightly job that keeps file counts and
+      // scan costs bounded under continuous small appends.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tbl_m").toString
+      val p = T(s, d).pricesFromEvents
+      val tbl = graft.sources.PriceTable(s, root)
+      tbl.init(p.filter(col("id") % 5 === 0))
+      (1 to 4).foreach(k =>
+        tbl.insertIgnore(p.filter(col("id") % 5 === k)))
       tbl.compact()
       tbl.vacuum()
       tbl.read()
@@ -5398,6 +5421,16 @@ object SparkEntry {
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
          |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM final GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // maintenance is content-preserving by contract and the five
+    // insert slices partition the id space with globally-unique
+    // (symbol, as_of, source) keys, so the compacted+vacuumed table is
+    // logically ALL prices — the oracle needs only the union
+    "u1e_table_maintenance" ->
+      s"""WITH $pricesCte
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
+         |FROM prices GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     // DocTable lifecycle mirror: membership algebra over doc_id (init
     // minus thirds, union evens, delete keyed subrange in two source
