@@ -2144,6 +2144,29 @@ object SparkEntry {
         q, topK = 10, k = 8, nprobe = 2)
     }),
 
+    "n17_filtered_ann" -> ((s, d) => {
+      // filtered ANN — the RAG-serving pattern: top-k restricted to a
+      // metadata predicate (label % 3 = 0) composed INTO the scan, not
+      // post-filtered from an unfiltered top-k (which silently returns
+      // fewer than k when the predicate is selective). The predicate
+      // rides the same cell-partitioned parquet read as the probe
+      // cells: PartitionFilters prune 6 of 8 directories and
+      // PushedFilters carry the label gate (WarehouseSpec pins both),
+      // so at 100 TB the read is nprobe/k of the corpus times the
+      // predicate's selectivity
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivf_f").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writeEmbeddingsByCell(emb, root, k = 8, dim = 64,
+        centroids = Some(Similarity.seedCentroids(8, 64)))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfTopKPartitioned(
+        Warehouse.readEmbeddingsByCell(s, root)
+          .filter(col("label") % 3 === 0), "vec_id", "embedding",
+        q, topK = 10, k = 8, nprobe = 2)
+    }),
+
     // ---- multimodal plumbing (no SQL oracle: partition-local decode) --
 
     "m1_multimodal_features" -> ((s, d) => {
@@ -5089,6 +5112,39 @@ object SparkEntry {
          |cells AS (
          |  SELECT vec_id, embedding, (${cellsOf("embedding")})[1].cell AS cell
          |  FROM embeddings),
+         |j AS (
+         |  SELECT c.vec_id, c.embedding, q.qv
+         |  FROM cells c, q, pr WHERE list_contains(pr.probes, c.cell)),
+         |s AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b) AS dot,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b)) AS na,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
+         |  FROM j)
+         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // n6's probe-pruned serving with the metadata gate applied inside
+    // the pruned scan — the filter composes BEFORE the top-k
+    "n17_filtered_ann" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT list_transform((${cellsOf("qv")})[1:2], s -> s.cell) AS probes FROM q),
+         |cells AS (
+         |  SELECT vec_id, embedding, (${cellsOf("embedding")})[1].cell AS cell
+         |  FROM embeddings WHERE label % 3 = 0),
          |j AS (
          |  SELECT c.vec_id, c.embedding, q.qv
          |  FROM cells c, q, pr WHERE list_contains(pr.probes, c.cell)),

@@ -357,6 +357,40 @@ class WarehouseSpec extends AnyFunSuite {
       .contains("embedding"))
   }
 
+  test("filtered ANN: metadata gate rides the probe-pruned scan") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_ivf_filter").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    Warehouse.writeEmbeddingsByCell(emb, root, k = 8, dim = 64,
+      centroids = Some(cents))
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val filtered = Warehouse.readEmbeddingsByCell(spark, root)
+      .filter($"label" % 3 === 0)
+    val got = Similarity.ivfTopKPartitioned(filtered, "vec_id",
+      "embedding", q, topK = 10, k = 8, nprobe = 2)
+    // the label predicate is pushed into the SAME scan the probe
+    // cells prune — not applied after the read
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("label"), plan)
+    // correctness: equals exact cosine over the filtered probed slice
+    val probes = Similarity.probeCellsAt(q, cents, 2)
+    val expected = filtered.filter($"cell".isin(probes: _*))
+      .select($"vec_id",
+        round(Similarity.cosineNative($"embedding",
+          array(q.map(lit): _*)), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.as[(Long, Double)].collect().toSeq === expected)
+    // every survivor satisfies the predicate
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)]
+      .collect().toMap
+    assert(got.as[(Long, Double)].collect()
+      .forall { case (id, _) => labels(id) % 3 == 0 })
+  }
+
   test("residual PQ index: flag persisted, codes differ, serve still exact within probes") {
     import graft.pipelines.Similarity
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
