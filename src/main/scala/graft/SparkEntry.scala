@@ -1294,6 +1294,28 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang")
     }),
 
+    "t27_temperature_mix" -> ((s, d) => {
+      // α-temperature mixing (the composition trainers actually run):
+      // per-language shares computed FROM the corpus as tokens^α
+      // (α = 0.5 — boosts low-resource languages without discarding
+      // high-resource mass), snapped to a 1e-9 grid, then fed to the
+      // token-budget mixer's salted-hash sampling. One strata-sized
+      // aggregate + one scan; the whole mixture policy is data-derived
+      // instead of hardcoded target shares
+      val docs = T(s, d).documents
+      val toked = docs.select(col("doc_id"), col("lang"),
+        size(Dedup.words(col("text"))).cast("long").as("tok"))
+      val shares = TextAnalysis.temperatureShares(toked, col("lang"),
+        col("tok"), alpha = 0.5)
+      TextAnalysis.tokenBudgetMix(toked,
+          col("doc_id"), col("lang"), col("tok"),
+          targetShares = shares, tokenBudget = 15000L, salt = "temp-r9")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"))
+        .repartition(1).sortWithinPartitions("lang")
+    }),
+
     "t10_corpus_shuffle" -> ((s, d) => {
       // deterministic training-order shuffle: global rank by salted hash
       // via the scale-safe globalRanks (no single-task window)
@@ -4269,6 +4291,36 @@ object SparkEntry {
          |  FROM documents d JOIN bdoc b USING (doc_id)
          |  JOIN rates r ON d.lang = r.lang
          |  WHERE ${h60("'mix-r3#' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < r.rate * 1000000)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // temperature shares mirrored share-for-share: sqrt (IEEE-exact in
+    // both engines), the 1e-9 snap as floor(x*1e9 + 0.5), then t13's
+    // rate + salted-hash keep rule
+    "t27_temperature_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(${wordsSql("text")}) AS BIGINT) AS tok
+         |  FROM documents),
+         |inv AS (
+         |  SELECT lang, CAST(sum(tok) AS DOUBLE) AS t
+         |  FROM tok GROUP BY lang),
+         |pw AS (SELECT lang, sqrt(t) AS p FROM inv),
+         |tot AS (SELECT sum(p) AS tp FROM pw),
+         |sh AS (
+         |  SELECT lang,
+         |    floor(p / tp * 1000000000 + 0.5) / 1000000000 AS share
+         |  FROM pw, tot),
+         |rates AS (
+         |  SELECT i.lang,
+         |    least(CAST(1.0 AS DOUBLE), 15000 * s.share / i.t) AS rate
+         |  FROM inv i JOIN sh s USING (lang)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.lang, tok.tok
+         |  FROM tok JOIN rates r USING (lang)
+         |  WHERE ${h60("'temp-r9#' || CAST(doc_id AS VARCHAR)")} % 1000000
          |    < r.rate * 1000000)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens

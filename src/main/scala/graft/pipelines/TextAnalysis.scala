@@ -845,6 +845,37 @@ object TextAnalysis {
     stratifiedHashSample(df, key, stratum, rates, default = 0.0, salt)
   }
 
+  /** Temperature-weighted mixture shares — the standard α-sampling rule
+    * for multi-source training mixes (share_s ∝ tokens_s^α): α = 1
+    * reproduces the natural distribution, α → 0 flattens toward equal
+    * shares, and the usual 0 < α < 1 boosts low-resource strata without
+    * discarding high-resource mass. Output feeds [[tokenBudgetMix]] as
+    * its `targetShares` — computing the shares from the corpus is the
+    * half trainers otherwise hardcode. The strata-sized inventory
+    * collect is bounded; the power/total fold runs in SORTED stratum
+    * order and shares snap to a 1e-9 grid (floor(x·1e9 + 0.5)), so the
+    * result is bit-reproducible and the SQL oracle can mirror the
+    * arithmetic exactly.
+    */
+  def temperatureShares(df: DataFrame, stratum: Column, tokens: Column,
+                        alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    val inv = df.groupBy(stratum.as("_s"))
+      .agg(sum(tokens.cast("long")).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // α = 0.5 rides IEEE-exact sqrt (pow is only 1-ulp-bounded and may
+    // differ between the JVM and the oracle's libm; sqrt cannot)
+    val pows = inv.map { case (k, t) =>
+      k -> (if (alpha == 0.5) math.sqrt(t.toDouble)
+            else math.pow(t.toDouble, alpha))
+    }
+    val total = pows.map(_._2).sum // sorted-order fold: deterministic
+    pows.map { case (k, p) =>
+      k -> math.floor(p / total * 1e9 + 0.5) / 1e9
+    }.toMap
+  }
+
   /** Deterministic corpus shuffle — training-order randomization without
     * RNG state: every row ranked by its salted 60-bit md5 (ties broken by
     * the key). Reproducible across partitionings/retries like

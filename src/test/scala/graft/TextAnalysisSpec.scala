@@ -12,6 +12,22 @@ class TextAnalysisSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("temperatureShares: α=1 natural, α=0 flat, 0<α<1 boosts low-resource") {
+    import graft.pipelines.TextAnalysis
+    val df = Seq(("en", 900L), ("de", 90L), ("fr", 10L))
+      .toDF("lang", "tok")
+    def shares(a: Double) =
+      TextAnalysis.temperatureShares(df, $"lang", $"tok", a)
+    val s1 = shares(1.0)
+    assert(math.abs(s1("en") - 0.9) < 1e-9)
+    assert(math.abs(s1("fr") - 0.01) < 1e-9)
+    val s0 = shares(0.0)
+    assert(s0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9))
+    val sh = shares(0.5)
+    assert(sh("fr") > s1("fr") && sh("en") < s1("en")) // flattened
+    assert(math.abs(sh.values.sum - 1.0) < 1e-6)
+  }
+
   test("token counts: whitespace vs BPE-ish pre-split") {
     val df = Seq("Hello, world! 42 tokens?").toDF("text")
     val r = df.select(
