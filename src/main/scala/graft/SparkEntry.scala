@@ -2470,7 +2470,7 @@ object SparkEntry {
     "u1e_table_maintenance" -> ((s, d) => {
       // the MAINTENANCE half of the table lifecycle, measured on its
       // own (split out of u1c so the mutation path isn't charged for
-      // it): a fragmented table — init plus four insert-ignore commits
+      // it): a fragmented table — init plus two insert-ignore commits
       // of disjoint id slices — is compacted into one bounded-file dir
       // and vacuumed; the read-back must hash the same as the logical
       // union, proving compaction and vacuum are content-preserving.
@@ -2480,9 +2480,9 @@ object SparkEntry {
         .createTempDirectory("graft_tbl_m").toString
       val p = T(s, d).pricesFromEvents
       val tbl = graft.sources.PriceTable(s, root)
-      tbl.init(p.filter(col("id") % 5 === 0))
-      (1 to 4).foreach(k =>
-        tbl.insertIgnore(p.filter(col("id") % 5 === k)))
+      tbl.init(p.filter(col("id") % 3 === 0))
+      (1 to 2).foreach(k =>
+        tbl.insertIgnore(p.filter(col("id") % 3 === k)))
       tbl.compact()
       tbl.vacuum()
       tbl.read()
