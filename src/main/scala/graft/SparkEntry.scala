@@ -2522,6 +2522,28 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source", "lang")
     }),
 
+    "u1f_table_time_travel" -> ((s, d) => {
+      // provenance diff between two committed corpus versions — "what
+      // changed between the corpus a model trained on (v1) and
+      // today's (v2)": time travel reconstructs v1 exactly (immutable
+      // data dirs + retained manifests), the CDC classifier labels
+      // every doc. Pure composition of two individually-verified ops
+      // (AtomicTable.readVersion × Quality.diffSnapshots) — the
+      // reproducibility question every training run eventually asks
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_doc_tt").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.DocTable(s, root)
+      tbl.init(docs.filter(col("doc_id") % 3 =!= 0)) // version 1
+      tbl.upsert(docs.filter(col("doc_id") % 2 === 0) // version 2
+        .withColumn("lang", lit("xx")))
+      operators.Quality.diffSnapshots(
+          tbl.readVersion(1), tbl.readVersion(2),
+          Seq("doc_id"), Seq("lang", "source", "n_chars"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions("status")
+    }),
+
     "u6_verify_code" -> ((s, d) => {
       val codes = T(s, d).events.select(
         col("event_id").as("id"),
@@ -5539,6 +5561,22 @@ object SparkEntry {
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
          |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM prices GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // time-travel diff mirror: v1 = thirds removed; v2 upserts every
+    // even doc re-tagged 'xx' — evens absent from v1 (≡0 mod 6) are
+    // added, evens present are changed (no original lang is 'xx'),
+    // remaining v1 docs are unchanged, nothing is removed
+    "u1f_table_time_travel" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN 'added'
+        |         WHEN doc_id % 2 = 0 THEN 'changed'
+        |         WHEN doc_id % 3 <> 0 THEN 'unchanged'
+        |         END AS status
+        |  FROM documents)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE status IS NOT NULL
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // DocTable lifecycle mirror: membership algebra over doc_id (init
     // minus thirds, union evens, delete keyed subrange in two source
