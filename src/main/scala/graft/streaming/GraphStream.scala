@@ -88,6 +88,32 @@ object GraphStream {
       .parquet(s"$stateDir/ranks/batch=$batchId")
   }
 
+  /** Compact the append-only edge log: fold all delta files into one
+    * pre-aggregated (src, dst, w) dir. Reads re-aggregate on the fly
+    * either way (sum-of-weights is associative), so compaction changes
+    * no answer — it bounds file count and re-aggregation work after
+    * many small deltas, the same nightly discipline AtomicTable.compact
+    * applies to tables. Staged-then-swap: the compacted log lands in a
+    * temp dir first and replaces `edges/` only after a successful
+    * write, so a crash mid-compaction leaves the original log intact.
+    */
+  def compactEdges(spark: SparkSession, stateDir: String): Unit = {
+    val edges = s"$stateDir/edges"
+    val staging = s"$stateDir/.edges_staging"
+    edgeState(spark, stateDir)
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 2))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val old = new java.io.File(edges)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete()
+    }
+    rm(old)
+    if (!new java.io.File(staging).renameTo(old))
+      sys.error(s"compactEdges: rename $staging -> $edges failed")
+  }
+
   /** Micro-batch pipeline: landing dir of edge-delta parquet files →
     * edge log + warm-started rank refresh per batch.
     */

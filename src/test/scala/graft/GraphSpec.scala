@@ -131,6 +131,18 @@ class GraphSpec extends AnyFunSuite {
       refreshIters = 6)
     assert(GraphStream.edgeState(spark, state)
       .as[(String, String, Long)].collect().toSet === edgesBefore)
+    // 4) compacting the delta log changes no answer and shrinks the
+    // file count (the nightly maintenance for a long-running stream)
+    def parquetFiles(): Int =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$state/edges"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+    val filesBefore = parquetFiles()
+    GraphStream.compactEdges(spark, state)
+    assert(GraphStream.edgeState(spark, state)
+      .as[(String, String, Long)].collect().toSet === edgesBefore)
+    assert(parquetFiles() < filesBefore,
+      s"compaction did not shrink the log ($filesBefore files)")
   }
 
   test("streaming trustRank refresh: cold batch is bit-exact, warm delta conserves") {
