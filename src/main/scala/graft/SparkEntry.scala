@@ -1316,6 +1316,54 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang")
     }),
 
+    "t28_drift_psi" -> ((s, d) => {
+      // corpus drift alarm between two crawl snapshots (even/odd
+      // doc_id halves standing in for consecutive increments):
+      // per-language Population Stability Index — the retrain-gate
+      // check run BEFORE a mixture is refit on a new crawl (PSI < 0.1
+      // stable, > 0.25 investigate). Two strata-sized aggregates and
+      // one broadcast join; no epsilon smoothing (a novel or vanished
+      // stratum surfaces as a null psi, not a silent huge number)
+      val docs = T(s, d).documents
+      operators.Quality.populationStability(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), col("lang"))
+        .repartition(1).sortWithinPartitions("stratum")
+    }),
+
+    "t29_curation_funnel" -> ((s, d) => {
+      // per-stage curation observability — the funnel report a
+      // production pipeline publishes with every run: documents
+      // surviving the quality gate, the exact dedup, and the
+      // per-source cap, as (stage, n) rows from one shared plan (each
+      // stage aggregate reuses the previous stage's frame, so the
+      // funnel costs the pipeline's own scan, not four)
+      import org.apache.spark.sql.expressions.Window
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d).documents
+      val gated = docs
+        .withColumn("n_words",
+          element_at(TextAnalysis.textCounts(col("text")), 1))
+        .withColumn("stop_hits",
+          TextAnalysis.wordHits(col("text"), TextAnalysis.Stopwords))
+        .filter(col("n_words") >= 25 && col("stop_hits") >= 2)
+      val deduped = gated
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+      val capped = Web.capPerDomain(deduped, col("source"),
+        Seq(col("doc_id").asc), maxDocs = 60)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(name).as("stage"), col("n"))
+      stage("0_total", docs)
+        .unionByName(stage("1_gate", gated))
+        .unionByName(stage("2_dedup", deduped))
+        .unionByName(stage("3_cap", capped))
+        .repartition(1).sortWithinPartitions("stage")
+    }),
+
     "t10_corpus_shuffle" -> ((s, d) => {
       // deterministic training-order shuffle: global rank by salted hash
       // via the scale-safe globalRanks (no single-task window)
@@ -4317,6 +4365,52 @@ object SparkEntry {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t28_drift_psi" ->
+      """WITH o AS (
+        |  SELECT lang AS stratum, count(*) AS n FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ot AS (SELECT sum(n) AS t FROM o),
+        |po AS (SELECT stratum, CAST(n AS DOUBLE) / t AS p_old
+        |       FROM o, ot),
+        |nn AS (
+        |  SELECT lang AS stratum, count(*) AS n FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |nt AS (SELECT sum(n) AS t FROM nn),
+        |pn AS (SELECT stratum, CAST(n AS DOUBLE) / t AS p_new
+        |       FROM nn, nt)
+        |SELECT COALESCE(po.stratum, pn.stratum) AS stratum,
+        |  round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,
+        |  round((p_new - p_old) * ln(p_new / p_old), 6) AS psi
+        |FROM po FULL OUTER JOIN pn ON po.stratum = pn.stratum
+        |ORDER BY stratum""".stripMargin,
+
+    "t29_curation_funnel" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, text,
+         |    len(${wordsSql("text")}) AS n_words,
+         |    len(list_filter(${wordsSql("text")}, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','it','for','on'], x)))
+         |      AS stop_hits
+         |  FROM documents),
+         |g AS (SELECT * FROM w WHERE n_words >= 25 AND stop_hits >= 2),
+         |dd AS (
+         |  SELECT * FROM (
+         |    SELECT *,
+         |      ${h60("regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g')")}
+         |        AS fp
+         |    FROM g)
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |c AS (
+         |  SELECT * FROM dd
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |    <= 60)
+         |SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents
+         |UNION ALL SELECT '1_gate', CAST(count(*) AS BIGINT) FROM g
+         |UNION ALL SELECT '2_dedup', CAST(count(*) AS BIGINT) FROM dd
+         |UNION ALL SELECT '3_cap', CAST(count(*) AS BIGINT) FROM c
+         |ORDER BY stage""".stripMargin,
 
     // temperature shares mirrored share-for-share: sqrt (IEEE-exact in
     // both engines), the 1e-9 snap as floor(x*1e9 + 0.5), then t13's

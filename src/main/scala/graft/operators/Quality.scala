@@ -30,6 +30,34 @@ object Quality {
     base.crossJoin(dups) // two single-row frames
   }
 
+  /** Population Stability Index between two corpus snapshots, per
+    * stratum: `psi_s = (p_new − p_old) · ln(p_new / p_old)` with the
+    * total PSI being the sum over strata — the standard drift alarm
+    * (PSI < 0.1 stable, > 0.25 investigate) run between crawl
+    * increments or corpus versions before a mixture is retrained on.
+    * Two strata-sized aggregates + one broadcastable join; a stratum
+    * absent from either side contributes a null psi row (the caller
+    * decides how to score novel/vanished strata — no epsilon smoothing
+    * is silently applied).
+    */
+  def populationStability(oldDf: DataFrame, newDf: DataFrame,
+                          stratum: Column): DataFrame = {
+    def dist(df: DataFrame, p: String): DataFrame = {
+      val c = df.groupBy(stratum.as("stratum"))
+        .agg(count(lit(1)).as("_n"))
+      c.crossJoin(broadcast(c.agg(sum(col("_n")).as("_t"))))
+        .select(col("stratum"),
+          (col("_n").cast("double") / col("_t")).as(p))
+    }
+    dist(oldDf, "p_old")
+      .join(dist(newDf, "p_new"), Seq("stratum"), "full_outer")
+      .withColumn("psi",
+        round((col("p_new") - col("p_old")) *
+          log(col("p_new") / col("p_old")), 6))
+      .select(col("stratum"), round(col("p_old"), 6).as("p_old"),
+        round(col("p_new"), 6).as("p_new"), col("psi"))
+  }
+
   /** CDC-style diff of two keyed snapshots: every key classified as
     * added / removed / changed / unchanged via one full-outer join.
     * `compareCols` define "changed" (null-safe equality on each).

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+
+/** Drift-detection semantics of the population stability index. */
+class QualitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (String, Int)*) =
+    rows.flatMap { case (lang, n) => Seq.fill(n)(lang) }
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "lang")
+
+  test("identical distributions score zero PSI per stratum") {
+    val a = corpus("en" -> 60, "de" -> 30, "fr" -> 10)
+    val got = Quality.populationStability(a, a, $"lang")
+      .select("stratum", "psi").as[(String, Double)].collect().toMap
+    assert(got.values.forall(_ == 0.0), got.toString)
+  }
+
+  test("a shifted stratum scores positive PSI; novel stratum yields null") {
+    val old = corpus("en" -> 60, "de" -> 30, "fr" -> 10)
+    val now = corpus("en" -> 30, "de" -> 30, "fr" -> 40, "zh" -> 0)
+      .unionByName(Seq((999L, "zh")).toDF("id", "lang"))
+    val got = Quality.populationStability(old, now, $"lang")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // en shrank and fr grew: both directions read as positive drift
+    assert(got("en").get > 0.0 && got("fr").get > 0.0)
+    // de's share barely moved (30/100 -> 30/101): near-zero psi
+    assert(got("de").get < 0.01)
+    // zh exists only in the new snapshot: null, not a silent number
+    assert(got("zh").isEmpty)
+  }
+}
