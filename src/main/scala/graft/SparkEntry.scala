@@ -1316,6 +1316,26 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang")
     }),
 
+    "t30_stratified_quality_keep" -> ((s, d) => {
+      // per-language quality cut: score every doc with the unigram
+      // perplexity proxy, keep the best 70% WITHIN each language
+      // (lowest avg −ln p, doc_id tiebreak). A global threshold would
+      // silently starve languages that score systematically higher;
+      // the stratified cut is what multilingual curation actually
+      // ships. Both windows partition by lang — per-partition work,
+      // no global sort; the kept set is summarized in exact micro-units
+      val docs = T(s, d).documents
+      val scored = TextAnalysis.unigramLogProb(docs, "doc_id",
+          col("text"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      operators.Relational.keepTopFraction(scored, col("lang"),
+          Seq(col("avg_nll").asc, col("doc_id").asc), fraction = 0.7)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(round(col("avg_nll") * 1e6).cast("long")).as("sum_nll_u"))
+        .repartition(1).sortWithinPartitions("lang")
+    }),
+
     "t28_drift_psi" -> ((s, d) => {
       // corpus drift alarm between two crawl snapshots (even/odd
       // doc_id halves standing in for consecutive increments):
@@ -4365,6 +4385,36 @@ object SparkEntry {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t17's score CTEs + the per-lang top-fraction QUALIFY; micro-unit
+    // round is half-up in both engines for positive values
+    "t30_stratified_quality_keep" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS word
+         |  FROM documents),
+         |v AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+         |t AS (SELECT count(*) AS tot FROM w),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS nll_u
+         |  FROM w JOIN v USING (word), t),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll
+         |  FROM s GROUP BY doc_id),
+         |sl AS (
+         |  SELECT sc.doc_id, d.lang, sc.avg_nll
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |k AS (
+         |  SELECT * FROM sl
+         |  QUALIFY row_number() OVER (PARTITION BY lang
+         |      ORDER BY avg_nll, doc_id)
+         |    <= ceil(count(*) OVER (PARTITION BY lang) * 0.7))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(CAST(round(avg_nll * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS sum_nll_u
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t28_drift_psi" ->
       """WITH o AS (

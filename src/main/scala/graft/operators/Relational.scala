@@ -193,4 +193,25 @@ object Relational {
     */
   def unexpired(df: DataFrame, expiresAt: Column, now: Column): DataFrame =
     df.filter(now < expiresAt)
+
+  /** Keep the best `ceil(fraction · |stratum|)` rows per stratum under
+    * `order` — exact per-stratum top-fraction selection (a FineWeb-style
+    * quality cut applies it per language: a GLOBAL score threshold
+    * silently starves whichever languages score systematically lower).
+    * Both windows partition by the stratum, so the selection is
+    * per-partition work with no global sort; determinism requires
+    * `order` to be a total order (add a key tiebreak).
+    */
+  def keepTopFraction(df: DataFrame, stratum: Column,
+                      order: Seq[Column], fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1]: $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order: _*)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rk") <= ceil(col("_n") * fraction))
+      .drop("_rk", "_n")
+  }
 }

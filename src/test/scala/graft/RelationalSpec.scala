@@ -119,4 +119,20 @@ class RelationalSpec extends AnyFunSuite {
       to_timestamp(lit("2024-01-01 00:05:00")))
     assert(got.select("token").as[String].collect().toSeq === Seq("s1"))
   }
+
+  test("keepTopFraction: per-stratum ceil cut, best rows survive") {
+    // en: 4 rows → ceil(4·0.7)=3 kept; fr: 1 row → ceil(0.7)=1 kept
+    val df = Seq(("en", 1L, 0.5), ("en", 2L, 0.1), ("en", 3L, 0.9),
+      ("en", 4L, 0.3), ("fr", 5L, 0.8))
+      .toDF("lang", "id", "score")
+    val kept = Relational.keepTopFraction(df, $"lang",
+        Seq($"score".asc, $"id".asc), fraction = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 1L, 5L)) // en drops its worst (id=3)
+    // fraction 1.0 keeps everything; the helper columns don't leak
+    val all = Relational.keepTopFraction(df, $"lang",
+      Seq($"score".asc, $"id".asc), fraction = 1.0)
+    assert(all.count() === 5 && all.columns.toSet ===
+      Set("lang", "id", "score"))
+  }
 }
