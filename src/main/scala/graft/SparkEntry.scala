@@ -439,6 +439,26 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_id")
     }),
 
+    "j9_asof_tolerance" -> ((s, d) => {
+      // j6's point-in-time lookup with a bounded staleness window
+      // (merge_asof's tolerance): a price older than 45 minutes at
+      // read time is no price at all — the market-data freshness
+      // contract. Same one-shuffle carry-forward plan; the bound is a
+      // post-carry null-out, not a second join
+      val t = T(s, d)
+      val right = t.pricesFromEvents
+        .groupBy("symbol", "as_of")
+        .agg(max_by(col("price"), col("id")).as("price"))
+      val left = t.events.select(col("event_id"),
+        col("event_type").as("symbol"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"))
+      graft.operators.AsOf.asofJoin(left, right, "symbol", "t", "as_of",
+          Seq("price"), tolerance = Some("45 MINUTES"))
+        .select(col("event_id"), col("symbol"),
+          unix_micros(col("t")).as("t_us"), col("price"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
     "j7_range_join" -> ((s, d) => {
       // interval containment via bin-bucketing: one hash shuffle on
       // (key, bin) instead of the nested-loop plan a bare BETWEEN gets
@@ -3262,6 +3282,24 @@ object SparkEntry {
          |         ts + INTERVAL 30 MINUTE AS t
          |  FROM events)
          |SELECT l.event_id, l.symbol, epoch_us(l.t) AS t_us, r.price
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.symbol = r.symbol AND l.t >= r.as_of
+         |ORDER BY l.event_id""".stripMargin,
+
+    // j6's ASOF twin with the staleness bound as a CASE over the
+    // matched right timestamp (inclusive at exactly the tolerance)
+    "j9_asof_tolerance" ->
+      s"""WITH $pricesCte,
+         |r AS (
+         |  SELECT symbol, as_of, arg_max(price, id) AS price
+         |  FROM prices GROUP BY symbol, as_of),
+         |l AS (
+         |  SELECT event_id, event_type AS symbol,
+         |         ts + INTERVAL 30 MINUTE AS t
+         |  FROM events)
+         |SELECT l.event_id, l.symbol, epoch_us(l.t) AS t_us,
+         |  CASE WHEN r.as_of >= l.t - INTERVAL 45 MINUTE
+         |       THEN r.price END AS price
          |FROM l ASOF LEFT JOIN r
          |  ON l.symbol = r.symbol AND l.t >= r.as_of
          |ORDER BY l.event_id""".stripMargin,

@@ -33,6 +33,13 @@ object AsOf {
     *                  "forward" (earliest right ≥ left)
     * @param allowExactMatches whether a right row at exactly the left
     *                  timestamp counts as a match
+    * @param tolerance optional SQL interval literal (e.g. "45 MINUTES")
+    *                  bounding the match's staleness — pandas
+    *                  merge_asof's `tolerance`: a match further than
+    *                  this from the left timestamp yields null payload
+    *                  (market-data reads bound quote staleness this
+    *                  way). Inclusive at exactly the tolerance.
+    *                  Requires timestamp time columns.
     *
     * Ties among right rows on (by, rightOn) are resolved arbitrarily —
     * pre-aggregate the right side (e.g. arg-max by ingest id) when the
@@ -41,22 +48,26 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, by: String,
                leftOn: String, rightOn: String, payload: Seq[String],
                direction: String = "backward",
-               allowExactMatches: Boolean = true): DataFrame = {
+               allowExactMatches: Boolean = true,
+               tolerance: Option[String] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload columns collide with left: $clash")
+    require(!payload.contains("_rt"), "payload name _rt is reserved")
 
+    // the matched right timestamp rides the payload struct (as `_rt`)
+    // so a tolerance bound can be evaluated after the carry-forward
     val lRow = struct(left.columns.map(col): _*)
+    val payStruct = payload.map(col) :+ col(rightOn).as("_rt")
     val lNorm = left.select(col(by).as("_by"),
       col(leftOn).as("_t"), lit(1).as("_side"),
       lRow.as("_lrow"),
-      lit(null).cast(right.select(payload.map(col): _*).schema)
-        .as("_pay"))
+      lit(null).cast(right.select(payStruct: _*).schema).as("_pay"))
     val rNorm = right.select(col(by).as("_by"),
       col(rightOn).as("_t"), lit(0).as("_side"),
       lit(null).cast(left.schema).as("_lrow"),
-      struct(payload.map(col): _*).as("_pay"))
+      struct(payStruct: _*).as("_pay"))
 
     // traversal order: backward walks time ascending, forward descending;
     // on timestamp ties the right row comes first iff exact matches count
@@ -81,11 +92,22 @@ object AsOf {
     // the payload travels as ONE struct: a right row whose payload fields
     // are null still matches (last(ignoreNulls) on bare fields would
     // skip it and wrongly reach further back)
+    // tolerance: a carried match further than the bound from the left
+    // timestamp is nulled — unmatched, exactly merge_asof's contract
+    // (inclusive at the bound; a null _m propagates null through when)
+    val inTol = tolerance.map { tol =>
+      if (direction == "backward")
+        col("_m._rt") >= col("_t") - expr(s"INTERVAL $tol")
+      else col("_m._rt") <= col("_t") + expr(s"INTERVAL $tol")
+    }
+    def payCol(p: String) = inTol match {
+      case None       => col(s"_m.$p").as(p)
+      case Some(cond) => when(cond, col(s"_m.$p")).otherwise(lit(null)).as(p)
+    }
     val matched = merged
       .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col("_lrow.*") +:
-        payload.map(p => col(s"_m.$p").as(p)): _*)
+      .select(col("_lrow.*") +: payload.map(payCol): _*)
     // the extra left scan only exists when null timestamps are possible
     if (!leftNullable) matched
     else matched.unionByName(

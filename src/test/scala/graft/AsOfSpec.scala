@@ -121,4 +121,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(exchanges === 1, plan)
     assert(!plan.toLowerCase.contains("cartesian"), plan)
   }
+
+  test("tolerance nulls stale matches, inclusive at the bound") {
+    def runTol(dir: String, tol: String): Map[Long, Option[Double]] =
+      AsOf.asofJoin(left, right, "sym", "t", "as_of", Seq("price"),
+          direction = dir, tolerance = Some(tol))
+        .select("id", "price").as[(Long, Option[Double])]
+        .collect().toMap
+    // id=1 matched 09:30 (30 min stale): kept at exactly 30 MINUTES
+    // (inclusive), dropped at 29; the exact-timestamp match (id=2,
+    // zero staleness) always survives
+    val at30 = runTol("backward", "30 MINUTES")
+    assert(at30 === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None,
+      4L -> None))
+    val at29 = runTol("backward", "29 MINUTES")
+    assert(at29(1L) === None && at29(2L) === Some(2.0))
+    // forward: id=4 matches B's 11:00 price 60 min ahead — kept at 60,
+    // dropped at 59
+    assert(runTol("forward", "60 MINUTES")(4L) === Some(5.0))
+    assert(runTol("forward", "59 MINUTES")(4L) === None)
+  }
 }
