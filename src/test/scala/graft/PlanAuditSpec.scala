@@ -29,7 +29,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "st5_hll_stream",      // same shape: 1-row estimate beside 1 row
     "g1_pagerank",         // dangling mass: broadcast 1-row aggregate
     "g2_trustrank",        // same shape: broadcast 1-row dangling row
-    "t21_bigram_logprob")  // vocab size: broadcast 1-row aggregate
+    "t21_bigram_logprob",  // vocab size: broadcast 1-row aggregate
+    "t28_drift_psi",       // per-side totals: broadcast 1-row aggregates
+    "t30_stratified_quality_keep") // corpus-total: broadcast 1-row agg (t17's scorer)
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"
