@@ -1356,6 +1356,69 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("lang")
     }),
 
+    "t31_shard_export" -> ((s, d) => {
+      // trainer-handoff export: the corpus leaves as hash-sharded JSONL
+      // (shard = salted 60-bit md5 of doc_id mod 8 — deterministic,
+      // rebalanced only by changing the salt, never by cluster layout),
+      // one directory per shard so loaders stream shards
+      // independently. The query re-reads the EXPORTED files and
+      // summarizes per shard — the oracle hash proves the JSON
+      // roundtrip is lossless (ids, chars, text lengths survive) and
+      // the assignment matches the documented rule
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shards").toString
+      val docs = T(s, d).documents
+      docs.withColumn("shard",
+          graft.functions.MarketFunctions.md5Hash60(
+            concat(lit("shard-r9#"), col("doc_id").cast("string"))) % 8)
+        .write.mode("overwrite").partitionBy("shard").json(out)
+      s.read.json(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          sum(col("doc_id")).as("sum_id"))
+        .repartition(1).sortWithinPartitions("shard")
+    }),
+
+    "s13_quarantine_ingest" -> ((s, d) => {
+      // schema-on-read ingest with bad-record quarantine: a landing
+      // file where every 7th line is torn mid-JSON reads under
+      // PERMISSIVE mode — valid rows parse, corrupt lines land intact
+      // in the quarantine column for replay/debugging instead of
+      // failing the batch (DROPMALFORMED silently loses data;
+      // FAILFAST turns one bad crawler line into a dead pipeline)
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_quarantine").toString
+      val docs = T(s, d).documents
+      docs.select(
+          when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+              lit(", \"lang\": \"tor")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(landing)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(landing)
+        .groupBy(coalesce(col("lang"), lit("_quarantined")).as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_bad").isNotNull, 1).otherwise(0))
+            .as("n_quarantined"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("lang")
+    }),
+
     "t28_drift_psi" -> ((s, d) => {
       // corpus drift alarm between two crawl snapshots (even/odd
       // doc_id halves standing in for consecutive increments):
@@ -4453,6 +4516,34 @@ object SparkEntry {
          |  CAST(sum(CAST(round(avg_nll * 1000000) AS BIGINT)) AS BIGINT)
          |    AS sum_nll_u
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t31_shard_export" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars, length(text) AS tl,
+         |    ${h60("'shard-r9#' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(tl) AS BIGINT) AS sum_text_len,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // quarantine mirror: the torn-line rule is pure doc_id algebra —
+    // corrupt rows parse to an all-null record plus the raw line, so
+    // they group under the sentinel with a null char sum
+    "s13_quarantine_ingest" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n, 0 AS nq, sum(n_chars) AS sc
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang),
+        |q AS (
+        |  SELECT '_quarantined' AS lang, count(*) AS n, count(*) AS nq,
+        |    NULL AS sc
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  CAST(nq AS BIGINT) AS n_quarantined,
+        |  CAST(sc AS BIGINT) AS sum_chars
+        |FROM (SELECT * FROM g UNION ALL SELECT * FROM q)
+        |ORDER BY lang""".stripMargin,
 
     "t28_drift_psi" ->
       """WITH o AS (
