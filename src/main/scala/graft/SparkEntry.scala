@@ -1715,6 +1715,34 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "s14_robots_parse" -> ((s, d) => {
+      // robots.txt INGEST (the parser that produces t23's rules table):
+      // per-domain files exercising comment stripping, case-insensitive
+      // directive names, a consecutive-User-agent group (rules apply to
+      // every named agent), the empty-Disallow no-rule case, and a
+      // domain-dependent path — parsed into the (domain, agent, prefix,
+      // allow) relation robotsAllowed consumes
+      val domains = T(s, d).documents
+        .select(col("source").as("domain")).distinct()
+      val txt = concat_ws("\n",
+        lit("# robots for graft test"),
+        lit("User-Agent: *"),
+        lit("Disallow: /private"),
+        lit("Allow: /private/ok  # inline comment"),
+        lit("Crawl-delay: 2"),
+        lit(""),
+        lit("User-agent: graftbot"),
+        lit("USER-AGENT: OtherBot"),
+        lit("Disallow:"),
+        concat(lit("Disallow: /tmp/"), col("domain")),
+        lit("Allow: /"),
+        lit("crawl-delay: 1.5"))
+      Web.parseRobotsTxt(domains.withColumn("txt", txt),
+          col("domain"), col("txt"))
+        .repartition(1)
+        .sortWithinPartitions("domain", "agent", "prefix", "allow")
+    }),
+
     "t23_robots_filter" -> ((s, d) => {
       // crawl-frontier robots gate (RFC 9309): per-source rule sets
       // exercising the longest-match override (Disallow /de beaten by
@@ -4088,6 +4116,63 @@ object SparkEntry {
     // longest-prefix argmax mirrored: length DESC then allow DESC
     // (boolean DESC ranks true first in both engines), no-match rows
     // default to allowed through the left join
+    // parser twin: the same synthesized per-domain file re-parsed with
+    // SQL windows — comment strip, directive classify, consecutive-ua
+    // group ids via lag + running sum, agents × rules join per group
+    "s14_robots_parse" ->
+      """WITH doms AS (SELECT DISTINCT source AS domain FROM documents),
+        |raw AS (
+        |  SELECT domain,
+        |    '# robots for graft test' || chr(10) ||
+        |    'User-Agent: *' || chr(10) ||
+        |    'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/ok  # inline comment' || chr(10) ||
+        |    'Crawl-delay: 2' || chr(10) ||
+        |    '' || chr(10) ||
+        |    'User-agent: graftbot' || chr(10) ||
+        |    'USER-AGENT: OtherBot' || chr(10) ||
+        |    'Disallow:' || chr(10) ||
+        |    'Disallow: /tmp/' || domain || chr(10) ||
+        |    'Allow: /' || chr(10) ||
+        |    'crawl-delay: 1.5' AS txt
+        |  FROM doms),
+        |lines AS (
+        |  SELECT domain, u.ln AS ln,
+        |    trim(regexp_replace(u.raw, '#.*$', '')) AS line
+        |  FROM (SELECT domain,
+        |      unnest(list_transform(string_split(txt, chr(10)),
+        |        (x, i) -> {'ln': i, 'raw': x})) AS u
+        |    FROM raw)),
+        |rel AS (
+        |  SELECT domain, ln, line,
+        |    CASE
+        |      WHEN regexp_matches(lower(line), '^user-agent\s*:')
+        |        THEN 'ua'
+        |      WHEN regexp_matches(lower(line), '^allow\s*:') THEN 'allow'
+        |      WHEN regexp_matches(lower(line), '^disallow\s*:')
+        |        THEN 'disallow'
+        |      WHEN regexp_matches(lower(line), '^crawl-delay\s*:')
+        |        THEN 'delay'
+        |      ELSE 'other' END AS kind,
+        |    trim(substr(line, instr(line, ':') + 1)) AS val
+        |  FROM lines WHERE line <> ''),
+        |mark AS (
+        |  SELECT *, CASE WHEN kind = 'ua' AND COALESCE(
+        |      lag(kind) OVER (PARTITION BY domain ORDER BY ln) <> 'ua',
+        |      true) THEN 1 ELSE 0 END AS ng
+        |  FROM rel WHERE kind <> 'other'),
+        |grp AS (
+        |  SELECT *, sum(ng) OVER (PARTITION BY domain ORDER BY ln) AS g
+        |  FROM mark),
+        |ag AS (SELECT domain, g, lower(val) AS agent FROM grp
+        |       WHERE kind = 'ua'),
+        |ru AS (SELECT domain, g, val AS prefix, kind = 'allow' AS allow
+        |       FROM grp WHERE kind IN ('allow', 'disallow')
+        |         AND val <> '')
+        |SELECT ag.domain AS domain, ag.agent, ru.prefix, ru.allow
+        |FROM ag JOIN ru ON ag.domain = ru.domain AND ag.g = ru.g
+        |ORDER BY ag.domain, agent, prefix, allow""".stripMargin,
+
     // RFC 9309 twin: percent-decode via tokenize→hex→unhex→decode (the
     // oracle engine has no URL decoder; the engine uses the identical
     // construction), pattern→regex emitting the same ^ … .* … $

@@ -252,6 +252,86 @@ object Web {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Parse raw robots.txt content into the `(domain, agent, prefix,
+    * allow)` rules relation [[robotsAllowed]] consumes — the ingest
+    * half of the robots story (RFC 9309 §2.1/§2.2 line grammar):
+    * comments strip at `#`, directive names match case-insensitively,
+    * CONSECUTIVE `User-agent` lines form one group whose following
+    * `Allow`/`Disallow` rules apply to every named agent, the next
+    * `User-agent` after a rule starts a new group, and an empty-value
+    * `Disallow:` contributes no rule (it means "no restriction", not
+    * "disallow everything"). Agent names normalize to lowercase
+    * (matching is case-insensitive); rule values keep their case
+    * (paths are case-sensitive).
+    *
+    * Scale shape: one `split`+`posexplode` per file, two
+    * domain-partitioned windows (the group-start lag and the running
+    * group id), one group-keyed self-join of agents × rules — robots
+    * files are KB-sized, so per-file work is trivial and the operator
+    * streams over any number of domains.
+    */
+  def parseRobotsTxt(df: DataFrame, domain: Column,
+                     txt: Column): DataFrame =
+    robotsLines(df, domain, txt)
+      .filter(col("_kind") === "ua").select(col("_d"), col("_grp"),
+        lower(col("_val")).as("agent"))
+      .join(robotsLines(df, domain, txt)
+          .filter(col("_kind").isin("allow", "disallow") &&
+            col("_val") =!= "")
+          .select(col("_d"), col("_grp"), col("_val").as("prefix"),
+            (col("_kind") === "allow").as("allow")),
+        Seq("_d", "_grp"))
+      .select(col("_d").as("domain"), col("agent"), col("prefix"),
+        col("allow"))
+
+  /** Per-agent crawl delay from robots.txt (`Crawl-delay` is
+    * non-standard but ubiquitous): the MINIMUM delay named for the
+    * agent across its groups — the conservative read a polite crawler
+    * takes. Unparsable values are ignored.
+    */
+  def robotsCrawlDelays(df: DataFrame, domain: Column,
+                        txt: Column): DataFrame =
+    robotsLines(df, domain, txt)
+      .filter(col("_kind") === "ua").select(col("_d"), col("_grp"),
+        lower(col("_val")).as("agent"))
+      .join(robotsLines(df, domain, txt)
+          .filter(col("_kind") === "delay" &&
+            col("_val").cast("double").isNotNull)
+          .select(col("_d"), col("_grp"),
+            col("_val").cast("double").as("_delay")),
+        Seq("_d", "_grp"))
+      .groupBy(col("_d").as("domain"), col("agent"))
+      .agg(min(col("_delay")).as("crawl_delay_sec"))
+
+  /** Shared robots.txt line classifier: comment-stripped non-empty
+    * directive lines with their running user-agent GROUP id (a `ua`
+    * line starts a new group unless the previous directive line was
+    * also `ua` — RFC 9309's consecutive-agent-lines rule).
+    */
+  private def robotsLines(df: DataFrame, domain: Column,
+                          txt: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_d").orderBy("_ln")
+    df.select(domain.as("_d"),
+        posexplode(split(txt, "\n")).as(Seq("_ln", "_raw")))
+      .withColumn("_line", trim(regexp_replace(col("_raw"), "#.*$", "")))
+      .filter(col("_line") =!= "")
+      .withColumn("_kind",
+        when(lower(col("_line")).rlike("^user-agent\\s*:"), "ua")
+          .when(lower(col("_line")).rlike("^allow\\s*:"), "allow")
+          .when(lower(col("_line")).rlike("^disallow\\s*:"), "disallow")
+          .when(lower(col("_line")).rlike("^crawl-delay\\s*:"), "delay")
+          .otherwise("other"))
+      .filter(col("_kind") =!= "other")
+      .withColumn("_val",
+        trim(expr("substring(_line, instr(_line, ':') + 1)")))
+      .withColumn("_newgrp",
+        (col("_kind") === "ua" &&
+          coalesce(lag(col("_kind"), 1).over(w) =!= "ua", lit(true)))
+          .cast("int"))
+      .withColumn("_grp", sum(col("_newgrp")).over(w))
+  }
+
   /** RFC 9309 percent-decoding for robots matching: every `%XX` escape
     * decodes to its octet EXCEPT `%2F` (an encoded slash is distinct
     * from a path separator — RFC 9309 §2.2.2), which is preserved,

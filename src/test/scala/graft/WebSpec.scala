@@ -263,6 +263,38 @@ class WebSpec extends AnyFunSuite {
       (5L, false), (6L, true), (7L, true)))
   }
 
+  test("parseRobotsTxt: groups, comments, case, empty-Disallow; min crawl delay") {
+    val txt = Seq(
+      "# header comment",
+      "User-Agent: *",
+      "Disallow: /a",
+      "Crawl-delay: 5",
+      "",
+      "User-agent: BotOne",
+      "user-agent: bottwo",   // consecutive UA lines: one group
+      "Disallow:",            // empty value: no rule
+      "Allow: /ok  # inline",
+      "crawl-delay: 2",
+      "",
+      "User-agent: botone",   // second group for the same agent
+      "Crawl-delay: 9",
+      "Disallow: /b").mkString("\n")
+    val df = Seq(("x.com", txt)).toDF("dom", "txt")
+    val rules = Web.parseRobotsTxt(df, $"dom", $"txt")
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(rules === Set(
+      ("x.com", "*", "/a", false),
+      ("x.com", "botone", "/ok", true),
+      ("x.com", "bottwo", "/ok", true),
+      ("x.com", "botone", "/b", false)))
+    val delays = Web.robotsCrawlDelays(df, $"dom", $"txt")
+      .as[(String, String, Double)].collect()
+      .map { case (d, a, s) => (d, a) -> s }.toMap
+    // botone appears in two groups (2 and 9): the conservative MIN wins
+    assert(delays === Map(("x.com", "*") -> 5.0,
+      ("x.com", "botone") -> 2.0, ("x.com", "bottwo") -> 2.0))
+  }
+
   test("percentDecode: %2F preserved case-normalized, stray % literal") {
     val got = Seq(("/a%20b%2Fc%2fd%e2%82%ac%x%", ""))
       .toDF("s", "e")
