@@ -1743,6 +1743,29 @@ object SparkEntry {
         .sortWithinPartitions("domain", "agent", "prefix", "allow")
     }),
 
+    "s15_sitemap_parse" -> ((s, d) => {
+      // sitemap ingest (the crawl-frontier companion to s14): per-domain
+      // sitemap XML — two <url> entries (one with <lastmod>, one
+      // without, domain-dependent paths) plus a nested <sitemap> index
+      // entry the fetcher recurses on — parsed into (domain, kind, loc,
+      // lastmod) rows by scan-side regex extraction
+      val domains = T(s, d).documents
+        .select(col("source").as("domain")).distinct()
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        lit("<url><loc> https://"), col("domain"),
+        lit("/index.html </loc><lastmod>2026-01-02</lastmod></url>"),
+        lit("<url><loc>https://"), col("domain"),
+        lit("/about</loc></url>"),
+        lit("<url><priority>0.5</priority></url>"), // no loc: dropped
+        lit("</urlset><sitemapindex><sitemap><loc>https://"),
+        col("domain"),
+        lit("/more.xml</loc></sitemap></sitemapindex>"))
+      Web.parseSitemap(domains.withColumn("xml", xml),
+          col("domain"), col("xml"))
+        .repartition(1).sortWithinPartitions("domain", "kind", "loc")
+    }),
+
     "t23_robots_filter" -> ((s, d) => {
       // crawl-frontier robots gate (RFC 9309): per-source rule sets
       // exercising the longest-match override (Disallow /de beaten by
@@ -4116,6 +4139,39 @@ object SparkEntry {
     // longest-prefix argmax mirrored: length DESC then allow DESC
     // (boolean DESC ranks true first in both engines), no-match rows
     // default to allowed through the left join
+    // sitemap twin: the same per-domain XML re-parsed with DuckDB's
+    // RE2 — identical non-greedy block + field patterns
+    "s15_sitemap_parse" ->
+      """WITH doms AS (SELECT DISTINCT source AS domain FROM documents),
+        |raw AS (
+        |  SELECT domain,
+        |    '<?xml version="1.0"?><urlset>' ||
+        |    '<url><loc> https://' || domain ||
+        |    '/index.html </loc><lastmod>2026-01-02</lastmod></url>' ||
+        |    '<url><loc>https://' || domain || '/about</loc></url>' ||
+        |    '<url><priority>0.5</priority></url>' ||
+        |    '</urlset><sitemapindex><sitemap><loc>https://' || domain ||
+        |    '/more.xml</loc></sitemap></sitemapindex>' AS xml
+        |  FROM doms),
+        |b AS (
+        |  SELECT domain, 'url' AS kind,
+        |    unnest(regexp_extract_all(xml, '(?s)<url>.*?</url>')) AS blk
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT domain, 'sitemap',
+        |    unnest(regexp_extract_all(xml, '(?s)<sitemap>.*?</sitemap>'))
+        |  FROM raw),
+        |e AS (
+        |  SELECT domain, kind,
+        |    trim(regexp_extract(blk, '(?s)<loc>\s*(.*?)\s*</loc>', 1))
+        |      AS loc,
+        |    CASE WHEN regexp_matches(blk, '(?s)<lastmod>')
+        |      THEN trim(regexp_extract(blk,
+        |        '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1)) END AS lastmod
+        |  FROM b)
+        |SELECT domain, kind, loc, lastmod FROM e WHERE loc <> ''
+        |ORDER BY domain, kind, loc""".stripMargin,
+
     // parser twin: the same synthesized per-domain file re-parsed with
     // SQL windows — comment strip, directive classify, consecutive-ua
     // group ids via lag + running sum, agents × rules join per group

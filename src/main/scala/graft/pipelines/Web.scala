@@ -303,6 +303,34 @@ object Web {
       .groupBy(col("_d").as("domain"), col("agent"))
       .agg(min(col("_delay")).as("crawl_delay_sec"))
 
+  /** Parse sitemap XML into crawl-frontier rows — the companion ingest
+    * to [[parseRobotsTxt]] (sitemaps.org protocol): `<urlset>` entries
+    * yield kind `url` with their `<loc>` and optional `<lastmod>`;
+    * `<sitemapindex>` entries yield kind `sitemap` (the fetcher
+    * recurses on those). Pure chained regex column expressions —
+    * non-greedy `(?s)` block extraction then per-block field pulls, so
+    * the parse is scan-side with no shuffle and mirrors term-for-term
+    * in the oracle (RE2-safe: no backreferences). Tolerates
+    * whitespace inside tags; entries without a `<loc>` are dropped
+    * (nothing to fetch).
+    */
+  def parseSitemap(df: DataFrame, domain: Column, xml: Column): DataFrame = {
+    def blocks(tag: String) =
+      regexp_extract_all(xml, lit(s"(?s)<$tag>.*?</$tag>"), lit(0))
+    def entry(kind: String, tag: String) =
+      df.select(domain.as("domain"),
+          explode(blocks(tag)).as("_b"))
+        .select(col("domain"), lit(kind).as("kind"),
+          trim(regexp_extract(col("_b"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
+            .as("loc"),
+          when(col("_b").rlike("(?s)<lastmod>"),
+            trim(regexp_extract(col("_b"),
+              "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)))
+            .otherwise(lit(null)).as("lastmod"))
+        .filter(col("loc") =!= "")
+    entry("url", "url").unionByName(entry("sitemap", "sitemap"))
+  }
+
   /** Shared robots.txt line classifier: comment-stripped non-empty
     * directive lines with their running user-agent GROUP id (a `ua`
     * line starts a new group unless the previous directive line was

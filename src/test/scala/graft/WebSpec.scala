@@ -295,6 +295,23 @@ class WebSpec extends AnyFunSuite {
       ("x.com", "botone") -> 2.0, ("x.com", "bottwo") -> 2.0))
   }
 
+  test("parseSitemap: url and index entries, optional lastmod, loc-less dropped") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://x.com/a </loc><lastmod>2026-02-01</lastmod></url>
+      |<url><loc>https://x.com/b</loc></url>
+      |<url><priority>1.0</priority></url>
+      |</urlset>
+      |<sitemapindex><sitemap><loc>https://x.com/s.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val got = Web.parseSitemap(Seq(("x.com", xml)).toDF("dom", "x"),
+        $"dom", $"x")
+      .as[(String, String, String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("x.com", "url", "https://x.com/a", Some("2026-02-01")),
+      ("x.com", "url", "https://x.com/b", None),
+      ("x.com", "sitemap", "https://x.com/s.xml", None)))
+  }
+
   test("percentDecode: %2F preserved case-normalized, stray % literal") {
     val got = Seq(("/a%20b%2Fc%2fd%e2%82%ac%x%", ""))
       .toDF("s", "e")
