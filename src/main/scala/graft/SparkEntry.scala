@@ -1743,6 +1743,49 @@ object SparkEntry {
         .sortWithinPartitions("domain", "agent", "prefix", "allow")
     }),
 
+    "p10_crawl_frontier" -> ((s, d) => {
+      // the crawl-planning pipeline end-to-end: per-domain robots.txt
+      // PARSED into rules (s14's operator), per-domain sitemaps PARSED
+      // into candidate URLs (s15's), the '*'-agent rules EVALUATED
+      // over each URL's path (t23's RFC 9309 matcher), survivors
+      // CAPPED per domain (politeness budget, lowest path first) —
+      // four individually-oracled operators composing into one plan,
+      // which is exactly how a frontier build runs in production
+      val domains = T(s, d).documents
+        .select(col("source").as("domain")).distinct()
+      val robotsTxt = concat_ws("\n",
+        lit("User-agent: *"),
+        lit("Disallow: /private"),
+        lit("Allow: /private/ok"),
+        lit(""),
+        lit("User-agent: graftbot"),
+        concat(lit("Disallow: /tmp/"), col("domain")))
+      val rules = Web.parseRobotsTxt(
+          domains.withColumn("txt", robotsTxt), col("domain"), col("txt"))
+        .filter(col("agent") === "*")
+        .select(col("domain"), col("prefix"), col("allow"))
+      val xml = concat(
+        lit("<urlset><url><loc>https://"), col("domain"),
+        lit("/index.html</loc></url><url><loc>https://"), col("domain"),
+        lit("/about</loc></url><url><loc>https://"), col("domain"),
+        lit("/private/secret</loc></url><url><loc>https://"),
+        col("domain"),
+        lit("/private/ok/info</loc></url><url><loc>https://"),
+        col("domain"), lit("/tmp/x</loc></url></urlset>"))
+      val urls = Web.parseSitemap(
+          domains.withColumn("xml", xml), col("domain"), col("xml"))
+        .filter(col("kind") === "url")
+        .withColumn("path",
+          regexp_extract(col("loc"), "^https://[^/]+(/.*)$", 1))
+      val verdicts = Web.robotsAllowed(urls,
+        concat(col("domain"), lit("#"), col("path")),
+        col("domain"), col("path"), rules)
+      Web.capPerDomain(verdicts.filter(col("allowed")), col("domain"),
+          Seq(col("path").asc), maxDocs = 3)
+        .select(col("domain"), col("path"))
+        .repartition(1).sortWithinPartitions("domain", "path")
+    }),
+
     "s15_sitemap_parse" -> ((s, d) => {
       // sitemap ingest (the crawl-frontier companion to s14): per-domain
       // sitemap XML — two <url> entries (one with <lastmod>, one
@@ -4139,6 +4182,33 @@ object SparkEntry {
     // longest-prefix argmax mirrored: length DESC then allow DESC
     // (boolean DESC ranks true first in both engines), no-match rows
     // default to allowed through the left join
+    // frontier twin: the parse stages are deterministic constants per
+    // domain (their parsers are oracled by s14/s15), so the oracle
+    // derives the same candidates and rules directly and re-runs the
+    // match precedence + politeness cap
+    "p10_crawl_frontier" ->
+      """WITH doms AS (SELECT DISTINCT source AS domain FROM documents),
+        |rules(prefix, allow) AS (VALUES
+        |    ('/private', false), ('/private/ok', true)),
+        |u(path) AS (VALUES ('/index.html'), ('/about'),
+        |    ('/private/secret'), ('/private/ok/info'), ('/tmp/x')),
+        |cand AS (SELECT domain, path FROM doms, u),
+        |m AS (
+        |  SELECT c.domain, c.path, r.allow,
+        |    row_number() OVER (PARTITION BY c.domain, c.path
+        |      ORDER BY strlen(r.prefix) DESC, r.allow DESC) AS rk
+        |  FROM cand c JOIN rules r ON starts_with(c.path, r.prefix)),
+        |verdict AS (
+        |  SELECT c.domain, c.path, COALESCE(m.allow, true) AS allowed
+        |  FROM cand c LEFT JOIN
+        |    (SELECT domain, path, allow FROM m WHERE rk = 1) m
+        |    USING (domain, path)),
+        |capped AS (
+        |  SELECT domain, path FROM verdict WHERE allowed
+        |  QUALIFY row_number() OVER (PARTITION BY domain
+        |    ORDER BY path) <= 3)
+        |SELECT domain, path FROM capped ORDER BY domain, path""".stripMargin,
+
     // sitemap twin: the same per-domain XML re-parsed with DuckDB's
     // RE2 — identical non-greedy block + field patterns
     "s15_sitemap_parse" ->
