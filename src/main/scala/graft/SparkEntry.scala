@@ -1786,6 +1786,55 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("domain", "path")
     }),
 
+    "p11_fetch_schedule" -> ((s, d) => {
+      // politeness scheduling on top of p10's frontier: each domain's
+      // allowed URLs get fetch slots in path order, spaced by the
+      // domain's parsed Crawl-delay — fetch_at = slot × delay. The
+      // schedule is the artifact a fetcher fleet consumes; per-domain
+      // windows keep it partition-local
+      val domains = T(s, d).documents
+        .select(col("source").as("domain")).distinct()
+      val robotsTxt = concat_ws("\n",
+        lit("User-agent: *"),
+        lit("Disallow: /private"),
+        lit("Allow: /private/ok"),
+        lit("Crawl-delay: 2"))
+      val withTxt = domains.withColumn("txt", robotsTxt)
+      val rules = Web.parseRobotsTxt(withTxt, col("domain"), col("txt"))
+        .filter(col("agent") === "*")
+        .select(col("domain"), col("prefix"), col("allow"))
+      val delays = Web.robotsCrawlDelays(withTxt, col("domain"),
+          col("txt"))
+        .filter(col("agent") === "*")
+        .select(col("domain"), col("crawl_delay_sec"))
+      val xml = concat(
+        lit("<urlset><url><loc>https://"), col("domain"),
+        lit("/index.html</loc></url><url><loc>https://"), col("domain"),
+        lit("/about</loc></url><url><loc>https://"), col("domain"),
+        lit("/private/secret</loc></url><url><loc>https://"),
+        col("domain"),
+        lit("/private/ok/info</loc></url></urlset>"))
+      val urls = Web.parseSitemap(
+          domains.withColumn("xml", xml), col("domain"), col("xml"))
+        .filter(col("kind") === "url")
+        .withColumn("path",
+          regexp_extract(col("loc"), "^https://[^/]+(/.*)$", 1))
+      val allowed = Web.robotsAllowed(urls,
+          concat(col("domain"), lit("#"), col("path")),
+          col("domain"), col("path"), rules)
+        .filter(col("allowed"))
+      allowed
+        .withColumn("slot", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("domain").orderBy("path")) - 1)
+        .join(delays, "domain")
+        .select(col("domain"), col("path"), col("slot").cast("long")
+            .as("slot"),
+          round(col("slot") * col("crawl_delay_sec"), 6)
+            .as("fetch_at_sec"))
+        .repartition(1).sortWithinPartitions("domain", "slot")
+    }),
+
     "s15_sitemap_parse" -> ((s, d) => {
       // sitemap ingest (the crawl-frontier companion to s14): per-domain
       // sitemap XML — two <url> entries (one with <lastmod>, one
@@ -2787,6 +2836,34 @@ object SparkEntry {
           Seq("doc_id"), Seq("lang", "source", "n_chars"))
         .groupBy("status").agg(count(lit(1)).as("n"))
         .repartition(1).sortWithinPartitions("status")
+    }),
+
+    "u1g_data_card" -> ((s, d) => {
+      // the one-row data card a training run records next to its
+      // checkpoint: corpus size in docs/words, language count, the
+      // mixture as per-mille integers (string-stable across engines —
+      // no double formatting), and an order-independent content
+      // checksum (XOR of the per-doc fingerprints: any changed,
+      // added, or dropped doc flips it, and it costs one scan)
+      graft.expressions.GraftFunctions.register(s)
+      val docs = T(s, d).documents
+      val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val mix = perLang
+        .crossJoin(broadcast(perLang.agg(sum(col("n")).as("t"))))
+        .select(concat(col("lang"), lit(":"),
+          round(col("n") * 1000.0 / col("t")).cast("long").cast("string"))
+          .as("entry"))
+        .agg(array_join(sort_array(collect_list(col("entry"))), ",")
+          .as("lang_mix_permille"))
+      docs.withColumn("_fp", graft.functions.MarketFunctions.md5Hash60(
+          concat(lit("card#"), col("doc_id").cast("string"), lit("#"),
+            col("text"))))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(Dedup.words(col("text")))).cast("long").as("n_words"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("bit_xor(_fp)").as("corpus_xor"))
+        .crossJoin(broadcast(mix))
     }),
 
     "u6_verify_code" -> ((s, d) => {
@@ -4182,6 +4259,34 @@ object SparkEntry {
     // longest-prefix argmax mirrored: length DESC then allow DESC
     // (boolean DESC ranks true first in both engines), no-match rows
     // default to allowed through the left join
+    // schedule twin: constant parse outputs (parsers oracled by
+    // s14/s15), the match precedence re-run, slots and spacing in SQL
+    "p11_fetch_schedule" ->
+      """WITH doms AS (SELECT DISTINCT source AS domain FROM documents),
+        |rules(prefix, allow) AS (VALUES
+        |    ('/private', false), ('/private/ok', true)),
+        |u(path) AS (VALUES ('/index.html'), ('/about'),
+        |    ('/private/secret'), ('/private/ok/info')),
+        |cand AS (SELECT domain, path FROM doms, u),
+        |m AS (
+        |  SELECT c.domain, c.path, r.allow,
+        |    row_number() OVER (PARTITION BY c.domain, c.path
+        |      ORDER BY strlen(r.prefix) DESC, r.allow DESC) AS rk
+        |  FROM cand c JOIN rules r ON starts_with(c.path, r.prefix)),
+        |verdict AS (
+        |  SELECT c.domain, c.path, COALESCE(m.allow, true) AS allowed
+        |  FROM cand c LEFT JOIN
+        |    (SELECT domain, path, allow FROM m WHERE rk = 1) m
+        |    USING (domain, path)),
+        |sl AS (
+        |  SELECT domain, path,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY path)
+        |      - 1 AS BIGINT) AS slot
+        |  FROM verdict WHERE allowed)
+        |SELECT domain, path, slot,
+        |  round(slot * 2.0, 6) AS fetch_at_sec
+        |FROM sl ORDER BY domain, slot""".stripMargin,
+
     // frontier twin: the parse stages are deterministic constants per
     // domain (their parsers are oracled by s14/s15), so the oracle
     // derives the same candidates and rules directly and re-runs the
@@ -6045,6 +6150,26 @@ object SparkEntry {
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
          |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM prices GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // data-card twin: counts, per-mille mix string (integer — no
+    // double formatting), and the same 60-bit fingerprint XOR
+    "u1g_data_card" ->
+      s"""WITH pl AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT sum(n) AS t FROM pl),
+         |mix AS (
+         |  SELECT string_agg(lang || ':' ||
+         |      CAST(CAST(round(n * 1000.0 / t) AS BIGINT) AS VARCHAR),
+         |      ',' ORDER BY lang) AS lang_mix_permille
+         |  FROM pl, t),
+         |card AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS n_words,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    bit_xor(${h60("'card#' || CAST(doc_id AS VARCHAR) || '#' || text")})
+         |      AS corpus_xor
+         |  FROM documents)
+         |SELECT card.*, mix.lang_mix_permille FROM card, mix""".stripMargin,
 
     // time-travel diff mirror: v1 = thirds removed; v2 upserts every
     // even doc re-tagged 'xx' — evens absent from v1 (≡0 mod 6) are
