@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "g2_trustrank",        // same shape: broadcast 1-row dangling row
     "t21_bigram_logprob",  // vocab size: broadcast 1-row aggregate
     "t28_drift_psi",       // per-side totals: broadcast 1-row aggregates
+    "u1g_data_card",       // 1-row card × 1-row mix × 1-row total
     "t30_stratified_quality_keep") // corpus-total: broadcast 1-row agg (t17's scorer)
 
   test("no query plans a cartesian or unbounded nested-loop join") {
