@@ -782,6 +782,27 @@ object SparkEntry {
 
     // ---- window / series (W1-W9) ----
 
+    "w11_anchored_vwap" -> ((s, d) => {
+      // anchored VWAP — the intraday execution benchmark the reference's
+      // chart panel would draw next to its SMAs: per (symbol, day)
+      // running Σ(price·vol)/Σ(vol). Numerator accumulates in exact
+      // integer micro-units, so the running ratio is bit-stable under
+      // any partitioning; windows partition by (symbol, day) — per-key
+      // state, no global sort
+      import org.apache.spark.sql.expressions.Window
+      val p = T(s, d).pricesFromEvents
+        .withColumn("vol", (col("id") % 50 + 1).cast("long"))
+        .withColumn("day", to_date(col("as_of")))
+      val w = Window.partitionBy("symbol", "day")
+        .orderBy(col("as_of"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.select(col("id"), col("symbol"), col("day"),
+          round(sum(round(col("price") * col("vol") * 1e6).cast("long"))
+              .over(w).cast("double")
+            / sum(col("vol")).over(w) / 1e6, 6).as("vwap"))
+        .repartition(1).sortWithinPartitions("id")
+    }),
+
     "w1_sma5" -> ((s, d) => {
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
       T(s, d).events
@@ -3621,6 +3642,21 @@ object SparkEntry {
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt,
         |  round(sum_qty / cnt, 6) AS avg_qty
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // VWAP twin: same integer micro-unit numerator and division order
+    "w11_anchored_vwap" ->
+      s"""WITH $pricesCte,
+         |p AS (
+         |  SELECT id, symbol, as_of, price, (id % 50 + 1) AS vol,
+         |    CAST(as_of AS DATE) AS day
+         |  FROM prices)
+         |SELECT id, symbol, day,
+         |  round(CAST(sum(CAST(round(price * vol * 1000000) AS BIGINT))
+         |      OVER w AS DOUBLE)
+         |    / sum(vol) OVER w / 1000000.0, 6) AS vwap
+         |FROM p WINDOW w AS (PARTITION BY symbol, day
+         |  ORDER BY as_of, id ROWS UNBOUNDED PRECEDING)
+         |ORDER BY id""".stripMargin,
 
     "w1_sma5" ->
       """SELECT event_id,
