@@ -507,6 +507,36 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("key", "p")
     }),
 
+    "a16_event_funnel" -> ((s, d) => {
+      // ordered conversion funnel (signup → view → purchase,
+      // first-touch): per stage one type-filtered min-aggregate joined
+      // to the previous stage's survivors on the user key — no per-user
+      // history sort anywhere
+      Aggregates.eventFunnel(T(s, d).events, col("user_id"), col("ts"),
+          col("event_type"), Seq("signup", "view", "purchase"))
+        .repartition(1).sortWithinPartitions("stage")
+    }),
+
+    "a17_cohort_retention" -> ((s, d) => {
+      // weekly cohort retention triangle: cohort = week of first
+      // event, cell = distinct users active at each offset; integer
+      // week arithmetic from a fixed anchor so the bucketing is
+      // engine- and timezone-independent
+      Aggregates.cohortRetention(T(s, d).events, col("user_id"),
+          col("ts"), anchor = "2024-01-01")
+        .repartition(1)
+        .sortWithinPartitions("cohort_week", "week_offset")
+    }),
+
+    "n18_bm25_rank" -> ((s, d) => {
+      // Okapi BM25 ranked retrieval — the lexical ranking n10's hybrid
+      // RRF consumes: TF saturation + doc-length normalization over
+      // corpus-estimated idf, per-term micro-unit rounding so the
+      // ranking is bit-stable under any partitioning
+      TextAnalysis.bm25TopK(T(s, d).documents, "doc_id", col("text"),
+          queryTerms = Seq("spark", "vector", "merge"), topN = 20)
+    }),
+
     "a13_approx_percentiles" -> ((s, d) => {
       // mergeable percentile sketch: fixed-bin histogram + in-bin
       // interpolation — the scale substitute for a10's exact
@@ -3459,6 +3489,79 @@ object SparkEntry {
         |  CAST(floor((s.lo + (e.b + (e.p * s.n - e.cum_before) / e.cnt)
         |    * (s.hi - s.lo) / 500) * 1000000) AS BIGINT) AS est_micro
         |FROM e JOIN s ON s.k = e.k ORDER BY key, p""".stripMargin,
+
+    // first-touch funnel mirrored stage by stage: each CTE is the
+    // min-timestamp of this stage's events strictly after the previous
+    // stage's completion instant
+    "a16_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, ts AS t, event_type AS et FROM events),
+        |s1 AS (
+        |  SELECT u, min(t) AS ts1 FROM e WHERE et = 'signup'
+        |  GROUP BY u),
+        |s2 AS (
+        |  SELECT e.u, min(e.t) AS ts2 FROM e JOIN s1 ON s1.u = e.u
+        |  WHERE e.et = 'view' AND e.t > s1.ts1 GROUP BY e.u),
+        |s3 AS (
+        |  SELECT e.u, min(e.t) AS ts3 FROM e JOIN s2 ON s2.u = e.u
+        |  WHERE e.et = 'purchase' AND e.t > s2.ts2 GROUP BY e.u)
+        |SELECT 1 AS stage, 'signup' AS stage_name,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+
+    // identical integer week arithmetic: floor((date - anchor)/7);
+    // count(*) is the distinct-user count because (u, week) is
+    // DISTINCT and the cohort is a function of u
+    "a17_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0)
+        |      AS BIGINT) AS week
+        |  FROM events),
+        |wkp AS (SELECT u, week FROM wk WHERE week >= 0),
+        |c AS (SELECT u, min(week) AS cohort_week FROM wkp GROUP BY u)
+        |SELECT c.cohort_week,
+        |  wkp.week - c.cohort_week AS week_offset,
+        |  count(*) AS active_users
+        |FROM wkp JOIN c ON c.u = wkp.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // BM25 mirrored term-for-term: idf = ln(1+(N-df+0.5)/(df+0.5)),
+    // saturation/length-norm fraction with the k1/b constants written
+    // as the same double arithmetic Spark evaluates ((1.2+1.0),
+    // (1.0-0.75)), micro-unit rounding BEFORE the per-doc sum
+    "n18_bm25_rank" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS word
+         |  FROM documents),
+         |dlt AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+         |st AS (
+         |  SELECT count(*) AS n_corpus, avg(dl) AS avgdl FROM dlt),
+         |q(word) AS (VALUES ('spark'), ('vector'), ('merge')),
+         |tf AS (
+         |  SELECT doc_id, word, count(*) AS tf
+         |  FROM w JOIN q USING (word) GROUP BY doc_id, word),
+         |dfq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+         |sc AS (
+         |  SELECT tf.doc_id, dlt.dl,
+         |    CAST(round(
+         |      ln(1.0 + (st.n_corpus - dfq.dfreq + 0.5)
+         |          / (dfq.dfreq + 0.5))
+         |        * (tf.tf * (1.2 + 1.0))
+         |        / (tf.tf + 1.2 * ((1.0 - 0.75)
+         |            + 0.75 * dlt.dl / st.avgdl))
+         |        * 1000000) AS BIGINT) AS contrib_u
+         |  FROM tf
+         |  JOIN dfq USING (word)
+         |  JOIN dlt USING (doc_id), st)
+         |SELECT doc_id,
+         |  CAST(sum(contrib_u) AS DOUBLE) / 1000000.0 AS score,
+         |  min(dl) AS dl,
+         |  count(*) AS n_hits
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "a13_approx_percentiles" ->
       """WITH b AS (

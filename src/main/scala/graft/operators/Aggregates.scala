@@ -379,4 +379,80 @@ object Aggregates {
   def hiLoMid(df: DataFrame, key: String, value: Column): DataFrame =
     df.groupBy(col(key)).agg(max(value).as("hi"), min(value).as("lo"))
       .withColumn("mid", (col("hi") + col("lo")) / 2.0)
+
+  /** Ordered conversion funnel over an event stream: a user reaches
+    * stage `i` when an event of type `stages(i)` exists STRICTLY AFTER
+    * the timestamp at which they reached stage `i−1` (first-touch
+    * semantics — each stage binds to its earliest qualifying event, so
+    * membership is uniquely determined and engine-independent). The
+    * classic product-analytics question ("of everyone who signed up,
+    * how many went on to view, then to buy?") that a naive per-user
+    * sequence scan answers only by sorting every user's history.
+    *
+    * Plan shape per stage: one filtered hash aggregate (min over the
+    * stage's events) joined to the previous stage's survivor set on
+    * the user key. Every join and aggregate hash-partitions on
+    * `user` — no global sort, no window over a user's whole history,
+    * and the survivor side shrinks monotonically stage over stage. At
+    * 100 TB the event scan is filtered to one stage's type BEFORE the
+    * shuffle (pushdown-eligible), so each stage moves only its own
+    * type's rows.
+    *
+    * Output: one row per stage — `stage` (1-based), `stage_name`,
+    * `users` (count reaching it in order).
+    */
+  def eventFunnel(events: DataFrame, user: Column, ts: Column,
+                  etype: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "eventFunnel: at least one stage")
+    val ev = events.select(user.as("u"), ts.as("t"), etype.as("e"))
+    // survivors(i): (u, ts_i) — earliest instant at which u completed
+    // the prefix stages(0..i)
+    val first = ev.filter(col("e") === stages.head)
+      .groupBy("u").agg(min(col("t")).as("ts"))
+    val survivors = stages.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (st, _)) =>
+        ev.filter(col("e") === st)
+          .join(prev, "u")
+          .filter(col("t") > col("ts"))
+          .groupBy("u").agg(min(col("t")).as("ts"))
+    }
+    survivors.zip(stages).zipWithIndex.map { case ((s, name), i) =>
+      s.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(name).as("stage_name"),
+          col("users"))
+    }.reduce(_.union(_))
+  }
+
+  /** Cohort retention over an event stream: users are grouped into
+    * weekly cohorts by their FIRST event of any type, and each later
+    * week of activity increments their cohort's (cohort_week,
+    * week_offset) cell — the retention triangle every growth dashboard
+    * renders. Weeks are integer `(date − anchor) / 7` so the bucketing
+    * is pure arithmetic, identical in any engine and any session
+    * timezone (no locale-dependent week-of-year semantics); events
+    * before the anchor are out of contract (require the anchor ≤ the
+    * data's min date at call sites that can't guarantee it).
+    *
+    * Plan shape: distinct (user, week) projection → per-user min
+    * aggregate → one join back on user → one hash aggregate on
+    * (cohort, offset). Every exchange keys on `u` until the final
+    * (cohort, offset) aggregate, whose cardinality is weeks² — tiny
+    * no matter the corpus. Because (u, week) is distinct and cohort
+    * is a function of u, the final `count(*)` IS the distinct-user
+    * count, so no count-distinct shuffle is needed.
+    */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column,
+                      anchor: String): DataFrame = {
+    val wk = events
+      .select(user.as("u"),
+        floor(datediff(to_date(ts), to_date(lit(anchor))) / 7.0)
+          .cast("long").as("week"))
+      .filter(col("week") >= 0)
+      .distinct()
+    val cohorts = wk.groupBy("u").agg(min(col("week")).as("cohort_week"))
+    wk.join(cohorts, "u")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
 }

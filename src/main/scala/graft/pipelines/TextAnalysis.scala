@@ -964,4 +964,60 @@ object TextAnalysis {
   def countPii(text: Column): (Column, Column) =
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
       size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+
+  /** Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, §3.3):
+    * the lexical ranking function [[graft.pipelines.Similarity.hybridTopKRrf]]
+    * assumes as its `lexScore` input. Per query term `t` and document
+    * `d`:
+    * `idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))`,
+    * with `idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))` — TF
+    * saturation (k1) plus document-length normalization (b), the two
+    * effects raw TF-IDF lacks.
+    *
+    * Plan shape: one word explode feeds BOTH the per-doc length
+    * aggregate and the term-frequency aggregate (the explode is
+    * filtered to the query's terms BEFORE the tf shuffle, so only
+    * matching occurrences move); corpus stats (N, avgdl) are a
+    * broadcast 1-row aggregate; per-term document frequencies are an
+    * aggregate OVER the tf relation (|terms|-sized) joined back
+    * broadcast. Scoring is in-row arithmetic; each per-term
+    * contribution rounds to integer MICRO-UNITS before the per-doc
+    * sum, so the score is bit-identical under any partitioning and
+    * any engine (the t17/t21 discipline). The final top-N is a
+    * TakeOrdered, never a global sort.
+    *
+    * Output: `doc_id`-keyed `score` (double, micro-unit floor), `dl`,
+    * `n_hits` (distinct query terms matched), top `topN` by score
+    * desc / id asc.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, text: Column,
+               queryTerms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75, topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val words = df.select(col(idCol), explode(Dedup.words(text))
+      .as("word"))
+    val dl = words.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_corpus"),
+      avg(col("dl")).as("avgdl"))
+    val tf = words.filter(col("word").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_u",
+        round(
+          log(lit(1.0) + (col("n_corpus") - col("dfreq") + lit(0.5)) /
+              (col("dfreq") + lit(0.5)))
+            * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl") / col("avgdl")))
+            * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg((sum(col("contrib_u")).cast("double") / 1e6).as("score"),
+        first(col("dl")).as("dl"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

@@ -234,4 +234,69 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got(1).isNullAt(got(1).fieldIndex("last")))
     assert(got(1).isNullAt(got(1).fieldIndex("market_value")))
   }
+
+  test("eventFunnel: stages must occur in order, first-touch binding") {
+    val ev = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-02 00:00:00"), "view"),
+      (1L, ts("2024-01-03 00:00:00"), "purchase"),
+      // u2 viewed BEFORE signing up and never after: the purchase
+      // after signup must NOT count (no qualifying view precedes it)
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-02 00:00:00"), "signup"),
+      (2L, ts("2024-01-03 00:00:00"), "purchase"),
+      // u3 stalls after signup
+      (3L, ts("2024-01-05 00:00:00"), "signup"),
+      // u4 never signs up: contributes to no stage
+      (4L, ts("2024-01-01 00:00:00"), "view"),
+      (4L, ts("2024-01-02 00:00:00"), "purchase"))
+      .toDF("user_id", "t", "etype")
+    val got = Aggregates.eventFunnel(ev, col("user_id"), col("t"),
+        col("etype"), Seq("signup", "view", "purchase"))
+      .orderBy("stage").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq((1, "signup", 3L), (2, "view", 1L),
+        (3, "purchase", 1L)))
+  }
+
+  test("eventFunnel: stage binds to its EARLIEST qualifying event") {
+    // u1's first view is before signup, second is after: the funnel
+    // must bind to the later one, and the purchase between them (after
+    // signup but before the qualifying view) must not count
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-02 00:00:00"), "signup"),
+      (1L, ts("2024-01-03 00:00:00"), "purchase"),
+      (1L, ts("2024-01-04 00:00:00"), "view"),
+      (1L, ts("2024-01-05 00:00:00"), "purchase"))
+      .toDF("user_id", "t", "etype")
+    val got = Aggregates.eventFunnel(ev, col("user_id"), col("t"),
+        col("etype"), Seq("signup", "view", "purchase"))
+      .orderBy("stage").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("cohortRetention: triangle cells, pre-anchor events dropped") {
+    val ev = Seq(
+      // u1 first active week 0, returns weeks 1 and 3
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-23 10:00:00")),
+      // u2 also cohort week 0, returns week 1 (twice in-week: one cell)
+      (2L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-11 10:00:00")),
+      // u3 cohort week 2, never returns
+      (3L, ts("2024-01-16 10:00:00")),
+      // u4 only active BEFORE the anchor: dropped entirely
+      (4L, ts("2023-12-20 10:00:00")))
+      .toDF("user_id", "t")
+    val got = Aggregates.cohortRetention(ev, col("user_id"), col("t"),
+        anchor = "2024-01-01")
+      .orderBy("cohort_week", "week_offset").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((0L, 0L, 2L), (0L, 1L, 2L), (0L, 3L, 1L),
+        (2L, 0L, 1L)))
+  }
 }

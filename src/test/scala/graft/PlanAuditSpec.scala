@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t21_bigram_logprob",  // vocab size: broadcast 1-row aggregate
     "t28_drift_psi",       // per-side totals: broadcast 1-row aggregates
     "u1g_data_card",       // 1-row card × 1-row mix × 1-row total
-    "t30_stratified_quality_keep") // corpus-total: broadcast 1-row agg (t17's scorer)
+    "t30_stratified_quality_keep", // corpus-total: broadcast 1-row agg (t17's scorer)
+    "n18_bm25_rank")       // corpus stats (N, avgdl): broadcast 1-row agg
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -530,4 +530,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L))
   }
+
+  test("bm25TopK: rare terms outrank common ones; length norm demotes") {
+    // 'rare' appears in one doc, 'common' in all four — idf must make
+    // the rare match dominate. Docs 3 and 4 have the same tf of
+    // 'common' but doc 4 is padded much longer: length normalization
+    // must rank the short one higher.
+    val docs = Seq(
+      (1L, "rare common alpha beta gamma delta"),
+      (2L, "common alpha beta gamma delta epsilon"),
+      (3L, "common common alpha beta gamma delta"),
+      (4L, "common common alpha beta gamma delta " + ("pad " * 40)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", $"text",
+        queryTerms = Seq("rare", "common"), topN = 10)
+      .select("doc_id", "score", "n_hits").as[(Long, Double, Long)]
+      .collect()
+    assert(got.head._1 === 1L, "the only doc with the rare term wins")
+    assert(got.head._3 === 2L, "doc 1 matches both query terms")
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(3L) > byId(4L),
+      "same tf, longer doc scores lower (b-normalization)")
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq,
+      "output is ranked")
+  }
+
+  test("bm25TopK: tf saturates — k1 bounds the repeat-term payoff") {
+    // doubling tf from 1→8 must buy less than (k1+1)/1·… linear growth:
+    // the per-term contribution is bounded by idf·(k1+1)
+    val docs = Seq(
+      (1L, "term " * 1 + "x " * 7),
+      (2L, "term " * 8))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", $"text",
+        queryTerms = Seq("term"), topN = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(got(2L) > got(1L), "higher tf still scores higher")
+    assert(got(2L) < got(1L) * 8,
+      "but sub-linearly: saturation caps the gain")
+  }
 }
