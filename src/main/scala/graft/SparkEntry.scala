@@ -537,6 +537,25 @@ object SparkEntry {
           queryTerms = Seq("spark", "vector", "merge"), topN = 20)
     }),
 
+    "w12_ols_trend" -> ((s, d) => {
+      // per-series OLS drift: slope/intercept from exact DECIMAL power
+      // sums over integer (rebased seconds, micro-unit value) — one
+      // hash aggregate per key, the one double rounding per final sum
+      Series.olsTrend(T(s, d).events, "event_type", col("ts"),
+          col("value"), anchor = "2024-01-01")
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "a18_pair_corr" -> ((s, d) => {
+      // co-movement matrix: pairwise Pearson correlation of the keyed
+      // series aligned on hourly buckets — exact integer bucket cells,
+      // exact DECIMAL power sums, one fixed-order double formula per
+      // pair
+      Aggregates.pairCorrelation(T(s, d).events, col("event_type"),
+          col("ts"), col("value"), bucketSeconds = 3600L)
+        .repartition(1).sortWithinPartitions("key_a", "key_b")
+    }),
+
     "a13_approx_percentiles" -> ((s, d) => {
       // mergeable percentile sketch: fixed-bin histogram + in-bin
       // interpolation — the scale substitute for a10's exact
@@ -3562,6 +3581,67 @@ object SparkEntry {
          |  count(*) AS n_hits
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // OLS mirrored with HUGEINT power sums (exact, like Spark's
+    // DECIMAL(38,0)) and the same double combining order; x quantizes
+    // to minute ticks since the anchor and y to cents so every sum
+    // sits below 2^53 — int→double conversion exact in both engines
+    "w12_ols_trend" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor((epoch_us(ts) // 1000000
+        |      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000)
+        |      / 60.0) AS HUGEINT) AS x,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM b GROUP BY event_type),
+        |o AS (
+        |  SELECT event_type, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 1440.0 / 100.0 AS slope_per_day
+        |  FROM s)
+        |SELECT event_type, n, slope_per_day,
+        |  (CAST(sy AS DOUBLE) / 100.0
+        |     - slope_per_day / 1440.0 * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM o ORDER BY event_type""".stripMargin,
+
+    // Pearson over hourly integer bucket cells: the bucketed relation,
+    // the `key_a < key_b` pair dedup, HUGEINT power sums, and the
+    // fixed-order double formula all mirrored term-for-term; cells are
+    // CENTS so every exact sum sits below 2^53 where int→double
+    // conversion is exact in both engines (micro-units pushed Σxy to
+    // 1e21, where DuckDB's hugeint→double double-rounds one ulp off)
+    "a18_pair_corr" ->
+      """WITH b AS (
+        |  SELECT event_type AS k,
+        |    CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
+        |      AS bucket,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l.k AS key_a, r.k AS key_b,
+        |    CAST(l.v AS HUGEINT) AS x, CAST(r.v AS HUGEINT) AS y
+        |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.k < r.k),
+        |s AS (
+        |  SELECT key_a, key_b, count(*) AS n_buckets,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY key_a, key_b)
+        |SELECT key_a, key_b, n_buckets,
+        |  (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM s ORDER BY key_a, key_b""".stripMargin,
 
     "a13_approx_percentiles" ->
       """WITH b AS (

@@ -441,6 +441,66 @@ object Aggregates {
     * is a function of u, the final `count(*)` IS the distinct-user
     * count, so no count-distinct shuffle is needed.
     */
+  /** Pairwise Pearson correlation between keyed time series, aligned
+    * on fixed time buckets — the co-movement matrix (which symbols
+    * move together?) behind pairs screening and portfolio
+    * diversification checks.
+    *
+    * Alignment: each series collapses to (bucket → Σ micro-units) —
+    * an EXACT integer per cell, so the bucketed series is
+    * order-independent before any float touches it. Pairs come from a
+    * self-join of the AGGREGATED relation on the bucket (|keys|·|buckets|
+    * rows, not corpus-sized) with `key_a < key_b` deduplicating the
+    * symmetric pair; only co-observed buckets correlate (inner join).
+    * The five power sums accumulate as DECIMAL(38,0) — exact — and
+    * the Pearson formula
+    * `(n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))`
+    * runs once per pair in fixed-order double arithmetic, so the
+    * result is bit-identical across engines and partitionings.
+    *
+    * Cells quantize to CENTS (1e2), not micro-units: the bit-exactness
+    * argument needs every exact integer sum to stay below 2^53, where
+    * int→double conversion is exact in EVERY engine (above it, e.g.
+    * DuckDB's hugeint→double composes two roundings and can land one
+    * ulp off the correctly-rounded Java decimal conversion — observed
+    * on micro-unit Σxy at 1e21). Budget: |Σx²| < 2^53 means per-pair
+    * `n·(cell cents)² ≲ 9e15`; beyond that (very hot cells at full
+    * corpus scale) drop `unitScale` a decade — correlation is
+    * scale-invariant, so the result is unchanged up to quantization.
+    */
+  def pairCorrelation(events: DataFrame, key: Column, ts: Column,
+                      value: Column, bucketSeconds: Long,
+                      unitScale: Int = 100): DataFrame = {
+    val dec = "decimal(19,0)"
+    val bucketed = events
+      .groupBy(key.as("k"),
+        floor(unix_seconds(ts) / bucketSeconds.toDouble).cast("long")
+          .as("bucket"))
+      .agg(sum(round(value * unitScale).cast("long")).as("v"))
+    val l = bucketed.select(col("k").as("key_a"), col("bucket"),
+      col("v").cast(dec).as("x"))
+    val r = bucketed.select(col("k").as("key_b"), col("bucket"),
+      col("v").cast(dec).as("y"))
+    l.join(r, Seq("bucket")).filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_xy",
+        (col("n_buckets").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n_buckets").cast("double") *
+            col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+         sqrt(col("n_buckets").cast("double") *
+            col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))))
+      .select(col("key_a"), col("key_b"), col("n_buckets"),
+        col("corr_xy"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: Column,
                       anchor: String): DataFrame = {
     val wk = events

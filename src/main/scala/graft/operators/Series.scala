@@ -247,4 +247,48 @@ object Series {
         col("_s.direction").as("direction"), col("_s.entry").as("entry"),
         col("_s.stop").as("stop"), col("_s.target").as("target"))
   }
+
+  /** Per-key ordinary-least-squares trend: slope and intercept of
+    * `value` against TIME (seconds since `anchor`) — the quantitative
+    * upgrade of W7's two-point MA slope, and the per-series linear
+    * drift estimate a screening pipeline ranks by.
+    *
+    * Closed form from exact integer power sums:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`,
+    * `intercept = (Σy − slope·Σx) / n`. x quantizes to anchor-rebased
+    * MINUTE ticks and y to CENTS so every power sum stays below 2^53,
+    * where int→double conversion is exact in every engine — the sums
+    * themselves accumulate as DECIMAL(38,0) (exact,
+    * order-independent), and past the conversion the combining
+    * arithmetic is fixed-order IEEE double math, identical anywhere.
+    * (Seconds × micro-units pushes Σxy to ~1e18, where e.g. DuckDB's
+    * hugeint→double composes two roundings and can land one ulp off
+    * Java's correctly-rounded decimal conversion.) Budget: per key
+    * `n · (minutes · cents)² ≲ 9e15` — a month of minutes × 4-digit
+    * prices holds to ~1e6 rows per key; beyond that coarsen the tick.
+    * One hash aggregate on the key; no window, no sort.
+    */
+  def olsTrend(df: DataFrame, key: String, ts: Column, value: Column,
+               anchor: String): DataFrame = {
+    val dec = "decimal(19,0)"
+    val x = floor((unix_seconds(ts) -
+      unix_seconds(to_timestamp(lit(anchor)))) / 60.0).cast(dec)
+    val y = round(value * 100).cast("long").cast(dec)
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("slope_per_day",
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+        * lit(1440.0) / lit(100.0))
+      .withColumn("intercept",
+        (col("sy").cast("double") / lit(100.0) -
+          col("slope_per_day") / lit(1440.0) *
+            col("sx").cast("double")) / col("n").cast("double"))
+      .select(col(key), col("n"), col("slope_per_day"),
+        col("intercept"))
+  }
 }

@@ -277,6 +277,43 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("pairCorrelation: perfect anti-correlation; co-observed only") {
+    def at(h: Int) = ts(f"2024-01-01 $h%02d:30:00")
+    val ev =
+      // six co-observed hourly buckets: A rises linearly, B falls
+      (0 until 6).flatMap { h =>
+        Seq(("A", at(h), (h + 1).toDouble), ("B", at(h), 10.0 - h))
+      } ++
+      // an A-only bucket: must NOT enter the pair (inner alignment)
+      Seq(("A", at(7), 100.0))
+    val got = Aggregates.pairCorrelation(ev.toDF("k", "t", "v"),
+        col("k"), col("t"), col("v"), bucketSeconds = 3600L)
+      .collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[String]("key_a") === "A" &&
+      r.getAs[String]("key_b") === "B")
+    assert(r.getAs[Long]("n_buckets") === 6L,
+      "the A-only bucket is excluded")
+    assert(math.abs(r.getAs[Double]("corr_xy") + 1.0) < 1e-12,
+      "exact linear anti-correlation")
+  }
+
+  test("pairCorrelation: in-bucket events aggregate before correlating") {
+    def at(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    // two events per bucket for A; their SUM (not either event) tracks
+    // B perfectly, so corr must be exactly +1
+    val ev = (0 until 4).flatMap { h =>
+      Seq(("A", at(h, 10), (h + 1).toDouble),
+          ("A", at(h, 40), (h + 1).toDouble),
+          ("B", at(h, 20), 2.0 * (h + 1)))
+    }
+    val r = Aggregates.pairCorrelation(ev.toDF("k", "t", "v"),
+        col("k"), col("t"), col("v"), bucketSeconds = 3600L)
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("corr_xy") - 1.0) < 1e-12)
+  }
+
   test("cohortRetention: triangle cells, pre-anchor events dropped") {
     val ev = Seq(
       // u1 first active week 0, returns weeks 1 and 3

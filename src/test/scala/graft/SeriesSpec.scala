@@ -101,4 +101,33 @@ class SeriesSpec extends AnyFunSuite {
     assert(f.getAs[String]("bias") === "bearish")
     assert(!f.getAs[Boolean]("premium"))
   }
+
+  test("olsTrend: recovers slope and intercept of an exact line") {
+    // value = 2 + 0.24·minute, sampled on exact minute ticks so the
+    // minute/cents quantization is lossless → slope_per_day must be
+    // 0.24·1440 = 345.6 and intercept 2.0 (up to double rounding)
+    val rows = (0 until 10).map { k =>
+      ("A", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, k, 0)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))),
+        2.0 + 0.24 * k)
+    }
+    val df = rows.toDF("k", "t", "v")
+    val got = Series.olsTrend(df, "k", $"t", $"v",
+      anchor = "2024-01-01").collect()(0)
+    assert(got.getAs[Long]("n") === 10L)
+    assert(math.abs(got.getAs[Double]("slope_per_day") - 345.6) < 1e-9)
+    assert(math.abs(got.getAs[Double]("intercept") - 2.0) < 1e-9)
+  }
+
+  test("olsTrend: flat series has zero slope, mean intercept") {
+    val rows = (0 until 5).map { k =>
+      ("F", java.sql.Timestamp.valueOf(f"2024-01-01 00:$k%02d:00"), 7.5)
+    }
+    val got = Series.olsTrend(rows.toDF("k", "t", "v"), "k", $"t",
+      $"v", anchor = "2024-01-01").collect()(0)
+    assert(math.abs(got.getAs[Double]("slope_per_day")) < 1e-12)
+    assert(math.abs(got.getAs[Double]("intercept") - 7.5) < 1e-12)
+  }
 }
