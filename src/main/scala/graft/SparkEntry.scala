@@ -556,6 +556,23 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("key_a", "key_b")
     }),
 
+    "w13_max_drawdown" -> ((s, d) => {
+      // worst peak-to-trough loss per series: integer running-peak
+      // window max, one double ratio per row, per-key max — the
+      // equity-curve risk metric beside w2's cumsum
+      Series.maxDrawdown(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "t33_pmi_collocations" -> ((s, d) => {
+      // PMI phrase mining: adjacent pairs that co-occur far above
+      // their unigram expectation — pair/unigram aggregates + two
+      // vocab-keyed joins, broadcast 1-row totals, TakeOrdered top-30
+      TextAnalysis.pmiCollocations(T(s, d).documents, "doc_id",
+          col("text"), minCount = 5, topN = 30)
+    }),
+
     "a13_approx_percentiles" -> ((s, d) => {
       // mergeable percentile sketch: fixed-bin histogram + in-bin
       // interpolation — the scale substitute for a10's exact
@@ -3642,6 +3659,57 @@ object SparkEntry {
         |     * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
         |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
         |FROM s ORDER BY key_a, key_b""".stripMargin,
+
+    // running-peak drawdown mirrored: same micro-unit window max over
+    // (ts, event_id), same guarded double ratio, same per-key max
+    "w13_max_drawdown" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vc
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, vc, max(vc) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM b),
+        |d AS (
+        |  SELECT event_type, peak,
+        |    CASE WHEN peak > 0
+        |      THEN CAST(peak - vc AS DOUBLE) / CAST(peak AS DOUBLE)
+        |    END AS dd
+        |  FROM p)
+        |SELECT event_type, max(dd) AS max_drawdown,
+        |  max(peak) / 1000000.0 AS peak
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // PMI mirrored: t21's adjacency extraction minus the BOS sentinel
+    // (range starts at 1), identical count relations and the same
+    // fixed-order double formula — all inputs exact integers
+    "t33_pmi_collocations" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |wrd AS (
+         |  SELECT doc_id, unnest(ws) AS word FROM w),
+         |p AS (
+         |  SELECT doc_id, ws[u.i] AS prev, ws[u.i + 1] AS word
+         |  FROM w, unnest(range(1, len(ws))) AS u(i)),
+         |c2 AS (
+         |  SELECT prev, word, count(*) AS c2 FROM p
+         |  GROUP BY prev, word HAVING count(*) >= 5),
+         |c1 AS (SELECT word, count(*) AS c1 FROM wrd GROUP BY word),
+         |tt AS (SELECT count(*) AS t_tokens FROM wrd),
+         |tp AS (SELECT count(*) AS p_pairs FROM p)
+         |SELECT c2.prev, c2.word, c2.c2,
+         |  CAST(CAST(round(
+         |    ln(CAST(c2.c2 AS DOUBLE) / CAST(tp.p_pairs AS DOUBLE)
+         |      / (CAST(ca.c1 AS DOUBLE) / CAST(tt.t_tokens AS DOUBLE))
+         |      / (CAST(cb.c1 AS DOUBLE) / CAST(tt.t_tokens AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS pmi
+         |FROM c2
+         |JOIN c1 ca ON ca.word = c2.prev
+         |JOIN c1 cb ON cb.word = c2.word, tt, tp
+         |ORDER BY pmi DESC, c2.prev ASC, c2.word ASC
+         |LIMIT 30""".stripMargin,
 
     "a13_approx_percentiles" ->
       """WITH b AS (

@@ -268,6 +268,34 @@ object Series {
     * prices holds to ~1e6 rows per key; beyond that coarsen the tick.
     * One hash aggregate on the key; no window, no sort.
     */
+  /** Maximum drawdown per series — the risk metric every equity-curve
+    * review reports: the worst peak-to-trough loss fraction
+    * `max((running_peak − value) / running_peak)` over the ordered
+    * series. The running peak is an integer micro-unit window max
+    * (exact); the per-row ratio is one double division of two exact
+    * integers (identical in any engine); the final per-key max of
+    * deterministic doubles is order-independent. Guarded to non-positive
+    * peaks (null — drawdown of a non-positive equity curve is
+    * undefined). Window partitions by the series key: per-key state
+    * stays partition-local, nothing global sorts.
+    *
+    * Output: `key, max_drawdown` (fraction), `peak` (series high,
+    * value units).
+    */
+  def maxDrawdown(df: DataFrame, key: String, ord: Column, id: Column,
+                  value: Column): DataFrame = {
+    val w = ordered(key, ord, id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_vc", Aggregates.cents(value))
+      .withColumn("_peak", max(col("_vc")).over(w))
+      .withColumn("_dd", when(col("_peak") > 0,
+        (col("_peak") - col("_vc")).cast("double") /
+          col("_peak").cast("double")))
+      .groupBy(col(key))
+      .agg(max(col("_dd")).as("max_drawdown"),
+        Aggregates.fromCents(max(col("_peak"))).as("peak"))
+  }
+
   def olsTrend(df: DataFrame, key: String, ts: Column, value: Column,
                anchor: String): DataFrame = {
     val dec = "decimal(19,0)"

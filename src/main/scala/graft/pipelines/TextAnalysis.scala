@@ -965,6 +965,58 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
       size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
 
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * the adjacent word pairs that co-occur far more than their
+    * unigram frequencies predict —
+    * `pmi(a,b) = ln( (c₂(a,b)/P) / (c₁(a)/T) / (c₁(b)/T) )` — the
+    * classic phrase/term-mining pass (multi-word expressions, named
+    * entities) a corpus pipeline runs before building vocabularies.
+    * `minCount` suppresses the singleton-pair noise PMI is notorious
+    * for.
+    *
+    * Plan shape: adjacent pairs from a per-doc `lag` window (t21's
+    * extraction, minus the BOS sentinel — only real adjacencies
+    * count); one (prev,word) aggregate for pair counts, one unigram
+    * aggregate joined twice (hash joins keyed on the word — the
+    * aggregated vocab relation, not the corpus); totals are broadcast
+    * 1-row aggregates. All counts are exact integers below 2^53 and
+    * the division chain is fixed-order, but `ln` itself is only
+    * 1-ulp-accurate and differs between libm implementations — so the
+    * score rounds to integer MICRO-units (the t17/t21 discipline),
+    * which also makes the top-K cut's ordering engine-independent.
+    * Top-K is a TakeOrdered (pmi desc, pair asc).
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, text: Column,
+                      minCount: Long = 5, topN: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val words = df.select(col(idCol),
+      posexplode(Dedup.words(text)).as(Seq("pos", "word")))
+    val pairs = words
+      .withColumn("prev", lag(col("word"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val c2 = pairs.groupBy("prev", "word")
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val c1 = words.groupBy("word").agg(count(lit(1)).as("c1"))
+    val totT = words.agg(count(lit(1)).as("t_tokens"))
+    val totP = pairs.agg(count(lit(1)).as("p_pairs"))
+    c2.join(c1.withColumnRenamed("word", "prev")
+          .withColumnRenamed("c1", "c1a"), "prev")
+      .join(c1.withColumnRenamed("c1", "c1b"), "word")
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totP))
+      .withColumn("pmi",
+        round(log(col("c2").cast("double") /
+            col("p_pairs").cast("double") /
+          (col("c1a").cast("double") / col("t_tokens").cast("double")) /
+          (col("c1b").cast("double") / col("t_tokens").cast("double")))
+          * 1e6).cast("long").cast("double") / 1e6)
+      .select(col("prev"), col("word"), col("c2"), col("pmi"))
+      .orderBy(col("pmi").desc, col("prev").asc, col("word").asc)
+      .limit(topN)
+  }
+
   /** Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, §3.3):
     * the lexical ranking function [[graft.pipelines.Similarity.hybridTopKRrf]]
     * assumes as its `lexScore` input. Per query term `t` and document

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t28_drift_psi",       // per-side totals: broadcast 1-row aggregates
     "u1g_data_card",       // 1-row card × 1-row mix × 1-row total
     "t30_stratified_quality_keep", // corpus-total: broadcast 1-row agg (t17's scorer)
-    "n18_bm25_rank")       // corpus stats (N, avgdl): broadcast 1-row agg
+    "n18_bm25_rank",       // corpus stats (N, avgdl): broadcast 1-row agg
+    "t33_pmi_collocations") // token/pair totals: broadcast 1-row aggs
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -102,6 +102,25 @@ class SeriesSpec extends AnyFunSuite {
     assert(!f.getAs[Boolean]("premium"))
   }
 
+  test("maxDrawdown: worst peak-to-trough fraction; rising series is 0") {
+    val rows = Seq(
+      // A: 10 → 20 (peak) → 5 (dd 0.75) → 15 (recovery, dd 0.25)
+      ("A", ts(0), 1L, 10.0),
+      ("A", ts(1), 2L, 20.0),
+      ("A", ts(2), 3L, 5.0),
+      ("A", ts(3), 4L, 15.0),
+      // B: monotone rise — never below the running peak
+      ("B", ts(0), 5L, 1.0),
+      ("B", ts(1), 6L, 2.0))
+      .toDF("k", "t", "id", "v")
+    val got = Series.maxDrawdown(rows, "k", $"t", $"id", $"v")
+      .orderBy("k").collect()
+    assert(got(0).getAs[Double]("max_drawdown") === 0.75)
+    assert(got(0).getAs[Double]("peak") === 20.0)
+    assert(got(1).getAs[Double]("max_drawdown") === 0.0)
+    assert(got(1).getAs[Double]("peak") === 2.0)
+  }
+
   test("olsTrend: recovers slope and intercept of an exact line") {
     // value = 2 + 0.24·minute, sampled on exact minute ticks so the
     // minute/cents quantization is lossless → slope_per_day must be

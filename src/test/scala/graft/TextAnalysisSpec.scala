@@ -531,6 +531,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L))
   }
 
+  test("pmiCollocations: exclusive phrases outrank frequent-word pairs") {
+    // 'new'/'york' occur ONLY as the phrase (unigram count == pair
+    // count); 'the' and 'red' are 3× more frequent and adjacent just
+    // as often — PMI must discount their adjacency by the high
+    // unigram expectation and rank the exclusive phrase first
+    val docs = (1L to 6L).map { i =>
+      (i, "the red cat the dog red new york the fish red bird")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", $"text",
+        minCount = 2, topN = 50)
+      .select("prev", "word", "pmi").as[(String, String, Double)]
+      .collect()
+    val top = got.head
+    assert((top._1, top._2) === ("new", "york"),
+      s"phrase must rank first, got $top")
+    val pmiOf = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(pmiOf(("new", "york")) > pmiOf(("the", "red")),
+      "exclusive collocation beats equally-adjacent frequent words")
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("pmiCollocations: minCount suppresses singleton pairs") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "gamma delta")) // gamma→delta appears once
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.pmiCollocations(docs, "doc_id", $"text",
+        minCount = 2, topN = 50)
+      .select("prev", "word").as[(String, String)].collect().toSet
+    assert(pairs.contains(("alpha", "beta")))
+    assert(!pairs.contains(("gamma", "delta")))
+  }
+
   test("bm25TopK: rare terms outrank common ones; length norm demotes") {
     // 'rare' appears in one doc, 'common' in all four — idf must make
     // the rare match dominate. Docs 3 and 4 have the same tf of
