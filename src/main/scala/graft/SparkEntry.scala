@@ -556,6 +556,34 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("key_a", "key_b")
     }),
 
+    "a19_beta" -> ((s, d) => {
+      // per-series beta to a benchmark: cov/var over the same exact
+      // integer bucket cells as a18 — benchmark slice joined on the
+      // bucket, DECIMAL power sums, one fixed-order double formula;
+      // the benchmark's own row must read exactly 1.0
+      Aggregates.betaToBenchmark(T(s, d).events, col("event_type"),
+          col("ts"), col("value"), benchmarkKey = "view",
+          bucketSeconds = 3600L)
+        .repartition(1).sortWithinPartitions("key")
+    }),
+
+    "u11_gap_audit" -> ((s, d) => {
+      // series completeness report: observed distinct hourly buckets
+      // vs the first→last span, O(observed cells) — no per-bucket row
+      // generation; the trust gate before any downstream aggregate
+      Aggregates.seriesGapAudit(T(s, d).events, col("event_type"),
+          col("ts"), bucketSeconds = 3600L)
+        .repartition(1).sortWithinPartitions("key")
+    }),
+
+    "t34_zipf_alpha" -> ((s, d) => {
+      // corpus-health diagnostic: Zipf exponent over the top-100
+      // vocabulary via scale-safe globalRanks + micro-unit log power
+      // sums — natural text sits near alpha 1
+      TextAnalysis.zipfAlpha(T(s, d).documents, col("text"),
+          topK = 100)
+    }),
+
     "w13_max_drawdown" -> ((s, d) => {
       // worst peak-to-trough loss per series: integer running-peak
       // window max, one double ratio per row, per-key max — the
@@ -3659,6 +3687,82 @@ object SparkEntry {
         |     * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
         |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
         |FROM s ORDER BY key_a, key_b""".stripMargin,
+
+    // beta mirrored on a18's bucket cells: benchmark slice joined on
+    // the bucket, HUGEINT power sums, identical cov/var double order
+    "a19_beta" ->
+      """WITH b AS (
+        |  SELECT event_type AS k,
+        |    CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
+        |      AS bucket,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bench AS (
+        |  SELECT bucket, CAST(v AS HUGEINT) AS x FROM b
+        |  WHERE k = 'view'),
+        |j AS (
+        |  SELECT b.k, CAST(b.v AS HUGEINT) AS y, bench.x
+        |  FROM b JOIN bench USING (bucket)),
+        |s AS (
+        |  SELECT k, count(*) AS n_buckets, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM j GROUP BY k)
+        |SELECT k AS key, n_buckets,
+        |  (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+        |FROM s ORDER BY key""".stripMargin,
+
+    // pure integer bucket arithmetic: distinct cells, min/max span,
+    // missing = span − observed
+    "u11_gap_audit" ->
+      """WITH c AS (
+        |  SELECT DISTINCT event_type AS key,
+        |    CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
+        |      AS bucket
+        |  FROM events)
+        |SELECT key, min(bucket) AS first_bucket,
+        |  max(bucket) AS last_bucket,
+        |  max(bucket) - min(bucket) + 1 AS expected,
+        |  count(*) AS observed,
+        |  max(bucket) - min(bucket) + 1 - count(*) AS missing
+        |FROM c GROUP BY key ORDER BY key""".stripMargin,
+
+    // Zipf mirrored: total-ordered vocabulary ranks (freq desc, word
+    // asc), micro-rounded logs (ln differs 1 ulp across libms),
+    // HUGEINT power sums, identical slope arithmetic
+    "t34_zipf_alpha" ->
+      s"""WITH w AS (
+         |  SELECT unnest(${wordsSql("text")}) AS word FROM documents),
+         |v AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+         |r AS (
+         |  SELECT word, freq, row_number() OVER (
+         |    ORDER BY freq DESC, word ASC) AS rank
+         |  FROM v),
+         |t AS (
+         |  SELECT rank, freq,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS lx,
+         |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS ly
+         |  FROM r WHERE rank <= 100),
+         |s AS (
+         |  SELECT count(*) AS n_terms,
+         |    sum(CAST(lx AS HUGEINT)) AS sx,
+         |    sum(CAST(ly AS HUGEINT)) AS sy,
+         |    sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+         |    sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+         |    max(CASE WHEN rank = 1 THEN freq END) AS top_freq
+         |  FROM t)
+         |SELECT n_terms,
+         |  -((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |    AS zipf_alpha,
+         |  top_freq
+         |FROM s""".stripMargin,
 
     // running-peak drawdown mirrored: same micro-unit window max over
     // (ts, event_id), same guarded double ratio, same per-key max

@@ -501,6 +501,70 @@ object Aggregates {
         col("corr_xy"))
   }
 
+  /** Beta to a benchmark series — `cov(y, x) / var(x)` with `x` the
+    * benchmark's bucketed cells and `y` each other key's — the
+    * sensitivity coefficient portfolio risk models regress per asset.
+    * Same machinery as [[pairCorrelation]]: exact integer cents cells
+    * per (key, bucket), every key's cells joined to the benchmark's on
+    * the bucket (the benchmark side is a filtered slice of the same
+    * AGGREGATED relation — broadcastable when buckets are few, keyed
+    * on the bucket otherwise), DECIMAL power sums, one fixed-order
+    * double formula per key under the 2^53 conversion budget. The
+    * benchmark regressed on itself yields exactly 1.0 — a built-in
+    * sanity row.
+    */
+  def betaToBenchmark(events: DataFrame, key: Column, ts: Column,
+                      value: Column, benchmarkKey: String,
+                      bucketSeconds: Long,
+                      unitScale: Int = 100): DataFrame = {
+    val dec = "decimal(19,0)"
+    val bucketed = events
+      .groupBy(key.as("k"),
+        floor(unix_seconds(ts) / bucketSeconds.toDouble).cast("long")
+          .as("bucket"))
+      .agg(sum(round(value * unitScale).cast("long")).as("v"))
+    val bench = bucketed.filter(col("k") === benchmarkKey)
+      .select(col("bucket"), col("v").cast(dec).as("x"))
+    bucketed.select(col("k"), col("bucket"), col("v").cast(dec).as("y"))
+      .join(bench, "bucket")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("beta",
+        (col("n_buckets").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n_buckets").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")))
+      .select(col("k").as("key"), col("n_buckets"), col("beta"))
+  }
+
+  /** Time-series completeness audit: per key, the observed distinct
+    * bucket count against the full first→last span — the missing-data
+    * report a 100 TB ingestion pipeline publishes before anyone
+    * trusts a downstream aggregate. Pure integer bucket arithmetic
+    * (`expected = last − first + 1`), one distinct projection + one
+    * aggregate — no per-bucket row generation anywhere, so the audit
+    * costs O(observed cells) regardless of span length.
+    */
+  def seriesGapAudit(events: DataFrame, key: Column, ts: Column,
+                     bucketSeconds: Long): DataFrame =
+    events
+      .select(key.as("key"),
+        floor(unix_seconds(ts) / bucketSeconds.toDouble).cast("long")
+          .as("bucket"))
+      .distinct()
+      .groupBy(col("key"))
+      .agg(min(col("bucket")).as("first_bucket"),
+        max(col("bucket")).as("last_bucket"),
+        count(lit(1)).as("observed"))
+      .withColumn("expected",
+        col("last_bucket") - col("first_bucket") + 1)
+      .withColumn("missing", col("expected") - col("observed"))
+      .select(col("key"), col("first_bucket"), col("last_bucket"),
+        col("expected"), col("observed"), col("missing"))
+
   def cohortRetention(events: DataFrame, user: Column, ts: Column,
                       anchor: String): DataFrame = {
     val wk = events

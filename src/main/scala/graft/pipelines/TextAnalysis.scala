@@ -965,6 +965,51 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
       size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
 
+  /** Zipf-law exponent of the corpus term distribution: the OLS slope
+    * of `ln(freq)` against `ln(rank)` over the top `topK` terms —
+    * natural text sits near α ≈ 1 (slope −1); generated/templated or
+    * keyword-stuffed corpora drift off it, making α a one-number
+    * corpus-health diagnostic beside t18's deciles.
+    *
+    * Plan shape: one vocabulary aggregate; ranks by the scale-safe
+    * [[graft.operators.Relational.globalRanks]] (range partition +
+    * broadcast prefix offsets — no single-task window, ties broken by
+    * word so the rank is total); the regression runs over the
+    * `topK`-row slice as one aggregate. Both logs round to integer
+    * MICRO-units BEFORE the power sums (`ln` differs across libms by
+    * 1 ulp), so the sums are exact integers and the closed-form slope
+    * is one fixed-order double formula — bit-identical anywhere.
+    *
+    * Output: one row — `n_terms`, `zipf_alpha` (= −slope, > 0 for
+    * natural text), `top_freq` (the rank-1 count).
+    */
+  def zipfAlpha(df: DataFrame, text: Column, topK: Int = 100)
+      : DataFrame = {
+    import graft.operators.Relational.globalRanks
+    val vocab = df.select(explode(Dedup.words(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val ranked = globalRanks(vocab,
+        Seq(col("freq").desc, col("word").asc))
+      .withColumnRenamed("_rn", "rank")
+      .filter(col("rank") <= topK)
+    val dec = "decimal(19,0)"
+    val lx = round(log(col("rank").cast("double")) * 1e6)
+      .cast("long").cast(dec)
+    val ly = round(log(col("freq").cast("double")) * 1e6)
+      .cast("long").cast(dec)
+    ranked
+      .agg(count(lit(1)).as("n_terms"),
+        sum(lx).as("sx"), sum(ly).as("sy"),
+        sum(lx * ly).as("sxy"), sum(lx * lx).as("sxx"),
+        max(when(col("rank") === 1, col("freq"))).as("top_freq"))
+      .withColumn("zipf_alpha",
+        -((col("n_terms").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_terms").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))))
+      .select(col("n_terms"), col("zipf_alpha"), col("top_freq"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
     * the adjacent word pairs that co-occur far more than their
     * unigram frequencies predict —

@@ -314,6 +314,43 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("corr_xy") - 1.0) < 1e-12)
   }
 
+  test("betaToBenchmark: self-beta is exactly 1; 2x series has beta 2") {
+    def at(h: Int) = ts(f"2024-01-01 $h%02d:15:00")
+    val ev = (0 until 5).flatMap { h =>
+      Seq(("BM", at(h), (h * h + 1).toDouble),      // the benchmark
+          ("D",  at(h), 2.0 * (h * h + 1)),          // exactly 2x
+          ("N",  at(h), 7.0))                        // flat: beta 0
+    }
+    val got = Aggregates.betaToBenchmark(ev.toDF("k", "t", "v"),
+        col("k"), col("t"), col("v"), benchmarkKey = "BM",
+        bucketSeconds = 3600L)
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Double]("beta")).toMap
+    assert(got("BM") === 1.0, "benchmark regressed on itself")
+    assert(math.abs(got("D") - 2.0) < 1e-12)
+    assert(math.abs(got("N")) < 1e-12)
+  }
+
+  test("seriesGapAudit: missing buckets counted, dense series clean") {
+    val ev = Seq(
+      // A: hours 0,1,4 observed → span 5, missing 2
+      ("A", ts("2024-01-01 00:10:00")),
+      ("A", ts("2024-01-01 00:50:00")), // same bucket as above
+      ("A", ts("2024-01-01 01:10:00")),
+      ("A", ts("2024-01-01 04:10:00")),
+      // B: hours 0,1 → complete
+      ("B", ts("2024-01-01 00:10:00")),
+      ("B", ts("2024-01-01 01:10:00")))
+      .toDF("k", "t")
+    val got = Aggregates.seriesGapAudit(ev, col("k"), col("t"),
+        bucketSeconds = 3600L)
+      .orderBy("key").collect()
+    assert(got(0).getAs[Long]("observed") === 3L)
+    assert(got(0).getAs[Long]("expected") === 5L)
+    assert(got(0).getAs[Long]("missing") === 2L)
+    assert(got(1).getAs[Long]("missing") === 0L)
+  }
+
   test("cohortRetention: triangle cells, pre-anchor events dropped") {
     val ev = Seq(
       // u1 first active week 0, returns weeks 1 and 3

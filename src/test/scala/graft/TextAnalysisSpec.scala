@@ -531,6 +531,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L))
   }
 
+  test("zipfAlpha: recovers the exponent of a planted power law") {
+    // word_r appears ⌊2000/r⌋ times (r = 1..20): freq ∝ rank⁻¹, so
+    // the fitted alpha must sit near 1; a flat (all-equal) vocabulary
+    // must fit alpha near 0
+    val zipfText = (1 to 20).flatMap { r =>
+      Seq.fill(2000 / r)(f"w$r%02d")
+    }.mkString(" ")
+    val got = TextAnalysis.zipfAlpha(
+        Seq((1L, zipfText)).toDF("doc_id", "text"), $"text", topK = 20)
+      .collect()(0)
+    assert(got.getAs[Long]("n_terms") === 20L)
+    assert(got.getAs[Long]("top_freq") === 2000L)
+    val alpha = got.getAs[Double]("zipf_alpha")
+    assert(alpha > 0.95 && alpha < 1.05, s"expected ~1, got $alpha")
+
+    val flatText = (1 to 20).flatMap(r => Seq.fill(50)(f"w$r%02d"))
+      .mkString(" ")
+    val flat = TextAnalysis.zipfAlpha(
+        Seq((1L, flatText)).toDF("doc_id", "text"), $"text", topK = 20)
+      .collect()(0).getAs[Double]("zipf_alpha")
+    assert(math.abs(flat) < 1e-9, s"flat vocabulary must fit 0, got $flat")
+  }
+
   test("pmiCollocations: exclusive phrases outrank frequent-word pairs") {
     // 'new'/'york' occur ONLY as the phrase (unigram count == pair
     // count); 'the' and 'red' are 3× more frequent and adjacent just
