@@ -584,6 +584,15 @@ object SparkEntry {
           topK = 100)
     }),
 
+    "n19_inverted_index" -> ((s, d) => {
+      // posting-list build (the artifact n18's BM25 serves from):
+      // term → df + sorted doc:tf postings; hapax dropped, stop-word
+      // bloat capped by construction, everything keyed on the term
+      TextAnalysis.invertedIndex(T(s, d).documents, "doc_id",
+          col("text"), minDf = 2, maxDfFraction = 1.0)
+        .repartition(1).sortWithinPartitions("word")
+    }),
+
     "w13_max_drawdown" -> ((s, d) => {
       // worst peak-to-trough loss per series: integer running-peak
       // window max, one double ratio per row, per-key max — the
@@ -3763,6 +3772,26 @@ object SparkEntry {
          |    AS zipf_alpha,
          |  top_freq
          |FROM s""".stripMargin,
+
+    // posting lists mirrored: same tf/df relations, the same
+    // zero-padded doc:tf encoding (lexicographic == numeric), list
+    // built by list_sort(list(...))
+    "n19_inverted_index" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS word
+         |  FROM documents),
+         |tf AS (
+         |  SELECT word, doc_id, count(*) AS tf FROM w
+         |  GROUP BY word, doc_id),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tf.word, dfq.df,
+         |  list_sort(list(printf('%012d:%d', tf.doc_id, tf.tf)))
+         |    AS postings
+         |FROM tf JOIN dfq USING (word), n
+         |WHERE dfq.df >= 2 AND dfq.df <= n.n_docs * 1.0
+         |GROUP BY tf.word, dfq.df
+         |ORDER BY tf.word""".stripMargin,
 
     // running-peak drawdown mirrored: same micro-unit window max over
     // (ts, event_id), same guarded double ratio, same per-key max

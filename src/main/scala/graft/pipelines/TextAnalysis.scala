@@ -1062,6 +1062,41 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Inverted-index build: the posting-list relation (`term → df,
+    * [doc:tf...]`) a lexical retrieval service serves [[bm25TopK]]
+    * from — one row per term, postings as a SORTED array of
+    * zero-padded `doc_id:tf` entries so the list is a deterministic
+    * value (lexicographic == numeric under the fixed-width pad) and
+    * range-scannable by doc id. `minDf` drops hapax noise;
+    * `maxDfFraction` drops stop-word terms whose posting lists would
+    * otherwise approach corpus length (the classic index-bloat guard —
+    * a term in every doc carries no selectivity anyway).
+    *
+    * Plan shape: one word explode → (word, doc) tf aggregate → df
+    * aggregate OVER the tf relation → one grouped `sort_array ∘
+    * collect_list` per term. Posting-list length is bounded by
+    * `maxDfFraction · N` BY CONSTRUCTION, so no single term can
+    * balloon a task; everything hash-partitions on the term.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, text: Column,
+                    minDf: Long = 1, maxDfFraction: Double = 1.0)
+      : DataFrame = {
+    val tf = df.select(col(idCol), explode(Dedup.words(text))
+        .as("word"))
+      .groupBy(col("word"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfq), "word")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf &&
+        col("df") <= col("n_docs") * maxDfFraction)
+      .groupBy(col("word"), col("df"))
+      .agg(sort_array(collect_list(
+        format_string("%012d:%d", col(idCol), col("tf"))))
+        .as("postings"))
+      .select(col("word"), col("df"), col("postings"))
+  }
+
   /** Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, §3.3):
     * the lexical ranking function [[graft.pipelines.Similarity.hybridTopKRrf]]
     * assumes as its `lexScore` input. Per query term `t` and document

@@ -531,6 +531,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L))
   }
 
+  test("invertedIndex: sorted doc:tf postings; df gates prune") {
+    val docs = Seq(
+      (11L, "apple apple banana stop"),
+      (2L,  "apple cherry stop"),
+      (3L,  "banana stop"),
+      (4L,  "stop")) // 'stop' in 4/4 docs; 'cherry' in 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", $"text",
+        minDf = 2, maxDfFraction = 0.75)
+      .orderBy("word")
+      .select("word", "df", "postings")
+      .as[(String, Long, Seq[String])].collect()
+    assert(got.map(_._1).toSeq === Seq("apple", "banana"),
+      "cherry (df 1 < minDf) and stop (df 4 > 0.75·4) pruned")
+    val apple = got(0)
+    assert(apple._2 === 2L)
+    // doc 2 sorts before doc 11 because the pad makes lexicographic
+    // order numeric; tf of doc 11 is 2
+    assert(apple._3 === Seq("000000000002:1", "000000000011:2"))
+    assert(got(1)._3 === Seq("000000000003:1", "000000000011:1"))
+  }
+
   test("zipfAlpha: recovers the exponent of a planted power law") {
     // word_r appears ⌊2000/r⌋ times (r = 1..20): freq ∝ rank⁻¹, so
     // the fitted alpha must sit near 1; a flat (all-equal) vocabulary
