@@ -584,6 +584,37 @@ object SparkEntry {
           topK = 100)
     }),
 
+    "d16_cross_source_overlap" -> ((s, d) => {
+      // data-lineage report: per source pair, how much DISTINCT
+      // content both sides share (exact-fingerprint identity) — the
+      // "is B a mirror of A?" question; a mirrored slice is injected
+      // (the corpus has no natural cross-source dups) exactly as the
+      // oracle injects it
+      val docs = T(s, d).documents.select(col("source"), col("text"))
+      val mirrored = T(s, d).documents.filter(col("doc_id") < 40)
+        .select(concat(lit("mirror_"), col("source")).as("source"),
+          col("text"))
+      Dedup.crossSourceOverlap(docs.unionByName(mirrored),
+          col("source"), col("text"))
+        .repartition(1).sortWithinPartitions("source_a", "source_b")
+    }),
+
+    "u12_join_skew_report" -> ((s, d) => {
+      // pre-flight join-skew diagnosis: per join key the two sides'
+      // row counts and their product (the key's output contribution) —
+      // the top-10 heaviest keys a planner would salt; two aggregates
+      // joined on the key, TakeOrdered cut
+      val t = T(s, d)
+      val lc = t.lineitem.groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("n_left"))
+      val oc = t.orders.groupBy(col("o_orderkey").as("key"))
+        .agg(count(lit(1)).as("n_right"))
+      lc.join(oc, "key")
+        .withColumn("est_rows", col("n_left") * col("n_right"))
+        .orderBy(col("est_rows").desc, col("key").asc)
+        .limit(10)
+    }),
+
     "n19_inverted_index" -> ((s, d) => {
       // posting-list build (the artifact n18's BM25 serves from):
       // term → df + sorted doc:tf postings; hapax dropped, stop-word
@@ -3772,6 +3803,49 @@ object SparkEntry {
          |    AS zipf_alpha,
          |  top_freq
          |FROM s""".stripMargin,
+
+    // overlap mirrored: the same mirror_ injection, the same
+    // normalized-fingerprint identity, exact integer counts and one
+    // deterministic Jaccard division per pair
+    "d16_cross_source_overlap" -> {
+      val fpSql =
+        h60("regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g')")
+      s"""WITH all_docs AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mirror_' || source AS source, text FROM documents
+         |  WHERE doc_id < 40),
+         |fp AS (
+         |  SELECT DISTINCT source AS src, $fpSql AS f FROM all_docs),
+         |tot AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
+         |p AS (
+         |  SELECT a.src AS source_a, b.src AS source_b,
+         |    count(*) AS shared
+         |  FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+         |  GROUP BY a.src, b.src)
+         |SELECT p.source_a, p.source_b, p.shared,
+         |  ta.n AS n_a, tb.n AS n_b,
+         |  CAST(p.shared AS DOUBLE)
+         |    / CAST(ta.n + tb.n - p.shared AS DOUBLE) AS jaccard
+         |FROM p
+         |JOIN tot ta ON ta.src = p.source_a
+         |JOIN tot tb ON tb.src = p.source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // two per-key counts joined, product ranked — the skew report
+    // mirrored directly
+    "u12_join_skew_report" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey AS key, count(*) AS n_left
+        |  FROM lineitem GROUP BY 1),
+        |oc AS (
+        |  SELECT o_orderkey AS key, count(*) AS n_right
+        |  FROM orders GROUP BY 1)
+        |SELECT lc.key, lc.n_left, oc.n_right,
+        |  lc.n_left * oc.n_right AS est_rows
+        |FROM lc JOIN oc USING (key)
+        |ORDER BY est_rows DESC, key ASC LIMIT 10""".stripMargin,
 
     // posting lists mirrored: same tf/df relations, the same
     // zero-padded doc:tf encoding (lexicographic == numeric), list

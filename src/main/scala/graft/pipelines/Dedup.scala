@@ -614,4 +614,42 @@ object Dedup {
       .select(col(idCol), col("n_spans"), col("dup_tokens"),
         col("tot_tokens"), col("dup_frac_micro"))
   }
+
+  /** Cross-source duplicate-overlap report: for every source pair, how
+    * much of each side's DISTINCT content also appears in the other —
+    * the data-lineage question a multi-crawl curation run answers
+    * before choosing which copy of shared content to keep ("is source
+    * B mostly a mirror of A?"). Content identity is the normalized
+    * exact fingerprint ([[graft.pipelines.TextAnalysis.fingerprint]]).
+    *
+    * Plan shape: one (source, fingerprint) DISTINCT projection feeds
+    * both the per-source totals and a fingerprint-keyed self-join
+    * (`source_a < source_b` deduplicates the symmetric pair) — the
+    * join's per-key fan-out is |sources per fingerprint|², bounded by
+    * the source count, never corpus-sized. Shared/total counts are
+    * exact integers; the Jaccard `shared / (n_a + n_b − shared)` is
+    * one deterministic double division per pair.
+    */
+  def crossSourceOverlap(df: DataFrame, source: Column, text: Column)
+      : DataFrame = {
+    val fp = df.select(source.as("src"),
+        graft.pipelines.TextAnalysis.fingerprint(text).as("fp"))
+      .distinct()
+    val totals = fp.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = fp.select(col("src").as("source_a"), col("fp"))
+      .join(fp.select(col("src").as("source_b"), col("fp")), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("src", "source_a")
+        .withColumnRenamed("n", "n_a")), "source_a")
+      .join(broadcast(totals.withColumnRenamed("src", "source_b")
+        .withColumnRenamed("n", "n_b")), "source_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
 }

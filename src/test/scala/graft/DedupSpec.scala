@@ -331,4 +331,28 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.Caches.activeCount === 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("crossSourceOverlap: shared distinct content, exact jaccard") {
+    val docs = Seq(
+      // A and B share exactly one normalized text (whitespace noise
+      // must not break identity); A's in-source duplicate collapses
+      ("A", "shared   doc"),
+      ("A", "shared doc"),
+      ("A", "a only"),
+      ("B", "shared doc"),
+      ("B", "b only one"),
+      ("B", "b only two"),
+      ("C", "c only")) // no overlap with anyone: no C rows at all
+      .toDF("src", "text")
+    val got = Dedup.crossSourceOverlap(docs, $"src", $"text").collect()
+    assert(got.length === 1, "only the overlapping pair reports")
+    val r = got(0)
+    assert(r.getAs[String]("source_a") === "A" &&
+      r.getAs[String]("source_b") === "B")
+    assert(r.getAs[Long]("shared") === 1L)
+    assert(r.getAs[Long]("n_a") === 2L, "A's dup collapsed to 2 distinct")
+    assert(r.getAs[Long]("n_b") === 3L)
+    // jaccard = 1 / (2 + 3 - 1)
+    assert(r.getAs[Double]("jaccard") === 0.25)
+  }
 }
