@@ -268,6 +268,23 @@ object SparkEntry {
   private def fmtSql(x: String) =
     s"CAST(CAST(round(($x) * 10000) AS BIGINT) / 10000.0 AS VARCHAR)"
 
+  /** Truncated-EMA oracle fragment in lockstep with [[Series.emaTrunc]]:
+    * the SAME Scala-computed weights rendered as shortest-round-trip
+    * decimal literals (which parse back to bit-identical doubles in any
+    * IEEE engine), the same left-folded weighted-lag sum, the same
+    * all-2s-lags-present guard. `win` names the unbounded ordered
+    * window, `tw` a trailing 2·span-row frame over the same order.
+    */
+  private def emaSql(x: String, span: Int, win: String, tw: String) = {
+    val alpha = 2.0 / (span + 1)
+    val k = span * 2
+    val ws = (0 until k).map(j => math.pow(1.0 - alpha, j))
+    val num = ws.zipWithIndex
+      .map { case (wt, j) => s"$wt * lag($x, $j) OVER $win" }
+      .mkString(" + ")
+    s"CASE WHEN count($x) OVER $tw = $k THEN round(($num) / ${ws.sum}, 6) END"
+  }
+
   /** Shared P1 ICT aggregate (also feeds the P3 plan-text oracle). */
   private val ictSql =
     """WITH m AS (
@@ -631,6 +648,92 @@ object SparkEntry {
       Series.maxDrawdown(T(s, d).events, "event_type", col("ts"),
           col("event_id"), col("value"))
         .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "w14_ohlc_bars" -> ((s, d) => {
+      // tick→candle resample: one hash aggregate on (key, epoch-aligned
+      // hour via window()); open/close are struct-min/max arg-extrema
+      // over the total (ts, id) order — deterministic under duplicate
+      // timestamps, no window function and no sort anywhere
+      Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"), "1 hour")
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
+    "w15_bollinger" -> ((s, d) => {
+      // SMA(20) ± 2σ envelope + %B position-in-band: composes the w1
+      // integer-micro SMA and w3 rolling stddev inside ONE ordered
+      // window stage; band edges/ratio are fixed-order double math
+      // over the already-rounded components
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      val (mid, upper, lower, pctB) =
+        Series.bollinger(col("value"), 20, 2.0, w)
+      T(s, d).events.select(col("event_id"), mid.as("mid"),
+          upper.as("band_up"), lower.as("band_dn"), pctB.as("pct_b"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
+    "w16_rsi" -> ((s, d) => {
+      // Cutler RSI(14): micro-unit integer gain/loss sums over the
+      // trailing 14 deltas, one double division of two exact integers
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .select(col("event_id"),
+          Series.rsiCutler(col("value"), 14, w).as("rsi"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
+    "w17_stochastic" -> ((s, d) => {
+      // stochastic %K(14) + %D = SMA(3) of the rounded %K: two window
+      // passes over the SAME (key, ts, id) ordering — Catalyst reuses
+      // the sort, the second pass only re-frames
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .withColumn("k_pct", Series.stochasticK(col("value"), 14, w))
+        .select(col("event_id"), col("k_pct"),
+          Series.sma(col("k_pct"), 3, w).as("d_pct"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
+    "w18_macd" -> ((s, d) => {
+      // MACD(12,26,9) from truncated EMAs: the span-s recursion
+      // unrolled to 2s in-frame lags with renormalized weights — a
+      // pure window expression where true EMA would need a sequential
+      // scan; signal line is a second truncated EMA over the rounded
+      // macd column (same ordering, sort reused)
+      val w = Series.ordered("event_type", col("ts"), col("event_id"))
+      T(s, d).events
+        .withColumn("macd", Series.macd(col("value"), 12, 26, w))
+        .withColumn("signal", Series.emaTrunc(col("macd"), 9, w))
+        .select(col("event_id"), col("macd"), col("signal"),
+          round(col("macd") - col("signal"), 6).as("hist"))
+        .repartition(1).sortWithinPartitions("event_id")
+    }),
+
+    "w19_resample_ffill" -> ((s, d) => {
+      // align ticks onto an hourly grid with forward-fill: union +
+      // one last_value(ignoreNulls) window pass — the sort-merge fill
+      // that needs no join; ties resolve observation-before-grid,
+      // same-ts observations by highest id
+      Series.resampleFfill(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"), stepSec = 3600L)
+        .select(col("event_type"), unix_micros(col("grid_ts")).as("grid_us"),
+          col("value"))
+        .repartition(1).sortWithinPartitions("event_type", "grid_us")
+    }),
+
+    "w20_atr" -> ((s, d) => {
+      // ATR(14) over hourly candles: w14's bar aggregate feeds a
+      // per-key window — true range per bar, integer micro-unit SMA;
+      // the window input is the already-reduced bar relation
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.atr(bars, "event_type", 14)
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("tr"), col("atr"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
     }),
 
     "t33_pmi_collocations" -> ((s, d) => {
@@ -3888,6 +3991,175 @@ object SparkEntry {
         |SELECT event_type, max(dd) AS max_drawdown,
         |  max(peak) / 1000000.0 AS peak
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // tick→candle resample twin: date_trunc('hour') == window()'s
+    // epoch-aligned hourly bucket; open/close via row_number arg-extrema
+    // over the same total (ts, event_id) order as the struct min/max
+    "w14_ohlc_bars" ->
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bar_us,
+        |    value, ts, event_id,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT event_type, bar_us,
+        |  max(CASE WHEN rf = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rl = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY event_type, bar_us
+        |ORDER BY event_type, bar_us""".stripMargin,
+
+    "w15_bollinger" ->
+      """WITH s AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN COUNT(value) OVER tw >= 20
+        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw
+        |                    / (1000000.0 * COUNT(value) OVER tw), 6) END AS mid,
+        |    CASE WHEN COUNT(value) OVER tw >= 20
+        |         THEN round(stddev_samp(value) OVER tw, 6) END AS sd
+        |  FROM events
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT event_id, value, mid,
+        |    round(mid + 2.0 * sd, 6) AS band_up,
+        |    round(mid - 2.0 * sd, 6) AS band_dn
+        |  FROM s)
+        |SELECT event_id, mid, band_up, band_dn,
+        |  CASE WHEN band_up > band_dn
+        |       THEN round((value - band_dn) / (band_up - band_dn), 6)
+        |  END AS pct_b
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    "w16_rsi" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round((value - lag(value) OVER w) * 1000000) AS BIGINT)
+        |      AS delta
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT event_id, COUNT(delta) OVER tw AS nd,
+        |    SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER tw AS gain,
+        |    SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER tw AS loss
+        |  FROM s
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  CASE WHEN nd >= 14 AND (gain + loss) > 0
+        |       THEN round(CAST(gain AS DOUBLE) * 100.0
+        |                  / CAST(gain + loss AS DOUBLE), 6) END AS rsi
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "w17_stochastic" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type, ts, value,
+        |    CASE WHEN COUNT(value) OVER tw >= 14
+        |          AND max(value) OVER tw > min(value) OVER tw
+        |         THEN round((value - min(value) OVER tw) * 100.0
+        |                    / (max(value) OVER tw - min(value) OVER tw), 6)
+        |    END AS k_pct
+        |  FROM events
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, k_pct,
+        |  CASE WHEN COUNT(k_pct) OVER td >= 3
+        |       THEN round(SUM(CAST(round(k_pct * 1000000) AS BIGINT)) OVER td
+        |                  / (1000000.0 * COUNT(k_pct) OVER td), 6) END AS d_pct
+        |FROM s
+        |WINDOW td AS (PARTITION BY event_type ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // truncated-EMA twins: emaSql embeds the SAME Scala-computed weight
+    // doubles the engine uses (shortest-round-trip literals), so every
+    // stage is fixed-order IEEE math over identical inputs
+    "w18_macd" ->
+      s"""WITH m AS (
+         |  SELECT event_id, event_type, ts,
+         |    round((${emaSql("value", 12, "w", "tw24")}) -
+         |          (${emaSql("value", 26, "w", "tw52")}), 6) AS macd
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+         |    tw24 AS (PARTITION BY event_type ORDER BY ts, event_id
+         |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+         |    tw52 AS (PARTITION BY event_type ORDER BY ts, event_id
+         |             ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)),
+         |s AS (
+         |  SELECT event_id, macd,
+         |    ${emaSql("macd", 9, "w2", "tw18")} AS signal
+         |  FROM m
+         |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id),
+         |    tw18 AS (PARTITION BY event_type ORDER BY ts, event_id
+         |             ROWS BETWEEN 17 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, macd, signal, round(macd - signal, 6) AS hist
+         |FROM s ORDER BY event_id""".stripMargin,
+
+    "w19_resample_ffill" ->
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |    min(make_timestamp(CAST(floor(epoch_us(ts) / 3600000000)
+        |        AS BIGINT) * 3600000000)) AS t0,
+        |    max(ts) AS t1
+        |  FROM events GROUP BY event_type),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS uts,
+        |    1 AS is_grid, CAST(0 AS BIGINT) AS uid,
+        |    CAST(NULL AS DOUBLE) AS v
+        |  FROM bounds),
+        |obs AS (
+        |  SELECT event_type, ts AS uts, 0 AS is_grid, event_id AS uid,
+        |    value AS v
+        |  FROM events),
+        |u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+        |f AS (
+        |  SELECT event_type, uts, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY uts, is_grid, uid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM u)
+        |SELECT event_type, epoch_us(uts) AS grid_us, value
+        |FROM f WHERE is_grid = 1
+        |ORDER BY event_type, grid_us""".stripMargin,
+
+    "w20_atr" ->
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bar_us,
+        |    value, ts, event_id,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events),
+        |bars AS (
+        |  SELECT event_type, bar_us,
+        |    max(value) AS high, min(value) AS low,
+        |    max(CASE WHEN rl = 1 THEN value END) AS close
+        |  FROM r GROUP BY event_type, bar_us),
+        |p AS (
+        |  SELECT event_type, bar_us, high, low,
+        |    lag(close) OVER (PARTITION BY event_type ORDER BY bar_us) AS pc
+        |  FROM bars),
+        |t AS (
+        |  SELECT event_type, bar_us,
+        |    CASE WHEN pc IS NULL THEN high - low
+        |         ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+        |    END AS tr0
+        |  FROM p),
+        |c AS (
+        |  SELECT event_type, bar_us, tr0,
+        |    CAST(round(tr0 * 1000000) AS BIGINT) AS trc
+        |  FROM t)
+        |SELECT event_type, bar_us, round(tr0, 6) AS tr,
+        |  CASE WHEN COUNT(trc) OVER tw >= 14
+        |       THEN round(SUM(trc) OVER tw
+        |                  / (1000000.0 * COUNT(trc) OVER tw), 6) END AS atr
+        |FROM c
+        |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
+        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, bar_us""".stripMargin,
 
     // PMI mirrored: t21's adjacency extraction minus the BOS sentinel
     // (range starts at 1), identical count relations and the same

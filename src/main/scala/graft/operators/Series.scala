@@ -319,4 +319,184 @@ object Series {
       .select(col(key), col("n"), col("slope_per_day"),
         col("intercept"))
   }
+
+  // ------------------------------------------------ chart indicators
+  // The reference charts raw price polylines plus client-computed
+  // SMA/stddev/extrema (static/main.js:217-335). The indicators below
+  // complete the standard charting set every market UI layers on the
+  // same series — each one a composition of the window primitives
+  // above, so per-key state stays partition-local and nothing global
+  // sorts. Rounding discipline matches the rest of the file: rolling
+  // means accumulate integer micro-units, derived ratios are one
+  // fixed-order IEEE double expression over already-rounded inputs.
+
+  /** Resample a tick series into fixed-interval OHLC bars — the
+    * aggregation every charting backend runs before drawing candles,
+    * and the first stage of bar-level indicators ([[atr]]). One hash
+    * aggregate on (key, epoch-aligned bucket): open/close are
+    * arg-min/arg-max over the total (ts, id) order via struct min/max
+    * (deterministic under duplicate timestamps), high/low plain
+    * min/max. `window()` is Spark's native epoch-aligned bucketing —
+    * at cluster scale the aggregate hash-partitions on (key, bar) and
+    * needs no sort at all.
+    *
+    * Output: `key, bar (bucket start), open, high, low, close, n`.
+    */
+  def ohlcBars(df: DataFrame, key: String, ts: Column, id: Column,
+               value: Column, barDuration: String): DataFrame = {
+    val ord = struct(ts.as("t"), id.as("i"), value.as("v"))
+    df.groupBy(col(key), window(ts, barDuration).getField("start").as("bar"))
+      .agg(
+        min(ord).getField("v").as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max(ord).getField("v").as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Bollinger bands (Bollinger 1980s, public formula): mid = SMA(n),
+    * upper/lower = mid ± k·rolling sample stddev, and %B — where the
+    * last price sits inside the band. Composes [[sma]] and
+    * [[rollingStd]] (both already rounded to 6), so the band edges and
+    * ratio are fixed-order double math over deterministic inputs.
+    * Returns (mid, upper, lower, pctB); all null through the n−1
+    * warm-up, %B additionally null on a zero-width band.
+    */
+  def bollinger(value: Column, n: Int, k: Double, w: WindowSpec)
+      : (Column, Column, Column, Column) = {
+    val mid = sma(value, n, w)
+    val sd = rollingStd(value, n, w)
+    val upper = round(mid + lit(k) * sd, 6)
+    val lower = round(mid - lit(k) * sd, 6)
+    val pctB = when(upper > lower,
+      round((value - lower) / (upper - lower), 6))
+    (mid, upper, lower, pctB)
+  }
+
+  /** RSI, Cutler's variant (simple moving average of gains/losses —
+    * the non-recursive RSI every SQL engine can mirror; Wilder's
+    * exponential smoothing is [[emaTruncSql]] territory). Deltas
+    * quantize to integer micro-units, the n-delta gain/loss sums stay
+    * integer (order-independent, spill-safe), and the final
+    * `100·gain/(gain+loss)` is one double division of two exact
+    * integers. Null until n deltas exist and when the window moved
+    * nowhere (gain+loss = 0).
+    */
+  def rsiCutler(value: Column, n: Int, w: WindowSpec): Column = {
+    val delta = Aggregates.cents(value - lag(value, 1).over(w))
+    val tw = trailing(w, n)
+    val gain = sum(when(delta > 0, delta).otherwise(0L)).over(tw)
+    val loss = sum(when(delta < 0, -delta).otherwise(0L)).over(tw)
+    when(count(delta).over(tw) >= n && (gain + loss) > 0,
+      round(gain.cast("double") * 100.0 /
+        (gain + loss).cast("double"), 6))
+  }
+
+  /** Stochastic oscillator %K (raw) and %D (its SMA smoothing):
+    * `%K = 100·(px − min_n)/(max_n − min_n)` — where price sits in
+    * the trailing n-row range — and `%D = SMA(dn)` of the rounded %K
+    * via the integer micro-unit [[sma]]. %K null through warm-up and
+    * on a flat range; %D null until dn non-null %K values exist.
+    * Both are frame aggregates over the SAME ordered window, so the
+    * whole indicator is one sort-free-after-shuffle window stage plus
+    * a second pass over the derived %K column (same ordering —
+    * Catalyst reuses the sort).
+    */
+  def stochasticK(value: Column, n: Int, w: WindowSpec): Column = {
+    val tw = trailing(w, n)
+    val lo = min(value).over(tw)
+    val hi = max(value).over(tw)
+    when(count(value).over(tw) >= n && hi > lo,
+      round((value - lo) * 100.0 / (hi - lo), 6))
+  }
+
+  /** Truncated exponential moving average: the standard span-s EMA
+    * (α = 2/(s+1)) with the recursion unrolled to its first K = 2s
+    * lag terms and renormalized over the weights actually present —
+    * a pure window expression (K in-frame lags, one fixed-order
+    * weighted sum), where the true recursive EMA would need a
+    * sequential scan no SQL engine parallelizes. K = 2s keeps
+    * ≥ 98% of the weight mass; because the truncated weights are
+    * renormalized, truncation changes the effective kernel, not the
+    * scale. Null until all K lags exist. Weights are computed once in
+    * Scala and embedded as literals so the oracle can embed the SAME
+    * doubles (shortest-round-trip decimal strings parse back
+    * bit-identically in any IEEE engine).
+    */
+  def emaTrunc(value: Column, span: Int, w: WindowSpec): Column = {
+    val alpha = 2.0 / (span + 1)
+    val k = span * 2
+    val weights = (0 until k).map(j => math.pow(1.0 - alpha, j))
+    val num = weights.zipWithIndex.map { case (wt, j) =>
+      lit(wt) * lag(value, j).over(w)
+    }.reduceLeft(_ + _)
+    val den = weights.sum
+    when(count(value).over(trailing(w, k)) === k,
+      round(num / lit(den), 6))
+  }
+
+  /** MACD from truncated EMAs: `macd = EMA(fast) − EMA(slow)` over
+    * the price, `signal = EMA(sigSpan)` over the rounded macd line,
+    * `hist = macd − signal`. Two window stages over the same
+    * (key, ts, id) ordering — stage 2's input is stage 1's rounded
+    * output, so every stage is deterministic end-to-end.
+    */
+  def macd(value: Column, fast: Int, slow: Int, w: WindowSpec): Column =
+    round(emaTrunc(value, fast, w) - emaTrunc(value, slow, w), 6)
+
+  /** Align a per-key tick series onto a regular time grid with
+    * forward-fill — the resample/align primitive feature pipelines
+    * run before cross-series math (correlation, spreads) so every
+    * series shares one clock. Grid points span floor(min ts) to
+    * max ts per key at `stepSec`; each grid point carries the LAST
+    * observation at-or-before it (ties on ts resolved toward the
+    * observation, multiple same-ts observations toward the highest
+    * id). Implementation is a union + one `last_value(ignoreNulls)`
+    * window pass — the classic sort-merge fill that needs no join at
+    * all, and at cluster scale partitions by key exactly like every
+    * other series operator here. Leading grid points before the first
+    * observation stay null.
+    */
+  def resampleFfill(df: DataFrame, key: String, ts: Column, id: Column,
+                    value: Column, stepSec: Long): DataFrame = {
+    val step = expr(s"INTERVAL $stepSec SECONDS")
+    val grid = df.groupBy(col(key))
+      .agg(min(timestamp_seconds(floor(unix_micros(ts) /
+          (stepSec * 1000000L)) * stepSec)).as("_t0"),
+        max(ts).as("_t1"))
+      .select(col(key), explode(sequence(col("_t0"), col("_t1"), step))
+        .as("_ts"))
+      .select(col(key), col("_ts"), lit(1).as("_is_grid"),
+        lit(0L).as("_id"), lit(null).cast("double").as("_v"))
+    val obs = df.select(col(key), ts.as("_ts"), lit(0).as("_is_grid"),
+      id.as("_id"), value.as("_v"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_is_grid").asc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn("_fill", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_is_grid") === 1)
+      .select(col(key), col("_ts").as("grid_ts"), col("_fill").as("value"))
+  }
+
+  /** Average True Range over OHLC bars (Wilder 1978, Cutler-style
+    * simple-average smoothing to stay SQL-mirrorable): per bar,
+    * `TR = max(high−low, |high−prevClose|, |low−prevClose|)` (first
+    * bar: high−low), then ATR = integer micro-unit SMA(n) of TR.
+    * Runs on [[ohlcBars]] output — bar count is corpus-size /
+    * bar-width, so the window input is already the reduced relation.
+    */
+  def atr(bars: DataFrame, key: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
+    val prevClose = lag(col("close"), 1).over(w)
+    val tr = when(prevClose.isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"),
+        abs(col("high") - prevClose), abs(col("low") - prevClose)))
+    val trC = Aggregates.cents(tr)
+    val tw = w.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("tr", round(tr, 6))
+      .withColumn("atr", when(count(trC).over(tw) >= n,
+        round(sum(trC).over(tw) / (lit(1000000.0) * count(trC).over(tw)), 6)))
+  }
 }

@@ -149,4 +149,121 @@ class SeriesSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("slope_per_day")) < 1e-12)
     assert(math.abs(got.getAs[Double]("intercept") - 7.5) < 1e-12)
   }
+
+  // ---- chart indicators (w14-w20) ----
+
+  test("ohlcBars: OHLC per (key, hour) from the (ts, id) order") {
+    val df = Seq(
+      (0L, "K", ts(0), 5.0), (1L, "K", ts(1), 3.0), (2L, "K", ts(2), 8.0),
+      (3L, "K", ts(61), 2.0), (4L, "K", ts(62), 7.0))
+      .toDF("id", "k", "t", "v")
+    val got = Series.ohlcBars(df, "k", col("t"), col("id"), col("v"),
+        "1 hour")
+      .orderBy("bar").select("open", "high", "low", "close", "n")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(got(0) === ((5.0, 8.0, 3.0, 8.0, 3L)))
+    assert(got(1) === ((2.0, 7.0, 2.0, 7.0, 2L)))
+  }
+
+  test("bollinger: flat series pins bands to the mean, %B undefined") {
+    val (mid, up, dn, b) = Series.bollinger($"v", 3, 2.0, w)
+    val got = series(4, 4, 4, 4)
+      .select($"id", mid.as("m"), up.as("u"), dn.as("d"), b.as("b"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+           Option[Double])].collect()
+    assert(got(0)._2.isEmpty) // warm-up
+    assert(got(3)._2.contains(4.0) && got(3)._3.contains(4.0) &&
+      got(3)._4.contains(4.0))
+    assert(got.forall(_._5.isEmpty)) // zero-width band → %B null
+    // varying tail: bands straddle the mean, %B inside (0, 1)
+    val g2 = series(1, 2, 3)
+      .select($"id", up.as("u"), dn.as("d"), b.as("b"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().last
+    assert(g2._2.get > 2.0 && g2._3.get < 2.0)
+    assert(g2._4.contains(0.75)) // (3 − 0) / (4 − 0)
+  }
+
+  test("rsiCutler: all-gain window reads 100, all-loss 0, warm-up null") {
+    val up = series(1, 2, 3, 4, 5)
+      .select($"id", Series.rsiCutler($"v", 3, w).as("r"))
+      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    assert(up.take(3).forall(_.isEmpty)) // 3 deltas first exist at row 3
+    assert(up.drop(3).forall(_.contains(100.0)))
+    val dn = series(5, 4, 3, 2, 1)
+      .select($"id", Series.rsiCutler($"v", 3, w).as("r"))
+      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    assert(dn.drop(3).forall(_.contains(0.0)))
+  }
+
+  test("stochasticK: range top is 100, bottom 0, flat range null") {
+    val got = series(1, 2, 3, 1, 3)
+      .select($"id", Series.stochasticK($"v", 3, w).as("k"))
+      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    assert(got(0).isEmpty && got(1).isEmpty)
+    assert(got(2).contains(100.0))
+    assert(got(3).contains(0.0))
+    val flat = series(2, 2, 2)
+      .select($"id", Series.stochasticK($"v", 3, w).as("k"))
+      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    assert(flat.forall(_.isEmpty))
+  }
+
+  test("emaTrunc: constant converges to the constant; hand-check span 3") {
+    val got = series(Seq.fill(10)(7.0): _*)
+      .select($"id", Series.emaTrunc($"v", 2, w).as("e")) // K = 4
+      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    assert(got.take(3).forall(_.isEmpty))
+    assert(got.drop(3).forall(_.contains(7.0)))
+    // span 3 (α = 0.5, K = 6) over 1..10 at the last row: lags are
+    // 10,9,8,7,6,5 with weights 1,.5,.25,.125,.0625,.03125
+    val hand = series(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+      .select($"id", Series.emaTrunc($"v", 3, w).as("e"))
+      .orderBy("id").as[(Long, Option[Double])].collect().last._2.get
+    val num = Seq(10.0, 9, 8, 7, 6, 5)
+      .zip(Seq(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125))
+      .map { case (v, wt) => v * wt }.sum
+    assert(math.abs(hand - num / 1.96875) < 1e-6)
+  }
+
+  test("macd: flat series reads zero once the slow EMA warms") {
+    val got = series(Seq.fill(20)(5.0): _*)
+      .select($"id", Series.macd($"v", 3, 6, w).as("m")) // K = 6 and 12
+      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    assert(got.take(11).forall(_.isEmpty))
+    assert(got.drop(11).forall(_.contains(0.0)))
+  }
+
+  test("resampleFfill: hourly grid forward-fills; grid-aligned obs wins") {
+    val df = Seq(
+      (0L, "K", java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 1.0),
+      (1L, "K", java.sql.Timestamp.valueOf("2024-01-01 02:10:00"), 5.0),
+      (2L, "K", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 9.0))
+      .toDF("id", "k", "t", "v")
+    val got = Series.resampleFfill(df, "k", col("t"), col("id"), col("v"),
+        stepSec = 3600L)
+      .orderBy("grid_ts")
+      .as[(String, java.sql.Timestamp, Option[Double])].collect()
+    // 00:00 precedes the first obs → null; 01:00/02:00 carry 1.0
+    // (02:10 is later); 03:00 has an exact-ts obs → 9.0
+    assert(got.map(_._3).toSeq === Seq(None, Some(1.0), Some(1.0),
+      Some(9.0)))
+  }
+
+  test("atr: TR bridges the inter-bar gap; first bar is high−low") {
+    val df = Seq(
+      (0L, "K", ts(0), 8.0), (1L, "K", ts(1), 10.0), (2L, "K", ts(2), 9.0),
+      (3L, "K", ts(61), 11.0), (4L, "K", ts(62), 12.0))
+      .toDF("id", "k", "t", "v")
+    val bars = Series.ohlcBars(df, "k", col("t"), col("id"), col("v"),
+      "1 hour")
+    val got = Series.atr(bars, "k", 2).orderBy("bar")
+      .select("tr", "atr").as[(Double, Option[Double])].collect()
+    assert(got(0)._1 === 2.0) // 10 − 8
+    assert(got(1)._1 === 3.0) // max(12−11, |12−9|, |11−9|)
+    assert(got(0)._2.isEmpty)
+    assert(got(1)._2.contains(2.5))
+  }
 }
