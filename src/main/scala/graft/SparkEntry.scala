@@ -665,13 +665,12 @@ object SparkEntry {
     "w15_bollinger" -> ((s, d) => {
       // SMA(20) ± 2σ envelope + %B position-in-band: composes the w1
       // integer-micro SMA and w3 rolling stddev inside ONE ordered
-      // window stage; band edges/ratio are fixed-order double math
-      // over the already-rounded components
+      // window stage (mid/σ materialized once — 6 window aggregates,
+      // not 38 inlined copies); band edges/ratio are fixed-order
+      // double math over the already-rounded components
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
-      val (mid, upper, lower, pctB) =
-        Series.bollinger(col("value"), 20, 2.0, w)
-      T(s, d).events.select(col("event_id"), mid.as("mid"),
-          upper.as("band_up"), lower.as("band_dn"), pctB.as("pct_b"))
+      Series.bollinger(T(s, d).events, col("value"), 20, 2.0, w)
+        .select("event_id", "mid", "band_up", "band_dn", "pct_b")
         .repartition(1).sortWithinPartitions("event_id")
     }),
 
@@ -701,11 +700,11 @@ object SparkEntry {
       // MACD(12,26,9) from truncated EMAs: the span-s recursion
       // unrolled to 2s in-frame lags with renormalized weights — a
       // pure window expression where true EMA would need a sequential
-      // scan; signal line is a second truncated EMA over the rounded
-      // macd column (same ordering, sort reused)
+      // scan; lags staged once and shared between the fast/slow EMAs;
+      // signal line is a second truncated EMA over the rounded macd
+      // column (same ordering, sort reused)
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
-      T(s, d).events
-        .withColumn("macd", Series.macd(col("value"), 12, 26, w))
+      Series.macd(T(s, d).events, col("value"), 12, 26, w)
         .withColumn("signal", Series.emaTrunc(col("macd"), 9, w))
         .select(col("event_id"), col("macd"), col("signal"),
           round(col("macd") - col("signal"), 6).as("hist"))

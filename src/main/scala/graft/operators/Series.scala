@@ -355,23 +355,33 @@ object Series {
   }
 
   /** Bollinger bands (Bollinger 1980s, public formula): mid = SMA(n),
-    * upper/lower = mid ± k·rolling sample stddev, and %B — where the
-    * last price sits inside the band. Composes [[sma]] and
+    * band_up/band_dn = mid ± k·rolling sample stddev, and pct_b — where
+    * the price sits inside the band. Composes [[sma]] and
     * [[rollingStd]] (both already rounded to 6), so the band edges and
     * ratio are fixed-order double math over deterministic inputs.
-    * Returns (mid, upper, lower, pctB); all null through the n−1
-    * warm-up, %B additionally null on a zero-width band.
+    *
+    * Shaped as a DataFrame transform, NOT a Column factory: `mid` and
+    * the stddev must be materialized as attributes BEFORE the band
+    * arithmetic references them, because window expressions are
+    * extracted per textual occurrence — inlining `mid` into
+    * band_up/band_dn/pct_b plans 38 running window aggregates where
+    * this form plans 6 (measured 2.8 s → sub-1 s at sf0.1). The
+    * post-window projections collapse into cheap scalar CASE
+    * arithmetic over the window attributes.
+    *
+    * Adds `mid, band_up, band_dn, pct_b`; all null through the n−1
+    * warm-up, pct_b additionally null on a zero-width band.
     */
-  def bollinger(value: Column, n: Int, k: Double, w: WindowSpec)
-      : (Column, Column, Column, Column) = {
-    val mid = sma(value, n, w)
-    val sd = rollingStd(value, n, w)
-    val upper = round(mid + lit(k) * sd, 6)
-    val lower = round(mid - lit(k) * sd, 6)
-    val pctB = when(upper > lower,
-      round((value - lower) / (upper - lower), 6))
-    (mid, upper, lower, pctB)
-  }
+  def bollinger(df: DataFrame, value: Column, n: Int, k: Double,
+                w: WindowSpec): DataFrame =
+    df.withColumn("mid", sma(value, n, w))
+      .withColumn("_sd", rollingStd(value, n, w))
+      .withColumn("band_up", round(col("mid") + lit(k) * col("_sd"), 6))
+      .withColumn("band_dn", round(col("mid") - lit(k) * col("_sd"), 6))
+      .withColumn("pct_b", when(col("band_up") > col("band_dn"),
+        round((value - col("band_dn")) /
+          (col("band_up") - col("band_dn")), 6)))
+      .drop("_sd")
 
   /** RSI, Cutler's variant (simple moving average of gains/losses —
     * the non-recursive RSI every SQL engine can mirror; Wilder's
@@ -436,13 +446,38 @@ object Series {
   }
 
   /** MACD from truncated EMAs: `macd = EMA(fast) − EMA(slow)` over
-    * the price, `signal = EMA(sigSpan)` over the rounded macd line,
-    * `hist = macd − signal`. Two window stages over the same
-    * (key, ts, id) ordering — stage 2's input is stage 1's rounded
-    * output, so every stage is deterministic end-to-end.
+    * the price. Shaped as a DataFrame transform so the lag columns are
+    * staged ONCE and shared — the fast EMA's 2·fast lags are a prefix
+    * of the slow EMA's 2·slow, and window expressions extract per
+    * textual occurrence, so the inlined form would run
+    * 2·fast + 2·slow + 2 offset frames where this one runs
+    * 2·slow + 2. The weighted sums then collapse into scalar
+    * projections over the staged attributes — identical arithmetic,
+    * identical results. Adds a rounded `macd` column (null until the
+    * slow EMA warms).
     */
-  def macd(value: Column, fast: Int, slow: Int, w: WindowSpec): Column =
-    round(emaTrunc(value, fast, w) - emaTrunc(value, slow, w), 6)
+  def macd(df: DataFrame, value: Column, fast: Int, slow: Int,
+           w: WindowSpec): DataFrame = {
+    val kFast = fast * 2
+    val kSlow = slow * 2
+    val lagCols = (0 until kSlow).map(j => lag(value, j).over(w).as(s"_l$j"))
+    val guards = Seq(
+      count(value).over(trailing(w, kFast)).as("_cf"),
+      count(value).over(trailing(w, kSlow)).as("_cs"))
+    val staged = df.select(col("*") +: (lagCols ++ guards): _*)
+    def emaFrom(span: Int, k: Int, guard: Column): Column = {
+      val alpha = 2.0 / (span + 1)
+      val ws = (0 until k).map(j => math.pow(1.0 - alpha, j))
+      val num = ws.zipWithIndex.map { case (wt, j) =>
+        lit(wt) * col(s"_l$j")
+      }.reduceLeft(_ + _)
+      when(guard === k, round(num / lit(ws.sum), 6))
+    }
+    staged
+      .withColumn("macd", round(emaFrom(fast, kFast, col("_cf")) -
+        emaFrom(slow, kSlow, col("_cs")), 6))
+      .drop(((0 until kSlow).map(j => s"_l$j") ++ Seq("_cf", "_cs")): _*)
+  }
 
   /** Align a per-key tick series onto a regular time grid with
     * forward-fill — the resample/align primitive feature pipelines

@@ -166,24 +166,21 @@ class SeriesSpec extends AnyFunSuite {
   }
 
   test("bollinger: flat series pins bands to the mean, %B undefined") {
-    val (mid, up, dn, b) = Series.bollinger($"v", 3, 2.0, w)
-    val got = series(4, 4, 4, 4)
-      .select($"id", mid.as("m"), up.as("u"), dn.as("d"), b.as("b"))
-      .orderBy("id")
-      .as[(Long, Option[Double], Option[Double], Option[Double],
+    val got = Series.bollinger(series(4, 4, 4, 4), $"v", 3, 2.0, w)
+      .orderBy("id").select("mid", "band_up", "band_dn", "pct_b")
+      .as[(Option[Double], Option[Double], Option[Double],
            Option[Double])].collect()
-    assert(got(0)._2.isEmpty) // warm-up
-    assert(got(3)._2.contains(4.0) && got(3)._3.contains(4.0) &&
-      got(3)._4.contains(4.0))
-    assert(got.forall(_._5.isEmpty)) // zero-width band → %B null
+    assert(got(0)._1.isEmpty) // warm-up
+    assert(got(3)._1.contains(4.0) && got(3)._2.contains(4.0) &&
+      got(3)._3.contains(4.0))
+    assert(got.forall(_._4.isEmpty)) // zero-width band → %B null
     // varying tail: bands straddle the mean, %B inside (0, 1)
-    val g2 = series(1, 2, 3)
-      .select($"id", up.as("u"), dn.as("d"), b.as("b"))
-      .orderBy("id")
-      .as[(Long, Option[Double], Option[Double], Option[Double])]
+    val g2 = Series.bollinger(series(1, 2, 3), $"v", 3, 2.0, w)
+      .orderBy("id").select("band_up", "band_dn", "pct_b")
+      .as[(Option[Double], Option[Double], Option[Double])]
       .collect().last
-    assert(g2._2.get > 2.0 && g2._3.get < 2.0)
-    assert(g2._4.contains(0.75)) // (3 − 0) / (4 − 0)
+    assert(g2._1.get > 2.0 && g2._2.get < 2.0)
+    assert(g2._3.contains(0.75)) // (3 − 0) / (4 − 0)
   }
 
   test("rsiCutler: all-gain window reads 100, all-loss 0, warm-up null") {
@@ -229,9 +226,9 @@ class SeriesSpec extends AnyFunSuite {
   }
 
   test("macd: flat series reads zero once the slow EMA warms") {
-    val got = series(Seq.fill(20)(5.0): _*)
-      .select($"id", Series.macd($"v", 3, 6, w).as("m")) // K = 6 and 12
-      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    val got = Series.macd(series(Seq.fill(20)(5.0): _*), $"v", 3, 6, w)
+      .orderBy("id").select("macd") // K = 6 and 12
+      .as[Option[Double]].collect()
     assert(got.take(11).forall(_.isEmpty))
     assert(got.drop(11).forall(_.contains(0.0)))
   }
