@@ -678,9 +678,8 @@ object SparkEntry {
       // Cutler RSI(14): micro-unit integer gain/loss sums over the
       // trailing 14 deltas, one double division of two exact integers
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
-      T(s, d).events
-        .select(col("event_id"),
-          Series.rsiCutler(col("value"), 14, w).as("rsi"))
+      Series.rsiCutler(T(s, d).events, col("value"), 14, w)
+        .select("event_id", "rsi")
         .repartition(1).sortWithinPartitions("event_id")
     }),
 
@@ -689,8 +688,7 @@ object SparkEntry {
       // passes over the SAME (key, ts, id) ordering — Catalyst reuses
       // the sort, the second pass only re-frames
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
-      T(s, d).events
-        .withColumn("k_pct", Series.stochasticK(col("value"), 14, w))
+      Series.stochasticK(T(s, d).events, col("value"), 14, w)
         .select(col("event_id"), col("k_pct"),
           Series.sma(col("k_pct"), 3, w).as("d_pct"))
         .repartition(1).sortWithinPartitions("event_id")
@@ -1086,9 +1084,7 @@ object SparkEntry {
 
     "w6_local_extrema" -> ((s, d) => {
       val w = Series.ordered("event_type", col("ts"), col("event_id"))
-      T(s, d).events
-        .withColumn("is_high", Series.isLocalHigh(col("value"), w))
-        .withColumn("is_low", Series.isLocalLow(col("value"), w))
+      Series.localExtrema(T(s, d).events, col("value"), w)
         .filter(col("is_high") || col("is_low"))
         .select("event_id", "is_high", "is_low")
         .repartition(1).sortWithinPartitions("event_id")

@@ -72,6 +72,20 @@ object Series {
     lag(value, 1).over(w).isNotNull && lead(value, 1).over(w).isNotNull &&
       value <= lag(value, 1).over(w) && value <= lead(value, 1).over(w)
 
+  /** W6 staged: ONE lag + ONE lead frame feeding both extremum flags —
+    * the Column forms above inline each neighbor twice per flag (8
+    * frames for 2 distinct); this is the form a full-table extremum
+    * scan should use.
+    */
+  def localExtrema(df: DataFrame, value: Column, w: WindowSpec): DataFrame =
+    df.withColumn("_pv", lag(value, 1).over(w))
+      .withColumn("_nv", lead(value, 1).over(w))
+      .withColumn("is_high", col("_pv").isNotNull && col("_nv").isNotNull &&
+        value >= col("_pv") && value >= col("_nv"))
+      .withColumn("is_low", col("_pv").isNotNull && col("_nv").isNotNull &&
+        value <= col("_pv") && value <= col("_nv"))
+      .drop("_pv", "_nv")
+
   /** W7 — MA slope: ma[i] − ma[i−k]
     * (/root/reference/static/main.js:242-243).
     */
@@ -392,14 +406,23 @@ object Series {
     * integers. Null until n deltas exist and when the window moved
     * nowhere (gain+loss = 0).
     */
-  def rsiCutler(value: Column, n: Int, w: WindowSpec): Column = {
-    val delta = Aggregates.cents(value - lag(value, 1).over(w))
+  def rsiCutler(df: DataFrame, value: Column, n: Int,
+                w: WindowSpec): DataFrame = {
+    // staged: delta once (one lag frame), then gain/loss/count once
+    // each — the inlined form would run 8 frames for 4 distinct
+    // (PlanAuditSpec bounds the surplus corpus-wide)
     val tw = trailing(w, n)
-    val gain = sum(when(delta > 0, delta).otherwise(0L)).over(tw)
-    val loss = sum(when(delta < 0, -delta).otherwise(0L)).over(tw)
-    when(count(delta).over(tw) >= n && (gain + loss) > 0,
-      round(gain.cast("double") * 100.0 /
-        (gain + loss).cast("double"), 6))
+    df.withColumn("_delta", Aggregates.cents(value - lag(value, 1).over(w)))
+      .withColumn("_nd", count(col("_delta")).over(tw))
+      .withColumn("_gain",
+        sum(when(col("_delta") > 0, col("_delta")).otherwise(0L)).over(tw))
+      .withColumn("_loss",
+        sum(when(col("_delta") < 0, -col("_delta")).otherwise(0L)).over(tw))
+      .withColumn("rsi",
+        when(col("_nd") >= n && (col("_gain") + col("_loss")) > 0,
+          round(col("_gain").cast("double") * 100.0 /
+            (col("_gain") + col("_loss")).cast("double"), 6)))
+      .drop("_delta", "_nd", "_gain", "_loss")
   }
 
   /** Stochastic oscillator %K (raw) and %D (its SMA smoothing):
@@ -412,12 +435,18 @@ object Series {
     * a second pass over the derived %K column (same ordering —
     * Catalyst reuses the sort).
     */
-  def stochasticK(value: Column, n: Int, w: WindowSpec): Column = {
+  def stochasticK(df: DataFrame, value: Column, n: Int,
+                  w: WindowSpec): DataFrame = {
+    // staged lo/hi/count (3 frames, not the 6 the inlined form plans)
     val tw = trailing(w, n)
-    val lo = min(value).over(tw)
-    val hi = max(value).over(tw)
-    when(count(value).over(tw) >= n && hi > lo,
-      round((value - lo) * 100.0 / (hi - lo), 6))
+    df.withColumn("_lo", min(value).over(tw))
+      .withColumn("_hi", max(value).over(tw))
+      .withColumn("_nk", count(value).over(tw))
+      .withColumn("k_pct",
+        when(col("_nk") >= n && col("_hi") > col("_lo"),
+          round((value - col("_lo")) * 100.0 /
+            (col("_hi") - col("_lo")), 6)))
+      .drop("_lo", "_hi", "_nk")
   }
 
   /** Truncated exponential moving average: the standard span-s EMA
@@ -524,14 +553,22 @@ object Series {
   def atr(bars: DataFrame, key: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
     val prevClose = lag(col("close"), 1).over(w)
-    val tr = when(prevClose.isNull, col("high") - col("low"))
-      .otherwise(greatest(col("high") - col("low"),
-        abs(col("high") - prevClose), abs(col("low") - prevClose)))
-    val trC = Aggregates.cents(tr)
     val tw = w.rowsBetween(-(n - 1), 0)
+    // ONE lag frame (staged _pc); the TR arithmetic over it is scalar,
+    // so referencing it twice (tr output + integer quantization) costs
+    // nothing — only duplicated WINDOW frames multiply work
+    def trOver(pc: Column): Column =
+      when(pc.isNull, col("high") - col("low"))
+        .otherwise(greatest(col("high") - col("low"),
+          abs(col("high") - pc), abs(col("low") - pc)))
     bars
-      .withColumn("tr", round(tr, 6))
-      .withColumn("atr", when(count(trC).over(tw) >= n,
-        round(sum(trC).over(tw) / (lit(1000000.0) * count(trC).over(tw)), 6)))
+      .withColumn("_pc", prevClose)
+      .withColumn("_trc", Aggregates.cents(trOver(col("_pc"))))
+      .withColumn("_cnt", count(col("_trc")).over(tw))
+      .withColumn("_sum", sum(col("_trc")).over(tw))
+      .withColumn("tr", round(trOver(col("_pc")), 6))
+      .withColumn("atr", when(col("_cnt") >= n,
+        round(col("_sum") / (lit(1000000.0) * col("_cnt")), 6)))
+      .drop("_pc", "_trc", "_cnt", "_sum")
   }
 }

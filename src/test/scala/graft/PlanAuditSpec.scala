@@ -11,6 +11,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  /** Plan with AQE OFF for the audit: `AdaptiveSparkPlanExec` is a
+    * LEAF to `TreeNode.collect` (the inner plan lives in a field, not
+    * in `children`), so pattern-matching `WindowExec` under an AQE
+    * wrapper silently matches nothing and the guard passes vacuously.
+    * The audit inspects static plan SHAPE — partitioning of windows,
+    * duplicate frames, join strategy — which AQE only refines at
+    * runtime, so auditing the non-adaptive plan is both correct and
+    * strictly stricter.
+    */
+  private def audited[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // deliberate bounded cross joins: a broadcast single row (ANN query
   // vector, global-stats row, histogram bounds) or a generator's
   // watchlist × point-range product (s9: both sides literal-sized)
@@ -39,7 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    val offenders = audited { SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // plan-only: building the DataFrame never executes the query, but
       // a handful of queries run side-effecting setup (file writes,
       // streaming) inside the builder — they still only PLAN the
@@ -55,13 +70,46 @@ class PlanAuditSpec extends AnyFunSuite {
             !singleRowCross.contains(name)) ||
           plan.startsWith("PLANNING FAILED")
       if (bad) Some(name) else None
-    }
+    } }
     assert(offenders.isEmpty, s"scale-unsafe plans: $offenders")
+  }
+
+  test("no Window operator repeats a frame aggregate pathologically") {
+    // window expressions are extracted per TEXTUAL occurrence — Spark
+    // does not dedupe them — so inlining a windowed column into k
+    // downstream formulas runs k running aggregates where 1 suffices
+    // (caught live: Bollinger planned 38 frames for 6 distinct ones,
+    // 3× the runtime). A small surplus is inherent (e.g. the SMA's
+    // count guard + divisor); a large one means an operator should
+    // stage its window attributes with withColumn before referencing
+    // them. The bound is per-query, canonicalized-distinct.
+    val dir = "/root/testdata/sf0.001"
+    val report = audited { SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val dups =
+        try SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec =>
+              val canon = w.windowExpression.map {
+                case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                  a.child.canonicalized
+                case e => e.canonicalized
+              }
+              canon.size - canon.distinct.size
+          }.sum
+        catch { case _: Throwable => 0 } // planning failures: first guard's job
+      graft.Caches.releaseAll()
+      if (dups > 0) Some(name -> dups) else None
+    } }
+    val offenders = report.filter(_._2 > 3)
+    assert(offenders.isEmpty,
+      s"pathological duplicate window frames: $offenders — stage the " +
+        "windowed columns once (withColumn) before the formulas that " +
+        s"reference them. Full surplus report: $report")
   }
 
   test("no query plans an unpartitioned (single-task) Window") {
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    val offenders = audited { SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // a query that fails to PLAN is an offender too — swallowing the
       // failure would report the most-broken queries as window-clean
       val bad =
@@ -75,7 +123,7 @@ class PlanAuditSpec extends AnyFunSuite {
         catch { case e: Throwable => Seq(s"PLANNING FAILED: ${e.getMessage}") }
       graft.Caches.releaseAll()
       if (bad.nonEmpty) Some(name) else None
-    }
+    } }
     assert(offenders.isEmpty,
       s"single-task global Window in: $offenders — the whole ordered " +
         "stream funnels through one partition at scale")

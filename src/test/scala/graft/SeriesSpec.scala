@@ -184,27 +184,27 @@ class SeriesSpec extends AnyFunSuite {
   }
 
   test("rsiCutler: all-gain window reads 100, all-loss 0, warm-up null") {
-    val up = series(1, 2, 3, 4, 5)
-      .select($"id", Series.rsiCutler($"v", 3, w).as("r"))
-      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    val up = Series.rsiCutler(series(1, 2, 3, 4, 5), $"v", 3, w)
+      .orderBy("id").select("rsi")
+      .as[Option[Double]].collect()
     assert(up.take(3).forall(_.isEmpty)) // 3 deltas first exist at row 3
     assert(up.drop(3).forall(_.contains(100.0)))
-    val dn = series(5, 4, 3, 2, 1)
-      .select($"id", Series.rsiCutler($"v", 3, w).as("r"))
-      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    val dn = Series.rsiCutler(series(5, 4, 3, 2, 1), $"v", 3, w)
+      .orderBy("id").select("rsi")
+      .as[Option[Double]].collect()
     assert(dn.drop(3).forall(_.contains(0.0)))
   }
 
   test("stochasticK: range top is 100, bottom 0, flat range null") {
-    val got = series(1, 2, 3, 1, 3)
-      .select($"id", Series.stochasticK($"v", 3, w).as("k"))
-      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    val got = Series.stochasticK(series(1, 2, 3, 1, 3), $"v", 3, w)
+      .orderBy("id").select("k_pct")
+      .as[Option[Double]].collect()
     assert(got(0).isEmpty && got(1).isEmpty)
     assert(got(2).contains(100.0))
     assert(got(3).contains(0.0))
-    val flat = series(2, 2, 2)
-      .select($"id", Series.stochasticK($"v", 3, w).as("k"))
-      .orderBy("id").as[(Long, Option[Double])].collect().map(_._2)
+    val flat = Series.stochasticK(series(2, 2, 2), $"v", 3, w)
+      .orderBy("id").select("k_pct")
+      .as[Option[Double]].collect()
     assert(flat.forall(_.isEmpty))
   }
 
