@@ -733,6 +733,61 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type", "bar_us")
     }),
 
+    "a20_sharpe" -> ((s, d) => {
+      // per-key Sharpe over consecutive-tick returns: cent-quantized
+      // deltas, DECIMAL power sums, fixed-order mean/σ/ratio with IEEE
+      // sqrt; the lag window and the aggregate share the key
+      // partitioning — ONE shuffle end-to-end
+      Aggregates.sharpe(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "a21_skew" -> ((s, d) => {
+      // Pearson's 2nd skewness (3·(mean−median)/σ): exact second-power
+      // sums + integer-interpolated median — moment skewness needs
+      // third powers past 2^53 where exact→double conversion stops
+      // being engine-identical
+      Aggregates.nonparamSkew(T(s, d).events, "event_type", col("value"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "a22_seasonality" -> ((s, d) => {
+      // weekly/diurnal template: mean per (key, dow, hod); output is
+      // |keys|·168 rows regardless of corpus size
+      Aggregates.seasonality(T(s, d).events, "event_type", col("ts"),
+          col("value"))
+        .repartition(1).sortWithinPartitions("event_type", "dow", "hod")
+    }),
+
+    "u13_benford" -> ((s, d) => {
+      // first-significant-digit audit vs log10(1+1/d): digit from the
+      // decimal string of exact integer micros (no libm log10 whose
+      // ulp could flip the digit at powers of ten); 9-row output
+      Aggregates.benford(T(s, d).events, col("value"))
+        .repartition(1).sortWithinPartitions("digit")
+    }),
+
+    "t35_oov_rate" -> ((s, d) => {
+      // tokenizer-coverage diagnostic: per-doc OOV share against the
+      // corpus's own top-1024 words (deterministic rank-boundary
+      // tie-break); vocab broadcasts, one shuffle on the doc id
+      TextAnalysis.oovRate(T(s, d).documents, "doc_id", col("text"), 1024)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "n20_simhash_topk" -> ((s, d) => {
+      // Hamming-metric ANN over SimHash bands — the third retrieval
+      // metric beside cosine and BM25: candidates share ≥1 of 4 8-bit
+      // bands with the query (pigeonhole-complete to distance 3), so
+      // no full-corpus scoring; queries broadcast, per-query top-5 by
+      // (distance, id)
+      Similarity.simhashHammingTopK(T(s, d).documents, "doc_id",
+          col("text"), queryIds = Seq(1L, 7L, 13L), nBits = 32,
+          chunks = 4, k = 5)
+        .repartition(1).sortWithinPartitions("q_id", "rank")
+    }),
+
     "t33_pmi_collocations" -> ((s, d) => {
       // PMI phrase mining: adjacent pairs that co-occur far above
       // their unigram expectation — pair/unigram aggregates + two
@@ -4155,6 +4210,144 @@ object SparkEntry {
         |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
         |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bar_us""".stripMargin,
+
+    // Sharpe mirrored: HUGEINT cent-return power sums, identical
+    // fixed-order double combining (both sqrt args and the guard)
+    "a20_sharpe" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(CAST(round((value - lag(value) OVER w) * 100) AS BIGINT)
+        |         AS HUGEINT) AS rc
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT event_type, count(rc) AS n_ret,
+        |    sum(rc) AS s1, sum(rc * rc) AS s2
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, CAST(n_ret AS BIGINT) AS n_ret,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE) / 100.0, 6)
+        |    AS mean_ret,
+        |  CASE WHEN n_ret >= 2
+        |        AND (CAST(n_ret AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+        |       THEN round((CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE))
+        |         / sqrt((CAST(n_ret AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |                / (CAST(n_ret AS DOUBLE)
+        |                   * (CAST(n_ret AS DOUBLE) - 1.0))), 6)
+        |  END AS sharpe
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "a21_skew" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(vc AS HUGEINT)) AS s1,
+        |    sum(CAST(vc * vc AS HUGEINT)) AS s2,
+        |    quantile_cont(vc, 0.5) AS med
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(med / 100.0, 6) AS median,
+        |  CASE WHEN n >= 2
+        |        AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+        |       THEN round(3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - med)
+        |         / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |  END AS skew
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // dow mirrored to Spark's (dayofweek − 1): both 0 = Sunday
+    "a22_seasonality" ->
+      """SELECT event_type,
+        |  CAST(date_part('dow', ts) AS INTEGER) AS dow,
+        |  CAST(date_part('hour', ts) AS INTEGER) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(SUM(CAST(round(value * 1000000) AS BIGINT))
+        |        / (1000000.0 * count(*)), 6) AS mean_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Benford twin: digit from the decimal string of exact integer
+    // micros; expected shares are the SAME Scala log10 doubles
+    // (CAST ... AS DOUBLE forces double-typing of the literals, which
+    // DuckDB would otherwise read as DECIMAL)
+    "u13_benford" -> {
+      val exp = (1 to 9).map(d =>
+        s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(round(value * 1000000) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM events
+         |  WHERE CAST(round(value * 1000000) AS BIGINT) >= 1),
+         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+         |t AS (SELECT count(*) AS total FROM d)
+         |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+         |  round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         |    AS obs_share,
+         |  round(CAST(e.exp_share AS DOUBLE), 6) AS exp_share,
+         |  round(round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         |        - round(CAST(e.exp_share AS DOUBLE), 6), 6) AS dev
+         |FROM c, t, (VALUES $exp) AS e(digit, exp_share)
+         |WHERE e.digit = c.digit
+         |ORDER BY c.digit""".stripMargin
+    },
+
+    "t35_oov_rate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS word
+         |  FROM documents),
+         |v AS (
+         |  SELECT word FROM (
+         |    SELECT word, count(*) AS n FROM w GROUP BY word
+         |    ORDER BY n DESC, word LIMIT 1024) t),
+         |j AS (
+         |  SELECT w.doc_id, v.word AS vw
+         |  FROM w LEFT JOIN v ON w.word = v.word)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(*) FILTER (WHERE vw IS NULL) AS BIGINT) AS n_oov,
+         |  round(CAST(count(*) FILTER (WHERE vw IS NULL) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS oov_share
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SimHash Hamming ANN twin: d4's bit construction, the same 8-bit
+    // banding, set-identical candidates, identical (distance, id) rank
+    "n20_simhash_topk" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_transform(${wordsSql("text")}, x -> ${h48("x")}) AS hs
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 32),
+         |      i -> CASE WHEN list_sum(list_transform(hs,
+         |             h -> CASE WHEN (h >> i) % 2 = 1
+         |                       THEN 1 ELSE -1 END)) > 0
+         |           THEN 1 ELSE 0 END) AS bits
+         |  FROM w),
+         |b AS (
+         |  SELECT doc_id, bits, c AS chunk,
+         |    array_to_string(array_slice(bits, c * 8 + 1, c * 8 + 8), '')
+         |      AS key
+         |  FROM s, (SELECT unnest(range(0, 4)) AS c)),
+         |q AS (
+         |  SELECT doc_id AS q_id, bits AS qbits, chunk, key
+         |  FROM b WHERE doc_id IN (1, 7, 13)),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, b.doc_id AS nn_id,
+         |    CAST(list_sum(list_transform(range(1, 33),
+         |      i -> abs(q.qbits[i] - b.bits[i]))) AS INTEGER) AS hamming
+         |  FROM b JOIN q ON b.chunk = q.chunk AND b.key = q.key
+         |    AND b.doc_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, nn_id, hamming,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY hamming, nn_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT q_id, rank, nn_id, hamming FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     // PMI mirrored: t21's adjacency extraction minus the BOS sentinel
     // (range starts at 1), identical count relations and the same

@@ -565,6 +565,126 @@ object Aggregates {
       .select(col("key"), col("first_bucket"), col("last_bucket"),
         col("expected"), col("observed"), col("missing"))
 
+  /** Per-key (per-period) Sharpe ratio: mean/σ of consecutive-tick
+    * returns in the (ts, id) order — the risk-adjusted-performance
+    * number every portfolio review leads with (annualize by √periods
+    * outside). Returns quantize to integer CENTS (same budget as
+    * [[Series.olsTrend]]: per key `n · cents² ≲ 9e15`, i.e. ~7e5 rows
+    * of 4-digit prices — coarsen the unit beyond), the power sums
+    * accumulate as DECIMAL (exact, order-independent), and the
+    * mean/σ/ratio is one fixed-order double expression over the exact
+    * sums with an IEEE-correctly-rounded sqrt — bit-identical in any
+    * engine. The lag window and the aggregate share the key
+    * partitioning, so the whole operator is ONE shuffle.
+    *
+    * Output: `key, n_ret, mean_ret (value units), sharpe` — null
+    * sharpe for constant series (σ = 0) or n < 2.
+    */
+  def sharpe(events: DataFrame, key: String, ts: Column, id: Column,
+             value: Column): DataFrame = {
+    val dec = "decimal(19,0)"
+    val w = Series.ordered(key, ts, id)
+    val rc = round((value - lag(value, 1).over(w)) * 100).cast("long")
+    val nD = col("n_ret").cast("double")
+    val s1D = col("_s1").cast("double")
+    val s2D = col("_s2").cast("double")
+    val varN = nD * s2D - s1D * s1D // n²·(n−1)·σ² in cents²
+    events
+      .withColumn("_rc", rc.cast(dec))
+      .groupBy(col(key))
+      .agg(count(col("_rc")).as("n_ret"),
+        sum(col("_rc")).as("_s1"),
+        sum(col("_rc") * col("_rc")).as("_s2"))
+      .withColumn("mean_ret", round(s1D / nD / 100.0, 6))
+      .withColumn("sharpe",
+        when(col("n_ret") >= 2 && varN > 0,
+          round((s1D / nD) / sqrt(varN / (nD * (nD - 1.0))), 6)))
+      .select(col(key), col("n_ret"), col("mean_ret"), col("sharpe"))
+  }
+
+  /** Pearson's SECOND skewness coefficient per key:
+    * `3·(mean − median)/σ` over cent-quantized values — the
+    * nonparametric asymmetry diagnostic. Chosen over moment skewness
+    * deliberately: third/fourth power sums of quantized values blow
+    * past 2^53, where the exact-integer → double conversion stops
+    * being engine-identical (the hugeint double-rounding trap
+    * [[Series.olsTrend]] documents), while mean/σ need only second
+    * powers and the exact median interpolates between two integers —
+    * every input to the final expression stays bit-reproducible.
+    * One hash aggregate on the key (percentile sorts per key inside
+    * the aggregate, partition-local).
+    */
+  def nonparamSkew(events: DataFrame, key: String, value: Column)
+      : DataFrame = {
+    val dec = "decimal(19,0)"
+    val vc = round(value * 100).cast("long")
+    val nD = col("n").cast("double")
+    val s1D = col("_s1").cast("double")
+    val s2D = col("_s2").cast("double")
+    val varN = nD * s2D - s1D * s1D
+    events
+      .withColumn("_vc", vc)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_vc").cast(dec)).as("_s1"),
+        sum((col("_vc") * col("_vc")).cast(dec)).as("_s2"),
+        expr("percentile(_vc, 0.5)").as("_med"))
+      .withColumn("skew",
+        when(col("n") >= 2 && varN > 0,
+          round(lit(3.0) * (s1D / nD - col("_med")) /
+            sqrt(varN / (nD * (nD - 1.0))), 6)))
+      .select(col(key), col("n"), round(col("_med") / 100.0, 6).as("median"),
+        col("skew"))
+  }
+
+  /** Seasonality profile: mean value per (key, day-of-week,
+    * hour-of-day) — the weekly/diurnal template behavioral and market
+    * series both repeat. Day numbering is 0 = Sunday (engine- and
+    * locale-independent by explicit arithmetic). One hash aggregate;
+    * output is |keys|·168 rows regardless of corpus size.
+    */
+  def seasonality(events: DataFrame, key: String, ts: Column,
+                  value: Column): DataFrame =
+    events
+      .groupBy(col(key), (dayofweek(ts) - 1).as("dow"),
+        hour(ts).as("hod"))
+      .agg(count(lit(1)).as("n"), sum(cents(value)).as("_s"))
+      .withColumn("mean_value",
+        round(col("_s") / (lit(1000000.0) * col("n")), 6))
+      .drop("_s")
+
+  /** Benford first-significant-digit audit: observed leading-digit
+    * shares of the positive values against the log10(1 + 1/d) law —
+    * the classic fabricated-data / quality screen. The digit comes
+    * from the DECIMAL STRING of the exact integer cents (long→string
+    * renders identically in every engine; no log10 of a double, whose
+    * 1-ulp libm differences could flip the digit at exact powers of
+    * ten). Expected shares are Scala-computed literals embedded in
+    * both engine and oracle. 9-row output; the total joins back as a
+    * broadcast single row.
+    */
+  def benford(events: DataFrame, value: Column): DataFrame = {
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val digits = events
+      .withColumn("_vc", cents(value))
+      .filter(col("_vc") >= 1)
+      .withColumn("digit",
+        substring(col("_vc").cast("string"), 1, 1).cast("int"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(count(lit(1)).as("_total"))
+    val expCol = expected.tail.foldLeft(
+      when(col("digit") === 1, lit(expected.head._2))) {
+      case (acc, (d, e)) => acc.when(col("digit") === d, lit(e))
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("obs_share",
+        round(col("n").cast("double") / col("_total").cast("double"), 6))
+      .withColumn("exp_share", round(expCol, 6))
+      .withColumn("dev", round(col("obs_share") - col("exp_share"), 6))
+      .select(col("digit"), col("n"), col("obs_share"), col("exp_share"),
+        col("dev"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: Column,
                       anchor: String): DataFrame = {
     val wk = events

@@ -753,4 +753,49 @@ object Similarity {
           .orderBy(col("cosine").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
   }
+
+  /** Hamming-metric nearest neighbors over SimHash bit signatures —
+    * the third retrieval metric beside cosine (n1–n16) and BM25 (n18):
+    * binary sketches make "roughly the same text" a ≤ d-bit question,
+    * and banding makes answering it sub-quadratic. Each document's
+    * nBits SimHash splits into `chunks` equal bands; a candidate must
+    * share at least one full band with the query (pigeonhole: ≤
+    * chunks−1 flipped bits always leave one band intact), so the scan
+    * never scores the whole corpus — per query it touches only the
+    * banded buckets, exactly like [[graft.pipelines.Dedup
+    * .simhashCandidates]] (size the grid with `simhashParamsFor` in
+    * production; the fixed (32, 4) here matches the oracle). The query
+    * side is queryIds-sized and broadcasts; ranking is a row_number
+    * partitioned per query.
+    *
+    * Output: `q_id, rank, nn_id, hamming` — top-k by (distance, id).
+    */
+  def simhashHammingTopK(docs: DataFrame, idCol: String, text: Column,
+                         queryIds: Seq[Long], nBits: Int, chunks: Int,
+                         k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val chunkLen = nBits / chunks
+    val sig = docs.select(col(idCol),
+      call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
+    val banded = graft.Caches.persist(
+      sig.select(col(idCol), col("_bits"), posexplode(
+        transform(sequence(lit(0), lit(chunks - 1)),
+          c => concat_ws("",
+            slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
+        .as(Seq("chunk", "key"))))
+    val queries = banded
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("q_id"), col("_bits").as("_qbits"),
+        col("chunk"), col("key"))
+    banded.join(broadcast(queries), Seq("chunk", "key"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("nn_id"),
+        Dedup.hamming(col("_qbits"), col("_bits")).as("hamming"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming").asc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("hamming"))
+  }
 }

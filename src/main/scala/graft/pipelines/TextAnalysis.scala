@@ -1152,4 +1152,31 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topN)
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` words — the tokenizer-coverage diagnostic a
+    * training pipeline publishes before committing to a vocabulary
+    * (high OOV share ⇒ the vocab under-serves that document's domain).
+    * The vocabulary is a deterministic TakeOrdered over the word
+    * counts (freq desc, word asc tie-break — the exact rank-boundary
+    * policy matters at the cut) and is vocab-sized, so it broadcasts
+    * to the per-token membership join; the token explode is map-side
+    * and the per-doc aggregate is one shuffle on the doc id. Docs with
+    * zero words emit no row (no tokens to rate).
+    *
+    * Output: `idCol, n_words, n_oov, oov_share`.
+    */
+  def oovRate(docs: DataFrame, idCol: String, text: Column,
+              vocabSize: Int): DataFrame = {
+    val words = docs.select(col(idCol), explode(Dedup.words(text)).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"), lit(1).as("_in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_share",
+        round(col("n_oov").cast("double") / col("n_words").cast("double"), 6))
+  }
 }

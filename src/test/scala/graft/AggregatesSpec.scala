@@ -373,4 +373,59 @@ class AggregatesSpec extends AnyFunSuite {
       .toSeq === Seq((0L, 0L, 2L), (0L, 1L, 2L), (0L, 3L, 1L),
         (2L, 0L, 1L)))
   }
+
+  test("sharpe: hand-computed ratio; constant-increment series is null") {
+    // values 1,2,4 → cent returns 100,200: mean 150, s² 5000,
+    // sharpe = 150/√5000 = 2.121320...
+    val ev = Seq((0L, "A", ts("2024-01-01 00:00:00"), 1.0),
+      (1L, "A", ts("2024-01-01 00:01:00"), 2.0),
+      (2L, "A", ts("2024-01-01 00:02:00"), 4.0),
+      // B: constant increments → σ = 0 → sharpe null
+      (3L, "B", ts("2024-01-01 00:00:00"), 1.0),
+      (4L, "B", ts("2024-01-01 00:01:00"), 2.0),
+      (5L, "B", ts("2024-01-01 00:02:00"), 3.0))
+      .toDF("id", "k", "t", "v")
+    val got = Aggregates.sharpe(ev, "k", col("t"), col("id"), col("v"))
+      .orderBy("k").collect()
+    assert(got(0).getLong(1) === 2L)
+    assert(got(0).getAs[Double]("mean_ret") === 1.5)
+    assert(got(0).getAs[Double]("sharpe") === 2.12132)
+    assert(got(1).isNullAt(got(1).fieldIndex("sharpe")))
+  }
+
+  test("nonparamSkew: symmetric 0, right-tail positive") {
+    val ev = Seq(("S", 1.0), ("S", 2.0), ("S", 3.0),
+      ("R", 1.0), ("R", 1.0), ("R", 10.0)).toDF("k", "v")
+    val got = Aggregates.nonparamSkew(ev, "k", col("v"))
+      .orderBy("k").collect()
+    // R: mean 4, median 1, σ = √270000/100 → 3·300/519.615...
+    assert(got(0).getAs[Double]("skew") === 1.732051)
+    assert(got(0).getAs[Double]("median") === 1.0)
+    assert(got(1).getAs[Double]("skew") === 0.0) // mean == median
+  }
+
+  test("seasonality: dow 0 = Sunday, per-cell integer-micro mean") {
+    val ev = Seq(
+      ("A", ts("2024-01-07 13:10:00"), 2.0), // Sunday → dow 0
+      ("A", ts("2024-01-07 13:50:00"), 4.0), // same cell
+      ("A", ts("2024-01-01 09:00:00"), 7.0)) // Monday → dow 1
+      .toDF("k", "t", "v")
+    val got = Aggregates.seasonality(ev, "k", col("t"), col("v"))
+      .orderBy("dow", "hod").collect()
+    assert(got.map(r => (r.getInt(1), r.getInt(2), r.getLong(3),
+      r.getAs[Double]("mean_value"))).toSeq ===
+      Seq((0, 13, 2L, 3.0), (1, 9, 1L, 7.0)))
+  }
+
+  test("benford: digit from exact integer micros, zero rows excluded") {
+    // digits: 1×3 (1.0, 0.15, 12.0), 2×1 (0.25), 5×1 (5.0); 0.0 dropped
+    val ev = Seq(1.0, 0.15, 12.0, 0.25, 5.0, 0.0).toDF("v")
+    val got = Aggregates.benford(ev, col("v")).orderBy("digit").collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 3L), (2, 1L), (5, 1L)))
+    assert(got(0).getAs[Double]("obs_share") === 0.6)
+    assert(got(0).getAs[Double]("exp_share") === 0.30103)
+    // shares against the 5-row positive total, deviation over rounded
+    assert(got(0).getAs[Double]("dev") === 0.29897)
+  }
 }

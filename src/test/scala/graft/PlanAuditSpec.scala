@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t30_stratified_quality_keep", // corpus-total: broadcast 1-row agg (t17's scorer)
     "n18_bm25_rank",       // corpus stats (N, avgdl): broadcast 1-row agg
     "t33_pmi_collocations", // token/pair totals: broadcast 1-row aggs
-    "n19_inverted_index")   // doc-count gate: broadcast 1-row agg
+    "n19_inverted_index",   // doc-count gate: broadcast 1-row agg
+    "u13_benford")          // digit-share total: broadcast 1-row agg
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -506,4 +506,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("id")).toSeq === Seq(3L, 1L, 2L, 4L))
     assert(got.head.getAs[Double]("rrf") > got(1).getAs[Double]("rrf"))
   }
+
+  test("simhashHammingTopK: the near-duplicate ranks first, self excluded") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // near-dup
+      (3L, "entirely unrelated text about database engines and queries"),
+      (4L, "another wholly different document on sailing the high seas"))
+      .toDF("doc_id", "text")
+    val got = Similarity.simhashHammingTopK(docs, "doc_id", col("text"),
+      queryIds = Seq(1L), nBits = 32, chunks = 4, k = 3).collect()
+    graft.Caches.releaseAll()
+    assert(got.forall(_.getAs[Long]("nn_id") != 1L), "self excluded")
+    assert(got.head.getAs[Long]("nn_id") === 2L,
+      "one-word edit is the nearest banded neighbor")
+    val h2 = got.head.getAs[Int]("hamming")
+    assert(got.tail.forall(_.getAs[Int]("hamming") >= h2))
+  }
 }

@@ -647,4 +647,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) < got(1L) * 8,
       "but sub-linearly: saturation caps the gain")
   }
+
+  test("oovRate: per-doc share vs top-K vocab; asc tie-break at the cut") {
+    import graft.pipelines.TextAnalysis
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "z z z q"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.oovRate(docs, "doc_id", $"text", vocabSize = 2)
+      .orderBy("doc_id")
+      .select("n_words", "n_oov", "oov_share")
+      .as[(Long, Long, Double)].collect()
+    // vocab = {a, z} (3 each); b/c/q are OOV
+    assert(got2.toSeq === Seq((3L, 1L, 0.333333), (2L, 1L, 0.5),
+      (4L, 1L, 0.25)))
+    // K=3: the third slot ties at n=1 between b/c/q → word-asc picks b
+    val got3 = TextAnalysis.oovRate(docs, "doc_id", $"text", vocabSize = 3)
+      .orderBy("doc_id").select("n_oov").as[Long].collect()
+    assert(got3.toSeq === Seq(0L, 1L, 1L))
+  }
 }
