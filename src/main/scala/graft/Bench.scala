@@ -22,7 +22,8 @@ object Bench {
     "t17_unigram_logprob", "p8_curation_pipeline",
     "s5_insert_ignore", "u1b_warehouse_upsert", "st1_stream_ingest",
     "m2_image_decode", "o5_next_offset",
-    "n16_pq_residual_recall", "u1d_doc_table", "g3_rank_stream")
+    "n16_pq_residual_recall", "u1d_doc_table", "g3_rank_stream",
+    "w18_macd", "a20_sharpe")
 
   /** `"name":1.234` pairs of ONE flat JSON object in `txt`, keyed by
     * `key` — the scan is bounded to the object's own braces (flat by
