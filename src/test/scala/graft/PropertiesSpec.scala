@@ -88,4 +88,66 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("indicator ranges on random walks: RSI/%K in [0,100], bands straddle") {
+    import graft.operators.Series
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60 + rng.nextInt(120)
+      var px = 100.0
+      val rows = (0 until n).map { i =>
+        px = math.max(1.0, px + rng.nextGaussian() * 2.0)
+        (i.toLong, if (i % 2 == 0) "A" else "B",
+          java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+          math.rint(px * 100) / 100)
+      }
+      val df = rows.toDF("id", "k", "t", "v")
+      val w = Series.ordered("k", col("t"), col("id"))
+      val rsi = Series.rsiCutler(df, col("v"), 5, w)
+        .select("rsi").as[Option[Double]].collect().flatten
+      assert(rsi.forall(r => r >= 0.0 && r <= 100.0), s"trial $trial rsi")
+      val kp = Series.stochasticK(df, col("v"), 5, w)
+        .select("k_pct").as[Option[Double]].collect().flatten
+      assert(kp.forall(p => p >= 0.0 && p <= 100.0), s"trial $trial %K")
+      val bands = Series.bollinger(df, col("v"), 5, 2.0, w)
+        .select("mid", "band_up", "band_dn")
+        .as[(Option[Double], Option[Double], Option[Double])].collect()
+      bands.foreach {
+        case (Some(m), Some(u), Some(l)) =>
+          assert(u >= m && m >= l, s"trial $trial band order")
+        case _ =>
+      }
+      // ATR non-negative over the derived hourly bars
+      val bars = Series.ohlcBars(df, "k", col("t"), col("id"), col("v"),
+        "1 hour")
+      val atrs = Series.atr(bars, "k", 2)
+        .select("tr", "atr").as[(Double, Option[Double])].collect()
+      assert(atrs.forall(_._1 >= 0.0), s"trial $trial tr")
+      assert(atrs.flatMap(_._2).forall(_ >= 0.0), s"trial $trial atr")
+    }
+  }
+
+  test("benford shares sum to 1; oovRate bounded and vocab-monotone") {
+    import graft.operators.Aggregates
+    import graft.pipelines.TextAnalysis
+    val rng = new scala.util.Random(23)
+    val vals = (1 to 400).map(_ =>
+      math.rint(math.exp(rng.nextDouble() * 9) ) / 100.0)
+    val bf = Aggregates.benford(vals.toDF("v"), col("v")).collect()
+    val shares = bf.map(_.getAs[Double]("obs_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+    assert(bf.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+
+    val docs = (1 to 50).map { i =>
+      (i.toLong, (1 to 10).map(_ => s"w${rng.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def shares2(k: Int) =
+      TextAnalysis.oovRate(docs, "doc_id", col("text"), k)
+        .select("doc_id", "oov_share").as[(Long, Double)].collect().toMap
+    val s5 = shares2(5)
+    val s20 = shares2(20)
+    assert(s5.values.forall(v => v >= 0.0 && v <= 1.0))
+    // a larger vocabulary can only lower (or keep) every doc's OOV share
+    s20.foreach { case (id, v) => assert(v <= s5(id) + 1e-12) }
+  }
 }
