@@ -269,20 +269,28 @@ object SparkEntry {
     s"CAST(CAST(round(($x) * 10000) AS BIGINT) / 10000.0 AS VARCHAR)"
 
   /** Truncated-EMA oracle fragment in lockstep with [[Series.emaTrunc]]:
-    * the SAME Scala-computed weights rendered as shortest-round-trip
-    * decimal literals (which parse back to bit-identical doubles in any
-    * IEEE engine), the same left-folded weighted-lag sum, the same
-    * all-2s-lags-present guard. `win` names the unbounded ordered
-    * window, `tw` a trailing 2·span-row frame over the same order.
+    * the SAME Scala-computed weights ([[graft.operators.Series
+    * .emaWeights]] is the single source), the same left-folded
+    * weighted-lag sum, the same all-2s-lags-present guard. Each weight
+    * renders as `CAST('<shortest-round-trip>' AS DOUBLE)` — the STRING
+    * route matters: a bare decimal literal types as DECIMAL in DuckDB,
+    * and for mantissas above 2^53 (e.g. span 26's j=1 weight
+    * 0.9259259259259259 → int 9259259259259259 / 10^16) the
+    * DECIMAL→DOUBLE conversion composes two roundings and lands 1 ulp
+    * off Spark's `lit(wt)`, while VARCHAR→DOUBLE parsing is
+    * correctly rounded and bit-identical. `win` names the unbounded
+    * ordered window, `tw` a trailing 2·span-row frame over the same
+    * order.
     */
   private def emaSql(x: String, span: Int, win: String, tw: String) = {
-    val alpha = 2.0 / (span + 1)
-    val k = span * 2
-    val ws = (0 until k).map(j => math.pow(1.0 - alpha, j))
+    val (ws, den) = graft.operators.Series.emaWeights(span)
     val num = ws.zipWithIndex
-      .map { case (wt, j) => s"$wt * lag($x, $j) OVER $win" }
+      .map { case (wt, j) =>
+        s"CAST('$wt' AS DOUBLE) * lag($x, $j) OVER $win"
+      }
       .mkString(" + ")
-    s"CASE WHEN count($x) OVER $tw = $k THEN round(($num) / ${ws.sum}, 6) END"
+    s"CASE WHEN count($x) OVER $tw = ${ws.size} " +
+      s"THEN round(($num) / CAST('$den' AS DOUBLE), 6) END"
   }
 
   /** Shared P1 ICT aggregate (also feeds the P3 plan-text oracle). */
@@ -4245,7 +4253,7 @@ object SparkEntry {
         |s AS (
         |  SELECT event_type, count(*) AS n,
         |    sum(CAST(vc AS HUGEINT)) AS s1,
-        |    sum(CAST(vc * vc AS HUGEINT)) AS s2,
+        |    sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS s2,
         |    quantile_cont(vc, 0.5) AS med
         |  FROM b GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n,

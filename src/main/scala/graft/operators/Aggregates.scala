@@ -625,9 +625,13 @@ object Aggregates {
     events
       .withColumn("_vc", vc)
       .groupBy(col(key))
+      // square in DECIMAL space (like sharpe): LONG _vc·_vc silently
+      // wraps past ~3e7 in value units while the oracle's HUGEINT
+      // multiply doesn't — the engines would diverge instead of both
+      // being exact
       .agg(count(lit(1)).as("n"),
         sum(col("_vc").cast(dec)).as("_s1"),
-        sum((col("_vc") * col("_vc")).cast(dec)).as("_s2"),
+        sum(col("_vc").cast(dec) * col("_vc").cast(dec)).as("_s2"),
         expr("percentile(_vc, 0.5)").as("_med"))
       .withColumn("skew",
         when(col("n") >= 2 && varN > 0,
@@ -656,12 +660,13 @@ object Aggregates {
   /** Benford first-significant-digit audit: observed leading-digit
     * shares of the positive values against the log10(1 + 1/d) law —
     * the classic fabricated-data / quality screen. The digit comes
-    * from the DECIMAL STRING of the exact integer cents (long→string
-    * renders identically in every engine; no log10 of a double, whose
-    * 1-ulp libm differences could flip the digit at exact powers of
-    * ten). Expected shares are Scala-computed literals embedded in
-    * both engine and oracle. 9-row output; the total joins back as a
-    * broadcast single row.
+    * from the DECIMAL STRING of the exact integer MICRO-units
+    * ([[cents]] is ×10⁶; the ≥1 positivity gate therefore admits
+    * values down to 1e-6 — long→string renders identically in every
+    * engine; no log10 of a double, whose 1-ulp libm differences could
+    * flip the digit at exact powers of ten). Expected shares are
+    * Scala-computed literals embedded in both engine and oracle.
+    * 9-row output; the total joins back as a broadcast single row.
     */
   def benford(events: DataFrame, value: Column): DataFrame = {
     val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))

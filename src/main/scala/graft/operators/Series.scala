@@ -462,14 +462,24 @@ object Series {
     * doubles (shortest-round-trip decimal strings parse back
     * bit-identically in any IEEE engine).
     */
-  def emaTrunc(value: Column, span: Int, w: WindowSpec): Column = {
+  /** The truncated-EMA kernel: K = 2·span weights (1−α)^j with
+    * α = 2/(span+1), plus their sum for renormalization. THE single
+    * source of truth — [[emaTrunc]], [[macd]], and the SQL oracle
+    * builder (SparkEntry.emaSql) must all consume this so the
+    * engine/oracle bit-lockstep cannot drift.
+    */
+  def emaWeights(span: Int): (IndexedSeq[Double], Double) = {
     val alpha = 2.0 / (span + 1)
-    val k = span * 2
-    val weights = (0 until k).map(j => math.pow(1.0 - alpha, j))
+    val ws = (0 until span * 2).map(j => math.pow(1.0 - alpha, j))
+    (ws, ws.sum)
+  }
+
+  def emaTrunc(value: Column, span: Int, w: WindowSpec): Column = {
+    val (weights, den) = emaWeights(span)
+    val k = weights.size
     val num = weights.zipWithIndex.map { case (wt, j) =>
       lit(wt) * lag(value, j).over(w)
     }.reduceLeft(_ + _)
-    val den = weights.sum
     when(count(value).over(trailing(w, k)) === k,
       round(num / lit(den), 6))
   }
@@ -495,12 +505,11 @@ object Series {
       count(value).over(trailing(w, kSlow)).as("_cs"))
     val staged = df.select(col("*") +: (lagCols ++ guards): _*)
     def emaFrom(span: Int, k: Int, guard: Column): Column = {
-      val alpha = 2.0 / (span + 1)
-      val ws = (0 until k).map(j => math.pow(1.0 - alpha, j))
+      val (ws, den) = emaWeights(span)
       val num = ws.zipWithIndex.map { case (wt, j) =>
         lit(wt) * col(s"_l$j")
       }.reduceLeft(_ + _)
-      when(guard === k, round(num / lit(ws.sum), 6))
+      when(guard === k, round(num / lit(den), 6))
     }
     staged
       .withColumn("macd", round(emaFrom(fast, kFast, col("_cf")) -

@@ -195,23 +195,38 @@ object Dedup {
     * `nBits <= 0` the (nBits, chunks) pair is derived from the corpus
     * size via [[simhashParamsFor]] (one `count()` job).
     */
+  /** SimHash signatures banded into `chunks` equal chunk-keys — THE
+    * shared candidate-generation relation for near-dup pairing
+    * ([[simhashCandidates]]) and Hamming retrieval
+    * ([[graft.pipelines.Similarity.simhashHammingTopK]]): one row per
+    * (doc, band) with columns `(idCol, _bits, chunk, key)`. Persisted
+    * because every consumer joins it against itself or a filtered
+    * slice of itself. Keeping one implementation keeps the banding in
+    * lockstep with BOTH DuckDB oracles (d4's bit construction, n20's
+    * banding) — two copies would have to stay byte-identical by hand.
+    */
+  def simhashBanded(df: DataFrame, idCol: String, text: Column,
+                    nBits: Int, chunks: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val chunkLen = nBits / chunks
+    val sig = df.select(col(idCol),
+      call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
+    graft.Caches.persist(
+      sig.select(col(idCol), col("_bits"), posexplode(
+        transform(sequence(lit(0), lit(chunks - 1)),
+          c => concat_ws("",
+            slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
+        .as(Seq("chunk", "key"))))
+  }
+
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
                         nBits: Int = 32, chunks: Int = 4,
                         maxHamming: Int = 3,
                         targetBucketSize: Long = 4096): DataFrame = {
-    graft.expressions.GraftFunctions.register(df.sparkSession)
     val (nb, nc) =
       if (nBits > 0) (nBits, chunks)
       else simhashParamsFor(df.count(), maxHamming, targetBucketSize)
-    val chunkLen = nb / nc
-    val sig = df.select(col(idCol),
-      call_function("graft_simhash_bits", text, lit(nb)).as("_bits"))
-    // persisted: both self-join sides read it (see minhashCandidates)
-    val banded = graft.Caches.persist(
-      sig.select(col(idCol), col("_bits"), posexplode(
-        transform(sequence(lit(0), lit(nc - 1)),
-          c => concat_ws("", slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
-        .as(Seq("chunk", "key"))))
+    val banded = simhashBanded(df, idCol, text, nb, nc)
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

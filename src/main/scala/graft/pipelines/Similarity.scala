@@ -773,16 +773,7 @@ object Similarity {
   def simhashHammingTopK(docs: DataFrame, idCol: String, text: Column,
                          queryIds: Seq[Long], nBits: Int, chunks: Int,
                          k: Int): DataFrame = {
-    graft.expressions.GraftFunctions.register(docs.sparkSession)
-    val chunkLen = nBits / chunks
-    val sig = docs.select(col(idCol),
-      call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
-    val banded = graft.Caches.persist(
-      sig.select(col(idCol), col("_bits"), posexplode(
-        transform(sequence(lit(0), lit(chunks - 1)),
-          c => concat_ws("",
-            slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
-        .as(Seq("chunk", "key"))))
+    val banded = Dedup.simhashBanded(docs, idCol, text, nBits, chunks)
     val queries = banded
       .filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("q_id"), col("_bits").as("_qbits"),
