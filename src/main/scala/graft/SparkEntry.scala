@@ -168,6 +168,29 @@ object SparkEntry {
   private val permHashSql =
     "(h * (p * 2 + 3) + (p * 1000003 + 12345)) % 2147483647"
 
+  /** Shared minhash candidate-pair CTE chain (w → sh → hs → sigs →
+    * bands → pairs): the DuckDB twin of `Dedup.minhashCandidates` at
+    * (numPerm 8, bandRows 2). d3/d6/d7/d12/d14/g4 all build on the
+    * `pairs` relation — ONE copy keeps every consumer's candidate set
+    * in lockstep with the engine.
+    */
+  private lazy val minhashPairsCtes =
+    s"""w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
+       |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, list_transform(range(0, 8),
+       |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
+       |  FROM sigs, range(0, 4) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
   /** DuckDB mirror of the ENTIRE BPE run (TextAnalysis.trainBpe +
     * TextSketches.BpeEncode) as WITH-clause members — training is
     * stage-unrolled (one pair-count + best-pick + apply CTE triple per
@@ -794,6 +817,18 @@ object SparkEntry {
           col("text"), queryIds = Seq(1L, 7L, 13L), nBits = 32,
           chunks = 4, k = 5)
         .repartition(1).sortWithinPartitions("q_id", "rank")
+    }),
+
+    "g4_triangles" -> ((s, d) => {
+      // triangle census over the minhash candidate graph — cluster
+      // COHESION: a triangle is three mutually-similar docs, so
+      // near-clique duplicate groups separate from chains of
+      // borderline pairs; canonical a<b<c wedge closing, each
+      // triangle counted once, cost bounded by the banded buckets
+      val pairs = Dedup.minhashCandidates(T(s, d).documents, "doc_id",
+        col("text"), numPerm = 8, bandRows = 2)
+      operators.Graph.triangles(pairs, "doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("node")
     }),
 
     "t33_pmi_collocations" -> ((s, d) => {
@@ -4320,6 +4355,20 @@ object SparkEntry {
          |        / CAST(count(*) AS DOUBLE), 6) AS oov_share
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // triangle twin: the shared pairs CTE + the same canonical a<b<c
+    // two-join wedge closing + per-corner unnest counts
+    "g4_triangles" ->
+      s"""WITH $minhashPairsCtes,
+         |tri AS (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+         |corners AS (
+         |  SELECT unnest([a, b, c]) AS node FROM tri)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+
     // SimHash Hamming ANN twin: d4's bit construction, the same 8-bit
     // banding, set-identical candidates, identical (distance, id) rank
     "n20_simhash_topk" ->
@@ -4800,38 +4849,11 @@ object SparkEntry {
          |FROM hs ORDER BY doc_id""".stripMargin,
 
     "d3_minhash_pairs" ->
-      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
-         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
-         |  FROM sigs, range(0, 4) t(b))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
 
     "d7_dedup_apply" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
-         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
-         |  FROM sigs, range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -4848,21 +4870,7 @@ object SparkEntry {
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
-         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
-         |  FROM sigs, range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -4877,21 +4885,7 @@ object SparkEntry {
          |ORDER BY id""".stripMargin,
 
     "d12_dedup_stats" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
-         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
-         |  FROM sigs, range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -4949,21 +4943,7 @@ object SparkEntry {
     // d7's cluster derivation, then the keeper is the ARGMAX by word
     // count (doc_id ascending tie-break) inside each root's partition
     "d14_best_keep_dedup" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
-         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
-         |  FROM sigs, range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -4985,21 +4965,7 @@ object SparkEntry {
          |FROM sel WHERE rk = 1 ORDER BY root""".stripMargin,
 
     "d9_leakage_split" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sl FROM w),
-         |hs AS (SELECT doc_id, list_transform(sl, s -> ${h48("s")}) AS hl FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    p -> list_min(list_transform(hl, h -> $permHashSql))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    array_to_string(array_slice(sig, b * 2 + 1, b * 2 + 2), ',') AS bucket
-         |  FROM sigs, range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),

@@ -212,4 +212,32 @@ object Graph {
     }
     ranks.withColumnRenamed("rank", "rank_pico")
   }
+
+  /** Per-node triangle census over an undirected edge list given in
+    * canonical `a < b` order (e.g. the minhash candidate-pair graph —
+    * there a triangle means three mutually-similar documents, so the
+    * census measures cluster COHESION: near-clique duplicate groups
+    * vs chains of borderline pairs). Classic two-join wedge closing:
+    * wedges (a<b<c via e1.b = e2.a) joined against the closing edge
+    * (a, c); the a<b<c canonical order counts each triangle exactly
+    * once with no post-dedup. Cost is the wedge count
+    * Σ_b in(b)·out(b) — bounded for banded candidate graphs (bucket
+    * size caps the degree), and the standard node-iterator bound
+    * O(m^{3/2}) for general sparse graphs. Both joins hash-partition
+    * on a node key; nothing is ever corpus-quadratic.
+    *
+    * Output: `node, n_tri` for every node in ≥ 1 triangle.
+    */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val closing = edges.select(col(aCol).as("ca"), col(bCol).as("cb"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"),
+        col("e2.b").as("c"))
+      .join(closing, col("a") === col("ca") && col("c") === col("cb"))
+      .select("a", "b", "c")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

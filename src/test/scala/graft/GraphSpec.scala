@@ -175,4 +175,13 @@ class GraphSpec extends AnyFunSuite {
     assert(warm.keySet === Set("a", "b", "c", "d"))
     assert(warm.values.sum > 900000000000L) // ~total, floor losses only
   }
+
+  test("triangles: shared-edge pair counted once each; danglers absent") {
+    // 1-2-3 and 2-3-4 share edge (2,3); (1,5) closes nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("doc_a", "doc_b")
+    val got = Graph.triangles(edges, "doc_a", "doc_b")
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
 }
