@@ -1569,6 +1569,43 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("user_id", "start_us")
     }),
 
+    "st9_ema_stream" -> ((s, d) => {
+      // streaming indicator engine: ticks → closed hourly candles →
+      // TRUE recursive Wilder EMA in one stateful pass — the exact
+      // recursion batch SQL can't parallelize (w18 ships a truncated
+      // FIR for that reason); per-symbol state carries (open bar,
+      // last (ts,id), running ema). Close-the-books: one sentinel
+      // PER SYMBOL (state is per-key) stamped a bucket past the
+      // horizon closes each last real bar; the sentinels' own bars
+      // never emit. Oracle: batch bar relation + MATERIALIZED
+      // recursive CTE replaying the same seed/recursion/rounding.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st9_landing").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st9_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st9_ckpt").toString
+      val ticks = T(s, d).events.select(
+        col("event_type").as("symbol"), col("ts"), col("event_id"),
+        col("value"))
+      val horizon = ticks.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelTs = java.sql.Timestamp.from(
+        horizon.toInstant.plusSeconds(7200))
+      // |symbols| rows — bounded by the key space, not the corpus
+      val sentinels = ticks.select("symbol").distinct()
+        .withColumn("ts", lit(sentinelTs))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+      ticks.unionByName(sentinels)
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.IndicatorStream.start(s, landing, sink,
+        ckpt, span = 14, barSec = 3600L)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      s.read.parquet(sink)
+        .repartition(1).sortWithinPartitions("symbol", "bar_us")
+    }),
+
     "st7_stream_join" -> ((s, d) => {
       // stream-stream interval join replay: land the event stream and
       // the impulse stream (j7's every-500th event opening a 2h impact
@@ -4354,6 +4391,37 @@ object SparkEntry {
          |  round(CAST(count(*) FILTER (WHERE vw IS NULL) AS DOUBLE)
          |        / CAST(count(*) AS DOUBLE), 6) AS oov_share
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // streaming true-EMA twin: the same hourly close bars, then the
+    // SAME recursion replayed by a recursive CTE — seed close, step
+    // `ema + α·(close − ema)` with α as a string-cast double literal
+    // (bit-identical parse), round only at the end. MATERIALIZED is
+    // load-bearing: without it DuckDB re-executes the bar CTE chain
+    // every iteration (probe: 8.3 s → 0.5 s).
+    "st9_ema_stream" -> {
+      val alpha = graft.streaming.IndicatorStream.alphaFor(14).toString
+      s"""WITH RECURSIVE r0 AS MATERIALIZED (
+         |  SELECT event_type AS symbol,
+         |    epoch_us(date_trunc('hour', ts)) AS bar_us, value,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |                       ORDER BY ts DESC, event_id DESC) AS rl
+         |  FROM events),
+         |bars AS MATERIALIZED (
+         |  SELECT symbol, bar_us, max(CASE WHEN rl = 1 THEN value END) AS close
+         |  FROM r0 GROUP BY symbol, bar_us),
+         |b2 AS MATERIALIZED (
+         |  SELECT symbol, bar_us, close,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY bar_us) AS rn
+         |  FROM bars),
+         |rec(symbol, rn, bar_us, close, ema) AS (
+         |  SELECT symbol, rn, bar_us, close, close FROM b2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.symbol, b.rn, b.bar_us, b.close,
+         |    r.ema + CAST('$alpha' AS DOUBLE) * (b.close - r.ema)
+         |  FROM rec r JOIN b2 b ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+         |SELECT symbol, bar_us, close, round(ema, 6) AS ema
+         |FROM rec ORDER BY symbol, bar_us""".stripMargin
+    },
 
     // triangle twin: the shared pairs CTE + the same canonical a<b<c
     // two-join wedge closing + per-corner unnest counts

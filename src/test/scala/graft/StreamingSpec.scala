@@ -537,4 +537,62 @@ class StreamingSpec extends AnyFunSuite {
       .as[Seq[Float]].collect().head
     assert(again === first)
   }
+
+  test("streaming true-EMA: recursion continues across a restart; late rows drop") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.IndicatorStream
+    val landing = Files.createTempDirectory("st_ema_landing").toString
+    val sink = Files.createTempDirectory("st_ema_sink").toString
+    val ckpt = Files.createTempDirectory("st_ema_ckpt").toString
+    def tick(id: Long, t: String, v: Double) =
+      ("X", ts(t), id, v)
+    // batch 1: two full hours (bars close 10.0 then 20.0) + the first
+    // tick of hour 3
+    val b1 = Seq(
+      tick(1, "2024-01-01 00:10:00", 5.0),
+      tick(2, "2024-01-01 00:40:00", 10.0),
+      tick(3, "2024-01-01 01:20:00", 20.0),
+      tick(4, "2024-01-01 02:05:00", 7.0))
+      .toDF("symbol", "ts", "event_id", "value")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    IndicatorStream.start(spark, landing, sink, ckpt, span = 3,
+        barSec = 3600L, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    // batch 2 (after restart): a LATE row inside hour 2 (must drop —
+    // hour-2 close stays 7.0), hour 3 closes hour 2, sentinel closes
+    // hour 3
+    val b2 = Seq(
+      tick(5, "2024-01-01 01:30:00", 999.0), // late: before last (ts,id)
+      tick(6, "2024-01-01 02:30:00", 30.0),
+      tick(7, "2024-01-01 03:10:00", 40.0),
+      tick(-1, "2024-01-01 05:00:00", 0.0))
+      .toDF("symbol", "ts", "event_id", "value")
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    IndicatorStream.start(spark, landing, sink, ckpt, span = 3,
+        barSec = 3600L, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val got = spark.read.parquet(sink)
+      .orderBy("bar_us").select("close", "ema")
+      .as[(Double, Double)].collect().toSeq
+    // span 3 → α = 0.5: seed 10; then 15, 22.5, and the sentinel
+    // closes hour 3: 22.5 + 0.5·(40 − 22.5) = 31.25
+    assert(got === Seq((10.0, 10.0), (20.0, 15.0), (30.0, 22.5),
+      (40.0, 31.25)))
+    // single-pass replay of the IN-ORDER history must agree (the late
+    // row is excluded: within one sorted batch nothing is late, so it
+    // would legitimately land in its bar there — the equivalence claim
+    // is for in-order splits)
+    val landing2 = Files.createTempDirectory("st_ema_landing2").toString
+    val sink2 = Files.createTempDirectory("st_ema_sink2").toString
+    val ckpt2 = Files.createTempDirectory("st_ema_ckpt2").toString
+    b1.unionByName(b2.filter($"event_id" =!= 5L)).coalesce(1)
+      .write.mode("overwrite").parquet(landing2)
+    IndicatorStream.start(spark, landing2, sink2, ckpt2, span = 3,
+        barSec = 3600L, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val onePass = spark.read.parquet(sink2)
+      .orderBy("bar_us").select("close", "ema")
+      .as[(Double, Double)].collect().toSeq
+    assert(onePass === got)
+  }
 }
