@@ -229,8 +229,14 @@ object Graph {
     * Output: `node, n_tri` for every node in ≥ 1 triangle.
     */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val closing = edges.select(col(aCol).as("ca"), col(bCol).as("cb"))
+    // persisted: the edge relation feeds BOTH wedge sides and the
+    // closing join — unpersisted, the (possibly expensive) plan behind
+    // it would re-execute three times (the repo-wide Caches convention
+    // for shared self-join inputs)
+    val e0 = graft.Caches.persist(
+      edges.select(col(aCol).as("a"), col(bCol).as("b")))
+    val e = e0
+    val closing = e0.select(col("a").as("ca"), col("b").as("cb"))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"),

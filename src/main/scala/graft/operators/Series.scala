@@ -449,19 +449,6 @@ object Series {
       .drop("_lo", "_hi", "_nk")
   }
 
-  /** Truncated exponential moving average: the standard span-s EMA
-    * (α = 2/(s+1)) with the recursion unrolled to its first K = 2s
-    * lag terms and renormalized over the weights actually present —
-    * a pure window expression (K in-frame lags, one fixed-order
-    * weighted sum), where the true recursive EMA would need a
-    * sequential scan no SQL engine parallelizes. K = 2s keeps
-    * ≥ 98% of the weight mass; because the truncated weights are
-    * renormalized, truncation changes the effective kernel, not the
-    * scale. Null until all K lags exist. Weights are computed once in
-    * Scala and embedded as literals so the oracle can embed the SAME
-    * doubles (shortest-round-trip decimal strings parse back
-    * bit-identically in any IEEE engine).
-    */
   /** The truncated-EMA kernel: K = 2·span weights (1−α)^j with
     * α = 2/(span+1), plus their sum for renormalization. THE single
     * source of truth — [[emaTrunc]], [[macd]], and the SQL oracle
@@ -474,6 +461,18 @@ object Series {
     (ws, ws.sum)
   }
 
+  /** Truncated exponential moving average: the standard span-s EMA
+    * (α = 2/(s+1)) with the recursion unrolled to its first K = 2s
+    * lag terms and renormalized — a pure window expression (K
+    * in-frame lags, one fixed-order weighted sum), where the true
+    * recursive EMA would need a sequential scan no SQL engine
+    * parallelizes (streaming state CAN run the true recursion — see
+    * [[graft.streaming.IndicatorStream]]). K = 2s keeps ≥ 98% of the
+    * weight mass; because the truncated weights are renormalized,
+    * truncation changes the effective kernel, not the scale. Null
+    * until all K lags exist. Weights come from [[emaWeights]] and are
+    * embedded as literals so the oracle can embed the SAME doubles.
+    */
   def emaTrunc(value: Column, span: Int, w: WindowSpec): Column = {
     val (weights, den) = emaWeights(span)
     val k = weights.size

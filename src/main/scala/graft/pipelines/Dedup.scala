@@ -188,13 +188,6 @@ object Dedup {
     (chunks * chunkLen, chunks)
   }
 
-  /** SimHash near-dup candidates: band the bit vector into chunks and
-    * bucket-join on chunk equality (docs within hamming distance d share
-    * at least one identical chunk when chunks > d). Returns distinct
-    * (doc_a, doc_b, hamming) pairs with hamming ≤ maxHamming. With
-    * `nBits <= 0` the (nBits, chunks) pair is derived from the corpus
-    * size via [[simhashParamsFor]] (one `count()` job).
-    */
   /** SimHash signatures banded into `chunks` equal chunk-keys — THE
     * shared candidate-generation relation for near-dup pairing
     * ([[simhashCandidates]]) and Hamming retrieval
@@ -219,6 +212,13 @@ object Dedup {
         .as(Seq("chunk", "key"))))
   }
 
+  /** SimHash near-dup candidates: band the bit vector into chunks and
+    * bucket-join on chunk equality (docs within hamming distance d share
+    * at least one identical chunk when chunks > d). Returns distinct
+    * (doc_a, doc_b, hamming) pairs with hamming ≤ maxHamming. With
+    * `nBits <= 0` the (nBits, chunks) pair is derived from the corpus
+    * size via [[simhashParamsFor]] (one `count()` job).
+    */
   def simhashCandidates(df: DataFrame, idCol: String, text: Column,
                         nBits: Int = 32, chunks: Int = 4,
                         maxHamming: Int = 3,

@@ -122,14 +122,22 @@ object IndicatorStream {
         GroupStateTimeout.NoTimeout())(foldSymbol(span, barSec))
   }
 
-  /** Micro-batch file-source pipeline over a landing dir of tick rows. */
+  /** Micro-batch file-source pipeline over a landing dir of tick rows.
+    * `maxFilesPerTrigger` bounds how much history one micro-batch
+    * buffers (the per-key fold sorts its batch in memory) — set it for
+    * large backfills whose landing files are written in time order;
+    * leave it unset only when a single batch is intended (e.g. the
+    * oracle replay, where one batch guarantees global order).
+    */
   def start(spark: SparkSession, landingDir: String, sinkDir: String,
             checkpointDir: String, span: Int, barSec: Long,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    barEmaRows(
-        spark.readStream.schema(tickSchema).parquet(landingDir).as[Tick],
-        span, barSec)
+    val reader = spark.readStream.schema(tickSchema)
+    val bounded = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    barEmaRows(bounded.parquet(landingDir).as[Tick], span, barSec)
       .writeStream
       .format("parquet")
       .option("path", sinkDir)
