@@ -291,6 +291,29 @@ object SparkEntry {
   private def fmtSql(x: String) =
     s"CAST(CAST(round(($x) * 10000) AS BIGINT) / 10000.0 AS VARCHAR)"
 
+  /** Shared hourly OHLC bar CTE chain (r0 → bars): the DuckDB twin of
+    * `Series.ohlcBars(…, "1 hour")` — date_trunc buckets +
+    * row_number arg-extrema over the same total (ts, event_id) order
+    * as the engine's struct min/max. w14/w20/w21/w22 all build on
+    * `bars`.
+    */
+  private lazy val ohlcBarsCte =
+    """r0 AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bar_us,
+      |    value, ts, event_id,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM events),
+      |bars AS (
+      |  SELECT event_type, bar_us,
+      |    max(CASE WHEN rf = 1 THEN value END) AS open,
+      |    max(value) AS high, min(value) AS low,
+      |    max(CASE WHEN rl = 1 THEN value END) AS close,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM r0 GROUP BY event_type, bar_us)""".stripMargin
+
   /** Truncated-EMA oracle fragment in lockstep with [[Series.emaTrunc]]:
     * the SAME Scala-computed weights ([[graft.operators.Series
     * .emaWeights]] is the single source), the same left-folded
@@ -761,6 +784,33 @@ object SparkEntry {
       Series.atr(bars, "event_type", 14)
         .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
           col("tr"), col("atr"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
+    "w21_keltner" -> ((s, d) => {
+      // Keltner channels over hourly candles: truncated-EMA(20) mid ±
+      // 2·ATR(10) — w18's kernel and w20's true range composed on the
+      // reduced bar relation; components staged once, band arithmetic
+      // is scalar over the rounded columns
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.keltner(bars, "event_type", emaSpan = 20, atrSpan = 10,
+          k = 2.0)
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("kc_mid"), col("kc_up"), col("kc_dn"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
+    "w22_ichimoku" -> ((s, d) => {
+      // Ichimoku: three midrange lines (9/26/52) + the ±26-bar
+      // displacements — six distinct min/max frames staged in one
+      // window pass, the lag/lead displacement pass reuses the sort
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.ichimoku(bars, "event_type")
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("tenkan"), col("kijun"), col("senkou_a"), col("senkou_b"),
+          col("chikou"))
         .repartition(1).sortWithinPartitions("event_type", "bar_us")
     }),
 
@@ -4126,21 +4176,9 @@ object SparkEntry {
     // epoch-aligned hourly bucket; open/close via row_number arg-extrema
     // over the same total (ts, event_id) order as the struct min/max
     "w14_ohlc_bars" ->
-      """WITH r AS (
-        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bar_us,
-        |    value, ts, event_id,
-        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-        |                       ORDER BY ts, event_id) AS rf,
-        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-        |                       ORDER BY ts DESC, event_id DESC) AS rl
-        |  FROM events)
-        |SELECT event_type, bar_us,
-        |  max(CASE WHEN rf = 1 THEN value END) AS open,
-        |  max(value) AS high, min(value) AS low,
-        |  max(CASE WHEN rl = 1 THEN value END) AS close,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM r GROUP BY event_type, bar_us
-        |ORDER BY event_type, bar_us""".stripMargin,
+      s"""WITH $ohlcBarsCte
+         |SELECT event_type, bar_us, open, high, low, close, n
+         |FROM bars ORDER BY event_type, bar_us""".stripMargin,
 
     "w15_bollinger" ->
       """WITH s AS (
@@ -4257,18 +4295,8 @@ object SparkEntry {
         |ORDER BY event_type, grid_us""".stripMargin,
 
     "w20_atr" ->
-      """WITH r AS (
-        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bar_us,
-        |    value, ts, event_id,
-        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-        |                       ORDER BY ts DESC, event_id DESC) AS rl
-        |  FROM events),
-        |bars AS (
-        |  SELECT event_type, bar_us,
-        |    max(value) AS high, min(value) AS low,
-        |    max(CASE WHEN rl = 1 THEN value END) AS close
-        |  FROM r GROUP BY event_type, bar_us),
-        |p AS (
+      s"""WITH $ohlcBarsCte,
+         |p AS (
         |  SELECT event_type, bar_us, high, low,
         |    lag(close) OVER (PARTITION BY event_type ORDER BY bar_us) AS pc
         |  FROM bars),
@@ -4290,6 +4318,74 @@ object SparkEntry {
         |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
         |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bar_us""".stripMargin,
+
+    // Keltner twin: shared bar CTE → ATR(10) chain (w20's, carrying
+    // close) → emaSql(20) mid → the same rounded band arithmetic
+    "w21_keltner" ->
+      s"""WITH $ohlcBarsCte,
+         |p AS (
+         |  SELECT event_type, bar_us, high, low, close,
+         |    lag(close) OVER (PARTITION BY event_type ORDER BY bar_us) AS pc
+         |  FROM bars),
+         |t AS (
+         |  SELECT event_type, bar_us, close,
+         |    CASE WHEN pc IS NULL THEN high - low
+         |         ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+         |    END AS tr0
+         |  FROM p),
+         |c AS (
+         |  SELECT event_type, bar_us, close,
+         |    CAST(round(tr0 * 1000000) AS BIGINT) AS trc
+         |  FROM t),
+         |a AS (
+         |  SELECT event_type, bar_us, close,
+         |    CASE WHEN COUNT(trc) OVER tw >= 10
+         |         THEN round(SUM(trc) OVER tw
+         |                    / (1000000.0 * COUNT(trc) OVER tw), 6)
+         |    END AS atr
+         |  FROM c
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
+         |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |m AS (
+         |  SELECT event_type, bar_us, atr,
+         |    ${emaSql("close", 20, "w", "tw40")} AS kc_mid
+         |  FROM a
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bar_us),
+         |    tw40 AS (PARTITION BY event_type ORDER BY bar_us
+         |             ROWS BETWEEN 39 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, bar_us, kc_mid,
+         |  round(kc_mid + 2.0 * atr, 6) AS kc_up,
+         |  round(kc_mid - 2.0 * atr, 6) AS kc_dn
+         |FROM m ORDER BY event_type, bar_us""".stripMargin,
+
+    "w22_ichimoku" ->
+      s"""WITH $ohlcBarsCte,
+         |s AS (
+         |  SELECT event_type, bar_us, close,
+         |    CASE WHEN COUNT(close) OVER tw9 >= 9
+         |         THEN (max(high) OVER tw9 + min(low) OVER tw9) / 2.0
+         |    END AS t,
+         |    CASE WHEN COUNT(close) OVER tw26 >= 26
+         |         THEN (max(high) OVER tw26 + min(low) OVER tw26) / 2.0
+         |    END AS k,
+         |    CASE WHEN COUNT(close) OVER tw52 >= 52
+         |         THEN (max(high) OVER tw52 + min(low) OVER tw52) / 2.0
+         |    END AS b52
+         |  FROM bars
+         |  WINDOW tw9 AS (PARTITION BY event_type ORDER BY bar_us
+         |                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         |    tw26 AS (PARTITION BY event_type ORDER BY bar_us
+         |             ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         |    tw52 AS (PARTITION BY event_type ORDER BY bar_us
+         |             ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, bar_us,
+         |  round(t, 6) AS tenkan, round(k, 6) AS kijun,
+         |  round(lag((t + k) / 2.0, 26) OVER w, 6) AS senkou_a,
+         |  round(lag(b52, 26) OVER w, 6) AS senkou_b,
+         |  round(lead(close, 26) OVER w, 6) AS chikou
+         |FROM s
+         |WINDOW w AS (PARTITION BY event_type ORDER BY bar_us)
+         |ORDER BY event_type, bar_us""".stripMargin,
 
     // Sharpe mirrored: HUGEINT cent-return power sums, identical
     // fixed-order double combining (both sqrt args and the guard)

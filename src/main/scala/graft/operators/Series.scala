@@ -551,6 +551,54 @@ object Series {
       .select(col(key), col("_ts").as("grid_ts"), col("_fill").as("value"))
   }
 
+  /** Keltner channels over OHLC bars: mid = truncated EMA(emaSpan) of
+    * the close, bands = mid ± k·ATR(atrSpan) — the volatility envelope
+    * that pairs the [[emaTrunc]] kernel with [[atr]]'s true range.
+    * Both components are staged columns (no duplicate window frames);
+    * the band arithmetic is fixed-order double math over the two
+    * already-rounded inputs. Null until BOTH components warm
+    * (2·emaSpan bars for the EMA, atrSpan for the ATR).
+    */
+  def keltner(bars: DataFrame, key: String, emaSpan: Int, atrSpan: Int,
+              k: Double): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
+    atr(bars, key, atrSpan)
+      .withColumn("kc_mid", emaTrunc(col("close"), emaSpan, w))
+      .withColumn("kc_up", round(col("kc_mid") + lit(k) * col("atr"), 6))
+      .withColumn("kc_dn", round(col("kc_mid") - lit(k) * col("atr"), 6))
+  }
+
+  /** Ichimoku Kinkō Hyō over OHLC bars (Hosoda's public system):
+    * tenkan = 9-bar midrange, kijun = 26-bar midrange,
+    * senkou A = (tenkan+kijun)/2 displaced 26 bars FORWARD (the value
+    * at bar t is the average computed at t−26 — a lag over the staged
+    * columns), senkou B = 52-bar midrange displaced likewise, chikou =
+    * close displaced 26 bars BACK (a lead). Two window passes over one
+    * (key, bar) ordering: pass 1 stages the six min/max frames + the
+    * count guards, pass 2 displaces the derived lines. Midranges are
+    * `(max+min)/2` over raw doubles — one deterministic IEEE op —
+    * rounded to 6 on output.
+    */
+  def ichimoku(bars: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
+    def tw(n: Int) = w.rowsBetween(-(n - 1), 0)
+    def mid(n: Int): Column =
+      when(count(col("close")).over(tw(n)) >= n,
+        (max(col("high")).over(tw(n)) + min(col("low")).over(tw(n))) / 2.0)
+    val staged = bars
+      .withColumn("_t", mid(9))
+      .withColumn("_k", mid(26))
+      .withColumn("_b52", mid(52))
+    staged
+      .withColumn("tenkan", round(col("_t"), 6))
+      .withColumn("kijun", round(col("_k"), 6))
+      .withColumn("senkou_a",
+        round(lag((col("_t") + col("_k")) / 2.0, 26).over(w), 6))
+      .withColumn("senkou_b", round(lag(col("_b52"), 26).over(w), 6))
+      .withColumn("chikou", round(lead(col("close"), 26).over(w), 6))
+      .drop("_t", "_k", "_b52")
+  }
+
   /** Average True Range over OHLC bars (Wilder 1978, Cutler-style
     * simple-average smoothing to stay SQL-mirrorable): per bar,
     * `TR = max(high−low, |high−prevClose|, |low−prevClose|)` (first

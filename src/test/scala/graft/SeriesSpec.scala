@@ -249,6 +249,35 @@ class SeriesSpec extends AnyFunSuite {
       Some(9.0)))
   }
 
+  test("keltner: flat bars collapse the channel onto the price") {
+    val bars = (0 until 6).map(i => ("K", i.toLong, 5.0, 5.0, 5.0))
+      .toDF("k", "bar", "high", "low", "close")
+    val got = Series.keltner(bars, "k", emaSpan = 2, atrSpan = 2, k = 2.0)
+      .orderBy("bar").select("kc_mid", "kc_up", "kc_dn")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(got.take(3).forall(_._1.isEmpty)) // EMA warm-up (K = 4)
+    assert(got.drop(3).forall(r =>
+      r._1.contains(5.0) && r._2.contains(5.0) && r._3.contains(5.0)))
+  }
+
+  test("ichimoku: midranges and displacements on a linear ramp") {
+    // high = low = close = i → every n-bar midrange is i − (n−1)/2
+    val bars = (0 until 80).map(i =>
+      ("K", i.toLong, i.toDouble, i.toDouble, i.toDouble))
+      .toDF("k", "bar", "high", "low", "close")
+    val got = Series.ichimoku(bars, "k").orderBy("bar")
+      .select("tenkan", "kijun", "senkou_a", "senkou_b", "chikou")
+      .as[(Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[Double])].collect()
+    assert(got(7)._1.isEmpty && got(8)._1.contains(4.0)) // 9-bar warm-up
+    assert(got(79)._1.contains(75.0))   // i − 4
+    assert(got(79)._2.contains(66.5))   // i − 12.5
+    assert(got(79)._3.contains(44.75))  // (t + k)/2 at i−26
+    assert(got(79)._4.contains(27.5))   // mid52 at i−26 = 53 − 25.5
+    assert(got(40)._5.contains(66.0))   // close at i+26
+    assert(got(79)._5.isEmpty)          // no bar 26 ahead
+  }
+
   test("atr: TR bridges the inter-bar gap; first bar is high−low") {
     val df = Seq(
       (0L, "K", ts(0), 8.0), (1L, "K", ts(1), 10.0), (2L, "K", ts(2), 9.0),
