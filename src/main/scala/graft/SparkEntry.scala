@@ -841,6 +841,38 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type", "dow", "hod")
     }),
 
+    "a23_autocorr" -> ((s, d) => {
+      // lag-1 autocorrelation of cent returns: two lags in ONE window
+      // stage (same partitioning and ordering), DECIMAL power sums,
+      // fixed-order double correlation — one shuffle end-to-end
+      Aggregates.autocorr(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"), lagK = 1)
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "w23_williams_r" -> ((s, d) => {
+      // Williams %R(14) over hourly candles: trailing true-range
+      // position of the close — three staged frames on the reduced
+      // bar relation
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.williamsR(bars, "event_type", n = 14)
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("wr"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
+    "w24_obv" -> ((s, d) => {
+      // on-balance volume: micro-quantized close-delta votes × bar
+      // tick count, pure-integer running sum — exact in any engine
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.obv(bars, "event_type", col("n"))
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("obv"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
     "u13_benford" -> ((s, d) => {
       // first-significant-digit audit vs log10(1+1/d): digit from the
       // decimal string of exact integer micros (no libm log10 whose
@@ -4387,6 +4419,39 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY event_type ORDER BY bar_us)
          |ORDER BY event_type, bar_us""".stripMargin,
 
+    // Williams %R twin: shared bar CTE + the same three trailing
+    // frames; sign and scale inside the round, like the engine
+    "w23_williams_r" ->
+      s"""WITH $ohlcBarsCte
+         |SELECT event_type, bar_us,
+         |  CASE WHEN COUNT(close) OVER tw >= 14
+         |        AND max(high) OVER tw > min(low) OVER tw
+         |       THEN round((max(high) OVER tw - close) * -100.0
+         |                  / (max(high) OVER tw - min(low) OVER tw), 6)
+         |  END AS wr
+         |FROM bars
+         |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
+         |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, bar_us""".stripMargin,
+
+    // OBV twin: micro-quantized close delta votes the bar's tick
+    // count, integer running sum — exact both engines
+    "w24_obv" ->
+      s"""WITH $ohlcBarsCte,
+         |v AS (
+         |  SELECT event_type, bar_us, n,
+         |    CAST(round((close - lag(close) OVER w) * 1000000) AS BIGINT)
+         |      AS dc
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bar_us))
+         |SELECT event_type, bar_us,
+         |  CAST(sum(CASE WHEN dc IS NULL OR dc = 0 THEN 0
+         |                WHEN dc > 0 THEN n ELSE -n END)
+         |    OVER (PARTITION BY event_type ORDER BY bar_us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS obv
+         |FROM v ORDER BY event_type, bar_us""".stripMargin,
+
     // Sharpe mirrored: HUGEINT cent-return power sums, identical
     // fixed-order double combining (both sqrt args and the guard)
     "a20_sharpe" ->
@@ -4445,6 +4510,41 @@ object SparkEntry {
         |  round(SUM(CAST(round(value * 1000000) AS BIGINT))
         |        / (1000000.0 * count(*)), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // autocorrelation twin: the same two-lag pair construction over
+    // the same (ts, event_id) order, HUGEINT power sums, identical
+    // fixed-order double combining (both sqrt args and the guards)
+    "a23_autocorr" ->
+      """WITH r AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(CAST(round((value - lag(value) OVER w) * 100) AS BIGINT)
+        |         AS HUGEINT) AS rc
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_type, lag(rc, 1) OVER w2 AS x, rc AS y
+        |  FROM r
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN n_pairs >= 2
+        |        AND (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS autocorr
+        |FROM s ORDER BY event_type""".stripMargin,
 
     // Benford twin: digit from the decimal string of exact integer
     // micros; expected shares are the SAME Scala log10 doubles

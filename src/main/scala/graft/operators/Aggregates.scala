@@ -641,6 +641,50 @@ object Aggregates {
         col("skew"))
   }
 
+  /** Lag-k autocorrelation of consecutive-tick returns per key —
+    * Pearson correlation between the return series and itself shifted
+    * k steps, the mean-reversion/momentum diagnostic a signal desk
+    * checks before fitting anything autoregressive. Returns quantize
+    * to integer cents ([[sharpe]]'s budget), the pair (x = r_{t−k},
+    * y = r_t) comes from a SECOND lag over the same (ts, id) window
+    * (Catalyst plans both lags in one window stage — same partitioning
+    * AND ordering), the five power sums accumulate as DECIMAL (exact,
+    * order-independent), and the final correlation is one fixed-order
+    * double expression with IEEE sqrt — bit-identical in any engine.
+    * The windows and the aggregate share the key partitioning: ONE
+    * shuffle end-to-end.
+    *
+    * Output: `key, n_pairs, autocorr` — null for degenerate series
+    * (either side constant, or fewer than 2 pairs).
+    */
+  def autocorr(events: DataFrame, key: String, ts: Column, id: Column,
+               value: Column, lagK: Int): DataFrame = {
+    val dec = "decimal(19,0)"
+    val w = Series.ordered(key, ts, id)
+    val rc = round((value - lag(value, 1).over(w)) * 100).cast("long")
+    val nD = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = nD * d("_sxx") - d("_sx") * d("_sx")
+    val varY = nD * d("_syy") - d("_sy") * d("_sy")
+    events
+      .withColumn("_rc", rc.cast(dec))
+      .withColumn("_x", lag(col("_rc"), lagK).over(w))
+      // both sides non-null: the first return AND the first k pairs of
+      // each key drop, exactly the textbook pair set
+      .filter(col("_rc").isNotNull && col("_x").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_rc")).as("_sy"),
+        sum(col("_x") * col("_rc")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_rc") * col("_rc")).as("_syy"))
+      .withColumn("autocorr",
+        when(col("n_pairs") >= 2 && varX > 0 && varY > 0,
+          round((nD * d("_sxy") - d("_sx") * d("_sy")) /
+            (sqrt(varX) * sqrt(varY)), 6)))
+      .select(col(key), col("n_pairs"), col("autocorr"))
+  }
+
   /** Seasonality profile: mean value per (key, day-of-week,
     * hour-of-day) — the weekly/diurnal template behavioral and market
     * series both repeat. Day numbering is 0 = Sunday (engine- and

@@ -627,4 +627,50 @@ object Series {
         round(col("_sum") / (lit(1000000.0) * col("_cnt")), 6)))
       .drop("_pc", "_trc", "_cnt", "_sum")
   }
+
+  /** Williams %R over OHLC bars (Larry Williams' public oscillator):
+    * `%R = −100·(hi_n − close)/(hi_n − lo_n)` with hi_n/lo_n the
+    * trailing n-bar extremes of the high/low columns — where the close
+    * sits in the recent TRUE range (the bar-range sibling of
+    * [[stochasticK]], which only sees closes). Three staged frames
+    * (hi, lo, count) over one (key, bar) ordering; null through the
+    * n−1 warm-up and on a flat range. Runs on [[ohlcBars]] output, so
+    * the window input is already the reduced bar relation.
+    */
+  def williamsR(bars: DataFrame, key: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
+    val tw = w.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("_hi", max(col("high")).over(tw))
+      .withColumn("_lo", min(col("low")).over(tw))
+      .withColumn("_nb", count(col("close")).over(tw))
+      .withColumn("wr",
+        when(col("_nb") >= n && col("_hi") > col("_lo"),
+          round((col("_hi") - col("close")) * -100.0 /
+            (col("_hi") - col("_lo")), 6)))
+      .drop("_hi", "_lo", "_nb")
+  }
+
+  /** On-balance volume over OHLC bars (Granville's public cumulative
+    * flow line): `obv_t = Σ_{i≤t} sign(close_i − close_{i−1})·vol_i`
+    * with the first bar contributing 0 (no prior close to vote on).
+    * The close delta is micro-quantized BEFORE the sign so a
+    * sub-micro float wiggle can't flip a vote differently across
+    * engines, and the running sum is pure integer (`n`, the bar's
+    * tick count, stands in for volume) — exact, order-independent,
+    * spill-safe. One lag frame + one running-sum frame over the same
+    * (key, bar) ordering.
+    */
+  def obv(bars: DataFrame, key: String, volume: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
+    bars
+      .withColumn("_dc",
+        Aggregates.cents(col("close") - lag(col("close"), 1).over(w)))
+      .withColumn("_vote",
+        when(col("_dc").isNull || col("_dc") === 0L, lit(0L))
+          .otherwise(when(col("_dc") > 0, volume).otherwise(-volume)))
+      .withColumn("obv",
+        sum(col("_vote")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_dc", "_vote")
+  }
 }

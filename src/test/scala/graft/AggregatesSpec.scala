@@ -393,6 +393,23 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got(1).isNullAt(got(1).fieldIndex("sharpe")))
   }
 
+  test("autocorr: alternating returns are −1 at lag 1; constant null") {
+    // A: values 0,1,0,1,0 → returns +100,−100,+100,−100 (cents);
+    // lag-1 pairs (100,−100),(−100,100),(100,−100) → r = −1 exactly
+    val ev = (0 until 5).map(i =>
+      (i.toLong, "A", ts(f"2024-01-01 00:0$i%d:00"), (i % 2).toDouble)) ++
+      // B: constant increments → every return equal → varX = 0 → null
+      (0 until 4).map(i =>
+        (10L + i, "B", ts(f"2024-01-01 00:0$i%d:00"), i.toDouble))
+    val got = Aggregates.autocorr(ev.toDF("id", "k", "t", "v"),
+        "k", col("t"), col("id"), col("v"), lagK = 1)
+      .orderBy("k").collect()
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getAs[Double]("autocorr") === -1.0)
+    assert(got(1).getLong(1) === 2L)
+    assert(got(1).isNullAt(got(1).fieldIndex("autocorr")))
+  }
+
   test("nonparamSkew: symmetric 0, right-tail positive") {
     val ev = Seq(("S", 1.0), ("S", 2.0), ("S", 3.0),
       ("R", 1.0), ("R", 1.0), ("R", 10.0)).toDF("k", "v")

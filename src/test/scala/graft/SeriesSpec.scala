@@ -249,6 +249,33 @@ class SeriesSpec extends AnyFunSuite {
       Some(9.0)))
   }
 
+  test("williamsR: close position in the trailing true range; flat null") {
+    val bars = Seq(
+      ("K", 0L, 10.0, 8.0, 9.0),   // warm-up (n = 2)
+      ("K", 1L, 12.0, 9.0, 11.0),  // hi 12, lo 8 → (12−11)·−100/4 = −25
+      ("K", 2L, 11.0, 7.0, 8.0),   // hi 12, lo 7 → (12−8)·−100/5 = −80
+      ("F", 0L, 5.0, 5.0, 5.0),    // flat range → null
+      ("F", 1L, 5.0, 5.0, 5.0))
+      .toDF("k", "bar", "high", "low", "close")
+    val got = Series.williamsR(bars, "k", n = 2)
+      .orderBy("k", "bar").select("k", "wr")
+      .as[(String, Option[Double])].collect()
+    assert(got.toSeq === Seq(("F", None), ("F", None),
+      ("K", None), ("K", Some(-25.0)), ("K", Some(-80.0))))
+  }
+
+  test("obv: signed volume votes accumulate; first bar and flats vote 0") {
+    val bars = Seq(
+      ("K", 0L, 5.0, 10L), ("K", 1L, 7.0, 20L), // up → +20
+      ("K", 2L, 6.0, 30L),                      // down → −30
+      ("K", 3L, 6.0, 40L),                      // flat → 0
+      ("K", 4L, 9.0, 50L))                      // up → +50
+      .toDF("k", "bar", "close", "n")
+    val got = Series.obv(bars, "k", col("n"))
+      .orderBy("bar").select("obv").as[Long].collect()
+    assert(got.toSeq === Seq(0L, 20L, -10L, -10L, 40L))
+  }
+
   test("keltner: flat bars collapse the channel onto the price") {
     val bars = (0 until 6).map(i => ("K", i.toLong, 5.0, 5.0, 5.0))
       .toDF("k", "bar", "high", "low", "close")
