@@ -850,6 +850,15 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "a24_ks_drift" -> ((s, d) => {
+      // two-sample KS per key: earlier vs later half of the key's own
+      // time span; the CDF window walks the (key, cent) DISTINCT
+      // cells, never raw rows — per-key parallel, no global sort
+      graft.operators.Quality.ksDrift(T(s, d).events, "event_type",
+          col("ts"), col("value"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
     "w23_williams_r" -> ((s, d) => {
       // Williams %R(14) over hourly candles: trailing true-range
       // position of the close — three staged frames on the reduced
@@ -4545,6 +4554,39 @@ object SparkEntry {
         |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS autocorr
         |FROM s ORDER BY event_type""".stripMargin,
+
+    // KS twin: identical integer midpoint split, cent cells, window
+    // CDFs, and double division order; round once after the max
+    "a24_ks_drift" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |bounds AS (
+        |  SELECT k, min(us) AS lo, max(us) AS hi FROM b GROUP BY k),
+        |s AS (
+        |  SELECT b.k, b.vc, (b.us - lo) * 2 < (hi - lo) AS a
+        |  FROM b JOIN bounds USING (k)),
+        |cells AS (
+        |  SELECT k, vc,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+        |  FROM s GROUP BY k, vc),
+        |c AS (
+        |  SELECT k, vc,
+        |    sum(na) OVER cum AS ca, sum(nb) OVER cum AS cb,
+        |    sum(na) OVER tot AS ta, sum(nb) OVER tot AS tb
+        |  FROM cells
+        |  WINDOW cum AS (PARTITION BY k ORDER BY vc
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    tot AS (PARTITION BY k))
+        |SELECT k AS event_type,
+        |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+        |  CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+        |    round(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |                  - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+        |  END AS ks
+        |FROM c GROUP BY k ORDER BY event_type""".stripMargin,
 
     // Benford twin: digit from the decimal string of exact integer
     // micros; expected shares are the SAME Scala log10 doubles

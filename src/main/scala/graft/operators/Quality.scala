@@ -80,4 +80,57 @@ object Quality {
         .otherwise(lit("unchanged")))
       .select(keys.map(col) :+ col("status"): _*)
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per key — the
+    * continuous-distribution sibling of [[populationStability]] (PSI
+    * bins categorically; KS compares whole empirical CDFs, catching a
+    * variance blow-up PSI's coarse strata can miss). Each key's rows
+    * split at the integer midpoint of its own time span (earlier half
+    * vs later half — exact integer arithmetic, so the side assignment
+    * is engine-identical), values quantize to integer cents, and
+    * `KS = max_v |CDF_a(v) − CDF_b(v)|` walks the per-key DISTINCT
+    * value cells — never the raw rows: the window input is the
+    * (key, cent) aggregate, so a key with 10⁹ ticks but 10⁴ distinct
+    * prices sorts 10⁴ cells. Each CDF ratio is one exact-long →
+    * double division; sub/abs/max over identical doubles is
+    * bit-identical in any engine, rounded once at the end. Per-key
+    * windows — parallel across keys, no global sort anywhere.
+    *
+    * Output: `key, n_a, n_b, ks` — null ks when either side is empty
+    * (single-row keys land entirely in the later half).
+    */
+  def ksDrift(events: DataFrame, key: String, ts: Column,
+              value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(key).as("_k"), unix_micros(ts).as("_us"),
+      round(value * 100).cast("long").as("_vc"))
+    val bounds = base.groupBy(col("_k"))
+      .agg(min(col("_us")).as("_lo"), max(col("_us")).as("_hi"))
+    val cells = base.join(broadcast(bounds), "_k")
+      .withColumn("_a", (col("_us") - col("_lo")) * 2 < col("_hi") - col("_lo"))
+      .groupBy(col("_k"), col("_vc"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_nb"))
+    val cum = Window.partitionBy("_k").orderBy(col("_vc").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("_k")
+    cells
+      .withColumn("_ca", sum(col("_na")).over(cum))
+      .withColumn("_cb", sum(col("_nb")).over(cum))
+      .withColumn("_ta", sum(col("_na")).over(tot))
+      .withColumn("_tb", sum(col("_nb")).over(tot))
+      // ANSI mode errors on ANY zero divisor (doubles included):
+      // compute the CDF gap only where both sides are populated — the
+      // degenerate key's ks is null via the output guard anyway
+      .withColumn("_d",
+        when(col("_ta") > 0 && col("_tb") > 0,
+          abs(col("_ca").cast("double") / col("_ta").cast("double") -
+            col("_cb").cast("double") / col("_tb").cast("double"))))
+      .groupBy(col("_k").as(key))
+      .agg(max(col("_ta")).as("n_a"), max(col("_tb")).as("n_b"),
+        max(col("_d")).as("_ks"))
+      .withColumn("ks",
+        when(col("n_a") > 0 && col("n_b") > 0, round(col("_ks"), 6)))
+      .select(col(key), col("n_a"), col("n_b"), col("ks"))
+  }
 }

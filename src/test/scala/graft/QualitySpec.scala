@@ -36,4 +36,22 @@ class QualitySpec extends AnyFunSuite {
     // zh exists only in the new snapshot: null, not a silent number
     assert(got("zh").isEmpty)
   }
+
+  test("ksDrift: identical halves 0, disjoint supports 1, single row null") {
+    // A: values repeat across halves → CDFs coincide → ks = 0
+    // B: first half all 1.0, second all 10.0 → ks = 1
+    // C: one row → lands in the later half (strict midpoint) → null
+    val ev = Seq(
+      ("A", 0L, 1.0), ("A", 1L, 2.0), ("A", 2L, 1.0), ("A", 3L, 2.0),
+      ("B", 0L, 1.0), ("B", 1L, 1.0), ("B", 2L, 10.0), ("B", 3L, 10.0),
+      ("C", 5L, 7.0))
+      .toDF("k", "sec", "v")
+      .withColumn("t", col("sec").cast("timestamp"))
+    val got = Quality.ksDrift(ev, "k", col("t"), col("v"))
+      .orderBy("k").collect()
+    assert(got(0).getLong(1) === 2L && got(0).getAs[Double]("ks") === 0.0)
+    assert(got(1).getAs[Double]("ks") === 1.0)
+    assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 1L &&
+      got(2).isNullAt(got(2).fieldIndex("ks")))
+  }
 }
