@@ -1697,6 +1697,41 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("symbol", "bar_us")
     }),
 
+    "st10_anomaly_stream" -> ((s, d) => {
+      // streaming EWMA anomaly detector: ticks → closed hourly bars →
+      // recursive (ema, ew-variance) state → causal z-score per close
+      // (scored against the state BEFORE the bar folds in), flagged
+      // beyond k EW-σ. Both accumulators are sequential recursions
+      // batch SQL can't parallelize; same close-the-books sentinels
+      // as st9. Oracle: MATERIALIZED recursive CTE carrying both
+      // accumulators with the identical seed/update/guard/rounding.
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st10_landing").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_st10_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st10_ckpt").toString
+      val ticks = T(s, d).events.select(
+        col("event_type").as("symbol"), col("ts"), col("event_id"),
+        col("value"))
+      val horizon = ticks.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelTs = java.sql.Timestamp.from(
+        horizon.toInstant.plusSeconds(7200))
+      val sentinels = ticks.select("symbol").distinct()
+        .withColumn("ts", lit(sentinelTs))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+      ticks.unionByName(sentinels)
+        .write.mode("overwrite").parquet(landing)
+      val q = graft.streaming.AnomalyStream.start(s, landing, sink,
+        ckpt, alpha = graft.streaming.IndicatorStream.alphaFor(14),
+        k = 3.0, minBars = 12, barSec = 3600L)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      s.read.parquet(sink)
+        .repartition(1).sortWithinPartitions("symbol", "bar_us")
+    }),
+
     "st7_stream_join" -> ((s, d) => {
       // stream-stream interval join replay: land the event stream and
       // the impulse stream (j7's every-500th event opening a 2h impact
@@ -4658,6 +4693,44 @@ object SparkEntry {
          |    r.ema + CAST('$alpha' AS DOUBLE) * (b.close - r.ema)
          |  FROM rec r JOIN b2 b ON b.symbol = r.symbol AND b.rn = r.rn + 1)
          |SELECT symbol, bar_us, close, round(ema, 6) AS ema
+         |FROM rec ORDER BY symbol, bar_us""".stripMargin
+    },
+
+    // EWMA-anomaly twin: st9's bar chain + a recursive CTE carrying
+    // BOTH accumulators; z scored against the PRE-fold state (r.*),
+    // the flag compares the unrounded z, rounding only on emit
+    "st10_anomaly_stream" -> {
+      val a = graft.streaming.IndicatorStream.alphaFor(14).toString
+      s"""WITH RECURSIVE r0 AS MATERIALIZED (
+         |  SELECT event_type AS symbol,
+         |    epoch_us(date_trunc('hour', ts)) AS bar_us, value,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |                       ORDER BY ts DESC, event_id DESC) AS rl
+         |  FROM events),
+         |bars AS MATERIALIZED (
+         |  SELECT symbol, bar_us, max(CASE WHEN rl = 1 THEN value END) AS close
+         |  FROM r0 GROUP BY symbol, bar_us),
+         |b2 AS MATERIALIZED (
+         |  SELECT symbol, bar_us, close,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY bar_us) AS rn
+         |  FROM bars),
+         |rec(symbol, rn, bar_us, close, ema, evar, z) AS (
+         |  -- seed evar as a DOUBLE zero: a bare 0.0 types the recursive
+         |  -- column DECIMAL(2,1) and the first real variance overflows it
+         |  SELECT symbol, rn, bar_us, close, close, CAST(0 AS DOUBLE),
+         |    CAST(NULL AS DOUBLE)
+         |  FROM b2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.symbol, b.rn, b.bar_us, b.close,
+         |    r.ema + CAST('$a' AS DOUBLE) * (b.close - r.ema),
+         |    (1 - CAST('$a' AS DOUBLE)) *
+         |      (r.evar + CAST('$a' AS DOUBLE) * (b.close - r.ema)
+         |                * (b.close - r.ema)),
+         |    CASE WHEN r.rn >= 12 AND r.evar > 0
+         |         THEN abs(b.close - r.ema) / sqrt(r.evar) END
+         |  FROM rec r JOIN b2 b ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+         |SELECT symbol, bar_us, close, round(z, 6) AS z,
+         |  coalesce(z > CAST('3.0' AS DOUBLE), FALSE) AS anom
          |FROM rec ORDER BY symbol, bar_us""".stripMargin
     },
 

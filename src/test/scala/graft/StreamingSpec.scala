@@ -595,4 +595,58 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Double, Double)].collect().toSeq
     assert(onePass === got)
   }
+
+  test("streaming EWMA anomaly: causal z, warm-up null, spike flags; split parity") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.AnomalyStream
+    val landing = Files.createTempDirectory("st_anom_landing").toString
+    val sink = Files.createTempDirectory("st_anom_sink").toString
+    val ckpt = Files.createTempDirectory("st_anom_ckpt").toString
+    def tick(id: Long, t: String, v: Double) = ("X", ts(t), id, v)
+    // hourly closes 10, 12, 10, 12, 30 with α = 0.5, minBars = 2,
+    // k = 2 — hand recursion: (ema, evar) after each bar =
+    // (10, 0) (11, 1) (10.5, 0.75) (11.25, 0.9375); z per close =
+    // null (seed), null (warm-up), 1.0, 1.5/√0.75 = 1.732051,
+    // 18.75/√0.9375 = 19.364917 → only the spike crosses k
+    val b1 = Seq(
+      tick(1, "2024-01-01 00:10:00", 10.0),
+      tick(2, "2024-01-01 01:10:00", 12.0),
+      tick(3, "2024-01-01 02:10:00", 10.0))
+      .toDF("symbol", "ts", "event_id", "value")
+    val b2 = Seq(
+      tick(4, "2024-01-01 03:10:00", 12.0),
+      tick(5, "2024-01-01 04:10:00", 30.0),
+      tick(-1, "2024-01-01 06:00:00", 0.0)) // sentinel closes bar 5
+      .toDF("symbol", "ts", "event_id", "value")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    AnomalyStream.start(spark, landing, sink, ckpt, alpha = 0.5,
+        k = 2.0, minBars = 2, barSec = 3600L,
+        trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    AnomalyStream.start(spark, landing, sink, ckpt, alpha = 0.5,
+        k = 2.0, minBars = 2, barSec = 3600L,
+        trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val got = spark.read.parquet(sink)
+      .orderBy("bar_us").select("close", "z", "anom")
+      .as[(Double, Option[Double], Boolean)].collect().toSeq
+    assert(got === Seq(
+      (10.0, None, false), (12.0, None, false),
+      (10.0, Some(1.0), false), (12.0, Some(1.732051), false),
+      (30.0, Some(19.364917), true)))
+    // one-pass replay of the same in-order history must agree
+    val landing2 = Files.createTempDirectory("st_anom_landing2").toString
+    val sink2 = Files.createTempDirectory("st_anom_sink2").toString
+    val ckpt2 = Files.createTempDirectory("st_anom_ckpt2").toString
+    b1.unionByName(b2).coalesce(1).write.mode("overwrite").parquet(landing2)
+    AnomalyStream.start(spark, landing2, sink2, ckpt2, alpha = 0.5,
+        k = 2.0, minBars = 2, barSec = 3600L,
+        trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val onePass = spark.read.parquet(sink2)
+      .orderBy("bar_us").select("close", "z", "anom")
+      .as[(Double, Option[Double], Boolean)].collect().toSeq
+    assert(onePass === got)
+  }
 }
