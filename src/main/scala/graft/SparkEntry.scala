@@ -850,6 +850,15 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "a25_variance_ratio" -> ((s, d) => {
+      // VR(4): k-period vs 1-period return variance — random-walk
+      // departure direction; two lags in one window stage, six
+      // DECIMAL power sums in one aggregate, one shuffle
+      Aggregates.varianceRatio(T(s, d).events, "event_type", col("ts"),
+          col("event_id"), col("value"), k = 4)
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
     "a24_ks_drift" -> ((s, d) => {
       // two-sample KS per key: earlier vs later half of the key's own
       // time span; the CDF window walks the (key, cent) DISTINCT
@@ -4588,6 +4597,39 @@ object SparkEntry {
         |            * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
         |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS autocorr
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // variance-ratio twin: same two lags, HUGEINT power sums, the
+    // identical fixed-order double ratio (numerators and the n(n−1)
+    // denominators grouped exactly as the engine's expression tree)
+    "a25_variance_ratio" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(CAST(round((value - lag(value, 1) OVER w) * 100) AS BIGINT)
+        |         AS HUGEINT) AS r1,
+        |    CAST(CAST(round((value - lag(value, 4) OVER w) * 100) AS BIGINT)
+        |         AS HUGEINT) AS rk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT event_type,
+        |    count(r1) AS n1, sum(r1) AS a1, sum(r1 * r1) AS a2,
+        |    count(rk) AS nk, sum(rk) AS b1, sum(rk * rk) AS b2
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(n1 AS BIGINT) AS n_1, CAST(nk AS BIGINT) AS n_k,
+        |  CASE WHEN n1 >= 2 AND nk >= 2
+        |        AND (CAST(n1 AS DOUBLE) * CAST(a2 AS DOUBLE)
+        |             - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)) > 0
+        |       THEN round(
+        |         ((CAST(nk AS DOUBLE) * CAST(b2 AS DOUBLE)
+        |           - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE))
+        |          / (CAST(nk AS DOUBLE) * (CAST(nk AS DOUBLE) - 1.0)))
+        |         / (4.0 * ((CAST(n1 AS DOUBLE) * CAST(a2 AS DOUBLE)
+        |                    - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))
+        |                   / (CAST(n1 AS DOUBLE)
+        |                      * (CAST(n1 AS DOUBLE) - 1.0)))), 6)
+        |  END AS vr
         |FROM s ORDER BY event_type""".stripMargin,
 
     // KS twin: identical integer midpoint split, cent cells, window

@@ -685,6 +685,51 @@ object Aggregates {
       .select(col(key), col("n_pairs"), col("autocorr"))
   }
 
+  /** Variance-ratio diagnostic per key (Lo & MacKinlay 1988's public
+    * random-walk test, in its plain sample-variance form):
+    * `VR(k) = Var(k-period returns) / (k · Var(1-period returns))` —
+    * ≈1 for a random walk, >1 under momentum, <1 under mean
+    * reversion; the aggregate-level complement of [[autocorr]]'s
+    * per-lag correlation. Both return series come from lags over the
+    * SAME (ts, id) window (one window stage), quantize to integer
+    * cents, and feed ONE hash aggregate of six DECIMAL power sums;
+    * the ratio is one fixed-order double expression over the exact
+    * sums. ONE shuffle end-to-end. Overlapping k-period returns (the
+    * standard construction — dropping to non-overlapping wastes
+    * (k−1)/k of the sample).
+    *
+    * Output: `key, n_1, n_k, vr` — vr null when either side has <2
+    * returns or the 1-period variance is 0.
+    */
+  def varianceRatio(events: DataFrame, key: String, ts: Column,
+                    id: Column, value: Column, k: Int): DataFrame = {
+    val dec = "decimal(19,0)"
+    val w = Series.ordered(key, ts, id)
+    def ret(lagN: Int): Column =
+      round((value - lag(value, lagN).over(w)) * 100).cast("long").cast(dec)
+    def d(c: String) = col(c).cast("double")
+    val n1D = col("n_1").cast("double")
+    val nkD = col("n_k").cast("double")
+    // n²·(n−1)·σ² forms — positive iff the sample variance is
+    val var1N = n1D * d("_a2") - d("_a1") * d("_a1")
+    val varkN = nkD * d("_b2") - d("_b1") * d("_b1")
+    events
+      .withColumn("_r1", ret(1))
+      .withColumn("_rk", ret(k))
+      .groupBy(col(key))
+      .agg(count(col("_r1")).as("n_1"),
+        sum(col("_r1")).as("_a1"),
+        sum(col("_r1") * col("_r1")).as("_a2"),
+        count(col("_rk")).as("n_k"),
+        sum(col("_rk")).as("_b1"),
+        sum(col("_rk") * col("_rk")).as("_b2"))
+      .withColumn("vr",
+        when(col("n_1") >= 2 && col("n_k") >= 2 && var1N > 0,
+          round((varkN / (nkD * (nkD - 1.0))) /
+            (lit(k.toDouble) * (var1N / (n1D * (n1D - 1.0)))), 6)))
+      .select(col(key), col("n_1"), col("n_k"), col("vr"))
+  }
+
   /** Seasonality profile: mean value per (key, day-of-week,
     * hour-of-day) — the weekly/diurnal template behavioral and market
     * series both repeat. Day numbering is 0 = Sunday (engine- and

@@ -410,6 +410,22 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got(1).isNullAt(got(1).fieldIndex("autocorr")))
   }
 
+  test("varianceRatio: perfect mean reversion is 0; trend (σ₁ = 0) null") {
+    // A: values alternate 0,1 → 1-period returns ±100 (σ² > 0) but
+    // every 2-period return is exactly 0 → VR(2) = 0
+    val ev = (0 until 6).map(i =>
+      (i.toLong, "A", ts(f"2024-01-01 00:0$i%d:00"), (i % 2).toDouble)) ++
+      // B: constant increments → all 1-period returns equal → σ₁ = 0
+      (0 until 5).map(i =>
+        (10L + i, "B", ts(f"2024-01-01 00:0$i%d:00"), i.toDouble))
+    val got = Aggregates.varianceRatio(ev.toDF("id", "k", "t", "v"),
+        "k", col("t"), col("id"), col("v"), k = 2)
+      .orderBy("k").collect()
+    assert(got(0).getLong(1) === 5L && got(0).getLong(2) === 4L)
+    assert(got(0).getAs[Double]("vr") === 0.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("vr")))
+  }
+
   test("nonparamSkew: symmetric 0, right-tail positive") {
     val ev = Seq(("S", 1.0), ("S", 2.0), ("S", 3.0),
       ("R", 1.0), ("R", 1.0), ("R", 10.0)).toDF("k", "v")
