@@ -880,6 +880,18 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type", "bar_us")
     }),
 
+    "w25_donchian" -> ((s, d) => {
+      // Donchian(20) breakout envelope: trailing range extremes +
+      // midline on the reduced bar relation — same staged frames as
+      // w23
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.donchian(bars, "event_type", n = 20)
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("dc_up"), col("dc_dn"), col("dc_mid"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
     "w24_obv" -> ((s, d) => {
       // on-balance volume: micro-quantized close-delta votes × bar
       // tick count, pure-integer running sum — exact in any engine
@@ -4485,6 +4497,23 @@ object SparkEntry {
          |FROM bars
          |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
          |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, bar_us""".stripMargin,
+
+    // Donchian twin: shared bar CTE, same trailing extremes + count
+    // guard, one IEEE midline op before the round
+    "w25_donchian" ->
+      s"""WITH $ohlcBarsCte
+         |SELECT event_type, bar_us,
+         |  CASE WHEN COUNT(close) OVER tw >= 20
+         |       THEN round(max(high) OVER tw, 6) END AS dc_up,
+         |  CASE WHEN COUNT(close) OVER tw >= 20
+         |       THEN round(min(low) OVER tw, 6) END AS dc_dn,
+         |  CASE WHEN COUNT(close) OVER tw >= 20
+         |       THEN round((max(high) OVER tw + min(low) OVER tw) / 2.0, 6)
+         |  END AS dc_mid
+         |FROM bars
+         |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
+         |              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, bar_us""".stripMargin,
 
     // OBV twin: micro-quantized close delta votes the bar's tick

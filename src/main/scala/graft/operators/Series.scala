@@ -651,6 +651,29 @@ object Series {
       .drop("_hi", "_lo", "_nb")
   }
 
+  /** Donchian channel over OHLC bars (Richard Donchian's public
+    * breakout envelope): upper/lower = trailing n-bar extreme of the
+    * high/low columns, mid = their average — the third channel beside
+    * [[keltner]] (EMA±ATR) and [[bollinger]] (SMA±σ), and the only
+    * one defined by range extremes alone. The same three staged
+    * frames as [[williamsR]]; `(up+dn)/2` is one deterministic IEEE
+    * op over raw doubles, rounded on output; null through the n−1
+    * warm-up.
+    */
+  def donchian(bars: DataFrame, key: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
+    val tw = w.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("_hi", max(col("high")).over(tw))
+      .withColumn("_lo", min(col("low")).over(tw))
+      .withColumn("_nb", count(col("close")).over(tw))
+      .withColumn("dc_up", when(col("_nb") >= n, round(col("_hi"), 6)))
+      .withColumn("dc_dn", when(col("_nb") >= n, round(col("_lo"), 6)))
+      .withColumn("dc_mid", when(col("_nb") >= n,
+        round((col("_hi") + col("_lo")) / 2.0, 6)))
+      .drop("_hi", "_lo", "_nb")
+  }
+
   /** On-balance volume over OHLC bars (Granville's public cumulative
     * flow line): `obv_t = Σ_{i≤t} sign(close_i − close_{i−1})·vol_i`
     * with the first bar contributing 0 (no prior close to vote on).

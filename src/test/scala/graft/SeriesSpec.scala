@@ -264,6 +264,20 @@ class SeriesSpec extends AnyFunSuite {
       ("K", None), ("K", Some(-25.0)), ("K", Some(-80.0))))
   }
 
+  test("donchian: trailing extremes with warm-up; midline averages them") {
+    val bars = Seq(
+      ("K", 0L, 10.0, 8.0, 9.0),   // warm-up (n = 2)
+      ("K", 1L, 12.0, 9.0, 11.0),  // up 12, dn 8, mid 10
+      ("K", 2L, 11.0, 7.0, 8.0))   // up 12, dn 7, mid 9.5
+      .toDF("k", "bar", "high", "low", "close")
+    val got = Series.donchian(bars, "k", n = 2)
+      .orderBy("bar").select("dc_up", "dc_dn", "dc_mid")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(got.toSeq === Seq((None, None, None),
+      (Some(12.0), Some(8.0), Some(10.0)),
+      (Some(12.0), Some(7.0), Some(9.5))))
+  }
+
   test("obv: signed volume votes accumulate; first bar and flats vote 0") {
     val bars = Seq(
       ("K", 0L, 5.0, 10L), ("K", 1L, 7.0, 20L), // up → +20
