@@ -11,6 +11,8 @@ import org.apache.spark.sql.DataFrame
 final class CacheScope {
   private val active =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[Any, DataFrame]()
 
   /** Persist `df` and register it for release with this scope. */
   def persist(df: DataFrame): DataFrame = {
@@ -18,10 +20,21 @@ final class CacheScope {
     df.persist()
   }
 
+  /** The memoizing flavor: build-and-persist at most once per `key`
+    * within this scope's lifetime. Shared self-join relations (the
+    * SimHash banded table feeds BOTH the near-dup pairer and the
+    * Hamming retriever) call through here so two consumers in one
+    * scope share one cached copy instead of racing two identical
+    * persists. Cleared on [[release]] with the persists it guards.
+    */
+  def getOrPersist(key: Any, build: => DataFrame): DataFrame =
+    memo.computeIfAbsent(key, _ => persist(build))
+
   /** Unpersist every registered intermediate (non-blocking: block frees
     * proceed asynchronously while the next query starts).
     */
   def release(): Unit = {
+    memo.clear()
     var d = active.poll()
     while (d != null) {
       try d.unpersist(blocking = false)
@@ -80,6 +93,12 @@ object Caches {
 
   /** Persist `df` and register it with the current scope. */
   def persist(df: DataFrame): DataFrame = current.value.persist(df)
+
+  /** Memoized persist against the current scope — see
+    * [[CacheScope.getOrPersist]].
+    */
+  def getOrPersist(key: Any, build: => DataFrame): DataFrame =
+    current.value.getOrPersist(key, build)
 
   /** Release the GLOBAL scope's intermediates — the harness hook
     * (Verify / Bench call this after each query's terminal action).

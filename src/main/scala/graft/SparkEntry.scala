@@ -289,7 +289,7 @@ object SparkEntry {
 
   /** 4-decimal price format mirroring Plans.fmtPrice. */
   private def fmtSql(x: String) =
-    s"CAST(CAST(round(($x) * 10000) AS BIGINT) / 10000.0 AS VARCHAR)"
+    s"CAST(CAST((round(($x) * 10000) + 0.0) AS BIGINT) / 10000.0 AS VARCHAR)"
 
   /** Shared hourly OHLC bar CTE chain (r0 → bars): the DuckDB twin of
     * `Series.ohlcBars(…, "1 hour")` — date_trunc buckets +
@@ -336,7 +336,7 @@ object SparkEntry {
       }
       .mkString(" + ")
     s"CASE WHEN count($x) OVER $tw = ${ws.size} " +
-      s"THEN round(($num) / CAST('$den' AS DOUBLE), 6) END"
+      s"THEN (round(($num) / CAST('$den' AS DOUBLE), 6) + 0.0) END"
   }
 
   /** Shared P1 ICT aggregate (also feeds the P3 plan-text oracle). */
@@ -344,11 +344,11 @@ object SparkEntry {
     """WITH m AS (
       |  SELECT event_type, event_id, value,
       |    CASE WHEN COUNT(value) OVER tw10 >= 10
-      |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw10
-      |                    / (1000000.0 * COUNT(value) OVER tw10), 6) END AS ma10,
+      |         THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw10
+      |                    / (1000000.0 * COUNT(value) OVER tw10), 6) + 0.0) END AS ma10,
       |    CASE WHEN COUNT(value) OVER tw20 >= 20
-      |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw20
-      |                    / (1000000.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+      |         THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw20
+      |                    / (1000000.0 * COUNT(value) OVER tw20), 6) + 0.0) END AS ma20,
       |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
       |  FROM events
       |  WINDOW tw10 AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -368,8 +368,8 @@ object SparkEntry {
       |  CASE WHEN ma10_last - ma10_l3 > 0 AND ma20_last - ma20_l3 > 0 THEN 'bullish'
       |       WHEN ma10_last - ma10_l3 < 0 AND ma20_last - ma20_l3 < 0 THEN 'bearish'
       |       ELSE 'neutral' END AS bias,
-      |  round(lo + (hi - lo) * 0.62, 6) AS ote_62,
-      |  round(lo + (hi - lo) * 0.79, 6) AS ote_79
+      |  (round(lo + (hi - lo) * 0.62, 6) + 0.0) AS ote_62,
+      |  (round(lo + (hi - lo) * 0.79, 6) + 0.0) AS ote_79
       |FROM a""".stripMargin
 
   // ------------------------------------------------------------ queries
@@ -690,8 +690,13 @@ object SparkEntry {
       // posting-list build (the artifact n18's BM25 serves from):
       // term → df + sorted doc:tf postings; hapax dropped, stop-word
       // bloat capped by construction, everything keyed on the term
+      // postings flattened to one space-joined string column: the
+      // driver's checker hashes scalar cells only (array cells are
+      // unhashable there), and the join is lossless — entries are
+      // fixed-width `doc:tf` tokens with no interior spaces
       TextAnalysis.invertedIndex(T(s, d).documents, "doc_id",
           col("text"), minDf = 2, maxDfFraction = 1.0)
+        .withColumn("postings", array_join(col("postings"), " "))
         .repartition(1).sortWithinPartitions("word")
     }),
 
@@ -892,6 +897,53 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type", "bar_us")
     }),
 
+    "w26_aroon" -> ((s, d) => {
+      // Aroon(25) trend age: bars-since-extreme over the trailing 26
+      // bars, latest-tie arg-extremum (the w5 rule) on both sides
+      val bars = Series.ohlcBars(T(s, d).events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      Series.aroon(bars, "event_type", n = 25)
+        .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+          col("aroon_up"), col("aroon_dn"))
+        .repartition(1).sortWithinPartitions("event_type", "bar_us")
+    }),
+
+    "a26_welch_t" -> ((s, d) => {
+      // one-vs-rest Welch t per event_type: exact cents power sums +
+      // a broadcast 1-row total, one fixed-order double formula
+      Aggregates.welchTvsRest(T(s, d).events, "event_type", col("value"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
+    "n21_knn_classify" -> ((s, d) => {
+      // kNN probe accuracy over the labeled embeddings: 3 broadcast
+      // query vectors, exact top-5 cosine neighbors (self excluded),
+      // deterministic majority vote (ties to the smaller label)
+      val emb = T(s, d).embeddings
+      val queries = emb.filter(col("vec_id").isin(2L, 11L, 23L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+          queries, "q_id", "qv", "q_label", k = 5)
+        .repartition(1).sortWithinPartitions("q_id")
+    }),
+
+    "t36_line_dedup" -> ((s, d) => {
+      // corpus-level duplicate-line strip: the corpus has no natural
+      // line structure (single-line docs), so the boilerplate shape is
+      // injected deterministically — a shared banner/footer every doc
+      // carries plus sentence-split lines — same precedent as d16's
+      // mirror slice. Cleaned text returns as its md5 (scalar output).
+      val docs = T(s, d).documents.withColumn("ltext",
+        concat(lit("shared cookie banner\n"),
+          regexp_replace(col("text"), "\\. ", ".\n"),
+          lit("\nshared footer (c) example")))
+      TextAnalysis.lineDedup(docs, "doc_id", col("ltext"), maxDocs = 3)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "w24_obv" -> ((s, d) => {
       // on-balance volume: micro-quantized close-delta votes × bar
       // tick count, pure-integer running sum — exact in any engine
@@ -1037,6 +1089,24 @@ object SparkEntry {
         .groupBy(col("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("w"))
       operators.Graph.pageRank(edges, "src", "dst", "w", iters = 10)
+        .repartition(1).sortWithinPartitions("node")
+    }),
+
+    "g5_hits" -> ((s, d) => {
+      // HITS hubs/authorities over g1's transition graph: 5 mutual-
+      // reinforcement rounds in integer pico-units with exact
+      // truncating renormalization — the directory/content split one
+      // PageRank score conflates
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = T(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      operators.Graph.hits(edges, "src", "dst", "w", iters = 5)
         .repartition(1).sortWithinPartitions("node")
     }),
 
@@ -3680,23 +3750,23 @@ object SparkEntry {
       s"""WITH $txnsCte,
          |pos AS (
          |  SELECT symbol,
-         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*1000000) AS BIGINT)
-         |             WHEN type = 'SELL' THEN -CAST(round(qty*1000000) AS BIGINT)
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST((round(qty*1000000) + 0.0) AS BIGINT)
+         |             WHEN type = 'SELL' THEN -CAST((round(qty*1000000) + 0.0) AS BIGINT)
          |             ELSE 0 END) / 1000000.0 AS qty,
-         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*price*1000000) AS BIGINT)
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST((round(qty*price*1000000) + 0.0) AS BIGINT)
          |             ELSE 0 END) / 1000000.0 AS cost,
-         |    SUM(CASE WHEN type IN ('BUY','SELL') THEN CAST(round(fees*1000000) AS BIGINT)
+         |    SUM(CASE WHEN type IN ('BUY','SELL') THEN CAST((round(fees*1000000) + 0.0) AS BIGINT)
          |             ELSE 0 END) / 1000000.0 AS fees,
-         |    SUM(CASE WHEN type = 'BUY' THEN CAST(round(qty*1000000) AS BIGINT)
+         |    SUM(CASE WHEN type = 'BUY' THEN CAST((round(qty*1000000) + 0.0) AS BIGINT)
          |             ELSE 0 END) / 1000000.0 AS buys
          |  FROM txns GROUP BY symbol),
          |latest AS (
          |  SELECT symbol, price AS last FROM txns
          |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY date DESC, id DESC) = 1)
          |SELECT p.symbol, p.qty, p.cost, p.fees,
-         |  CASE WHEN p.buys = 0 THEN 0.0 ELSE round(p.cost / p.buys, 6) END AS avg_cost,
+         |  CASE WHEN p.buys = 0 THEN 0.0 ELSE (round(p.cost / p.buys, 6) + 0.0) END AS avg_cost,
          |  l.last,
-         |  CASE WHEN l.last IS NOT NULL THEN round(l.last * p.qty, 6) END AS market_value
+         |  CASE WHEN l.last IS NOT NULL THEN (round(l.last * p.qty, 6) + 0.0) END AS market_value
          |FROM pos p LEFT JOIN latest l USING (symbol)
          |ORDER BY symbol""".stripMargin,
 
@@ -3804,6 +3874,59 @@ object SparkEntry {
          |FROM r10 ORDER BY node""".stripMargin
     },
 
+    // HITS twin: g1's edge derivation, five unrolled auth/hub
+    // half-step pairs, HUGEINT raw sums and the same truncating
+    // `(raw * R) // S` renormalization the engine's `div` computes
+    "g5_hits" -> {
+      val R = 1000000000000L
+      def halfPair(k: Int): String =
+        s"""ar$k AS MATERIALIZED (
+           |  SELECT e.dst AS node, sum(p.hub * e.w) AS raw
+           |  FROM edges e JOIN h${k - 1} p ON p.node = e.src
+           |  GROUP BY e.dst),
+           |a$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CASE WHEN s.s <= 0 THEN 0
+           |         ELSE (CAST(COALESCE(r.raw, 0) AS HUGEINT) * $R) // s.s
+           |    END AS auth
+           |  FROM nodes n
+           |  CROSS JOIN (SELECT COALESCE(sum(CAST(raw AS HUGEINT)), 0)
+           |              AS s FROM ar$k) s
+           |  LEFT JOIN ar$k r ON r.node = n.node),
+           |hr$k AS MATERIALIZED (
+           |  SELECT e.src AS node, sum(p.auth * e.w) AS raw
+           |  FROM edges e JOIN a$k p ON p.node = e.dst
+           |  GROUP BY e.src),
+           |h$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CASE WHEN s.s <= 0 THEN 0
+           |         ELSE (CAST(COALESCE(r.raw, 0) AS HUGEINT) * $R) // s.s
+           |    END AS hub
+           |  FROM nodes n
+           |  CROSS JOIN (SELECT COALESCE(sum(CAST(raw AS HUGEINT)), 0)
+           |              AS s FROM hr$k) s
+           |  LEFT JOIN hr$k r ON r.node = n.node)""".stripMargin
+      s"""WITH el AS (
+         |  SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |edges AS MATERIALIZED (
+         |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM el WHERE src IS NOT NULL GROUP BY src, event_type),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst FROM edges)),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |h0 AS (SELECT node, $R // cnt.n AS hub FROM nodes CROSS JOIN cnt),
+         |${(1 to 5).map(halfPair).mkString(",\n")}
+         |SELECT n.node, CAST(a.auth AS BIGINT) AS auth_pico,
+         |  CAST(h.hub AS BIGINT) AS hub_pico
+         |FROM nodes n JOIN a5 a USING (node) JOIN h5 h USING (node)
+         |ORDER BY node""".stripMargin
+    },
+
     // g1's fixed-point arithmetic with the teleport/dangling terms
     // gated on seed membership; ten unrolled MATERIALIZED steps
     "g2_trustrank" -> {
@@ -3858,7 +3981,7 @@ object SparkEntry {
         |    CAST(length(event_type) AS BIGINT) AS weight
         |  FROM events)
         |SELECT e.event_type,
-        |  CAST(sum(CAST(round(e.value * 1000000) AS BIGINT) * dim.weight)
+        |  CAST(sum(CAST((round(e.value * 1000000) + 0.0) AS BIGINT) * dim.weight)
         |    AS BIGINT) AS sum_wv_micro,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN dim USING (event_type)
@@ -3889,17 +4012,17 @@ object SparkEntry {
     "a11_rollup" ->
       """SELECT event_type, user_id % 5 AS ubucket,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_v
+        |  SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_v
         |FROM events GROUP BY ROLLUP (event_type, user_id % 5)
         |ORDER BY event_type NULLS FIRST, ubucket NULLS FIRST""".stripMargin,
 
     "a12_pivot" ->
       """SELECT user_id % 10 AS ub,
-        |  SUM(CASE WHEN event_type = 'click' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS click,
-        |  SUM(CASE WHEN event_type = 'error' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS error,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS signup,
-        |  SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) / 1000000.0 AS view
+        |  SUM(CASE WHEN event_type = 'click' THEN CAST((round(value * 1000000) + 0.0) AS BIGINT) END) / 1000000.0 AS click,
+        |  SUM(CASE WHEN event_type = 'error' THEN CAST((round(value * 1000000) + 0.0) AS BIGINT) END) / 1000000.0 AS error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN CAST((round(value * 1000000) + 0.0) AS BIGINT) END) / 1000000.0 AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN CAST((round(value * 1000000) + 0.0) AS BIGINT) END) / 1000000.0 AS signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN CAST((round(value * 1000000) + 0.0) AS BIGINT) END) / 1000000.0 AS view
         |FROM events GROUP BY user_id % 10 ORDER BY ub""".stripMargin,
 
     "j7_range_join" ->
@@ -3932,9 +4055,9 @@ object SparkEntry {
 
     "a10_percentiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.25), 6) AS p25,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |  (round(quantile_cont(value, 0.25), 6) + 0.0) AS p25,
+        |  (round(quantile_cont(value, 0.5), 6) + 0.0) AS p50,
+        |  (round(quantile_cont(value, 0.9), 6) + 0.0) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the grouped formulation: same binning/CDF/interpolation as a13
@@ -4030,13 +4153,13 @@ object SparkEntry {
          |dfq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
          |sc AS (
          |  SELECT tf.doc_id, dlt.dl,
-         |    CAST(round(
+         |    CAST((round(
          |      ln(1.0 + (st.n_corpus - dfq.dfreq + 0.5)
          |          / (dfq.dfreq + 0.5))
          |        * (tf.tf * (1.2 + 1.0))
          |        / (tf.tf + 1.2 * ((1.0 - 0.75)
          |            + 0.75 * dlt.dl / st.avgdl))
-         |        * 1000000) AS BIGINT) AS contrib_u
+         |        * 1000000) + 0.0) AS BIGINT) AS contrib_u
          |  FROM tf
          |  JOIN dfq USING (word)
          |  JOIN dlt USING (doc_id), st)
@@ -4057,7 +4180,7 @@ object SparkEntry {
         |    CAST(floor((epoch_us(ts) // 1000000
         |      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000)
         |      / 60.0) AS HUGEINT) AS x,
-        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+        |    CAST(CAST((round(value * 100) + 0.0) AS BIGINT) AS HUGEINT) AS y
         |  FROM events),
         |s AS (
         |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
@@ -4088,7 +4211,7 @@ object SparkEntry {
         |  SELECT event_type AS k,
         |    CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
         |      AS bucket,
-        |    SUM(CAST(round(value * 100) AS BIGINT)) AS v
+        |    SUM(CAST((round(value * 100) + 0.0) AS BIGINT)) AS v
         |  FROM events GROUP BY 1, 2),
         |p AS (
         |  SELECT l.k AS key_a, r.k AS key_b,
@@ -4115,7 +4238,7 @@ object SparkEntry {
         |  SELECT event_type AS k,
         |    CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
         |      AS bucket,
-        |    SUM(CAST(round(value * 100) AS BIGINT)) AS v
+        |    SUM(CAST((round(value * 100) + 0.0) AS BIGINT)) AS v
         |  FROM events GROUP BY 1, 2),
         |bench AS (
         |  SELECT bucket, CAST(v AS HUGEINT) AS x FROM b
@@ -4162,9 +4285,9 @@ object SparkEntry {
          |  FROM v),
          |t AS (
          |  SELECT rank, freq,
-         |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+         |    CAST((round(ln(CAST(rank AS DOUBLE)) * 1000000) + 0.0) AS BIGINT)
          |      AS lx,
-         |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)
+         |    CAST((round(ln(CAST(freq AS DOUBLE)) * 1000000) + 0.0) AS BIGINT)
          |      AS ly
          |  FROM r WHERE rank <= 100),
          |s AS (
@@ -4229,7 +4352,8 @@ object SparkEntry {
 
     // posting lists mirrored: same tf/df relations, the same
     // zero-padded doc:tf encoding (lexicographic == numeric), list
-    // built by list_sort(list(...))
+    // built by list_sort(list(...)) then space-joined to a scalar
+    // string exactly like the engine's array_join
     "n19_inverted_index" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(${wordsSql("text")}) AS word
@@ -4240,19 +4364,159 @@ object SparkEntry {
          |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
          |n AS (SELECT count(*) AS n_docs FROM documents)
          |SELECT tf.word, dfq.df,
-         |  list_sort(list(printf('%012d:%d', tf.doc_id, tf.tf)))
+         |  array_to_string(
+         |    list_sort(list(printf('%012d:%d', tf.doc_id, tf.tf))), ' ')
          |    AS postings
          |FROM tf JOIN dfq USING (word), n
          |WHERE dfq.df >= 2 AND dfq.df <= n.n_docs * 1.0
          |GROUP BY tf.word, dfq.df
          |ORDER BY tf.word""".stripMargin,
 
+    // Aroon twin: shared bar CTE, w5's latest-tie arg-extremum rule
+    // (max(CASE WHEN v = ext THEN rn END)) staged over the same
+    // trailing frame, identical small-integer ratio
+    "w26_aroon" ->
+      s"""WITH $ohlcBarsCte,
+         |s AS (
+         |  SELECT event_type, bar_us, high, low, close,
+         |    row_number() OVER w AS rn,
+         |    max(high) OVER tw AS hi, min(low) OVER tw AS lo,
+         |    COUNT(close) OVER tw AS nb
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bar_us),
+         |    tw AS (PARTITION BY event_type ORDER BY bar_us
+         |           ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+         |t AS (
+         |  SELECT event_type, bar_us, rn, nb,
+         |    max(CASE WHEN high = hi THEN rn END) OVER tw AS hpos,
+         |    max(CASE WHEN low = lo THEN rn END) OVER tw AS lpos
+         |  FROM s
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
+         |                ROWS BETWEEN 25 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, bar_us,
+         |  CASE WHEN nb >= 26
+         |       THEN (round((25 - (rn - hpos)) * 100.0 / 25, 6) + 0.0)
+         |  END AS aroon_up,
+         |  CASE WHEN nb >= 26
+         |       THEN (round((25 - (rn - lpos)) * 100.0 / 25, 6) + 0.0)
+         |  END AS aroon_dn
+         |FROM t ORDER BY event_type, bar_us""".stripMargin,
+
+    // Welch t mirrored: the same cents cells, HUGEINT power sums,
+    // rest-of-corpus = totals minus the key's own sums, and the
+    // identical staged double expression order (m → v → u → se²)
+    "a26_welch_t" ->
+      """WITH c AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST((round(value * 100) + 0.0) AS BIGINT) AS HUGEINT)
+        |      AS vc
+        |  FROM events),
+        |pk AS (
+        |  SELECT k, count(*) AS n, sum(vc) AS s1, sum(vc * vc) AS s2
+        |  FROM c GROUP BY k),
+        |tot AS (SELECT sum(n) AS tn, sum(s1) AS t1, sum(s2) AS t2
+        |        FROM pk),
+        |x AS (
+        |  SELECT k, n, tn - n AS rn,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(t1 - s1 AS DOUBLE) AS r1d, CAST(t2 - s2 AS DOUBLE) AS r2d,
+        |    CAST(n AS DOUBLE) AS nd, CAST(tn - n AS DOUBLE) AS rnd
+        |  FROM pk, tot),
+        |y AS (
+        |  SELECT k, n, rn, nd, rnd,
+        |    s1d / nd AS m1, r1d / rnd AS m2,
+        |    (nd * s2d - s1d * s1d) / (nd * (nd - 1.0)) AS v1,
+        |    (rnd * r2d - r1d * r1d) / (rnd * (rnd - 1.0)) AS v2
+        |  FROM x),
+        |z AS (
+        |  SELECT k, n, rn, nd, rnd, m1, m2,
+        |    v1 / nd AS u1, v2 / rnd AS u2
+        |  FROM y),
+        |f AS (
+        |  SELECT k, n, rn, nd, rnd, m1, m2, u1, u2, u1 + u2 AS se2
+        |  FROM z)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+        |  (round(m1 / 100.0, 6) + 0.0) AS mean,
+        |  CASE WHEN n >= 2 AND rn >= 2 AND se2 > 0
+        |       THEN (round((m1 - m2) / sqrt(se2), 6) + 0.0)
+        |  END AS t_welch,
+        |  CASE WHEN n >= 2 AND rn >= 2 AND se2 > 0
+        |       THEN (round(se2 * se2 / (u1 * u1 / (nd - 1.0)
+        |                   + u2 * u2 / (rnd - 1.0)), 6) + 0.0)
+        |  END AS df_welch
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // kNN classify twin: n1's cosine formula per (query, neighbor),
+    // the same rounded-cosine + id-tie rank, the same
+    // (votes DESC, label ASC) majority tie-break
+    "n21_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+        |  FROM embeddings WHERE vec_id IN (2, 11, 23)),
+        |s AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id AS nn_id, e.label,
+        |    (round(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE),
+        |        (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65),
+        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+        |           (a, b) -> a + b))
+        |         * sqrt(list_reduce(list_transform(range(1, 65),
+        |             i -> qv[i]::DOUBLE * qv[i]::DOUBLE),
+        |             (a, b) -> a + b))), 6) + 0.0) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rk
+        |  FROM s),
+        |v AS (
+        |  SELECT q_id, q_label, label, count(*) AS votes
+        |  FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY votes DESC, label) AS pr
+        |  FROM v)
+        |SELECT q_id, q_label AS true_label, label AS pred_label,
+        |  CAST(votes AS BIGINT) AS votes, label = q_label AS correct
+        |FROM p WHERE pr = 1 ORDER BY q_id""".stripMargin,
+
+    // line-dedup twin: the same injected banner/footer + sentence
+    // split, distinct-doc line counts, original-order reassembly
+    // (list ORDER BY pos FILTER), md5 of the cleaned text; COALESCE
+    // because an all-dropped doc's list is NULL in DuckDB but the
+    // engine's collect_list is an empty array
+    "t36_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'shared cookie banner' || chr(10) ||
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g') ||
+        |    chr(10) || 'shared footer (c) example' AS ltext
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(ltext, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls
+        |      FROM sp),
+        |lx AS (SELECT doc_id, pos, ls[pos] AS line FROM l),
+        |c AS (SELECT line, count(DISTINCT doc_id) AS ndocs
+        |      FROM lx GROUP BY line),
+        |j AS (SELECT lx.doc_id, lx.pos, lx.line, c.ndocs
+        |      FROM lx JOIN c USING (line))
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN ndocs < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(array_to_string(
+        |    list(line ORDER BY pos) FILTER (WHERE ndocs < 3),
+        |    chr(10)), '')) AS cleaned_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // running-peak drawdown mirrored: same micro-unit window max over
     // (ts, event_id), same guarded double ratio, same per-key max
     "w13_max_drawdown" ->
       """WITH b AS (
         |  SELECT event_type, ts, event_id,
-        |    CAST(round(value * 1000000) AS BIGINT) AS vc
+        |    CAST((round(value * 1000000) + 0.0) AS BIGINT) AS vc
         |  FROM events),
         |p AS (
         |  SELECT event_type, vc, max(vc) OVER (
@@ -4281,28 +4545,28 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT event_id, value,
         |    CASE WHEN COUNT(value) OVER tw >= 20
-        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw
-        |                    / (1000000.0 * COUNT(value) OVER tw), 6) END AS mid,
+        |         THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw
+        |                    / (1000000.0 * COUNT(value) OVER tw), 6) + 0.0) END AS mid,
         |    CASE WHEN COUNT(value) OVER tw >= 20
-        |         THEN round(stddev_samp(value) OVER tw, 6) END AS sd
+        |         THEN (round(stddev_samp(value) OVER tw, 6) + 0.0) END AS sd
         |  FROM events
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
         |b AS (
         |  SELECT event_id, value, mid,
-        |    round(mid + 2.0 * sd, 6) AS band_up,
-        |    round(mid - 2.0 * sd, 6) AS band_dn
+        |    (round(mid + 2.0 * sd, 6) + 0.0) AS band_up,
+        |    (round(mid - 2.0 * sd, 6) + 0.0) AS band_dn
         |  FROM s)
         |SELECT event_id, mid, band_up, band_dn,
         |  CASE WHEN band_up > band_dn
-        |       THEN round((value - band_dn) / (band_up - band_dn), 6)
+        |       THEN (round((value - band_dn) / (band_up - band_dn), 6) + 0.0)
         |  END AS pct_b
         |FROM b ORDER BY event_id""".stripMargin,
 
     "w16_rsi" ->
       """WITH s AS (
         |  SELECT event_id, event_type, ts,
-        |    CAST(round((value - lag(value) OVER w) * 1000000) AS BIGINT)
+        |    CAST((round((value - lag(value) OVER w) * 1000000) + 0.0) AS BIGINT)
         |      AS delta
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
@@ -4315,8 +4579,8 @@ object SparkEntry {
         |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT event_id,
         |  CASE WHEN nd >= 14 AND (gain + loss) > 0
-        |       THEN round(CAST(gain AS DOUBLE) * 100.0
-        |                  / CAST(gain + loss AS DOUBLE), 6) END AS rsi
+        |       THEN (round(CAST(gain AS DOUBLE) * 100.0
+        |                  / CAST(gain + loss AS DOUBLE), 6) + 0.0) END AS rsi
         |FROM g ORDER BY event_id""".stripMargin,
 
     "w17_stochastic" ->
@@ -4324,16 +4588,16 @@ object SparkEntry {
         |  SELECT event_id, event_type, ts, value,
         |    CASE WHEN COUNT(value) OVER tw >= 14
         |          AND max(value) OVER tw > min(value) OVER tw
-        |         THEN round((value - min(value) OVER tw) * 100.0
-        |                    / (max(value) OVER tw - min(value) OVER tw), 6)
+        |         THEN (round((value - min(value) OVER tw) * 100.0
+        |                    / (max(value) OVER tw - min(value) OVER tw), 6) + 0.0)
         |    END AS k_pct
         |  FROM events
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT event_id, k_pct,
         |  CASE WHEN COUNT(k_pct) OVER td >= 3
-        |       THEN round(SUM(CAST(round(k_pct * 1000000) AS BIGINT)) OVER td
-        |                  / (1000000.0 * COUNT(k_pct) OVER td), 6) END AS d_pct
+        |       THEN (round(SUM(CAST((round(k_pct * 1000000) + 0.0) AS BIGINT)) OVER td
+        |                  / (1000000.0 * COUNT(k_pct) OVER td), 6) + 0.0) END AS d_pct
         |FROM s
         |WINDOW td AS (PARTITION BY event_type ORDER BY ts, event_id
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -4345,8 +4609,8 @@ object SparkEntry {
     "w18_macd" ->
       s"""WITH m AS (
          |  SELECT event_id, event_type, ts,
-         |    round((${emaSql("value", 12, "w", "tw24")}) -
-         |          (${emaSql("value", 26, "w", "tw52")}), 6) AS macd
+         |    (round((${emaSql("value", 12, "w", "tw24")}) -
+         |          (${emaSql("value", 26, "w", "tw52")}), 6) + 0.0) AS macd
          |  FROM events
          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
          |    tw24 AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -4360,7 +4624,7 @@ object SparkEntry {
          |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id),
          |    tw18 AS (PARTITION BY event_type ORDER BY ts, event_id
          |             ROWS BETWEEN 17 PRECEDING AND CURRENT ROW))
-         |SELECT event_id, macd, signal, round(macd - signal, 6) AS hist
+         |SELECT event_id, macd, signal, (round(macd - signal, 6) + 0.0) AS hist
          |FROM s ORDER BY event_id""".stripMargin,
 
     "w19_resample_ffill" ->
@@ -4405,12 +4669,12 @@ object SparkEntry {
         |  FROM p),
         |c AS (
         |  SELECT event_type, bar_us, tr0,
-        |    CAST(round(tr0 * 1000000) AS BIGINT) AS trc
+        |    CAST((round(tr0 * 1000000) + 0.0) AS BIGINT) AS trc
         |  FROM t)
-        |SELECT event_type, bar_us, round(tr0, 6) AS tr,
+        |SELECT event_type, bar_us, (round(tr0, 6) + 0.0) AS tr,
         |  CASE WHEN COUNT(trc) OVER tw >= 14
-        |       THEN round(SUM(trc) OVER tw
-        |                  / (1000000.0 * COUNT(trc) OVER tw), 6) END AS atr
+        |       THEN (round(SUM(trc) OVER tw
+        |                  / (1000000.0 * COUNT(trc) OVER tw), 6) + 0.0) END AS atr
         |FROM c
         |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
         |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -4432,13 +4696,13 @@ object SparkEntry {
          |  FROM p),
          |c AS (
          |  SELECT event_type, bar_us, close,
-         |    CAST(round(tr0 * 1000000) AS BIGINT) AS trc
+         |    CAST((round(tr0 * 1000000) + 0.0) AS BIGINT) AS trc
          |  FROM t),
          |a AS (
          |  SELECT event_type, bar_us, close,
          |    CASE WHEN COUNT(trc) OVER tw >= 10
-         |         THEN round(SUM(trc) OVER tw
-         |                    / (1000000.0 * COUNT(trc) OVER tw), 6)
+         |         THEN (round(SUM(trc) OVER tw
+         |                    / (1000000.0 * COUNT(trc) OVER tw), 6) + 0.0)
          |    END AS atr
          |  FROM c
          |  WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
@@ -4451,8 +4715,8 @@ object SparkEntry {
          |    tw40 AS (PARTITION BY event_type ORDER BY bar_us
          |             ROWS BETWEEN 39 PRECEDING AND CURRENT ROW))
          |SELECT event_type, bar_us, kc_mid,
-         |  round(kc_mid + 2.0 * atr, 6) AS kc_up,
-         |  round(kc_mid - 2.0 * atr, 6) AS kc_dn
+         |  (round(kc_mid + 2.0 * atr, 6) + 0.0) AS kc_up,
+         |  (round(kc_mid - 2.0 * atr, 6) + 0.0) AS kc_dn
          |FROM m ORDER BY event_type, bar_us""".stripMargin,
 
     "w22_ichimoku" ->
@@ -4476,10 +4740,10 @@ object SparkEntry {
          |    tw52 AS (PARTITION BY event_type ORDER BY bar_us
          |             ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
          |SELECT event_type, bar_us,
-         |  round(t, 6) AS tenkan, round(k, 6) AS kijun,
-         |  round(lag((t + k) / 2.0, 26) OVER w, 6) AS senkou_a,
-         |  round(lag(b52, 26) OVER w, 6) AS senkou_b,
-         |  round(lead(close, 26) OVER w, 6) AS chikou
+         |  (round(t, 6) + 0.0) AS tenkan, (round(k, 6) + 0.0) AS kijun,
+         |  (round(lag((t + k) / 2.0, 26) OVER w, 6) + 0.0) AS senkou_a,
+         |  (round(lag(b52, 26) OVER w, 6) + 0.0) AS senkou_b,
+         |  (round(lead(close, 26) OVER w, 6) + 0.0) AS chikou
          |FROM s
          |WINDOW w AS (PARTITION BY event_type ORDER BY bar_us)
          |ORDER BY event_type, bar_us""".stripMargin,
@@ -4491,8 +4755,8 @@ object SparkEntry {
          |SELECT event_type, bar_us,
          |  CASE WHEN COUNT(close) OVER tw >= 14
          |        AND max(high) OVER tw > min(low) OVER tw
-         |       THEN round((max(high) OVER tw - close) * -100.0
-         |                  / (max(high) OVER tw - min(low) OVER tw), 6)
+         |       THEN (round((max(high) OVER tw - close) * -100.0
+         |                  / (max(high) OVER tw - min(low) OVER tw), 6) + 0.0)
          |  END AS wr
          |FROM bars
          |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
@@ -4505,11 +4769,11 @@ object SparkEntry {
       s"""WITH $ohlcBarsCte
          |SELECT event_type, bar_us,
          |  CASE WHEN COUNT(close) OVER tw >= 20
-         |       THEN round(max(high) OVER tw, 6) END AS dc_up,
+         |       THEN (round(max(high) OVER tw, 6) + 0.0) END AS dc_up,
          |  CASE WHEN COUNT(close) OVER tw >= 20
-         |       THEN round(min(low) OVER tw, 6) END AS dc_dn,
+         |       THEN (round(min(low) OVER tw, 6) + 0.0) END AS dc_dn,
          |  CASE WHEN COUNT(close) OVER tw >= 20
-         |       THEN round((max(high) OVER tw + min(low) OVER tw) / 2.0, 6)
+         |       THEN (round((max(high) OVER tw + min(low) OVER tw) / 2.0, 6) + 0.0)
          |  END AS dc_mid
          |FROM bars
          |WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
@@ -4522,7 +4786,7 @@ object SparkEntry {
       s"""WITH $ohlcBarsCte,
          |v AS (
          |  SELECT event_type, bar_us, n,
-         |    CAST(round((close - lag(close) OVER w) * 1000000) AS BIGINT)
+         |    CAST((round((close - lag(close) OVER w) * 1000000) + 0.0) AS BIGINT)
          |      AS dc
          |  FROM bars
          |  WINDOW w AS (PARTITION BY event_type ORDER BY bar_us))
@@ -4539,7 +4803,7 @@ object SparkEntry {
     "a20_sharpe" ->
       """WITH r AS (
         |  SELECT event_type,
-        |    CAST(CAST(round((value - lag(value) OVER w) * 100) AS BIGINT)
+        |    CAST(CAST((round((value - lag(value) OVER w) * 100) + 0.0) AS BIGINT)
         |         AS HUGEINT) AS rc
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
@@ -4548,22 +4812,22 @@ object SparkEntry {
         |    sum(rc) AS s1, sum(rc * rc) AS s2
         |  FROM r GROUP BY event_type)
         |SELECT event_type, CAST(n_ret AS BIGINT) AS n_ret,
-        |  round(CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE) / 100.0, 6)
+        |  (round(CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE) / 100.0, 6) + 0.0)
         |    AS mean_ret,
         |  CASE WHEN n_ret >= 2
         |        AND (CAST(n_ret AS DOUBLE) * CAST(s2 AS DOUBLE)
         |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
-        |       THEN round((CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE))
+        |       THEN (round((CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE))
         |         / sqrt((CAST(n_ret AS DOUBLE) * CAST(s2 AS DOUBLE)
         |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
         |                / (CAST(n_ret AS DOUBLE)
-        |                   * (CAST(n_ret AS DOUBLE) - 1.0))), 6)
+        |                   * (CAST(n_ret AS DOUBLE) - 1.0))), 6) + 0.0)
         |  END AS sharpe
         |FROM s ORDER BY event_type""".stripMargin,
 
     "a21_skew" ->
       """WITH b AS (
-        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  SELECT event_type, CAST((round(value * 100) + 0.0) AS BIGINT) AS vc
         |  FROM events),
         |s AS (
         |  SELECT event_type, count(*) AS n,
@@ -4572,14 +4836,14 @@ object SparkEntry {
         |    quantile_cont(vc, 0.5) AS med
         |  FROM b GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  round(med / 100.0, 6) AS median,
+        |  (round(med / 100.0, 6) + 0.0) AS median,
         |  CASE WHEN n >= 2
         |        AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
         |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
-        |       THEN round(3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - med)
+        |       THEN (round(3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - med)
         |         / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
         |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-        |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) + 0.0)
         |  END AS skew
         |FROM s ORDER BY event_type""".stripMargin,
 
@@ -4589,8 +4853,8 @@ object SparkEntry {
         |  CAST(date_part('dow', ts) AS INTEGER) AS dow,
         |  CAST(date_part('hour', ts) AS INTEGER) AS hod,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  round(SUM(CAST(round(value * 1000000) AS BIGINT))
-        |        / (1000000.0 * count(*)), 6) AS mean_value
+        |  (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT))
+        |        / (1000000.0 * count(*)), 6) + 0.0) AS mean_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // autocorrelation twin: the same two-lag pair construction over
@@ -4599,7 +4863,7 @@ object SparkEntry {
     "a23_autocorr" ->
       """WITH r AS (
         |  SELECT event_type, ts, event_id,
-        |    CAST(CAST(round((value - lag(value) OVER w) * 100) AS BIGINT)
+        |    CAST(CAST((round((value - lag(value) OVER w) * 100) + 0.0) AS BIGINT)
         |         AS HUGEINT) AS rc
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
@@ -4619,12 +4883,12 @@ object SparkEntry {
         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
         |        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
         |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-        |       THEN round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       THEN (round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |         / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
         |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |            * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0)
         |  END AS autocorr
         |FROM s ORDER BY event_type""".stripMargin,
 
@@ -4634,9 +4898,9 @@ object SparkEntry {
     "a25_variance_ratio" ->
       """WITH r AS (
         |  SELECT event_type,
-        |    CAST(CAST(round((value - lag(value, 1) OVER w) * 100) AS BIGINT)
+        |    CAST(CAST((round((value - lag(value, 1) OVER w) * 100) + 0.0) AS BIGINT)
         |         AS HUGEINT) AS r1,
-        |    CAST(CAST(round((value - lag(value, 4) OVER w) * 100) AS BIGINT)
+        |    CAST(CAST((round((value - lag(value, 4) OVER w) * 100) + 0.0) AS BIGINT)
         |         AS HUGEINT) AS rk
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
@@ -4650,14 +4914,14 @@ object SparkEntry {
         |  CASE WHEN n1 >= 2 AND nk >= 2
         |        AND (CAST(n1 AS DOUBLE) * CAST(a2 AS DOUBLE)
         |             - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)) > 0
-        |       THEN round(
+        |       THEN (round(
         |         ((CAST(nk AS DOUBLE) * CAST(b2 AS DOUBLE)
         |           - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE))
         |          / (CAST(nk AS DOUBLE) * (CAST(nk AS DOUBLE) - 1.0)))
         |         / (4.0 * ((CAST(n1 AS DOUBLE) * CAST(a2 AS DOUBLE)
         |                    - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))
         |                   / (CAST(n1 AS DOUBLE)
-        |                      * (CAST(n1 AS DOUBLE) - 1.0)))), 6)
+        |                      * (CAST(n1 AS DOUBLE) - 1.0)))), 6) + 0.0)
         |  END AS vr
         |FROM s ORDER BY event_type""".stripMargin,
 
@@ -4666,7 +4930,7 @@ object SparkEntry {
     "a24_ks_drift" ->
       """WITH b AS (
         |  SELECT event_type AS k, epoch_us(ts) AS us,
-        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |    CAST((round(value * 100) + 0.0) AS BIGINT) AS vc
         |  FROM events),
         |bounds AS (
         |  SELECT k, min(us) AS lo, max(us) AS hi FROM b GROUP BY k),
@@ -4689,8 +4953,8 @@ object SparkEntry {
         |SELECT k AS event_type,
         |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
         |  CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
-        |    round(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
-        |                  - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+        |    (round(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |                  - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) + 0.0)
         |  END AS ks
         |FROM c GROUP BY k ORDER BY event_type""".stripMargin,
 
@@ -4702,18 +4966,18 @@ object SparkEntry {
       val exp = (1 to 9).map(d =>
         s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
       s"""WITH d AS (
-         |  SELECT CAST(substr(CAST(CAST(round(value * 1000000) AS BIGINT)
+         |  SELECT CAST(substr(CAST(CAST((round(value * 1000000) + 0.0) AS BIGINT)
          |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
          |  FROM events
-         |  WHERE CAST(round(value * 1000000) AS BIGINT) >= 1),
+         |  WHERE CAST((round(value * 1000000) + 0.0) AS BIGINT) >= 1),
          |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
          |t AS (SELECT count(*) AS total FROM d)
          |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
-         |  round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         |  (round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0)
          |    AS obs_share,
-         |  round(CAST(e.exp_share AS DOUBLE), 6) AS exp_share,
-         |  round(round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
-         |        - round(CAST(e.exp_share AS DOUBLE), 6), 6) AS dev
+         |  (round(CAST(e.exp_share AS DOUBLE), 6) + 0.0) AS exp_share,
+         |  (round((round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0)
+         |        - (round(CAST(e.exp_share AS DOUBLE), 6) + 0.0), 6) + 0.0) AS dev
          |FROM c, t, (VALUES $exp) AS e(digit, exp_share)
          |WHERE e.digit = c.digit
          |ORDER BY c.digit""".stripMargin
@@ -4732,8 +4996,8 @@ object SparkEntry {
          |  FROM w LEFT JOIN v ON w.word = v.word)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(count(*) FILTER (WHERE vw IS NULL) AS BIGINT) AS n_oov,
-         |  round(CAST(count(*) FILTER (WHERE vw IS NULL) AS DOUBLE)
-         |        / CAST(count(*) AS DOUBLE), 6) AS oov_share
+         |  (round(CAST(count(*) FILTER (WHERE vw IS NULL) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) + 0.0) AS oov_share
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // streaming true-EMA twin: the same hourly close bars, then the
@@ -4763,7 +5027,7 @@ object SparkEntry {
          |  SELECT b.symbol, b.rn, b.bar_us, b.close,
          |    r.ema + CAST('$alpha' AS DOUBLE) * (b.close - r.ema)
          |  FROM rec r JOIN b2 b ON b.symbol = r.symbol AND b.rn = r.rn + 1)
-         |SELECT symbol, bar_us, close, round(ema, 6) AS ema
+         |SELECT symbol, bar_us, close, (round(ema, 6) + 0.0) AS ema
          |FROM rec ORDER BY symbol, bar_us""".stripMargin
     },
 
@@ -4799,10 +5063,13 @@ object SparkEntry {
          |                * (b.close - r.ema)),
          |    CASE WHEN r.rn >= 12 AND r.evar > 0
          |         THEN abs(b.close - r.ema) / sqrt(r.evar) END
-         |  FROM rec r JOIN b2 b ON b.symbol = r.symbol AND b.rn = r.rn + 1)
-         |SELECT symbol, bar_us, close, round(z, 6) AS z,
-         |  coalesce(z > CAST('3.0' AS DOUBLE), FALSE) AS anom
-         |FROM rec ORDER BY symbol, bar_us""".stripMargin
+         |  FROM rec r JOIN b2 b ON b.symbol = r.symbol AND b.rn = r.rn + 1),
+         |-- rename before rounding so the threshold compares the raw
+         |-- z unambiguously (a same-SELECT alias `z` would shadow it)
+         |fin AS (SELECT symbol, bar_us, close, z AS z_raw FROM rec)
+         |SELECT symbol, bar_us, close, (round(z_raw, 6) + 0.0) AS z,
+         |  coalesce(z_raw > CAST('3.0' AS DOUBLE), FALSE) AS anom
+         |FROM fin ORDER BY symbol, bar_us""".stripMargin
     },
 
     // triangle twin: the shared pairs CTE + the same canonical a<b<c
@@ -4874,11 +5141,11 @@ object SparkEntry {
          |tt AS (SELECT count(*) AS t_tokens FROM wrd),
          |tp AS (SELECT count(*) AS p_pairs FROM p)
          |SELECT c2.prev, c2.word, c2.c2,
-         |  CAST(CAST(round(
+         |  CAST(CAST((round(
          |    ln(CAST(c2.c2 AS DOUBLE) / CAST(tp.p_pairs AS DOUBLE)
          |      / (CAST(ca.c1 AS DOUBLE) / CAST(tt.t_tokens AS DOUBLE))
          |      / (CAST(cb.c1 AS DOUBLE) / CAST(tt.t_tokens AS DOUBLE)))
-         |    * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS pmi
+         |    * 1000000) + 0.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS pmi
          |FROM c2
          |JOIN c1 ca ON ca.word = c2.prev
          |JOIN c1 cb ON cb.word = c2.word, tt, tp
@@ -4915,8 +5182,8 @@ object SparkEntry {
         |              WHERE c2.bin < pick.b), 0) AS cum_before
         |  FROM pick JOIN cum ON cum.bin = pick.b)
         |SELECT e.p,
-        |  round(s.lo + (e.b + (e.p * s.n - e.cum_before) / e.cnt)
-        |    * (s.hi - s.lo) / 1000, 6) AS est
+        |  (round(s.lo + (e.b + (e.p * s.n - e.cum_before) / e.cnt)
+        |    * (s.hi - s.lo) / 1000, 6) + 0.0) AS est
         |FROM e, s ORDER BY p""".stripMargin,
 
     "a14_hll_distinct" ->
@@ -4947,7 +5214,7 @@ object SparkEntry {
          |      ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256)
          |             * 256 * 256 / z END AS e0
          |  FROM agg)
-         |SELECT round(e0, 6) AS est,
+         |SELECT (round(e0, 6) + 0.0) AS est,
          |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
          |    AS exact
          |FROM e""".stripMargin,
@@ -4986,7 +5253,7 @@ object SparkEntry {
 
     "q5_star_revenue" ->
       """SELECT n_name,
-        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue
+        |  SUM(CAST((round(l_extendedprice * (1 - l_discount) * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -4995,7 +5262,7 @@ object SparkEntry {
 
     "q5b_star_bucketed" ->
       """SELECT n_name,
-        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue
+        |  SUM(CAST((round(l_extendedprice * (1 - l_discount) * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -5017,11 +5284,11 @@ object SparkEntry {
          |g AS (SELECT symbol,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
-         |    SUM(CAST(round(pnl * 1000000) AS BIGINT)) / 1000000.0 AS total_pnl,
-         |    round(avg(r), 6) AS avg_r
+         |    SUM(CAST((round(pnl * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS total_pnl,
+         |    (round(avg(r), 6) + 0.0) AS avg_r
          |  FROM j2 GROUP BY symbol)
          |SELECT symbol, n, wins, total_pnl, avg_r,
-         |  CASE WHEN n = 0 THEN 0.0 ELSE round(wins * 100.0 / n) END AS winrate
+         |  CASE WHEN n = 0 THEN 0.0 ELSE (round(wins * 100.0 / n) + 0.0) END AS winrate
          |FROM g ORDER BY symbol""".stripMargin,
 
     "a5_histogram" ->
@@ -5035,7 +5302,7 @@ object SparkEntry {
 
     "a6_quote_delta" ->
       """SELECT event_type, value AS price,
-        |  round(value - lead(value) OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC), 6) AS delta
+        |  (round(value - lead(value) OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC), 6) + 0.0) AS delta
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY event_type""".stripMargin,
@@ -5047,8 +5314,8 @@ object SparkEntry {
         |  FROM events),
         |g AS (SELECT event_type, arg_min(value, rn) AS last, arg_max(value, rn) AS first
         |      FROM r WHERE rn <= 50 GROUP BY event_type)
-        |SELECT event_type, last, first, round(last - first, 6) AS diff,
-        |  CASE WHEN first <> 0.0 THEN round((last - first) / first * 100.0, 6) END AS pct
+        |SELECT event_type, last, first, (round(last - first, 6) + 0.0) AS diff,
+        |  CASE WHEN first <> 0.0 THEN (round((last - first) / first * 100.0, 6) + 0.0) END AS pct
         |FROM g ORDER BY event_type""".stripMargin,
 
     "a8_hi_lo_mid" ->
@@ -5059,13 +5326,13 @@ object SparkEntry {
     "q1_lineitem_agg" ->
       """WITH g AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    SUM(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 AS sum_qty,
-        |    SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0 AS sum_base,
-        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS sum_disc,
+        |    SUM(CAST((round(l_quantity * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_qty,
+        |    SUM(CAST((round(l_extendedprice * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_base,
+        |    SUM(CAST((round(l_extendedprice * (1 - l_discount) * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_disc,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt,
-        |  round(sum_qty / cnt, 6) AS avg_qty
+        |  (round(sum_qty / cnt, 6) + 0.0) AS avg_qty
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // VWAP twin: same integer micro-unit numerator and division order
@@ -5076,9 +5343,9 @@ object SparkEntry {
          |    CAST(as_of AS DATE) AS day
          |  FROM prices)
          |SELECT id, symbol, day,
-         |  round(CAST(sum(CAST(round(price * vol * 1000000) AS BIGINT))
+         |  (round(CAST(sum(CAST((round(price * vol * 1000000) + 0.0) AS BIGINT))
          |      OVER w AS DOUBLE)
-         |    / sum(vol) OVER w / 1000000.0, 6) AS vwap
+         |    / sum(vol) OVER w / 1000000.0, 6) + 0.0) AS vwap
          |FROM p WINDOW w AS (PARTITION BY symbol, day
          |  ORDER BY as_of, id ROWS UNBOUNDED PRECEDING)
          |ORDER BY id""".stripMargin,
@@ -5086,8 +5353,8 @@ object SparkEntry {
     "w1_sma5" ->
       """SELECT event_id,
         |  CASE WHEN COUNT(value) OVER tw >= 5
-        |       THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw
-        |                  / (1000000.0 * COUNT(value) OVER tw), 6) END AS sma
+        |       THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw
+        |                  / (1000000.0 * COUNT(value) OVER tw), 6) + 0.0) END AS sma
         |FROM events
         |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -5097,7 +5364,7 @@ object SparkEntry {
       s"""WITH $journalCte,
          |j AS (SELECT id, symbol, date, $pnlSql AS pnl FROM journal)
          |SELECT id,
-         |  SUM(CAST(round(pnl * 1000000) AS BIGINT)) OVER (
+         |  SUM(CAST((round(pnl * 1000000) + 0.0) AS BIGINT)) OVER (
          |    PARTITION BY symbol ORDER BY date, id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0 AS equity
          |FROM j ORDER BY id""".stripMargin,
@@ -5105,7 +5372,7 @@ object SparkEntry {
     "w3_rolling_std" ->
       """SELECT event_id,
         |  CASE WHEN COUNT(value) OVER tw >= 14
-        |       THEN round(stddev_samp(value) OVER tw, 6) END AS rstd
+        |       THEN (round(stddev_samp(value) OVER tw, 6) + 0.0) END AS rstd
         |FROM events
         |WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -5149,7 +5416,7 @@ object SparkEntry {
 
     "w8_lag_delta" ->
       """SELECT event_id,
-        |  round(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) AS delta
+        |  (round(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) + 0.0) AS delta
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
 
@@ -5197,7 +5464,7 @@ object SparkEntry {
     "x1_pnl_r" ->
       s"""WITH $journalCte,
          |j AS (SELECT id, $pnlSql AS pnl, entry, stop, qty FROM journal)
-         |SELECT id, round(pnl, 6) AS pnl, round($rSql, 6) AS r
+         |SELECT id, (round(pnl, 6) + 0.0) AS pnl, (round($rSql, 6) + 0.0) AS r
          |FROM j ORDER BY id""".stripMargin,
 
     "x3_impact_score" ->
@@ -5250,8 +5517,8 @@ object SparkEntry {
          |  concat_ws('|', symbol,
          |    substr(strftime(date, '%Y-%m-%dT%H:%M:%SZ'), 1, 16),
          |    direction,
-         |    CAST(CAST(round(entry * 100) AS BIGINT) / 100.0 AS VARCHAR),
-         |    CAST(CAST(round(exit * 100) AS BIGINT) / 100.0 AS VARCHAR)) AS sig
+         |    CAST(CAST((round(entry * 100) + 0.0) AS BIGINT) / 100.0 AS VARCHAR),
+         |    CAST(CAST((round(exit * 100) + 0.0) AS BIGINT) / 100.0 AS VARCHAR)) AS sig
          |FROM journal ORDER BY id""".stripMargin,
 
     "x14_email_norm" ->
@@ -5448,7 +5715,7 @@ object SparkEntry {
          |       FROM w),
          |r AS (
          |  SELECT doc_id,
-         |    round((total - dn) / CAST(total AS DOUBLE), 6) AS rep_ratio
+         |    (round((total - dn) / CAST(total AS DOUBLE), 6) + 0.0) AS rep_ratio
          |  FROM sh)
          |SELECT doc_id, rep_ratio, rep_ratio > 0.3 AS repetitive
          |FROM r ORDER BY doc_id""".stripMargin,
@@ -5547,45 +5814,45 @@ object SparkEntry {
          |  SELECT w.doc_id, len(ws) AS n_words,
          |    len(ws) + ncjk AS n_units,
          |    CASE WHEN nc > 0
-         |         THEN round(ncjk / CAST(nc AS DOUBLE), 6)
+         |         THEN (round(ncjk / CAST(nc AS DOUBLE), 6) + 0.0)
          |         ELSE 0.0 END AS cjk_ratio,
          |    CASE WHEN len(ws) > 0
-         |         THEN round((nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6)
+         |         THEN (round((nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE), 6) + 0.0)
          |         ELSE 0.0 END AS mean_word_len,
          |    CASE WHEN len(ws) + ncjk > 0
-         |         THEN round(len(regexp_extract_all(t, '#|\\.\\.\\.|…'))
-         |                    / CAST(len(ws) + ncjk AS DOUBLE), 6)
+         |         THEN (round(len(regexp_extract_all(t, '#|\\.\\.\\.|…'))
+         |                    / CAST(len(ws) + ncjk AS DOUBLE), 6) + 0.0)
          |         ELSE 1.0 END AS symbol_ratio,
          |    len(list_filter(ws, x -> list_contains(
          |      ['the','a','of','and','to','in','is','it','for','on'], x)))
          |      AS stop_hits,
-         |    round(len(regexp_extract_all(${stripLineSeps("t")},
+         |    (round(len(regexp_extract_all(${stripLineSeps("t")},
          |        '(?m)^[ \t]*[-*•]'))
          |      / CAST(len(string_split(${stripLineSeps("t")}, chr(10)))
-         |        AS DOUBLE), 6) AS bullet_ratio,
-         |    round(len(regexp_extract_all(${stripLineSeps("t")},
+         |        AS DOUBLE), 6) + 0.0) AS bullet_ratio,
+         |    (round(len(regexp_extract_all(${stripLineSeps("t")},
          |        '(?m)(\\.\\.\\.|…)$$'))
          |      / CAST(len(string_split(${stripLineSeps("t")}, chr(10)))
-         |        AS DOUBLE), 6) AS ellipsis_ratio,
+         |        AS DOUBLE), 6) + 0.0) AS ellipsis_ratio,
          |    CASE WHEN len(ws) > 0
-         |         THEN round(len(regexp_extract_all(t,
+         |         THEN (round(len(regexp_extract_all(t,
          |                '[^ \t\n\r\f$VtEsc]*[A-Za-z][^ \t\n\r\f$VtEsc]*'))
-         |              / CAST(len(ws) AS DOUBLE), 6)
+         |              / CAST(len(ws) AS DOUBLE), 6) + 0.0)
          |         ELSE 0.0 END AS alpha_word_ratio,
-         |    round((sh.total - sh.dn) / CAST(sh.total AS DOUBLE), 6)
+         |    (round((sh.total - sh.dn) / CAST(sh.total AS DOUBLE), 6) + 0.0)
          |      AS rep_ratio,
          |    CASE WHEN len(nel) > 0
-         |         THEN round((len(nel) - len(list_distinct(nel)))
-         |              / CAST(len(nel) AS DOUBLE), 6)
+         |         THEN (round((len(nel) - len(list_distinct(nel)))
+         |              / CAST(len(nel) AS DOUBLE), 6) + 0.0)
          |         ELSE 0.0 END AS dup_line_frac,
          |    CASE WHEN len(pel) > 0
-         |         THEN round((len(pel) - len(list_distinct(pel)))
-         |              / CAST(len(pel) AS DOUBLE), 6)
+         |         THEN (round((len(pel) - len(list_distinct(pel)))
+         |              / CAST(len(pel) AS DOUBLE), 6) + 0.0)
          |         ELSE 0.0 END AS dup_para_frac,
          |    CASE WHEN nc > 0
          |         THEN least(CAST(1.0 AS DOUBLE),
-         |              round(COALESCE(top.c, 0) * COALESCE(top.blen, 0)
-         |                / CAST(nc AS DOUBLE), 6))
+         |              (round(COALESCE(top.c, 0) * COALESCE(top.blen, 0)
+         |                / CAST(nc AS DOUBLE), 6) + 0.0))
          |         ELSE 0.0 END AS top_bigram_frac
          |  FROM w JOIN sh ON w.doc_id = sh.doc_id
          |    LEFT JOIN top ON w.doc_id = top.doc_id AND top.rn = 1)
@@ -5626,8 +5893,8 @@ object SparkEntry {
          |t AS (SELECT count(*) AS tot FROM w),
          |s AS (
          |  SELECT doc_id,
-         |    CAST(round(-ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE))
-         |      * 1000000) AS BIGINT) AS nll_u
+         |    CAST((round(-ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) + 0.0) AS BIGINT) AS nll_u
          |  FROM w JOIN v USING (word), t)
          |SELECT doc_id,
          |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll,
@@ -5662,7 +5929,7 @@ object SparkEntry {
         |      - 1 AS BIGINT) AS slot
         |  FROM verdict WHERE allowed)
         |SELECT domain, path, slot,
-        |  round(slot * 2.0, 6) AS fetch_at_sec
+        |  (round(slot * 2.0, 6) + 0.0) AS fetch_at_sec
         |FROM sl ORDER BY domain, slot""".stripMargin,
 
     // frontier twin: the parse stages are deterministic constants per
@@ -5883,8 +6150,8 @@ object SparkEntry {
          |v AS (SELECT count(DISTINCT word) AS nv FROM bg),
          |s AS (
          |  SELECT doc_id,
-         |    CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) /
-         |      CAST(c1 + nv AS DOUBLE)) * 1000000) AS BIGINT) AS nll_u
+         |    CAST((round(-ln(CAST(c2 + 1 AS DOUBLE) /
+         |      CAST(c1 + nv AS DOUBLE)) * 1000000) + 0.0) AS BIGINT) AS nll_u
          |  FROM p JOIN bg USING (prev, word) JOIN ctx USING (prev), v)
          |SELECT doc_id,
          |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0
@@ -5990,11 +6257,11 @@ object SparkEntry {
          |    ON a.blk = b.blk AND a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+         |  (round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) + 0.0) AS jaccard
          |FROM inter
          |JOIN sz na ON na.doc_id = doc_a
          |JOIN sz nb ON nb.doc_id = doc_b
-         |WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1
+         |WHERE (round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) + 0.0) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "st2_doc_stream_dedup" ->
@@ -6058,8 +6325,8 @@ object SparkEntry {
         |              WHERE c2.bin < pick.b), 0) AS cum_before
         |  FROM pick JOIN cum ON cum.bin = pick.b)
         |SELECT e.p,
-        |  round(0.0::DOUBLE + (e.b + (e.p * n.n - e.cum_before) / e.cnt)
-        |    * (600.0::DOUBLE - 0.0::DOUBLE) / 1000, 6) AS est
+        |  (round(0.0::DOUBLE + (e.b + (e.p * n.n - e.cum_before) / e.cnt)
+        |    * (600.0::DOUBLE - 0.0::DOUBLE) / 1000, 6) + 0.0) AS est
         |FROM e, n ORDER BY p""".stripMargin,
 
     "st6_session_stream" ->
@@ -6126,7 +6393,7 @@ object SparkEntry {
          |      ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256)
          |             * 256 * 256 / z END AS e0
          |  FROM agg)
-         |SELECT round(e0, 6) AS est,
+         |SELECT (round(e0, 6) + 0.0) AS est,
          |  (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM wx) AS exact
          |FROM e""".stripMargin,
 
@@ -6191,8 +6458,8 @@ object SparkEntry {
          |t AS (SELECT count(*) AS tot FROM w),
          |s AS (
          |  SELECT doc_id,
-         |    CAST(round(-ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE))
-         |      * 1000000) AS BIGINT) AS nll_u
+         |    CAST((round(-ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) + 0.0) AS BIGINT) AS nll_u
          |  FROM w JOIN v USING (word), t),
          |sc AS (
          |  SELECT doc_id,
@@ -6207,7 +6474,7 @@ object SparkEntry {
          |      ORDER BY avg_nll, doc_id)
          |    <= ceil(count(*) OVER (PARTITION BY lang) * 0.7))
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-         |  CAST(sum(CAST(round(avg_nll * 1000000) AS BIGINT)) AS BIGINT)
+         |  CAST(sum(CAST((round(avg_nll * 1000000) + 0.0) AS BIGINT)) AS BIGINT)
          |    AS sum_nll_u
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -6253,8 +6520,8 @@ object SparkEntry {
         |pn AS (SELECT stratum, CAST(n AS DOUBLE) / t AS p_new
         |       FROM nn, nt)
         |SELECT COALESCE(po.stratum, pn.stratum) AS stratum,
-        |  round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,
-        |  round((p_new - p_old) * ln(p_new / p_old), 6) AS psi
+        |  (round(p_old, 6) + 0.0) AS p_old, (round(p_new, 6) + 0.0) AS p_new,
+        |  (round((p_new - p_old) * ln(p_new / p_old), 6) + 0.0) AS psi
         |FROM po FULL OUTER JOIN pn ON po.stratum = pn.stratum
         |ORDER BY stratum""".stripMargin,
 
@@ -6340,9 +6607,9 @@ object SparkEntry {
          |n AS (SELECT count(*) AS n FROM documents),
          |sc AS (
          |  SELECT tf.doc_id, tf.term,
-         |    round((CAST(c AS DOUBLE) / CAST(nw AS DOUBLE)) *
+         |    (round((CAST(c AS DOUBLE) / CAST(nw AS DOUBLE)) *
          |      (ln(CAST(n.n + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 1)) + 1),
-         |      6) AS tfidf
+         |      6) + 0.0) AS tfidf
          |  FROM tf, dfq, n WHERE tf.term = dfq.term)
          |SELECT doc_id, term, tfidf,
          |  CAST(row_number() OVER (PARTITION BY doc_id
@@ -6421,15 +6688,15 @@ object SparkEntry {
         |  FROM f),
         |h AS (
         |  SELECT doc_id, text, n_words,
-        |    CASE WHEN n_chars > 0 THEN round(n_alpha / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
-        |    CASE WHEN n_chars > 0 THEN round(n_punct / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS punct_ratio,
-        |    CASE WHEN n_words > 0 THEN round(stop_hits / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio,
-        |    CASE WHEN n_words > 0 THEN round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len
+        |    CASE WHEN n_chars > 0 THEN (round(n_alpha / CAST(n_chars AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_chars > 0 THEN (round(n_punct / CAST(n_chars AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_words > 0 THEN (round(stop_hits / CAST(n_words AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN n_words > 0 THEN (round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS mean_word_len
         |  FROM g)
         |SELECT doc_id, n_words, alpha_ratio, punct_ratio, stopword_ratio, mean_word_len,
-        |  (CAST(round(least(1.0, n_words / 100.0) * 1000000) AS BIGINT) * 4
-        |   + CAST(round(alpha_ratio * 1000000) AS BIGINT) * 3
-        |   + CAST(round(least(1.0, stopword_ratio * 5.0) * 1000000) AS BIGINT) * 3)
+        |  (CAST((round(least(1.0, n_words / 100.0) * 1000000) + 0.0) AS BIGINT) * 4
+        |   + CAST((round(alpha_ratio * 1000000) + 0.0) AS BIGINT) * 3
+        |   + CAST((round(least(1.0, stopword_ratio * 5.0) * 1000000) + 0.0) AS BIGINT) * 3)
         |  / 10000000.0 AS quality,
         |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[\s\x0B]+'), w -> w <> '')) AS BIGINT) AS tok_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s\x0B]')) AS BIGINT) AS tok_bpe
@@ -6478,14 +6745,14 @@ object SparkEntry {
         |  FROM f),
         |h AS (
         |  SELECT doc_id, n_words,
-        |    CASE WHEN n_chars > 0 THEN round(n_alpha / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
-        |    CASE WHEN n_words > 0 THEN round(stop_hits / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio
+        |    CASE WHEN n_chars > 0 THEN (round(n_alpha / CAST(n_chars AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_words > 0 THEN (round(stop_hits / CAST(n_words AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS stopword_ratio
         |  FROM g),
         |q AS (
         |  SELECT doc_id,
-        |    (CAST(round(least(1.0, n_words / 100.0) * 1000000) AS BIGINT) * 4
-        |     + CAST(round(alpha_ratio * 1000000) AS BIGINT) * 3
-        |     + CAST(round(least(1.0, stopword_ratio * 5.0) * 1000000) AS BIGINT) * 3)
+        |    (CAST((round(least(1.0, n_words / 100.0) * 1000000) + 0.0) AS BIGINT) * 4
+        |     + CAST((round(alpha_ratio * 1000000) + 0.0) AS BIGINT) * 3
+        |     + CAST((round(least(1.0, stopword_ratio * 5.0) * 1000000) + 0.0) AS BIGINT) * 3)
         |    / 10000000.0 AS quality
         |  FROM h),
         |r AS (
@@ -6496,9 +6763,9 @@ object SparkEntry {
         |SELECT CAST(floor((rn - 1) * 10 / CAST(n AS DOUBLE)) AS BIGINT)
         |    AS decile,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(min(quality), 7) AS min_q,
-        |  round(max(quality), 7) AS max_q,
-        |  CAST(sum(CAST(round(quality * 10000000) AS BIGINT)) AS DOUBLE)
+        |  (round(min(quality), 7) + 0.0) AS min_q,
+        |  (round(max(quality), 7) + 0.0) AS max_q,
+        |  CAST(sum(CAST((round(quality * 10000000) + 0.0) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 10000000.0 AS avg_q
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
@@ -6513,8 +6780,8 @@ object SparkEntry {
          |        FROM b GROUP BY bk),
          |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
          |ratio AS (SELECT bk,
-         |            CAST(round((ln((tc + 1.0) / (tt + 64.0))
-         |              - ln((rc + 1.0) / (rt + 64.0))) * 1000000) AS BIGINT)
+         |            CAST((round((ln((tc + 1.0) / (tt + 64.0))
+         |              - ln((rc + 1.0) / (rt + 64.0))) * 1000000) + 0.0) AS BIGINT)
          |              AS rm
          |          FROM cnt, tot),
          |dw AS (SELECT doc_id, sum(rm) AS wm
@@ -6558,14 +6825,14 @@ object SparkEntry {
          |        FROM allb LEFT JOIN cnt0 ON allb.bk = cnt0.bk),
          |tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt),
          |ratio AS (SELECT bk,
-         |            CAST(round((ln((pc + 1.0) / (pt + 64.0))
-         |              - ln((nc + 1.0) / (nt + 64.0))) * 1000000)
+         |            CAST((round((ln((pc + 1.0) / (pt + 64.0))
+         |              - ln((nc + 1.0) / (nt + 64.0))) * 1000000) + 0.0)
          |              AS BIGINT) AS rm
          |          FROM cnt, tot),
-         |pr AS (SELECT CAST(round(ln(
+         |pr AS (SELECT CAST((round(ln(
          |           (sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) + 1.0)
          |         / (sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) + 1.0))
-         |         * 1000000) AS BIGINT) AS pm
+         |         * 1000000) + 0.0) AS BIGINT) AS pm
          |       FROM v WHERE doc_id % 3 <> 0),
          |sc AS (SELECT doc_id, variant, sum(rm) AS sm
          |       FROM b JOIN ratio USING (bk)
@@ -6585,10 +6852,10 @@ object SparkEntry {
         |  FROM documents),
         |sc AS (
         |  SELECT doc_id, lang,
-        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_de,
-        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_en,
-        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('el','la','los','que','de','es'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_es,
-        |    CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, x -> x IN ('le','la','et','les','des','est'))) / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS s_fr
+        |    CASE WHEN len(ws) > 0 THEN (round(len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) / CAST(len(ws) AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(ws) > 0 THEN (round(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) / CAST(len(ws) AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(ws) > 0 THEN (round(len(list_filter(ws, x -> x IN ('el','la','los','que','de','es'))) / CAST(len(ws) AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(ws) > 0 THEN (round(len(list_filter(ws, x -> x IN ('le','la','et','les','des','est'))) / CAST(len(ws) AS DOUBLE), 6) + 0.0) ELSE 0.0 END AS s_fr
         |  FROM w)
         |SELECT doc_id, lang,
         |  CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
@@ -6642,8 +6909,8 @@ object SparkEntry {
       // engines by construction
       val ratioCols = TextAnalysis.ScriptClasses.map { case (n, cls) =>
         s"""CASE WHEN length(t) > 0
-           |    THEN round(len(regexp_extract_all(t, '$cls'))
-           |      / CAST(length(t) AS DOUBLE), 6)
+           |    THEN (round(len(regexp_extract_all(t, '$cls'))
+           |      / CAST(length(t) AS DOUBLE), 6) + 0.0)
            |    ELSE 0.0 END AS ${n}_ratio""".stripMargin
       }.mkString(",\n  ")
       s"""WITH d AS (
@@ -6676,7 +6943,7 @@ object SparkEntry {
         |    sqrt(list_reduce(list_transform(range(1, 65),
         |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
         |  FROM embeddings, q)
-        |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+        |SELECT vec_id, (round(dot / (na * nb), 6) + 0.0) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "n10_hybrid_rrf" ->
@@ -6686,7 +6953,7 @@ object SparkEntry {
          |    CAST(len(list_filter(${wordsSql("d.text")},
          |      x -> list_contains(['data','query','join','spark'], x)))
          |      AS DOUBLE) AS lex,
-         |    round(
+         |    (round(
          |      list_reduce(list_transform(range(1, 65),
          |        i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE),
          |        (a, b) -> a + b)
@@ -6695,7 +6962,7 @@ object SparkEntry {
          |           (a, b) -> a + b))
          |         * sqrt(list_reduce(list_transform(range(1, 65),
          |             i -> qv[i]::DOUBLE * qv[i]::DOUBLE),
-         |             (a, b) -> a + b))), 6) AS vec
+         |             (a, b) -> a + b))), 6) + 0.0) AS vec
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q),
          |r AS (
          |  SELECT doc_id,
@@ -6705,8 +6972,8 @@ object SparkEntry {
          |      AS BIGINT) AS vec_rank
          |  FROM j)
          |SELECT doc_id, lex_rank, vec_rank,
-         |  round(CAST(1.0 AS DOUBLE) / (60 + lex_rank)
-         |    + CAST(1.0 AS DOUBLE) / (60 + vec_rank), 6) AS rrf
+         |  (round(CAST(1.0 AS DOUBLE) / (60 + lex_rank)
+         |    + CAST(1.0 AS DOUBLE) / (60 + vec_rank), 6) + 0.0) AS rrf
          |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "n2_lsh_bucket" ->
@@ -6739,7 +7006,7 @@ object SparkEntry {
          |    sqrt(list_reduce(list_transform(range(1, 65),
          |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
          |  FROM j)
-         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+         |SELECT vec_id, (round(dot / (na * nb), 6) + 0.0) AS cosine
          |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
@@ -6759,12 +7026,12 @@ object SparkEntry {
          |        ON ${bucket("q.qv")} = ${bucket("e.embedding")}),
          |s AS (
          |  SELECT q_id, vec_id,
-         |    round(list_reduce(list_transform(range(1, 65),
+         |    (round(list_reduce(list_transform(range(1, 65),
          |      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)
          |      / (sqrt(list_reduce(list_transform(range(1, 65),
          |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a, b) -> a + b))
          |         * sqrt(list_reduce(list_transform(range(1, 65),
-         |           i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b))), 6) AS cosine
+         |           i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b))), 6) + 0.0) AS cosine
          |  FROM j)
          |SELECT q_id, vec_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
@@ -6779,10 +7046,10 @@ object SparkEntry {
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
         |  FROM embeddings),
         |q AS (
-        |  SELECT vec_id, round(s, 6) AS scale,
+        |  SELECT vec_id, (round(s, 6) + 0.0) AS scale,
         |    CASE WHEN s > 0
         |      THEN list_transform(embedding,
-        |             x -> CAST(round(x::DOUBLE / s * 127) AS INTEGER))
+        |             x -> CAST((round(x::DOUBLE / s * 127) + 0.0) AS INTEGER))
         |      ELSE list_transform(embedding, x -> 0) END AS qs
         |  FROM m)
         |SELECT vec_id, scale,
@@ -6799,12 +7066,12 @@ object SparkEntry {
            |        (a, b) -> a + b) >= 0
            |      THEN 1 ELSE 0 END), '')""".stripMargin
       val cos = (a: String, b: String) =>
-        s"""round(list_reduce(list_transform(range(1, 65),
+        s"""(round(list_reduce(list_transform(range(1, 65),
            |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
            |  / (sqrt(list_reduce(list_transform(range(1, 65),
            |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
            |     * sqrt(list_reduce(list_transform(range(1, 65),
-           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6) + 0.0)""".stripMargin
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
          |  WHERE vec_id < 8),
@@ -6843,12 +7110,12 @@ object SparkEntry {
       val cbSql = cb.map(_.map(_.mkString("[", ", ", "]"))
         .mkString("[", ", ", "]")).mkString("[", ", ", "]")
       val cos = (a: String, b: String) =>
-        s"""round(list_reduce(list_transform(range(1, 65),
+        s"""(round(list_reduce(list_transform(range(1, 65),
            |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
            |  / (sqrt(list_reduce(list_transform(range(1, 65),
            |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
            |     * sqrt(list_reduce(list_transform(range(1, 65),
-           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6) + 0.0)""".stripMargin
       s"""WITH cbt AS (SELECT ($cbSql)::DOUBLE[][][] AS cb),
          |e AS (
          |  SELECT vec_id, embedding,
@@ -6871,10 +7138,10 @@ object SparkEntry {
          |      FROM e WHERE vec_id < 8),
          |sc AS (
          |  SELECT q.q_id, codes.vec_id,
-         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |    (round(list_reduce(list_transform(range(0, 8), j ->
          |      list_reduce(list_transform(range(0, 8), dd ->
          |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
-         |        (a, b) -> a + b)), (a, b) -> a + b), 6) AS s
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) + 0.0) AS s
          |  FROM q, codes, cbt),
          |ap AS (SELECT q_id, vec_id FROM sc
          |  QUALIFY row_number() OVER (PARTITION BY q_id
@@ -6905,14 +7172,14 @@ object SparkEntry {
          |  FROM embeddings),
          |pairs AS (
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-         |    round(
+         |    (round(
          |      list_reduce(list_transform(range(1, 65),
          |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c)
          |      / (sqrt(list_reduce(list_transform(range(1, 65),
          |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (a, c) -> a + c))
          |         * sqrt(list_reduce(list_transform(range(1, 65),
          |             i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c))),
-         |      6) AS cosine
+         |      6) + 0.0) AS cosine
          |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
@@ -6932,14 +7199,14 @@ object SparkEntry {
          |p0 AS (
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
          |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
-         |  WHERE round(
+         |  WHERE (round(
          |      list_reduce(list_transform(range(1, 65),
          |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c)
          |      / (sqrt(list_reduce(list_transform(range(1, 65),
          |           i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (a, c) -> a + c))
          |         * sqrt(list_reduce(list_transform(range(1, 65),
          |             i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, c) -> a + c))),
-         |      6) >= 0.5),
+         |      6) + 0.0) >= 0.5),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM p0
          |  UNION SELECT id_b, id_a FROM p0),
@@ -6971,12 +7238,12 @@ object SparkEntry {
       val cbSql = cb.map(_.map(_.mkString("[", ", ", "]"))
         .mkString("[", ", ", "]")).mkString("[", ", ", "]")
       val cos = (a: String, b: String) =>
-        s"""round(list_reduce(list_transform(range(1, 65),
+        s"""(round(list_reduce(list_transform(range(1, 65),
            |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
            |  / (sqrt(list_reduce(list_transform(range(1, 65),
            |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
            |     * sqrt(list_reduce(list_transform(range(1, 65),
-           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6) + 0.0)""".stripMargin
       val xnOf = (v: String) =>
         s"""list_transform(range(1, 65), i -> $v[i]::DOUBLE /
            |      sqrt(list_reduce(list_transform(range(1, 65),
@@ -7009,10 +7276,10 @@ object SparkEntry {
          |qe AS (SELECT q_id, qv, ${xnOf("qv")} AS qn FROM q),
          |sc AS (
          |  SELECT qe.q_id, codes.vec_id,
-         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |    (round(list_reduce(list_transform(range(0, 8), j ->
          |      list_reduce(list_transform(range(0, 8), dd ->
          |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
-         |        (a, b) -> a + b)), (a, b) -> a + b), 6) AS s
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) + 0.0) AS s
          |  FROM qe, codes, cbt),
          |sel AS (SELECT q_id, vec_id FROM sc
          |  QUALIFY row_number() OVER (PARTITION BY q_id
@@ -7040,12 +7307,12 @@ object SparkEntry {
       def lit2(a: Array[Array[Double]]) =
         a.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
       val cos = (a: String, b: String) =>
-        s"""round(list_reduce(list_transform(range(1, 65),
+        s"""(round(list_reduce(list_transform(range(1, 65),
            |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
            |  / (sqrt(list_reduce(list_transform(range(1, 65),
            |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
            |     * sqrt(list_reduce(list_transform(range(1, 65),
-           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6) + 0.0)""".stripMargin
       s"""WITH cbt AS (SELECT (${lit3(cbRaw)})::DOUBLE[][][] AS cb,
          |    (${lit3(cbRes)})::DOUBLE[][][] AS cbr,
          |    (${lit2(cents)})::DOUBLE[][] AS ct,
@@ -7095,19 +7362,19 @@ object SparkEntry {
          |      FROM e WHERE vec_id < 8),
          |scr AS (
          |  SELECT q.q_id, rawc.vec_id,
-         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |    (round(list_reduce(list_transform(range(0, 8), j ->
          |      list_reduce(list_transform(range(0, 8), dd ->
          |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
-         |        (a, b) -> a + b)), (a, b) -> a + b), 6) AS s
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) + 0.0) AS s
          |  FROM q, rawc, cbt),
          |scs AS (
          |  SELECT q.q_id, resc.vec_id,
-         |    round(list_reduce(list_transform(range(0, 8), j ->
+         |    (round(list_reduce(list_transform(range(0, 8), j ->
          |      list_reduce(list_transform(range(0, 8), dd ->
          |        qn[j * 8 + dd + 1] * cbr[j + 1][code[j + 1] + 1][dd + 1]),
          |        (a, b) -> a + b)), (a, b) -> a + b)
          |    + list_reduce(list_transform(range(1, 65),
-         |        i -> qn[i] * ctn[resc.cell + 1][i]), (a, b) -> a + b), 6)
+         |        i -> qn[i] * ctn[resc.cell + 1][i]), (a, b) -> a + b), 6) + 0.0)
          |      AS s
          |  FROM q, resc, cbt),
          |apr AS (SELECT q_id, vec_id FROM scr
@@ -7165,7 +7432,7 @@ object SparkEntry {
          |    sqrt(list_reduce(list_transform(range(1, 65),
          |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
          |  FROM j)
-         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+         |SELECT vec_id, (round(dot / (na * nb), 6) + 0.0) AS cosine
          |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
@@ -7198,7 +7465,7 @@ object SparkEntry {
          |    sqrt(list_reduce(list_transform(range(1, 65),
          |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nb
          |  FROM j)
-         |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+         |SELECT vec_id, (round(dot / (na * nb), 6) + 0.0) AS cosine
          |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
@@ -7286,7 +7553,7 @@ object SparkEntry {
          |    base_level * ((${h48("symbol || '#' || i")} % 1000 - 500) / 100000.0) AS step
          |  FROM sym, idx)
          |SELECT symbol,
-         |  round(base_level + SUM(step) OVER (PARTITION BY symbol ORDER BY i), 6) AS price,
+         |  (round(base_level + SUM(step) OVER (PARTITION BY symbol ORDER BY i), 6) + 0.0) AS price,
          |  epoch_us(TIMESTAMP '2025-01-01' + i * INTERVAL 1 HOUR) AS as_us
          |FROM g ORDER BY symbol, as_us""".stripMargin,
 
@@ -7412,11 +7679,11 @@ object SparkEntry {
          |g AS (SELECT
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
-         |    SUM(CAST(round(pnl * 1000000) AS BIGINT)) / 1000000.0 AS total_pnl,
-         |    round(avg(r), 6) AS avg_r
+         |    SUM(CAST((round(pnl * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS total_pnl,
+         |    (round(avg(r), 6) + 0.0) AS avg_r
          |  FROM j2),
          |g2 AS (SELECT *,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE round(wins * 100.0 / n) END AS winrate
+         |    CASE WHEN n = 0 THEN 0.0 ELSE (round(wins * 100.0 / n) + 0.0) END AS winrate
          |  FROM g),
          |tr AS (
          |  SELECT string_agg(
@@ -7435,13 +7702,13 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT event_type, event_id, ts,
         |    CASE WHEN COUNT(value) OVER tw >= 10
-        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw
-        |                    / (1000000.0 * COUNT(value) OVER tw), 6) END AS ma10
+        |         THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw
+        |                    / (1000000.0 * COUNT(value) OVER tw), 6) + 0.0) END AS ma10
         |  FROM events
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
         |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
         |SELECT event_id,
-        |  round(ma10 - lag(ma10, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) AS slope
+        |  (round(ma10 - lag(ma10, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) + 0.0) AS slope
         |FROM m ORDER BY event_id""".stripMargin,
 
     "a4_review_stats" ->
@@ -7454,11 +7721,11 @@ object SparkEntry {
          |g AS (SELECT symbol,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(count(CASE WHEN pnl > 0 THEN 1 END) AS BIGINT) AS wins,
-         |    SUM(CAST(round(pnl * 1000000) AS BIGINT)) / 1000000.0 AS total_pnl,
-         |    round(avg(r), 6) AS avg_r
+         |    SUM(CAST((round(pnl * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS total_pnl,
+         |    (round(avg(r), 6) + 0.0) AS avg_r
          |  FROM j2 GROUP BY symbol)
          |SELECT symbol, n, wins, total_pnl, avg_r,
-         |  CASE WHEN n = 0 THEN 0.0 ELSE round(wins * 100.0 / n) END AS winrate
+         |  CASE WHEN n = 0 THEN 0.0 ELSE (round(wins * 100.0 / n) + 0.0) END AS winrate
          |FROM g ORDER BY symbol""".stripMargin,
 
     "u5_session_replace" ->
@@ -7492,7 +7759,7 @@ object SparkEntry {
          |      AND b.source = p.source)),
          |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM batch)
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
+         |  SUM(CAST((round(price * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM merged GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "u1c_table_upsert" ->
@@ -7516,7 +7783,7 @@ object SparkEntry {
          |final AS (
          |  SELECT * FROM after_up WHERE NOT (symbol = 'view' AND id % 7 = 0))
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
+         |  SUM(CAST((round(price * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM final GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     // maintenance is content-preserving by contract and the five
@@ -7526,7 +7793,7 @@ object SparkEntry {
     "u1e_table_maintenance" ->
       s"""WITH $pricesCte
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |  SUM(CAST(round(price * 1000000) AS BIGINT)) / 1000000.0 AS sum_price
+         |  SUM(CAST((round(price * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_price
          |FROM prices GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     // data-card twin: counts, per-mille mix string (integer — no
@@ -7537,7 +7804,7 @@ object SparkEntry {
          |t AS (SELECT sum(n) AS t FROM pl),
          |mix AS (
          |  SELECT string_agg(lang || ':' ||
-         |      CAST(CAST(round(n * 1000.0 / t) AS BIGINT) AS VARCHAR),
+         |      CAST(CAST((round(n * 1000.0 / t) + 0.0) AS BIGINT) AS VARCHAR),
          |      ',' ORDER BY lang) AS lang_mix_permille
          |  FROM pl, t),
          |card AS (
@@ -7643,13 +7910,13 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT event_type, event_id, ts, value,
         |    CASE WHEN COUNT(value) OVER tw20 >= 20
-        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw20
-        |                    / (1000000.0 * COUNT(value) OVER tw20), 6) END AS ma20,
+        |         THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw20
+        |                    / (1000000.0 * COUNT(value) OVER tw20), 6) + 0.0) END AS ma20,
         |    CASE WHEN COUNT(value) OVER tw50 >= 50
-        |         THEN round(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER tw50
-        |                    / (1000000.0 * COUNT(value) OVER tw50), 6) END AS ma50,
+        |         THEN (round(SUM(CAST((round(value * 1000000) + 0.0) AS BIGINT)) OVER tw50
+        |                    / (1000000.0 * COUNT(value) OVER tw50), 6) + 0.0) END AS ma50,
         |    CASE WHEN COUNT(value) OVER tw14 >= 14
-        |         THEN round(stddev_samp(value) OVER tw14, 6) END AS sd14,
+        |         THEN (round(stddev_samp(value) OVER tw14, 6) + 0.0) END AS sd14,
         |    max(value) OVER tw20 AS hi20,
         |    min(value) OVER tw20 AS lo20,
         |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rnd
@@ -7684,38 +7951,38 @@ object SparkEntry {
         |  FROM a)
         |SELECT * FROM (
         |  SELECT event_type, 'trend_pullback' AS strategy, 'Long' AS direction,
-        |    round(ma20e, 6) AS entry, round(ma20e - atr * 2, 6) AS stop,
-        |    round(last + atr * 3, 6) AS target
+        |    (round(ma20e, 6) + 0.0) AS entry, (round(ma20e - atr * 2, 6) + 0.0) AS stop,
+        |    (round(last + atr * 3, 6) + 0.0) AS target
         |  FROM b WHERE s20 > 0 AND s50 >= 0
         |  UNION ALL
         |  SELECT event_type, 'trend_pullback', 'Short',
-        |    round(ma20e, 6), round(ma20e + atr * 2, 6), round(last - atr * 3, 6)
+        |    (round(ma20e, 6) + 0.0), (round(ma20e + atr * 2, 6) + 0.0), (round(last - atr * 3, 6) + 0.0)
         |  FROM b WHERE s20 < 0 AND s50 <= 0
         |  UNION ALL
         |  SELECT event_type, 'range_breakout', 'Long',
-        |    round(hi20 + atr * 0.5, 6), round(lo20 - atr, 6),
-        |    round((hi20 + atr * 0.5) + ((hi20 + atr * 0.5) - (lo20 - atr)) * 2, 6)
+        |    (round(hi20 + atr * 0.5, 6) + 0.0), (round(lo20 - atr, 6) + 0.0),
+        |    (round((hi20 + atr * 0.5) + ((hi20 + atr * 0.5) - (lo20 - atr)) * 2, 6) + 0.0)
         |  FROM b
         |  UNION ALL
         |  SELECT event_type, 'range_breakout', 'Short',
-        |    round(lo20 - atr * 0.5, 6), round(hi20 + atr, 6),
-        |    round((lo20 - atr * 0.5) - ((hi20 + atr) - (lo20 - atr * 0.5)) * 2, 6)
+        |    (round(lo20 - atr * 0.5, 6) + 0.0), (round(hi20 + atr, 6) + 0.0),
+        |    (round((lo20 - atr * 0.5) - ((hi20 + atr) - (lo20 - atr * 0.5)) * 2, 6) + 0.0)
         |  FROM b
         |  UNION ALL
         |  SELECT event_type, 'vol_contraction', 'Long',
-        |    round(last + atr * 1.5, 6), round(last - atr, 6), CAST(NULL AS DOUBLE)
+        |    (round(last + atr * 1.5, 6) + 0.0), (round(last - atr, 6) + 0.0), CAST(NULL AS DOUBLE)
         |  FROM b WHERE lowvol
         |  UNION ALL
         |  SELECT event_type, 'vol_contraction', 'Short',
-        |    round(last - atr * 1.5, 6), round(last + atr, 6), CAST(NULL AS DOUBLE)
+        |    (round(last - atr * 1.5, 6) + 0.0), (round(last + atr, 6) + 0.0), CAST(NULL AS DOUBLE)
         |  FROM b WHERE lowvol
         |  UNION ALL
         |  SELECT event_type, 'momentum', 'Long',
-        |    round(last - atr, 6), round(last - atr * 3, 6), round(last + atr * 3, 6)
+        |    (round(last - atr, 6) + 0.0), (round(last - atr * 3, 6) + 0.0), (round(last + atr * 3, 6) + 0.0)
         |  FROM b WHERE abs(s20) > 0 AND abs(s50) > 0 AND s20 > 0
         |  UNION ALL
         |  SELECT event_type, 'momentum', 'Short',
-        |    round(last + atr, 6), round(last + atr * 3, 6), round(last - atr * 3, 6)
+        |    (round(last + atr, 6) + 0.0), (round(last + atr * 3, 6) + 0.0), (round(last - atr * 3, 6) + 0.0)
         |  FROM b WHERE abs(s20) > 0 AND abs(s50) > 0 AND s20 < 0)
         |ORDER BY event_type, strategy, direction""".stripMargin,
 
@@ -7750,7 +8017,7 @@ object SparkEntry {
       s"""WITH $pricesCte,
          |quote AS (
          |  SELECT symbol, price,
-         |    round(price - lead(price) OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC), 6) AS delta
+         |    (round(price - lead(price) OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC), 6) + 0.0) AS delta
          |  FROM prices
          |  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY as_of DESC, id DESC) = 1),
          |r AS (
@@ -7761,8 +8028,8 @@ object SparkEntry {
          |  SELECT symbol, arg_min(p, rn) AS last, arg_max(p, rn) AS first
          |  FROM r WHERE rn <= 50 GROUP BY symbol),
          |chg2 AS (
-         |  SELECT symbol, round(last - first, 6) AS diff,
-         |    CASE WHEN first <> 0.0 THEN round((last - first) / first * 100.0, 6) END AS pct
+         |  SELECT symbol, (round(last - first, 6) + 0.0) AS diff,
+         |    CASE WHEN first <> 0.0 THEN (round((last - first) / first * 100.0, 6) + 0.0) END AS pct
          |  FROM chg),
          |lt AS (
          |  SELECT symbol,
@@ -7777,7 +8044,7 @@ object SparkEntry {
     "s7s8_json_roundtrip" ->
       s"""WITH $journalCte
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |  SUM(CAST(round(entry * 1000000) AS BIGINT)) / 1000000.0 AS sum_entry
+         |  SUM(CAST((round(entry * 1000000) + 0.0) AS BIGINT)) / 1000000.0 AS sum_entry
          |FROM journal GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "p7_insights_demo" ->

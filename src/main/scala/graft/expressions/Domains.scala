@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,7 +29,7 @@ object Domains {
     * ([[graft.pipelines.PublicSuffixes.registeredDomainOf]]).
     */
   case class RegisteredDomain(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = StringType
     override def nullSafeEval(input: Any): Any =
       UTF8String.fromString(

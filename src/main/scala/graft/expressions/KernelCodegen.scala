@@ -1,0 +1,75 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+
+/** Whole-stage-codegen bridge for kernel expressions.
+  *
+  * The sketch expressions ([[TextSketches]], [[Domains]], the WARC
+  * splitter) run imperative JVM kernels that no one would transliterate
+  * into generated Java — but leaving them on `CodegenFallback` doesn't
+  * just interpret the one expression, it forces the surrounding
+  * operators out of whole-stage codegen: the parent span splits and
+  * every row crosses an interpreted-projection boundary on what is the
+  * hottest path of a 100 TB tokenize/dedup job. The standard fix
+  * (Spark's own regexp and datetime expressions do the same) is to
+  * generate a single virtual call back into the expression instance via
+  * a codegen reference: the span stays fused, the kernel stays JVM
+  * code, and JIT inlines the monomorphic call site.
+  *
+  * Mix in instead of `CodegenFallback`; the concrete class keeps its
+  * `nullSafeEval` kernel untouched. Null handling: child nulls are
+  * handled by `nullSafeCodeGen` exactly as in the interpreted path, and
+  * a `null` RESULT from the kernel (short-vector degrade in the ANN
+  * cells) sets `isNull` iff the expression declares itself nullable.
+  */
+private[expressions] object KernelCodegen {
+
+  /** Assignment snippet: cast/unbox the kernel's boxed result into the
+    * expression's java type, routing kernel-level nulls to `isNull`.
+    */
+  def assign(ctx: CodegenContext, ev: ExprCode, e: Expression,
+             call: String): String = {
+    val jt = CodeGenerator.javaType(e.dataType)
+    val tmp = ctx.freshName("kernelRes")
+    val cast =
+      if (CodeGenerator.isPrimitiveType(e.dataType))
+        s"((${CodeGenerator.boxedType(e.dataType)}) $tmp).${jt}Value()"
+      else s"($jt) $tmp"
+    if (e.nullable)
+      s"""Object $tmp = $call;
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $cast; }""".stripMargin
+    else
+      s"""Object $tmp = $call;
+         |${ev.value} = $cast;""".stripMargin
+  }
+}
+
+/** Kernel-call codegen for unary kernels — see [[KernelCodegen]]. */
+trait UnaryKernelCodegen extends UnaryExpression {
+
+  /** Public bridge for generated code (`nullSafeEval` is protected). */
+  final def kernel(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernelExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      c => KernelCodegen.assign(ctx, ev, this, s"$ref.kernel($c)"))
+  }
+}
+
+/** Kernel-call codegen for binary kernels — see [[KernelCodegen]]. */
+trait BinaryKernelCodegen extends BinaryExpression {
+
+  /** Public bridge for generated code (`nullSafeEval` is protected). */
+  final def kernel(l: Any, r: Any): Any = nullSafeEval(l, r)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernelExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      (l, r) => KernelCodegen.assign(ctx, ev, this, s"$ref.kernel($l, $r)"))
+  }
+}

@@ -4,7 +4,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,7 +64,7 @@ object TextSketches {
     * ((2p+3)·h48 + 1000003p + 12345) mod (2^31−1).
     */
   case class MinHashSig(child: Expression, numPerm: Int, shingleW: Int = 3)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val sh = shingles(words(input.asInstanceOf[UTF8String]), shingleW)
@@ -90,7 +89,7 @@ object TextSketches {
 
   /** SimHash bit vector: every word's 48-bit hash votes ±1 per bit. */
   case class SimHashBits(child: Expression, nBits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType =
       ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
@@ -115,7 +114,7 @@ object TextSketches {
 
   /** Distinct 60-bit md5 shingle hashes (the n-gram Jaccard join key). */
   case class ShingleHashes60(child: Expression, shingleW: Int = 3)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val sh = shingles(words(input.asInstanceOf[UTF8String]), shingleW)
@@ -154,7 +153,7 @@ object TextSketches {
     * points (Spark `length` ≡ DuckDB `length`).
     */
   case class TopShingleFreq(child: Expression, shingleW: Int = 2)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val ws = words(input.asInstanceOf[UTF8String])
@@ -258,7 +257,7 @@ object TextSketches {
     * which Java's `split("\n{2,}", -1)` keeps in the final segment).
     */
   case class DupStructure(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
@@ -325,7 +324,7 @@ object TextSketches {
     *     the no-whitespace scripts where a word-count gate goes blind)
     */
   case class TextStats(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     @inline private def isWs(cp: Int): Boolean =
@@ -402,7 +401,7 @@ object TextSketches {
     * memory.
     */
   case class BpeEncode(child: Expression, mergesSpec: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType =
       ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
 
@@ -474,7 +473,7 @@ object TextSketches {
     * executor, not per row).
     */
   case class WordHits(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with BinaryKernelCodegen {
     override def dataType: DataType = LongType
 
     @transient private lazy val wordSet: java.util.HashSet[String] = {
@@ -544,7 +543,7 @@ object TextSketches {
     * row.
     */
   case class LshBucket(child: Expression, bits: Int, dim: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType =
       org.apache.spark.sql.types.StringType
     override def nullable: Boolean = true // short vectors degrade to null
@@ -585,7 +584,7 @@ object TextSketches {
     * same squared-L2 fold, ties to the lower cell id.
     */
   case class IvfCell(child: Expression, k: Int, dim: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true // short vectors degrade to null
 
@@ -626,7 +625,7 @@ object TextSketches {
     * for free. Same word split as [[MinHashSig]] (trim, lower, `\s+`).
     */
   case class TermCounts(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType =
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType, IntegerType,
@@ -665,7 +664,7 @@ object TextSketches {
     * [[IvfCell]]; the matrix is unflattened once per executor.
     */
   case class IvfCellAt(left: Expression, right: Expression, dim: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with BinaryKernelCodegen {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true // short vectors degrade to null
 
@@ -714,7 +713,7 @@ object TextSketches {
     * and `+` propagates it).
     */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with BinaryKernelCodegen {
     override def dataType: DataType = DoubleType
 
     private def elem(a: ArrayData, i: Int, et: DataType): Double =
@@ -760,7 +759,7 @@ object TextSketches {
     * element nulls the whole array (like [[VecDot]]).
     */
   case class VecL2Normalize(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType =
       ArrayType(DoubleType, containsNull = false)
 
@@ -815,7 +814,7 @@ object TextSketches {
     * embedding column contains.
     */
   case class QuantizeInt8(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = StructType(Seq(
       StructField("q", ArrayType(IntegerType, containsNull = false)),
       StructField("scale", DoubleType)))

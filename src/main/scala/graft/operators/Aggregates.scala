@@ -641,6 +641,71 @@ object Aggregates {
         col("skew"))
   }
 
+  /** Welch's unequal-variance t per key, each key's values against
+    * the REST of the corpus (one-vs-rest): `t = (m₁ − m₂) /
+    * √(s₁²/n₁ + s₂²/n₂)` with the Welch–Satterthwaite degrees of
+    * freedom — the "is this slice's mean actually different" test an
+    * A/B readout or a data-drift monitor runs per segment, correct
+    * when group variances differ (which one-vs-rest guarantees).
+    *
+    * Exactness discipline ([[sharpe]]'s): values quantize to integer
+    * cents, per-key count/sum/sum-of-squares accumulate as DECIMAL
+    * (exact, order-independent, spill-safe), and the REST side is the
+    * global totals minus the key's own sums — one extra 1-row
+    * broadcast aggregate instead of a second corpus pass or an
+    * anti-join per key. Every t/df input is an exact integer cast to
+    * double in a fixed expression order, so the statistic is
+    * bit-identical in any engine. t and df are invariant to the cents
+    * scaling (it cancels); the reported mean rescales to value units.
+    *
+    * Plan: one hash aggregate on the key + one 1-row global aggregate
+    * broadcast beside it — two map-side-combined passes, no window,
+    * no join keyed wider than the key itself.
+    */
+  def welchTvsRest(events: DataFrame, key: String, value: Column)
+      : DataFrame = {
+    val dec = "decimal(19,0)"
+    val vc = round(value * 100).cast("long")
+    val perKey = events
+      .withColumn("_vc", vc.cast(dec))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_vc")).as("_s1"),
+        sum(col("_vc") * col("_vc")).as("_s2"))
+    val totals = perKey
+      .agg(sum(col("n")).as("_tn"), sum(col("_s1")).as("_t1"),
+        sum(col("_s2")).as("_t2"))
+    val nD = col("n").cast("double")
+    val rnD = col("_rn").cast("double")
+    perKey.crossJoin(broadcast(totals))
+      .withColumn("_rn", col("_tn") - col("n"))
+      .withColumn("_r1", (col("_t1") - col("_s1")).cast("double"))
+      .withColumn("_r2", (col("_t2") - col("_s2")).cast("double"))
+      .withColumn("_m1", col("_s1").cast("double") / nD)
+      .withColumn("_m2", col("_r1") / rnD)
+      .withColumn("_v1",
+        (nD * col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double")) /
+          (nD * (nD - 1.0)))
+      .withColumn("_v2",
+        (rnD * col("_r2") - col("_r1") * col("_r1")) /
+          (rnD * (rnD - 1.0)))
+      .withColumn("_u1", col("_v1") / nD)
+      .withColumn("_u2", col("_v2") / rnD)
+      .withColumn("_se2", col("_u1") + col("_u2"))
+      .withColumn("mean", round(col("_m1") / 100.0, 6))
+      .withColumn("t_welch",
+        when(col("n") >= 2 && col("_rn") >= 2 && col("_se2") > 0,
+          round((col("_m1") - col("_m2")) / sqrt(col("_se2")), 6)))
+      .withColumn("df_welch",
+        when(col("n") >= 2 && col("_rn") >= 2 && col("_se2") > 0,
+          round(col("_se2") * col("_se2") /
+            (col("_u1") * col("_u1") / (nD - 1.0) +
+             col("_u2") * col("_u2") / (rnD - 1.0)), 6)))
+      .select(col(key), col("n"), col("mean"), col("t_welch"),
+        col("df_welch"))
+  }
+
   /** Lag-k autocorrelation of consecutive-tick returns per key —
     * Pearson correlation between the return series and itself shifted
     * k steps, the mean-reversion/momentum diagnostic a signal desk

@@ -246,4 +246,78 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) by synchronous mutual
+    * reinforcement: `auth[v] = Σ_{u→v} w·hub[u]`, then
+    * `hub[u] = Σ_{u→v} w·auth[v]`, each side L1-renormalized to
+    * `total` pico-units after its half-step. The link-curation use is
+    * the directory/content split PageRank's single score conflates:
+    * hub-heavy hosts are link farms/directories (crawl them for
+    * FRONTIER, not for content), authority-heavy hosts are the
+    * content targets quality priors should boost.
+    *
+    * Same determinism contract as [[pageRank]]: integer pico-unit
+    * scores, every renormalized score an exact truncating division
+    * (`x·total div S` — Spark's `div` and DuckDB's `//` agree for
+    * non-negative operands), long sums per half-step. Overflow
+    * bounds: per-edge `score·w` needs `w` below ~9e6 (the pageRank
+    * bound); the raw per-node sum `Σ score·w` must stay under 2^63 —
+    * holds when a node's weighted in-degree is below ~9e6·total⁻¹
+    * scaled, i.e. pre-scale weights on aggregate-heavier graphs. The
+    * L1 totals accumulate as DECIMAL (exact past 2^63) before the
+    * div.
+    *
+    * Plan: per half-step ONE join of the persisted edge list against
+    * the node-sized score table + one map-side-combined sum per
+    * opposite endpoint + a broadcast 1-row L1 total; eager
+    * localCheckpoint truncates lineage per half-step (the [[rankImpl]]
+    * discipline — each half-step reads its predecessor twice).
+    *
+    * Returns `(node, auth_pico, hub_pico)`.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           wCol: String, iters: Int = 5,
+           total: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val el = graft.Caches.persist(
+      edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(sum(col(wCol)).as("w")))
+    val nodes = graft.Caches.persist(
+      el.select(col("src").as("node"))
+        .unionByName(el.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "hits needs at least one edge")
+    // half-step: raw = Σ w·score over the joined endpoint, then L1
+    // renormalize with one exact truncating division per node
+    def half(scores: DataFrame, scoreCol: String, joinSide: String,
+             outSide: String, outCol: String): DataFrame = {
+      val raw = el
+        .join(scores.withColumnRenamed("node", joinSide), joinSide)
+        .groupBy(col(outSide).as("node"))
+        .agg(sum(col(scoreCol) * col("w")).as("_raw"))
+      val s1 = raw.agg(
+        coalesce(sum(col("_raw").cast("decimal(38,0)")), lit(0))
+          .cast("decimal(38,0)").as("_s"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(s1))
+        .select(col("node"),
+          when(col("_s") <= 0, lit(0L))
+            .otherwise(expr("(CAST(coalesce(_raw, 0) AS DECIMAL(38,0))" +
+              s" * $total) div _s"))
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.select(col("node"), lit(total / n).as("hub"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = half(hubs, "hub", "src", "dst", "auth")
+      hubs = half(auths, "auth", "dst", "src", "hub")
+    }
+    nodes.join(auths, Seq("node"), "left")
+      .join(hubs, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth"), lit(0L)).as("auth_pico"),
+        coalesce(col("hub"), lit(0L)).as("hub_pico"))
+  }
 }

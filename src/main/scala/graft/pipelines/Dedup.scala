@@ -202,14 +202,22 @@ object Dedup {
                     nBits: Int, chunks: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val chunkLen = nBits / chunks
-    val sig = df.select(col(idCol),
-      call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
-    graft.Caches.persist(
+    // memoized per (input plan, id, text, params) in the cache scope:
+    // a session running both the near-dup pairer and the Hamming
+    // retriever builds ONE persisted banded relation, not two
+    // identical copies racing each other's cache space
+    val key = ("simhash_banded",
+      df.queryExecution.logical.canonicalized,
+      idCol, text.toString, nBits, chunks)
+    graft.Caches.getOrPersist(key, {
+      val sig = df.select(col(idCol),
+        call_function("graft_simhash_bits", text, lit(nBits)).as("_bits"))
       sig.select(col(idCol), col("_bits"), posexplode(
         transform(sequence(lit(0), lit(chunks - 1)),
           c => concat_ws("",
             slice(col("_bits"), c * chunkLen + 1, lit(chunkLen)))))
-        .as(Seq("chunk", "key"))))
+        .as(Seq("chunk", "key")))
+    })
   }
 
   /** SimHash near-dup candidates: band the bit vector into chunks and

@@ -176,6 +176,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN majority-vote classification over the embedding corpus —
+    * the standard label-propagation/eval harness a labeled embedding
+    * table supports (kNN probe accuracy is the common "are these
+    * embeddings any good" measure): each query vector's k nearest
+    * neighbors by cosine (self excluded) vote with their labels;
+    * prediction = the label with the most votes, ties to the smaller
+    * label — fully deterministic given [[batchTopKCosineExact]]'s
+    * rounded-cosine + id-tie ranking.
+    *
+    * Plan: queries broadcast beside ONE corpus scan (scoring is a
+    * per-row map), per-query rank + per-(query,label) count are both
+    * tiny keyed aggregates. At 100 TB the brute-force scan is the
+    * exact baseline; the IVF/LSH variants (n3/n6/n13) are the serving
+    * path and this harness is what their recall is graded against.
+    *
+    * `queries` must carry its label under a name distinct from
+    * `labelCol` (the corpus side's) — both survive into the output.
+    */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queries: DataFrame, qIdCol: String,
+                  qVecCol: String, qLabelCol: String, k: Int)
+      : DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val voted = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(qLabelCol), col(idCol), col(labelCol),
+        round(cosineNative(col(vecCol), col(qVecCol)), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .groupBy(col(qIdCol), col(qLabelCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    voted
+      .withColumn("_vr", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("votes").desc, col(labelCol).asc)))
+      .filter(col("_vr") === 1)
+      .select(col(qIdCol), col(qLabelCol).as("true_label"),
+        col(labelCol).as("pred_label"), col("votes"),
+        (col(labelCol) === col(qLabelCol)).as("correct"))
+  }
+
   /** Per-query recall@k of an approximate result against the exact one
     * (both shaped (qId, id), pre-limited to k rows per query). Queries
     * whose approximate set misses everything still get a row (recall 0).

@@ -409,7 +409,10 @@ object TextAnalysis {
   def langScoreSql(s: String, lang: String): String = {
     val prof = LangTrigrams(lang).distinct
     val arr = prof.map(g => s"'$g'").mkString("[", ", ", "]")
-    s"round(len(list_filter($arr, p -> contains($s, p))) / ${prof.size}.0, 6)"
+    // `+ 0.0` is the corpus-wide signed-zero normalization every
+    // oracle round carries (here the ratio is non-negative anyway,
+    // but the SparkEntrySpec guard is deliberately unconditional)
+    s"(round(len(list_filter($arr, p -> contains($s, p))) / ${prof.size}.0, 6) + 0.0)"
   }
 
   /** Declarative twin of [[languageId]] — kept for the parity spec. */
@@ -1095,6 +1098,44 @@ object TextAnalysis {
         format_string("%012d:%d", col(idCol), col("tf"))))
         .as("postings"))
       .select(col("word"), col("df"), col("postings"))
+  }
+
+  /** Corpus-level duplicate-line removal — the line-granular dedup
+    * CCNet/RefinedWeb-class web pipelines run BEFORE document-level
+    * near-dup: navigation chrome, cookie banners, and footer
+    * boilerplate repeat verbatim across pages of a site, so any line
+    * appearing in ≥ `maxDocs` distinct documents is stripped from
+    * every document it appears in. Document-level MinHash never
+    * catches these (the surrounding text differs); this is the
+    * complementary pass.
+    *
+    * Returns one row per doc: kept-line count, dropped-line count,
+    * and the cleaned text reassembled in original line order. Plan:
+    * one line explode → one (line → distinct-doc count) hash
+    * aggregate → join back on the line → per-doc regroup. The line
+    * relation shuffles on the line VALUE, so a line's count is one
+    * reduce key regardless of corpus size; per-doc reassembly
+    * shuffles on the doc id. Nothing is corpus-crossed: the join
+    * fan-out per line is its own occurrence count, which is exactly
+    * the quantity being measured.
+    */
+  def lineDedup(df: DataFrame, idCol: String, text: Column,
+                maxDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(text, "\n")).as(Seq("pos", "line")))
+    val counts = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    lines.join(counts, "line")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_nd") < maxDocs, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("_nd") >= maxDocs, 1L).otherwise(0L))
+          .as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_nd") < maxDocs,
+            struct(col("pos"), col("line"))))),
+          _.getField("line")), "\n").as("cleaned"))
   }
 
   /** Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, §3.3):

@@ -8,7 +8,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import graft.expressions.UnaryKernelCodegen
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions.call_function
@@ -213,7 +213,7 @@ object Warc {
     * pass per container; the iterator keeps memory at one record.
     */
   case class WarcSplit(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryKernelCodegen {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("url", StringType),
       StructField("date", StringType),

@@ -83,8 +83,12 @@ object GraphStream {
         Graph.trustRank(edges, "src", "dst", "w", ss, refreshIters)
     }
     // snapshot write is per-batch-id overwrite: a crash mid-write is
-    // healed by the replay rewriting the same directory
-    ranks.coalesce(1).write.mode(SaveMode.Overwrite)
+    // healed by the replay rewriting the same directory. Hash-keyed
+    // on node (NOT coalesce(1)): the snapshot grows with the graph,
+    // so it must fan out across tasks at web-graph node counts — the
+    // warm-start read joins on node next batch, so a node-hashed
+    // layout is also the co-location that join wants.
+    ranks.repartition(col("node")).write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/ranks/batch=$batchId")
   }
 

@@ -461,4 +461,24 @@ class AggregatesSpec extends AnyFunSuite {
     // shares against the 5-row positive total, deviation over rounded
     assert(got(0).getAs[Double]("dev") === 0.29897)
   }
+
+  test("welchTvsRest: equal groups read t = 0; shifted group |t| known") {
+    // A = {1,2,3}, B = {5,6,7}: both have sample variance 1, n = 3,
+    // so se² = 2/3 and t_A = (2 − 6)/√(2/3) = −4.898979…, df = 4
+    // (Welch–Satterthwaite with equal u-terms collapses to 2(n−1)).
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 5.0), ("B", 6.0), ("B", 7.0)).toDF("k", "v")
+    val got = Aggregates.welchTvsRest(df, "k", col("v"))
+      .orderBy("k").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("A", "B"))
+    assert(got(0).getAs[Double]("mean") === 2.0)
+    assert(got(0).getAs[Double]("t_welch") === -4.898979)
+    assert(got(1).getAs[Double]("t_welch") === 4.898979)
+    assert(got(0).getAs[Double]("df_welch") === 4.0)
+    // identical groups: t reads exactly 0, df still defined
+    val same = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("k", "v")
+    val g2 = Aggregates.welchTvsRest(same, "k", col("v")).collect()
+    assert(g2.forall(_.getAs[Double]("t_welch") === 0.0))
+  }
 }

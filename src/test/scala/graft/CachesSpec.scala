@@ -67,4 +67,42 @@ class CachesSpec extends AnyFunSuite {
     t1.join()
     assert(df1LevelAfterOtherRelease !== StorageLevel.NONE)
   }
+
+  test("getOrPersist memoizes per key within a scope; release clears it") {
+    Caches.withCaches { scope =>
+      var builds = 0
+      def build: DataFrame = { builds += 1; Seq(1, 2, 3).toDF("x") }
+      val a = Caches.getOrPersist(("k", 1), build)
+      val b = Caches.getOrPersist(("k", 1), build)
+      val c = Caches.getOrPersist(("k", 2), build)
+      assert(a eq b, "same key must return the SAME persisted frame")
+      assert(!(a eq c))
+      assert(builds === 2)
+      assert(scope.activeCount === 2)
+      scope.release()
+      val d = Caches.getOrPersist(("k", 1), build)
+      assert(!(d eq a), "release must clear the memo with the persists")
+      assert(builds === 3)
+    }
+  }
+
+  test("simhashBanded is shared between its two consumers in one scope") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    Caches.withCaches { scope =>
+      val b1 = graft.pipelines.Dedup
+        .simhashBanded(docs, "doc_id", col("text"), 32, 4)
+      val b2 = graft.pipelines.Dedup
+        .simhashBanded(docs, "doc_id", col("text"), 32, 4)
+      assert(b1 eq b2,
+        "pairer and retriever must reuse ONE persisted banded relation")
+      assert(scope.activeCount === 1)
+      // different params are a different relation
+      val b3 = graft.pipelines.Dedup
+        .simhashBanded(docs, "doc_id", col("text"), 48, 4)
+      assert(!(b1 eq b3))
+      assert(scope.activeCount === 2)
+    }
+  }
 }

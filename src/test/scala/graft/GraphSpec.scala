@@ -176,6 +176,25 @@ class GraphSpec extends AnyFunSuite {
     assert(warm.values.sum > 900000000000L) // ~total, floor losses only
   }
 
+  test("hits: authorities absorb mass, hubs split by weight, exact pico") {
+    val R = 1000000000000L
+    // a→c (w=3), b→c (w=1): c is the sole authority (auth = R);
+    // hubs split 3:1 → a = (3R·R)//(4R) = 750e9, b = 250e9. Stable
+    // from round 1, so 5 rounds must land exactly there.
+    val edges = Seq(("a", "c", 3L), ("b", "c", 1L)).toDF("s", "d", "w")
+    val got = Graph.hits(edges, "s", "d", "w", iters = 5)
+      .orderBy("node").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 0L, 750000000000L),
+      ("b", 0L, 250000000000L), ("c", R, 0L)))
+    Caches.releaseAll()
+    // determinism: a different partitioning reproduces bit-identical
+    // scores (integer fixed-point contract)
+    val got2 = Graph.hits(edges.repartition(7), "s", "d", "w", iters = 5)
+      .orderBy("node").as[(String, Long, Long)].collect().toSeq
+    assert(got2 === got)
+    Caches.releaseAll()
+  }
+
   test("triangles: shared-edge pair counted once each; danglers absent") {
     // 1-2-3 and 2-3-4 share edge (2,3); (1,5) closes nothing
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),

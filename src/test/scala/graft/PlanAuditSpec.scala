@@ -51,6 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "n18_bm25_rank",       // corpus stats (N, avgdl): broadcast 1-row agg
     "t33_pmi_collocations", // token/pair totals: broadcast 1-row aggs
     "n19_inverted_index",   // doc-count gate: broadcast 1-row agg
+    "n21_knn_classify",     // kNN probe: 3 broadcast query rows
+    "g5_hits",              // L1 renorm: broadcast 1-row totals
+    "a26_welch_t",          // rest-of-corpus: broadcast 1-row totals
     "u13_benford")          // digit-share total: broadcast 1-row agg
 
   test("no query plans a cartesian or unbounded nested-loop join") {
@@ -128,5 +131,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"single-task global Window in: $offenders — the whole ordered " +
         "stream funnels through one partition at scale")
+  }
+
+  test("every query output is driver-checkable: no array/map/struct columns") {
+    // the driver's pandas checker hashes scalar cells only — an
+    // array-typed output column dies in its sort_values (caught live:
+    // n19's postings list shipped a red correctness row in r9 that no
+    // local gate saw). Nested values must be flattened at the query
+    // boundary (array_join / to_json); the operator APIs underneath
+    // may keep their natural nested shapes.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad =
+        try SparkEntry.queries(name)(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }.toSeq
+        catch { case e: Throwable =>
+          Seq(s"$name: schema unavailable (${e.getMessage})") }
+      graft.Caches.releaseAll()
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar query outputs (driver cannot hash them): $offenders")
   }
 }

@@ -278,6 +278,21 @@ class SeriesSpec extends AnyFunSuite {
       (Some(12.0), Some(7.0), Some(9.5))))
   }
 
+  test("aroon: bars-since-extreme on 0..100; extremum ties go latest") {
+    val bars = Seq(
+      ("K", 0L, 10.0, 8.0, 9.0),  // warm-up (n = 2 needs 3 bars)
+      ("K", 1L, 12.0, 9.0, 11.0), // warm-up
+      ("K", 2L, 11.0, 7.0, 8.0),  // hi 12@rn2 → up 50; lo 7@rn3 → dn 100
+      ("K", 3L, 12.0, 9.0, 10.0)) // hi 12 ties rn2/rn4 → LATEST → up 100
+      .toDF("k", "bar", "high", "low", "close")
+    val got = Series.aroon(bars, "k", n = 2)
+      .orderBy("bar").select("aroon_up", "aroon_dn")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(got.toSeq === Seq((None, None), (None, None),
+      (Some(50.0), Some(100.0)),
+      (Some(100.0), Some(50.0)))) // lo 7@rn3: (2-(4-3))·100/2 = 50
+  }
+
   test("obv: signed volume votes accumulate; first bar and flats vote 0") {
     val bars = Seq(
       ("K", 0L, 5.0, 10L), ("K", 1L, 7.0, 20L), // up → +20

@@ -523,4 +523,29 @@ class SimilaritySpec extends AnyFunSuite {
     val h2 = got.head.getAs[Int]("hamming")
     assert(got.tail.forall(_.getAs[Int]("hamming") >= h2))
   }
+
+  test("knnClassify: majority vote, self excluded, vote ties → smaller label") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.0f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.8f, 0.2f, 0.0f, 0.0f), 1),
+      (4L, Seq(0.7f, 0.3f, 0.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    // k=3: neighbors 1,2,3 → labels {0,0,1} → pred 0, correct
+    val g3 = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      q, "q_id", "qv", "q_label", k = 3).collect()
+    assert(g3.length === 1)
+    assert(g3.head.getAs[Int]("pred_label") === 0)
+    assert(g3.head.getAs[Long]("votes") === 2L)
+    assert(g3.head.getAs[Boolean]("correct"))
+    // k=4: neighbors 1,2,3,4 → 2 votes each → tie → smaller label 0
+    val g4 = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      q, "q_id", "qv", "q_label", k = 4).collect()
+    assert(g4.head.getAs[Int]("pred_label") === 0)
+    assert(g4.head.getAs[Long]("votes") === 2L)
+  }
 }

@@ -649,4 +649,71 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Double, Option[Double], Boolean)].collect().toSeq
     assert(onePass === got)
   }
+
+  test("st10 backfill parity at sf0.1: stream == batch bars + recursion") {
+    // threshold edges differ between SFs (round-cadence rule), so the
+    // anomaly stream gets a parity check against REAL sf0.1 data too:
+    // the streamed (close, z, anom) per bar must equal a recursion
+    // over the BATCH bar operator's closes — this cross-checks bar
+    // assembly, state folding, and sentinel close-out at full corpus
+    // shape, not just on the 5-bar fixture above.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{AnomalyStream, IndicatorStream}
+    import graft.operators.Series
+    val sf = "/root/testdata/sf0.1"
+    val events = graft.Tables(spark, sf).events
+    val alpha = IndicatorStream.alphaFor(14)
+    val (k, minBars) = (3.0, 12)
+    // batch twin: ohlcBars closes + an independent driver-side
+    // recursion (bar count is key-bounded: |symbols|·hours, tiny)
+    val bars = Series.ohlcBars(events, "event_type", col("ts"),
+        col("event_id"), col("value"), "1 hour")
+      .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+        col("close"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expect = bars.toSeq.flatMap { case (sym, rows) =>
+      var (ema, evar, n) = (0.0, 0.0, 0L)
+      rows.map { case (_, barUs, close) =>
+        val zRaw = if (n >= minBars && evar > 0)
+          Some(math.abs(close - ema) / math.sqrt(evar)) else None
+        val out = ((sym, barUs),
+          (close, zRaw.map(IndicatorStream.round6), zRaw.exists(_ > k)))
+        if (n == 0L) { ema = close; evar = 0.0; n = 1L }
+        else {
+          val diff = close - ema
+          ema += alpha * diff
+          evar = (1.0 - alpha) * (evar + alpha * diff * diff)
+          n += 1L
+        }
+        out
+      }
+    }.toMap
+    // streamed: the st10 landing prep (per-symbol close-out sentinels)
+    val landing = Files.createTempDirectory("st10_sf01_landing").toString
+    val sink = Files.createTempDirectory("st10_sf01_sink").toString
+    val ckpt = Files.createTempDirectory("st10_sf01_ckpt").toString
+    val ticks = events.select(col("event_type").as("symbol"), col("ts"),
+      col("event_id"), col("value"))
+    val horizon = ticks.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinels = ticks.select("symbol").distinct()
+      .withColumn("ts", lit(java.sql.Timestamp.from(
+        horizon.toInstant.plusSeconds(7200))))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("value", lit(0.0))
+    ticks.unionByName(sentinels).write.mode("overwrite").parquet(landing)
+    AnomalyStream.start(spark, landing, sink, ckpt, alpha = alpha,
+        k = k, minBars = minBars, barSec = 3600L,
+        trigger = Trigger.AvailableNow())
+      .awaitTermination(180000)
+    val got = spark.read.parquet(sink)
+      .select(col("symbol"), col("bar_us"), col("close"), col("z"),
+        col("anom"))
+      .as[(String, Long, Double, Option[Double], Boolean)].collect()
+    assert(got.length === expect.size, "bar count mismatch vs batch bars")
+    got.foreach { case (sym, barUs, close, z, anom) =>
+      assert(expect((sym, barUs)) === ((close, z, anom)),
+        s"divergence at ($sym, $barUs)")
+    }
+  }
 }

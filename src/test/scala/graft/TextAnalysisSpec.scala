@@ -664,4 +664,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id").select("n_oov").as[Long].collect()
     assert(got3.toSeq === Seq(0L, 1L, 1L))
   }
+
+  test("lineDedup: corpus-wide lines strip, per-doc order kept") {
+    val docs = Seq(
+      (1L, "banner\nalpha one\nfooter"),
+      (2L, "banner\nbeta two\nfooter"),
+      (3L, "banner\ngamma three\nbeta two\nfooter")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", col("text"),
+        maxDocs = 3)
+      .orderBy("doc_id").collect()
+    // banner/footer are in all 3 docs → dropped; "beta two" is in only
+    // 2 → kept; per-doc original line order survives reassembly
+    assert(got.map(r => (r.getAs[Long]("n_kept"),
+      r.getAs[Long]("n_dropped"))).toSeq ===
+      Seq((1L, 2L), (1L, 2L), (2L, 2L)))
+    assert(got(2).getAs[String]("cleaned") === "gamma three\nbeta two")
+    // threshold above the corpus count keeps everything
+    val keep = TextAnalysis.lineDedup(docs, "doc_id", col("text"),
+        maxDocs = 4)
+      .orderBy("doc_id").collect()
+    assert(keep.forall(_.getAs[Long]("n_dropped") === 0L))
+    assert(keep(0).getAs[String]("cleaned") === "banner\nalpha one\nfooter")
+  }
 }

@@ -6,8 +6,9 @@ and compares values (column-name-sorted, row-sorted) and schemas.
 
 Usage: python3 tools/check.py [outDir] [sfDir] [only_query ...]
 """
+import decimal
 import json
-import math
+import struct
 import sys
 
 import duckdb
@@ -20,10 +21,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
+        # Byte-faithful: the driver's gate hashes raw values, where
+        # -0.0 != +0.0 and NaN payloads matter; Python's == sees
+        # neither class, so compare the IEEE bit pattern instead.
+        return "f64:" + struct.pack(">d", v).hex()
     if hasattr(v, "isoformat"):  # datetime/date
         s = v.isoformat()
         return s.replace("+00:00", "")
@@ -31,12 +35,6 @@ def norm(v):
         return v.hex()
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except Exception:
-        pass
     return v
 
 
