@@ -174,8 +174,21 @@ object Bench {
     // two independent runs agreeing is the source-change signal a
     // transient load spike can't fake (the spike would have to span
     // both runs' backoffs).
+    // Reset ELIGIBILITY uses a lower absolute cut (0.1s) than the
+    // re-measure flag (0.25s): a query whose steady-state min sits at
+    // 2-4× a stale floor but under 0.25s absolute would otherwise
+    // never be flagged, never re-measured, and never reset — its
+    // floor stays an unreachable outlier forever (observed: m1 at
+    // 0.15s vs a 0.0475s floor, 3× red by the stated gate with no
+    // heal path). Sub-0.25s queries skip the post-backoff re-measure
+    // (min-of-reps already is the evidence at that size); the
+    // two-consecutive-runs confirmation still guards against a box
+    // spike resetting a floor upward.
+    def resetEligible(name: String, t: Double): Boolean =
+      floors.get(name).exists(p => t > math.max(2 * p, 0.10))
     val stillElevated = results
-      .collect { case (n, t) if flagged(n) && spiky(n, t) => n -> t }
+      .collect { case (n, t) if resetEligible(n, t) &&
+        (!flagged(n) || spiky(n, t)) => n -> t }
       .toMap
     val resets = stillElevated.collect {
       case (n, t) if prevElevated.contains(n) =>
