@@ -873,6 +873,15 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "a27_mannwhitney_u" -> ((s, d) => {
+      // rank-based drift sibling of a24: tie-aware Mann-Whitney U +
+      // tie-corrected normal z over the same early/late split and the
+      // same distinct-value cells
+      graft.operators.Quality.mannWhitneyDrift(T(s, d).events,
+          "event_type", col("ts"), col("value"))
+        .repartition(1).sortWithinPartitions("event_type")
+    }),
+
     "w23_williams_r" -> ((s, d) => {
       // Williams %R(14) over hourly candles: trailing true-range
       // position of the close — three staged frames on the reduced
@@ -1823,6 +1832,38 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("symbol", "bar_us")
     }),
 
+    "st11_index_stream" -> ((s, d) => {
+      // streaming ANN-index maintenance: base IVFPQ index over 4/5 of
+      // the corpus, the late fifth arrives as TWO micro-batches that
+      // land as frozen-model delta shards; the serve reads base ∪
+      // shards. Frozen model ⇒ identical to a one-shot build over
+      // everything, so n13's oracle grades the final answer.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st11_index").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st11_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st11_ckpt").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb.filter(col("vec_id") % 5 =!= 0), root,
+        k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      def runBatch(part: org.apache.spark.sql.DataFrame): Unit = {
+        part.coalesce(1).write.mode("append").parquet(landing)
+        val q = graft.streaming.IndexStream.start(s, landing, root, ckpt)
+        if (!q.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      runBatch(emb.filter(col("vec_id") % 10 === 0))
+      runBatch(emb.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") % 10 =!= 0))
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, qv, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "st7_stream_join" -> ((s, d) => {
       // stream-stream interval join replay: land the event stream and
       // the impulse stream (j7's every-500th event opening a 2h impact
@@ -2138,6 +2179,18 @@ object SparkEntry {
       Dedup.contaminationHits(train, "doc_id", col("text"),
           contam, col("text"))
         .withColumn("hits", col("hits").cast("long"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t37_contamination_share" -> ((s, d) => {
+      // graded decontamination: per train doc, the SHARE of its
+      // distinct 3-gram shingles present in the benchmark slice —
+      // d8's binary flag extended to the degree an audit reports
+      val docs = T(s, d).documents
+      val contam = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.contaminationShare(train, "doc_id", col("text"),
+          contam, col("text"))
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
@@ -3699,7 +3752,11 @@ object SparkEntry {
     // g3 replays g1's transition graph through the streaming
     // delta-refresh path as one cold-start batch: same aggregated
     // edges, same 10 fixed-point iterations ⇒ g1's oracle
-    ("g3_rank_stream" -> oracleBase("g1_pagerank"))
+    ("g3_rank_stream" -> oracleBase("g1_pagerank")) +
+    // st11 streams the late fifth into delta shards under the SAME
+    // frozen model as a one-shot build — identical cells, codes,
+    // probes, and tie-breaks ⇒ n13's oracle grades the serve
+    ("st11_index_stream" -> oracleBase("n13_ivfpq_topk"))
 
   private lazy val oracleBase: Map[String, String] = Map(
 
@@ -4957,6 +5014,60 @@ object SparkEntry {
         |                  - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) + 0.0)
         |  END AS ks
         |FROM c GROUP BY k ORDER BY event_type""".stripMargin,
+
+    // Mann-Whitney twin: a24's split and cells, integer 2U per cell
+    // (below-late pairs ×2 + ties ×1), the identical fixed-order
+    // tie-corrected z expression
+    "a27_mannwhitney_u" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS us,
+        |    CAST((round(value * 100) + 0.0) AS BIGINT) AS vc
+        |  FROM events),
+        |bounds AS (
+        |  SELECT k, min(us) AS lo, max(us) AS hi FROM b GROUP BY k),
+        |s AS (
+        |  SELECT b.k, b.vc, (b.us - lo) * 2 < (hi - lo) AS a
+        |  FROM b JOIN bounds USING (k)),
+        |cells AS (
+        |  SELECT k, vc,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+        |  FROM s GROUP BY k, vc),
+        |c AS (
+        |  SELECT k, vc, na, nb,
+        |    sum(nb) OVER cum AS cb
+        |  FROM cells
+        |  WINDOW cum AS (PARTITION BY k ORDER BY vc
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT k, sum(na) AS n_a, sum(nb) AS n_b,
+        |    sum(na * (cb - nb) * 2 + na * nb) AS u2,
+        |    sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS tc
+        |  FROM c GROUP BY k),
+        |f AS (
+        |  SELECT k, n_a, n_b,
+        |    CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS m,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1 THEN
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |        ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |         - CAST(tc AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+        |    END AS s2
+        |  FROM g),
+        |-- z staged on the RAW u before the final SELECT re-aliases a
+        |-- rounded `u` (the same-SELECT alias-shadowing hazard st10 hit)
+        |f2 AS (
+        |  SELECT k, n_a, n_b, u,
+        |    CASE WHEN s2 > 0 THEN (u - m) / sqrt(s2) END AS zr
+        |  FROM f)
+        |SELECT k AS event_type,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN (round(u, 6) + 0.0) END AS u,
+        |  CASE WHEN zr IS NOT NULL
+        |       THEN (round(zr, 6) + 0.0) END AS z
+        |FROM f2 ORDER BY event_type""".stripMargin,
 
     // Benford twin: digit from the decimal string of exact integer
     // micros; expected shares are the SAME Scala log10 doubles
@@ -6629,6 +6740,33 @@ object SparkEntry {
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS hits
          |FROM t JOIN c USING (sh)
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // graded-contamination twin: d8's shingle relations with a LEFT
+    // join (zero-share docs survive), flag applied to the ROUNDED
+    // share both engines agree on
+    "t37_contamination_share" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(${shinglesSql("ws")},
+         |      s -> ${h60("s")}))) AS sh
+         |  FROM w),
+         |c AS (SELECT DISTINCT sh AS csh FROM sh WHERE doc_id % 97 = 0),
+         |t AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         |g AS (
+         |  SELECT t.doc_id, count(*) AS n_shingles,
+         |    count(c.csh) AS n_hit
+         |  FROM t LEFT JOIN c ON t.sh = c.csh
+         |  GROUP BY t.doc_id),
+         |f AS (
+         |  SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |    CAST(n_hit AS BIGINT) AS n_hit,
+         |    (round(CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |      + 0.0) AS share
+         |  FROM g)
+         |SELECT doc_id, n_shingles, n_hit, share,
+         |  share >= 0.2 AS flagged
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // the Bloom prefilter is exactness-preserving (no false negatives),
     // so the oracle is the same exact-join formulation as d8's

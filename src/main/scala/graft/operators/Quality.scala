@@ -133,4 +133,67 @@ object Quality {
         when(col("n_a") > 0 && col("n_b") > 0, round(col("_ks"), 6)))
       .select(col(key), col("n_a"), col("n_b"), col("ks"))
   }
+
+  /** Two-sample Mann–Whitney U drift per key — the RANK-based sibling
+    * of [[ksDrift]] with the same early-half/late-half split: KS
+    * reacts to the largest single CDF gap, U to a systematic
+    * location shift across the whole distribution (a small persistent
+    * drift every quantile moves U far off its null mean while the max
+    * CDF gap stays modest). Standard tie handling: each tied pair
+    * contributes ½.
+    *
+    * Exactness: `2U = Σ_cells na·2·(#late-below) + na·nb` is a pure
+    * integer accumulated per DISTINCT value cell (never raw rows —
+    * the [[ksDrift]] cell discipline), and the tie-corrected normal
+    * approximation `z = (U − n_a·n_b/2) / σ` with
+    * `σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))` is one
+    * fixed-order double expression over exact integer inputs. Per-key
+    * windows over the cell relation — parallel across keys, no global
+    * sort.
+    *
+    * Output: `key, n_a, n_b, u, z` — null u/z when either side is
+    * empty or the tie-corrected variance degenerates (all values
+    * identical).
+    */
+  def mannWhitneyDrift(events: DataFrame, key: String, ts: Column,
+                       value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(key).as("_k"), unix_micros(ts).as("_us"),
+      round(value * 100).cast("long").as("_vc"))
+    val bounds = base.groupBy(col("_k"))
+      .agg(min(col("_us")).as("_lo"), max(col("_us")).as("_hi"))
+    val cells = base.join(broadcast(bounds), "_k")
+      .withColumn("_a", (col("_us") - col("_lo")) * 2 < col("_hi") - col("_lo"))
+      .groupBy(col("_k"), col("_vc"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_nb"))
+    val cum = Window.partitionBy("_k").orderBy(col("_vc").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    cells
+      .withColumn("_cb", sum(col("_nb")).over(cum))
+      // 2U per cell: below-late pairs count 2, tied pairs count 1
+      .withColumn("_u2c",
+        col("_na") * (col("_cb") - col("_nb")) * 2 +
+          col("_na") * col("_nb"))
+      .withColumn("_t", col("_na") + col("_nb"))
+      .groupBy(col("_k").as(key))
+      .agg(sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+        sum(col("_u2c")).as("_u2"),
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tc"))
+      .withColumn("_u", col("_u2").cast("double") / 2.0)
+      .withColumn("_m", naD * nbD / 2.0)
+      .withColumn("_s2",
+        when(col("n_a") > 0 && col("n_b") > 0 && nD > 1,
+          naD * nbD / 12.0 *
+            ((nD + 1.0) - col("_tc").cast("double") / (nD * (nD - 1.0)))))
+      .withColumn("u",
+        when(col("n_a") > 0 && col("n_b") > 0, round(col("_u"), 6)))
+      .withColumn("z",
+        when(col("_s2") > 0,
+          round((col("_u") - col("_m")) / sqrt(col("_s2")), 6)))
+      .select(col(key), col("n_a"), col("n_b"), col("u"), col("z"))
+  }
 }

@@ -421,6 +421,40 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("hits"))
   }
 
+  /** Fractional contamination report — the graded extension of
+    * [[contaminationHits]]'s binary flag: per training doc, the SHARE
+    * of its distinct w-gram shingles that appear in the benchmark
+    * set. Decontamination policy needs the degree, not just presence
+    * (a doc quoting one benchmark sentence is rewritable; a doc that
+    * IS the benchmark must drop), and the share is what a
+    * contamination audit reports per source. Same plan shape as the
+    * binary form — per-doc distinct shingle explode, the benchmark
+    * side a broadcast-sized distinct hash set, one equi-join — plus a
+    * left join so UNcontaminated docs report share 0 instead of
+    * vanishing. `flagged` applies `flagAt` to the ROUNDED share (the
+    * value both engines agree on bit-for-bit).
+    */
+  def contaminationShare(train: DataFrame, idCol: String, text: Column,
+                         contam: DataFrame, contamText: Column,
+                         w: Int = 3, flagAt: Double = 0.2): DataFrame = {
+    graft.expressions.GraftFunctions.register(train.sparkSession)
+    val tSh = train.select(col(idCol),
+      explode(call_function("graft_shingle_hashes60", text, lit(w)))
+        .as("_sh"))
+    val cSh = contam.select(
+      explode(call_function("graft_shingle_hashes60", contamText, lit(w)))
+        .as("_sh"))
+      .distinct()
+    tSh.join(cSh.withColumn("_hit", lit(1L)), Seq("_sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("share",
+        round(col("n_hit").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .withColumn("flagged", col("share") >= flagAt)
+  }
+
   /** Bloom filter over a (small) set of 60-bit shingle hashes, built as
     * an aggregation: k = 3 bit positions per hash are independent
     * 20-bit slices of the md5-derived hash (no re-hashing needed), the

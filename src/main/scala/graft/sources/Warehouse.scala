@@ -330,6 +330,108 @@ object Warehouse {
       .parquet(s"$root/codes")
   }
 
+  /** Streaming delta segment: one micro-batch's rows as a
+    * self-contained index shard under `root/delta/batch=<id>/`,
+    * cell-assigned and PQ-coded by the index's FROZEN model — the
+    * Lucene-segment discipline an always-on embedding store needs:
+    * the base index never rewrites on ingest, each micro-batch lands
+    * as its own shard, and serving reads base ∪ committed shards
+    * until [[compactPqDeltas]] folds them in.
+    *
+    * Idempotent per `batchId` BY OVERWRITE: foreachBatch's
+    * at-least-once replay rewrites the same shard directory instead
+    * of double-appending (the [[graft.streaming.GraphStream]] fencing
+    * problem solved by layout instead of a skip-check — a replay heals
+    * a half-written shard too). The `_graft_committed` marker lands
+    * AFTER both tables: readers ignore uncommitted shards, so a crash
+    * between the two writes can't serve a codes-less shard.
+    */
+  def writePqDelta(batch: DataFrame, root: String, batchId: Long,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val cents = readEmbeddingCentroids(root)
+    val cb = readPqCodebooks(root)
+    val cell = graft.pipelines.Similarity
+      .ivfCellAtNative(col(vecCol), cents)
+    val dir = s"$root/delta/batch=$batchId"
+    val marker = java.nio.file.Paths.get(s"$dir/_graft_committed")
+    java.nio.file.Files.deleteIfExists(marker) // replay: invisible while rewriting
+    batch.withColumn("cell", cell)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/embeddings")
+    batch.withColumn("cell", cell)
+      .withColumn("code",
+        pqCodeFor(vecCol, cents, cb, readPqResidualFlag(root)))
+      .select(col(idCol), col("cell"), col("code"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/codes")
+    java.nio.file.Files.writeString(marker, "ok")
+  }
+
+  /** Committed delta-shard batch ids, oldest first. */
+  def pqDeltaBatches(root: String): Seq[Long] =
+    Option(new java.io.File(s"$root/delta").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_graft_committed").exists())
+      .map(_.getName.stripPrefix("batch=").toLong).sorted.toSeq
+
+  private def withDeltas(spark: SparkSession, root: String,
+                         sub: String): DataFrame =
+    // one read per shard root, unioned — multi-path partition
+    // discovery needs a shared basePath these shards don't have;
+    // per-path reads keep cell pruning on every scan
+    pqDeltaBatches(root)
+      .map(id => spark.read.parquet(s"$root/delta/batch=$id/$sub"))
+      .foldLeft(spark.read.parquet(s"$root/$sub"))(_ unionByName _)
+
+  /** Codes / raw vectors across the base index AND committed delta
+    * shards — the serving view of a streaming-maintained index.
+    */
+  def readPqCodesAll(spark: SparkSession, root: String): DataFrame =
+    withDeltas(spark, root, "codes")
+  def readEmbeddingsByCellAll(spark: SparkSession,
+                              root: String): DataFrame =
+    withDeltas(spark, root, "embeddings")
+
+  /** Fold every committed delta shard into the base index trees and
+    * retire it — the nightly segment merge that bounds shard count
+    * (serving unions one scan per shard; dozens are fine, thousands
+    * are not). Per shard: atomic rename into a `.compacting_` name
+    * (invisible to serve from that instant), append its files into
+    * the base `cell=…` partitions, then delete. Not crash-atomic
+    * between rename and delete — a leftover `.compacting_` directory
+    * means a compaction died mid-shard and must be inspected before
+    * re-running (fail-fast below), the same single-maintenance-writer
+    * discipline as [[graft.streaming.GraphStream.compactEdges]].
+    * Serve answers are unchanged by compaction (same rows, same
+    * frozen model) — WarehouseSpec pins it.
+    */
+  def compactPqDeltas(spark: SparkSession, root: String): Int = {
+    val leftover = Option(new java.io.File(s"$root/delta").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(".compacting_"))
+    require(leftover.isEmpty,
+      s"interrupted compaction needs inspection first: " +
+        leftover.map(_.getName).mkString(", "))
+    val ids = pqDeltaBatches(root)
+    ids.foreach { id =>
+      val shard = new java.io.File(s"$root/delta/batch=$id")
+      val staged = new java.io.File(s"$root/delta/.compacting_$id")
+      if (!shard.renameTo(staged))
+        sys.error(s"compactPqDeltas: rename failed for batch=$id")
+      spark.read.parquet(s"$staged/embeddings")
+        .write.mode(SaveMode.Append).partitionBy("cell")
+        .parquet(s"$root/embeddings")
+      spark.read.parquet(s"$staged/codes")
+        .write.mode(SaveMode.Append).partitionBy("cell")
+        .parquet(s"$root/codes")
+      deleteRecursively(staged)
+    }
+    ids.size
+  }
+
   /** IVFADC serving against the PERSISTED index — no raw vectors on
     * the select path: probe cells rank by the layout's own centroids,
     * the pruned `codes/` scan ADC-scores candidates (`cand` by
@@ -337,7 +439,10 @@ object Warehouse {
     * (same pruned cells) for the exact-cosine top-`topK`. Bit-equal to
     * the inline composition (`Similarity.batchPqTopKRerank` over a
     * pruned frame) because codes, probes, and tie-breaks are shared —
-    * WarehouseSpec asserts equality and that both scans prune.
+    * WarehouseSpec asserts equality and that both scans prune. Reads
+    * the base index PLUS committed streaming delta shards
+    * ([[writePqDelta]]) — an index with no `delta/` dir serves exactly
+    * as before.
     */
   def ivfPqServe(spark: SparkSession, root: String,
                  query: Array[Double], topK: Int, nprobe: Int = 2,
@@ -363,12 +468,12 @@ object Warehouse {
           graft.pipelines.Similarity.centroidDot(qnCol, col("cell"),
             graft.pipelines.Similarity.normalizedCentroids(cents))
       else graft.pipelines.Similarity.pqScore(qnCol, col("code"), cb)
-    val selected = readPqCodes(spark, root)
+    val selected = readPqCodesAll(spark, root)
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), round(adc, 6).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol).asc).limit(cand)
       .select(idCol)
-    readEmbeddingsByCell(spark, root)
+    readEmbeddingsByCellAll(spark, root)
       .filter(col("cell").isin(probes: _*))
       .join(selected, idCol)
       .select(col(idCol),

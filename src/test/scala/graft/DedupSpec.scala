@@ -178,6 +178,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(2L))
   }
 
+  test("contaminationShare: graded overlap, clean docs report 0, not vanish") {
+    val contam = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d"),   // both shingles collide → share 1.0
+      (2L, "a b c x"),   // "a b c" collides, "b c x" doesn't → 0.5
+      (3L, "p q r s"))   // disjoint → share 0.0, still present
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationShare(train, "doc_id", $"text",
+        contam, $"text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_hit", "share", "flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, 1.0, true),
+      (2L, 2L, 1L, 0.5, true),
+      (3L, 2L, 0L, 0.0, false)))
+  }
+
   test("incrementalDedup: exact and near dups drop, fresh content survives") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

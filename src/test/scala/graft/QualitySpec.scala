@@ -54,4 +54,23 @@ class QualitySpec extends AnyFunSuite {
     assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 1L &&
       got(2).isNullAt(got(2).fieldIndex("ks")))
   }
+
+  test("mannWhitneyDrift: ties count half, z matches hand computation") {
+    // A: early {1,2} all below late {3,4} → U = 0, m = 2,
+    //    σ² = (4/12)·(5 − 0) = 5/3 → z = −2/√(5/3) = −1.549193
+    // B: early {1,1} vs late {1,2} → per cell v=1: 2U += 2·1 (two
+    //    tied pairs at ½ each) → U = 1; tie term t=3 → Σ(t³−t)=24,
+    //    σ² = (1/3)·(5 − 24/12) = 1 → z = (1−2)/1 = −1 exactly
+    val ev = Seq(
+      ("A", 0L, 1.0), ("A", 1L, 2.0), ("A", 2L, 3.0), ("A", 3L, 4.0),
+      ("B", 0L, 1.0), ("B", 1L, 1.0), ("B", 2L, 1.0), ("B", 3L, 2.0))
+      .toDF("k", "sec", "v")
+      .withColumn("t", col("sec").cast("timestamp"))
+    val got = Quality.mannWhitneyDrift(ev, "k", col("t"), col("v"))
+      .orderBy("k").collect()
+    assert(got(0).getAs[Double]("u") === 0.0)
+    assert(got(0).getAs[Double]("z") === -1.549193)
+    assert(got(1).getAs[Double]("u") === 1.0)
+    assert(got(1).getAs[Double]("z") === -1.0)
+  }
 }

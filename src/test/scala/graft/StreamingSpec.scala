@@ -650,6 +650,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(onePass === got)
   }
 
+  test("index stream: a vector is searchable one micro-batch after arrival") {
+    import graft.sources.Warehouse
+    import graft.pipelines.Similarity
+    import graft.streaming.IndexStream
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val root = Files.createTempDirectory("st11_idx").toString
+    val landing = Files.createTempDirectory("st11_land").toString
+    val ckpt = Files.createTempDirectory("st11_ck").toString
+    Warehouse.writePqIndex(emb.filter(col("vec_id") =!= 3L), root,
+      k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val q = emb.filter(col("vec_id") === 3L).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def served(): Seq[Long] =
+      Warehouse.ivfPqServe(spark, root, q, topK = 5, nprobe = 2,
+        cand = 20).select("vec_id").as[Long].collect().toSeq
+    assert(!served().contains(3L), "not indexed yet")
+    emb.filter(col("vec_id") === 3L).coalesce(1)
+      .write.mode("append").parquet(landing)
+    IndexStream.start(spark, landing, root, ckpt)
+      .awaitTermination(120000)
+    // self-query: the streamed vector is its own exact-cosine top hit
+    assert(served().head === 3L, "streamed vector must serve immediately")
+  }
+
   test("st10 backfill parity at sf0.1: stream == batch bars + recursion") {
     // threshold edges differ between SFs (round-cadence rule), so the
     // anomaly stream gets a parity check against REAL sf0.1 data too:

@@ -490,6 +490,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(serve(incRoot) === serve(fullRoot))
   }
 
+  test("delta shards: replay-idempotent, serve ≡ one-shot, compaction no-op to answers") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    val root = Files.createTempDirectory("graft_pq_delta").toString
+    Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), root,
+      k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cb))
+    // two streamed micro-batches land as shards
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 0), root, 0L)
+    Warehouse.writePqDelta(
+      emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 10 =!= 0), root, 1L)
+    assert(Warehouse.pqDeltaBatches(root) === Seq(0L, 1L))
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve(r: String) = Warehouse.ivfPqServe(spark, r, q,
+        topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val fullRoot = Files.createTempDirectory("graft_pq_delta_full").toString
+    Warehouse.writePqIndex(emb, fullRoot, k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(cents), codebooks = Some(cb))
+    val expected = serve(fullRoot)
+    assert(serve(root) === expected, "base ∪ shards must equal one-shot")
+    // at-least-once replay of a batch id overwrites its own shard:
+    // the answer (and the shard census) is unchanged
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 0), root, 0L)
+    assert(Warehouse.pqDeltaBatches(root) === Seq(0L, 1L))
+    assert(serve(root) === expected, "replayed shard must not double rows")
+    // segment merge: same answers, no shards left
+    assert(Warehouse.compactPqDeltas(spark, root) === 2)
+    assert(Warehouse.pqDeltaBatches(root).isEmpty)
+    assert(serve(root) === expected, "compaction must not change answers")
+  }
+
   test("q5b star join is shuffle-free between the bucketed fact tables") {
     val d = "/root/testdata/sf0.001"
     val q5b = SparkEntry.queries("q5b_star_bucketed")(spark, d)
