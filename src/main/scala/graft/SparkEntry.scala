@@ -1225,6 +1225,78 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("n_name")
     }),
 
+    "q3_shipping_priority" -> ((s, d) => {
+      // classic shipping-priority top-10: segment-filtered customers
+      // broadcast against the date-split orders × lineitem join —
+      // both date filters reach the parquet scans, revenue in exact
+      // micro-units, TakeOrdered caps the result
+      val t = T(s, d)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t.orders
+        .filter(col("o_orderdate") <
+          lit("1997-06-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t.lineitem
+        .filter(col("l_shipdate") >
+          lit("1997-06-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Aggregates.fromCents(sum(Aggregates.cents(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_us"))
+        .orderBy(col("revenue").desc, col("o_orderdate_us").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q14_promo_share" -> ((s, d) => {
+      // promo revenue share for one ship-month: lineitem month slice
+      // joined to part (type prefix), both legs of the percentage as
+      // exact micro-unit sums, ONE double division at the end
+      val t = T(s, d)
+      val li = t.lineitem
+        .filter(col("l_shipdate") >=
+            lit("1997-06-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp_ntz"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = Aggregates.cents(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+      li.join(t.part.select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0L))).as("_promo"),
+          sum(rev).as("_total"))
+        .select(round(lit(100.0) * col("_promo").cast("double") /
+          col("_total").cast("double"), 6).as("promo_share"))
+    }),
+
+    "q18_large_orders" -> ((s, d) => {
+      // large-volume orders: per-order quantity sum (integral doubles,
+      // exact in any order) filtered ABOVE the join — only qualifying
+      // orders reach the customer/orders lookup side
+      val t = T(s, d)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big.join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice"), col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_us"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     "q5b_star_bucketed" -> ((s, d) => {
       // q5 routed through the bucketed table-of-record layout: both fact
       // sides bucketed on the orderkey, so the fact-fact join carries NO
@@ -5370,6 +5442,49 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // shipping-priority twin: same date split, same micro-unit
+    // revenue, same (revenue desc, date, orderkey) tie-break
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  SUM(CAST((round(l_extendedprice * (1 - l_discount) * 1000000)
+        |    + 0.0) AS BIGINT)) / 1000000.0 AS revenue,
+        |  epoch_us(o_orderdate) AS o_orderdate_us
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // promo-share twin: identical micro-unit legs, one double division
+    "q14_promo_share" ->
+      """SELECT (round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST((round(l_extendedprice * (1 - l_discount) * 1000000)
+        |      + 0.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST((round(l_extendedprice * (1 - l_discount)
+        |      * 1000000) + 0.0) AS BIGINT)) AS DOUBLE), 6) + 0.0)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    // large-orders twin: integral-double quantity sums are exact in
+    // any order; same (sum_qty desc, orderkey) tie-break
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(l_quantity) > 250.0)
+        |SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |  o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q5b_star_bucketed" ->
       """SELECT n_name,
