@@ -1904,6 +1904,41 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("symbol", "bar_us")
     }),
 
+    "st12_dedup_stream" -> ((s, d) => {
+      // streaming incremental dedup: d10's corpus/batch split replayed
+      // through the accreting-state stream as one cold micro-batch —
+      // same exact-fingerprint drop, same band-bucket near-dup drop,
+      // survivors parked as the batch's committed shard ⇒ d10's oracle
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_st12_state").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st12_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st12_ckpt").toString
+      val docs = T(s, d).documents
+        .withColumn("ts", timestamp_seconds(
+          lit(1704067200L) + col("doc_id") % 86400L))
+        .select("doc_id", "text", "lang", "source", "ts")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val copies = corpus.filter(col("doc_id") % 21 === 1)
+        .withColumn("doc_id", col("doc_id") + 500000)
+      val batch = docs.filter(col("doc_id") % 3 === 0).unionByName(copies)
+      corpus.write.mode("overwrite").parquet(s"$stateDir/base")
+      batch.coalesce(1).write.mode("append").parquet(landing)
+      val q = graft.streaming.DocStream.startIncremental(s, landing,
+        stateDir, ckpt)
+      if (!q.awaitTermination(180000))
+        sys.error("streaming query did not finish within 180s")
+      val kept = Option(new java.io.File(s"$stateDir/kept").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+          new java.io.File(f, "_graft_committed").exists())
+        .map(_.getPath).sorted
+      s.read.parquet(kept: _*)
+        .select("doc_id", "lang")
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "st11_index_stream" -> ((s, d) => {
       // streaming ANN-index maintenance: base IVFPQ index over 4/5 of
       // the corpus, the late fifth arrives as TWO micro-batches that
@@ -3828,7 +3863,11 @@ object SparkEntry {
     // st11 streams the late fifth into delta shards under the SAME
     // frozen model as a one-shot build — identical cells, codes,
     // probes, and tie-breaks ⇒ n13's oracle grades the serve
-    ("st11_index_stream" -> oracleBase("n13_ivfpq_topk"))
+    ("st11_index_stream" -> oracleBase("n13_ivfpq_topk")) +
+    // st12 replays d10's corpus/batch split through the accreting
+    // incremental-dedup stream as one cold micro-batch: identical
+    // fingerprint and band-bucket drops ⇒ d10's oracle
+    ("st12_dedup_stream" -> oracleBase("d10_incremental_dedup"))
 
   private lazy val oracleBase: Map[String, String] = Map(
 

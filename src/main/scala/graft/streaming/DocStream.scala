@@ -52,6 +52,63 @@ object DocStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("lang", "source", "fp"))
 
+  /** The corpus an incremental-dedup stream has accreted so far:
+    * the base corpus the stream was initialized with (`base/`,
+    * written by the caller before starting) plus every committed
+    * micro-batch's survivors (`kept/batch=<id>/`).
+    */
+  def dedupState(spark: SparkSession, stateDir: String): DataFrame = {
+    val kept = Option(new java.io.File(s"$stateDir/kept").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_graft_committed").exists())
+      .map(_.getPath).sorted
+    kept.foldLeft(spark.read.parquet(s"$stateDir/base"))(
+      (acc, p) => acc.unionByName(spark.read.parquet(p)))
+  }
+
+  /** Fold one micro-batch through
+    * [[graft.pipelines.Dedup.incrementalDedup]] against the accreted
+    * corpus — the NEAR-dup streaming layer above [[dedupeByContent]]'s
+    * exact fingerprints: a batch doc drops on an exact fingerprint
+    * already seen OR on a shared MinHash band bucket with ANY corpus
+    * doc (base or an earlier batch's survivor); survivors join the
+    * corpus for the next batch. Idempotent per `batchId` by the
+    * shard-overwrite discipline ([[graft.sources.Warehouse.writePqDelta]]):
+    * a replay rewrites its own `kept/batch=<id>` dir, and the commit
+    * marker keeps half-written survivor sets invisible to
+    * [[dedupState]] — so a replayed batch dedups against exactly the
+    * corpus its first run saw.
+    */
+  def incrementalRefresh(spark: SparkSession, stateDir: String,
+                         batch: DataFrame, batchId: Long): Unit = {
+    val dir = s"$stateDir/kept/batch=$batchId"
+    val marker = java.nio.file.Paths.get(s"$dir/_graft_committed")
+    java.nio.file.Files.deleteIfExists(marker)
+    val corpus = dedupState(spark, stateDir)
+    graft.pipelines.Dedup
+      .incrementalDedup(corpus, batch, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker, "ok")
+  }
+
+  /** Micro-batch pipeline: landing dir of document parquet →
+    * incremental exact+near-dup against the accreting corpus state.
+    */
+  def startIncremental(spark: SparkSession, landingDir: String,
+                       stateDir: String, checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        incrementalRefresh(spark, stateDir, df, id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Micro-batch file-source pipeline: landing dir → content dedup →
     * parquet table. Pass `Trigger.AvailableNow()` + a very wide
     * watermark for an exact historical replay (state never evicted ≡

@@ -650,6 +650,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(onePass === got)
   }
 
+  test("incremental dedup stream: state accretes across batches; replay fenced") {
+    import graft.streaming.DocStream
+    val state = Files.createTempDirectory("st12_state").toString
+    val landing = Files.createTempDirectory("st12_land").toString
+    val ckpt = Files.createTempDirectory("st12_ck").toString
+    def doc(id: Long, text: String) =
+      (id, text, "en", "web", ts("2024-01-01 00:00:00"))
+    def frame(rows: (Long, String, String, String, java.sql.Timestamp)*) =
+      rows.toDF("doc_id", "text", "lang", "source", "ts")
+    frame(doc(1, "alpha beta gamma delta"))
+      .write.mode("overwrite").parquet(s"$state/base")
+    def keptIds: Set[Long] = {
+      val dirs = new java.io.File(s"$state/kept").listFiles()
+        .filter(f => f.getName.startsWith("batch=") &&
+          new java.io.File(f, "_graft_committed").exists())
+        .map(_.getPath)
+      spark.read.parquet(dirs.toSeq: _*)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // batch 1: one new doc survives, one exact copy of the BASE drops
+    frame(doc(10, "epsilon zeta eta theta"),
+        doc(11, "alpha beta gamma delta"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    DocStream.startIncremental(spark, landing, state, ckpt)
+      .awaitTermination(120000)
+    assert(keptIds === Set(10L))
+    // batch 2: a copy of batch 1's SURVIVOR must drop against the
+    // accreted state (not just the base); a fresh doc survives
+    frame(doc(20, "epsilon zeta eta theta"),
+        doc(21, "iota kappa lambda mu"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    DocStream.startIncremental(spark, landing, state, ckpt)
+      .awaitTermination(120000)
+    assert(keptIds === Set(10L, 21L))
+    // at-least-once replay of a batch id rewrites its own shard
+    // against the same corpus it first saw — census unchanged
+    DocStream.incrementalRefresh(spark, state,
+      frame(doc(20, "epsilon zeta eta theta"),
+        doc(21, "iota kappa lambda mu")), 1L)
+    assert(keptIds === Set(10L, 21L))
+  }
+
   test("index stream: a vector is searchable one micro-batch after arrival") {
     import graft.sources.Warehouse
     import graft.pipelines.Similarity
