@@ -873,6 +873,16 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("event_type")
     }),
 
+    "u14_column_profile" -> ((s, d) => {
+      // ANALYZE-style stats per numeric lineitem column: ONE wide
+      // aggregate pass (multi-distinct via a single expand), exploded
+      // to a row per column — exact ndv for the oracle; a14's HLL is
+      // the same shape's 100 TB path
+      graft.operators.Quality.profileNumeric(T(s, d).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .repartition(1).sortWithinPartitions("col_name")
+    }),
+
     "a27_mannwhitney_u" -> ((s, d) => {
       // rank-based drift sibling of a24: tie-aware Mann-Whitney U +
       // tie-corrected normal z over the same early/late split and the
@@ -5125,6 +5135,22 @@ object SparkEntry {
         |                  - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) + 0.0)
         |  END AS ks
         |FROM c GROUP BY k ORDER BY event_type""".stripMargin,
+
+    // column-profile twin: one branch per column over the same scan,
+    // exact distincts, min/max forced DOUBLE like the engine's cast
+    "u14_column_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count($c) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // Mann-Whitney twin: a24's split and cells, integer 2U per cell
     // (below-late pairs ×2 + ties ×1), the identical fixed-order

@@ -196,4 +196,41 @@ object Quality {
           round((col("_u") - col("_m")) / sqrt(col("_s2")), 6)))
       .select(col(key), col("n_a"), col("n_b"), col("u"), col("z"))
   }
+
+  /** ANALYZE-style numeric column profile — the statistics row a
+    * warehouse keeps per column (non-null count, null count, min/max,
+    * distinct count) and a cost-based planner or a data-quality
+    * monitor reads before touching the data. One row out per profiled
+    * column.
+    *
+    * Plan: ONE wide aggregate pass over the table (Spark plans the
+    * multi-column distinct counts through a single expand — k columns
+    * cost a k-fold row expansion of one scan, not k scans), then a
+    * driver-free explode of the 1-row result into per-column rows.
+    * The distinct counts here are EXACT (what the DuckDB oracle can
+    * mirror); at 100 TB the same shape runs with the mergeable
+    * deterministic HLL ([[graft.operators.Aggregates]] a14) in place
+    * of `countDistinct` — the sketch is the scale path, exactness is
+    * the verification path.
+    */
+  def profileNumeric(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        min(col(c)).cast("double").as(s"_mn_$c"),
+        max(col(c)).cast("double").as(s"_mx_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"_n_$c").as("n"),
+        col(s"_nn_$c").as("n_null"),
+        col(s"_mn_$c").as("min_v"),
+        col(s"_mx_$c").as("max_v"),
+        col(s"_nd_$c").as("ndv"))
+    }
+    row.select(explode(array(entries: _*)).as("_p")).select(col("_p.*"))
+  }
 }

@@ -73,4 +73,16 @@ class QualitySpec extends AnyFunSuite {
     assert(got(1).getAs[Double]("u") === 1.0)
     assert(got(1).getAs[Double]("z") === -1.0)
   }
+
+  test("profileNumeric: null-aware counts, exact ndv, one row per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (2.0, 5.0), (2.0, null), (3.0, 7.0))
+      .toDF("a", "b")
+    val got = Quality.profileNumeric(df, Seq("a", "b"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, 0L, 1.0, 3.0, 3L),
+      ("b", 3L, 1L, 5.0, 7.0, 2L)))
+  }
 }
