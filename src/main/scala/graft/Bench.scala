@@ -190,8 +190,19 @@ object Bench {
       .collect { case (n, t) if resetEligible(n, t) &&
         (!flagged(n) || spiky(n, t)) => n -> t }
       .toMap
+    // Sub-0.25s resets never saw a post-backoff re-measure, so the
+    // only evidence is the two runs' min-of-reps — require those two
+    // mins to AGREE (within 1.5×) before believing them: a correlated
+    // machine-wide slowdown spanning both runs produces erratic
+    // inflated times, a genuine source change produces a consistent
+    // steady state. Disagreeing runs stay `elevated` (the handshake
+    // extends a round) instead of poisoning the floor upward.
+    def consistent(a: Double, b: Double): Boolean =
+      math.max(a, b) <= 1.5 * math.min(a, b)
     val resets = stillElevated.collect {
-      case (n, t) if prevElevated.contains(n) =>
+      case (n, t) if prevElevated.contains(n) &&
+        (math.min(t, prevElevated(n)) >= 0.25 ||
+          consistent(t, prevElevated(n))) =>
         n -> math.min(t, prevElevated(n))
     }
     resets.foreach { case (n, f) =>
@@ -222,7 +233,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""failed":${errors.size},"errors":${jsonStrMap(errors)},""" +
       s""""queries":${jsonMap(results)},"floors":${jsonMap(newFloors)},""" +
-      s""""elevated":${jsonMap(elevated)},"sf":"$sfDir"}"""
+      s""""elevated":${jsonMap(elevated)},""" +
+      // resets are recorded in the artifact (not only on stderr): a
+      // CORRELATED multi-floor reset in one run is the box-spike
+      // signature and must be reviewable after the fact
+      s""""resets":${jsonMap(resets.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     val tmp = Paths.get("BENCH_FULL.json.tmp")
     Files.write(tmp, (full + "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get("BENCH_FULL.json"),

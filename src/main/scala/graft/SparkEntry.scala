@@ -4550,15 +4550,17 @@ object SparkEntry {
          |GROUP BY tf.word, dfq.df
          |ORDER BY tf.word""".stripMargin,
 
-    // Aroon twin: shared bar CTE, w5's latest-tie arg-extremum rule
-    // (max(CASE WHEN v = ext THEN rn END)) staged over the same
-    // trailing frame, identical small-integer ratio
+    // Aroon twin: shared bar CTE, the same single in-frame
+    // arg-extremum — max(struct(value, rn)) compares (value,
+    // position) lexicographically in both engines, so the frame max
+    // and its LATEST tying position come out of one window pass (the
+    // low side negates rn inside min(struct) to keep the latest-tie
+    // rule); identical small-integer ratio
     "w26_aroon" ->
       s"""WITH $ohlcBarsCte,
          |s AS (
          |  SELECT event_type, bar_us, high, low, close,
          |    row_number() OVER w AS rn,
-         |    max(high) OVER tw AS hi, min(low) OVER tw AS lo,
          |    COUNT(close) OVER tw AS nb
          |  FROM bars
          |  WINDOW w AS (PARTITION BY event_type ORDER BY bar_us),
@@ -4566,8 +4568,9 @@ object SparkEntry {
          |           ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
          |t AS (
          |  SELECT event_type, bar_us, rn, nb,
-         |    max(CASE WHEN high = hi THEN rn END) OVER tw AS hpos,
-         |    max(CASE WHEN low = lo THEN rn END) OVER tw AS lpos
+         |    (max(struct_pack(h := high, rn := rn)) OVER tw).rn AS hpos,
+         |    -((min(struct_pack(l := low, nrn := -rn)) OVER tw).nrn)
+         |      AS lpos
          |  FROM s
          |  WINDOW tw AS (PARTITION BY event_type ORDER BY bar_us
          |                ROWS BETWEEN 25 PRECEDING AND CURRENT ROW))

@@ -21,12 +21,20 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, Codegen
   * `nullSafeEval` kernel untouched. Null handling: child nulls are
   * handled by `nullSafeCodeGen` exactly as in the interpreted path, and
   * a `null` RESULT from the kernel (short-vector degrade in the ANN
-  * cells) sets `isNull` iff the expression declares itself nullable.
+  * cells) sets `isNull` on a nullable expression and raises a
+  * descriptive error on a non-nullable one — the interpreted path
+  * would silently emit null there (Catalyst trusts `nullable` and
+  * skips the check), so an unguarded unbox would make the two
+  * execution modes diverge (NPE under codegen, silent null
+  * interpreted). Failing fast keeps them identical and makes the
+  * broken-invariant kernel debuggable.
   */
 private[expressions] object KernelCodegen {
 
   /** Assignment snippet: cast/unbox the kernel's boxed result into the
-    * expression's java type, routing kernel-level nulls to `isNull`.
+    * expression's java type, routing kernel-level nulls to `isNull`
+    * (nullable) or a descriptive failure (non-nullable — never an
+    * unguarded unbox).
     */
   def assign(ctx: CodegenContext, ev: ExprCode, e: Expression,
              call: String): String = {
@@ -36,13 +44,14 @@ private[expressions] object KernelCodegen {
       if (CodeGenerator.isPrimitiveType(e.dataType))
         s"((${CodeGenerator.boxedType(e.dataType)}) $tmp).${jt}Value()"
       else s"($jt) $tmp"
-    if (e.nullable)
-      s"""Object $tmp = $call;
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $cast; }""".stripMargin
-    else
-      s"""Object $tmp = $call;
-         |${ev.value} = $cast;""".stripMargin
+    val onNull =
+      if (e.nullable) s"${ev.isNull} = true;"
+      else
+        "throw new IllegalStateException(\"kernel returned null on " +
+          s"non-nullable expression ${e.getClass.getName}\");"
+    s"""Object $tmp = $call;
+       |if ($tmp == null) { $onNull }
+       |else { ${ev.value} = $cast; }""".stripMargin
   }
 }
 

@@ -259,19 +259,26 @@ object Graph {
     * Same determinism contract as [[pageRank]]: integer pico-unit
     * scores, every renormalized score an exact truncating division
     * (`x·total div S` — Spark's `div` and DuckDB's `//` agree for
-    * non-negative operands), long sums per half-step. Overflow
-    * bounds: per-edge `score·w` needs `w` below ~9e6 (the pageRank
-    * bound); the raw per-node sum `Σ score·w` must stay under 2^63 —
-    * holds when a node's weighted in-degree is below ~9e6·total⁻¹
-    * scaled, i.e. pre-scale weights on aggregate-heavier graphs. The
-    * L1 totals accumulate as DECIMAL (exact past 2^63) before the
-    * div.
+    * non-negative operands). The per-edge product and the per-node
+    * raw sum accumulate as DECIMAL(38,0) (exact far past 2^63 — a
+    * long sum would silently wrap under non-ANSI mode and diverge
+    * from a HUGEINT oracle without erroring); the renormalization
+    * product `raw·total` is guarded by a fail-fast bound (raw below
+    * ~1e25 so the decimal(38,0) product cannot overflow-to-null —
+    * exceeding it raises, with a pre-scale-your-weights message,
+    * instead of silently zeroing scores).
     *
     * Plan: per half-step ONE join of the persisted edge list against
     * the node-sized score table + one map-side-combined sum per
-    * opposite endpoint + a broadcast 1-row L1 total; eager
-    * localCheckpoint truncates lineage per half-step (the [[rankImpl]]
-    * discipline — each half-step reads its predecessor twice).
+    * opposite endpoint + a broadcast 1-row L1 total. ONE eager
+    * localCheckpoint per FULL iteration (the hub side): unlike
+    * [[rankImpl]]'s `step`, a half-step reads its predecessor only
+    * once, so the auth half can stay a lazily-persisted subplan of
+    * the hub checkpoint job — half the barrier jobs of
+    * checkpoint-per-half-step, with the auth table cached (not
+    * recomputed) for the two consumers inside the hub half (L1 agg +
+    * renorm join). Lineage stays bounded: every iteration's plan
+    * bottoms out at the previous hub checkpoint.
     *
     * Returns `(node, auth_pico, hub_pico)`.
     */
@@ -287,32 +294,44 @@ object Graph {
         .unionByName(el.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     require(n > 0, "hits needs at least one edge")
-    // half-step: raw = Σ w·score over the joined endpoint, then L1
-    // renormalize with one exact truncating division per node
+    // raw·total must fit decimal(38,0) for the renorm division to be
+    // exact: cap raw at 1e25 (total = 1e12 leaves a 10× margin) and
+    // raise instead of letting the product overflow to null
+    val rawBound = "CAST(1e25 AS DECIMAL(38,0))"
+    // half-step: raw = Σ w·score over the joined endpoint (decimal —
+    // immune to silent long wrap), then L1 renormalize with one exact
+    // truncating division per node
     def half(scores: DataFrame, scoreCol: String, joinSide: String,
              outSide: String, outCol: String): DataFrame = {
       val raw = el
         .join(scores.withColumnRenamed("node", joinSide), joinSide)
         .groupBy(col(outSide).as("node"))
-        .agg(sum(col(scoreCol) * col("w")).as("_raw"))
+        .agg(sum(col(scoreCol).cast("decimal(38,0)") * col("w"))
+          .cast("decimal(38,0)").as("_raw"))
       val s1 = raw.agg(
-        coalesce(sum(col("_raw").cast("decimal(38,0)")), lit(0))
-          .cast("decimal(38,0)").as("_s"))
+        coalesce(sum(col("_raw")), lit(0))
+          .cast("decimal(38,0)").as("_s"),
+        coalesce(max(col("_raw")), lit(0))
+          .cast("decimal(38,0)").as("_mx"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(s1))
         .select(col("node"),
-          when(col("_s") <= 0, lit(0L))
-            .otherwise(expr("(CAST(coalesce(_raw, 0) AS DECIMAL(38,0))" +
-              s" * $total) div _s"))
+          when(expr(s"_mx > $rawBound"),
+            expr("CAST(raise_error('graft.hits: per-node raw sum " +
+              "exceeds the exact renormalization bound (~1e25 " +
+              "pico-units) - pre-scale edge weights') AS LONG)"))
+            .otherwise(when(col("_s") <= 0, lit(0L))
+              .otherwise(expr("CAST((CAST(coalesce(_raw, 0) AS " +
+                s"DECIMAL(38,0)) * $total) div _s AS LONG)")))
             .as(outCol))
-        .localCheckpoint(true)
     }
     var hubs = nodes.select(col("node"), lit(total / n).as("hub"))
       .localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      auths = half(hubs, "hub", "src", "dst", "auth")
+      auths = graft.Caches.persist(half(hubs, "hub", "src", "dst", "auth"))
       hubs = half(auths, "auth", "dst", "src", "hub")
+        .localCheckpoint(true)
     }
     nodes.join(auths, Seq("node"), "left")
       .join(hubs, Seq("node"), "left")

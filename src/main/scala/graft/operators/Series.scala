@@ -701,30 +701,36 @@ object Series {
     * indicator): `aroon_up = 100·(n − bars_since_high_n)/n`, mirrored
     * for lows — how recently the trailing n-bar extreme printed, on a
     * 0..100 scale. Bars-since counts from the LATEST occurrence of
-    * the extreme (the w5 arg-max tie rule: `max(CASE WHEN v = ext
-    * THEN rn END)` picks the most recent tying bar — the same rule
-    * the DuckDB twin applies, so ties can't diverge). Five staged
-    * frames (hi, lo, two tie-scans, count) over one (key, bar)
-    * ordering; null through the n-bar warm-up. The ratio is exact:
-    * `100·k/n` with k, n small integers, identical IEEE division in
-    * both engines.
+    * the extreme, found by a single in-frame arg-extremum:
+    * `max(struct(high, rn))` over the trailing frame compares (value,
+    * position) lexicographically, so the winning struct carries the
+    * frame max AND the most recent tying position in one pass. (A
+    * staged `high === trailing_max` scan would compare each in-frame
+    * row against ITS OWN trailing max, not the current frame's — any
+    * in-frame extreme shadowed by a larger value just outside the
+    * frame would fail the predicate and null the oscillator; the
+    * struct form has no such cross-frame reference.) The low side
+    * negates rn inside a `min(struct(low, -rn))` so the minimum
+    * struct still carries the LATEST tying position. Null through
+    * the n-bar warm-up; the ratio is exact: `100·k/n` with k, n
+    * small integers, identical IEEE division in both engines.
     */
   def aroon(bars: DataFrame, key: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("bar").asc)
     val tw = w.rowsBetween(-n, 0) // n+1 bars: current + n lookback
     bars
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_hi", max(col("high")).over(tw))
-      .withColumn("_lo", min(col("low")).over(tw))
       .withColumn("_hpos",
-        max(when(col("high") === col("_hi"), col("_rn"))).over(tw))
+        max(struct(col("high"), col("_rn").as("rn"))).over(tw)
+          .getField("rn"))
       .withColumn("_lpos",
-        max(when(col("low") === col("_lo"), col("_rn"))).over(tw))
+        -min(struct(col("low"), (-col("_rn")).as("nrn"))).over(tw)
+          .getField("nrn"))
       .withColumn("_nb", count(col("close")).over(tw))
       .withColumn("aroon_up", when(col("_nb") >= n + 1,
         round((lit(n) - (col("_rn") - col("_hpos"))) * 100.0 / n, 6)))
       .withColumn("aroon_dn", when(col("_nb") >= n + 1,
         round((lit(n) - (col("_rn") - col("_lpos"))) * 100.0 / n, 6)))
-      .drop("_rn", "_hi", "_lo", "_hpos", "_lpos", "_nb")
+      .drop("_rn", "_hpos", "_lpos", "_nb")
   }
 }

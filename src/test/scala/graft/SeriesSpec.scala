@@ -293,6 +293,26 @@ class SeriesSpec extends AnyFunSuite {
       (Some(100.0), Some(50.0)))) // lo 7@rn3: (2-(4-3))·100/2 = 50
   }
 
+  test("aroon: shadowed extremes (declining highs / rising lows) give " +
+    "0, not null") {
+    // After the peak ages out of the frame, every in-frame high is
+    // smaller than ITS OWN trailing max (shadowed by the bar just
+    // outside the frame). A staged `high === trailing_max` scan
+    // nulls here; the in-frame struct arg-extremum must give the
+    // textbook 0 (extreme printed n bars ago) on every warm row.
+    val bars = Seq(
+      ("K", 0L, 20.0, 10.0, 9.0), ("K", 1L, 19.0, 11.0, 9.0),
+      ("K", 2L, 18.0, 12.0, 9.0), ("K", 3L, 17.0, 13.0, 9.0),
+      ("K", 4L, 16.0, 14.0, 9.0))
+      .toDF("k", "bar", "high", "low", "close")
+    val got = Series.aroon(bars, "k", n = 2)
+      .orderBy("bar").select("aroon_up", "aroon_dn")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(got.toSeq === Seq((None, None), (None, None),
+      (Some(0.0), Some(0.0)), (Some(0.0), Some(0.0)),
+      (Some(0.0), Some(0.0))))
+  }
+
   test("obv: signed volume votes accumulate; first bar and flats vote 0") {
     val bars = Seq(
       ("K", 0L, 5.0, 10L), ("K", 1L, 7.0, 20L), // up → +20
