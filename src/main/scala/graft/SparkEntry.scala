@@ -947,6 +947,53 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("q_id")
     }),
 
+    "n21b_knn_classify_ann" -> ((s, d) => {
+      // n21's majority vote riding the PERSISTED-index candidate path
+      // (n14's layout): neighbors come from ivfPqServe's pruned
+      // 2-of-8-cell + 50-ADC-candidate scan instead of the exact
+      // corpus cross-scoring — the classify shape that survives 100 TB
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_clf").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val qs = emb.filter(col("vec_id").isin(2L, 11L, 23L))
+        .select("vec_id", "label", "embedding").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Float](2).map(_.toDouble).toArray))
+        .toSeq.sortBy(_._1)
+      Warehouse.ivfPqClassify(s, root, qs, emb, k = 5, nprobe = 2,
+          cand = 50)
+        .repartition(1).sortWithinPartitions("q_id")
+    }),
+
+    "n22_index_drift" -> ((s, d) => {
+      // staleness alarm for the frozen-model index: base over 4/5 of
+      // the corpus, then the late fifth arrives DRIFTED (every row
+      // off the base's dominant cell — the crawl moved) as a delta
+      // shard.
+      // The PSI of the shard's assigned-cell distribution vs the base
+      // is the signal that the frozen centroids/codebooks are stale
+      // and a rebuild is due — the retrain trigger st11's append path
+      // needs to stay safe
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_idx_drift").toString
+      val emb = T(s, d).embeddings
+      val cents = Similarity.seedCentroids(8, 64)
+      Warehouse.writePqIndex(emb.filter(col("vec_id") % 5 =!= 0), root,
+        k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(cents),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      graft.expressions.GraftFunctions.register(s)
+      val drifted = emb.filter(col("vec_id") % 5 === 0)
+        .filter(Similarity.ivfCellAtNative(col("embedding"), cents)
+          =!= 4)
+      Warehouse.writePqDelta(drifted, root, batchId = 0L)
+      Warehouse.indexDriftReport(s, root)
+        .repartition(1).sortWithinPartitions("cell")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -7610,6 +7657,139 @@ object SparkEntry {
          |  FROM sel JOIN pruned p ON sel.vec_id = p.vec_id, q)
          |SELECT vec_id, cosine FROM rer
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // ANN-classify twin: n13's IVFADC serve per labeled probe query
+    // (probes, ADC candidate cut, exact rerank to k+1 — all the same
+    // constants and tie-breaks), then n21's self-exclusion + majority
+    // vote over the served neighbors' labels
+    "n21b_knn_classify_ann" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      val cb = pipelines.Similarity.pqSeedCodebooks(8, 16, 8)
+      val cbSql = cb.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val cos = (a: String, b: String) =>
+        s"""(round(list_reduce(list_transform(range(1, 65),
+           |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+           |  / (sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+           |     * sqrt(list_reduce(list_transform(range(1, 65),
+           |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))), 6) + 0.0)""".stripMargin
+      val xnOf = (v: String) =>
+        s"""list_transform(range(1, 65), i -> $v[i]::DOUBLE /
+           |      sqrt(list_reduce(list_transform(range(1, 65),
+           |        i2 -> $v[i2]::DOUBLE * $v[i2]::DOUBLE),
+           |        (a, b) -> a + b)))""".stripMargin
+      s"""WITH cbt AS (SELECT ($cbSql)::DOUBLE[][][] AS cb),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+         |      FROM embeddings WHERE vec_id IN (2, 11, 23)),
+         |pr AS (SELECT q_id, list_transform((${cellsOf("qv")})[1:2],
+         |         x -> x.cell) AS probes FROM q),
+         |cells AS (
+         |  SELECT vec_id, embedding, label,
+         |    (${cellsOf("embedding")})[1].cell AS cell
+         |  FROM embeddings),
+         |pruned AS (
+         |  SELECT pr.q_id, c.vec_id, c.embedding, c.label
+         |  FROM cells c JOIN pr ON list_contains(pr.probes, c.cell)),
+         |e AS (SELECT q_id, vec_id, embedding, label,
+         |        ${xnOf("embedding")} AS xn
+         |      FROM pruned),
+         |codes AS (
+         |  SELECT q_id, vec_id,
+         |    list_transform(range(0, 8), j ->
+         |      list_sort(list_transform(range(0, 16), c -> {'d2':
+         |        list_reduce(list_transform(range(0, 8), dd ->
+         |          (xn[j * 8 + dd + 1] - cb[j + 1][c + 1][dd + 1])
+         |          * (xn[j * 8 + dd + 1] - cb[j + 1][c + 1][dd + 1])),
+         |          (a, b) -> a + b),
+         |        'cell': c}))[1].cell) AS code
+         |  FROM e, cbt),
+         |qe AS (SELECT q_id, ${xnOf("qv")} AS qn FROM q),
+         |sc AS (
+         |  SELECT codes.q_id, codes.vec_id,
+         |    (round(list_reduce(list_transform(range(0, 8), j ->
+         |      list_reduce(list_transform(range(0, 8), dd ->
+         |        qn[j * 8 + dd + 1] * cb[j + 1][code[j + 1] + 1][dd + 1]),
+         |        (a, b) -> a + b)), (a, b) -> a + b), 6) + 0.0) AS s
+         |  FROM codes JOIN qe ON codes.q_id = qe.q_id, cbt),
+         |sel AS (SELECT q_id, vec_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) <= 50),
+         |rer AS (
+         |  SELECT sel.q_id, sel.vec_id, p.label,
+         |    ${cos("p.embedding", "q.qv")} AS cosine
+         |  FROM sel
+         |  JOIN pruned p ON sel.q_id = p.q_id AND sel.vec_id = p.vec_id
+         |  JOIN q ON q.q_id = sel.q_id),
+         |served AS (SELECT * FROM rer
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) <= 6),
+         |nn AS (SELECT * FROM served WHERE vec_id <> q_id
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) <= 5),
+         |v AS (SELECT nn.q_id, q.q_label, nn.label, count(*) AS votes
+         |      FROM nn JOIN q ON nn.q_id = q.q_id GROUP BY 1, 2, 3),
+         |p2 AS (SELECT *, row_number() OVER (
+         |  PARTITION BY q_id ORDER BY votes DESC, label) AS vr FROM v)
+         |SELECT q_id, q_label AS true_label, label AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes, label = q_label AS correct
+         |FROM p2 WHERE vr = 1 ORDER BY q_id""".stripMargin
+    },
+
+    // index-drift twin: n5's symbolic cell assignment for base
+    // (vec_id % 5 <> 0) and the off-dominant-cell delta fifth,
+    // t28's PSI formula per cell on the ROUNDED shares, the
+    // half-count-smoothed (0.5/n per side) alarm total in integer
+    // micro-units, the standard 0.1/0.25 gates
+    "n22_index_drift" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      s"""WITH cells AS (
+         |  SELECT vec_id, (${cellsOf("embedding")})[1].cell AS cell
+         |  FROM embeddings),
+         |b AS (SELECT cell, count(*) AS n FROM cells
+         |      WHERE vec_id % 5 <> 0 GROUP BY 1),
+         |bt AS (SELECT sum(n) AS t FROM b),
+         |pb AS (SELECT cell, CAST(n AS DOUBLE) / t AS p_old FROM b, bt),
+         |dl AS (SELECT cell, count(*) AS n FROM cells
+         |       WHERE vec_id % 5 = 0 AND cell <> 4 GROUP BY 1),
+         |dt AS (SELECT sum(n) AS t FROM dl),
+         |pd AS (SELECT cell, CAST(n AS DOUBLE) / t AS p_new FROM dl, dt),
+         |j AS (
+         |  SELECT COALESCE(pb.cell, pd.cell) AS cell,
+         |    (round(p_old, 6) + 0.0) AS p_base,
+         |    (round(p_new, 6) + 0.0) AS p_delta,
+         |    (round((p_new - p_old) * ln(p_new / p_old), 6) + 0.0) AS psi,
+         |    CAST(round(
+         |      (COALESCE((round(p_new, 6) + 0.0), 0.5 / dt.t)
+         |        - COALESCE((round(p_old, 6) + 0.0), 0.5 / bt.t))
+         |      * ln(COALESCE((round(p_new, 6) + 0.0), 0.5 / dt.t)
+         |           / COALESCE((round(p_old, 6) + 0.0), 0.5 / bt.t))
+         |      * 1e6) AS BIGINT) AS u
+         |  FROM pb FULL OUTER JOIN pd ON pb.cell = pd.cell, bt, dt),
+         |tu AS (SELECT COALESCE(sum(u), 0) AS t FROM j)
+         |SELECT cell, p_base, p_delta, psi,
+         |  (t / 1000000.0) AS total_psi,
+         |  CASE WHEN t > 250000 THEN 'rebuild'
+         |       WHEN t > 100000 THEN 'watch'
+         |       ELSE 'stable' END AS status
+         |FROM j, tu ORDER BY cell""".stripMargin
     },
 
     // residual-vs-raw PQ twin: every constant (the seed codebooks, their

@@ -199,7 +199,7 @@ object Similarity {
                   qVecCol: String, qLabelCol: String, k: Int)
       : DataFrame = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    val voted = corpus.crossJoin(broadcast(queries))
+    val neighbors = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(qLabelCol), col(idCol), col(labelCol),
         round(cosineNative(col(vecCol), col(qVecCol)), 6).as("cosine"))
@@ -207,9 +207,23 @@ object Similarity {
         Window.partitionBy(col(qIdCol))
           .orderBy(col("cosine").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
+    voteNeighbors(neighbors, qIdCol, qLabelCol, labelCol)
+  }
+
+  /** The majority-vote half of [[knnClassify]], factored out so ANY
+    * neighbor-retrieval path can feed it — the exact cross-scoring
+    * harness above, or the persisted-index ANN candidates
+    * ([[graft.sources.Warehouse.ivfPqClassify]]), which is what the
+    * same vote rides at 100 TB. `neighbors` carries one row per
+    * (query, voting neighbor), already limited to the k nearest;
+    * prediction = the label with the most votes, ties to the smaller
+    * label (deterministic for any deterministic retrieval).
+    */
+  def voteNeighbors(neighbors: DataFrame, qIdCol: String,
+                    qLabelCol: String, labelCol: String): DataFrame =
+    neighbors
       .groupBy(col(qIdCol), col(qLabelCol), col(labelCol))
       .agg(count(lit(1)).as("votes"))
-    voted
       .withColumn("_vr", row_number().over(
         Window.partitionBy(col(qIdCol))
           .orderBy(col("votes").desc, col(labelCol).asc)))
@@ -217,7 +231,6 @@ object Similarity {
       .select(col(qIdCol), col(qLabelCol).as("true_label"),
         col(labelCol).as("pred_label"), col("votes"),
         (col(labelCol) === col(qLabelCol)).as("correct"))
-  }
 
   /** Per-query recall@k of an approximate result against the exact one
     * (both shaped (qId, id), pre-limited to k rows per query). Queries

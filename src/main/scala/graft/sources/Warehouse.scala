@@ -432,6 +432,60 @@ object Warehouse {
     ids.size
   }
 
+  /** Staleness alarm for the frozen-model index: PSI of the
+    * assigned-cell distribution of the committed DELTA shards against
+    * the base index. The frozen-model append contract
+    * ([[writePqDelta]], [[appendToPqIndex]]) is only safe while the
+    * appended data still looks like the data the centroids/codebooks
+    * were trained on — when the stream drifts, new rows pile into the
+    * wrong cells, probe recall decays, and nothing else in the serve
+    * path notices. Cell assignment is the model's own view of the
+    * data, so its distribution shift IS the model-staleness signal,
+    * and it is computable from the `codes/` tables alone — two
+    * cell-sized aggregates, no raw vectors, no extra state.
+    *
+    * Per cell: `p_base`, `p_delta`, and the unsmoothed
+    * [[graft.operators.Quality.populationStability]] psi (null where a
+    * side is empty). The ALARM total smooths one-sided cells with the
+    * HALF-COUNT rule — a side missing a cell contributes as if it had
+    * seen half a row (`0.5 / n_side`) — so a small iid delta that
+    * merely SAMPLES past a rare cell stays quiet (the phantom share
+    * scales with what the delta could have resolved), while a delta
+    * that abandons a heavy base cell, or piles into a cell the base
+    * barely used, still pays the full log-ratio. The total accumulates
+    * in integer PSI-micro-units so the sum is order-independent and
+    * engine-exact. `status` applies the standard PSI gates: < 0.1
+    * `stable`, 0.1–0.25 `watch`, > 0.25 `rebuild` (retrain centroids +
+    * codebooks and re-encode — the documented lifecycle for a drifted
+    * frozen model).
+    */
+  def indexDriftReport(spark: SparkSession, root: String): DataFrame = {
+    val ids = pqDeltaBatches(root)
+    require(ids.nonEmpty,
+      "indexDriftReport needs at least one committed delta shard")
+    val base = readPqCodes(spark, root).select(col("cell"))
+    val delta = ids
+      .map(id => spark.read.parquet(s"$root/delta/batch=$id/codes"))
+      .reduce(_.unionByName(_)).select(col("cell"))
+    val per = graft.operators.Quality
+      .populationStability(base, delta, col("cell"))
+    val sizes = base.agg(count(lit(1)).as("_nb"))
+      .crossJoin(delta.agg(count(lit(1)).as("_nd")))
+    val pB = coalesce(col("p_old"), lit(0.5) / col("_nb"))
+    val pD = coalesce(col("p_new"), lit(0.5) / col("_nd"))
+    val perU = per.crossJoin(broadcast(sizes)).withColumn("_u",
+      round((pD - pB) * log(pD / pB) * 1e6).cast("long"))
+    val tot = perU.agg(coalesce(sum(col("_u")), lit(0L)).as("_tu"))
+    perU.crossJoin(broadcast(tot))
+      .select(col("stratum").as("cell"),
+        col("p_old").as("p_base"), col("p_new").as("p_delta"),
+        col("psi"),
+        (col("_tu") / 1e6).as("total_psi"),
+        when(col("_tu") > 250000L, lit("rebuild"))
+          .when(col("_tu") > 100000L, lit("watch"))
+          .otherwise(lit("stable")).as("status"))
+  }
+
   /** IVFADC serving against the PERSISTED index — no raw vectors on
     * the select path: probe cells rank by the layout's own centroids,
     * the pruned `codes/` scan ADC-scores candidates (`cand` by
@@ -481,6 +535,52 @@ object Warehouse {
           array(query.map(lit): _*)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** k-NN majority-vote classification served from the PERSISTED
+    * index — [[graft.pipelines.Similarity.knnClassify]]'s vote riding
+    * [[ivfPqServe]]'s candidate path instead of the exact
+    * corpus-cross-scoring harness. That harness is the recall
+    * BASELINE; this is the serving shape that scales past it: per
+    * probe query the scan touches only `nprobe` cell directories and
+    * ADC-selects over m-byte codes, so classification cost is
+    * per-query-pruned rather than corpus-sized. Labels live with the
+    * corpus table, not the index — the (tiny) candidate set broadcasts
+    * into one label-table join.
+    *
+    * Each query serves `k + 1` neighbors so the query's own corpus row
+    * (cosine 1.0 in its home cell — always probed first) can be
+    * excluded before the vote, mirroring the exact harness's
+    * self-exclusion. With `nprobe` covering all cells and `cand` ≥ the
+    * corpus, the candidate set IS the exact top-k and predictions
+    * match [[graft.pipelines.Similarity.knnClassify]] bit-for-bit
+    * (WarehouseSpec pins the parity); production settings trade that
+    * guarantee for the pruned scan exactly as n13/n14 do for top-k
+    * retrieval.
+    *
+    * `queries`: (id, true label, embedding) of the labeled probes.
+    */
+  def ivfPqClassify(spark: SparkSession, root: String,
+                    queries: Seq[(Long, Int, Array[Double])],
+                    labels: DataFrame, k: Int, nprobe: Int = 2,
+                    cand: Int = 50, idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    require(queries.nonEmpty, "ivfPqClassify needs at least one query")
+    import org.apache.spark.sql.expressions.Window
+    val served = queries.map { case (qid, qlab, v) =>
+      ivfPqServe(spark, root, v, topK = k + 1, nprobe, cand, idCol)
+        .withColumn("q_id", lit(qid)).withColumn("q_label", lit(qlab))
+    }.reduce(_.unionByName(_))
+    val topk = served
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+    val labeled = labels.select(col(idCol), col(labelCol))
+      .join(broadcast(topk), idCol)
+    graft.pipelines.Similarity
+      .voteNeighbors(labeled, "q_id", "q_label", labelCol)
   }
 
   /** Partition-pruned delete with the reference's rowcount contract

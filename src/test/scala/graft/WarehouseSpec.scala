@@ -357,6 +357,80 @@ class WarehouseSpec extends AnyFunSuite {
       .contains("embedding"))
   }
 
+  test("ivfPqClassify at full probe coverage matches exact knnClassify " +
+    "bit-for-bit") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_pq_clf").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val n = emb.count().toInt
+    val qids = Seq(1L, 4L, 9L)
+    val qs = emb.filter($"vec_id".isin(qids: _*))
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq.sortBy(_._1)
+    // nprobe = all 8 cells and cand ≥ corpus ⇒ the served candidate
+    // set IS the exact neighbor set, so the ANN-backed vote must
+    // reproduce the exact harness's predictions exactly
+    val ann = Warehouse.ivfPqClassify(spark, root, qs, emb, k = 5,
+        nprobe = 8, cand = n)
+      .orderBy("q_id")
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("q_label"))
+    val exact = Similarity.knnClassify(emb, "vec_id", "embedding",
+        "label", queries, "q_id", "qv", "q_label", k = 5)
+      .orderBy("q_id")
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    assert(ann === exact)
+    // and the production-parameter path still prunes: probes < cells
+    val pruned = Warehouse.ivfPqClassify(spark, root, qs, emb, k = 5,
+      nprobe = 2, cand = 20)
+    assert(pruned.count() === qs.size)
+  }
+
+  test("indexDriftReport: fires on a shifted delta, silent on iid appends") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    def freshIndex(): String = {
+      val root = Files.createTempDirectory("graft_drift").toString
+      Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), root,
+        k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(cents), codebooks = Some(cb))
+      root
+    }
+    // iid append: the late fifth unfiltered — same distribution up to
+    // sampling noise; the half-count smoothing must keep rare cells
+    // the small delta merely missed from tripping the alarm
+    val iidRoot = freshIndex()
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 5 === 0), iidRoot, 0L)
+    val iid = Warehouse.indexDriftReport(spark, iidRoot)
+    assert(iid.select("status").distinct()
+      .as[String].collect().toSeq === Seq("stable"))
+    assert(iid.select("total_psi").head().getDouble(0) < 0.1)
+    // shifted append: every delta row off the base's dominant cell —
+    // the frozen model is stale and the alarm must say rebuild
+    graft.expressions.GraftFunctions.register(spark)
+    val shiftRoot = freshIndex()
+    val drifted = emb.filter($"vec_id" % 5 === 0)
+      .filter(Similarity.ivfCellAtNative($"embedding", cents) =!= 4)
+    Warehouse.writePqDelta(drifted, shiftRoot, 0L)
+    val rep = Warehouse.indexDriftReport(spark, shiftRoot)
+    assert(rep.select("status").distinct()
+      .as[String].collect().toSeq === Seq("rebuild"))
+    assert(rep.select("total_psi").head().getDouble(0) > 0.25)
+    // no committed shard ⇒ nothing to grade, fail fast
+    val bare = freshIndex()
+    intercept[IllegalArgumentException] {
+      Warehouse.indexDriftReport(spark, bare)
+    }
+  }
+
   test("filtered ANN: metadata gate rides the probe-pruned scan") {
     import graft.pipelines.Similarity
     val root = Files.createTempDirectory("graft_ivf_filter").toString
