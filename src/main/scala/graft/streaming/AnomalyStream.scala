@@ -50,9 +50,13 @@ object AnomalyStream {
   }
 
   /** Fold one symbol's micro-batch: close bars, score each close
-    * against the pre-update (ema, evar), then fold it in.
+    * against the pre-update (ema, evar), then fold it in. `lateDrops`
+    * (when given) counts rows the monotone gate rejects — see
+    * [[StreamMetrics]].
     */
-  def foldSymbol(alpha: Double, k: Double, minBars: Int, barSec: Long)(
+  def foldSymbol(alpha: Double, k: Double, minBars: Int, barSec: Long,
+                 lateDrops: Option[org.apache.spark.util.LongAccumulator]
+                   = None)(
       symbol: String, rows: Iterator[IndicatorStream.Tick],
       state: GroupState[AnomState]): Iterator[BarAnom] = {
     val barLenUs = barSec * 1000000L
@@ -79,6 +83,7 @@ object AnomalyStream {
       val us = tUs(t.ts)
       val late = st.exists(s =>
         us < s.lastTsUs || (us == s.lastTsUs && t.event_id <= s.lastId))
+      if (late) lateDrops.foreach(_.add(1L))
       if (!late) {
         val bucket = Math.floorDiv(us, barLenUs) * barLenUs
         st = st match {
@@ -101,13 +106,14 @@ object AnomalyStream {
     * append mode, each closed bar exactly once.
     */
   def barAnomRows(incoming: Dataset[IndicatorStream.Tick], alpha: Double,
-                  k: Double, minBars: Int,
-                  barSec: Long): Dataset[BarAnom] = {
+                  k: Double, minBars: Int, barSec: Long,
+                  lateDrops: Option[org.apache.spark.util.LongAccumulator]
+                    = None): Dataset[BarAnom] = {
     import incoming.sparkSession.implicits._
     incoming.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(
-        foldSymbol(alpha, k, minBars, barSec))
+        foldSymbol(alpha, k, minBars, barSec, lateDrops))
   }
 
   /** Micro-batch file-source pipeline over a landing dir of tick rows
@@ -123,7 +129,8 @@ object AnomalyStream {
     val bounded = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     barAnomRows(bounded.parquet(landingDir).as[IndicatorStream.Tick],
-        alpha, k, minBars, barSec)
+        alpha, k, minBars, barSec,
+        Some(StreamMetrics.lateRows(spark, checkpointDir)))
       .writeStream
       .format("parquet")
       .option("path", sinkDir)

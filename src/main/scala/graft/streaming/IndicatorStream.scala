@@ -74,9 +74,12 @@ object IndicatorStream {
   }
 
   /** Fold one symbol's micro-batch into the running (bar, ema) state,
-    * emitting every bar the batch closes.
+    * emitting every bar the batch closes. `lateDrops` (when given)
+    * counts rows the monotone gate rejects — see [[StreamMetrics]].
     */
-  def foldSymbol(span: Int, barSec: Long)(
+  def foldSymbol(span: Int, barSec: Long,
+                 lateDrops: Option[org.apache.spark.util.LongAccumulator]
+                   = None)(
       symbol: String, rows: Iterator[Tick],
       state: GroupState[BarState]): Iterator[BarEma] = {
     val alpha = alphaFor(span)
@@ -88,6 +91,7 @@ object IndicatorStream {
       val us = tUs(t.ts)
       val late = st.exists(s =>
         us < s.lastTsUs || (us == s.lastTsUs && t.event_id <= s.lastId))
+      if (late) lateDrops.foreach(_.add(1L))
       if (!late) {
         val bucket = Math.floorDiv(us, barLenUs) * barLenUs
         st = st match {
@@ -114,12 +118,13 @@ object IndicatorStream {
   /** Streaming transform: ticks → closed (bar, close, true-EMA) rows.
     * Append mode: each closed bar emits exactly once.
     */
-  def barEmaRows(incoming: Dataset[Tick], span: Int,
-                 barSec: Long): Dataset[BarEma] = {
+  def barEmaRows(incoming: Dataset[Tick], span: Int, barSec: Long,
+                 lateDrops: Option[org.apache.spark.util.LongAccumulator]
+                   = None): Dataset[BarEma] = {
     import incoming.sparkSession.implicits._
     incoming.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(foldSymbol(span, barSec))
+        GroupStateTimeout.NoTimeout())(foldSymbol(span, barSec, lateDrops))
   }
 
   /** Micro-batch file-source pipeline over a landing dir of tick rows.
@@ -137,7 +142,8 @@ object IndicatorStream {
     val reader = spark.readStream.schema(tickSchema)
     val bounded = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    barEmaRows(bounded.parquet(landingDir).as[Tick], span, barSec)
+    barEmaRows(bounded.parquet(landingDir).as[Tick], span, barSec,
+        Some(StreamMetrics.lateRows(spark, checkpointDir)))
       .writeStream
       .format("parquet")
       .option("path", sinkDir)

@@ -578,6 +578,9 @@ class StreamingSpec extends AnyFunSuite {
     // closes hour 3: 22.5 + 0.5·(40 − 22.5) = 31.25
     assert(got === Seq((10.0, 10.0), (20.0, 15.0), (30.0, 22.5),
       (40.0, 31.25)))
+    // the silent drop is not silent: the monotone gate counted it
+    assert(graft.streaming.StreamMetrics.lateRows(spark, ckpt)
+      .value === 1L)
     // single-pass replay of the IN-ORDER history must agree (the late
     // row is excluded: within one sorted batch nothing is late, so it
     // would legitimately land in its bar there — the equivalence claim
@@ -594,6 +597,9 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("bar_us").select("close", "ema")
       .as[(Double, Double)].collect().toSeq
     assert(onePass === got)
+    // the in-order replay dropped nothing, and its counter shows it
+    assert(graft.streaming.StreamMetrics.lateRows(spark, ckpt2)
+      .value === 0L)
   }
 
   test("streaming EWMA anomaly: causal z, warm-up null, spike flags; split parity") {
