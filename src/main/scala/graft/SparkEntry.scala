@@ -1980,18 +1980,17 @@ object SparkEntry {
       val copies = corpus.filter(col("doc_id") % 21 === 1)
         .withColumn("doc_id", col("doc_id") + 500000)
       val batch = docs.filter(col("doc_id") % 3 === 0).unionByName(copies)
-      corpus.write.mode("overwrite").parquet(s"$stateDir/base")
+      val table = graft.streaming.DocStream.dedupTable(s, stateDir)
+      table.init(corpus)
+      val baseVersion = table.version
       batch.coalesce(1).write.mode("append").parquet(landing)
       val q = graft.streaming.DocStream.startIncremental(s, landing,
         stateDir, ckpt)
       if (!q.awaitTermination(180000))
         sys.error("streaming query did not finish within 180s")
-      val kept = Option(new java.io.File(s"$stateDir/kept").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-          new java.io.File(f, "_graft_committed").exists())
-        .map(_.getPath).sorted
-      s.read.parquet(kept: _*)
+      // survivors = everything the manifests accreted past the seed
+      table.addedSince(baseVersion)
+        .getOrElse(sys.error("no batch committed survivors"))
         .select("doc_id", "lang")
         .repartition(1).sortWithinPartitions("doc_id")
     }),
@@ -7781,7 +7780,7 @@ object SparkEntry {
          |        - COALESCE((round(p_old, 6) + 0.0), 0.5 / bt.t))
          |      * ln(COALESCE((round(p_new, 6) + 0.0), 0.5 / dt.t)
          |           / COALESCE((round(p_old, 6) + 0.0), 0.5 / bt.t))
-         |      * 1e6) AS BIGINT) AS u
+         |      * 1e6) + 0.0 AS BIGINT) AS u
          |  FROM pb FULL OUTER JOIN pd ON pb.cell = pd.cell, bt, dt),
          |tu AS (SELECT COALESCE(sum(u), 0) AS t FROM j)
          |SELECT cell, p_base, p_delta, psi,

@@ -53,11 +53,18 @@ import graft.operators.Relational
   * must not contain tab, comma, or newline (escape at ingest). Scan
   * pruning is preserved: every read applies `partCol IN (...)` per data
   * dir, which Catalyst turns into PartitionFilters.
+  *
+  * `partType` converts the manifest's STRING partition values back to
+  * the column's runtime type for those filters (identity for string
+  * partitions; `_.toInt` for e.g. an IVF `cell` column) — without it a
+  * non-string partition column would compare against string literals
+  * and lose partition pruning.
   */
 final case class AtomicTable(spark: SparkSession, root: String,
                              partCol: String,
                              defaultKeys: Seq[String],
-                             failpoint: String => Unit = _ => ()) {
+                             failpoint: String => Unit = _ => (),
+                             partType: String => Any = identity) {
 
   import AtomicTable.{ManifestRe, Star, TxnPrefix}
 
@@ -74,6 +81,11 @@ final case class AtomicTable(spark: SparkSession, root: String,
 
   /** Committed version number (0 = uninitialized). */
   def version: Long = currentManifest.map(_._1).getOrElse(0L)
+
+  /** Data dirs the current manifest references — the per-read union
+    * fan-in [[compact]] bounds.
+    */
+  def dataDirCount: Int = readManifest().size
 
   /** All committed (non-vacuumed) versions, ascending. */
   def versions: Seq[Long] =
@@ -210,11 +222,17 @@ final case class AtomicTable(spark: SparkSession, root: String,
   private def withTxn(txn: Option[(String, Long)]): Map[String, Long] =
     readTxns() ++ txn.map { case (s, id) => s -> id }
 
-  /** Initialize (or replace) the table with `rows` as version+1. */
-  def init(rows: DataFrame): Unit = {
+  /** Initialize (or replace) the table with `rows` as version+1. With
+    * `txn`, the seed commit records the (stream, batchId) mark and a
+    * replayed seed batch is skipped — the same exactly-once fence the
+    * mutations apply (a streaming sink whose FIRST micro-batch
+    * initializes the table needs the fence there too).
+    */
+  def init(rows: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    if (alreadyCommitted(txn)) return
     val base = version
     val (rel, _) = stage(rows)
-    writeManifest(Seq(rel -> Seq(Star)), base, readTxns())
+    writeManifest(Seq(rel -> Seq(Star)), base, withTxn(txn))
   }
 
   /** Current committed snapshot. Each data dir contributes only its
@@ -240,18 +258,36 @@ final case class AtomicTable(spark: SparkSession, root: String,
     resolve(parseManifest(f))
   }
 
+  /** Rows in data dirs the CURRENT manifest references that version
+    * `v`'s manifest did not — the increments accreted since `v` (e.g.
+    * the base corpus a dedup stream was seeded with). Exact while the
+    * increments remain uncompacted; [[compact]] folds everything into
+    * fresh dirs, after which the increments ARE the snapshot and this
+    * view is the whole table. Empty increment set → None (an empty
+    * staged dir has no schema to read).
+    */
+  def addedSince(v: Long): Option[DataFrame] = {
+    val old = manifestFileAt(v).map(parseManifest).getOrElse(Nil)
+      .map(_._1).toSet
+    val fresh = readManifest().filterNot { case (d, _) => old.contains(d) }
+    if (fresh.isEmpty) None else Some(resolve(fresh))
+  }
+
   private def resolve(entries: Seq[(String, Seq[String])]): DataFrame =
     entries.map { case (d, syms) =>
       val df = spark.read.parquet(s"$root/$d")
-      if (syms == Seq(Star)) df else df.filter(col(partCol).isin(syms: _*))
+      if (syms == Seq(Star)) df
+      else df.filter(col(partCol).isin(syms.map(partType): _*))
     }.reduce(_.unionByName(_))
 
   private def batchParts(batch: DataFrame): Seq[String] =
-    batch.select(partCol).distinct().collect().map(_.getString(0)).toSeq
+    batch.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
 
   /** Existing rows pruned to the batch's partitions. */
   def prunedExisting(batch: DataFrame): DataFrame =
-    read().filter(col(partCol).isin(batchParts(batch): _*))
+    read().filter(
+      col(partCol).isin(batchParts(batch).map(partType): _*))
 
   /** `INSERT OR IGNORE`: append-only commit — a new data dir with the
     * fresh rows joins the manifest; no existing assignment changes.
@@ -306,7 +342,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     */
   def deleteWhere(parts: Seq[String], cond: Column): Long = {
     val base = version
-    val touched = read().filter(col(partCol).isin(parts: _*))
+    val touched = read().filter(
+      col(partCol).isin(parts.map(partType): _*))
     val matched = coalesce(cond, lit(false))
     val deleted = touched.filter(matched).count()
     if (deleted > 0) {
@@ -327,7 +364,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val all = read()
     val touched =
       if (parts.isEmpty) all
-      else all.filter(col(partCol).isin(parts: _*))
+      else all.filter(col(partCol).isin(parts.map(partType): _*))
     val touchedSet =
       if (parts.nonEmpty) parts.toSet
       else readManifest().flatMap { case (d, syms) =>

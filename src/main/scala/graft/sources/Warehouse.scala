@@ -330,106 +330,134 @@ object Warehouse {
       .parquet(s"$root/codes")
   }
 
-  /** Streaming delta segment: one micro-batch's rows as a
-    * self-contained index shard under `root/delta/batch=<id>/`,
-    * cell-assigned and PQ-coded by the index's FROZEN model — the
-    * Lucene-segment discipline an always-on embedding store needs:
-    * the base index never rewrites on ingest, each micro-batch lands
-    * as its own shard, and serving reads base ∪ committed shards
-    * until [[compactPqDeltas]] folds them in.
+  /** The two delta-shard stores of a streaming-maintained index — the
+    * appended raw vectors and their PQ codes, each an [[AtomicTable]]
+    * partitioned by `cell` (manifest commits, OCC via the hard-link
+    * publish, per-version time travel, `cell IN (...)` partition
+    * pruning on every read). The base index stays the immutable build
+    * ([[writePqIndex]]); everything streamed after it lives here.
+    */
+  def pqDeltaEmbTable(spark: SparkSession, root: String,
+                      failpoint: String => Unit = _ => ()): AtomicTable =
+    AtomicTable(spark, s"$root/delta_emb", partCol = "cell",
+      defaultKeys = Seq("vec_id"), failpoint = failpoint,
+      partType = _.toInt)
+  def pqDeltaCodeTable(spark: SparkSession, root: String,
+                       failpoint: String => Unit = _ => ()): AtomicTable =
+    AtomicTable(spark, s"$root/delta_codes", partCol = "cell",
+      defaultKeys = Seq("vec_id"), failpoint = failpoint,
+      partType = _.toInt)
+
+  /** Streaming delta segment: one micro-batch's rows, cell-assigned
+    * and PQ-coded by the index's FROZEN model, committed into the
+    * delta [[AtomicTable]] pair — the Lucene-segment discipline an
+    * always-on embedding store needs (the base index never rewrites on
+    * ingest), carried by the SAME manifest protocol the tables of
+    * record use instead of ad-hoc marker files:
     *
-    * Idempotent per `batchId` BY OVERWRITE: foreachBatch's
-    * at-least-once replay rewrites the same shard directory instead
-    * of double-appending (the [[graft.streaming.GraphStream]] fencing
-    * problem solved by layout instead of a skip-check — a replay heals
-    * a half-written shard too). The `_graft_committed` marker lands
-    * AFTER both tables: readers ignore uncommitted shards, so a crash
-    * between the two writes can't serve a codes-less shard.
+    *  - exactly-once per `batchId`: the (stream, batchId) txn mark
+    *    commits atomically with the data, so a foreachBatch replay
+    *    after a sink-side crash is a clean skip, and a crash BEFORE
+    *    the manifest publish leaves fully-old state a replay heals;
+    *  - crash between the two table commits (vectors land, codes
+    *    don't): the serve path SELECTS candidates from the codes
+    *    table, so rows without committed codes are simply not served —
+    *    indistinguishable from the batch not having arrived — and the
+    *    replay completes the codes commit (the vectors side skips on
+    *    its mark, `insertIgnore`'s key anti-join backstops);
+    *  - OCC: a delta append racing a [[compactPqDeltas]] on the same
+    *    version loses with a clean ConcurrentModificationException
+    *    instead of corrupting the layout;
+    *  - time travel: each table's manifest history reconstructs the
+    *    served index at any append point.
     */
   def writePqDelta(batch: DataFrame, root: String, batchId: Long,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Unit = {
-    graft.expressions.GraftFunctions.register(batch.sparkSession)
+                   vecCol: String = "embedding",
+                   failpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
     val cents = readEmbeddingCentroids(root)
     val cb = readPqCodebooks(root)
     val cell = graft.pipelines.Similarity
       .ivfCellAtNative(col(vecCol), cents)
-    val dir = s"$root/delta/batch=$batchId"
-    val marker = java.nio.file.Paths.get(s"$dir/_graft_committed")
-    java.nio.file.Files.deleteIfExists(marker) // replay: invisible while rewriting
-    batch.withColumn("cell", cell)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(s"$dir/embeddings")
-    batch.withColumn("cell", cell)
+    val txn = Some(("pq_delta", batchId))
+    val embRows = batch.withColumn("cell", cell)
+    val codeRows = batch.withColumn("cell", cell)
       .withColumn("code",
         pqCodeFor(vecCol, cents, cb, readPqResidualFlag(root)))
       .select(col(idCol), col("cell"), col("code"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(s"$dir/codes")
-    java.nio.file.Files.writeString(marker, "ok")
+    val emb = pqDeltaEmbTable(spark, root, failpoint)
+    val codes = pqDeltaCodeTable(spark, root, failpoint)
+    // vectors FIRST, codes second: the serve is codes-driven (see
+    // scaladoc), so the in-between crash state is benign
+    if (emb.version == 0L) emb.init(embRows, txn)
+    else emb.insertIgnore(embRows, Seq(idCol), txn)
+    if (codes.version == 0L) codes.init(codeRows, txn)
+    else codes.insertIgnore(codeRows, Seq(idCol), txn)
   }
 
-  /** Committed delta-shard batch ids, oldest first. */
-  def pqDeltaBatches(root: String): Seq[Long] =
-    Option(new java.io.File(s"$root/delta").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new java.io.File(f, "_graft_committed").exists())
-      .map(_.getName.stripPrefix("batch=").toLong).sorted.toSeq
+  /** True iff the index at `root` has any committed streaming deltas. */
+  def hasPqDeltas(spark: SparkSession, root: String): Boolean =
+    pqDeltaCodeTable(spark, root).version > 0L
 
-  private def withDeltas(spark: SparkSession, root: String,
-                         sub: String): DataFrame =
-    // one read per shard root, unioned — multi-path partition
-    // discovery needs a shared basePath these shards don't have;
-    // per-path reads keep cell pruning on every scan
-    pqDeltaBatches(root)
-      .map(id => spark.read.parquet(s"$root/delta/batch=$id/$sub"))
-      .foldLeft(spark.read.parquet(s"$root/$sub"))(_ unionByName _)
-
-  /** Codes / raw vectors across the base index AND committed delta
-    * shards — the serving view of a streaming-maintained index.
+  /** Codes / raw vectors across the base index AND the committed delta
+    * tables — the serving view of a streaming-maintained index. Every
+    * union arm is cell-partitioned, so one probe list prunes all of
+    * them.
     */
-  def readPqCodesAll(spark: SparkSession, root: String): DataFrame =
-    withDeltas(spark, root, "codes")
+  def readPqCodesAll(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/codes")
+    val codes = pqDeltaCodeTable(spark, root)
+    if (codes.version == 0L) base
+    else base.unionByName(codes.read()
+      .select(base.columns.map(col): _*))
+  }
   def readEmbeddingsByCellAll(spark: SparkSession,
-                              root: String): DataFrame =
-    withDeltas(spark, root, "embeddings")
+                              root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/embeddings")
+    val emb = pqDeltaEmbTable(spark, root)
+    if (emb.version == 0L) base
+    else base.unionByName(emb.read()
+      .select(base.columns.map(col): _*))
+  }
 
-  /** Fold every committed delta shard into the base index trees and
-    * retire it — the nightly segment merge that bounds shard count
-    * (serving unions one scan per shard; dozens are fine, thousands
-    * are not). Per shard: atomic rename into a `.compacting_` name
-    * (invisible to serve from that instant), append its files into
-    * the base `cell=…` partitions, then delete. Not crash-atomic
-    * between rename and delete — a leftover `.compacting_` directory
-    * means a compaction died mid-shard and must be inspected before
-    * re-running (fail-fast below), the same single-maintenance-writer
-    * discipline as [[graft.streaming.GraphStream.compactEdges]].
-    * Serve answers are unchanged by compaction (same rows, same
-    * frozen model) — WarehouseSpec pins it.
+  /** Fold the delta tables' accumulated micro-batch fragments into one
+    * bounded dir each — the nightly segment merge that bounds the
+    * per-serve file count. Runs entirely inside the [[AtomicTable]]
+    * commit protocol, which buys exactly the guarantees the old
+    * append-into-base-dirs compaction could not give:
+    *
+    *  - SERVE-CONCURRENT: a serve that resolved the pre-compaction
+    *    manifest keeps reading the (immutable, un-vacuumed) old dirs
+    *    and answers identically while the merge commits underneath it;
+    *    the old scheme appended files into the live base `cell=…`
+    *    directories a concurrent scan was listing. WarehouseSpec races
+    *    the two and pins answer equality.
+    *  - CRASH-ATOMIC: a compaction killed pre-publish leaves only a
+    *    staged dir no manifest references (fully-old); nothing to
+    *    inspect, nothing half-merged, re-run at will. The old scheme
+    *    fail-fast-ed on leftover `.compacting_` dirs and needed a
+    *    human.
+    *  - OCC: a compaction racing a delta append on the same version
+    *    loses with a clean ConcurrentModificationException.
+    *
+    * The base index trees never change; deltas stay deltas (the
+    * Lucene model: segment merges, generation untouched), which also
+    * keeps [[indexDriftReport]]'s base-vs-appended comparison exact
+    * across compactions. Returns the number of data dirs folded.
     */
-  def compactPqDeltas(spark: SparkSession, root: String): Int = {
-    val leftover = Option(new java.io.File(s"$root/delta").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith(".compacting_"))
-    require(leftover.isEmpty,
-      s"interrupted compaction needs inspection first: " +
-        leftover.map(_.getName).mkString(", "))
-    val ids = pqDeltaBatches(root)
-    ids.foreach { id =>
-      val shard = new java.io.File(s"$root/delta/batch=$id")
-      val staged = new java.io.File(s"$root/delta/.compacting_$id")
-      if (!shard.renameTo(staged))
-        sys.error(s"compactPqDeltas: rename failed for batch=$id")
-      spark.read.parquet(s"$staged/embeddings")
-        .write.mode(SaveMode.Append).partitionBy("cell")
-        .parquet(s"$root/embeddings")
-      spark.read.parquet(s"$staged/codes")
-        .write.mode(SaveMode.Append).partitionBy("cell")
-        .parquet(s"$root/codes")
-      deleteRecursively(staged)
+  def compactPqDeltas(spark: SparkSession, root: String,
+                      failpoint: String => Unit = _ => ()): Int = {
+    val emb = pqDeltaEmbTable(spark, root, failpoint)
+    val codes = pqDeltaCodeTable(spark, root, failpoint)
+    if (codes.version == 0L) 0
+    else {
+      val folded = codes.dataDirCount
+      emb.compact()
+      codes.compact()
+      folded
     }
-    ids.size
   }
 
   /** Staleness alarm for the frozen-model index: PSI of the
@@ -460,13 +488,11 @@ object Warehouse {
     * frozen model).
     */
   def indexDriftReport(spark: SparkSession, root: String): DataFrame = {
-    val ids = pqDeltaBatches(root)
-    require(ids.nonEmpty,
-      "indexDriftReport needs at least one committed delta shard")
+    val codes = pqDeltaCodeTable(spark, root)
+    require(codes.version > 0L,
+      "indexDriftReport needs at least one committed delta batch")
     val base = readPqCodes(spark, root).select(col("cell"))
-    val delta = ids
-      .map(id => spark.read.parquet(s"$root/delta/batch=$id/codes"))
-      .reduce(_.unionByName(_)).select(col("cell"))
+    val delta = codes.read().select(col("cell"))
     val per = graft.operators.Quality
       .populationStability(base, delta, col("cell"))
     val sizes = base.agg(count(lit(1)).as("_nb"))

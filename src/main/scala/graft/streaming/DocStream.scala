@@ -52,20 +52,24 @@ object DocStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("lang", "source", "fp"))
 
-  /** The corpus an incremental-dedup stream has accreted so far:
-    * the base corpus the stream was initialized with (`base/`,
-    * written by the caller before starting) plus every committed
-    * micro-batch's survivors (`kept/batch=<id>/`).
+  /** The accreting corpus of an incremental-dedup stream as an
+    * [[graft.sources.AtomicTable]] documents table under
+    * `stateDir/corpus` — the caller seeds it (`init` with the base
+    * corpus) before the stream starts; every committed micro-batch's
+    * survivors join it by manifest commit. The stream name for the
+    * exactly-once txn marks is `"incdedup"`.
     */
-  def dedupState(spark: SparkSession, stateDir: String): DataFrame = {
-    val kept = Option(new java.io.File(s"$stateDir/kept").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new java.io.File(f, "_graft_committed").exists())
-      .map(_.getPath).sorted
-    kept.foldLeft(spark.read.parquet(s"$stateDir/base"))(
-      (acc, p) => acc.unionByName(spark.read.parquet(p)))
-  }
+  def dedupTable(spark: SparkSession, stateDir: String,
+                 failpoint: String => Unit = _ => ())
+      : graft.sources.AtomicTable =
+    graft.sources.DocTable(spark, s"$stateDir/corpus", failpoint)
+
+  /** The corpus an incremental-dedup stream has accreted so far: the
+    * seeded base plus every committed batch's survivors, resolved from
+    * the table's current manifest.
+    */
+  def dedupState(spark: SparkSession, stateDir: String): DataFrame =
+    dedupTable(spark, stateDir).read()
 
   /** Fold one micro-batch through
     * [[graft.pipelines.Dedup.incrementalDedup]] against the accreted
@@ -73,24 +77,28 @@ object DocStream {
     * exact fingerprints: a batch doc drops on an exact fingerprint
     * already seen OR on a shared MinHash band bucket with ANY corpus
     * doc (base or an earlier batch's survivor); survivors join the
-    * corpus for the next batch. Idempotent per `batchId` by the
-    * shard-overwrite discipline ([[graft.sources.Warehouse.writePqDelta]]):
-    * a replay rewrites its own `kept/batch=<id>` dir, and the commit
-    * marker keeps half-written survivor sets invisible to
-    * [[dedupState]] — so a replayed batch dedups against exactly the
-    * corpus its first run saw.
+    * corpus for the next batch, through ONE manifest commit that also
+    * records the `("incdedup", batchId)` high-water mark — the same
+    * exactly-once fence [[startCuratedCommit]] uses, replacing the old
+    * shard-overwrite + marker-file discipline: a foreachBatch replay
+    * is a clean skip (data and mark committed atomically), a crash
+    * before the publish leaves fully-old state the replay recomputes
+    * against unchanged, the survivors history time-travels with the
+    * manifests, and a concurrent writer turns into a clean OCC error
+    * instead of corrupt state.
     */
   def incrementalRefresh(spark: SparkSession, stateDir: String,
                          batch: DataFrame, batchId: Long): Unit = {
-    val dir = s"$stateDir/kept/batch=$batchId"
-    val marker = java.nio.file.Paths.get(s"$dir/_graft_committed")
-    java.nio.file.Files.deleteIfExists(marker)
-    val corpus = dedupState(spark, stateDir)
-    graft.pipelines.Dedup
-      .incrementalDedup(corpus, batch, "doc_id", "text")
-      .write.mode("overwrite").parquet(dir)
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.writeString(marker, "ok")
+    val table = dedupTable(spark, stateDir)
+    // fast replay exit (insertIgnore would also skip on the mark, but
+    // only after paying the dedup computation)
+    if (table.lastCommittedBatch("incdedup").exists(batchId <= _)) return
+    val corpus = table.read()
+    table.insertIgnore(
+      graft.pipelines.Dedup
+        .incrementalDedup(corpus, batch, "doc_id", "text"),
+      txn = Some(("incdedup", batchId)))
+    ()
   }
 
   /** Micro-batch pipeline: landing dir of document parquet →

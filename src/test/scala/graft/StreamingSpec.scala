@@ -665,16 +665,13 @@ class StreamingSpec extends AnyFunSuite {
       (id, text, "en", "web", ts("2024-01-01 00:00:00"))
     def frame(rows: (Long, String, String, String, java.sql.Timestamp)*) =
       rows.toDF("doc_id", "text", "lang", "source", "ts")
-    frame(doc(1, "alpha beta gamma delta"))
-      .write.mode("overwrite").parquet(s"$state/base")
-    def keptIds: Set[Long] = {
-      val dirs = new java.io.File(s"$state/kept").listFiles()
-        .filter(f => f.getName.startsWith("batch=") &&
-          new java.io.File(f, "_graft_committed").exists())
-        .map(_.getPath)
-      spark.read.parquet(dirs.toSeq: _*)
-        .select("doc_id").as[Long].collect().toSet
-    }
+    val table = DocStream.dedupTable(spark, state)
+    table.init(frame(doc(1, "alpha beta gamma delta")))
+    val baseV = table.version
+    def keptIds: Set[Long] = DocStream.dedupTable(spark, state)
+      .addedSince(baseV)
+      .map(_.select("doc_id").as[Long].collect().toSet)
+      .getOrElse(Set.empty)
     // batch 1: one new doc survives, one exact copy of the BASE drops
     frame(doc(10, "epsilon zeta eta theta"),
         doc(11, "alpha beta gamma delta"))
@@ -690,12 +687,13 @@ class StreamingSpec extends AnyFunSuite {
     DocStream.startIncremental(spark, landing, state, ckpt)
       .awaitTermination(120000)
     assert(keptIds === Set(10L, 21L))
-    // at-least-once replay of a batch id rewrites its own shard
-    // against the same corpus it first saw — census unchanged
+    // at-least-once replay of a committed batch id: the txn mark
+    // (committed atomically with the survivors) fences a clean skip
     DocStream.incrementalRefresh(spark, state,
       frame(doc(20, "epsilon zeta eta theta"),
         doc(21, "iota kappa lambda mu")), 1L)
     assert(keptIds === Set(10L, 21L))
+    assert(table.lastCommittedBatch("incdedup") === Some(1L))
   }
 
   test("index stream: a vector is searchable one micro-batch after arrival") {

@@ -564,7 +564,8 @@ class WarehouseSpec extends AnyFunSuite {
     assert(serve(incRoot) === serve(fullRoot))
   }
 
-  test("delta shards: replay-idempotent, serve ≡ one-shot, compaction no-op to answers") {
+  test("delta tables: replay-fenced, serve ≡ one-shot, compaction " +
+    "races a serve safely") {
     import graft.pipelines.Similarity
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val cents = Similarity.seedCentroids(8, 64)
@@ -573,11 +574,12 @@ class WarehouseSpec extends AnyFunSuite {
     Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), root,
       k = 8, dim = 64, m = 8, ks = 16,
       centroids = Some(cents), codebooks = Some(cb))
-    // two streamed micro-batches land as shards
+    // two streamed micro-batches commit into the delta tables
     Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 0), root, 0L)
     Warehouse.writePqDelta(
       emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 10 =!= 0), root, 1L)
-    assert(Warehouse.pqDeltaBatches(root) === Seq(0L, 1L))
+    assert(Warehouse.pqDeltaCodeTable(spark, root)
+      .lastCommittedBatch("pq_delta") === Some(1L))
     val q = emb.filter($"vec_id" === 3).select("embedding")
       .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
     def serve(r: String) = Warehouse.ivfPqServe(spark, r, q,
@@ -588,16 +590,96 @@ class WarehouseSpec extends AnyFunSuite {
     Warehouse.writePqIndex(emb, fullRoot, k = 8, dim = 64, m = 8,
       ks = 16, centroids = Some(cents), codebooks = Some(cb))
     val expected = serve(fullRoot)
-    assert(serve(root) === expected, "base ∪ shards must equal one-shot")
-    // at-least-once replay of a batch id overwrites its own shard:
-    // the answer (and the shard census) is unchanged
+    assert(serve(root) === expected, "base ∪ deltas must equal one-shot")
+    // at-least-once replay of a batch id: the (stream, batchId) mark
+    // committed WITH the data makes it a skip — versions unchanged
+    val vBefore = Warehouse.pqDeltaCodeTable(spark, root).version
     Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 0), root, 0L)
-    assert(Warehouse.pqDeltaBatches(root) === Seq(0L, 1L))
-    assert(serve(root) === expected, "replayed shard must not double rows")
-    // segment merge: same answers, no shards left
-    assert(Warehouse.compactPqDeltas(spark, root) === 2)
-    assert(Warehouse.pqDeltaBatches(root).isEmpty)
+    assert(Warehouse.pqDeltaCodeTable(spark, root).version === vBefore)
+    assert(serve(root) === expected, "replayed batch must not double rows")
+    // segment merge RACING a serve: a serve resolved against the
+    // pre-compaction manifest keeps reading the immutable old dirs
+    // and answers identically while compact() commits underneath it
+    val inFlight = Warehouse.ivfPqServe(spark, root, q, topK = 5,
+      nprobe = 2, cand = 20)
+    assert(Warehouse.compactPqDeltas(spark, root) === 2) // two batch dirs
+    assert(inFlight.orderBy($"cosine".desc, $"vec_id")
+        .as[(Long, Double)].collect().toSeq === expected,
+      "in-flight serve must be unaffected by a concurrent compaction")
     assert(serve(root) === expected, "compaction must not change answers")
+    assert(Warehouse.pqDeltaCodeTable(spark, root).dataDirCount === 1)
+  }
+
+  test("delta commit crash is fully-old and a replay heals; compaction " +
+    "racing an append is a clean OCC error") {
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val root = Files.createTempDirectory("graft_pq_crash").toString
+    Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), root,
+      k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse.ivfPqServe(spark, root, q, topK = 5,
+        nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val baseOnly = serve()
+    // crash at the SECOND pre-commit (the codes table's publish):
+    // vectors committed, codes not — the worst in-between state
+    var commits = 0
+    val crashOnCodes: String => Unit = { p =>
+      if (p == "pre-commit") {
+        commits += 1
+        if (commits == 2) sys.error("injected crash before codes commit")
+      }
+    }
+    val b0 = emb.filter($"vec_id" % 10 === 0)
+    intercept[RuntimeException] {
+      Warehouse.writePqDelta(b0, root, 0L, failpoint = crashOnCodes)
+    }
+    // the serve is codes-driven: rows without committed codes are
+    // invisible — answers as if the batch never arrived
+    assert(serve() === baseOnly, "half-committed delta must not serve")
+    // the replay heals: the vectors side skips on its txn mark, the
+    // codes side completes its commit
+    Warehouse.writePqDelta(b0, root, 0L)
+    assert(serve().nonEmpty)
+    assert(Warehouse.pqDeltaCodeTable(spark, root)
+      .lastCommittedBatch("pq_delta") === Some(0L))
+    // healed state ≡ one-shot build over base ∪ b0 (frozen model)
+    val healedRoot = Files.createTempDirectory("graft_pq_heal").toString
+    Warehouse.writePqIndex(
+      emb.filter($"vec_id" % 5 =!= 0 || $"vec_id" % 10 === 0), healedRoot,
+      k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    assert(serve() === Warehouse.ivfPqServe(spark, healedRoot, q,
+        topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq)
+    // OCC: a compaction whose pre-commit window interleaves a delta
+    // append loses with a clean ConcurrentModificationException (the
+    // hard-link publish fails on the existing version) — never a
+    // silent overwrite of the append
+    var raced = false
+    val interleave: String => Unit = { p =>
+      if (p == "pre-commit" && !raced) {
+        raced = true
+        Warehouse.writePqDelta(
+          emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 10 =!= 0),
+          root, 1L)
+      }
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Warehouse.compactPqDeltas(spark, root, failpoint = interleave)
+    }
+    // the append won the race and is served; a re-run compaction
+    // (fresh version read) succeeds and changes nothing
+    val afterRace = serve()
+    Warehouse.compactPqDeltas(spark, root)
+    assert(serve() === afterRace)
   }
 
   test("q5b star join is shuffle-free between the bucketed fact tables") {

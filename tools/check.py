@@ -68,8 +68,13 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; derived sets (ScaleUp)
+        # are Spark-written directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     passed, failed, skipped = [], [], []
