@@ -670,6 +670,17 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source_a", "source_b")
     }),
 
+    "d17_lsh_tuning" -> ((s, d) => {
+      // the banding-parameter decision behind d3/d6 made
+      // engine-checkable: per factorization b·r = 128, the S-curve's
+      // false-positive/false-negative error integrals against a 0.5
+      // Jaccard target, with the argmin flagged — integer-exponent
+      // multiply folds and 1e-12-unit quantized sums keep both engines
+      // bit-identical
+      Dedup.lshBandTuning(s, nSig = 128, threshold = 0.5, gridN = 200)
+        .repartition(1).sortWithinPartitions("b")
+    }),
+
     "u12_join_skew_report" -> ((s, d) => {
       // pre-flight join-skew diagnosis: per join key the two sides'
       // row counts and their product (the key's output contribution) —
@@ -992,6 +1003,34 @@ object SparkEntry {
       Warehouse.writePqDelta(drifted, root, batchId = 0L)
       Warehouse.indexDriftReport(s, root)
         .repartition(1).sortWithinPartitions("cell")
+    }),
+
+    "n23_negative_sample" -> ((s, d) => {
+      // contrastive hard-negative candidates: per anchor, 5 salted-hash
+      // pseudo-random different-label rows from the anchor's hash
+      // bucket — the bucket probe keeps it an equi-join (1/8 of the
+      // corpus per anchor), never an anchors × corpus cross
+      val emb = T(s, d).embeddings.select("vec_id", "label")
+      Similarity.negativeSample(emb,
+          emb.filter(col("vec_id") % 97 === 3),
+          idCol = "vec_id", labelCol = "label", k = 5, buckets = 8,
+          salt = "neg1")
+        .repartition(1).sortWithinPartitions("anchor_id", "rank")
+    }),
+
+    "u15_scd2_history" -> ((s, d) => {
+      // slowly-changing-dimension type-2: each customer's order-priority
+      // state stream collapsed to validity intervals (version,
+      // valid_from/valid_to, is_current) — the warehouse history table a
+      // MERGE pipeline maintains, derived idempotently from the log
+      Relational.scd2History(T(s, d).orders, col("o_custkey"),
+          col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+        .select(col("key").as("custkey"), col("version"),
+          col("value").as("priority"),
+          unix_micros(col("valid_from").cast("timestamp")).as("from_us"),
+          unix_micros(col("valid_to").cast("timestamp")).as("to_us"),
+          col("is_current"))
+        .repartition(1).sortWithinPartitions("custkey", "version")
     }),
 
     "t36_line_dedup" -> ((s, d) => {
@@ -4559,6 +4598,89 @@ object SparkEntry {
          |JOIN tot tb ON tb.src = p.source_b
          |ORDER BY source_a, source_b""".stripMargin
     },
+
+    // the S-curve error integrals re-derived term-for-term: the same
+    // integer-exponent multiply folds (list_reduce over constant lists
+    // ≡ the engine's 1.0-seeded aggregate — IEEE left-fold products),
+    // the same midpoint grid, the same 1e-12 quantization before the
+    // BIGINT sum, the same encoded argmin key
+    "d17_lsh_tuning" -> {
+      val s0 = "((CAST(i AS DOUBLE) + 0.5) / 200.0)"
+      val sr = s"list_reduce(list_transform(range(0, r), " +
+        s"z1 -> $s0), (x1, y1) -> x1 * y1)"
+      val p = s"(1.0 - list_reduce(list_transform(range(0, b), " +
+        s"z2 -> (1.0 - $sr)), (x2, y2) -> x2 * y2))"
+      s"""WITH cand AS (
+         |  SELECT CAST(128 // r AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+         |  FROM range(1, 129) t(r) WHERE 128 % r = 0),
+         |e AS (
+         |  SELECT b, r,
+         |    list_reduce(list_transform(range(0, 200), i ->
+         |      CASE WHEN $s0 < 0.5
+         |        THEN CAST(round($p * 1.0e12) + 0.0 AS BIGINT)
+         |        ELSE 0 END), (u1, u2) -> u1 + u2) AS fp_u,
+         |    list_reduce(list_transform(range(0, 200), i ->
+         |      CASE WHEN $s0 < 0.5 THEN 0
+         |        ELSE CAST(round((1.0 - $p) * 1.0e12) + 0.0 AS BIGINT)
+         |        END), (u3, u4) -> u3 + u4) AS fn_u
+         |  FROM cand),
+         |t AS (SELECT b, r, fp_u, fn_u, fp_u + fn_u AS err_u FROM e),
+         |m AS (SELECT min(err_u * 129 + b) AS best FROM t)
+         |SELECT b, r,
+         |  (CAST(fp_u AS DOUBLE) / 1.0e12 / 200) AS fp_mass,
+         |  (CAST(fn_u AS DOUBLE) / 1.0e12 / 200) AS fn_mass,
+         |  err_u, (err_u * 129 + b = best) AS is_best
+         |FROM t, m ORDER BY b""".stripMargin
+    },
+
+    // the bucketed negative-sampling join mirrored: same salted h60
+    // bucket assignment, same per-(anchor, candidate) score hash, same
+    // (score, id) top-5 window
+    "n23_negative_sample" -> {
+      val bk = (id: String) =>
+        s"${h60(s"'neg1#' || CAST($id AS VARCHAR)")} % 8"
+      val sc = h60("'neg1!' || CAST(anchor_id AS VARCHAR) || ':' || " +
+        "CAST(c.vec_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT vec_id, label, ${bk("vec_id")} AS bk FROM embeddings),
+         |a AS (
+         |  SELECT vec_id AS anchor_id, label AS albl, bk FROM c
+         |  WHERE vec_id % 97 = 3),
+         |j AS (
+         |  SELECT anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+         |    $sc AS sc
+         |  FROM a JOIN c ON a.bk = c.bk AND c.label <> a.albl
+         |    AND c.vec_id <> a.anchor_id),
+         |r AS (
+         |  SELECT anchor_id, neg_id, neg_label,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY sc, neg_id) AS rk
+         |  FROM j)
+         |SELECT anchor_id, CAST(rk AS BIGINT) AS rank, neg_id, neg_label
+         |FROM r WHERE rk <= 5 ORDER BY anchor_id, rank""".stripMargin
+    },
+
+    // the SCD2 windows mirrored: null-safe change detection via
+    // IS DISTINCT FROM, then lead/row_number over the surviving change
+    // rows — (ts, orderkey) totally orders every key's stream
+    "u15_scd2_history" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS v,
+        |    o_orderdate AS ts, o_orderkey AS tb FROM orders),
+        |c AS (
+        |  SELECT k, v, ts, tb FROM (
+        |    SELECT k, v, ts, tb,
+        |      lag(v) OVER w1 AS pv, row_number() OVER w1 AS rn
+        |    FROM o WINDOW w1 AS (PARTITION BY k ORDER BY ts, tb))
+        |  WHERE rn = 1 OR pv IS DISTINCT FROM v),
+        |h AS (
+        |  SELECT k, v, ts, lead(ts) OVER w2 AS vt,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM c WINDOW w2 AS (PARTITION BY k ORDER BY ts, tb))
+        |SELECT k AS custkey, version, v AS priority,
+        |  epoch_us(ts) AS from_us, epoch_us(vt) AS to_us,
+        |  (vt IS NULL) AS is_current
+        |FROM h ORDER BY custkey, version""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly

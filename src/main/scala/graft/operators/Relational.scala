@@ -214,4 +214,39 @@ object Relational {
       .filter(col("_rk") <= ceil(col("_n") * fraction))
       .drop("_rk", "_n")
   }
+
+  /** Slowly-changing-dimension type-2 history from an observation log:
+    * per key, collapse the (value, ts) stream into validity intervals —
+    * one row per STATE CHANGE, with `valid_from` = the change's ts,
+    * `valid_to` = the next change's ts (null while current), a 1-based
+    * `version`, and `is_current`. Re-observations of the unchanged state
+    * are absorbed (null-safe compare, so null-valued states collapse
+    * too); `tie` must make (ts, tie) a total order per key or the
+    * interval boundaries are nondeterministic.
+    *
+    * Scale shape: both windows partition by the key, and the second
+    * (lead/row_number over the surviving change rows) reuses the first's
+    * hash partitioning and sort — one shuffle total, no global window.
+    * This is the batch dual of a MERGE-based SCD2 pipeline: deriving the
+    * full history from the log is idempotent and replayable where
+    * per-batch MERGEs must order their inputs carefully.
+    */
+  def scd2History(obs: DataFrame, key: Column, value: Column,
+                  ts: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("valid_from"),
+      col("_tb"))
+    obs.select(key.as("key"), value.as("value"), ts.as("valid_from"),
+        tie.as("_tb"))
+      .withColumn("_prev", lag(col("value"), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      // the _rn guard disambiguates "no previous row" from "previous
+      // value was null" — a key whose FIRST observed state is null
+      // must still open version 1
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col("value")))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("key", "version", "value", "valid_from", "valid_to",
+        "is_current")
+  }
 }

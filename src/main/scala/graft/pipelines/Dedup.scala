@@ -709,4 +709,59 @@ object Dedup {
       .select(col("source_a"), col("source_b"), col("shared"),
         col("n_a"), col("n_b"), col("jaccard"))
   }
+
+  /** Analytic (bands, rows) selection for MinHash LSH: for every
+    * factorization b·r = `nSig` of the signature budget, integrate the
+    * banding S-curve p(s) = 1 − (1 − sʳ)ᵇ against a uniform similarity
+    * prior — false-positive mass below the target `threshold` (pairs
+    * LESS similar than t that still collide) and false-negative mass
+    * above it (pairs more similar that don't) — and flag the
+    * total-error argmin. This replaces the folklore
+    * "threshold ≈ (1/b)^(1/r)" rule with the actual error integrals, so
+    * the [[minhashBandPairs]] caller can pick (b, r) for a target
+    * Jaccard instead of guessing.
+    *
+    * Exactness discipline: sʳ and (1−sʳ)ᵇ are LEFT-FOLD double
+    * multiplication chains (integer exponents — no pow/exp/ln, whose
+    * last-ulp behavior differs across engines), the midpoint grid
+    * s = (i+0.5)/gridN never lands on the threshold, and each grid
+    * term quantizes to integer 1e-12 units before the order-independent
+    * BIGINT sum. The candidate set is |divisors(nSig)| rows — this is a
+    * planning query, not a data query; it exists so the tuning decision
+    * is itself engine-checkable instead of a notebook constant.
+    */
+  def lshBandTuning(spark: org.apache.spark.sql.SparkSession, nSig: Int,
+                    threshold: Double, gridN: Int = 200): DataFrame = {
+    require(nSig > 0 && gridN > 1)
+    import spark.implicits._
+    val cands = (1 to nSig).filter(nSig % _ == 0)
+      .map(r => (nSig / r, r)).toDF("b", "r")
+    val sOf = s"((CAST(i AS DOUBLE) + 0.5D) / ${gridN}.0D)"
+    val sr = s"aggregate(sequence(1, r), 1.0D, (a1, x1) -> a1 * $sOf)"
+    val pOf = s"(1.0D - aggregate(sequence(1, b), 1.0D, " +
+      s"(a2, x2) -> a2 * (1.0D - $sr)))"
+    val pts = cands.withColumn("_fp_u", expr(
+        s"""aggregate(sequence(0, ${gridN - 1}), 0L, (acc, i) ->
+           |  acc + IF($sOf < CAST($threshold AS DOUBLE),
+           |    CAST(round($pOf * 1.0e12D) AS BIGINT), 0L))""".stripMargin))
+      .withColumn("_fn_u", expr(
+        s"""aggregate(sequence(0, ${gridN - 1}), 0L, (acc, i) ->
+           |  acc + IF($sOf < CAST($threshold AS DOUBLE), 0L,
+           |    CAST(round((1.0D - $pOf) * 1.0e12D) AS BIGINT)))"""
+          .stripMargin))
+      .withColumn("err_u", col("_fp_u") + col("_fn_u"))
+    // argmin via a broadcast 1-row aggregate (err, then smaller b —
+    // fewer, wider bands — on ties); the encoded key is exact: err_u
+    // ≤ gridN·1e12 and b ≤ nSig keep err_u·(nSig+1)+b far under 2^63
+    val best = pts.agg(min(col("err_u") * (nSig + 1) + col("b"))
+      .as("_best"))
+    pts.crossJoin(broadcast(best))
+      .withColumn("is_best",
+        col("err_u") * (nSig + 1) + col("b") === col("_best"))
+      .select(col("b").cast("long").as("b"),
+        col("r").cast("long").as("r"),
+        (col("_fp_u").cast("double") / 1.0e12 / gridN).as("fp_mass"),
+        (col("_fn_u").cast("double") / 1.0e12 / gridN).as("fn_mass"),
+        col("err_u"), col("is_best"))
+  }
 }

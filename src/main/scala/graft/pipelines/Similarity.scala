@@ -845,4 +845,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("nn_id"), col("hamming"))
   }
+
+  /** Deterministic hard-negative candidate sampling for contrastive
+    * training: per anchor, k pseudo-random corpus rows with a DIFFERENT
+    * label, drawn from the anchor's hash bucket and ranked by a salted
+    * per-(anchor, candidate) hash. The bucket restriction is what makes
+    * this a join instead of an anchors × corpus cross: the corpus
+    * shuffles once on its bucket id (1/`buckets` of the corpus per
+    * probe), anchors broadcast, and the per-anchor top-k is a
+    * row_number the optimizer turns into a WindowGroupLimit rank
+    * pushdown — no full sort of the joined set.
+    *
+    * Every choice is salted-hash-derived (same discipline as
+    * [[graft.pipelines.TextAnalysis.stratifiedHashSample]]), so the
+    * sample is reproducible across partitionings, retries, and engines
+    * — resampling epochs vary `salt`, not a seed held in driver state.
+    */
+  def negativeSample(corpus: DataFrame, anchors: DataFrame,
+                     idCol: String, labelCol: String, k: Int,
+                     buckets: Int, salt: String): DataFrame = {
+    require(k > 0 && buckets > 0)
+    val bucketOf = (id: Column) => graft.functions.MarketFunctions
+      .md5Hash60(concat(lit(salt), lit("#"), id.cast("string"))) %
+      buckets
+    val c = corpus.select(col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"),
+        bucketOf(col(idCol)).as("_bk"))
+    val a = anchors.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("_albl"), bucketOf(col(idCol)).as("_bk"))
+    c.join(broadcast(a), Seq("_bk"))
+      .filter(col("neg_label") =!= col("_albl") &&
+        col("neg_id") =!= col("anchor_id"))
+      .withColumn("_sc", graft.functions.MarketFunctions.md5Hash60(
+        concat(lit(salt), lit("!"), col("anchor_id").cast("string"),
+          lit(":"), col("neg_id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("_sc").asc, col("neg_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_label"))
+  }
 }

@@ -315,6 +315,23 @@ final case class AtomicTable(spark: SparkSession, root: String,
     inserted
   }
 
+  /** Blind append: stage `batch` as a new data dir and commit, with the
+    * same txn fence but WITHOUT [[insertIgnore]]'s read-back + key
+    * anti-join. For writers whose batches are unique by construction —
+    * a dedup stream's survivors, a frozen-model index's coded shard —
+    * the anti-join would re-scan the accreted table every micro-batch
+    * to remove nothing; the (stream, batchId) mark already fences the
+    * only duplication source (at-least-once replay of the SAME batch).
+    * Callers that can't prove batch-level uniqueness must use
+    * [[insertIgnore]].
+    */
+  def append(batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    if (alreadyCommitted(txn)) return
+    val base = version
+    val (rel, ps) = stage(batch)
+    writeManifest(readManifest() :+ (rel -> ps), base, withTxn(txn))
+  }
+
   /** Keyed upsert: merge batch into its partitions' current rows, stage
     * the merged partitions as one new dir, commit a manifest where the
     * touched partitions resolve ONLY to the new dir. Untouched

@@ -364,7 +364,9 @@ object Warehouse {
     *    table, so rows without committed codes are simply not served —
     *    indistinguishable from the batch not having arrived — and the
     *    replay completes the codes commit (the vectors side skips on
-    *    its mark, `insertIgnore`'s key anti-join backstops);
+    *    its mark and the codes side completes its commit — batch rows
+    *    are unique by batchId, so the commit is a blind [[AtomicTable
+    *    .append]], never a per-batch anti-join re-scan of the index);
     *  - OCC: a delta append racing a [[compactPqDeltas]] on the same
     *    version loses with a clean ConcurrentModificationException
     *    instead of corrupting the layout;
@@ -392,9 +394,9 @@ object Warehouse {
     // vectors FIRST, codes second: the serve is codes-driven (see
     // scaladoc), so the in-between crash state is benign
     if (emb.version == 0L) emb.init(embRows, txn)
-    else emb.insertIgnore(embRows, Seq(idCol), txn)
+    else emb.append(embRows, txn)
     if (codes.version == 0L) codes.init(codeRows, txn)
-    else codes.insertIgnore(codeRows, Seq(idCol), txn)
+    else codes.append(codeRows, txn)
   }
 
   /** True iff the index at `root` has any committed streaming deltas. */

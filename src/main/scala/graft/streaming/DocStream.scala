@@ -90,15 +90,17 @@ object DocStream {
   def incrementalRefresh(spark: SparkSession, stateDir: String,
                          batch: DataFrame, batchId: Long): Unit = {
     val table = dedupTable(spark, stateDir)
-    // fast replay exit (insertIgnore would also skip on the mark, but
-    // only after paying the dedup computation)
+    // fast replay exit (append would also skip on the mark, but only
+    // after paying the dedup computation)
     if (table.lastCommittedBatch("incdedup").exists(batchId <= _)) return
     val corpus = table.read()
-    table.insertIgnore(
+    // survivors are unique by construction (deduped against the corpus
+    // AND in-batch), so the commit is a blind append — no per-batch
+    // key anti-join re-scan of the accreted table
+    table.append(
       graft.pipelines.Dedup
         .incrementalDedup(corpus, batch, "doc_id", "text"),
       txn = Some(("incdedup", batchId)))
-    ()
   }
 
   /** Micro-batch pipeline: landing dir of document parquet →

@@ -373,4 +373,37 @@ class DedupSpec extends AnyFunSuite {
     // jaccard = 1 / (2 + 3 - 1)
     assert(r.getAs[Double]("jaccard") === 0.25)
   }
+
+  test("lshBandTuning: full factorization set, error monotonicity, " +
+    "argmin matches a driver-side recompute") {
+    val got = Dedup.lshBandTuning(spark, nSig = 128, threshold = 0.5,
+        gridN = 200)
+      .orderBy("r")
+      .as[(Long, Long, Double, Double, Long, Boolean)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) ===
+      Seq(128L -> 1L, 64L -> 2L, 32L -> 4L, 16L -> 8L, 8L -> 16L,
+        4L -> 32L, 2L -> 64L, 1L -> 128L))
+    // wider bands (larger r, fewer per-band rows matched) are stricter:
+    // fp falls and fn rises monotonically along increasing r
+    assert(got.map(_._3) === got.map(_._3).sorted.reverse, "fp falls")
+    assert(got.map(_._4) === got.map(_._4).sorted, "fn rises")
+    got.foreach { t =>
+      assert(t._3 >= 0.0 && t._3 <= 1.0 && t._4 >= 0.0 && t._4 <= 1.0)
+    }
+    // exactly one argmin, and it agrees with the same integral computed
+    // in plain Scala (identical left-fold arithmetic)
+    def errU(b: Int, r: Int): Long = (0 until 200).map { i =>
+      val s = (i + 0.5) / 200.0
+      val sr = (1 to r).foldLeft(1.0)((a, _) => a * s)
+      val p = 1.0 - (1 to b).foldLeft(1.0)((a, _) => a * (1.0 - sr))
+      if (s < 0.5) math.round(p * 1.0e12) else math.round((1 - p) * 1.0e12)
+    }.sum
+    val expectBest = got.map(t => (t._1, t._2))
+      .minBy { case (b, r) => (errU(b.toInt, r.toInt), b) }
+    assert(got.filter(_._6).map(t => (t._1, t._2)) === Seq(expectBest))
+    got.foreach { t =>
+      assert(t._5 === errU(t._1.toInt, t._2.toInt),
+        s"err_u mismatch at b=${t._1} r=${t._2}")
+    }
+  }
 }

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "g2_trustrank",        // same shape: broadcast 1-row dangling row
     "t21_bigram_logprob",  // vocab size: broadcast 1-row aggregate
     "n22_index_drift",     // PSI sides + total: broadcast 1-row aggs
+    "d17_lsh_tuning",      // argmin: broadcast 1-row aggregate
     "t28_drift_psi",       // per-side totals: broadcast 1-row aggregates
     "u1g_data_card",       // 1-row card × 1-row mix × 1-row total
     "t30_stratified_quality_keep", // corpus-total: broadcast 1-row agg (t17's scorer)

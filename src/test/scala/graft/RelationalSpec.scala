@@ -135,4 +135,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(all.count() === 5 && all.columns.toSet ===
       Set("lang", "id", "score"))
   }
+
+  test("scd2History: re-observations absorb, reverts re-open, " +
+    "nulls collapse null-safely") {
+    val obs = Seq(
+      // key A: v1 observed twice, then v2 twice, then BACK to v1 —
+      // the revert is a new version, not a merge with version 1
+      ("A", Some("v1"), 1L, 1L), ("A", Some("v1"), 2L, 2L),
+      ("A", Some("v2"), 3L, 3L), ("A", Some("v2"), 4L, 4L),
+      ("A", Some("v1"), 5L, 5L),
+      // key B: leading nulls collapse to ONE null-valued version
+      ("B", None, 1L, 6L), ("B", None, 2L, 7L),
+      ("B", Some("x"), 3L, 8L))
+      .toDF("k", "v", "ts", "id")
+    val h = Relational.scd2History(obs, $"k", $"v", $"ts", $"id")
+      .orderBy("key", "version")
+      .as[(String, Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(h === Seq(
+      ("A", 1L, Some("v1"), 1L, Some(3L), false),
+      ("A", 2L, Some("v2"), 3L, Some(5L), false),
+      ("A", 3L, Some("v1"), 5L, None, true),
+      ("B", 1L, None, 1L, Some(3L), false),
+      ("B", 2L, Some("x"), 3L, None, true)))
+    // intervals tile each key's timeline: valid_to(n) = valid_from(n+1),
+    // exactly one current row per key
+    assert(h.count(_._6) === 2)
+  }
 }

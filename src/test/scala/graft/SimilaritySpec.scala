@@ -548,4 +548,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g4.head.getAs[Int]("pred_label") === 0)
     assert(g4.head.getAs[Long]("votes") === 2L)
   }
+
+  test("negativeSample: different-label only, ≤k per anchor, " +
+    "partitioning-invariant") {
+    val corpus = (0L until 200L).map(i => (i, (i % 3).toInt))
+      .toDF("vec_id", "label")
+    val anchors = corpus.filter($"vec_id".isin(7L, 50L))
+    val got = Similarity.negativeSample(corpus, anchors, "vec_id",
+      "label", k = 5, buckets = 4, salt = "t")
+    val rows = got.as[(Long, Long, Long, Int)].collect().toSeq
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.keySet === Set(7L, 50L))
+    byAnchor.foreach { case (a, ns) =>
+      assert(ns.size <= 5)
+      assert(ns.map(_._2).sorted === (1L to ns.size).toSeq, "dense ranks")
+      val albl = (a % 3).toInt
+      ns.foreach { n =>
+        assert(n._4 !== albl, "negative shares the anchor's label")
+        assert(n._3 !== a)
+      }
+    }
+    // salted-hash determinism: a different physical partitioning of the
+    // corpus yields the identical sample
+    val re = Similarity.negativeSample(corpus.repartition(7), anchors,
+        "vec_id", "label", k = 5, buckets = 4, salt = "t")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(re.sorted === rows.sorted)
+    // a different salt draws a different sample (resampling epochs)
+    val other = Similarity.negativeSample(corpus, anchors, "vec_id",
+        "label", k = 5, buckets = 4, salt = "t2")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(other.sorted !== rows.sorted)
+  }
 }
