@@ -2019,8 +2019,8 @@ object SparkEntry {
       val copies = corpus.filter(col("doc_id") % 21 === 1)
         .withColumn("doc_id", col("doc_id") + 500000)
       val batch = docs.filter(col("doc_id") % 3 === 0).unionByName(copies)
+      graft.streaming.DocStream.seedDedup(s, stateDir, corpus)
       val table = graft.streaming.DocStream.dedupTable(s, stateDir)
-      table.init(corpus)
       val baseVersion = table.version
       batch.coalesce(1).write.mode("append").parquet(landing)
       val q = graft.streaming.DocStream.startIncremental(s, landing,

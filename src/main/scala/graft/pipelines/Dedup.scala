@@ -102,6 +102,37 @@ object Dedup {
     (perm, rows)
   }
 
+  /** The stored dedup keys of a corpus of record: the exact fingerprint
+    * (`_fp`) and the MinHash signature (`_sig`), computed ONCE at
+    * ingest and persisted with the rows. A corpus that carries these
+    * makes every later incremental merge hash only the incoming batch
+    * ([[incrementalDedupKeyed]]) — re-deriving them per merge re-reads
+    * and re-hashes the full corpus TEXT, the term that grows without
+    * bound as the corpus accretes.
+    */
+  def withDedupKeys(df: DataFrame, textCol: String,
+                    numPerm: Int = 8): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_sig",
+        call_function("graft_minhash_sig", col(textCol), lit(numPerm)))
+  }
+
+  /** (id, band, bucket) rows from a STORED `_sig` column — the banding
+    * slice of [[bandBuckets]] without the text re-hash; the scan reads
+    * two columns (id + an 8-int array), never the text.
+    */
+  def bandBucketsFromSig(df: DataFrame, idCol: String,
+                         numPerm: Int = 8, bandRows: Int = 2)
+      : DataFrame = {
+    val numBands = numPerm / bandRows
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => concat_ws(",",
+            slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
+        .as(Seq("band", "bucket")))
+  }
+
   /** MinHash band buckets of every document: (id, band, bucket) rows —
     * the join key space for banded candidate generation, shared by the
     * self-join ([[minhashCandidates]]) and the batch-vs-corpus join
@@ -110,14 +141,11 @@ object Dedup {
   def bandBuckets(df: DataFrame, idCol: String, text: Column,
                   numPerm: Int = 8, bandRows: Int = 2): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val numBands = numPerm / bandRows
-    df.select(col(idCol),
-        call_function("graft_minhash_sig", text, lit(numPerm)).as("_sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => concat_ws(",",
-            slice(col("_sig"), b * bandRows + 1, lit(bandRows)))))
-        .as(Seq("band", "bucket")))
+    bandBucketsFromSig(
+      df.select(col(idCol),
+        call_function("graft_minhash_sig", text, lit(numPerm))
+          .as("_sig")),
+      idCol, numPerm, bandRows)
   }
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
@@ -376,21 +404,33 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, numPerm: Int = 8,
-                       bandRows: Int = 2): DataFrame = {
-    val fp = (t: Column) => TextAnalysis.fingerprint(t)
+                       bandRows: Int = 2): DataFrame =
+    incrementalDedupKeyed(withDedupKeys(corpus, textCol, numPerm), batch,
+        idCol, textCol, numPerm, bandRows)
+      .drop("_fp", "_sig")
+
+  /** [[incrementalDedup]] against a corpus that STORES its dedup keys
+    * ([[withDedupKeys]] at ingest): the batch text is hashed once here,
+    * the corpus side reads only its `_fp`/`_sig` columns (column-pruned
+    * scans — never the text), and the survivors return WITH their keys
+    * so appending them keeps the corpus merge-ready. Per-batch cost is
+    * the batch's hashing plus two key-column joins — the corpus's text
+    * volume never re-enters the per-batch bill.
+    */
+  def incrementalDedupKeyed(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            numPerm: Int = 8, bandRows: Int = 2)
+      : DataFrame = {
     // same survivor rule as [[exact]] (lowest id per fingerprint, picked
     // with a min() aggregate — no window sort), plus the corpus anti-join
-    val keyed = batch.withColumn("_fp", fp(col(textCol)))
+    val keyed = withDedupKeys(batch, textCol, numPerm)
     val keep = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     val batchExact = keyed
       .join(keep, Seq("_fp", idCol), "left_semi")
-      .join(corpus.select(fp(col(textCol)).as("_fp")).distinct(),
-        Seq("_fp"), "left_anti")
-      .drop("_fp")
+      .join(corpus.select("_fp").distinct(), Seq("_fp"), "left_anti")
     val survivors = graft.Caches.persist(batchExact)
-    val hits = bandBuckets(survivors, idCol, col(textCol), numPerm,
-        bandRows)
-      .join(bandBuckets(corpus, idCol, col(textCol), numPerm, bandRows)
+    val hits = bandBucketsFromSig(survivors, idCol, numPerm, bandRows)
+      .join(bandBucketsFromSig(corpus, idCol, numPerm, bandRows)
         .select("band", "bucket"), Seq("band", "bucket"), "left_semi")
       .select(idCol).distinct()
     survivors.join(hits, Seq(idCol), "left_anti")

@@ -64,6 +64,16 @@ object DocStream {
       : graft.sources.AtomicTable =
     graft.sources.DocTable(spark, s"$stateDir/corpus", failpoint)
 
+  /** Seed the accreting corpus: the base rows commit WITH their stored
+    * dedup keys ([[graft.pipelines.Dedup.withDedupKeys]]), so the very
+    * first micro-batch — and every one after — hashes only its own
+    * text. The base text is hashed exactly once, here.
+    */
+  def seedDedup(spark: SparkSession, stateDir: String,
+                corpus: DataFrame): Unit =
+    dedupTable(spark, stateDir)
+      .init(graft.pipelines.Dedup.withDedupKeys(corpus, "text"))
+
   /** The corpus an incremental-dedup stream has accreted so far: the
     * seeded base plus every committed batch's survivors, resolved from
     * the table's current manifest.
@@ -96,10 +106,14 @@ object DocStream {
     val corpus = table.read()
     // survivors are unique by construction (deduped against the corpus
     // AND in-batch), so the commit is a blind append — no per-batch
-    // key anti-join re-scan of the accreted table
+    // key anti-join re-scan of the accreted table. The corpus stores
+    // its _fp/_sig keys ([[seedDedup]]; survivors carry theirs), so
+    // only the BATCH text is hashed: the corpus side is two pruned
+    // key-column scans, and the per-batch cost stays flat as the
+    // corpus accretes
     table.append(
       graft.pipelines.Dedup
-        .incrementalDedup(corpus, batch, "doc_id", "text"),
+        .incrementalDedupKeyed(corpus, batch, "doc_id", "text"),
       txn = Some(("incdedup", batchId)))
   }
 

@@ -211,6 +211,19 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got === Set(12L))
     graft.Caches.releaseAll()
+    // the keyed path (corpus stores _fp/_sig, batch alone is hashed)
+    // returns the same survivors, WITH their keys — so an accreting
+    // corpus stays merge-ready without ever re-hashing old text
+    val keyed = Dedup.incrementalDedupKeyed(
+      Dedup.withDedupKeys(corpus, "text"), batch, "doc_id", "text")
+    assert(keyed.columns.toSet === Set("doc_id", "text", "_fp", "_sig"))
+    assert(keyed.select("doc_id").as[Long].collect().toSet === Set(12L))
+    // stored keys equal freshly-computed ones (bit-for-bit)
+    val stored = keyed.select($"doc_id", $"_fp", $"_sig").collect()
+    val fresh = Dedup.withDedupKeys(batch.filter($"doc_id" === 12L),
+      "text").select($"doc_id", $"_fp", $"_sig").collect()
+    assert(stored.map(_.toString).sorted === fresh.map(_.toString).sorted)
+    graft.Caches.releaseAll()
   }
 
   test("leakageSafeSplit: clusters never straddle the train/val boundary") {

@@ -665,9 +665,13 @@ class StreamingSpec extends AnyFunSuite {
       (id, text, "en", "web", ts("2024-01-01 00:00:00"))
     def frame(rows: (Long, String, String, String, java.sql.Timestamp)*) =
       rows.toDF("doc_id", "text", "lang", "source", "ts")
+    DocStream.seedDedup(spark, state,
+      frame(doc(1, "alpha beta gamma delta")))
     val table = DocStream.dedupTable(spark, state)
-    table.init(frame(doc(1, "alpha beta gamma delta")))
     val baseV = table.version
+    // the seed stored its dedup keys — the corpus is merge-ready
+    assert(table.read().columns.toSet.intersect(Set("_fp", "_sig"))
+      === Set("_fp", "_sig"))
     def keptIds: Set[Long] = DocStream.dedupTable(spark, state)
       .addedSince(baseV)
       .map(_.select("doc_id").as[Long].collect().toSet)
