@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 
@@ -22,12 +23,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, Codegen
   * handled by `nullSafeCodeGen` exactly as in the interpreted path, and
   * a `null` RESULT from the kernel (short-vector degrade in the ANN
   * cells) sets `isNull` on a nullable expression and raises a
-  * descriptive error on a non-nullable one — the interpreted path
-  * would silently emit null there (Catalyst trusts `nullable` and
-  * skips the check), so an unguarded unbox would make the two
-  * execution modes diverge (NPE under codegen, silent null
-  * interpreted). Failing fast keeps them identical and makes the
-  * broken-invariant kernel debuggable.
+  * descriptive error on a non-nullable one. Catalyst's own interpreted
+  * `eval` trusts `nullable` and would silently pass that null on, so
+  * the traits override `eval` with the SAME non-nullable check — both
+  * execution modes fail fast with the same message on a
+  * broken-invariant kernel instead of diverging (descriptive error
+  * under codegen, silent null interpreted).
   */
 private[expressions] object KernelCodegen {
 
@@ -53,6 +54,17 @@ private[expressions] object KernelCodegen {
        |if ($tmp == null) { $onNull }
        |else { ${ev.value} = $cast; }""".stripMargin
   }
+
+  /** Interpreted twin of [[assign]]'s non-nullable guard: same check,
+    * same message, so both execution modes surface a kernel that
+    * broke its nullability contract identically.
+    */
+  def checked(e: Expression, result: Any): Any = {
+    if (result == null && !e.nullable)
+      throw new IllegalStateException(
+        s"kernel returned null on non-nullable expression ${e.getClass.getName}")
+    result
+  }
 }
 
 /** Kernel-call codegen for unary kernels — see [[KernelCodegen]]. */
@@ -60,6 +72,9 @@ trait UnaryKernelCodegen extends UnaryExpression {
 
   /** Public bridge for generated code (`nullSafeEval` is protected). */
   final def kernel(input: Any): Any = nullSafeEval(input)
+
+  override def eval(input: InternalRow): Any =
+    KernelCodegen.checked(this, super.eval(input))
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
@@ -74,6 +89,9 @@ trait BinaryKernelCodegen extends BinaryExpression {
 
   /** Public bridge for generated code (`nullSafeEval` is protected). */
   final def kernel(l: Any, r: Any): Any = nullSafeEval(l, r)
+
+  override def eval(input: InternalRow): Any =
+    KernelCodegen.checked(this, super.eval(input))
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {

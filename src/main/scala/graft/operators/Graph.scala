@@ -329,9 +329,15 @@ object Graph {
       .localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
+      val prevAuths = auths
       auths = graft.Caches.persist(half(hubs, "hub", "src", "dst", "auth"))
       hubs = half(auths, "auth", "dst", "src", "hub")
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: materializes this auths too
+      // the hub checkpoint no longer reads last iteration's auth cache,
+      // and the output join needs only the FINAL auths — release the
+      // stale one now instead of accreting one node-sized cached table
+      // per iteration until releaseAll
+      if (prevAuths != null) prevAuths.unpersist(blocking = false)
     }
     nodes.join(auths, Seq("node"), "left")
       .join(hubs, Seq("node"), "left")

@@ -227,20 +227,38 @@ final case class AtomicTable(spark: SparkSession, root: String,
     * replayed seed batch is skipped — the same exactly-once fence the
     * mutations apply (a streaming sink whose FIRST micro-batch
     * initializes the table needs the fence there too).
+    *
+    * A ZERO-ROW seed stages a dir with no part files (partitionBy
+    * writes nothing for zero rows), so publishing a Star entry over it
+    * would make every later read() die on schema inference — and with
+    * a txn mark the replay fence would then skip the healing re-run,
+    * bricking the table permanently. An empty seed therefore commits
+    * the version + txn mark WITHOUT a data entry: the fence advances,
+    * read() reports an empty (uninitialized) table, and the next
+    * non-empty init()/append() populates it normally.
     */
   def init(rows: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (alreadyCommitted(txn)) return
     val base = version
-    val (rel, _) = stage(rows)
-    writeManifest(Seq(rel -> Seq(Star)), base, withTxn(txn))
+    val (rel, ps) = stage(rows)
+    val entries = if (ps.nonEmpty) Seq(rel -> Seq(Star)) else Seq.empty
+    writeManifest(entries, base, withTxn(txn))
   }
+
+  /** True iff the current manifest references any data dir — false for
+    * a never-initialized table AND for one whose only commits were
+    * empty seeds/appends (version > 0, nothing to read).
+    */
+  def hasData: Boolean = readManifest().nonEmpty
 
   /** Current committed snapshot. Each data dir contributes only its
     * assigned partitions (`partCol IN (...)` → PartitionFilters).
     */
   def read(): DataFrame = {
     val entries = readManifest()
-    require(entries.nonEmpty, s"no committed manifest under $root")
+    require(entries.nonEmpty,
+      s"no committed data under $root (table never initialized, or " +
+        "initialized from an empty seed and never appended to)")
     resolve(entries)
   }
 

@@ -377,6 +377,11 @@ object Warehouse {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    failpoint: String => Unit = _ => ()): Unit = {
+    // A zero-row micro-batch (empty landing poll) has nothing to shard;
+    // skipping it without a commit is replay-safe — the replayed batch
+    // is empty again and skips again — and keeps init() from ever
+    // seeing an empty seed.
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     val cents = readEmbeddingCentroids(root)
@@ -401,7 +406,7 @@ object Warehouse {
 
   /** True iff the index at `root` has any committed streaming deltas. */
   def hasPqDeltas(spark: SparkSession, root: String): Boolean =
-    pqDeltaCodeTable(spark, root).version > 0L
+    pqDeltaCodeTable(spark, root).hasData
 
   /** Codes / raw vectors across the base index AND the committed delta
     * tables — the serving view of a streaming-maintained index. Every
@@ -411,7 +416,7 @@ object Warehouse {
   def readPqCodesAll(spark: SparkSession, root: String): DataFrame = {
     val base = spark.read.parquet(s"$root/codes")
     val codes = pqDeltaCodeTable(spark, root)
-    if (codes.version == 0L) base
+    if (!codes.hasData) base
     else base.unionByName(codes.read()
       .select(base.columns.map(col): _*))
   }
@@ -419,7 +424,7 @@ object Warehouse {
                               root: String): DataFrame = {
     val base = spark.read.parquet(s"$root/embeddings")
     val emb = pqDeltaEmbTable(spark, root)
-    if (emb.version == 0L) base
+    if (!emb.hasData) base
     else base.unionByName(emb.read()
       .select(base.columns.map(col): _*))
   }
@@ -453,7 +458,7 @@ object Warehouse {
                       failpoint: String => Unit = _ => ()): Int = {
     val emb = pqDeltaEmbTable(spark, root, failpoint)
     val codes = pqDeltaCodeTable(spark, root, failpoint)
-    if (codes.version == 0L) 0
+    if (!codes.hasData) 0
     else {
       val folded = codes.dataDirCount
       emb.compact()

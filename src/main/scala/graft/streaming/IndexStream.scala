@@ -21,9 +21,12 @@ import graft.sources.Warehouse
   * build over the same rows — which is exactly how `st11_index_stream`
   * is graded (n13's oracle). Retraining is a rebuild, not a stream.
   *
-  * Exactly-once by LAYOUT, not by fencing: a replayed micro-batch id
-  * overwrites its own shard directory (see [[Warehouse.writePqDelta]]),
-  * so at-least-once delivery converges to one shard per batch.
+  * Exactly-once by the [[graft.sources.AtomicTable]] txn fence: each
+  * micro-batch commits the `delta_emb`/`delta_codes` table pair under a
+  * `("pq_delta", batchId)` mark (see [[Warehouse.writePqDelta]]), so a
+  * replayed batch id is recognized as already-committed and skipped —
+  * at-least-once delivery converges to exactly one committed shard per
+  * batch, with OCC against a concurrent [[Warehouse.compactPqDeltas]].
   */
 object IndexStream {
 

@@ -109,4 +109,41 @@ class KernelCodegenSpec extends AnyFunSuite {
       s"expected a fused span (starred Project+Filter), got:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("broken nullability contract fails fast IDENTICALLY in both modes") {
+    // a kernel that returns null while declaring nullable = false has
+    // broken its own invariant; the bridge must surface that the same
+    // way under codegen and interpretation (not NPE vs silent null)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_test_bad_kernel",
+      es => KernelCodegenSpec.BadKernel(es.head), "scala_udf")
+    def msg(codegen: Boolean): String =
+      inMode(codegen) {
+        intercept[Exception] {
+          spark.range(3)
+            .select(call_function("graft_test_bad_kernel", col("id")))
+            .collect()
+        }
+      }.getMessage
+    val interp = msg(codegen = false)
+    val gen = msg(codegen = true)
+    for (m <- Seq(interp, gen))
+      assert(m.contains("kernel returned null on non-nullable"), m)
+  }
+}
+
+object KernelCodegenSpec {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  /** Test-only invariant breaker: declares non-nullable, emits null. */
+  final case class BadKernel(child: Expression)
+      extends graft.expressions.UnaryKernelCodegen {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override protected def nullSafeEval(input: Any): Any = null
+    override protected def withNewChildInternal(c: Expression): BadKernel =
+      copy(child = c)
+    override def prettyName: String = "graft_test_bad_kernel"
+  }
 }

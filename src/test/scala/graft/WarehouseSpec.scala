@@ -708,4 +708,52 @@ class WarehouseSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
   }
+
+  test("empty seed never bricks a table; empty micro-batch is a " +
+    "replay-safe skip") {
+    import graft.sources.AtomicTable
+    // partitionBy on zero rows writes NO part files, so a Star entry
+    // over that dir would make every read die on schema inference —
+    // and a txn-marked seed replay would then be fenced off from
+    // healing it. The empty seed must advance version + txn mark
+    // WITHOUT publishing a data entry.
+    val root = Files.createTempDirectory("graft_empty_seed").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "cell",
+      defaultKeys = Seq("vec_id"), partType = _.toInt)
+    val rows = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("vec_id", "cell", "v")
+    tbl.init(rows.limit(0), txn = Some(("s", 0L)))
+    assert(tbl.version === 1L, "empty seed still commits the fence")
+    assert(!tbl.hasData)
+    assert(tbl.lastCommittedBatch("s") === Some(0L))
+    val err = intercept[IllegalArgumentException](tbl.read())
+    assert(err.getMessage.contains("empty seed"), err.getMessage)
+    // the table is NOT bricked: the next non-empty batch populates it
+    tbl.append(rows, txn = Some(("s", 1L)))
+    assert(tbl.hasData)
+    assert(tbl.read().count() === 2)
+    // a replay of the empty seed batch stays a no-op
+    tbl.init(rows.limit(0), txn = Some(("s", 0L)))
+    assert(tbl.read().count() === 2)
+
+    // writePqDelta: an empty landing poll commits nothing at all —
+    // replay-safe because the replayed batch is empty again
+    import graft.pipelines.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val idxRoot = Files.createTempDirectory("graft_pq_empty").toString
+    Warehouse.writePqIndex(emb, idxRoot, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    Warehouse.writePqDelta(emb.limit(0), idxRoot, 0L)
+    assert(Warehouse.pqDeltaCodeTable(spark, idxRoot).version === 0L)
+    assert(!Warehouse.hasPqDeltas(spark, idxRoot))
+    // serving is unaffected and a later real batch commits normally
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    assert(Warehouse.ivfPqServe(spark, idxRoot, q, topK = 3,
+      nprobe = 2, cand = 20).count() === 3)
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 0), idxRoot, 1L)
+    assert(Warehouse.hasPqDeltas(spark, idxRoot))
+    assert(Warehouse.pqDeltaCodeTable(spark, idxRoot)
+      .lastCommittedBatch("pq_delta") === Some(1L))
+  }
 }
