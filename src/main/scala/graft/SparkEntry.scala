@@ -1033,6 +1033,31 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("custkey", "version")
     }),
 
+    "u16_schema_evolution" -> ((s, d) => {
+      // additive schema evolution on the manifest table: the corpus
+      // gains a per-doc quality score AFTER its first commit — evolved
+      // batches stage dirs that physically carry the column, committed
+      // dirs are never rewritten (null-filled at the read seam), and
+      // compact() folds everything onto the full current schema. The
+      // score is integer-valued so cross-engine double sums are exact.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_doc_evo").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.DocTable(s, root)
+      tbl.init(docs.filter(col("doc_id") % 3 =!= 0)) // pre-evolution
+      tbl.insertIgnore(docs.filter(col("doc_id") % 3 === 0) // + quality
+        .withColumn("quality", (col("n_chars") % 100).cast("double")))
+      tbl.upsert(docs.filter(col("doc_id") % 10 === 0) // evolved upsert
+        .withColumn("quality", lit(2.0)))
+      tbl.compact()
+      tbl.read().groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          count(col("quality")).as("n_scored"),
+          (coalesce(sum(col("quality")), lit(0.0)) + 0.0).as("sum_q"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -4681,6 +4706,33 @@ object SparkEntry {
         |  epoch_us(ts) AS from_us, epoch_us(vt) AS to_us,
         |  (vt IS NULL) AS is_current
         |FROM h ORDER BY custkey, version""".stripMargin,
+
+    // the evolution lifecycle replayed relationally: the pre-evolution
+    // seed carries a NULL quality, the evolved insert and upsert carry
+    // real scores, the upsert wins by key — grouping over the merged
+    // view must equal the engine's read of the evolved table
+    "u16_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(NULL AS DOUBLE) AS quality
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |ins AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(n_chars % 100 AS DOUBLE) AS quality
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |up AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(2.0 AS DOUBLE) AS quality
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(quality) AS BIGINT) AS n_scored,
+        |  (coalesce(sum(quality), 0.0) + 0.0) AS sum_q,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM v3 GROUP BY source ORDER BY source""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly

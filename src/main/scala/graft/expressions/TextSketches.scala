@@ -894,64 +894,60 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"$what must be a literal: $other")
   }
 
+  /** Name → expression builder for every native sketch function — the
+    * single function table BOTH registration paths consume:
+    * programmatic [[register]] and config-injected
+    * [[graft.GraftExtensions]].
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sig" ->
+      (es => TextSketches.MinHashSig(es.head, litInt(es(1), "numPerm"))),
+    "graft_simhash_bits" ->
+      (es => TextSketches.SimHashBits(es.head, litInt(es(1), "nBits"))),
+    "graft_shingle_hashes60" ->
+      (es => TextSketches.ShingleHashes60(es.head,
+        if (es.length > 1) litInt(es(1), "w") else 3)),
+    "graft_dup_structure" -> (es => TextSketches.DupStructure(es.head)),
+    "graft_top_shingle" ->
+      (es => TextSketches.TopShingleFreq(es.head,
+        if (es.length > 1) litInt(es(1), "w") else 2)),
+    "graft_text_stats" -> (es => TextSketches.TextStats(es.head)),
+    "graft_word_hits" -> (es => TextSketches.WordHits(es.head, es(1))),
+    "graft_term_counts" -> (es => TextSketches.TermCounts(es.head)),
+    "graft_bpe_encode" ->
+      (es => TextSketches.BpeEncode(es.head, litStr(es(1), "merges"))),
+    "graft_dot" -> (es => TextSketches.VecDot(es.head, es(1))),
+    "graft_l2_normalize" -> (es => TextSketches.VecL2Normalize(es.head)),
+    "graft_lsh_bucket" ->
+      (es => TextSketches.LshBucket(es.head, litInt(es(1), "bits"),
+        litInt(es(2), "dim"))),
+    "graft_ivf_cell" ->
+      (es => TextSketches.IvfCell(es.head, litInt(es(1), "k"),
+        litInt(es(2), "dim"))),
+    "graft_ivf_cell_at" ->
+      (es => TextSketches.IvfCellAt(es.head, es(1),
+        litInt(es(2), "dim"))),
+    "graft_quantize_int8" -> (es => TextSketches.QuantizeInt8(es.head)),
+    "graft_registered_domain" ->
+      (es => Domains.RegisteredDomain(es.head)),
+    "graft_warc_split" -> (es => graft.sources.Warc.WarcSplit(es.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotent per session: pipelines call register() defensively on
     // every entry, and re-registering spams "function replaced" warnings
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
-      val rules0 = spark.experimental.extraOptimizations
-      if (!rules0.contains(graft.plans.NativeSketchRewrite))
-        spark.experimental.extraOptimizations =
-          rules0 :+ graft.plans.NativeSketchRewrite
-      return
-    }
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => TextSketches.MinHashSig(es.head, litInt(es(1), "numPerm")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash_bits",
-      es => TextSketches.SimHashBits(es.head, litInt(es(1), "nBits")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes60",
-      es => TextSketches.ShingleHashes60(es.head,
-        if (es.length > 1) litInt(es(1), "w") else 3), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dup_structure",
-      es => TextSketches.DupStructure(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_top_shingle",
-      es => TextSketches.TopShingleFreq(es.head,
-        if (es.length > 1) litInt(es(1), "w") else 2), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_text_stats",
-      es => TextSketches.TextStats(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_word_hits",
-      es => TextSketches.WordHits(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_term_counts",
-      es => TextSketches.TermCounts(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_bpe_encode",
-      es => TextSketches.BpeEncode(es.head, litStr(es(1), "merges")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => TextSketches.VecDot(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l2_normalize",
-      es => TextSketches.VecL2Normalize(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_lsh_bucket",
-      es => TextSketches.LshBucket(es.head, litInt(es(1), "bits"),
-        litInt(es(2), "dim")), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_ivf_cell",
-      es => TextSketches.IvfCell(es.head, litInt(es(1), "k"),
-        litInt(es(2), "dim")), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_ivf_cell_at",
-      es => TextSketches.IvfCellAt(es.head, es(1), litInt(es(2), "dim")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_quantize_int8",
-      es => TextSketches.QuantizeInt8(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_registered_domain",
-      es => Domains.RegisteredDomain(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_warc_split",
-      es => graft.sources.Warc.WarcSplit(es.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      builders.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     // optimizer rule: declarative dot-product folds compile to VecDot
-    // (idempotent append)
+    // (idempotent append; a config-injected session already carries the
+    // rule in its extended optimizer batches and skips this)
     val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(graft.plans.NativeSketchRewrite))
+    if (!rules.contains(graft.plans.NativeSketchRewrite) &&
+        !spark.sessionState.optimizer.extendedOperatorOptimizationRules
+          .contains(graft.plans.NativeSketchRewrite))
       spark.experimental.extraOptimizations =
         rules :+ graft.plans.NativeSketchRewrite
   }

@@ -291,12 +291,38 @@ final case class AtomicTable(spark: SparkSession, root: String,
     if (fresh.isEmpty) None else Some(resolve(fresh))
   }
 
+  /** Schema EVOLUTION at the read seam: dirs staged before a column
+    * existed union null-filled against dirs that carry it, so adding a
+    * column (a new quality score, a provenance tag) never rewrites
+    * committed data — exactly the add-column semantics of the table
+    * formats this manifest mirrors. Column ORDER is manifest order
+    * (oldest dir's columns first, later additions appended);
+    * [[compact]] folds everything onto the full current schema. Only
+    * ADDITIVE evolution is supported: a column that changes TYPE
+    * between dirs fails the union analysis loudly rather than
+    * coercing silently.
+    */
   private def resolve(entries: Seq[(String, Seq[String])]): DataFrame =
     entries.map { case (d, syms) =>
       val df = spark.read.parquet(s"$root/$d")
       if (syms == Seq(Star)) df
       else df.filter(col(partCol).isin(syms.map(partType): _*))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Align an (evolved) writer batch against the committed schema:
+    * committed columns keep their position — a column the batch does
+    * not carry is staged as a typed null — and brand-new batch columns
+    * append after. The staged dir then physically carries the evolved
+    * schema while [[resolve]] null-fills the old dirs.
+    */
+  private def evolved(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val have = batch.columns.toSet
+    val cols = existing.schema.fields.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ batch.columns.filterNot(existing.columns.contains).map(col)
+    batch.select(cols.toIndexedSeq: _*)
+  }
 
   private def batchParts(batch: DataFrame): Seq[String] =
     batch.select(col(partCol).cast("string")).distinct()
@@ -317,9 +343,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     if (alreadyCommitted(txn)) return 0L
     val base = version
     val existing = prunedExisting(batch)
-    val fresh = batch.dropDuplicates(keys)
-      .join(existing.select(keys.map(col): _*), keys, "left_anti")
-      .select(existing.columns.map(col): _*)
+    val fresh = evolved(existing, batch.dropDuplicates(keys)
+        .join(existing.select(keys.map(col): _*), keys, "left_anti"))
       .persist()
     val inserted = fresh.count()
     if (inserted > 0 || txn.nonEmpty) {
@@ -362,8 +387,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     if (alreadyCommitted(txn)) return
     val base = version
     val existing = prunedExisting(batch)
-    val merged = Relational.upsert(existing,
-      batch.select(existing.columns.map(col): _*), keys)
+    val merged = Relational.upsert(existing, evolved(existing, batch), keys)
     val touched = batchParts(batch).toSet
     val (rel, ps) = stage(merged)
     writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,

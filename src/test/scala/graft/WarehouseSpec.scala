@@ -756,4 +756,46 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.pqDeltaCodeTable(spark, idxRoot)
       .lastCommittedBatch("pq_delta") === Some(1L))
   }
+
+  test("additive schema evolution: old dirs never rewritten, " +
+    "null-filled reads, time travel keeps the old schema") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_evo").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"))
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30))
+      .toDF("id", "part", "x")
+    tbl.init(v1)
+    // evolved writers: insertIgnore and upsert both carry a NEW column
+    tbl.insertIgnore(Seq((4L, "b", 40, 0.5), (2L, "b", 99, 9.9))
+      .toDF("id", "part", "x", "score")) // id=2 ignored
+    tbl.upsert(Seq((3L, "a", 31, 0.7)).toDF("id", "part", "x", "score"))
+    val read = tbl.read()
+    // partitioned parquet reads the partition column back LAST (Hive
+    // layout); the evolved column appends after the committed schema
+    assert(read.columns.toSeq === Seq("id", "x", "part", "score"),
+      "committed columns keep position, evolved column appends")
+    val byId = read.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        (r.getInt(r.fieldIndex("x")),
+          Option(r.get(r.fieldIndex("score"))))).toMap
+    assert(byId === Map(
+      1L -> (10, None), 2L -> (20, None), // pre-evolution rows null-fill
+      4L -> (40, Some(0.5)), 3L -> (31, Some(0.7))))
+    // the seed dir was NEVER rewritten: its parquet still lacks the
+    // column (evolution is a read-seam property, not a data rewrite)
+    val seedDir = new java.io.File(s"$root/t/data").listFiles().minBy(_.lastModified)
+    assert(!spark.read.parquet(seedDir.toString).columns.contains("score"))
+    // time travel: the pre-evolution version still has its own schema
+    assert(!tbl.readVersion(1L).columns.contains("score"))
+    // a writer that OMITS an evolved column stages typed nulls
+    tbl.insertIgnore(Seq((5L, "c", 50)).toDF("id", "part", "x"))
+    assert(tbl.read().filter($"id" === 5L).select("score")
+      .collect()(0).isNullAt(0))
+    // compact folds everything onto the full current schema
+    tbl.compact()
+    assert(tbl.dataDirCount === 1)
+    assert(tbl.read().columns.toSet === Set("id", "x", "part", "score"))
+    assert(tbl.read().count() === 5)
+  }
 }
