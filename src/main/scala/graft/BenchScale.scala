@@ -13,18 +13,28 @@ import org.apache.spark.sql.SparkSession
   * Writes BENCH_SF1.json: per-query sf0.1 s / sf1.0 s / ratio, plus
   * each input's row-growth factor for context.
   *
-  * Usage: `runMain graft.BenchScale [sf01Dir] [sf10Dir]`.
+  * Usage: `runMain graft.BenchScale [sf01Dir] [sf10Dir] [outJson]` —
+  * the third arg lets a SECOND decade (sf1.0 → sf10, both derived)
+  * land in its own artifact (BENCH_SF10.json) instead of overwriting
+  * the first decade's.
   */
 object BenchScale {
 
   /** The scale exemplars (VERDICT r10 §next-round list): star-schema
-    * heads, dedup pipelines, ANN serving, text curation, graph.
+    * heads, dedup pipelines, ANN serving, text curation, graph —
+    * widened in r12 with one exemplar per remaining family: as-of
+    * join, window indicators, manifest-table writes (incl. schema
+    * evolution), TF-IDF's doc×term shuffle, hybrid retrieval fusion,
+    * and a stateful streaming pipeline.
     */
   private val exemplars = Seq(
     "q1_lineitem_agg", "q3_shipping_priority", "q5_star_revenue",
     "q5b_star_bucketed", "d3_minhash_pairs", "d6_dedup_clusters",
     "d15_span_dedup", "n6_ivf_partitioned", "n13_ivfpq_topk",
-    "t15_quality_rules", "p8_curation_pipeline", "g1_pagerank")
+    "t15_quality_rules", "p8_curation_pipeline", "g1_pagerank",
+    "j6_asof_join", "w18_macd", "u1b_warehouse_upsert",
+    "u16_schema_evolution", "t12_tfidf", "n10_hybrid_rrf",
+    "st2_doc_stream_dedup")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -77,9 +87,10 @@ object BenchScale {
       s""""worst":{"query":"${worst._1}",""" +
       s""""ratio":${num(worst._2._2 / worst._2._1)}},""" +
       s""""sf01":"$sf01","sf10":"$sf10"}"""
-    val tmp = Paths.get("BENCH_SF1.json.tmp")
+    val outPath = args.lift(2).getOrElse("BENCH_SF1.json")
+    val tmp = Paths.get(outPath + ".tmp")
     Files.write(tmp, (out + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get("BENCH_SF1.json"),
+    Files.move(tmp, Paths.get(outPath),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     println(out)
     spark.stop()

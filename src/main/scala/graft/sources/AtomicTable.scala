@@ -436,33 +436,56 @@ final case class AtomicTable(spark: SparkSession, root: String,
       base, readTxns())
   }
 
-  /** Reclaim data dirs no manifest-current entry references (retired by
-    * upsert/delete/compact, or orphaned by a pre-commit crash). Run
-    * after readers of old snapshots have drained.
+  /** Reclaim data dirs no retained manifest references (retired by
+    * upsert/delete/compact, or orphaned by a pre-commit crash).
+    *
+    * `retainMs` is the GC grace window: superseded manifests whose
+    * file mtime is within the window are RETAINED — their versions
+    * stay time-travel-readable and, crucially, a long-running reader
+    * that resolved one of them mid-vacuum keeps its data dirs (the
+    * standard retention contract of manifest-committed table formats;
+    * a snapshot pinned longer than the window is operator error
+    * there too). The default (0) retains only the current manifest —
+    * run it after readers of old snapshots have drained.
     */
-  def vacuum(): Unit = {
-    val live = readManifest().map(_._1.stripPrefix("data/")).toSet
+  def vacuum(retainMs: Long = 0L): Unit = {
+    val now = System.currentTimeMillis()
+    val cutoff = now - retainMs
+    val curV = currentManifest.map(_._1).getOrElse(0L)
+    val manifests = Option(rootFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case ManifestRe(n) => Some((n.toLong, f))
+          case _             => None
+        }
+      }
+    val retained = manifests.filter { case (v, f) =>
+      v == curV || (retainMs > 0L && f.lastModified() >= cutoff)
+    }
+    val live = retained
+      .flatMap { case (_, f) => parseManifest(f) }
+      .map(_._1.stripPrefix("data/")).toSet
     Option(new java.io.File(s"$root/data").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && !live.contains(f.getName))
       .foreach(AtomicTable.deleteRecursively)
-    // drop superseded manifests (the current one stays) and any temp
-    // manifest a pre-commit crash left behind. Temp manifests are
-    // AGE-GATED: a fresh one may belong to a writer currently between
-    // its write and its link-publish — deleting it would turn that
-    // commit into a NoSuchFileException instead of a clean OCC retry
-    val tmpCutoff = System.currentTimeMillis() - 60 * 60 * 1000L
-    currentManifest.foreach { case (cur, _) =>
-      Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
-        .foreach { f =>
-          f.getName match {
-            case ManifestRe(n) if n.toLong < cur => f.delete()
-            case n if n.startsWith(".manifest-tmp-")
-                && f.lastModified() < tmpCutoff  => f.delete()
-            case _                               => ()
-          }
+    // drop expired manifests and any temp manifest a pre-commit crash
+    // left behind. Temp manifests are AGE-GATED: a fresh one may belong
+    // to a writer currently between its write and its link-publish —
+    // deleting it would turn that commit into a NoSuchFileException
+    // instead of a clean OCC retry
+    val tmpCutoff = now - 60 * 60 * 1000L
+    val keep = retained.map(_._1).toSet
+    Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        f.getName match {
+          case ManifestRe(n) if !keep.contains(n.toLong) => f.delete()
+          case n if n.startsWith(".manifest-tmp-")
+              && f.lastModified() < tmpCutoff            => f.delete()
+          case _                                         => ()
         }
-    }
+      }
   }
 }
 

@@ -798,4 +798,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tbl.read().columns.toSet === Set("id", "x", "part", "score"))
     assert(tbl.read().count() === 5)
   }
+
+  test("vacuum retention window keeps superseded versions readable; " +
+    "default reclaims them") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_vac").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"))
+    tbl.init(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "x"))
+    tbl.upsert(Seq((1L, "a", 11)).toDF("id", "part", "x")) // v2
+    tbl.upsert(Seq((2L, "b", 22)).toDF("id", "part", "x")) // v3
+    // within the grace window nothing is reclaimed: a reader that
+    // resolved v1/v2 mid-vacuum keeps its dirs, time travel keeps
+    // every version
+    tbl.vacuum(retainMs = 60 * 60 * 1000L)
+    assert(tbl.versions === Seq(1L, 2L, 3L))
+    assert(tbl.readVersion(1L).filter($"id" === 1L)
+      .select("x").collect()(0).getInt(0) === 10)
+    assert(tbl.readVersion(2L).filter($"id" === 1L)
+      .select("x").collect()(0).getInt(0) === 11)
+    // default: only the current manifest (and its dirs) survive
+    tbl.vacuum()
+    assert(tbl.versions === Seq(3L))
+    intercept[RuntimeException](tbl.readVersion(1L))
+    assert(tbl.read().orderBy("id").select("x")
+      .collect().map(_.getInt(0)).toSeq === Seq(11, 22))
+  }
 }
