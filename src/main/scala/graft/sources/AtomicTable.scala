@@ -494,6 +494,28 @@ object AtomicTable {
   private val Star = "*"
   private val TxnPrefix = "#txn"
 
+  /** Re-run `op` after an optimistic-concurrency loss, up to `attempts`
+    * total tries. Safe for ANY manifest mutation: a losing attempt
+    * published nothing (the hard-link commit is all-or-nothing), its
+    * staged dir is an unreferenced orphan [[AtomicTable.vacuum]]
+    * reclaims, and the retry re-reads the winner's version before
+    * reapplying — the standard OCC loop. Maintenance jobs (compaction
+    * racing a live append) want this; single-writer streams never
+    * conflict and don't need it.
+    */
+  def retryOnConflict[A](attempts: Int = 3)(op: => A): A = {
+    var left = math.max(1, attempts)
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left == 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File])

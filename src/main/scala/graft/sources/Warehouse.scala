@@ -455,17 +455,23 @@ object Warehouse {
     * across compactions. Returns the number of data dirs folded.
     */
   def compactPqDeltas(spark: SparkSession, root: String,
-                      failpoint: String => Unit = _ => ()): Int = {
-    val emb = pqDeltaEmbTable(spark, root, failpoint)
-    val codes = pqDeltaCodeTable(spark, root, failpoint)
-    if (!codes.hasData) 0
-    else {
-      val folded = codes.dataDirCount
-      emb.compact()
-      codes.compact()
-      folded
+                      failpoint: String => Unit = _ => (),
+                      attempts: Int = 3): Int =
+    // OCC self-heal: losing the version race to a live delta append
+    // published nothing; re-read and fold again — the appended shard
+    // simply joins the merge. Bounded so a pathological append storm
+    // surfaces instead of spinning.
+    AtomicTable.retryOnConflict(attempts) {
+      val emb = pqDeltaEmbTable(spark, root, failpoint)
+      val codes = pqDeltaCodeTable(spark, root, failpoint)
+      if (!codes.hasData) 0
+      else {
+        val folded = codes.dataDirCount
+        emb.compact()
+        codes.compact()
+        folded
+      }
     }
-  }
 
   /** Staleness alarm for the frozen-model index: PSI of the
     * assigned-cell distribution of the committed DELTA shards against

@@ -660,26 +660,54 @@ class WarehouseSpec extends AnyFunSuite {
       .orderBy($"cosine".desc, $"vec_id")
       .as[(Long, Double)].collect().toSeq)
     // OCC: a compaction whose pre-commit window interleaves a delta
-    // append loses with a clean ConcurrentModificationException (the
-    // hard-link publish fails on the existing version) — never a
-    // silent overwrite of the append
+    // append loses the version race (the hard-link publish fails on
+    // the existing version) — never a silent overwrite of the append.
+    // With attempts=1 the loss surfaces as a clean
+    // ConcurrentModificationException
     var raced = false
     val interleave: String => Unit = { p =>
       if (p == "pre-commit" && !raced) {
         raced = true
         Warehouse.writePqDelta(
-          emb.filter($"vec_id" % 5 === 0 && $"vec_id" % 10 =!= 0),
-          root, 1L)
+          emb.filter($"vec_id" % 20 === 5), root, 1L)
       }
     }
     intercept[java.util.ConcurrentModificationException] {
-      Warehouse.compactPqDeltas(spark, root, failpoint = interleave)
+      Warehouse.compactPqDeltas(spark, root, failpoint = interleave,
+        attempts = 1)
     }
     // the append won the race and is served; a re-run compaction
     // (fresh version read) succeeds and changes nothing
     val afterRace = serve()
     Warehouse.compactPqDeltas(spark, root)
     assert(serve() === afterRace)
+    // with the default bounded retry the maintenance entry SELF-HEALS:
+    // it loses round one to a live append, re-reads the winner's
+    // version, and folds the raced-in shard into the same merge
+    var raced2 = false
+    val interleave2: String => Unit = { p =>
+      if (p == "pre-commit" && !raced2) {
+        raced2 = true
+        Warehouse.writePqDelta(
+          emb.filter($"vec_id" % 20 === 15), root, 2L)
+      }
+    }
+    assert(Warehouse.compactPqDeltas(spark, root,
+      failpoint = interleave2) >= 1)
+    assert(Warehouse.pqDeltaCodeTable(spark, root).dataDirCount === 1,
+      "the raced-in shard must be folded by the retry, not left behind")
+    assert(Warehouse.pqDeltaCodeTable(spark, root)
+      .lastCommittedBatch("pq_delta") === Some(2L))
+    // served answer ≡ one-shot build over base ∪ b0 ∪ both raced
+    // appends (= every vector with vec_id%5==0, plus the %5!=0 base)
+    val allRoot = Files.createTempDirectory("graft_pq_all").toString
+    Warehouse.writePqIndex(emb, allRoot, k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    assert(serve() === Warehouse.ivfPqServe(spark, allRoot, q,
+        topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq)
   }
 
   test("q5b star join is shuffle-free between the bucketed fact tables") {
