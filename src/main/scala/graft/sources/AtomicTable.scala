@@ -66,7 +66,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
                              failpoint: String => Unit = _ => (),
                              partType: String => Any = identity) {
 
-  import AtomicTable.{ManifestRe, Star, TxnPrefix}
+  import AtomicTable.{ManifestRe, OpPrefix, Star, TxnPrefix}
 
   private def rootFile = new java.io.File(root)
 
@@ -130,6 +130,26 @@ final case class AtomicTable(spark: SparkSession, root: String,
   def lastCommittedBatch(stream: String): Option[Long] =
     readTxns().get(stream)
 
+  /** The operation log across retained (non-vacuumed) versions,
+    * ascending: (version, operation, commit epoch-millis) — the
+    * DESCRIBE HISTORY view that answers "what produced version N"
+    * before a time-travel read or a provenance audit. Versions
+    * committed before the log line existed report `"write"` at
+    * epoch 0.
+    */
+  def history(): Seq[(Long, String, Long)] =
+    versions.map { v =>
+      val parsed = manifestFileAt(v).flatMap { f =>
+        Files.readAllLines(f.toPath).asScala
+          .find(_.startsWith(OpPrefix))
+          .map { line =>
+            val Array(_, op, at) = line.split("\t", 3)
+            (op, at.toLong)
+          }
+      }.getOrElse(("write", 0L))
+      (v, parsed._1, parsed._2)
+    }
+
   /** Publish `entries` (+ carried txn marks) as version `base + 1`. The
     * manifest body is fully written to a temp file first, then
     * published with a hard LINK (not a rename): `link(2)` is atomic
@@ -141,13 +161,18 @@ final case class AtomicTable(spark: SparkSession, root: String,
     */
   private def writeManifest(entries: Seq[(String, Seq[String])],
                             base: Long,
-                            txns: Map[String, Long]): Unit = {
+                            txns: Map[String, Long],
+                            op: String = "write"): Unit = {
+    // the operation log line (`#op <name> <epochMs>`): DESCRIBE
+    // HISTORY-style provenance, ignored by every data/txn parser
+    // (`#` prefix), one line per committed version
+    val opLine = s"$OpPrefix\t$op\t${System.currentTimeMillis()}"
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (s, id) => s"$TxnPrefix\t$s\t$id" }
     val dataLines = entries
       .filter { case (_, syms) => syms.nonEmpty }
       .map { case (d, syms) => d + "\t" + syms.mkString(",") }
-    val body = (txnLines ++ dataLines).mkString("\n")
+    val body = (opLine +: (txnLines ++ dataLines)).mkString("\n")
     val tmp = new java.io.File(rootFile, s".manifest-tmp-${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, body)
     failpoint("pre-commit")
@@ -242,7 +267,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val base = version
     val (rel, ps) = stage(rows)
     val entries = if (ps.nonEmpty) Seq(rel -> Seq(Star)) else Seq.empty
-    writeManifest(entries, base, withTxn(txn))
+    writeManifest(entries, base, withTxn(txn),
+      op = if (ps.nonEmpty) "init" else "init-empty")
   }
 
   /** True iff the current manifest references any data dir — false for
@@ -352,7 +378,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
         if (inserted > 0) { val (rel, ps) = stage(fresh)
           readManifest() :+ (rel -> ps) }
         else readManifest() // still commit: the txn mark must advance
-      writeManifest(entries, base, withTxn(txn))
+      writeManifest(entries, base, withTxn(txn), op = "insert")
     }
     fresh.unpersist(blocking = false)
     inserted
@@ -372,7 +398,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     if (alreadyCommitted(txn)) return
     val base = version
     val (rel, ps) = stage(batch)
-    writeManifest(readManifest() :+ (rel -> ps), base, withTxn(txn))
+    writeManifest(readManifest() :+ (rel -> ps), base, withTxn(txn),
+      op = "append")
   }
 
   /** Keyed upsert: merge batch into its partitions' current rows, stage
@@ -391,7 +418,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val touched = batchParts(batch).toSet
     val (rel, ps) = stage(merged)
     writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,
-      withTxn(txn))
+      withTxn(txn), op = "upsert")
   }
 
   /** Delete matching rows within the named partitions, with the
@@ -408,7 +435,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     if (deleted > 0) {
       val (rel, ps) = stage(touched.filter(!matched))
       writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
-        base, readTxns())
+        base, readTxns(), op = "delete")
     }
     deleted
   }
@@ -433,7 +460,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
       coalesceTo = math.max(1, spark.sparkContext.defaultParallelism / 2),
       maxRecordsPerFile = maxRecordsPerFile)
     writeManifest(without(readManifest(), touchedSet) :+ (rel -> ps),
-      base, readTxns())
+      base, readTxns(), op = "compact")
   }
 
   /** Reclaim data dirs no retained manifest references (retired by
@@ -493,6 +520,7 @@ object AtomicTable {
   private val ManifestRe = "manifest-(\\d{12})\\.txt".r
   private val Star = "*"
   private val TxnPrefix = "#txn"
+  private val OpPrefix = "#op"
 
   /** Re-run `op` after an optimistic-concurrency loss, up to `attempts`
     * total tries. Safe for ANY manifest mutation: a losing attempt

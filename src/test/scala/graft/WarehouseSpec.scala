@@ -836,6 +836,10 @@ class WarehouseSpec extends AnyFunSuite {
     tbl.init(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "x"))
     tbl.upsert(Seq((1L, "a", 11)).toDF("id", "part", "x")) // v2
     tbl.upsert(Seq((2L, "b", 22)).toDF("id", "part", "x")) // v3
+    // the operation log names what produced each version
+    assert(tbl.history().map { case (v, op, _) => (v, op) } ===
+      Seq((1L, "init"), (2L, "upsert"), (3L, "upsert")))
+    assert(tbl.history().forall(_._3 > 0L), "commit epochs recorded")
     // within the grace window nothing is reclaimed: a reader that
     // resolved v1/v2 mid-vacuum keeps its dirs, time travel keeps
     // every version
@@ -848,6 +852,7 @@ class WarehouseSpec extends AnyFunSuite {
     // default: only the current manifest (and its dirs) survive
     tbl.vacuum()
     assert(tbl.versions === Seq(3L))
+    assert(tbl.history().map(_._2) === Seq("upsert"))
     intercept[RuntimeException](tbl.readVersion(1L))
     assert(tbl.read().orderBy("id").select("x")
       .collect().map(_.getInt(0)).toSeq === Seq(11, 22))
