@@ -372,16 +372,19 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val fresh = evolved(existing, batch.dropDuplicates(keys)
         .join(existing.select(keys.map(col): _*), keys, "left_anti"))
       .persist()
-    val inserted = fresh.count()
-    if (inserted > 0 || txn.nonEmpty) {
-      val entries =
-        if (inserted > 0) { val (rel, ps) = stage(fresh)
-          readManifest() :+ (rel -> ps) }
-        else readManifest() // still commit: the txn mark must advance
-      writeManifest(entries, base, withTxn(txn), op = "insert")
-    }
-    fresh.unpersist(blocking = false)
-    inserted
+    // finally: an OCC loss inside the commit must not leak the cached
+    // anti-join (a retry loop would otherwise accrete one per attempt)
+    try {
+      val inserted = fresh.count()
+      if (inserted > 0 || txn.nonEmpty) {
+        val entries =
+          if (inserted > 0) { val (rel, ps) = stage(fresh)
+            readManifest() :+ (rel -> ps) }
+          else readManifest() // still commit: the txn mark must advance
+        writeManifest(entries, base, withTxn(txn), op = "insert")
+      }
+      inserted
+    } finally fresh.unpersist(blocking = false)
   }
 
   /** Blind append: stage `batch` as a new data dir and commit, with the

@@ -857,4 +857,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tbl.read().orderBy("id").select("x")
       .collect().map(_.getInt(0)).toSeq === Seq(11, 22))
   }
+
+  test("concurrent writers under retryOnConflict serialize cleanly") {
+    import graft.sources.AtomicTable
+    // four genuinely-concurrent writers, each committing two disjoint
+    // batches through the bounded OCC loop: every version race is
+    // lost-and-retried (never overwritten), so the final table holds
+    // every row exactly once and the history shows one commit per
+    // batch — the serializability the hard-link publish promises
+    val root = Files.createTempDirectory("graft_occ_mw").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"))
+    tbl.init(Seq((0L, "seed", 0)).toDF("id", "part", "x"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writes = (1 to 4).map { w =>
+      scala.concurrent.Future {
+        // each thread needs the shared session active on ITS thread
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        (0 until 2).foreach { b =>
+          val base = (w * 100 + b * 10).toLong
+          AtomicTable.retryOnConflict(attempts = 40) {
+            tbl.insertIgnore((0 until 3).map(i =>
+              (base + i, s"p$w", w * 1000 + i)).toDF("id", "part", "x"))
+          }
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writes),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(tbl.read().count() === 1 + 4 * 2 * 3,
+      "every batch committed exactly once")
+    assert(tbl.version === 9L, "one version per commit, none skipped")
+    assert(tbl.history().map(_._2) ===
+      "init" +: Seq.fill(8)("insert"))
+  }
 }
