@@ -168,6 +168,63 @@ object SparkEntry {
   private val permHashSql =
     "(h * (p * 2 + 3) + (p * 1000003 + 12345)) % 2147483647"
 
+  /** Rounded-micro cosine between two list columns — the n-family's
+    * ascending-index double fold, rounded to 6 dp then scaled to
+    * integer micro-units (the exact contract `Similarity.mmrDiversify`
+    * computes engine-side).
+    */
+  private def cosMicroSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, 65),
+         |      i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    s"""CAST(round(round(${dotSql(a, b)}
+       |    / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)
+       |    * 1e6, 0) AS BIGINT)""".stripMargin
+  }
+
+  /** The MMR greedy unrolled to `k` chained CTE steps (DuckDB's
+    * recursive CTE cannot correlate a LATERAL argmax against the
+    * working table): step i picks the remaining candidate maximizing
+    * `7·rel − 3·max sim-to-chosen`, ties to the smaller id.
+    */
+  private def mmrSql(k: Int): String = {
+    val steps = new StringBuilder
+    var chosen = "SELECT vec_id FROM s1"
+    (2 to k).foreach { i =>
+      steps.append(
+        s""",
+           |s$i AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel, 7 * c.rel - 3 * max(p.sim) AS score
+           |  FROM cand c JOIN pair p
+           |    ON p.ia = c.vec_id AND p.ib IN ($chosen)
+           |  WHERE c.vec_id NOT IN ($chosen)
+           |  GROUP BY c.vec_id, c.rel
+           |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin)
+      chosen += s" UNION ALL SELECT vec_id FROM s$i"
+    }
+    val out = (2 to k)
+      .map(i => s"UNION ALL SELECT $i, vec_id, rel, score FROM s$i")
+      .mkString("\n  ")
+    s"""WITH
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    ${cosMicroSql("embedding", "qv")} AS rel
+       |  FROM embeddings, q
+       |  ORDER BY rel DESC, vec_id LIMIT 16),
+       |pair AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${cosMicroSql("a.embedding", "b.embedding")} AS sim
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT vec_id, rel, 7 * rel AS score
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)$steps
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS rel_micro,
+       |    score FROM s1
+       |  $out
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** Shared minhash candidate-pair CTE chain (w → sh → hs → sigs →
     * bands → pairs): the DuckDB twin of `Dedup.minhashCandidates` at
     * (numPerm 8, bandRows 2). d3/d6/d7/d12/d14/g4 all build on the
@@ -892,6 +949,44 @@ object SparkEntry {
       graft.operators.Quality.profileNumeric(T(s, d).lineitem,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .repartition(1).sortWithinPartitions("col_name")
+    }),
+
+    "n24_mmr_diversify" -> ((s, d) => {
+      // MMR-diversified top-k over the embedding corpus: relevant AND
+      // non-redundant selection (integer 7/3 ≈ λ=0.7), the rerank
+      // stage between ANN retrieval and consumption. All cosines ride
+      // the n-family's rounded-micro contract so the greedy is exact
+      // integer arithmetic in both engines
+      val emb = T(s, d).embeddings
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Similarity.mmrDiversify(emb, "vec_id", "embedding", q,
+          topN = 16, k = 6)
+        .repartition(1).sortWithinPartitions("rank")
+    }),
+
+    "u17_fk_audit" -> ((s, d) => {
+      // dbt-style relationship tests over the declared FK edges: the
+      // three physical edges hold by construction (TPC-H discipline) —
+      // the audit PROVES it with a hash instead of assuming it — and a
+      // fourth row audits the events edge against an eligibility-scoped
+      // parent (every third customer retired) to pin the orphan
+      // quantification on a violated edge. Each edge: distinct parent
+      // keys (dim-sized → broadcast), one left-join null-probe pass
+      val t = T(s, d)
+      val li = t.lineitem; val o = t.orders
+      val c = t.customer; val e = t.events
+      import graft.operators.Quality.fkAudit
+      fkAudit("lineitem->orders", li, col("l_orderkey"),
+          o, col("o_orderkey"))
+        .unionByName(fkAudit("orders->customer", o, col("o_custkey"),
+          c, col("c_custkey")))
+        .unionByName(fkAudit("events->customer", e, col("user_id"),
+          c, col("c_custkey")))
+        .unionByName(fkAudit("events->active_customer", e,
+          col("user_id"), c.filter(col("c_custkey") % 3 =!= 0),
+          col("c_custkey")))
+        .repartition(1).sortWithinPartitions("relationship")
     }),
 
     "a27_mannwhitney_u" -> ((s, d) => {
@@ -4706,6 +4801,43 @@ object SparkEntry {
         |  epoch_us(ts) AS from_us, epoch_us(vt) AS to_us,
         |  (vt IS NULL) AS is_current
         |FROM h ORDER BY custkey, version""".stripMargin,
+
+    // the greedy unrolled to chained CTEs; every cosine rides the
+    // rounded-micro contract so both engines run the same integers
+    "n24_mmr_diversify" -> mmrSql(6),
+
+    // each edge mirrored as a LEFT-join null probe over the distinct
+    // parent keys; integer-ppm division matches Spark's `div`
+    "u17_fk_audit" ->
+      """WITH edges AS (
+        |  SELECT 'lineitem->orders' AS relationship, l_orderkey AS k
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders->customer', o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT 'events->customer', user_id FROM events
+        |  UNION ALL
+        |  SELECT 'events->active_customer', user_id FROM events),
+        |parents AS (
+        |  SELECT 'lineitem->orders' AS relationship, o_orderkey AS k
+        |  FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'orders->customer', c_custkey FROM customer GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'events->customer', c_custkey FROM customer GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'events->active_customer', c_custkey FROM customer
+        |  WHERE c_custkey % 3 <> 0 GROUP BY 2)
+        |SELECT e.relationship,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_orphan,
+        |  CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN 1 END), 0)
+        |    * 1000000 // count(*) AS BIGINT) AS orphan_ppm
+        |FROM edges e LEFT JOIN parents p
+        |  ON p.relationship = e.relationship AND p.k = e.k
+        |GROUP BY e.relationship
+        |ORDER BY e.relationship""".stripMargin,
 
     // the evolution lifecycle replayed relationally: the pre-evolution
     // seed carries a NULL quality, the evolved insert and upsert carry

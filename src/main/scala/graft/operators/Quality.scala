@@ -30,6 +30,28 @@ object Quality {
     base.crossJoin(dups) // two single-row frames
   }
 
+  /** Referential-integrity audit for one declared FK edge — the
+    * relationship test a warehouse runs where the reference delegates
+    * to SQLite `FOREIGN KEY` constraints (app/db.py:33-163): one row of
+    * (relationship, n_child, n_orphan, orphan_ppm). The parent key set
+    * is distinct-reduced first (dim-sized → broadcast join; the child
+    * side never shuffles at dim-sized parents), orphans counted via a
+    * left-join null probe in the same pass as the child count, and the
+    * share reported in exact integer ppm (engine-independent — no
+    * double division).
+    */
+  def fkAudit(relationship: String, child: DataFrame, childKey: Column,
+              parent: DataFrame, parentKey: Column): DataFrame =
+    child.select(childKey.as("k"))
+      .join(parent.select(parentKey.as("k")).distinct()
+        .withColumn("_hit", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("_hit").isNull, 1L)), lit(0L))
+          .as("n_orphan"))
+      .select(lit(relationship).as("relationship"),
+        col("n_child"), col("n_orphan"),
+        expr("n_orphan * 1000000 div n_child").as("orphan_ppm"))
+
   /** Population Stability Index between two corpus snapshots, per
     * stratum: `psi_s = (p_new − p_old) · ln(p_new / p_old)` with the
     * total PSI being the sum over strata — the standard drift alarm

@@ -210,6 +210,68 @@ object Similarity {
     voteNeighbors(neighbors, qIdCol, qLabelCol, labelCol)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k — the selection
+    * stage that keeps a retrieved/training subset RELEVANT and
+    * NON-REDUNDANT (Carbonell & Goldstein 1998): greedily pick the
+    * candidate maximizing `wRel·rel − wDiv·max_{s∈S} sim(c, s)`,
+    * i.e. relevance penalized by similarity to anything already
+    * chosen (integer weights 7/3 ≈ the classic λ = 0.7).
+    *
+    * All similarity arithmetic runs as ENGINE expressions in integer
+    * micro-units (`round(cos, 6) · 1e6` — the same rounded-cosine
+    * contract every n-family oracle hash-matches), so the greedy is
+    * pure integer arithmetic with id tie-breaks — deterministic and
+    * engine-exact. The candidate pool is the top-`topN` by relevance:
+    * the selection itself is O(k·topN) on BOUNDED, top-N-limited data
+    * (this is the rerank stage of a retrieval pipeline — at 100 TB
+    * the pool comes from the ANN serving path, and topN stays
+    * human-sized while the SCAN stays distributed).
+    */
+  def mmrDiversify(vectors: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, topN: Int, k: Int,
+                   wRel: Long = 7L, wDiv: Long = 3L): DataFrame = {
+    val spark = vectors.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    def micro(c: Column): Column =
+      round(round(c, 6) * lit(1e6), 0).cast("long")
+    val cand = graft.Caches.persist(
+      vectors.crossJoin(broadcast(query))
+        .select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("_v"),
+          micro(cosineNative(col(vecCol), col("qv"))).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(topN))
+    // bounded collects: both are topN-limited by construction (topN
+    // rows; topN² pair rows) — the greedy argmax is inherently
+    // sequential, so it runs on the driver over the bounded pool
+    val rel = cand.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val a = cand.select(col("vec_id").as("ia"), col("_v").as("va"))
+    val b = cand.select(col("vec_id").as("ib"), col("_v").as("vb"))
+    val sim = a.crossJoin(b).filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        micro(cosineNative(col("va"), col("vb"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val relMap = rel.toMap
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (rank, id, rel, score)
+    var remaining = rel.sortBy { case (id, r) => (-r, id) }.map(_._1)
+    while (selected.size < math.min(k, remaining.size + selected.size)
+        && remaining.nonEmpty) {
+      val scored = remaining.map { id =>
+        val penalty =
+          if (selected.isEmpty) 0L
+          else selected.map { case (_, sid, _, _) => sim((id, sid)) }.max
+        id -> (wRel * relMap(id) - wDiv * penalty)
+      }
+      val (pick, score) = scored.minBy { case (id, s) => (-s, id) }
+      selected += ((selected.size + 1L, pick, relMap(pick), score))
+      remaining = remaining.filterNot(_ == pick)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "rel_micro", "score")
+  }
+
   /** The majority-vote half of [[knnClassify]], factored out so ANY
     * neighbor-retrieval path can feed it — the exact cross-scoring
     * harness above, or the persisted-index ANN candidates

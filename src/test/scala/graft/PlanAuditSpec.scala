@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "n21_knn_classify",     // kNN probe: 3 broadcast query rows
     "g5_hits",              // L1 renorm: broadcast 1-row totals
     "a26_welch_t",          // rest-of-corpus: broadcast 1-row totals
-    "u13_benford")          // digit-share total: broadcast 1-row agg
+    "u13_benford",          // digit-share total: broadcast 1-row agg
+    "n24_mmr_diversify")    // 1 broadcast query row + topN×topN pairs
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

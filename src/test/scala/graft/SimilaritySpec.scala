@@ -580,4 +580,38 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Int)].collect().toSeq
     assert(other.sorted !== rows.sorted)
   }
+
+  test("mmrDiversify: duplicates deferred, greedy order deterministic") {
+    // a1 and its EXACT duplicate a2 top the relevance ranking; b is a
+    // hair less relevant but diverse; c is orthogonal. Plain top-3 is
+    // (a1, a2, b) — MMR at λ=0.5 must demote the duplicate behind b
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),   // a1: top relevance
+      (2L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),   // a2: exact duplicate of a1
+      (3L, Seq(0.99f, 0.0f, 0.141f, 0.0f)), // b: near-as-relevant, diverse
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))   // c: orthogonal
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qv")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val sel = Similarity.mmrDiversify(pool, "vec_id", "embedding", q,
+      topN = 4, k = 3, wRel = 1L, wDiv = 1L)
+    assert(ids(sel) === Seq(1L, 3L, 2L),
+      "duplicate must fall behind the diverse near-peer")
+    // rank 1 is the pure-relevance argmax (duplicate tie → smaller id)
+    assert(sel.filter($"rank" === 1).select("score").as[Long].head()
+      === sel.filter($"rank" === 1).select("rel_micro").as[Long].head())
+    // k beyond the pool drains the pool, order still greedy
+    assert(ids(Similarity.mmrDiversify(pool, "vec_id", "embedding", q,
+      topN = 4, k = 10, wRel = 1L, wDiv = 1L)) === Seq(1L, 3L, 2L, 4L))
+    // partitioning-independent (integer scores, id tie-breaks)
+    assert(ids(Similarity.mmrDiversify(pool.repartition(7), "vec_id",
+      "embedding", q, topN = 4, k = 3, wRel = 1L, wDiv = 1L))
+      === Seq(1L, 3L, 2L))
+    // at the default 7/3 weights relevance dominates harder, but an
+    // exact duplicate still never outranks its twin's diverse near-peer
+    assert(ids(Similarity.mmrDiversify(pool, "vec_id", "embedding", q,
+      topN = 4, k = 2)) === Seq(1L, 3L))
+    graft.Caches.releaseAll()
+  }
 }
