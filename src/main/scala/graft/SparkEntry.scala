@@ -177,9 +177,9 @@ object SparkEntry {
     def dotSql(x: String, y: String) =
       s"""list_reduce(list_transform(range(1, 65),
          |      i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
-    s"""CAST(round(round(${dotSql(a, b)}
-       |    / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)
-       |    * 1e6, 0) AS BIGINT)""".stripMargin
+    s"""CAST(round((round(${dotSql(a, b)}
+       |    / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6) + 0.0)
+       |    * 1e6, 0) + 0.0 AS BIGINT)""".stripMargin
   }
 
   /** The MMR greedy unrolled to `k` chained CTE steps (DuckDB's

@@ -137,8 +137,17 @@ object Graph {
   private def buildCtx(edges: DataFrame, srcCol: String, dstCol: String,
                        wCol: String, total: Long,
                        seeds: Option[Seq[String]]): RankCtx = {
+    // w <= 0 after aggregation = a DELETED edge: appending a
+    // compensating negative delta is how an append-only edge log
+    // retracts a link (GraphStream's state is exactly such a log).
+    // Without the filter a fully-retracted edge still held its
+    // endpoints in the node set, and a src whose every edge was
+    // retracted made `wout` 0 — an ANSI division error in the contrib
+    // step. Filtered, retraction composes: rank(edges ∪ retractions)
+    // ≡ rank(edges minus retracted) bit-exactly (GraphSpec pins it).
     val agg = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol)).as("w"))
+      .filter(col("w") > 0)
     val el = graft.Caches.persist(
       agg.withColumn("wout", sum(col("w")).over(
         Window.partitionBy(col("src")))))
@@ -288,7 +297,8 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val el = graft.Caches.persist(
       edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .agg(sum(col(wCol)).as("w")))
+        .agg(sum(col(wCol)).as("w"))
+        .filter(col("w") > 0)) // retracted edges drop (see buildCtx)
     val nodes = graft.Caches.persist(
       el.select(col("src").as("node"))
         .unionByName(el.select(col("dst").as("node"))).distinct())

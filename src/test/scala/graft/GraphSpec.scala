@@ -195,6 +195,37 @@ class GraphSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("edge retraction by compensating delta composes bit-exactly") {
+    // an append-only edge log retracts a link by appending negative
+    // weight (GraphStream's state is exactly such a log): the rank of
+    // (edges ∪ retractions) must equal the rank of the reduced graph
+    val withRetraction = edges.unionByName(
+      Seq(("B", "C", -10L)).toDF("src", "dst", "w"))
+    val reduced = Seq(("A", "B", 9L), ("A", "C", 1L))
+      .toDF("src", "dst", "w")
+    assert(Graph.pageRank(withRetraction, "src", "dst", "w", iters = 8)
+        .orderBy("node").as[(String, Long)].collect().toSeq ===
+      Graph.pageRank(reduced, "src", "dst", "w", iters = 8)
+        .orderBy("node").as[(String, Long)].collect().toSeq)
+    // regression: B's ONLY out-edge fully retracted — previously wout
+    // summed to 0 and the contrib step hit an ANSI division error;
+    // now B simply becomes a dangling node. Same composition for HITS.
+    assert(Graph.hits(withRetraction, "src", "dst", "w", iters = 4)
+        .orderBy("node").as[(String, Long, Long)].collect().toSeq ===
+      Graph.hits(reduced, "src", "dst", "w", iters = 4)
+        .orderBy("node").as[(String, Long, Long)].collect().toSeq)
+    // partial retraction only reduces the weight, keeps the edge
+    val partial = edges.unionByName(
+      Seq(("B", "C", -4L)).toDF("src", "dst", "w"))
+    val lighter = Seq(("A", "B", 9L), ("A", "C", 1L), ("B", "C", 6L))
+      .toDF("src", "dst", "w")
+    assert(Graph.pageRank(partial, "src", "dst", "w", iters = 8)
+        .orderBy("node").as[(String, Long)].collect().toSeq ===
+      Graph.pageRank(lighter, "src", "dst", "w", iters = 8)
+        .orderBy("node").as[(String, Long)].collect().toSeq)
+    Caches.releaseAll()
+  }
+
   test("triangles: shared-edge pair counted once each; danglers absent") {
     // 1-2-3 and 2-3-4 share edge (2,3); (1,5) closes nothing
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
