@@ -1113,6 +1113,18 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("anchor_id", "rank")
     }),
 
+    "n25_centroid_outliers" -> ((s, d) => {
+      // embedding-hygiene gate run BEFORE dedup/indexing: per-CELL
+      // z-scores over assigned-centroid d² (micro-unit integer
+      // accumulation — bit-stable under any partitioning) flag
+      // corrupt/degenerate vectors without letting a naturally-diffuse
+      // cell flood the report; one corpus scan + an 8-row broadcast
+      Similarity.centroidOutliers(T(s, d).embeddings, "vec_id",
+          "embedding", Similarity.seedCentroids(8, 64), zThresh = 2.0)
+        .repartition(1)
+        .sortWithinPartitions(col("z").desc, col("vec_id"))
+    }),
+
     "u15_scd2_history" -> ((s, d) => {
       // slowly-changing-dimension type-2: each customer's order-priority
       // state stream collapsed to validity intervals (version,
@@ -1491,6 +1503,32 @@ object SparkEntry {
           sum(rev).as("_total"))
         .select(round(lit(100.0) * col("_promo").cast("double") /
           col("_total").cast("double"), 6).as("promo_share"))
+    }),
+
+    "q17_small_qty_revenue" -> ((s, d) => {
+      // TPC-H Q17's correlated scalar subquery (qty < 0.2 · per-part
+      // avg) DECORRELATED the way the plan should run at 100 TB: the
+      // brand dim filter broadcasts onto the fact scan, the per-part
+      // averages aggregate to a dim-sized table that broadcasts back
+      // onto the SAME semi-joined rows, and the threshold compare is
+      // the exact integer inequality 5·qty·cnt < Σqty — no float avg,
+      // no correlated re-scan per row, one tiny (≤|parts|) shuffle
+      val t = T(s, d)
+      val p = t.part
+        .filter(col("p_brand") === "Brand#4" && col("p_size") <= 15)
+        .select("p_partkey")
+      val l = t.lineitem
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val st = l.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+      l.join(broadcast(st), "l_partkey")
+        .filter(lit(5) * col("qty") * col("cnt") < col("sq"))
+        .agg((sum(col("cents").cast("decimal(38,0)")).cast("double")
+            / lit(100.0) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
     }),
 
     "q18_large_orders" -> ((s, d) => {
@@ -2692,6 +2730,17 @@ object SparkEntry {
       // unigram mix is identical
       TextAnalysis.bigramLogProb(T(s, d).documents, "doc_id",
           col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    "t38_backoff_logprob" -> ((s, d) => {
+      // the CCNet/KenLM deployment shape t21 approximates: the bigram
+      // model trains on the curated slice (here lang='en') and scores
+      // the WHOLE corpus with stupid backoff — unseen transitions fall
+      // to the 0.4-damped add-one unigram, and n_backoff reports how
+      // much of each doc was novel to the reference distribution
+      TextAnalysis.backoffLogProb(T(s, d).documents, "doc_id",
+          col("text"), col("lang") === "en")
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
@@ -4780,6 +4829,59 @@ object SparkEntry {
          |FROM r WHERE rk <= 5 ORDER BY anchor_id, rank""".stripMargin
     },
 
+    // per-cell z over assigned-centroid d²: the same symbolic centroid
+    // grid as n6, d² quantized to micro-units BEFORE the power sums
+    // (HUGEINT — exact, order-free), then the engine's fixed-order
+    // double staging (m → q → v → sd → z) reproduced operation for
+    // operation, with the same cn>1 / v>0 / sd>0 gates
+    "n25_centroid_outliers" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      s"""WITH a AS (
+         |  SELECT vec_id,
+         |    (${cellsOf("embedding")})[1].cell AS cell,
+         |    CAST((round((${cellsOf("embedding")})[1].d2 * 1000000)
+         |      + 0.0) AS BIGINT) AS d2_micro
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT cell, count(*) AS cn,
+         |    sum(CAST(d2_micro AS HUGEINT)) AS s1,
+         |    sum(CAST(d2_micro AS HUGEINT) * CAST(d2_micro AS HUGEINT))
+         |      AS s2
+         |  FROM a GROUP BY cell),
+         |z AS (
+         |  SELECT vec_id, a.cell, d2_micro,
+         |    CAST(s1 AS DOUBLE) / cn AS m,
+         |    CAST(s2 AS DOUBLE) / cn AS q
+         |  FROM a JOIN st ON a.cell = st.cell),
+         |zz AS (
+         |  SELECT vec_id, z.cell, d2_micro, m,
+         |    CASE WHEN cn > 1
+         |      THEN (q - m * m)
+         |           * (CAST(cn AS DOUBLE) / CAST(cn - 1 AS DOUBLE))
+         |    END AS v
+         |  FROM z JOIN st ON z.cell = st.cell),
+         |zs AS (
+         |  SELECT vec_id, cell, d2_micro, m,
+         |    CASE WHEN v > 0 THEN sqrt(v) END AS sd
+         |  FROM zz),
+         |r AS (
+         |  SELECT vec_id, cell, d2_micro,
+         |    CASE WHEN sd > 0 THEN (CAST(d2_micro AS DOUBLE) - m) / sd
+         |    END AS zraw
+         |  FROM zs)
+         |SELECT vec_id, cell, d2_micro, (round(zraw, 6) + 0.0) AS z
+         |FROM r WHERE zraw >= 2.0
+         |ORDER BY z DESC, vec_id""".stripMargin
+    },
+
     // the SCD2 windows mirrored: null-safe change detection via
     // IS DISTINCT FROM, then lead/row_number over the surviving change
     // rows — (ts, orderkey) totally orders every key's stream
@@ -5892,6 +5994,29 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
 
+    // Q17 twin: the correlated subquery kept CORRELATED here (the
+    // formulation the engine decorrelates), with the same exact
+    // integer threshold inequality and cents/HUGEINT revenue sum
+    "q17_small_qty_revenue" ->
+      """WITH p AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#4' AND p_size <= 15),
+        |l AS (
+        |  SELECT l_partkey,
+        |    CAST((round(l_quantity) + 0.0) AS BIGINT) AS qty,
+        |    CAST((round(l_extendedprice * 100) + 0.0) AS BIGINT) AS cents
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |st AS (
+        |  SELECT l_partkey, sum(qty) AS sq, count(*) AS cnt
+        |  FROM l GROUP BY l_partkey),
+        |k AS (
+        |  SELECT cents FROM l JOIN st USING (l_partkey)
+        |  WHERE 5 * qty * cnt < sq)
+        |SELECT CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+        |    / 100.0 / 7.0 AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_small
+        |FROM k""".stripMargin,
+
     // large-orders twin: integral-double quantity sums are exact in
     // any order; same (sum_qty desc, orderkey) tie-break
     "q18_large_orders" ->
@@ -6803,6 +6928,44 @@ object SparkEntry {
          |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0
          |    AS avg_nll_bigram,
          |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t21's chain with the model CTEs restricted to the lang='en'
+    // train slice and the scoring joins turned LEFT: a NULL c2 is the
+    // backoff signal, falling to the 0.4-damped add-one unigram —
+    // same micro-unit rounding, same CASE operand order as the engine
+    "t38_backoff_logprob" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, ${wordsSql("text")} AS ws
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN u.i = 0 THEN '<s>' ELSE ws[u.i] END AS prev,
+         |    ws[u.i + 1] AS word
+         |  FROM w, unnest(range(0, len(ws))) AS u(i)),
+         |tp AS (SELECT prev, word FROM p WHERE lang = 'en'),
+         |bg AS (SELECT prev, word, count(*) AS c2 FROM tp
+         |  GROUP BY prev, word),
+         |ctx AS (SELECT prev, sum(c2) AS c1 FROM bg GROUP BY prev),
+         |uni AS (SELECT word, count(*) AS cw FROM tp GROUP BY word),
+         |t AS (SELECT sum(cw) AS n, count(*) AS nv FROM uni),
+         |s AS (
+         |  SELECT doc_id, bg.c2 IS NULL AS backed,
+         |    CAST((round(CASE WHEN bg.c2 IS NOT NULL
+         |        THEN -ln(CAST(bg.c2 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+         |        ELSE -ln(0.4 * (CAST(COALESCE(uni.cw, 0) + 1 AS DOUBLE)
+         |          / CAST(t.n + t.nv AS DOUBLE))) END * 1000000)
+         |      + 0.0) AS BIGINT) AS nll_u
+         |  FROM p LEFT JOIN bg USING (prev, word)
+         |    LEFT JOIN ctx USING (prev)
+         |    LEFT JOIN uni USING (word)
+         |    CROSS JOIN t)
+         |SELECT doc_id,
+         |  CAST(sum(nll_u) AS DOUBLE) / count(*) / 1000000.0
+         |    AS avg_nll_backoff,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN backed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the oracle never parses WARC — it states what a byte-exact

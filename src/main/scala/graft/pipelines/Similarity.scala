@@ -405,6 +405,68 @@ object Similarity {
       .agg(count(lit(1)).as("n"), avg("dist").as("mean_dist"))
   }
 
+  /** Per-cell robust outlier detection over assigned-centroid distances
+    * — the embedding-hygiene gate a curation run applies BEFORE dedup
+    * and indexing: corrupt, truncated, or degenerate vectors sit far
+    * from every centroid, and flagging them per CELL (rather than
+    * globally) keeps a naturally-diffuse cell from flooding the report
+    * while a tight cell's defects still surface. Each vector's squared
+    * distance to its assigned centroid is quantized to integer
+    * MICRO-UNITS, per-cell mean/sample-stddev accumulate over those
+    * exact integers (DECIMAL sums — order-independent, so the z-scores
+    * are bit-reproducible under any partitioning; a float power sum
+    * would drift per shuffle layout), and rows with
+    * `z = (d² − μ_cell)/σ_cell ≥ zThresh` come back with their cell and
+    * score. Constant cells (σ = 0) flag nothing by definition.
+    *
+    * Plan shape: one assignment scan (compiled nearest-cell +
+    * declarative d², both whole-stage), one k-row cell aggregate
+    * broadcast back onto the scan — no corpus self-join, no global
+    * sort; at 100 TB this is a read of the corpus plus a k-row
+    * exchange.
+    */
+  def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                       cents: Array[Array[Double]],
+                       zThresh: Double = 2.0): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val d2 = (0 until cents.length).map { c =>
+      val cl = array(cents(c).map(lit): _*)
+      struct(aggregate(zip_with(toDouble(col(vecCol)), cl,
+        (x, w) => (x - w) * (x - w)), lit(0.0), (a, x) => a + x).as("d2"),
+        lit(c).as("cell"))
+    }
+    val assigned = corpus.select(col(idCol),
+      ivfCellAtNative(col(vecCol), cents).as("cell"),
+      round(least(d2: _*).getField("d2") * 1e6).cast("long")
+        .as("d2_micro"))
+    val stats = assigned.groupBy("cell").agg(
+      count(lit(1)).as("cn"),
+      sum(col("d2_micro").cast("decimal(38,0)")).as("s1"),
+      sum((col("d2_micro").cast("decimal(38,0)") *
+        col("d2_micro").cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .as("s2"))
+    // fixed-order double staging (m → q → v → sd) so the oracle's SQL
+    // reproduces the arithmetic operation-for-operation
+    assigned.join(broadcast(stats), "cell")
+      .withColumn("m", col("s1").cast("double") / col("cn"))
+      .withColumn("q", col("s2").cast("double") / col("cn"))
+      // cn = 1 has no sample variance (and ANSI doubles error on /0)
+      .withColumn("v",
+        when(col("cn") > 1,
+          (col("q") - col("m") * col("m")) *
+            (col("cn").cast("double") /
+              (col("cn") - lit(1)).cast("double"))))
+      // v can round to a tiny negative on a constant cell — gate the
+      // sqrt so neither engine manufactures a NaN
+      .withColumn("sd", when(col("v") > 0, sqrt(col("v"))))
+      .withColumn("z",
+        when(col("sd") > 0,
+          (col("d2_micro").cast("double") - col("m")) / col("sd")))
+      .filter(col("z") >= zThresh)
+      .select(col(idCol), col("cell").cast("long").as("cell"),
+        col("d2_micro"), (round(col("z"), 6) + lit(0.0)).as("z"))
+  }
+
   /** Driver-side probe cells for TRAINED centroids — mirror of
     * [[probeCells]] with an explicit matrix.
     */

@@ -512,6 +512,66 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Stupid-backoff LM scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the production shape
+    * [[bigramLogProb]] only approximates: the model is trained on a
+    * REFERENCE slice (`isTrain` — the curated/high-quality subset) and
+    * scores the WHOLE corpus, so unseen transitions actually occur and
+    * the backoff path is exercised. Per token:
+    * `S(w|prev) = c₂(prev,w)/c₁(prev)` when the bigram was seen in
+    * training, else `0.4 · (c(w)+1)/(N+|V|)` — the stupid-backoff
+    * unigram with an add-one floor so OOV words score finitely
+    * (Brants' α = 0.4; no normalization, which is the point — scores,
+    * not probabilities). Output per doc: mean −ln S, token count, and
+    * how many tokens backed off (the "novelty vs the reference"
+    * diagnostic a curation run reads alongside the score).
+    *
+    * Plan shape: one per-doc `lag` window builds token pairs for the
+    * corpus; the train-slice pairs aggregate into the bigram model (one
+    * (prev,word) shuffle), context totals and the unigram model are
+    * aggregates OVER that model and over the train tokens; scoring is
+    * LEFT joins (bigram on (prev,word), unigram on word — unseen keys
+    * must survive to the backoff branch, which an inner join would
+    * silently drop) plus one broadcast 1-row (N,|V|) total. Per-token
+    * −ln S rounds to integer MICRO-UNITS before the per-doc sum, so the
+    * score is bit-reproducible under any partitioning. Model size is
+    * O(distinct train bigrams) rows, distributed — nothing vocab² ever
+    * materializes, and the corpus-side cost is the same two shuffles at
+    * 100 TB as [[bigramLogProb]].
+    */
+  def backoffLogProb(df: DataFrame, idCol: String, text: Column,
+                     isTrain: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val pairs = df
+      .select(col(idCol), isTrain.as("_is_t"),
+        posexplode(Dedup.words(text)).as(Seq("pos", "word")))
+      .withColumn("prev", lag(col("word"), 1, "<s>").over(w))
+      .drop("pos")
+    val tp = pairs.filter(col("_is_t"))
+    val bg = tp.groupBy("prev", "word").agg(count(lit(1)).as("c2"))
+    val ctx = bg.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val uni = tp.groupBy("word").agg(count(lit(1)).as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("n"), count(lit(1)).as("nv"))
+    pairs
+      .join(bg, Seq("prev", "word"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(uni.withColumnRenamed("cw", "cw_u"), Seq("word"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_u",
+        round(when(col("c2").isNotNull,
+            -log(col("c2").cast("double") / col("c1").cast("double")))
+          .otherwise(-log(lit(0.4) *
+            ((coalesce(col("cw_u"), lit(0L)) + 1).cast("double") /
+              (col("n") + col("nv")).cast("double")))) * 1e6)
+          .cast("long"))
+      .groupBy(idCol)
+      .agg((sum(col("nll_u")).cast("double") / count(lit(1)) / 1e6)
+          .as("avg_nll_backoff"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hash every word
     * into `buckets` feature buckets, fit add-one-smoothed bag-of-words

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "g1_pagerank",         // dangling mass: broadcast 1-row aggregate
     "g2_trustrank",        // same shape: broadcast 1-row dangling row
     "t21_bigram_logprob",  // vocab size: broadcast 1-row aggregate
+    "t38_backoff_logprob", // train (N,|V|): broadcast 1-row aggregate
     "n22_index_drift",     // PSI sides + total: broadcast 1-row aggs
     "d17_lsh_tuning",      // argmin: broadcast 1-row aggregate
     "t28_drift_psi",       // per-side totals: broadcast 1-row aggregates

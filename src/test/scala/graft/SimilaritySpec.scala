@@ -614,4 +614,30 @@ class SimilaritySpec extends AnyFunSuite {
       topN = 4, k = 2)) === Seq(1L, 3L))
     graft.Caches.releaseAll()
   }
+
+  test("centroidOutliers: planted corrupt vector flags, tight clusters don't") {
+    // two tight clusters on their centroids plus one vector far from
+    // both — only it should cross z ≥ 2 in its (nearest) cell
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val rows =
+      (0L until 20L).map(i => (i, Seq((i % 5) * 0.01f, 0.0f))) ++
+      (20L until 40L).map(i => (i, Seq(10f + (i % 5) * 0.01f, 10.0f))) ++
+      Seq((99L, Seq(3.0f, 3.0f)))
+    val df = rows.toDF("id", "vec")
+    val got = Similarity.centroidOutliers(df, "id", "vec", cents,
+      zThresh = 2.0)
+    assert(got.select("id").as[Long].collect().toSeq === Seq(99L))
+    assert(got.select("cell").as[Long].head() === 0L)
+    // z is bit-identical under a different partitioning (the power
+    // sums accumulate exact micro-unit integers, never floats)
+    val re = Similarity.centroidOutliers(df.repartition(7), "id", "vec",
+      cents, zThresh = 2.0)
+    assert(re.select("id", "z").as[(Long, Double)].collect().toSeq
+      === got.select("id", "z").as[(Long, Double)].collect().toSeq)
+    // a singleton cell (no sample variance) must flag nothing
+    val lone = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(9.0f, 9.0f)))
+      .toDF("id", "vec")
+    assert(Similarity.centroidOutliers(lone, "id", "vec", cents).count()
+      === 0L)
+  }
 }

@@ -204,6 +204,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("backoffLogProb: unseen transitions back off, are counted, and score high") {
+    // train slice: 9 copies of one sentence; scored corpus adds a doc
+    // that permutes those exact words (every transition novel) and a
+    // doc with an OOV word (the add-one unigram floor)
+    val rows = (1L to 9L).map(i => (i, "the cat sat on the mat", true)) ++
+      Seq((10L, "mat the on cat the sat", false),
+        (11L, "the zyx sat", false))
+    val df = rows.toDF("doc_id", "text", "is_train")
+    val got = TextAnalysis.backoffLogProb(df, "doc_id", $"text",
+        $"is_train")
+      .orderBy("doc_id")
+      .select("avg_nll_backoff", "n_tokens", "n_backoff")
+      .as[(Double, Long, Long)].collect()
+    // in-distribution docs never back off
+    assert(got(0)._3 === 0L)
+    // every transition of the permuted doc is novel to the model
+    assert(got(9)._3 === 6L)
+    assert(got(9)._1 > got(0)._1 * 1.5,
+      "novel transitions must score well above in-distribution prose")
+    // the OOV doc backs off on (the→zyx) and (zyx→sat) only
+    assert(got(10)._3 === 2L)
+    // bit-identical under a different partitioning (micro-unit sums)
+    val re = TextAnalysis.backoffLogProb(df.repartition(7), "doc_id",
+        $"text", $"is_train")
+      .orderBy("doc_id").select("avg_nll_backoff").as[Double].collect()
+    assert(re.toSeq === got.map(_._1).toSeq)
+  }
+
   test("languageIdNgram: trigram profiles identify short marker-free docs") {
     val df = Seq(
       // German with none of the six stopword markers — the trigram
