@@ -1113,6 +1113,39 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("anchor_id", "rank")
     }),
 
+    "n26_drift_rebuild" -> ((s, d) => {
+      // the frozen-model index lifecycle END-TO-END: base build →
+      // drifted streaming delta → PSI alarm → rebuildIfDrifted retrains
+      // the quantizer+codebooks into a fresh version directory and
+      // atomically flips root/CURRENT. The oracle independently
+      // re-derives the trigger decision and the corpus accounting; the
+      // retrained model itself is spec-pinned bit-equal to a one-shot
+      // rebuild (WarehouseSpec), which SQL could not re-derive
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_n26").toString
+      val emb = T(s, d).embeddings
+      val cents = Similarity.seedCentroids(8, 64)
+      val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+      Warehouse.writePqIndex(emb.filter(col("vec_id") % 5 =!= 0), root,
+        k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(cents), codebooks = Some(cb))
+      graft.expressions.GraftFunctions.register(s)
+      val drifted = emb.filter(col("vec_id") % 5 === 0)
+        .filter(Similarity.ivfCellAtNative(col("embedding"), cents)
+          =!= 4)
+      Warehouse.writePqDelta(drifted, root, batchId = 0L)
+      val nBase = Warehouse.readPqCodes(s, root).count()
+      val nDelta = drifted.count()
+      val status = Warehouse.indexDriftReport(s, root)
+        .select("status").head().getString(0)
+      val version = Warehouse.rebuildIfDrifted(s, root).getOrElse("-")
+      val nServing = Warehouse.readPqCodesAll(s, root).count()
+      s.range(1).select(lit(status).as("status"),
+        lit(version != "-").as("rebuilt"), lit(version).as("version"),
+        lit(nBase).as("n_base"), lit(nDelta).as("n_delta"),
+        lit(nServing).as("n_serving"))
+    }),
+
     "n25_centroid_outliers" -> ((s, d) => {
       // embedding-hygiene gate run BEFORE dedup/indexing: per-CELL
       // z-scores over assigned-centroid d² (micro-unit integer
@@ -4827,6 +4860,53 @@ object SparkEntry {
          |  FROM j)
          |SELECT anchor_id, CAST(rk AS BIGINT) AS rank, neg_id, neg_label
          |FROM r WHERE rk <= 5 ORDER BY anchor_id, rank""".stripMargin
+    },
+
+    // the lifecycle decision re-derived: n22's drift-total machinery
+    // (symbolic cell assignment, rounded shares, half-count smoothing,
+    // micro-unit PSI sum, standard gates) reduced to the one-row
+    // trigger outcome + corpus accounting; the retrained model is
+    // spec-verified bit-equal to a one-shot rebuild, not SQL-derivable
+    "n26_drift_rebuild" -> {
+      val cent = (c: String, d: String) =>
+        s"((${h48(s"'ivf:' || CAST($c AS VARCHAR) || ',' || CAST($d AS VARCHAR)")} % 2000000 - 1000000) / 1000000.0)"
+      val cellsOf = (v: String) =>
+        s"""list_sort(list_transform(range(0, 8),
+           |    c -> {'d2': list_reduce(list_transform(range(0, 64),
+           |            d -> ($v[d + 1]::DOUBLE - ${cent("c", "d")})
+           |                 * ($v[d + 1]::DOUBLE - ${cent("c", "d")})),
+           |            (a, b) -> a + b),
+           |          'cell': c}))""".stripMargin
+      s"""WITH cells AS (
+         |  SELECT vec_id, (${cellsOf("embedding")})[1].cell AS cell
+         |  FROM embeddings),
+         |b AS (SELECT cell, count(*) AS n FROM cells
+         |      WHERE vec_id % 5 <> 0 GROUP BY 1),
+         |bt AS (SELECT sum(n) AS t FROM b),
+         |pb AS (SELECT cell, CAST(n AS DOUBLE) / t AS p_old FROM b, bt),
+         |dl AS (SELECT cell, count(*) AS n FROM cells
+         |       WHERE vec_id % 5 = 0 AND cell <> 4 GROUP BY 1),
+         |dt AS (SELECT sum(n) AS t FROM dl),
+         |pd AS (SELECT cell, CAST(n AS DOUBLE) / t AS p_new FROM dl, dt),
+         |j AS (
+         |  SELECT CAST(round(
+         |      (COALESCE((round(p_new, 6) + 0.0), 0.5 / dt.t)
+         |        - COALESCE((round(p_old, 6) + 0.0), 0.5 / bt.t))
+         |      * ln(COALESCE((round(p_new, 6) + 0.0), 0.5 / dt.t)
+         |           / COALESCE((round(p_old, 6) + 0.0), 0.5 / bt.t))
+         |      * 1e6) + 0.0 AS BIGINT) AS u
+         |  FROM pb FULL OUTER JOIN pd ON pb.cell = pd.cell, bt, dt),
+         |tu AS (SELECT COALESCE(sum(u), 0) AS t FROM j),
+         |st AS (SELECT CASE WHEN t > 250000 THEN 'rebuild'
+         |         WHEN t > 100000 THEN 'watch'
+         |         ELSE 'stable' END AS status FROM tu)
+         |SELECT status, status = 'rebuild' AS rebuilt,
+         |  CASE WHEN status = 'rebuild' THEN 'v1' ELSE '-' END
+         |    AS version,
+         |  CAST(bt.t AS BIGINT) AS n_base,
+         |  CAST(dt.t AS BIGINT) AS n_delta,
+         |  CAST(bt.t + dt.t AS BIGINT) AS n_serving
+         |FROM st, bt, dt""".stripMargin
     },
 
     // per-cell z over assigned-centroid d²: the same symbolic centroid

@@ -151,6 +151,22 @@ object Warehouse {
     deleteRecursively(new java.io.File(staging))
   }
 
+  /** Index-version indirection for the PQ/cell index family: when
+    * `root/CURRENT` exists, every index path — base layout, centroid
+    * and codebook files, delta tables — resolves into the version
+    * directory it names. The pointer is written ONLY by
+    * [[rebuildIfDrifted]]'s atomic move, so a reader sees either the
+    * complete old index or the complete new one, never a mix; a root
+    * with no pointer is its own (only) version, and pre-versioned
+    * layouts read/write exactly as before.
+    */
+  private def resolveIndexRoot(root: String): String = {
+    val p = java.nio.file.Paths.get(s"$root/CURRENT")
+    if (java.nio.file.Files.exists(p))
+      s"$root/${java.nio.file.Files.readString(p).trim}"
+    else root
+  }
+
   /** IVF-partitioned embedding layout: every vector is written under its
     * coarse-quantizer cell directory, so an ANN probe reads only its
     * `nprobe` cells' directories (PartitionFilters) instead of scanning
@@ -158,11 +174,12 @@ object Warehouse {
     * serving shape. Pair with
     * [[graft.pipelines.Similarity.ivfTopKPartitioned]].
     */
-  def writeEmbeddingsByCell(emb: DataFrame, root: String, k: Int,
+  def writeEmbeddingsByCell(emb: DataFrame, root0: String, k: Int,
                             dim: Int,
                             vecCol: String = "embedding",
                             centroids: Option[Array[Array[Double]]] = None)
       : Unit = {
+    val root = resolveIndexRoot(root0)
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     // default: trained k-means centroids (balanced cells, tight probes);
     // pass Similarity.seedCentroids(k, dim) explicitly to reproduce the
@@ -183,14 +200,15 @@ object Warehouse {
   }
 
   def readEmbeddingsByCell(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/embeddings")
+    spark.read.parquet(s"${resolveIndexRoot(root)}/embeddings")
 
   /** The exact centroid matrix a cell-partitioned layout was written
     * with — the only correct ranking for its probe cells.
     */
   def readEmbeddingCentroids(root: String): Array[Array[Double]] =
     java.nio.file.Files
-      .readString(java.nio.file.Paths.get(s"$root/centroids.txt"))
+      .readString(java.nio.file.Paths
+        .get(s"${resolveIndexRoot(root)}/centroids.txt"))
       .split("\n").map(_.split(",").map(_.toDouble))
 
   /** Serve an ANN probe against a cell-partitioned layout with the
@@ -215,7 +233,7 @@ object Warehouse {
     * Codes and vectors share the cell assignment by construction, so
     * one probe list prunes both scans.
     */
-  def writePqIndex(emb: DataFrame, root: String, k: Int, dim: Int,
+  def writePqIndex(emb: DataFrame, root0: String, k: Int, dim: Int,
                    m: Int, ks: Int,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
@@ -223,6 +241,7 @@ object Warehouse {
                    codebooks: Option[Array[Array[Array[Double]]]] = None,
                    residual: Boolean = false)
       : Unit = {
+    val root = resolveIndexRoot(root0)
     writeEmbeddingsByCell(emb, root, k, dim, vecCol, centroids)
     val cents = readEmbeddingCentroids(root)
     val cb = codebooks.getOrElse(
@@ -256,7 +275,8 @@ object Warehouse {
     * indexes from before the flag existed are raw.
     */
   def readPqResidualFlag(root: String): Boolean = {
-    val p = java.nio.file.Paths.get(s"$root/pqmeta.txt")
+    val p = java.nio.file.Paths
+      .get(s"${resolveIndexRoot(root)}/pqmeta.txt")
     java.nio.file.Files.exists(p) &&
       java.nio.file.Files.readString(p).trim == "residual=true"
   }
@@ -277,12 +297,13 @@ object Warehouse {
   }
 
   def readPqCodes(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/codes")
+    spark.read.parquet(s"${resolveIndexRoot(root)}/codes")
 
   /** The exact codebooks the codes table was encoded with. */
   def readPqCodebooks(root: String): Array[Array[Array[Double]]] = {
     val rows = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(s"$root/codebooks.txt"))
+      .readString(java.nio.file.Paths
+        .get(s"${resolveIndexRoot(root)}/codebooks.txt"))
       .split("\n")
       .map { line =>
         val Array(j, c, vs) = line.split(";", 3)
@@ -311,9 +332,10 @@ object Warehouse {
     * serving path answers identically (`n15_index_append` proves it
     * against n13's oracle; WarehouseSpec pins base+append ≡ full).
     */
-  def appendToPqIndex(batch: DataFrame, root: String,
+  def appendToPqIndex(batch: DataFrame, root0: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
+    val root = resolveIndexRoot(root0)
     graft.expressions.GraftFunctions.register(batch.sparkSession)
     val cents = readEmbeddingCentroids(root)
     val cb = readPqCodebooks(root)
@@ -339,12 +361,14 @@ object Warehouse {
     */
   def pqDeltaEmbTable(spark: SparkSession, root: String,
                       failpoint: String => Unit = _ => ()): AtomicTable =
-    AtomicTable(spark, s"$root/delta_emb", partCol = "cell",
+    AtomicTable(spark, s"${resolveIndexRoot(root)}/delta_emb",
+      partCol = "cell",
       defaultKeys = Seq("vec_id"), failpoint = failpoint,
       partType = _.toInt)
   def pqDeltaCodeTable(spark: SparkSession, root: String,
                        failpoint: String => Unit = _ => ()): AtomicTable =
-    AtomicTable(spark, s"$root/delta_codes", partCol = "cell",
+    AtomicTable(spark, s"${resolveIndexRoot(root)}/delta_codes",
+      partCol = "cell",
       defaultKeys = Seq("vec_id"), failpoint = failpoint,
       partType = _.toInt)
 
@@ -414,7 +438,8 @@ object Warehouse {
     * them.
     */
   def readPqCodesAll(spark: SparkSession, root: String): DataFrame = {
-    val base = spark.read.parquet(s"$root/codes")
+    val base = spark.read
+      .parquet(s"${resolveIndexRoot(root)}/codes")
     val codes = pqDeltaCodeTable(spark, root)
     if (!codes.hasData) base
     else base.unionByName(codes.read()
@@ -422,7 +447,8 @@ object Warehouse {
   }
   def readEmbeddingsByCellAll(spark: SparkSession,
                               root: String): DataFrame = {
-    val base = spark.read.parquet(s"$root/embeddings")
+    val base = spark.read
+      .parquet(s"${resolveIndexRoot(root)}/embeddings")
     val emb = pqDeltaEmbTable(spark, root)
     if (!emb.hasData) base
     else base.unionByName(emb.read()
@@ -523,6 +549,65 @@ object Warehouse {
         when(col("_tu") > 250000L, lit("rebuild"))
           .when(col("_tu") > 100000L, lit("watch"))
           .otherwise(lit("stable")).as("status"))
+  }
+
+  /** The retrain trigger the drift alarm exists for: when
+    * [[indexDriftReport]]'s corpus-level status says `rebuild`, retrain
+    * the coarse quantizer on the FULL corpus (base + committed deltas,
+    * warm-started from the stale centroids), retrain the codebooks and
+    * re-encode everything into a fresh index VERSION directory, then
+    * atomically flip the `root/CURRENT` pointer. Returns the new
+    * version name; None when there are no committed deltas or the
+    * drift total is below the rebuild gate (the frozen-model append
+    * path keeps running untouched).
+    *
+    * Lifecycle safety:
+    *  - the new version is built COMPLETELY (cells, centroids, codes,
+    *    codebooks, residual flag preserved) before the pointer moves —
+    *    a crash mid-build leaves the old version serving, untouched,
+    *    and a re-run simply rebuilds;
+    *  - the flip is one ATOMIC_MOVE of a pointer file, so a reader
+    *    resolves either the whole old index or the whole new one,
+    *    never a mix of the two models' cells/codes;
+    *  - the new version starts with EMPTY delta tables — its deltas
+    *    were folded into its base — so the alarm restarts clean and
+    *    subsequent streaming appends land in the new version;
+    *  - the superseded version's directories are retained for
+    *    in-flight readers and audit (the vacuum-grace discipline of
+    *    [[AtomicTable]] applied at index granularity).
+    */
+  def rebuildIfDrifted(spark: SparkSession, root: String,
+                       trainIters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Option[String] = {
+    if (!hasPqDeltas(spark, root)) return None
+    val status = indexDriftReport(spark, root)
+      .select("status").head().getString(0)
+    if (status != "rebuild") return None
+    val cents = readEmbeddingCentroids(root)
+    val cb = readPqCodebooks(root)
+    val residual = readPqResidualFlag(root)
+    val (k, dim) = (cents.length, cents(0).length)
+    val corpus = readEmbeddingsByCellAll(spark, root).drop("cell")
+      .persist()
+    try {
+      val retrained = graft.pipelines.Similarity.trainIvfCentroids(
+        corpus, vecCol, k, dim, iters = trainIters, seed = Some(cents))
+      val cur = java.nio.file.Paths.get(s"$root/CURRENT")
+      val next = "v" + (1L + (if (java.nio.file.Files.exists(cur))
+        java.nio.file.Files.readString(cur).trim.stripPrefix("v").toLong
+      else 0L))
+      writePqIndex(corpus, s"$root/$next", k, dim,
+        m = cb.length, ks = cb(0).length, idCol = idCol,
+        vecCol = vecCol, centroids = Some(retrained),
+        residual = residual)
+      val tmp = java.nio.file.Paths.get(s"$root/CURRENT.tmp")
+      java.nio.file.Files.writeString(tmp, next)
+      java.nio.file.Files.move(tmp, cur,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Some(next)
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** IVFADC serving against the PERSISTED index — no raw vectors on

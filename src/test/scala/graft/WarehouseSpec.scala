@@ -431,6 +431,60 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuildIfDrifted: iid no-op; drifted delta retrains into a new " +
+      "version behind an atomic pointer, equal to a one-shot rebuild") {
+    import graft.pipelines.Similarity
+    graft.expressions.GraftFunctions.register(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    def freshIndex(): String = {
+      val root = Files.createTempDirectory("graft_rebuild").toString
+      Warehouse.writePqIndex(emb.filter($"vec_id" % 5 =!= 0), root,
+        k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(cents), codebooks = Some(cb))
+      root
+    }
+    // iid delta: drift below the gate ⇒ no rebuild, no pointer, the
+    // frozen-model append path keeps running untouched
+    val iidRoot = freshIndex()
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 5 === 0), iidRoot, 0L)
+    assert(Warehouse.rebuildIfDrifted(spark, iidRoot) === None)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$iidRoot/CURRENT")))
+    assert(Warehouse.hasPqDeltas(spark, iidRoot))
+    // drifted delta: alarm says rebuild ⇒ retrain + flip to v1
+    val root = freshIndex()
+    val drifted = emb.filter($"vec_id" % 5 === 0)
+      .filter(Similarity.ivfCellAtNative($"embedding", cents) =!= 4)
+    Warehouse.writePqDelta(drifted, root, 0L)
+    assert(Warehouse.rebuildIfDrifted(spark, root) === Some("v1"))
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$root/CURRENT")).trim === "v1")
+    // the new version starts with a clean slate: no deltas, alarm reset
+    assert(!Warehouse.hasPqDeltas(spark, root))
+    // the quantizer actually retrained (centroids moved off the seed)
+    val newCents = Warehouse.readEmbeddingCentroids(root)
+    assert(newCents.flatten.toSeq !== cents.flatten.toSeq)
+    // the flipped index IS a one-shot build of the union corpus under
+    // the retrained model — serve answers bit-identically
+    val union = emb.filter($"vec_id" % 5 =!= 0).unionByName(drifted)
+    val refRoot = Files.createTempDirectory("graft_rebuild_ref").toString
+    Warehouse.writePqIndex(union, refRoot, k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(newCents))
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    assert(Warehouse.ivfPqServe(spark, root, q, topK = 5).collect().toSeq
+      === Warehouse.ivfPqServe(spark, refRoot, q, topK = 5)
+        .collect().toSeq)
+    // the superseded version's files are retained for in-flight readers
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/embeddings")))
+    // post-flip streaming appends land in the NEW version's delta tables
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 7), root, 0L)
+    assert(Warehouse.hasPqDeltas(spark, root))
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$root/v1/delta_codes")))
+  }
+
   test("filtered ANN: metadata gate rides the probe-pruned scan") {
     import graft.pipelines.Similarity
     val root = Files.createTempDirectory("graft_ivf_filter").toString
