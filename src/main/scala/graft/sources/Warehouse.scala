@@ -400,7 +400,8 @@ object Warehouse {
   def writePqDelta(batch: DataFrame, root: String, batchId: Long,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   failpoint: String => Unit = _ => ()): Unit = {
+                   failpoint: String => Unit = _ => (),
+                   stream: String = "pq_delta"): Unit = {
     // A zero-row micro-batch (empty landing poll) has nothing to shard;
     // skipping it without a commit is replay-safe — the replayed batch
     // is empty again and skips again — and keeps init() from ever
@@ -408,24 +409,39 @@ object Warehouse {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val cents = readEmbeddingCentroids(root)
-    val cb = readPqCodebooks(root)
+    // resolve the version ONCE: model files and delta tables must come
+    // from the SAME version, or a concurrent rebuild's pointer flip
+    // could land old-model codes in the new version's tables
+    val r = resolveIndexRoot(root)
+    val cents = readEmbeddingCentroids(r)
+    val cb = readPqCodebooks(r)
     val cell = graft.pipelines.Similarity
       .ivfCellAtNative(col(vecCol), cents)
-    val txn = Some(("pq_delta", batchId))
+    val txn = Some((stream, batchId))
     val embRows = batch.withColumn("cell", cell)
     val codeRows = batch.withColumn("cell", cell)
       .withColumn("code",
-        pqCodeFor(vecCol, cents, cb, readPqResidualFlag(root)))
+        pqCodeFor(vecCol, cents, cb, readPqResidualFlag(r)))
       .select(col(idCol), col("cell"), col("code"))
-    val emb = pqDeltaEmbTable(spark, root, failpoint)
-    val codes = pqDeltaCodeTable(spark, root, failpoint)
+    val emb = pqDeltaEmbTable(spark, r, failpoint)
+    val codes = pqDeltaCodeTable(spark, r, failpoint)
     // vectors FIRST, codes second: the serve is codes-driven (see
     // scaladoc), so the in-between crash state is benign
     if (emb.version == 0L) emb.init(embRows, txn)
     else emb.append(embRows, txn)
     if (codes.version == 0L) codes.init(codeRows, txn)
     else codes.append(codeRows, txn)
+    // flip fence: if a rebuild flipped root/CURRENT while this batch
+    // was encoding/committing, the shard just landed in the superseded
+    // version and would vanish from the serving view. Replay into the
+    // new current — its fresh tables carry no (stream, batchId) mark,
+    // so the replay commits there, re-encoded under the NEW model.
+    // Bounded by flip frequency (a rare maintenance event); together
+    // with [[sweepSupersededIndexDeltas]] (which catches shards whose
+    // commit completed before the flip) no shard is ever lost.
+    if (resolveIndexRoot(root) != r)
+      writePqDelta(batch, root, batchId, idCol, vecCol, failpoint,
+        stream)
   }
 
   /** True iff the index at `root` has any committed streaming deltas. */
@@ -580,6 +596,8 @@ object Warehouse {
                        trainIters: Int = 2,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Option[String] = {
+    // heal a predecessor that crashed between its flip and its sweep
+    sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
     if (!hasPqDeltas(spark, root)) return None
     val status = indexDriftReport(spark, root)
       .select("status").head().getString(0)
@@ -593,21 +611,73 @@ object Warehouse {
     try {
       val retrained = graft.pipelines.Similarity.trainIvfCentroids(
         corpus, vecCol, k, dim, iters = trainIters, seed = Some(cents))
-      val cur = java.nio.file.Paths.get(s"$root/CURRENT")
-      val next = "v" + (1L + (if (java.nio.file.Files.exists(cur))
-        java.nio.file.Files.readString(cur).trim.stripPrefix("v").toLong
-      else 0L))
+      // next version = max existing v<N> + 1, claimed by EXCLUSIVE
+      // directory creation: a concurrent rebuild loses the claim with
+      // a clean error instead of racing writes into the same dir, and
+      // a crashed build's orphan dir is simply skipped past (retained,
+      // like a staging dir) rather than bricking every later rebuild
+      val vDir = "^v(\\d+)$".r
+      val next = "v" + (1L + new java.io.File(root).list().toSeq
+        .collect { case vDir(n) => n.toLong }
+        .foldLeft(0L)(math.max))
+      java.nio.file.Files
+        .createDirectory(java.nio.file.Paths.get(s"$root/$next"))
       writePqIndex(corpus, s"$root/$next", k, dim,
         m = cb.length, ks = cb(0).length, idCol = idCol,
         vecCol = vecCol, centroids = Some(retrained),
         residual = residual)
+      val cur = java.nio.file.Paths.get(s"$root/CURRENT")
       val tmp = java.nio.file.Paths.get(s"$root/CURRENT.tmp")
       java.nio.file.Files.writeString(tmp, next)
       java.nio.file.Files.move(tmp, cur,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // shards whose commit completed in the old version between the
+      // corpus snapshot and the flip are invisible to both the new
+      // base and the writer fence — fold them forward now
+      sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
       Some(next)
     } finally corpus.unpersist(blocking = false)
+  }
+
+  /** Fold delta shards stranded in the SUPERSEDED index version into
+    * the current one. A shard strands when its commit completed in the
+    * old version after [[rebuildIfDrifted]] snapshotted its corpus but
+    * before the pointer flip — the one window neither the new base nor
+    * [[writePqDelta]]'s post-commit flip fence covers. Stranded rows
+    * are found by id anti-join against the CURRENT serving set (so the
+    * sweep is idempotent and needs no version bookkeeping), re-encoded
+    * under the current model via [[writePqDelta]], and committed under
+    * the `pq_sweep` stream with the superseded table's version as the
+    * batch id — new strands imply an advanced version, so ids never
+    * collide, while a crashed sweep's replay is fenced per table
+    * exactly like any other delta commit. Returns the rows folded.
+    * Runs automatically before and after every rebuild; safe to run
+    * any time (no pointer / no strands → 0).
+    */
+  def sweepSupersededIndexDeltas(spark: SparkSession, root: String,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): Long = {
+    val cur = java.nio.file.Paths.get(s"$root/CURRENT")
+    if (!java.nio.file.Files.exists(cur)) return 0L
+    val n = java.nio.file.Files.readString(cur).trim
+      .stripPrefix("v").toLong
+    val prevRoot = if (n <= 1L) root else s"$root/v${n - 1}"
+    // construct against the superseded path DIRECTLY — pqDeltaEmbTable
+    // would re-resolve to the current version
+    val prevEmb = AtomicTable(spark, s"$prevRoot/delta_emb",
+      partCol = "cell", defaultKeys = Seq(idCol), partType = _.toInt)
+    if (!prevEmb.hasData) return 0L
+    val served = readPqCodesAll(spark, root).select(col(idCol))
+    val late = prevEmb.read().drop("cell")
+      .join(served, Seq(idCol), "left_anti").persist()
+    try {
+      val nLate = late.count()
+      if (nLate > 0)
+        writePqDelta(late, root, batchId = prevEmb.version,
+          idCol = idCol, vecCol = vecCol, stream = "pq_sweep")
+      nLate
+    } finally late.unpersist(blocking = false)
   }
 
   /** IVFADC serving against the PERSISTED index — no raw vectors on

@@ -485,6 +485,54 @@ class WarehouseSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$root/v1/delta_codes")))
   }
 
+  test("no shard lost across a version flip: writer fence replays a " +
+      "mid-flight batch, sweep folds strands committed before the flip") {
+    import graft.pipelines.Similarity
+    graft.expressions.GraftFunctions.register(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    val root = Files.createTempDirectory("graft_flip").toString
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    Warehouse.writePqIndex(base, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cb))
+    def flipToV1(): Unit = {
+      Warehouse.writePqIndex(base, s"$root/v1", k = 8, dim = 64,
+        m = 8, ks = 16, centroids = Some(cents), codebooks = Some(cb))
+      Files.writeString(
+        java.nio.file.Paths.get(s"$root/CURRENT"), "v1")
+    }
+    // writer fence: a rebuild flips CURRENT while this batch commits —
+    // the post-commit check must replay the shard into v1
+    var flipped = false
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    Warehouse.writePqDelta(batch, root, 7L, failpoint = p =>
+      if (p == "pre-commit" && !flipped) { flipped = true; flipToV1() })
+    val inV1 = Warehouse.readPqCodesAll(spark, root)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batch.select("vec_id").as[Long].collect().forall(inV1))
+    // sweep: a shard whose commit COMPLETED in the old version just
+    // before the flip (invisible to the fence) is folded forward
+    val root2 = Files.createTempDirectory("graft_strand").toString
+    Warehouse.writePqIndex(base, root2, k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(cents), codebooks = Some(cb))
+    Warehouse.writePqDelta(batch, root2, 0L) // committed pre-flip
+    Warehouse.writePqIndex(base, s"$root2/v1", k = 8, dim = 64,
+      m = 8, ks = 16, centroids = Some(cents), codebooks = Some(cb))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root2/CURRENT"), "v1")
+    val before = Warehouse.readPqCodesAll(spark, root2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!batch.select("vec_id").as[Long].collect().exists(before))
+    assert(Warehouse.sweepSupersededIndexDeltas(spark, root2)
+      === batch.count())
+    val after = Warehouse.readPqCodesAll(spark, root2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batch.select("vec_id").as[Long].collect().forall(after))
+    // idempotent: nothing left to fold
+    assert(Warehouse.sweepSupersededIndexDeltas(spark, root2) === 0L)
+  }
+
   test("filtered ANN: metadata gate rides the probe-pruned scan") {
     import graft.pipelines.Similarity
     val root = Files.createTempDirectory("graft_ivf_filter").toString
