@@ -25,7 +25,8 @@ object BenchScale {
     * widened in r12 with one exemplar per remaining family: as-of
     * join, window indicators, manifest-table writes (incl. schema
     * evolution), TF-IDF's doc×term shuffle, hybrid retrieval fusion,
-    * and a stateful streaming pipeline.
+    * a stateful streaming pipeline, the decorrelated-subquery star
+    * (q17), and train-slice LM scoring (t38).
     */
   private val exemplars = Seq(
     "q1_lineitem_agg", "q3_shipping_priority", "q5_star_revenue",
@@ -34,7 +35,8 @@ object BenchScale {
     "t15_quality_rules", "p8_curation_pipeline", "g1_pagerank",
     "j6_asof_join", "w18_macd", "u1b_warehouse_upsert",
     "u16_schema_evolution", "t12_tfidf", "n10_hybrid_rrf",
-    "st2_doc_stream_dedup")
+    "st2_doc_stream_dedup", "q17_small_qty_revenue",
+    "t38_backoff_logprob")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
