@@ -1198,6 +1198,36 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source")
     }),
 
+    "u18_zone_map_skip" -> ((s, d) => {
+      // zone-map data skipping BELOW the partition axis: each commit
+      // records its doc_id min/max as a #minmax manifest line, and a
+      // range probe resolves only the dirs whose range intersects —
+      // the per-file-stats pruning of the manifest table formats. The
+      // table is built append-mostly (init + three appends of disjoint
+      // doc_id quartiles, the shape a crawl corpus accretes in), the
+      // probe covers the interior of the second quartile, so three of
+      // four dirs are skipped before any scan is planned
+      // (AtomicTableSpec asserts the skip; this oracle proves pruning
+      // is invisible to the answer). At 100 TB this is the difference
+      // between reading one commit and reading every file of every
+      // source partition for a time- or id-bounded query.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zone").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.AtomicTable(s, root, partCol = "source",
+        defaultKeys = Seq("doc_id"), statsCol = Some("doc_id"))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      tbl.init(docs.filter(col("doc_id") <= q))
+      (1 to 3).foreach(k => tbl.append(
+        docs.filter(col("doc_id") > q * k && col("doc_id") <= q * (k + 1))))
+      tbl.readRange(q + 1, 2 * q)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -5047,6 +5077,21 @@ object SparkEntry {
         |  (coalesce(sum(quality), 0.0) + 0.0) AS sum_q,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM v3 GROUP BY source ORDER BY source""".stripMargin,
+
+    // zone-map skipping is pruning, not filtering: the four commits
+    // cover every doc exactly once (disjoint quartiles), so the
+    // engine's pruned range read must equal a plain BETWEEN over the
+    // whole corpus — the quartile bound replays the engine's integer
+    // division ((mx+4)/4 on longs == // for non-negatives)
+    "u18_zone_map_skip" ->
+      """WITH qq AS (
+        |  SELECT (max(doc_id) + 4) // 4 AS q FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, qq
+        |WHERE doc_id BETWEEN q + 1 AND 2 * q
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly

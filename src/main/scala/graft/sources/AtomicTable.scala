@@ -59,14 +59,30 @@ import graft.operators.Relational
   * partitions; `_.toInt` for e.g. an IVF `cell` column) — without it a
   * non-string partition column would compare against string literals
   * and lose partition pruning.
+  *
+  * `statsCol` opts a column into ZONE-MAP data skipping: each commit
+  * records the staged dir's min/max of that column as a `#minmax`
+  * manifest line, and [[readRange]] resolves ONLY the dirs whose
+  * recorded range intersects the predicate — file skipping BELOW the
+  * partition axis, the per-file-stats pruning of the manifest table
+  * formats. Stats are conservative by construction: a dir whose
+  * partitions were later reassigned away (upsert/delete `without`)
+  * keeps the min/max of its original superset, so pruning may
+  * under-skip but never over-skips; dirs with no recorded stats
+  * (committed before the column opted in, or all-null) are always
+  * read. The stats value's STRING form must order consistently with
+  * the column (integers of one sign, doubles of one magnitude-class,
+  * ISO timestamps: compared numerically when both ends parse as
+  * numbers, lexicographically otherwise).
   */
 final case class AtomicTable(spark: SparkSession, root: String,
                              partCol: String,
                              defaultKeys: Seq[String],
                              failpoint: String => Unit = _ => (),
-                             partType: String => Any = identity) {
+                             partType: String => Any = identity,
+                             statsCol: Option[String] = None) {
 
-  import AtomicTable.{ManifestRe, OpPrefix, Star, TxnPrefix}
+  import AtomicTable.{ManifestRe, OpPrefix, Star, StatsPrefix, TxnPrefix, statsCmp}
 
   private def rootFile = new java.io.File(root)
 
@@ -130,6 +146,20 @@ final case class AtomicTable(spark: SparkSession, root: String,
   def lastCommittedBatch(stream: String): Option[Long] =
     readTxns().get(stream)
 
+  /** dir → recorded (min, max) of [[statsCol]] (the `#minmax` lines).
+    * Dirs without a line carry no zone information and are never
+    * skipped.
+    */
+  private def readStats(): Map[String, (String, String)] =
+    currentManifest.map(_._2).map { f =>
+      Files.readAllLines(f.toPath).asScala
+        .filter(_.startsWith(StatsPrefix))
+        .map { line =>
+          val Array(_, dir, _, lo, hi) = line.split("\t", 5)
+          dir -> (lo, hi)
+        }.toMap
+    }.getOrElse(Map.empty)
+
   /** The operation log across retained (non-vacuumed) versions,
     * ascending: (version, operation, commit epoch-millis) — the
     * DESCRIBE HISTORY view that answers "what produced version N"
@@ -162,17 +192,29 @@ final case class AtomicTable(spark: SparkSession, root: String,
   private def writeManifest(entries: Seq[(String, Seq[String])],
                             base: Long,
                             txns: Map[String, Long],
-                            op: String = "write"): Unit = {
+                            op: String = "write",
+                            stats: Map[String, (String, String)] = Map.empty)
+      : Unit = {
     // the operation log line (`#op <name> <epochMs>`): DESCRIBE
     // HISTORY-style provenance, ignored by every data/txn parser
     // (`#` prefix), one line per committed version
     val opLine = s"$OpPrefix\t$op\t${System.currentTimeMillis()}"
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (s, id) => s"$TxnPrefix\t$s\t$id" }
-    val dataLines = entries
-      .filter { case (_, syms) => syms.nonEmpty }
-      .map { case (d, syms) => d + "\t" + syms.mkString(",") }
-    val body = (opLine +: (txnLines ++ dataLines)).mkString("\n")
+    val live = entries.filter { case (_, syms) => syms.nonEmpty }
+    // zone-map lines only for dirs the manifest still references —
+    // stats of retired dirs fall away with their data lines
+    val statLines = statsCol.toSeq.flatMap { c =>
+      live.flatMap { case (d, _) =>
+        stats.get(d).map { case (lo, hi) =>
+          s"$StatsPrefix\t$d\t$c\t$lo\t$hi"
+        }
+      }
+    }
+    val dataLines =
+      live.map { case (d, syms) => d + "\t" + syms.mkString(",") }
+    val body =
+      (opLine +: (txnLines ++ statLines ++ dataLines)).mkString("\n")
     val tmp = new java.io.File(rootFile, s".manifest-tmp-${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, body)
     failpoint("pre-commit")
@@ -226,6 +268,24 @@ final case class AtomicTable(spark: SparkSession, root: String,
     (rel, dirParts(rel))
   }
 
+  /** Zone entry for a freshly staged dir: min/max of [[statsCol]] read
+    * back from the written files — one batch-sized aggregate, never a
+    * table-sized one. Empty for a stats-less table, an empty stage, or
+    * an all-null column (such a dir is simply never skipped).
+    */
+  private def stagedStats(rel: String,
+                          ps: Seq[String]): Map[String, (String, String)] =
+    statsCol.toSeq.flatMap { c =>
+      if (ps.isEmpty) Nil
+      else {
+        val r = spark.read.parquet(s"$root/$rel")
+          .agg(min(col(c)).cast("string"), max(col(c)).cast("string"))
+          .collect()(0)
+        if (r.isNullAt(0)) Nil
+        else Seq(rel -> ((r.getString(0), r.getString(1))))
+      }
+    }.toMap
+
   /** Remove `touched` partitions from every entry's assignment (entries
     * that kept nothing fall away in writeManifest).
     */
@@ -268,7 +328,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val (rel, ps) = stage(rows)
     val entries = if (ps.nonEmpty) Seq(rel -> Seq(Star)) else Seq.empty
     writeManifest(entries, base, withTxn(txn),
-      op = if (ps.nonEmpty) "init" else "init-empty")
+      op = if (ps.nonEmpty) "init" else "init-empty",
+      stats = stagedStats(rel, ps))
   }
 
   /** True iff the current manifest references any data dir — false for
@@ -286,6 +347,49 @@ final case class AtomicTable(spark: SparkSession, root: String,
       s"no committed data under $root (table never initialized, or " +
         "initialized from an empty seed and never appended to)")
     resolve(entries)
+  }
+
+  /** Zone-map read: the committed snapshot filtered to `statsCol ∈
+    * [lo, hi]`, with every data dir whose recorded `#minmax` range
+    * cannot intersect the predicate skipped BEFORE any scan is
+    * planned. The result is exactly `read().filter(between(lo, hi))`
+    * — pruning is invisible to correctness (stats-less dirs always
+    * read, stats conservative under partition reassignment) and
+    * visible only to I/O: at 100 TB a time- or id-bounded query over
+    * an append-mostly table touches the handful of commits whose
+    * ranges overlap, not every file of every partition. The residual
+    * filter still applies (a surviving dir may hold rows outside the
+    * bound), and still reaches the parquet scan as a pushed predicate.
+    */
+  def readRange(lo: Any, hi: Any): DataFrame = {
+    val c = statsCol.getOrElse(sys.error(
+      s"readRange requires a statsCol on the table at $root"))
+    val all = readManifest()
+    require(all.nonEmpty,
+      s"no committed data under $root (table never initialized, or " +
+        "initialized from an empty seed and never appended to)")
+    val surv = zoneSurvivors(lo, hi)
+    val between = col(c) >= lit(lo) && col(c) <= lit(hi)
+    if (surv.isEmpty)
+      // every dir's range misses [lo, hi]: an empty result with the
+      // table's schema — the false filter folds to an empty relation,
+      // so no file is actually read
+      resolve(all.take(1)).filter(lit(false) && between)
+    else resolve(surv).filter(between)
+  }
+
+  /** The manifest entries a `[lo, hi]` zone probe must read — package-
+    * visible so the spec can assert that pruning actually happened,
+    * not just that the answer matched.
+    */
+  private[graft] def zoneSurvivors(lo: Any,
+                                   hi: Any): Seq[(String, Seq[String])] = {
+    val st = readStats()
+    readManifest().filter { case (d, _) =>
+      st.get(d).forall { case (mn, mx) =>
+        statsCmp(mx, lo.toString) >= 0 && statsCmp(mn, hi.toString) <= 0
+      }
+    }
   }
 
   /** Time travel: the snapshot as of committed version `v` — data dirs
@@ -377,11 +481,13 @@ final case class AtomicTable(spark: SparkSession, root: String,
     try {
       val inserted = fresh.count()
       if (inserted > 0 || txn.nonEmpty) {
-        val entries =
+        val (entries, st) =
           if (inserted > 0) { val (rel, ps) = stage(fresh)
-            readManifest() :+ (rel -> ps) }
-          else readManifest() // still commit: the txn mark must advance
-        writeManifest(entries, base, withTxn(txn), op = "insert")
+            (readManifest() :+ (rel -> ps),
+              readStats() ++ stagedStats(rel, ps)) }
+          else (readManifest(), readStats()) // still commit: the txn
+        writeManifest(entries, base, withTxn(txn), // mark must advance
+          op = "insert", stats = st)
       }
       inserted
     } finally fresh.unpersist(blocking = false)
@@ -402,7 +508,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val base = version
     val (rel, ps) = stage(batch)
     writeManifest(readManifest() :+ (rel -> ps), base, withTxn(txn),
-      op = "append")
+      op = "append", stats = readStats() ++ stagedStats(rel, ps))
   }
 
   /** Keyed upsert: merge batch into its partitions' current rows, stage
@@ -421,7 +527,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val touched = batchParts(batch).toSet
     val (rel, ps) = stage(merged)
     writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,
-      withTxn(txn), op = "upsert")
+      withTxn(txn), op = "upsert",
+      stats = readStats() ++ stagedStats(rel, ps))
   }
 
   /** Delete matching rows within the named partitions, with the
@@ -438,7 +545,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
     if (deleted > 0) {
       val (rel, ps) = stage(touched.filter(!matched))
       writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
-        base, readTxns(), op = "delete")
+        base, readTxns(), op = "delete",
+        stats = readStats() ++ stagedStats(rel, ps))
     }
     deleted
   }
@@ -463,7 +571,8 @@ final case class AtomicTable(spark: SparkSession, root: String,
       coalesceTo = math.max(1, spark.sparkContext.defaultParallelism / 2),
       maxRecordsPerFile = maxRecordsPerFile)
     writeManifest(without(readManifest(), touchedSet) :+ (rel -> ps),
-      base, readTxns(), op = "compact")
+      base, readTxns(), op = "compact",
+      stats = readStats() ++ stagedStats(rel, ps))
   }
 
   /** Reclaim data dirs no retained manifest references (retired by
@@ -524,6 +633,23 @@ object AtomicTable {
   private val Star = "*"
   private val TxnPrefix = "#txn"
   private val OpPrefix = "#op"
+  private val StatsPrefix = "#minmax"
+
+  /** Order two recorded zone-map bounds: numerically when both ends
+    * parse as numbers (ints, longs, doubles of either sign),
+    * lexicographically otherwise (ISO date/timestamp strings order
+    * correctly that way; mixed-type comparisons are the caller
+    * declaring a statsCol whose string form doesn't order — a table
+    * definition bug, not a runtime one).
+    */
+  private def statsCmp(a: String, b: String): Int = {
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    (num(a), num(b)) match {
+      case (Some(x), Some(y)) => x.compare(y)
+      case _                  => a.compareTo(b)
+    }
+  }
 
   /** Re-run `op` after an optimistic-concurrency loss, up to `attempts`
     * total tries. Safe for ANY manifest mutation: a losing attempt

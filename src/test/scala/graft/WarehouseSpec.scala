@@ -929,6 +929,58 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tbl.read().count() === 5)
   }
 
+  test("zone-map stats skip non-intersecting commits; pruning never " +
+    "changes an answer") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_zone_spec").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"), statsCol = Some("id"))
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i * 10))
+      .toDF("id", "part", "x")
+    tbl.init(batch(1, 100))
+    tbl.append(batch(101, 200))
+    tbl.append(batch(201, 300))
+    tbl.append(batch(301, 400))
+    assert(tbl.dataDirCount === 4)
+    // interior probe: only the second commit's range intersects — the
+    // skip is asserted on the resolved dir list, not inferred from I/O
+    assert(tbl.zoneSurvivors(120L, 180L).size === 1,
+      "three of four commits pruned before any scan is planned")
+    val got = tbl.readRange(120L, 180L).agg(count(lit(1)), sum($"x"))
+      .collect()(0)
+    assert(got.getLong(0) === 61L)
+    assert(got.getLong(1) === (120L to 180L).map(_ * 10).sum)
+    // straddling probe keeps both touched commits, result still exact
+    assert(tbl.zoneSurvivors(190L, 210L).size === 2)
+    assert(tbl.readRange(190L, 210L).count() === 21)
+    // a probe outside every zone plans no scan but keeps the schema
+    assert(tbl.zoneSurvivors(1000L, 2000L).isEmpty)
+    val empty = tbl.readRange(1000L, 2000L)
+    assert(empty.columns.contains("x"))
+    assert(empty.count() === 0)
+    // conservative under reassignment: the upsert pulls partition "a"
+    // out of every original dir into one new dir; the originals keep
+    // their superset min/max, so pruning may under-skip afterwards but
+    // the probed answer (with the updated row) is unchanged
+    tbl.upsert(Seq((150L, "a", -1L)).toDF("id", "part", "x"))
+    val after = tbl.readRange(120L, 180L)
+    assert(after.filter($"id" === 150L).select("x")
+      .collect()(0).getLong(0) === -1L)
+    assert(after.count() === 61)
+    // a dir committed before the column opted in has no zone line and
+    // is never skipped
+    val plain = AtomicTable(spark, s"$root/u", partCol = "part",
+      defaultKeys = Seq("id"))
+    plain.init(batch(1, 50))
+    val opted = AtomicTable(spark, s"$root/u", partCol = "part",
+      defaultKeys = Seq("id"), statsCol = Some("id"))
+    opted.append(batch(51, 100))
+    assert(opted.zoneSurvivors(60L, 70L).size === 2,
+      "stats-less dir always read")
+    assert(opted.readRange(60L, 70L).count() === 11)
+  }
+
   test("vacuum retention window keeps superseded versions readable; " +
     "default reclaims them") {
     import graft.sources.AtomicTable
