@@ -1228,6 +1228,33 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source")
     }),
 
+    "u19_bloom_point_lookup" -> ((s, d) => {
+      // bloom point-lookup skipping — the point-probe complement to
+      // u18's zone maps: a range clusters with ingest order, a key
+      // doesn't, so min/max can't prune an equality. Each commit's
+      // _bloom sidecar (built and probed through the SAME Spark
+      // xxhash64 expression — no cross-implementation hash parity
+      // risk) rules the key in or out before any scan is planned; the
+      // probe key is the corpus max doc_id, which lives in the last of
+      // the four quartile commits, so three sidecars rule it out
+      // (WarehouseSpec asserts the skip on the resolved dir list; this
+      // oracle proves probing is invisible to the answer). At 100 TB
+      // this is "fetch one document by id" touching one commit instead
+      // of every file of the corpus.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bloom").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.AtomicTable(s, root, partCol = "source",
+        defaultKeys = Seq("doc_id"), bloomCol = Some("doc_id"))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      tbl.init(docs.filter(col("doc_id") <= q))
+      (1 to 3).foreach(k => tbl.append(
+        docs.filter(col("doc_id") > q * k && col("doc_id") <= q * (k + 1))))
+      tbl.readPoint(mx)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -5092,6 +5119,13 @@ object SparkEntry {
         |FROM documents, qq
         |WHERE doc_id BETWEEN q + 1 AND 2 * q
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // bloom skipping is pruning, not filtering: the four quartile
+    // commits cover every doc exactly once, so the sidecar-pruned
+    // point probe must equal a plain equality over the whole corpus
+    "u19_bloom_point_lookup" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id = (SELECT max(doc_id) FROM documents)""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly

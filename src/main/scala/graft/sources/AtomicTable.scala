@@ -74,15 +74,31 @@ import graft.operators.Relational
   * the column (integers of one sign, doubles of one magnitude-class,
   * ISO timestamps: compared numerically when both ends parse as
   * numbers, lexicographically otherwise).
+  *
+  * `bloomCol` opts a column into BLOOM point-lookup skipping — the
+  * point-probe complement to the zone maps (a range clusters with
+  * ingest order; a key doesn't, so min/max can't prune an equality).
+  * Every staged dir gets a self-describing `_bloom` sidecar (an
+  * underscore-prefixed file Spark's scans ignore, committed atomically
+  * with the dir and reclaimed with it by [[vacuum]]), and [[readPoint]]
+  * resolves ONLY the dirs whose filter might contain the key. Both
+  * build and probe hash through the SAME Spark `xxhash64` expression,
+  * so there is no cross-implementation hash-parity risk. Skipping is
+  * conservative exactly like the zone maps: a false positive or a
+  * reassigned-away partition only under-skips, a dir with no sidecar
+  * (pre-opt-in) or a different recorded column is always read — a
+  * miss in every filter proves absence, so the lookup plans no scan.
   */
 final case class AtomicTable(spark: SparkSession, root: String,
                              partCol: String,
                              defaultKeys: Seq[String],
                              failpoint: String => Unit = _ => (),
                              partType: String => Any = identity,
-                             statsCol: Option[String] = None) {
+                             statsCol: Option[String] = None,
+                             bloomCol: Option[String] = None) {
 
-  import AtomicTable.{ManifestRe, OpPrefix, Star, StatsPrefix, TxnPrefix, statsCmp}
+  import AtomicTable.{BloomK, ManifestRe, OpPrefix, Star, StatsPrefix,
+    TxnPrefix, bloomBitsFor, statsCmp}
 
   private def rootFile = new java.io.File(root)
 
@@ -265,7 +281,55 @@ final case class AtomicTable(spark: SparkSession, root: String,
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(s"$root/$rel")
-    (rel, dirParts(rel))
+    val ps = dirParts(rel)
+    if (ps.nonEmpty) writeBloomSidecar(rel)
+    (rel, ps)
+  }
+
+  /** Build the staged dir's `_bloom` sidecar: one batch-sized pass
+    * hashes [[bloomCol]] (as string) to [[BloomK]] positions through
+    * Spark's own `xxhash64`, folds them map-side into ≤ m/64 words via
+    * `bit_or`, and writes the packed filter next to the data it
+    * describes. The filter is sized to THIS dir's key count (~10 bits
+    * per key, ~1% FPR), never to the table — commits stay O(batch).
+    */
+  private def writeBloomSidecar(rel: String): Unit = bloomCol.foreach { c =>
+    val keys = spark.read.parquet(s"$root/$rel")
+      .select(col(c).cast("string").as("k")).filter(col("k").isNotNull)
+    val n = keys.count()
+    if (n > 0) {
+      val m = bloomBitsFor(n)
+      val words = keys
+        .select(explode(array((0 until BloomK).map(i =>
+          pmod(xxhash64(lit(i), col("k")), lit(m))): _*)).as("p"))
+        .select(expr("p div 64").as("w"),
+          expr("shiftleft(1L, cast(p % 64 as int))").as("mask"))
+        .groupBy("w").agg(expr("bit_or(mask)").as("b"))
+        .collect()
+      val bits = new Array[Long]((m / 64).toInt)
+      words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$root/$rel/_bloom")))
+      try {
+        out.writeUTF(c); out.writeLong(m); out.writeInt(BloomK)
+        bits.foreach(out.writeLong)
+      } finally out.close()
+    }
+  }
+
+  /** The sidecar's (column, m, k, packed bits), if present & readable. */
+  private def readBloomSidecar(rel: String)
+      : Option[(String, Long, Int, Array[Long])] = {
+    val f = new java.io.File(s"$root/$rel/_bloom")
+    if (!f.isFile) None
+    else {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f)))
+      try {
+        val c = in.readUTF(); val m = in.readLong(); val k = in.readInt()
+        Some((c, m, k, Array.fill((m / 64).toInt)(in.readLong())))
+      } finally in.close()
+    }
   }
 
   /** Zone entry for a freshly staged dir: min/max of [[statsCol]] read
@@ -388,6 +452,62 @@ final case class AtomicTable(spark: SparkSession, root: String,
     readManifest().filter { case (d, _) =>
       st.get(d).forall { case (mn, mx) =>
         statsCmp(mx, lo.toString) >= 0 && statsCmp(mn, hi.toString) <= 0
+      }
+    }
+  }
+
+  /** Bloom point lookup: the committed snapshot filtered to
+    * `bloomCol = key`, with every data dir whose `_bloom` sidecar
+    * proves the key absent skipped BEFORE any scan is planned. The
+    * result is exactly `read().filter(col === key)` — a false positive
+    * or a sidecar-less dir only widens the read, never the answer, and
+    * the equality still reaches the surviving parquet scans as a
+    * pushed predicate. At 100 TB this turns "fetch one document by id
+    * out of an append-mostly corpus" from a full-table scan into a
+    * probe of the one or two commits whose filters claim the key;
+    * a miss in every filter plans no scan at all.
+    */
+  def readPoint(key: Any): DataFrame = {
+    val c = bloomCol.getOrElse(sys.error(
+      s"readPoint requires a bloomCol on the table at $root"))
+    val all = readManifest()
+    require(all.nonEmpty,
+      s"no committed data under $root (table never initialized, or " +
+        "initialized from an empty seed and never appended to)")
+    val surv = bloomSurvivors(key)
+    val matches = col(c) === lit(key)
+    if (surv.isEmpty)
+      // every sidecar rules the key out: empty result, table schema,
+      // no file read — the false filter folds to an empty relation
+      resolve(all.take(1)).filter(lit(false) && matches)
+    else resolve(surv).filter(matches)
+  }
+
+  /** The manifest entries a point probe for `key` must read — package-
+    * visible so the spec can assert the skip on the resolved dir list.
+    * Probe positions come from the SAME `xxhash64` expression the
+    * sidecar build used (evaluated on a one-row frame, one tiny job
+    * per distinct filter size), so build and probe cannot drift.
+    */
+  private[graft] def bloomSurvivors(key: Any): Seq[(String, Seq[String])] = {
+    val c = bloomCol.getOrElse(sys.error(
+      s"bloom probe requires a bloomCol on the table at $root"))
+    val entries = readManifest()
+    val sides = entries.flatMap { case (d, _) =>
+      readBloomSidecar(d).collect { case (`c`, m, k, bits) => d -> ((m, k, bits)) }
+    }.toMap
+    val posFor = sides.values.map { case (m, k, _) => (m, k) }.toSet
+      .map { mk: (Long, Int) =>
+        val (m, k) = mk
+        val r = spark.range(1).select((0 until k).map(i =>
+          pmod(xxhash64(lit(i), lit(key.toString)), lit(m)).as(s"p$i")): _*)
+          .head()
+        mk -> (0 until k).map(r.getLong)
+      }.toMap
+    entries.filter { case (d, _) =>
+      sides.get(d).forall { case (m, k, bits) =>
+        posFor((m, k)).forall(p =>
+          ((bits((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L)
       }
     }
   }
@@ -634,6 +754,17 @@ object AtomicTable {
   private val TxnPrefix = "#txn"
   private val OpPrefix = "#op"
   private val StatsPrefix = "#minmax"
+  private val BloomK = 7
+
+  /** Filter size for an n-key commit: next power of two of ~10 bits
+    * per key (k=7 → ~1% FPR), clamped to [2^14, 2^22] — at the cap a
+    * sidecar is 512 KiB against a multi-million-row commit, and a
+    * higher FPR only under-skips.
+    */
+  private def bloomBitsFor(n: Long): Long = {
+    val want = math.min(math.max(n * 10L, 1L << 14), 1L << 22)
+    java.lang.Long.highestOneBit(want - 1) << 1
+  }
 
   /** Order two recorded zone-map bounds: numerically when both ends
     * parse as numbers (ints, longs, doubles of either sign),

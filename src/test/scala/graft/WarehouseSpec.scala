@@ -981,6 +981,52 @@ class WarehouseSpec extends AnyFunSuite {
     assert(opted.readRange(60L, 70L).count() === 11)
   }
 
+  test("bloom sidecars skip commits that cannot hold a point-lookup " +
+    "key; probing never changes an answer") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_bloom_spec").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"), bloomCol = Some("id"))
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i * 10))
+      .toDF("id", "part", "x")
+    tbl.init(batch(1, 100))
+    tbl.append(batch(101, 200))
+    tbl.append(batch(201, 300))
+    tbl.append(batch(301, 400))
+    assert(tbl.dataDirCount === 4)
+    // a key in the third commit probes exactly one dir (FPR at this
+    // fill is ~1e-10 per dir, and the data is fixed — deterministic)
+    assert(tbl.bloomSurvivors(250L).size === 1,
+      "three of four commits ruled out before any scan is planned")
+    val hit = tbl.readPoint(250L).collect()
+    assert(hit.length === 1 && hit(0).getAs[Long]("x") === 2500L)
+    // an absent key misses every filter: no scan planned, schema kept
+    assert(tbl.bloomSurvivors(99999L).isEmpty)
+    val miss = tbl.readPoint(99999L)
+    assert(miss.columns.contains("x") && miss.count() === 0)
+    // conservative under reassignment: the upsert pulls partition "a"
+    // out of every original dir; originals keep superset filters, so
+    // the probe may under-skip but the answer carries the update
+    tbl.upsert(Seq((250L, "a", -1L)).toDF("id", "part", "x"))
+    val after = tbl.readPoint(250L).collect()
+    assert(after.length === 1 && after(0).getAs[Long]("x") === -1L)
+    // a dir committed before the column opted in has no sidecar and is
+    // always read; a sidecar built over a DIFFERENT column never skips
+    val plain = AtomicTable(spark, s"$root/u", partCol = "part",
+      defaultKeys = Seq("id"))
+    plain.init(batch(1, 50))
+    val opted = AtomicTable(spark, s"$root/u", partCol = "part",
+      defaultKeys = Seq("id"), bloomCol = Some("id"))
+    opted.append(batch(51, 100))
+    assert(opted.bloomSurvivors(60L).size === 2, "sidecar-less dir read")
+    assert(opted.readPoint(60L).count() === 1)
+    val otherCol = AtomicTable(spark, s"$root/u", partCol = "part",
+      defaultKeys = Seq("id"), bloomCol = Some("x"))
+    assert(otherCol.bloomSurvivors(10L).size === 2,
+      "column-mismatched sidecar never skips")
+  }
+
   test("vacuum retention window keeps superseded versions readable; " +
     "default reclaims them") {
     import graft.sources.AtomicTable
