@@ -1255,6 +1255,43 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
     }),
 
+    "u20_materialized_agg" -> ((s, d) => {
+      // incrementally-maintained materialized aggregate: the corpus
+      // accretes as init + three quartile appends, the view folds each
+      // delta's partials (never rescanning the base), then an upsert
+      // rewrites one row DOWNWARD — min/max cannot subtract, so the op
+      // history forces the one full recompute, exercising BOTH
+      // maintenance paths before the serve. The served view must equal
+      // a flat GROUP BY over the final corpus (the oracle); the
+      // incremental-vs-full path choice and the replay fence are
+      // asserted in MaterializedAggSpec. At 100 TB this is the
+      // dashboard aggregate costing one delta shuffle per ingest batch
+      // instead of a corpus scan per request.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv_q").toString
+      val docs = T(s, d).documents
+      val base = graft.sources.AtomicTable(s, s"$root/base",
+        partCol = "source", defaultKeys = Seq("doc_id"))
+      val mv = graft.sources.MaterializedAgg(base, s"$root/view",
+        dims = Seq("source", "lang"), valCol = "n_chars")
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      base.init(docs.filter(col("doc_id") <= q))
+      mv.refresh()
+      (1 to 3).foreach { k =>
+        base.append(docs.filter(
+          col("doc_id") > q * k && col("doc_id") <= q * (k + 1)))
+        mv.refresh()
+      }
+      base.upsert(base.read().filter(col("doc_id") === mx)
+        .withColumn("n_chars", lit(12345L)))
+      mv.refresh()
+      mv.serve().select(col("source"), col("lang"),
+        col("n_rows").as("n"), col("sum_val").as("sum_chars"),
+        col("min_val").as("min_chars"), col("max_val").as("max_chars"))
+        .repartition(1).sortWithinPartitions("source", "lang")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -5126,6 +5163,21 @@ object SparkEntry {
     "u19_bloom_point_lookup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id = (SELECT max(doc_id) FROM documents)""".stripMargin,
+
+    // the view is maintenance, not math: its served state must equal a
+    // flat GROUP BY over the final corpus (with the upsert's rewrite
+    // applied), regardless of which deltas folded incrementally
+    "u20_materialized_agg" ->
+      """WITH v AS (
+        |  SELECT source, lang,
+        |    CASE WHEN doc_id = (SELECT max(doc_id) FROM documents)
+        |         THEN 12345 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM v GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly
