@@ -1292,6 +1292,40 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source", "lang")
     }),
 
+    "u21_change_feed" -> ((s, d) => {
+      // change data feed: "what changed since the snapshot we trained
+      // on" answered from manifests — unchanged (dir, assignment)
+      // entries cancel by identity without being read, so an
+      // append-only span costs only the new dirs (the spec pins the
+      // Except-free plan) and reassigning mutations diff only the
+      // touched partitions. The feed here spans an append (cancels
+      // against itself — it's inside both endpoints), an upsert (one
+      // delete+insert pair), and a partition-scoped delete; the oracle
+      // reconstructs both endpoint corpora and takes the same multiset
+      // differences.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdf").toString
+      val docs = T(s, d).documents
+      val base = graft.sources.AtomicTable(s, root,
+        partCol = "source", defaultKeys = Seq("doc_id"))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      base.init(docs.filter(col("doc_id") <= q))                     // v1
+      base.append(docs.filter(
+        col("doc_id") > q && col("doc_id") <= 2 * q))                // v2
+      val m2 = docs.filter(col("doc_id") <= 2 * q)
+        .agg(max(col("doc_id"))).head.getLong(0)
+      base.upsert(base.read().filter(col("doc_id") === m2)
+        .withColumn("n_chars", lit(777L)))                           // v3
+      base.deleteWhere(Seq("src3"),
+        col("doc_id") % 10 === 3 && col("doc_id") =!= m2)            // v4
+      base.changesBetween(2, base.version)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("change_type"))
+        .repartition(1)
+        .sortWithinPartitions("change_type", "doc_id", "n_chars")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -5178,6 +5212,31 @@ object SparkEntry {
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM v GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // the feed is a multiset difference between the two endpoint
+    // snapshots: reconstruct both corpora (v2 = first two quartiles;
+    // v4 = v2 with the upsert's rewrite applied minus the scoped
+    // delete) and EXCEPT ALL them both ways
+    "u21_change_feed" ->
+      """WITH qq AS (
+        |  SELECT (max(doc_id) + 4) // 4 AS q FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, source, lang, n_chars FROM documents, qq
+        |  WHERE doc_id <= 2 * q),
+        |tgt AS (SELECT max(doc_id) AS m FROM c2),
+        |c4 AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN doc_id = (SELECT m FROM tgt) THEN 777
+        |         ELSE n_chars END AS n_chars
+        |  FROM c2
+        |  WHERE NOT (source = 'src3' AND doc_id % 10 = 3
+        |             AND doc_id <> (SELECT m FROM tgt)))
+        |SELECT *, 'insert' AS change_type
+        |FROM (SELECT * FROM c4 EXCEPT ALL SELECT * FROM c2)
+        |UNION ALL
+        |SELECT *, 'delete' AS change_type
+        |FROM (SELECT * FROM c2 EXCEPT ALL SELECT * FROM c4)
+        |ORDER BY change_type, doc_id, n_chars""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly

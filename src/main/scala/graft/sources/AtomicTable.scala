@@ -526,6 +526,60 @@ final case class AtomicTable(spark: SparkSession, root: String,
     resolve(parseManifest(f))
   }
 
+  /** Change data feed: the exact multiset of row changes between two
+    * committed versions, tagged `insert` / `delete` in a `change_type`
+    * column (an update surfaces as its delete+insert pair). The diff
+    * exploits the layout's immutability: a (dir, assignment) entry
+    * present in BOTH manifests contributes identical rows to both
+    * snapshots and cancels WITHOUT being read, so the cost is
+    * proportional to the commits that actually changed — for an
+    * append-only span the feed is just the new dirs, no anti-join at
+    * all (the spec pins the Except-free plan). This is the "what
+    * changed since the snapshot we trained on" question answered from
+    * manifests, not from a corpus-sized diff; reassigning mutations
+    * (upsert/delete/compact) fall back to an exceptAll over ONLY the
+    * differing entries. Schemas are aligned across additive evolution
+    * (old-side rows null-fill columns born later).
+    */
+  def changesBetween(v1: Long, v2: Long): DataFrame = {
+    require(v1 <= v2, s"changesBetween needs v1 <= v2, got $v1 > $v2")
+    def at(v: Long) = manifestFileAt(v).map(parseManifest).getOrElse(
+      sys.error(s"version $v not found under $root (vacuumed or never " +
+        s"committed); available: ${versions.mkString(", ")}"))
+    val e1 = at(v1)
+    val e2 = at(v2)
+    require(e1.nonEmpty || e2.nonEmpty,
+      s"both versions $v1 and $v2 are empty under $root")
+    val common = e1.toSet.intersect(e2.toSet)
+    val only1 = e1.filterNot(common)
+    val only2 = e2.filterNot(common)
+    // align every side to the NEWER snapshot's schema (columns born
+    // between the versions null-fill on the old side)
+    val target = resolve(if (e2.nonEmpty) e2 else e1).schema
+    def aligned(entries: Seq[(String, Seq[String])]): DataFrame = {
+      val df = resolve(entries)
+      val have = df.columns.toSet
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def side(mine: Seq[(String, Seq[String])],
+             theirs: Seq[(String, Seq[String])], tag: String) =
+      if (mine.isEmpty) None
+      else Some((if (theirs.isEmpty) aligned(mine)
+                 else aligned(mine).exceptAll(aligned(theirs)))
+        .withColumn("change_type", lit(tag)))
+    (side(only2, only1, "insert"), side(only1, only2, "delete")) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case (None, None)       => // identical manifests: empty, schema kept
+        aligned(if (e2.nonEmpty) e2 else e1).limit(0)
+          .withColumn("change_type", lit("insert"))
+    }
+  }
+
   /** Rows in data dirs the CURRENT manifest references that version
     * `v`'s manifest did not — the increments accreted since `v` (e.g.
     * the base corpus a dedup stream was seeded with). Exact while the

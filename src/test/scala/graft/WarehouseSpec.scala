@@ -1027,6 +1027,50 @@ class WarehouseSpec extends AnyFunSuite {
       "column-mismatched sidecar never skips")
   }
 
+  test("change data feed diffs manifests, not the corpus") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdf_spec").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"))
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i * 10))
+      .toDF("id", "part", "x")
+    tbl.init(batch(1, 100))     // v1
+    tbl.append(batch(101, 200)) // v2
+    // append-only span: the feed is exactly the new rows, and the plan
+    // carries no Except at all — unchanged entries cancel by manifest
+    // identity, so nothing of v1 is even read
+    val feed12 = tbl.changesBetween(1, 2)
+    assert(feed12.filter($"change_type" === "insert").count() === 100)
+    assert(feed12.filter($"change_type" === "delete").count() === 0)
+    assert(!feed12.queryExecution.optimizedPlan.toString.contains("Except"),
+      "append-only feed reads only the new dirs")
+    // identical versions: empty feed with the schema intact
+    val none = tbl.changesBetween(2, 2)
+    assert(none.columns.contains("change_type") && none.count() === 0)
+    // an upsert surfaces as its delete+insert pair, and ONLY that pair
+    // — the rewritten partition's unchanged rows cancel in the diff
+    tbl.upsert(Seq((150L, "a", -1L)).toDF("id", "part", "x")) // v3
+    val feed23 = tbl.changesBetween(2, 3).collect()
+    assert(feed23.length === 2)
+    val byType = feed23.groupBy(_.getAs[String]("change_type"))
+    assert(byType("insert").head.getAs[Long]("x") === -1L)
+    assert(byType("delete").head.getAs[Long]("x") === 1500L)
+    // a delete surfaces as deletes only
+    tbl.deleteWhere(Seq("b"), $"id" <= 10) // v4: odd ids 1..9
+    val feed34 = tbl.changesBetween(3, 4)
+    assert(feed34.filter($"change_type" === "delete").count() === 5)
+    assert(feed34.filter($"change_type" === "insert").count() === 0)
+    // spans compose: (2,4) carries the upsert pair plus the deletes
+    val feed24 = tbl.changesBetween(2, 4)
+    assert(feed24.filter($"change_type" === "insert").count() === 1)
+    assert(feed24.filter($"change_type" === "delete").count() === 6)
+    // a vacuumed endpoint fails loudly instead of diffing wrong
+    tbl.vacuum()
+    val err = intercept[RuntimeException](tbl.changesBetween(1, 4))
+    assert(err.getMessage.contains("vacuumed or never committed"))
+  }
+
   test("vacuum retention window keeps superseded versions readable; " +
     "default reclaims them") {
     import graft.sources.AtomicTable
