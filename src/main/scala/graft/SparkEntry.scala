@@ -2353,6 +2353,48 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "st13_view_stream" -> ((s, d) => {
+      // streaming materialized-view maintenance: the corpus is seeded
+      // with its first half, then the rest arrives as two micro-batches
+      // that each land in the base AND fold into the view inside one
+      // foreachBatch — base append fenced by ("mvingest", batchId),
+      // view refresh fenced by the base version it folded to. The view
+      // only ever shuffles each delta, never rescans the corpus
+      // (MaterializedAggSpec + StreamingSpec pin the path choice and
+      // the replay fences); the served result must equal a flat GROUP
+      // BY over everything, which is the oracle.
+      val baseRoot = java.nio.file.Files
+        .createTempDirectory("graft_st13_base").toString
+      val viewRoot = java.nio.file.Files
+        .createTempDirectory("graft_st13_view").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st13_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st13_ckpt").toString
+      val docs = T(s, d).documents
+      val dims = Seq("source", "lang")
+      val base = graft.streaming.ViewStream.baseTable(s, baseRoot)
+      val mv = graft.streaming.ViewStream
+        .view(s, baseRoot, viewRoot, dims, "n_chars")
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      base.init(docs.filter(col("doc_id") <= 2 * q))
+      mv.refresh()
+      def runBatch(part: org.apache.spark.sql.DataFrame): Unit = {
+        part.coalesce(1).write.mode("append").parquet(landing)
+        val qq = graft.streaming.ViewStream.start(s, landing,
+          docs.schema, baseRoot, viewRoot, dims, "n_chars", ckpt)
+        if (!qq.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      runBatch(docs.filter(col("doc_id") > 2 * q && col("doc_id") <= 3 * q))
+      runBatch(docs.filter(col("doc_id") > 3 * q))
+      mv.serve().select(col("source"), col("lang"),
+        col("n_rows").as("n"), col("sum_val").as("sum_chars"),
+        col("min_val").as("min_chars"), col("max_val").as("max_chars"))
+        .repartition(1).sortWithinPartitions("source", "lang")
+    }),
+
     "st11_index_stream" -> ((s, d) => {
       // streaming ANN-index maintenance: base IVFPQ index over 4/5 of
       // the corpus, the late fifth arrives as TWO micro-batches that
@@ -4292,7 +4334,17 @@ object SparkEntry {
     // st12 replays d10's corpus/batch split through the accreting
     // incremental-dedup stream as one cold micro-batch: identical
     // fingerprint and band-bucket drops ⇒ d10's oracle
-    ("st12_dedup_stream" -> oracleBase("d10_incremental_dedup"))
+    ("st12_dedup_stream" -> oracleBase("d10_incremental_dedup")) +
+    // st13 maintains the materialized view across the ingest stream;
+    // the served state must equal a flat GROUP BY over the whole
+    // corpus, regardless of how the deltas folded
+    ("st13_view_stream" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
 

@@ -700,6 +700,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.lastCommittedBatch("incdedup") === Some(1L))
   }
 
+  test("view stream: each micro-batch folds the view forward; a full " +
+    "re-delivery under a fresh checkpoint changes nothing") {
+    import graft.streaming.ViewStream
+    val baseRoot = Files.createTempDirectory("st13_base").toString
+    val viewRoot = Files.createTempDirectory("st13_view").toString
+    val landing = Files.createTempDirectory("st13_land").toString
+    val ckpt = Files.createTempDirectory("st13_ck").toString
+    def frame(rows: (Long, String, String, String, Long)*) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dims = Seq("source", "lang")
+    val schema = frame().schema
+    def serveMap: Map[(String, String), (Long, Long)] =
+      ViewStream.view(spark, baseRoot, viewRoot, dims, "n_chars")
+        .serve().collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_val")))).toMap
+    def run(): Unit = {
+      val q = ViewStream.start(spark, landing, schema, baseRoot,
+        viewRoot, dims, "n_chars", ckpt)
+      assert(q.awaitTermination(120000))
+    }
+    frame((1L, "a", "en", "web", 10L), (2L, "b", "en", "web", 20L),
+        (3L, "c", "de", "web", 5L))
+      .coalesce(1).write.mode("append").parquet(landing)
+    run()
+    assert(serveMap === Map(("web", "en") -> ((2L, 30L)),
+      ("web", "de") -> ((1L, 5L))))
+    // second micro-batch folds incrementally (the view's history shows
+    // no full recompute after the seed fold)
+    frame((4L, "d", "en", "web", 7L), (5L, "e", "en", "cc", 1L))
+      .coalesce(1).write.mode("append").parquet(landing)
+    run()
+    assert(serveMap === Map(("web", "en") -> ((3L, 37L)),
+      ("web", "de") -> ((1L, 5L)), ("cc", "en") -> ((1L, 1L))))
+    val mv = ViewStream.view(spark, baseRoot, viewRoot, dims, "n_chars")
+    assert(mv.table.history().count(_._2 == "init") === 1,
+      "only the first fold recomputes; later folds are deltas")
+    val baseV = ViewStream.baseTable(spark, baseRoot).version
+    val viewV = mv.table.version
+    // full re-delivery under a FRESH checkpoint: batch ids restart at
+    // zero, the base fence skips the append, the version-gated refresh
+    // no-ops — neither table advances and the serve is unchanged
+    val ckpt2 = Files.createTempDirectory("st13_ck2").toString
+    val q2 = ViewStream.start(spark, landing, schema, baseRoot,
+      viewRoot, dims, "n_chars", ckpt2)
+    assert(q2.awaitTermination(120000))
+    assert(ViewStream.baseTable(spark, baseRoot).version === baseV)
+    assert(mv.table.version === viewV)
+    assert(serveMap === Map(("web", "en") -> ((3L, 37L)),
+      ("web", "de") -> ((1L, 5L)), ("cc", "en") -> ((1L, 1L))))
+  }
+
   test("index stream: a vector is searchable one micro-batch after arrival") {
     import graft.sources.Warehouse
     import graft.pipelines.Similarity
