@@ -1326,6 +1326,35 @@ object SparkEntry {
         .sortWithinPartitions("change_type", "doc_id", "n_chars")
     }),
 
+    "u22_cluster_optimize" -> ((s, d) => {
+      // OPTIMIZE-style re-clustering: the corpus lands interleaved
+      // (doc_id % 4 slices), so every commit spans the whole key
+      // domain and the zone maps can skip NOTHING — then
+      // clusterByStats range-splits the table into contiguous shards
+      // in one crash-atomic manifest commit, and the same interior
+      // probe touches only the overlapping shards (WarehouseSpec
+      // asserts the before/after survivor counts; this oracle proves
+      // the rewrite loses and reorders nothing). The shard bounds are
+      // distributed approximate quantiles, never a single-task sort —
+      // at 100 TB this is the nightly OPTIMIZE that converts an
+      // ingest-ordered corpus into a key-ordered one.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cluster").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.AtomicTable(s, root, partCol = "source",
+        defaultKeys = Seq("doc_id"), statsCol = Some("doc_id"))
+      tbl.init(docs.filter(col("doc_id") % 4 === 0))
+      (1 to 3).foreach(r => tbl.append(docs.filter(col("doc_id") % 4 === r)))
+      tbl.clusterByStats(4)
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      tbl.readRange(q + 1, 3 * q)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -5289,6 +5318,19 @@ object SparkEntry {
         |SELECT *, 'delete' AS change_type
         |FROM (SELECT * FROM c2 EXCEPT ALL SELECT * FROM c4)
         |ORDER BY change_type, doc_id, n_chars""".stripMargin,
+
+    // clustering is a rewrite, not a transformation: the probed range
+    // over the re-clustered table must equal a plain BETWEEN over the
+    // original corpus
+    "u22_cluster_optimize" ->
+      """WITH qq AS (
+        |  SELECT (max(doc_id) + 4) // 4 AS q FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, qq
+        |WHERE doc_id BETWEEN q + 1 AND 3 * q
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // two per-key counts joined, product ranked — the skew report
     // mirrored directly

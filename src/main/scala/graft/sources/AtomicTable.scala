@@ -749,6 +749,48 @@ final case class AtomicTable(spark: SparkSession, root: String,
       stats = readStats() ++ stagedStats(rel, ps))
   }
 
+  /** Re-cluster the whole table by [[statsCol]] into `nShards`
+    * contiguous key ranges — one staged dir per range, all published in
+    * ONE manifest commit (crash-atomic like every other mutation). Zone
+    * maps only skip when commit ranges don't overlap; a column
+    * uncorrelated with ingest order (every commit spans the full key
+    * domain) gets zero skipping until this op sorts the layout, after
+    * which a range probe touches ~1/nShards of the data — the
+    * `OPTIMIZE ... BY key` of the manifest table formats. Shard bounds
+    * come from distributed approximate quantiles (never a single-task
+    * sort); bound quality only affects shard BALANCE, never
+    * correctness, since each dir's stats are measured from what was
+    * actually written. Requires a numeric statsCol; null keys ride the
+    * first shard. Bloom sidecars are rebuilt per shard by [[stage]],
+    * and the retired dirs fall to [[vacuum]].
+    */
+  def clusterByStats(nShards: Int,
+                     maxRecordsPerFile: Long = 1000000L): Unit = {
+    val c = statsCol.getOrElse(sys.error(
+      s"clusterByStats requires a statsCol on the table at $root"))
+    require(nShards > 1, s"need at least 2 shards, got $nShards")
+    val base = version
+    val all = read()
+    val probs = (1 until nShards).map(_.toDouble / nShards).toArray
+    val bounds = all.stat.approxQuantile(c, probs, 0.001)
+    val perShard = math.max(1,
+      spark.sparkContext.defaultParallelism / nShards)
+    val staged = (0 until nShards).map { i =>
+      val loOk = if (i == 0) lit(true) else col(c) >= lit(bounds(i - 1))
+      val hiOk = if (i == nShards - 1) lit(true)
+                 else col(c) < lit(bounds(i))
+      val rows =
+        if (i == 0) all.filter((loOk && hiOk) || col(c).isNull)
+        else all.filter(loOk && hiOk && col(c).isNotNull)
+      stage(rows, coalesceTo = perShard,
+        maxRecordsPerFile = maxRecordsPerFile)
+    }.filter(_._2.nonEmpty) // skewed bounds can leave a shard empty
+    writeManifest(staged, base, readTxns(), op = "cluster",
+      stats = staged.flatMap { case (rel, ps) =>
+        stagedStats(rel, ps)
+      }.toMap)
+  }
+
   /** Reclaim data dirs no retained manifest references (retired by
     * upsert/delete/compact, or orphaned by a pre-commit crash).
     *

@@ -1027,6 +1027,38 @@ class WarehouseSpec extends AnyFunSuite {
       "column-mismatched sidecar never skips")
   }
 
+  test("re-clustering by the stats column turns useless zones into " +
+    "1-of-N range probes without changing answers") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cluster_spec").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"), statsCol = Some("id"))
+    def slice(r: Long) = (1L to 400L).filter(_ % 4 == r)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i * 10))
+      .toDF("id", "part", "x")
+    // ingest order uncorrelated with the key: every commit spans the
+    // whole id domain, so zone maps can skip NOTHING for an interior
+    // probe — the layout, not the stats, is what's wrong
+    tbl.init(slice(0))
+    (1L to 3L).foreach(r => tbl.append(slice(r)))
+    assert(tbl.zoneSurvivors(120L, 180L).size === 4,
+      "interleaved commits leave zero skip")
+    val before = tbl.readRange(120L, 180L)
+      .agg(count(lit(1)), sum($"x")).collect()(0)
+    tbl.clusterByStats(4)
+    assert(tbl.history().last._2 === "cluster")
+    // the probe now touches the one or two shards whose range overlaps
+    val surv = tbl.zoneSurvivors(120L, 180L).size
+    assert(surv <= 2 && surv >= 1,
+      s"clustered layout must bound the probe, read $surv of " +
+        s"${tbl.dataDirCount}")
+    val after = tbl.readRange(120L, 180L)
+      .agg(count(lit(1)), sum($"x")).collect()(0)
+    assert(after.getLong(0) === before.getLong(0))
+    assert(after.getLong(1) === before.getLong(1))
+    assert(tbl.read().count() === 400L, "clustering rewrites, never drops")
+  }
+
   test("change data feed diffs manifests, not the corpus") {
     import graft.sources.AtomicTable
     val root = Files.createTempDirectory("graft_cdf_spec").toString
