@@ -26,7 +26,13 @@ object BenchScale {
     * join, window indicators, manifest-table writes (incl. schema
     * evolution), TF-IDF's doc×term shuffle, hybrid retrieval fusion,
     * a stateful streaming pipeline, the decorrelated-subquery star
-    * (q17), and train-slice LM scoring (t38).
+    * (q17), and train-slice LM scoring (t38) — and again later in r12
+    * with the table-lifecycle family: zone-map range reads over an
+    * accreted corpus (u18), incremental materialized-view maintenance
+    * (u20), the manifest-diffed change feed (u21), and OPTIMIZE-style
+    * re-clustering (u22). The lifecycle exemplars are write-dominated
+    * by design: their slope measures the manifest protocol's commit
+    * path, not just the read side.
     */
   private val exemplars = Seq(
     "q1_lineitem_agg", "q3_shipping_priority", "q5_star_revenue",
@@ -36,7 +42,8 @@ object BenchScale {
     "j6_asof_join", "w18_macd", "u1b_warehouse_upsert",
     "u16_schema_evolution", "t12_tfidf", "n10_hybrid_rrf",
     "st2_doc_stream_dedup", "q17_small_qty_revenue",
-    "t38_backoff_logprob")
+    "t38_backoff_logprob", "u18_zone_map_skip",
+    "u20_materialized_agg", "u21_change_feed", "u22_cluster_optimize")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1027,6 +1027,32 @@ class WarehouseSpec extends AnyFunSuite {
       "column-mismatched sidecar never skips")
   }
 
+  test("skipping reads push the residual predicate into the surviving " +
+    "parquet scans") {
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_push_spec").toString
+    val tbl = AtomicTable(spark, s"$root/t", partCol = "part",
+      defaultKeys = Seq("id"), statsCol = Some("id"),
+      bloomCol = Some("id"))
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i * 10))
+      .toDF("id", "part", "x")
+    tbl.init(batch(1, 100))
+    tbl.append(batch(101, 200))
+    // a surviving dir may hold rows outside the probe, so the bound
+    // must still reach the scan as a pushed row-group filter — zone
+    // maps prune COMMITS, parquet stats then prune row groups
+    val rangePlan = tbl.readRange(120L, 180L)
+      .queryExecution.executedPlan.toString
+    assert(rangePlan.contains("GreaterThanOrEqual(id,120)")
+        && rangePlan.contains("LessThanOrEqual(id,180)"),
+      s"range bound not pushed:\n$rangePlan")
+    val pointPlan = tbl.readPoint(150L)
+      .queryExecution.executedPlan.toString
+    assert(pointPlan.contains("EqualTo(id,150)"),
+      s"point equality not pushed:\n$pointPlan")
+  }
+
   test("re-clustering by the stats column turns useless zones into " +
     "1-of-N range probes without changing answers") {
     import graft.sources.AtomicTable
