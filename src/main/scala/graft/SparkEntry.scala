@@ -1537,6 +1537,25 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("node")
     }),
 
+    "g6_label_prop" -> ((s, d) => {
+      // community detection over the user×event-type affinity graph:
+      // weighted synchronous label propagation groups users with the
+      // event types they touch (and through them, with each other)
+      // without choosing k. Bipartite on purpose — prefixed node ids
+      // keep the two sides distinct — so communities form around
+      // shared behavior. Exact long votes + min-label tie-break make
+      // the rounds bit-deterministic (GraphSpec pins repartition
+      // equality); the oracle replays the five rounds as unrolled
+      // MATERIALIZED CTEs.
+      val edges = T(s, d).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("w"))
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"), col("w"))
+      operators.Graph.labelPropagation(edges, "src", "dst", "w", iters = 5)
+        .repartition(1).sortWithinPartitions("node")
+    }),
+
     "g3_rank_stream" -> ((s, d) => {
       // the streaming delta-refresh path (GraphStream: edge-delta log +
       // warm-started rank refresh per micro-batch) run over g1's
@@ -4551,6 +4570,43 @@ object SparkEntry {
     // HITS twin: g1's edge derivation, five unrolled auth/hub
     // half-step pairs, HUGEINT raw sums and the same truncating
     // `(raw * R) // S` renormalization the engine's `div` computes
+    // label propagation twin: the same symmetrized affinity graph,
+    // five unrolled synchronous rounds — per round a vote sum per
+    // (node, neighbor label) and an argmax with the min-label
+    // tie-break, isolated (self-loop-only) nodes keeping their label
+    "g6_label_prop" -> {
+      def round(k: Int): String =
+        s"""v$k AS MATERIALIZED (
+           |  SELECT e.src, p.label, CAST(sum(e.w) AS BIGINT) AS vw
+           |  FROM sym e JOIN l${k - 1} p ON p.node = e.dst
+           |  GROUP BY e.src, p.label),
+           |b$k AS MATERIALIZED (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label, row_number() OVER (
+           |      PARTITION BY src ORDER BY vw DESC, label) AS rn
+           |    FROM v$k) WHERE rn = 1),
+           |l$k AS MATERIALIZED (
+           |  SELECT p.node, COALESCE(b.label, p.label) AS label
+           |  FROM l${k - 1} p LEFT JOIN b$k b ON b.node = p.node)"""
+          .stripMargin
+      s"""WITH edges0 AS (
+         |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+         |    't:' || event_type AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM events GROUP BY 1, 2),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM edges0
+         |    UNION ALL SELECT dst, src, w FROM edges0)
+         |  WHERE src <> dst GROUP BY src, dst),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges0
+         |    UNION ALL SELECT dst FROM edges0)),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT node, label FROM l5 ORDER BY node""".stripMargin
+    },
+
     "g5_hits" -> {
       val R = 1000000000000L
       def halfPair(k: Int): String =

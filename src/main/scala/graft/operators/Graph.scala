@@ -355,4 +355,65 @@ object Graph {
         coalesce(col("auth"), lit(0L)).as("auth_pico"),
         coalesce(col("hub"), lit(0L)).as("hub_pico"))
   }
+
+  /** Weighted SYNCHRONOUS label propagation (Raghavan 2007) — the
+    * community-detection sibling of the centrality family: every node
+    * starts as its own label, and each round adopts the label with the
+    * highest total incident weight among its neighbors' PREVIOUS
+    * labels. The curation use is grouping a link/affinity graph into
+    * behavioral communities (domains that interlink, users that touch
+    * the same content) without choosing k.
+    *
+    * Determinism contract, same spirit as the pico-unit ranks: votes
+    * are exact long sums of the edge weights, and the argmax
+    * tie-breaks on the smallest label — so any partitioning produces
+    * identical communities, and the DuckDB twin replays the rounds
+    * exactly. Synchronous (not the paper's asynchronous sweep) because
+    * asynchronous update order is inherently nondeterministic
+    * distributed; the fixed round count bounds oscillation instead.
+    *
+    * Edges are symmetrized (membership is mutual) and parallel edges
+    * merge; self-loops drop (a node voting for itself freezes
+    * trivially), but self-loop-ONLY nodes stay in the output with
+    * their own label. Scale shape: one symmetrize shuffle up front,
+    * then per round one edge×label join + one (src, label) sum + one
+    * per-src window argmax — all keyed, nothing corpus-crossed;
+    * `localCheckpoint` truncates lineage per round.
+    *
+    * Returns `(node, label)`.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w"))
+    val sym = graft.Caches.persist(
+      raw.unionByName(raw.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+        .filter(col("src") =!= col("dst") && col("w") > 0))
+    // node set from the INPUT endpoints: a self-loop-only node has no
+    // symmetrized neighbors but still belongs to the output
+    val nodes = graft.Caches.persist(
+      raw.select(col("src").as("node"))
+        .unionByName(raw.select(col("dst").as("node"))).distinct())
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("w")).as("vw"))
+      val best = votes
+        .withColumn("rn", row_number().over(Window.partitionBy("src")
+          .orderBy(col("vw").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label").as("_new"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -234,4 +234,23 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
+
+  test("label propagation: cliques converge to min-label communities, " +
+    "a weak bridge doesn't merge them, repartitioning is bit-identical") {
+    // two heavy triangles bridged by one weight-1 edge, plus one node
+    // whose only edge is a self-loop (must keep its own label)
+    val edges = Seq(
+      ("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+      ("x", "y", 10L), ("y", "z", 10L), ("x", "z", 10L),
+      ("c", "x", 1L), ("s", "s", 5L)).toDF("src", "dst", "w")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(e, "src", "dst", "w", iters = 5)
+        .orderBy("node").as[(String, String)].collect().toSeq
+    val got = run(edges)
+    assert(got === Seq("a" -> "a", "b" -> "a", "c" -> "a",
+      "s" -> "s", "x" -> "x", "y" -> "x", "z" -> "x"))
+    assert(got === run(edges.repartition(13)),
+      "communities must not depend on partitioning")
+    Caches.releaseAll()
+  }
 }
