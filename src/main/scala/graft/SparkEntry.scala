@@ -1326,6 +1326,49 @@ object SparkEntry {
         .sortWithinPartitions("change_type", "doc_id", "n_chars")
     }),
 
+    "u23_derived_sync" -> ((s, d) => {
+      // change-feed-driven replica: a row-wise transform (keep English
+      // docs, derive doubled char counts) maintained across u21's
+      // exact mutation script — init, append (delta sync), upsert
+      // (delete+insert pair through the transform), scoped delete
+      // (retractions) — each sync ONE crash-atomic dynamic-partition
+      // overwrite of only the touched partitions. The final replica
+      // must equal the transform applied flat to the final corpus;
+      // DerivedTableSpec pins the filter-boundary and cross-partition
+      // update cases, the vacuumed-sync-point full fallback, and the
+      // replay fence. At 100 TB this is the silver table riding the
+      // bronze corpus: appends cost the new rows, a GDPR delete flows
+      // through as exactly its retractions, the corpus is never
+      // rescanned.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_derived").toString
+      val docs = T(s, d).documents
+      val base = graft.sources.AtomicTable(s, s"$root/base",
+        partCol = "source", defaultKeys = Seq("doc_id"))
+      val dt = graft.sources.DerivedTable(base, s"$root/silver",
+        df => df.filter(col("lang") === "en")
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") * 2).as("chars2")),
+        keys = Seq("doc_id"), partCol = "source")
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val q = (mx + 4) / 4
+      base.init(docs.filter(col("doc_id") <= q))
+      dt.sync()
+      base.append(docs.filter(
+        col("doc_id") > q && col("doc_id") <= 2 * q))
+      dt.sync()
+      val m2 = docs.filter(col("doc_id") <= 2 * q)
+        .agg(max(col("doc_id"))).head.getLong(0)
+      base.upsert(base.read().filter(col("doc_id") === m2)
+        .withColumn("n_chars", lit(777L)))
+      dt.sync()
+      base.deleteWhere(Seq("src3"),
+        col("doc_id") % 10 === 3 && col("doc_id") =!= m2)
+      dt.sync()
+      dt.table.read()
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "u22_cluster_optimize" -> ((s, d) => {
       // OPTIMIZE-style re-clustering: the corpus lands interleaved
       // (doc_id % 4 slices), so every commit spans the whole key
@@ -5374,6 +5417,26 @@ object SparkEntry {
         |SELECT *, 'delete' AS change_type
         |FROM (SELECT * FROM c2 EXCEPT ALL SELECT * FROM c4)
         |ORDER BY change_type, doc_id, n_chars""".stripMargin,
+
+    // the replica is maintenance, not math: its final state must equal
+    // the transform applied flat to the final corpus (u21's endpoint
+    // reconstruction, filtered to English, chars doubled)
+    "u23_derived_sync" ->
+      """WITH qq AS (
+        |  SELECT (max(doc_id) + 4) // 4 AS q FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, source, lang, n_chars FROM documents, qq
+        |  WHERE doc_id <= 2 * q),
+        |tgt AS (SELECT max(doc_id) AS m FROM c2),
+        |c4 AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN doc_id = (SELECT m FROM tgt) THEN 777
+        |         ELSE n_chars END AS n_chars
+        |  FROM c2
+        |  WHERE NOT (source = 'src3' AND doc_id % 10 = 3
+        |             AND doc_id <> (SELECT m FROM tgt)))
+        |SELECT doc_id, source, CAST(n_chars * 2 AS BIGINT) AS chars2
+        |FROM c4 WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     // clustering is a rewrite, not a transformation: the probed range
     // over the re-clustered table must equal a plain BETWEEN over the

@@ -705,6 +705,33 @@ final case class AtomicTable(spark: SparkSession, root: String,
       stats = readStats() ++ stagedStats(rel, ps))
   }
 
+  /** Dynamic partition overwrite: replace the named partitions'
+    * content with `rows` in one crash-atomic commit — the touched
+    * partitions resolve ONLY to the new dir afterwards, untouched
+    * partitions' bytes are never read or rewritten, and the usual txn
+    * fence applies. This is the primitive [[upsert]] and [[deleteWhere]]
+    * specialize (they compute `rows` from a merge or a filter); it is
+    * public because change-feed appliers ([[DerivedTable]]) and
+    * backfill jobs already know the exact replacement content and must
+    * not pay a second read-modify cycle. Rows outside `parts` are
+    * rejected loudly — silently widening an overwrite is how replicas
+    * diverge.
+    */
+  def overwritePartitions(parts: Seq[String], rows: DataFrame,
+                          txn: Option[(String, Long)] = None): Unit = {
+    if (alreadyCommitted(txn)) return
+    require(parts.nonEmpty, "overwritePartitions needs target partitions")
+    val base = version
+    val stray = batchParts(rows).filterNot(parts.toSet)
+    require(stray.isEmpty,
+      s"rows carry partitions outside the overwrite set: " +
+        s"${stray.mkString(", ")} (widen `parts` explicitly)")
+    val (rel, ps) = stage(rows)
+    writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
+      base, withTxn(txn), op = "overwrite",
+      stats = readStats() ++ stagedStats(rel, ps))
+  }
+
   /** Delete matching rows within the named partitions, with the
     * reference's deleted-rowcount contract. Fully-emptied partitions
     * simply leave the manifest — no stale directory, no delete-then-
