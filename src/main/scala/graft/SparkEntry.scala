@@ -2486,6 +2486,47 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source", "lang")
     }),
 
+    "st14_quarantine_gate" -> ((s, d) => {
+      // expectation-gated ingest with a quarantine table: two streamed
+      // micro-batches split at the rule gate — clean rows accrete the
+      // corpus, rejects land WITH their per-row violation tags
+      // (declared rule order, null predicate fails) in a sibling
+      // manifest table, each leg fenced per batch. The output is the
+      // quarantine itself: at 100 TB the rejects are the evidence that
+      // separates a broken upstream parser from a bad crawl slice, and
+      // they re-ingest after the fix instead of re-crawling. The
+      // oracle recomputes every doc's tag string flat; StreamingSpec
+      // proves the split and the replay fences.
+      val corpusRoot = java.nio.file.Files
+        .createTempDirectory("graft_st14_corpus").toString
+      val quarRoot = java.nio.file.Files
+        .createTempDirectory("graft_st14_quar").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st14_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st14_ckpt").toString
+      val docs = T(s, d).documents
+      val rules = Seq(
+        "short_text" -> (col("n_chars") >= 50),
+        "allowed_lang" -> col("lang").isin("en", "de"),
+        "clean_id" -> (col("doc_id") % 97 =!= 0))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      def runBatch(part: org.apache.spark.sql.DataFrame): Unit = {
+        part.coalesce(1).write.mode("append").parquet(landing)
+        val qq = graft.streaming.QuarantineStream.start(s, landing,
+          docs.schema, corpusRoot, quarRoot, rules, ckpt)
+        if (!qq.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      runBatch(docs.filter(col("doc_id") * 2 <= mx))
+      runBatch(docs.filter(col("doc_id") * 2 > mx))
+      graft.streaming.QuarantineStream.quarantineTable(s, quarRoot)
+        .read()
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("violations"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     "st11_index_stream" -> ((s, d) => {
       // streaming ANN-index maintenance: base IVFPQ index over 4/5 of
       // the corpus, the late fifth arrives as TWO micro-batches that
@@ -4429,6 +4470,21 @@ object SparkEntry {
     // st13 maintains the materialized view across the ingest stream;
     // the served state must equal a flat GROUP BY over the whole
     // corpus, regardless of how the deltas folded
+    ("st14_quarantine_gate" ->
+      // the gate is routing, not transformation: the quarantine must
+      // hold exactly the docs failing ≥1 rule, tagged in declared rule
+      // order with null predicates failing
+      """SELECT * FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    concat_ws(',',
+        |      CASE WHEN NOT coalesce(n_chars >= 50, FALSE)
+        |           THEN 'short_text' END,
+        |      CASE WHEN NOT coalesce(lang IN ('en', 'de'), FALSE)
+        |           THEN 'allowed_lang' END,
+        |      CASE WHEN NOT coalesce(doc_id % 97 <> 0, FALSE)
+        |           THEN 'clean_id' END) AS violations
+        |  FROM documents)
+        |WHERE violations <> '' ORDER BY doc_id""".stripMargin) +
     ("st13_view_stream" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -30,6 +30,38 @@ object Quality {
     base.crossJoin(dups) // two single-row frames
   }
 
+  /** Per-row violation tags for a rule set: `violations` is the
+    * comma-joined names of every FAILED expectation, in declared rule
+    * order (deterministic), empty string for a clean row. A predicate
+    * evaluating to null FAILS its rule — an unparseable field is
+    * exactly what an expectation exists to catch, so null must not
+    * slip through as "not false". This is the row-level half of
+    * [[checks]]: where checks counts violations for the dashboard,
+    * this tags them for routing.
+    */
+  def withViolations(df: DataFrame,
+                     rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectation gate needs at least one rule")
+    df.withColumn("violations", concat_ws(",",
+      rules.map { case (name, ok) =>
+        when(!coalesce(ok, lit(false)), lit(name))
+      }: _*))
+  }
+
+  /** Split a batch at the expectation gate: (clean rows unchanged,
+    * quarantined rows carrying their `violations` tags). The
+    * production contract a drop-only gate misses: rejects are DATA —
+    * they carry the evidence for fixing the rule or the upstream
+    * parser, and they re-ingest after the fix. One pass, no shuffle;
+    * both sides stay lazily derived from the same tagged frame.
+    */
+  def quarantineSplit(df: DataFrame, rules: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    val tagged = withViolations(df, rules)
+    (tagged.filter(col("violations") === "").drop("violations"),
+      tagged.filter(col("violations") =!= ""))
+  }
+
   /** Referential-integrity audit for one declared FK edge — the
     * relationship test a warehouse runs where the reference delegates
     * to SQLite `FOREIGN KEY` constraints (app/db.py:33-163): one row of

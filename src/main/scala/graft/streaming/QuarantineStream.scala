@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Quality
+import graft.sources.{AtomicTable, DocTable}
+
+/** Expectation-gated ingest with a QUARANTINE table: every micro-batch
+  * splits at the rule gate, clean rows land in the corpus, and the
+  * rejects land — WITH their per-row `violations` tags — in a sibling
+  * manifest table instead of vanishing.
+  *
+  * A drop-only gate (the curated-commit stream's shape) is fine for
+  * throwaway filtering, but at 100 TB the rejects are operational
+  * data: they are the evidence that decides whether a spike in
+  * `short_text` means a broken upstream parser or a genuinely bad
+  * crawl slice, and after the rule or the parser is fixed they
+  * RE-INGEST from the quarantine table without re-crawling. Tags are
+  * deterministic (declared rule order, null predicate = fail), so the
+  * quarantine is replayable evidence, not a log line.
+  *
+  * Exactly-once composes the same way as [[ViewStream]]: each table's
+  * append is fenced by its own `("qingest", batchId)` txn mark. A
+  * crash between the two legs replays into "corpus skips, quarantine
+  * commits its missing half"; a full re-delivery under a fresh
+  * checkpoint advances neither (StreamingSpec proves both).
+  */
+object QuarantineStream {
+
+  /** The txn-mark stream name fencing both tables' appends. */
+  val IngestStream = "qingest"
+
+  def corpusTable(spark: SparkSession, root: String): AtomicTable =
+    DocTable(spark, root)
+
+  def quarantineTable(spark: SparkSession, root: String): AtomicTable =
+    DocTable(spark, root)
+
+  /** Gate one micro-batch — the foreachBatch body, callable directly
+    * for batch-parity tests.
+    */
+  def commitBatch(spark: SparkSession, corpusRoot: String,
+                  quarRoot: String, rules: Seq[(String, Column)],
+                  batch: DataFrame, batchId: Long): Unit = {
+    val (pass, fail) = Quality.quarantineSplit(batch, rules)
+    corpusTable(spark, corpusRoot)
+      .append(pass, txn = Some((IngestStream, batchId)))
+    quarantineTable(spark, quarRoot)
+      .append(fail, txn = Some((IngestStream, batchId)))
+  }
+
+  /** Micro-batch pipeline: landing dir → gate → corpus + quarantine,
+    * each leg fenced.
+    */
+  def start(spark: SparkSession, landingDir: String, schema: StructType,
+            corpusRoot: String, quarRoot: String,
+            rules: Seq[(String, Column)], checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        commitBatch(spark, corpusRoot, quarRoot, rules, df, id)
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -752,6 +752,54 @@ class StreamingSpec extends AnyFunSuite {
       ("web", "de") -> ((1L, 5L)), ("cc", "en") -> ((1L, 1L))))
   }
 
+  test("quarantine gate: clean rows accrete the corpus, rejects keep " +
+    "ordered violation tags, re-delivery advances neither table") {
+    import graft.streaming.QuarantineStream
+    import org.apache.spark.sql.Column
+    val corpusRoot = Files.createTempDirectory("st14_corpus").toString
+    val quarRoot = Files.createTempDirectory("st14_quar").toString
+    val landing = Files.createTempDirectory("st14_land").toString
+    val ckpt = Files.createTempDirectory("st14_ck").toString
+    def frame(rows: (Long, String, String, Long)*) =
+      rows.toDF("doc_id", "lang", "source", "n_chars")
+    val rules: Seq[(String, Column)] = Seq(
+      "short_text" -> ($"n_chars" >= 10L),
+      "allowed_lang" -> $"lang".isin("en", "de"))
+    val schema = frame().schema
+    def run(): Unit = {
+      val q = QuarantineStream.start(spark, landing, schema,
+        corpusRoot, quarRoot, rules, ckpt)
+      assert(q.awaitTermination(120000))
+    }
+    // batch 1: one clean, one short, one double-fail (tags in declared
+    // rule order), one with a NULL predicate input (must fail closed)
+    frame((1L, "en", "web", 50L), (2L, "en", "web", 3L),
+        (3L, "zh", "web", 4L), (4L, null, "web", 50L))
+      .coalesce(1).write.mode("append").parquet(landing)
+    run()
+    val quar = QuarantineStream.quarantineTable(spark, quarRoot)
+    val corpus = QuarantineStream.corpusTable(spark, corpusRoot)
+    assert(corpus.read().select("doc_id").as[Long].collect().toSet
+      === Set(1L))
+    val tags = quar.read().select("doc_id", "violations")
+      .as[(Long, String)].collect().toMap
+    assert(tags === Map(2L -> "short_text",
+      3L -> "short_text,allowed_lang", 4L -> "allowed_lang"))
+    // batch 2 accretes both sides
+    frame((5L, "de", "web", 60L), (6L, "fr", "web", 70L))
+      .coalesce(1).write.mode("append").parquet(landing)
+    run()
+    assert(corpus.read().count() === 2)
+    assert(quar.read().count() === 4)
+    // full re-delivery under a fresh checkpoint: both fences hold
+    val (cv, qv) = (corpus.version, quar.version)
+    val q2 = QuarantineStream.start(spark, landing, schema,
+      corpusRoot, quarRoot, rules,
+      Files.createTempDirectory("st14_ck2").toString)
+    assert(q2.awaitTermination(120000))
+    assert(corpus.version === cv && quar.version === qv)
+  }
+
   test("index stream: a vector is searchable one micro-batch after arrival") {
     import graft.sources.Warehouse
     import graft.pipelines.Similarity
