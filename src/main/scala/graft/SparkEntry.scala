@@ -2527,6 +2527,39 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "u24_quarantine_reingest" -> ((s, d) => {
+      // the quarantine pays for itself here: the corpus is gated under
+      // STRICT rules (st14's set), then the rules relax — es becomes
+      // an allowed language and the short-text rule is dropped (the
+      // upstream extractor got fixed) — and reingest() re-gates the
+      // held rows, recovering everything that now passes WITHOUT
+      // re-crawling. strict-pass ⊆ relaxed-pass by construction, so
+      // the final corpus must equal a flat relaxed-rule filter over
+      // the whole input: the recovery is exact, not approximate.
+      // StreamingSpec proves tag refresh, fence idempotence, and the
+      // no-op second pass.
+      val corpusRoot = java.nio.file.Files
+        .createTempDirectory("graft_u24_corpus").toString
+      val quarRoot = java.nio.file.Files
+        .createTempDirectory("graft_u24_quar").toString
+      val docs = T(s, d).documents
+      val strict = Seq(
+        "short_text" -> (col("n_chars") >= 50),
+        "allowed_lang" -> col("lang").isin("en", "de"),
+        "clean_id" -> (col("doc_id") % 97 =!= 0))
+      graft.streaming.QuarantineStream.commitBatch(s, corpusRoot,
+        quarRoot, strict, docs, 0L)
+      val relaxed = Seq(
+        "allowed_lang" -> col("lang").isin("en", "de", "es"),
+        "clean_id" -> (col("doc_id") % 97 =!= 0))
+      graft.streaming.QuarantineStream.reingest(s, corpusRoot,
+        quarRoot, relaxed)
+      graft.streaming.QuarantineStream.corpusTable(s, corpusRoot).read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source")
+    }),
+
     "st11_index_stream" -> ((s, d) => {
       // streaming ANN-index maintenance: base IVFPQ index over 4/5 of
       // the corpus, the late fifth arrives as TWO micro-batches that
@@ -5473,6 +5506,15 @@ object SparkEntry {
         |SELECT *, 'delete' AS change_type
         |FROM (SELECT * FROM c2 EXCEPT ALL SELECT * FROM c4)
         |ORDER BY change_type, doc_id, n_chars""".stripMargin,
+
+    // strict-pass ⊆ relaxed-pass, so the recovered corpus is exactly
+    // the relaxed filter applied flat — re-ingestion is exact
+    "u24_quarantine_reingest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de', 'es') AND doc_id % 97 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the replica is maintenance, not math: its final state must equal
     // the transform applied flat to the final corpus (u21's endpoint

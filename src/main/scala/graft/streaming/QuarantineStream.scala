@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -49,6 +50,42 @@ object QuarantineStream {
       .append(pass, txn = Some((IngestStream, batchId)))
     quarantineTable(spark, quarRoot)
       .append(fail, txn = Some((IngestStream, batchId)))
+  }
+
+  /** Re-ingest after a rule fix: re-gate the quarantined rows under
+    * the CURRENT rule set, move the now-passing rows into the corpus,
+    * and rewrite the quarantine to keep only the still-failing rows
+    * (with their tags refreshed — the old tags described the old
+    * rules). This is why the quarantine exists: a relaxed rule or a
+    * repaired upstream parser recovers the held-back data WITHOUT
+    * re-crawling.
+    *
+    * Both legs carry the same `("requarantine", quarantine-version)`
+    * fence: a crash between the corpus append and the quarantine
+    * rewrite replays into "corpus skips, quarantine completes its
+    * half" — never a duplicate, never a lost row. The rewrite is a
+    * dynamic partition overwrite of only the partitions holding
+    * recovered rows; an untouched quarantine partition is never read.
+    * Returns the number of recovered rows.
+    */
+  def reingest(spark: SparkSession, corpusRoot: String, quarRoot: String,
+               rules: Seq[(String, Column)]): Long = {
+    val quar = quarantineTable(spark, quarRoot)
+    if (!quar.hasData) return 0L
+    val fence = Some(("requarantine", quar.version))
+    val held = quar.read().drop("violations")
+    val (pass, fail) = Quality.quarantineSplit(held, rules)
+    val passP = pass.persist()
+    try {
+      val recovered = passP.count()
+      if (recovered == 0L) return 0L
+      val touched = passP.select(col("source").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      corpusTable(spark, corpusRoot).append(passP, txn = fence)
+      quar.overwritePartitions(touched,
+        fail.filter(col("source").isin(touched: _*)), txn = fence)
+      recovered
+    } finally passP.unpersist(blocking = false)
   }
 
   /** Micro-batch pipeline: landing dir → gate → corpus + quarantine,

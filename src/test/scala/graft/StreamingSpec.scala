@@ -800,6 +800,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpus.version === cv && quar.version === qv)
   }
 
+  test("quarantine re-ingest: a relaxed rule recovers held rows with " +
+    "refreshed tags; a second pass is a no-op") {
+    import graft.streaming.QuarantineStream
+    import org.apache.spark.sql.Column
+    val corpusRoot = Files.createTempDirectory("st14r_corpus").toString
+    val quarRoot = Files.createTempDirectory("st14r_quar").toString
+    def frame(rows: (Long, String, String, Long)*) =
+      rows.toDF("doc_id", "lang", "source", "n_chars")
+    val strict: Seq[(String, Column)] = Seq(
+      "short_text" -> ($"n_chars" >= 10L),
+      "allowed_lang" -> $"lang".isin("en", "de"))
+    QuarantineStream.commitBatch(spark, corpusRoot, quarRoot, strict,
+      frame((1L, "en", "web", 50L), (2L, "en", "web", 3L),
+        (3L, "zh", "web", 4L), (4L, "zh", "cc", 50L)), 0L)
+    val corpus = QuarantineStream.corpusTable(spark, corpusRoot)
+    val quar = QuarantineStream.quarantineTable(spark, quarRoot)
+    assert(corpus.read().count() === 1)
+    assert(quar.read().count() === 3)
+    // the parser gets fixed: short text is acceptable now
+    val relaxed: Seq[(String, Column)] =
+      Seq("allowed_lang" -> $"lang".isin("en", "de"))
+    assert(QuarantineStream.reingest(spark, corpusRoot, quarRoot,
+      relaxed) === 1L)
+    assert(corpus.read().select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    val tags = quar.read().select("doc_id", "violations")
+      .as[(Long, String)].collect().toMap
+    // still-failing rows keep fresh tags for the CURRENT rules (3's
+    // old short_text tag is gone), and untouched partitions survive
+    assert(tags === Map(3L -> "allowed_lang", 4L -> "allowed_lang"))
+    // nothing newly passes: no commit on either table
+    val (cv, qv) = (corpus.version, quar.version)
+    assert(QuarantineStream.reingest(spark, corpusRoot, quarRoot,
+      relaxed) === 0L)
+    assert(corpus.version === cv && quar.version === qv)
+  }
+
   test("index stream: a vector is searchable one micro-batch after arrival") {
     import graft.sources.Warehouse
     import graft.pipelines.Similarity
