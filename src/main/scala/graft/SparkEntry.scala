@@ -1398,6 +1398,29 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source")
     }),
 
+    "t39_fuzzy_match" -> ((s, d) => {
+      // blocked entity resolution: character-level near-matches (typos,
+      // OCR noise, re-crawl drift) share almost no word shingles, so
+      // the MinHash family can't see them — a prefix-blocked
+      // Levenshtein join can. Keys are the docs' first 32 ASCII chars
+      // (non-ASCII stripped FIRST so Spark and DuckDB substring the
+      // same codepoints); blocks are the 4-char key prefix — source
+      // deliberately NOT in the block, so a re-crawl of the same page
+      // under a different source still matches. The pair space is
+      // Σ|block|² — the same bounding argument as LSH banding — and
+      // each surviving pair pays one codegen'd built-in levenshtein.
+      // Exact integer edits, engine-independent.
+      val docs = T(s, d).documents
+      val recs = docs.select(col("doc_id").as("id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 32)
+            .as("key"))
+        .filter(length(col("key")) >= 8)
+        .select(col("id"), substring(col("key"), 1, 4).as("block"),
+          col("key"))
+      pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8)
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
+    }),
+
     "t36_line_dedup" -> ((s, d) => {
       // corpus-level duplicate-line strip: the corpus has no natural
       // line structure (single-line docs), so the boilerplate shape is
@@ -5506,6 +5529,23 @@ object SparkEntry {
         |SELECT *, 'delete' AS change_type
         |FROM (SELECT * FROM c2 EXCEPT ALL SELECT * FROM c4)
         |ORDER BY change_type, doc_id, n_chars""".stripMargin,
+
+    // the same prefix blocks and the same pure-ASCII keys, so DuckDB's
+    // levenshtein counts the same edits Spark's does
+    "t39_fuzzy_match" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 32)
+        |      AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT id, substr(key, 1, 4) AS block, key
+        |  FROM t WHERE length(key) >= 8)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |WHERE levenshtein(a.key, b.key) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // strict-pass ⊆ relaxed-pass, so the recovered corpus is exactly
     // the relaxed filter applied flat — re-ingestion is exact

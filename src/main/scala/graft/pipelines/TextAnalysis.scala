@@ -1280,4 +1280,32 @@ object TextAnalysis {
       .withColumn("oov_share",
         round(col("n_oov").cast("double") / col("n_words").cast("double"), 6))
   }
+
+  /** Blocked fuzzy matching (entity resolution): the character-level
+    * near-match the shingle/MinHash family cannot express — titles,
+    * names, and short keys that differ by a few EDITS (typos, OCR
+    * noise, re-crawl drift) share almost no word shingles, but sit
+    * within a small Levenshtein distance.
+    *
+    * `records` carries (`id`, `block`, `key`); the candidate space is
+    * pairs WITHIN a block — never all-pairs — so the cost is
+    * Σ|block|² over blocks, the same bounding argument as LSH banding
+    * (the caller's blocking key IS the recall/cost dial: a key prefix,
+    * a length bucket, a phonetic code, or an LSH band all work). Each
+    * surviving pair pays one codegen'd `levenshtein` (built-in — no
+    * UDF), ordered (`id_a < id_b`) so every pair reports once.
+    * Returns `(id_a, id_b, dist)` for pairs at distance ≤ `maxDist` —
+    * exact integer edits, engine-independent.
+    */
+  def fuzzyMatchPairs(records: DataFrame, maxDist: Int): DataFrame = {
+    val a = records.select(col("id").as("id_a"), col("block"),
+      col("key").as("key_a"))
+    val b = records.select(col("id").as("id_b"), col("block"),
+      col("key").as("key_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -714,4 +714,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(keep.forall(_.getAs[Long]("n_dropped") === 0L))
     assert(keep(0).getAs[String]("cleaned") === "banner\nalpha one\nfooter")
   }
+
+  test("fuzzy match: exact edit distances within blocks, nothing " +
+    "across blocks, threshold inclusive, each pair once") {
+    val recs = Seq(
+      (1L, "b1", "kitten house"),   // kitten↔sitting = 3 edits
+      (2L, "b1", "sitting house"),
+      (3L, "b1", "kitten houze"),   // 1 edit from id 1, 4 from id 2
+      (4L, "b2", "kitten house"),   // identical KEY, different block
+      (5L, "b1", "completely other"))
+      .toDF("id", "block", "key")
+    val got = TextAnalysis.fuzzyMatchPairs(recs, maxDist = 4)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    // (1,2)=3, (1,3)=1, (2,3)=4 (inclusive threshold); id 4 matches
+    // nothing (block isolation), id 5 is past the threshold
+    assert(got === Seq((1L, 2L, 3), (1L, 3L, 1), (2L, 3L, 4)))
+    // tighter threshold trims, never reorders
+    assert(TextAnalysis.fuzzyMatchPairs(recs, maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+      === Seq((1L, 3L, 1)))
+  }
 }
