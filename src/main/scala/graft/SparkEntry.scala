@@ -1216,7 +1216,7 @@ object SparkEntry {
       val docs = T(s, d).documents
       val tbl = graft.sources.AtomicTable(s, root, partCol = "source",
         defaultKeys = Seq("doc_id"), statsCol = Some("doc_id"))
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       tbl.init(docs.filter(col("doc_id") <= q))
       (1 to 3).foreach(k => tbl.append(
@@ -1246,7 +1246,7 @@ object SparkEntry {
       val docs = T(s, d).documents
       val tbl = graft.sources.AtomicTable(s, root, partCol = "source",
         defaultKeys = Seq("doc_id"), bloomCol = Some("doc_id"))
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       tbl.init(docs.filter(col("doc_id") <= q))
       (1 to 3).foreach(k => tbl.append(
@@ -1274,7 +1274,7 @@ object SparkEntry {
         partCol = "source", defaultKeys = Seq("doc_id"))
       val mv = graft.sources.MaterializedAgg(base, s"$root/view",
         dims = Seq("source", "lang"), valCol = "n_chars")
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       base.init(docs.filter(col("doc_id") <= q))
       mv.refresh()
@@ -1308,13 +1308,13 @@ object SparkEntry {
       val docs = T(s, d).documents
       val base = graft.sources.AtomicTable(s, root,
         partCol = "source", defaultKeys = Seq("doc_id"))
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       base.init(docs.filter(col("doc_id") <= q))                     // v1
       base.append(docs.filter(
         col("doc_id") > q && col("doc_id") <= 2 * q))                // v2
       val m2 = docs.filter(col("doc_id") <= 2 * q)
-        .agg(max(col("doc_id"))).head.getLong(0)
+        .agg(max(col("doc_id"))).head().getLong(0)
       base.upsert(base.read().filter(col("doc_id") === m2)
         .withColumn("n_chars", lit(777L)))                           // v3
       base.deleteWhere(Seq("src3"),
@@ -1350,7 +1350,7 @@ object SparkEntry {
           .select(col("doc_id"), col("source"),
             (col("n_chars") * 2).as("chars2")),
         keys = Seq("doc_id"), partCol = "source")
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       base.init(docs.filter(col("doc_id") <= q))
       dt.sync()
@@ -1358,7 +1358,7 @@ object SparkEntry {
         col("doc_id") > q && col("doc_id") <= 2 * q))
       dt.sync()
       val m2 = docs.filter(col("doc_id") <= 2 * q)
-        .agg(max(col("doc_id"))).head.getLong(0)
+        .agg(max(col("doc_id"))).head().getLong(0)
       base.upsert(base.read().filter(col("doc_id") === m2)
         .withColumn("n_chars", lit(777L)))
       dt.sync()
@@ -1389,7 +1389,7 @@ object SparkEntry {
       tbl.init(docs.filter(col("doc_id") % 4 === 0))
       (1 to 3).foreach(r => tbl.append(docs.filter(col("doc_id") % 4 === r)))
       tbl.clusterByStats(4)
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       tbl.readRange(q + 1, 3 * q)
         .groupBy("source")
@@ -2490,7 +2490,7 @@ object SparkEntry {
       val base = graft.streaming.ViewStream.baseTable(s, baseRoot)
       val mv = graft.streaming.ViewStream
         .view(s, baseRoot, viewRoot, dims, "n_chars")
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val q = (mx + 4) / 4
       base.init(docs.filter(col("doc_id") <= 2 * q))
       mv.refresh()
@@ -2533,7 +2533,7 @@ object SparkEntry {
         "short_text" -> (col("n_chars") >= 50),
         "allowed_lang" -> col("lang").isin("en", "de"),
         "clean_id" -> (col("doc_id") % 97 =!= 0))
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       def runBatch(part: org.apache.spark.sql.DataFrame): Unit = {
         part.coalesce(1).write.mode("append").parquet(landing)
         val qq = graft.streaming.QuarantineStream.start(s, landing,
