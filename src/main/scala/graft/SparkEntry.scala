@@ -1398,6 +1398,18 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source")
     }),
 
+    "a28_gini_source" -> ((s, d) => {
+      // per-source Gini concentration of character mass — the
+      // corpus-balance measure behind mixing weights: a source whose
+      // bytes concentrate in a few giant docs contributes less
+      // diversity per byte than its row count suggests. Exact integer
+      // rank form, one keyed window + one aggregate, ppm via the
+      // engines' shared truncating division.
+      operators.Aggregates.giniPpm(T(s, d).documents,
+          "source", "n_chars", "doc_id")
+        .repartition(1).sortWithinPartitions("source")
+    }),
+
     "t39_fuzzy_match" -> ((s, d) => {
       // blocked entity resolution: character-level near-matches (typos,
       // OCR noise, re-crawl drift) share almost no word shingles, so
@@ -5529,6 +5541,25 @@ object SparkEntry {
         |SELECT *, 'delete' AS change_type
         |FROM (SELECT * FROM c2 EXCEPT ALL SELECT * FROM c4)
         |ORDER BY change_type, doc_id, n_chars""".stripMargin,
+
+    // the same ascending (value, id) ranks and the same all-BIGINT
+    // rank formula, down to the shared truncating ppm division
+    "a28_gini_source" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s0,
+        |    CAST(sum(CAST(i AS BIGINT) * n_chars) AS BIGINT) AS s1
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  CASE WHEN s0 > 0 THEN
+        |    CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (n * s0)
+        |      AS BIGINT) END AS gini_ppm
+        |FROM a ORDER BY source""".stripMargin,
 
     // the same prefix blocks and the same pure-ASCII keys, so DuckDB's
     // levenshtein counts the same edits Spark's does

@@ -858,4 +858,37 @@ object Aggregates {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** Per-group Gini concentration of a non-negative integer value, in
+    * exact integer ppm — the corpus-balance measure behind mixing
+    * decisions: a source whose character mass concentrates in a few
+    * giant documents (G → 1) contributes far less diversity per byte
+    * than its row count suggests, so it mixes differently from a
+    * uniform one (G → 0).
+    *
+    * Exactness: the rank form `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`
+    * over ascending ranks is computed entirely in BIGINTs and reported
+    * as one truncating division to ppm (Spark `div` ≡ DuckDB `//`) —
+    * no doubles anywhere. Ranks come from a per-group window ordered
+    * by (value, id tiebreak); ties cannot change the result because
+    * the coefficient sum over a tie block is fixed while x is
+    * constant inside it, so the formula is permutation-invariant
+    * within ties. One window pass + one group aggregate, both keyed
+    * on the group — nothing corpus-crossed. Groups with zero total
+    * mass report null.
+    */
+  def giniPpm(rows: DataFrame, groupCol: String, valCol: String,
+              idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("_x", idCol)
+    rows.select(col(groupCol), col(idCol),
+        col(valCol).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_s0"),
+        sum(col("_i") * col("_x")).as("_s1"))
+      .select(col(groupCol), col("n"),
+        when(col("_s0") > 0, expr(
+          "((2 * _s1 - (n + 1) * _s0) * 1000000) div (n * _s0)"))
+          .as("gini_ppm"))
+  }
 }

@@ -481,4 +481,26 @@ class AggregatesSpec extends AnyFunSuite {
     val g2 = Aggregates.welchTvsRest(same, "k", col("v")).collect()
     assert(g2.forall(_.getAs[Double]("t_welch") === 0.0))
   }
+
+  test("gini: uniform mass scores 0, a single owner approaches 1, " +
+    "hand value exact, ties order-invariant, zero mass null") {
+    def g(rows: Seq[(String, Long, Long)]): Map[String, Option[Long]] =
+      Aggregates.giniPpm(rows.toDF("grp", "id", "x"), "grp", "x", "id")
+        .collect().map(r => r.getString(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val got = g(Seq(
+      ("eq", 1L, 7L), ("eq", 2L, 7L), ("eq", 3L, 7L), ("eq", 4L, 7L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 0L), ("one", 4L, 100L),
+      // hand: x = (1,2,3,4) ascending → G = (2·30 − 5·10)/(4·10) = 0.25
+      ("hand", 1L, 1L), ("hand", 2L, 2L), ("hand", 3L, 3L), ("hand", 4L, 4L),
+      ("zero", 1L, 0L), ("zero", 2L, 0L)))
+    assert(got("eq") === Some(0L))
+    assert(got("one") === Some(750000L), "(n-1)/n = 3/4 for one owner")
+    assert(got("hand") === Some(250000L))
+    assert(got("zero") === None)
+    // permutation within ties cannot move the value
+    val a = g(Seq(("t", 1L, 5L), ("t", 2L, 5L), ("t", 3L, 9L)))
+    val b = g(Seq(("t", 3L, 5L), ("t", 1L, 5L), ("t", 2L, 9L)))
+    assert(a("t") === b("t"))
+  }
 }
