@@ -1421,7 +1421,11 @@ object SparkEntry {
       // under a different source still matches. The pair space is
       // Σ|block|² — the same bounding argument as LSH banding — and
       // each surviving pair pays one codegen'd built-in levenshtein.
-      // Exact integer edits, engine-independent.
+      // Hot blocks (real corpora share openers) are triangle-salted
+      // inside fuzzyMatchPairs so no single task exceeds ~cap² pairs;
+      // the salting is pair-set-preserving, so the oracle below is
+      // the plain blocked join. Exact integer edits,
+      // engine-independent.
       val docs = T(s, d).documents
       val recs = docs.select(col("doc_id").as("id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 32)

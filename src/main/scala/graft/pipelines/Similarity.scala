@@ -240,24 +240,47 @@ object Similarity {
           col(vecCol).as("_v"),
           micro(cosineNative(col(vecCol), col("qv"))).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(topN))
-    // bounded collects: both are topN-limited by construction (topN
-    // rows; topN² pair rows) — the greedy argmax is inherently
-    // sequential, so it runs on the driver over the bounded pool
-    val rel = cand.select("vec_id", "rel").collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
     val a = cand.select(col("vec_id").as("ia"), col("_v").as("va"))
     val b = cand.select(col("vec_id").as("ib"), col("_v").as("vb"))
     val sim = a.crossJoin(b).filter(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"),
         micro(cosineNative(col("va"), col("vb"))).as("sim"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
+    // the greedy argmax is inherently sequential, so it runs in ONE
+    // task over the bounded pool (topN rel rows ∪ topN² engine-exact
+    // sim rows, unioned under a sentinel pair id) — no collect, no
+    // extra job round-trips, driver memory flat as topN grows
+    import spark.implicits._
+    val pooled = cand.select(col("vec_id").as("pa"),
+        lit(Long.MinValue).as("pb"), col("rel").as("pv"))
+      .unionByName(sim.select(col("ia").as("pa"), col("ib").as("pb"),
+        col("sim").as("pv")))
+    pooled.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+      val rel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val simMap =
+        scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      it.foreach { case (x, y, v) =>
+        if (y == Long.MinValue) rel += ((x, v)) else simMap((x, y)) = v
+      }
+      mmrGreedy(rel.toSeq, simMap, k, wRel, wDiv).iterator
+    }.toDF("rank", "vec_id", "rel_micro", "score")
+  }
+
+  /** The inherently-sequential MMR argmax loop as a pure function over
+    * the bounded pool — shared by [[mmrDiversify]]'s single-task
+    * mapPartitions path and SimilaritySpec's driver-side parity
+    * harness. All inputs are integer micro-units (the engine computed
+    * them); ties break to the smaller id, so the selection is
+    * deterministic for any pool order. Returns
+    * `(rank, id, rel_micro, score)` rows in pick order.
+    */
+  private[graft] def mmrGreedy(
+      rel: Seq[(Long, Long)], sim: scala.collection.Map[(Long, Long), Long],
+      k: Int, wRel: Long, wDiv: Long): Seq[(Long, Long, Long, Long)] = {
     val relMap = rel.toMap
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)] // (rank, id, rel, score)
     var remaining = rel.sortBy { case (id, r) => (-r, id) }.map(_._1)
-    while (selected.size < math.min(k, remaining.size + selected.size)
-        && remaining.nonEmpty) {
+    while (selected.size < k && remaining.nonEmpty) {
       val scored = remaining.map { id =>
         val penalty =
           if (selected.isEmpty) 0L
@@ -268,8 +291,7 @@ object Similarity {
       selected += ((selected.size + 1L, pick, relMap(pick), score))
       remaining = remaining.filterNot(_ == pick)
     }
-    import spark.implicits._
-    selected.toSeq.toDF("rank", "vec_id", "rel_micro", "score")
+    selected.toSeq
   }
 
   /** The majority-vote half of [[knnClassify]], factored out so ANY

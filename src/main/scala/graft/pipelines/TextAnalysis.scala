@@ -1296,16 +1296,52 @@ object TextAnalysis {
     * UDF), ordered (`id_a < id_b`) so every pair reports once.
     * Returns `(id_a, id_b, dist)` for pairs at distance ≤ `maxDist` —
     * exact integer edits, engine-independent.
+    *
+    * SKEW: on real corpora block keys are Zipfian (shared openers,
+    * boilerplate prefixes), and a plain self-join would run a hot
+    * block's entire |block|² pair space in ONE task. Blocks larger
+    * than `blockCap` are therefore TRIANGLE-SALTED: rows hash into
+    * `s = ⌈n/blockCap⌉` groups (`xxhash64(id) mod s` — deterministic,
+    * map-side, no per-block sort), and the self-join runs per group
+    * CELL (i ≤ j) with the left row replicated into cells (g, j≥g)
+    * and the right row into cells (i≤g, g). Every unordered pair
+    * lands in exactly one cell — same-group pairs dedup on
+    * `id_l < id_r`, cross-group pairs exist only at (min g, max g) —
+    * so the OUTPUT SET IS IDENTICAL to the unsalted join while no
+    * task compares more than ~blockCap² pairs. Total emitted rows are
+    * n·(s+1) per hot block — the inherent Σ|block|² work, spread over
+    * s(s+1)/2 independent cells instead of one straggler. Blocks at
+    * or under the cap take the s=1 path: no replication, the plain
+    * join shape. Group sizes are hash-balanced (expected n/s, tight
+    * for n/s ≫ 1); the bound is probabilistic, pinned by
+    * TextAnalysisSpec's skewed fixture.
     */
-  def fuzzyMatchPairs(records: DataFrame, maxDist: Int): DataFrame = {
-    val a = records.select(col("id").as("id_a"), col("block"),
-      col("key").as("key_a"))
-    val b = records.select(col("id").as("id_b"), col("block"),
-      col("key").as("key_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+  def fuzzyMatchPairs(records: DataFrame, maxDist: Int,
+                      blockCap: Int = 1024): DataFrame = {
+    require(blockCap > 0, "blockCap must be positive")
+    // only blocks OVER the cap need s>1; there are at most N/cap of
+    // them, so this frame is small and the join back broadcasts
+    val hot = records.groupBy("block")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > blockCap)
+      .withColumn("_s",
+        ceil(col("_n").cast("double") / blockCap).cast("int"))
+      .select("block", "_s")
+    val grouped = records.join(hot, Seq("block"), "left")
+      .withColumn("_s", coalesce(col("_s"), lit(1)))
+      .withColumn("_g", pmod(xxhash64(col("id")), col("_s")).cast("int"))
+    val left = grouped.select(col("id").as("id_l"), col("block"),
+      col("key").as("key_l"), col("_g").as("_i"),
+      explode(sequence(col("_g"), col("_s") - lit(1))).as("_j"))
+    val right = grouped.select(col("id").as("id_r"), col("block"),
+      col("key").as("key_r"),
+      explode(sequence(lit(0), col("_g"))).as("_i"),
+      col("_g").as("_j"))
+    left.join(right, Seq("block", "_i", "_j"))
+      .filter(col("_i") < col("_j") || col("id_l") < col("id_r"))
+      .withColumn("dist", levenshtein(col("key_l"), col("key_r")))
       .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
   }
 }

@@ -523,7 +523,30 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val f = manifestFileAt(v).getOrElse(sys.error(
       s"version $v not found under $root (vacuumed or never committed); " +
         s"available: ${versions.mkString(", ")}"))
-    resolve(parseManifest(f))
+    val entries = parseManifest(f)
+    requireDirsLive(entries, v)
+    resolve(entries)
+  }
+
+  /** Whole-or-error guard for historical reads: every data dir the
+    * version's manifest references must still exist, or the read fails
+    * FAST with a retention error — never a partial corpus. [[vacuum]]
+    * itself cannot produce the dangling state (it drops the manifest
+    * before the dirs, and reclaims each dir by an atomic rename to a
+    * tombstone), so a miss here means external damage or a pre-fix
+    * layout; either way the answer is refusal, not silence.
+    */
+  private def requireDirsLive(entries: Seq[(String, Seq[String])],
+                              v: Long): Unit = {
+    val gone = entries.collect {
+      case (d, _) if !new java.io.File(s"$root/$d").isDirectory => d
+    }
+    require(gone.isEmpty,
+      s"version $v under $root is no longer reconstructable: " +
+        s"${gone.size} of its ${entries.size} data dirs were reclaimed " +
+        s"(${gone.take(3).mkString(", ")}) — historical reads are " +
+        "whole-or-error; raise vacuum retainMs to keep the time-travel " +
+        "window open")
   }
 
   /** Change data feed: the exact multiset of row changes between two
@@ -543,9 +566,13 @@ final case class AtomicTable(spark: SparkSession, root: String,
     */
   def changesBetween(v1: Long, v2: Long): DataFrame = {
     require(v1 <= v2, s"changesBetween needs v1 <= v2, got $v1 > $v2")
-    def at(v: Long) = manifestFileAt(v).map(parseManifest).getOrElse(
-      sys.error(s"version $v not found under $root (vacuumed or never " +
-        s"committed); available: ${versions.mkString(", ")}"))
+    def at(v: Long) = {
+      val entries = manifestFileAt(v).map(parseManifest).getOrElse(
+        sys.error(s"version $v not found under $root (vacuumed or never " +
+          s"committed); available: ${versions.mkString(", ")}"))
+      requireDirsLive(entries, v)
+      entries
+    }
     val e1 = at(v1)
     val e2 = at(v2)
     require(e1.nonEmpty || e2.nonEmpty,
@@ -848,15 +875,13 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val live = retained
       .flatMap { case (_, f) => parseManifest(f) }
       .map(_._1.stripPrefix("data/")).toSet
-    Option(new java.io.File(s"$root/data").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && !live.contains(f.getName))
-      .foreach(AtomicTable.deleteRecursively)
     // drop expired manifests and any temp manifest a pre-commit crash
-    // left behind. Temp manifests are AGE-GATED: a fresh one may belong
-    // to a writer currently between its write and its link-publish —
-    // deleting it would turn that commit into a NoSuchFileException
-    // instead of a clean OCC retry
+    // left behind — BEFORE touching any data dir, so a crash mid-vacuum
+    // leaves orphan dirs (cleaned by the next vacuum), never a manifest
+    // pointing at reclaimed data. Temp manifests are AGE-GATED: a fresh
+    // one may belong to a writer currently between its write and its
+    // link-publish — deleting it would turn that commit into a
+    // NoSuchFileException instead of a clean OCC retry
     val tmpCutoff = now - 60 * 60 * 1000L
     val keep = retained.map(_._1).toSet
     Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -867,6 +892,25 @@ final case class AtomicTable(spark: SparkSession, root: String,
               && f.lastModified() < tmpCutoff            => f.delete()
           case _                                         => ()
         }
+      }
+    // reclaim each dead dir by an ATOMIC rename to a tombstone, then
+    // delete the tombstone: the dir disappears from its manifest path
+    // in one step, so no reader (and no crash window) can ever observe
+    // a half-deleted dir as a silent partial corpus. Tombstones from a
+    // previously crashed vacuum sweep here too.
+    val dataRoot = new java.io.File(s"$root/data")
+    Option(dataRoot.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith(".vacuum-tmp-") || !live.contains(f.getName)))
+      .foreach { f =>
+        val tomb =
+          if (f.getName.startsWith(".vacuum-tmp-")) f
+          else {
+            val t = new java.io.File(dataRoot, s".vacuum-tmp-${f.getName}")
+            if (f.renameTo(t)) t else f // rename refused: delete in place
+          }
+        AtomicTable.deleteRecursively(tomb)
       }
   }
 }

@@ -73,4 +73,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "register() must not re-add the rule on an injected session")
     }
   }
+
+  test("installViews: a SQL-only client queries every reference table " +
+    "with zero driver-side Scala in the query path") {
+    withInjectedSession { s =>
+      val dir = "/root/testdata/sf0.001"
+      val names = Tables.installViews(s, dir)
+      assert(names.size === 13)
+      // every registered view resolves and reads via pure SQL
+      names.foreach { n =>
+        assert(s.sql(s"SELECT * FROM $n LIMIT 1").collect().nonEmpty, n)
+      }
+      // a real cross-view query — the positions-style join shape
+      val top = s.sql(
+        """SELECT p.symbol, count(*) AS n
+          |FROM prices p JOIN journal j
+          |  ON p.symbol = j.symbol AND p.id = j.id
+          |GROUP BY p.symbol ORDER BY n DESC, p.symbol LIMIT 3
+          |""".stripMargin).collect()
+      assert(top.nonEmpty && top.head.getLong(1) > 0L)
+      // native functions compose with the views — the Thrift/Connect
+      // client shape (extension conf + views, no Scala anywhere)
+      assert(s.sql(
+        """SELECT sum(element_at(graft_text_stats(text), 1)) AS words
+          |FROM documents""".stripMargin).head().getLong(0) > 0L)
+      // SQL answers match the DataFrame path over the same parquet
+      val viaSql = s.sql(
+        """SELECT symbol, count(*) AS count FROM prices
+          |GROUP BY symbol ORDER BY symbol""".stripMargin)
+        .collect().toSeq
+      val viaDf = Tables(s, dir).pricesFromEvents
+        .groupBy("symbol").count().orderBy("symbol").collect().toSeq
+      assert(viaSql === viaDf)
+      // the views are lazy plans over the scans: a symbol filter still
+      // reaches the parquet reader as a pushed predicate
+      val pushed = s.sql(
+        "SELECT price FROM prices WHERE symbol = 'click'")
+        .queryExecution.executedPlan.toString
+      assert(pushed.contains("PushedFilters") &&
+        pushed.contains("EqualTo(event_type,click)"), pushed)
+    }
+  }
 }

@@ -615,6 +615,44 @@ class SimilaritySpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("mmrDiversify: single-task path matches the driver-side greedy " +
+    "over the same engine-computed pool") {
+    // the production path runs the greedy inside one mapPartitions task
+    // over the pooled rel/sim rows; this harness collects the SAME
+    // engine-computed micro-units to the driver and runs the shared
+    // mmrGreedy there — the two must agree row-for-row
+    val pool = (0L until 40L).map { i =>
+      val a = i * 0.61803398875 // golden-angle spread of directions
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(2 * a).toFloat, math.sin(3 * a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.2f, -0.3f, 0.5f))).toDF("qv")
+    val (topN, k, wRel, wDiv) = (25, 10, 7L, 3L)
+    val got = Similarity.mmrDiversify(pool, "vec_id", "embedding", q,
+        topN, k, wRel, wDiv)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // driver-side reference: identical micro expressions, collected
+    def micro(c: org.apache.spark.sql.Column) =
+      round(round(c, 6) * lit(1e6), 0).cast("long")
+    val cand = pool.crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding",
+        micro(Similarity.cosineNative($"embedding", $"qv")).as("rel"))
+      .orderBy($"rel".desc, $"vec_id").limit(topN)
+    val rel = cand.select("vec_id", "rel").as[(Long, Long)]
+      .collect().toSeq
+    val sim = cand.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(cand.select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .filter($"ia" =!= $"ib")
+      .select($"ia", $"ib",
+        micro(Similarity.cosineNative($"va", $"vb")).as("sim"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    val ref = Similarity.mmrGreedy(rel, sim, k, wRel, wDiv)
+    assert(got === ref)
+    assert(got.size === k)
+    graft.Caches.releaseAll()
+  }
+
   test("centroidOutliers: planted corrupt vector flags, tight clusters don't") {
     // two tight clusters on their centroids plus one vector far from
     // both — only it should cross z ≥ 2 in its (nearest) cell

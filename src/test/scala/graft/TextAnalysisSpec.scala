@@ -734,4 +734,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
       === Seq((1L, 3L, 1)))
   }
+
+  test("fuzzy match salting: skewed hot block yields the identical " +
+    "pair set with hash-bounded cells") {
+    // 10k keys sharing ONE 4-char prefix — the web-corpus worst case
+    // (shared openers / boilerplate prefixes) where the unsalted
+    // self-join would run the full n²/2 pair space in a single task.
+    // Triangle salting must (a) return the byte-identical pair set and
+    // (b) spread rows into hash groups no larger than ~cap, so no join
+    // cell compares more than ~cap² pairs.
+    val n = 10000
+    val cap = 500
+    val rows = (0 until n).map { i =>
+      // ids 0..9: a planted near-dup family one substitution apart;
+      // the rest: Knuth-hash digit tails (incidental near-pairs are
+      // fine — parity, not count, is the assertion)
+      val key = if (i < 10) s"AAAA st $i"
+      else f"AAAA ${(i * 2654435761L) % 10000000L}%07d"
+      (i.toLong, "AAAA", key)
+    }
+    val recs = rows.toDF("id", "block", "key")
+    val salted = TextAnalysis
+      .fuzzyMatchPairs(recs, maxDist = 2, blockCap = cap)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    // reference: cap above n forces the s=1 (plain join) path
+    val plain = TextAnalysis
+      .fuzzyMatchPairs(recs, maxDist = 2, blockCap = n + 1)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(salted === plain)
+    // the planted family (all 45 pairs at dist 1) must surface
+    val family = salted.filter { case (a, b, _) => a < 10 && b < 10 }
+    assert(family.size === 45 && family.forall(_._3 === 1))
+    // hash balance: with s = ⌈n/cap⌉ groups, no group — and hence no
+    // join-cell side — exceeds 1.5× the target cap
+    val s = math.ceil(n.toDouble / cap).toInt
+    val maxGroup = recs
+      .groupBy(pmod(xxhash64(col("id")), lit(s.toLong)).as("g"))
+      .count().agg(max("count")).as[Long].head()
+    assert(maxGroup <= (cap * 3) / 2,
+      s"hash group of $maxGroup rows exceeds 1.5×cap=$cap")
+  }
 }

@@ -261,6 +261,49 @@ class WarehouseSpec extends AnyFunSuite {
       .as[Double].collect().toSeq === Seq(2.00, 9.99))
   }
 
+  test("vacuum × time travel: historical reads are whole-or-error — " +
+    "a reclaimed dir fails fast, never a partial corpus") {
+    val root = Files.createTempDirectory("graft_wh_wov").toString
+    val t0 = ts("2024-01-01 10:00:00")
+    val tbl = graft.sources.PriceTable(spark, root)
+    tbl.init(Seq(
+      (1L, "EURUSD", 1.08, t0, "src0"),
+      (2L, "GBPUSD", 1.27, t0, "src0"))
+      .toDF("id", "symbol", "price", "as_of", "source"))
+    val dirsV1 = Option(new java.io.File(s"$root/data").listFiles())
+      .get.filter(_.isDirectory).map(_.getName).toSet
+    tbl.compact() // head references only the rewritten dir
+    // damage v1's dirs OUT-OF-BAND (external damage / pre-fix layout —
+    // vacuum itself drops the manifest before the dirs and renames each
+    // dir away atomically, so it can no longer produce this state)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(rmrf)
+      f.delete()
+    }
+    dirsV1.foreach(d => rmrf(new java.io.File(s"$root/data/$d")))
+    // the v1 manifest is still on disk, but the read must REFUSE with a
+    // retention error, not silently return whatever files remain
+    val err =
+      intercept[IllegalArgumentException](tbl.readVersion(1L).collect())
+    assert(err.getMessage.contains("whole-or-error"))
+    val err2 = intercept[IllegalArgumentException](
+      tbl.changesBetween(1L, tbl.version))
+    assert(err2.getMessage.contains("whole-or-error"))
+    // the head snapshot is untouched by the historical damage
+    assert(tbl.read().orderBy("id").select("price").as[Double]
+      .collect().toSeq === Seq(1.08, 1.27))
+    // a tombstone left by a crashed vacuum sweeps on the next run
+    assert(new java.io.File(s"$root/data/.vacuum-tmp-zzz").mkdirs())
+    tbl.vacuum()
+    assert(!new java.io.File(s"$root/data/.vacuum-tmp-zzz").exists())
+    // post-vacuum the version is gone manifest-and-all: the clean
+    // retention error, and the head still reads exactly
+    intercept[RuntimeException](tbl.readVersion(1L))
+    assert(tbl.read().orderBy("id").select("price").as[Double]
+      .collect().toSeq === Seq(1.08, 1.27))
+  }
+
   test("PriceTable: reads prune partitions; insertIgnore appends a dir") {
     val root = Files.createTempDirectory("graft_wh_atomic2").toString
     val t0 = ts("2024-01-01 10:00:00")
