@@ -1414,26 +1414,40 @@ object SparkEntry {
       // blocked entity resolution: character-level near-matches (typos,
       // OCR noise, re-crawl drift) share almost no word shingles, so
       // the MinHash family can't see them — a prefix-blocked
-      // Levenshtein join can. Keys are the docs' first 32 ASCII chars
+      // Levenshtein join can. Keys are the docs' first 24 ASCII chars
       // (non-ASCII stripped FIRST so Spark and DuckDB substring the
       // same codepoints); blocks are the 4-char key prefix — source
       // deliberately NOT in the block, so a re-crawl of the same page
-      // under a different source still matches. The pair space is
-      // Σ|block|² — the same bounding argument as LSH banding — and
-      // each surviving pair pays one codegen'd built-in levenshtein.
-      // Hot blocks (real corpora share openers) are triangle-salted
-      // inside fuzzyMatchPairs so no single task exceeds ~cap² pairs;
-      // the salting is pair-set-preserving, so the oracle below is
-      // the plain blocked join. Exact integer edits,
-      // engine-independent.
+      // under a different source still matches.
+      //
+      // The match runs over DISTINCT keys, not occurrences: exact-
+      // duplicate groups are d1's job and collapse to one row here
+      // (rep id = min doc_id, multiplicity carried as n_a/n_b, so the
+      // occurrence-pair multiset is recoverable as n_a·n_b without
+      // materializing it — on a duplication-heavy corpus that multiset
+      // grows QUADRATICALLY per decade, which no plan can outrun).
+      // The pair space is Σ|block|² over distinct keys — the LSH-
+      // banding bound — each surviving pair pays one codegen'd
+      // built-in levenshtein, and Zipfian-hot blocks are triangle-
+      // salted inside fuzzyMatchPairs (pair-set-preserving, so the
+      // oracle stays the plain blocked join over the same distinct
+      // keys). Exact integer edits, engine-independent.
       val docs = T(s, d).documents
-      val recs = docs.select(col("doc_id").as("id"),
-          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 32)
+      val keyed = docs.select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
             .as("key"))
         .filter(length(col("key")) >= 8)
-        .select(col("id"), substring(col("key"), 1, 4).as("block"),
-          col("key"))
+      val distinctKeys = keyed.groupBy("key").agg(
+        min(col("doc_id")).as("id"), count(lit(1)).as("n_ids"))
+      val recs = distinctKeys.select(col("id"),
+        substring(col("key"), 1, 4).as("block"), col("key"))
       pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8)
+        .join(distinctKeys.select(col("id").as("id_a"),
+          col("n_ids").as("n_a")), "id_a")
+        .join(distinctKeys.select(col("id").as("id_b"),
+          col("n_ids").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("dist"),
+          col("n_a"), col("n_b"))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     }),
 
@@ -2747,6 +2761,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tok")).as("n_tokens"))
         .repartition(1).sortWithinPartitions("lang")
+    }),
+
+    "t40_token_budget" -> ((s, d) => {
+      // waterfill budget allocation across sources: 60% of the corpus'
+      // character mass split doc-count-proportionally, but capped by
+      // what each source actually has — small sources saturate and
+      // their unused share flows to the rest. Exact 64-bit integer
+      // fixed point (cross-multiplied capped test, truncating splits);
+      // the corpus-sized token counting is the distributed stage, the
+      // allocation itself is one bounded task over the source-
+      // cardinality frame (the MMR precedent — no single-task Window,
+      // no driver collect). The budget scalar is one bounded 1-row
+      // lookup.
+      val docs = T(s, d).documents
+      val srcs = docs.groupBy("source").agg(
+        sum(col("n_chars")).as("avail"), count(lit(1)).as("weight"))
+      val budget = docs.agg(sum(col("n_chars"))).head().getLong(0) * 6 / 10
+      TextAnalysis.tokenBudgetWaterfill(srcs, "source", "avail",
+          "weight", budget)
+        .repartition(1).sortWithinPartitions("source")
     }),
 
     "t30_stratified_quality_keep" -> ((s, d) => {
@@ -5565,19 +5599,24 @@ object SparkEntry {
         |      AS BIGINT) END AS gini_ppm
         |FROM a ORDER BY source""".stripMargin,
 
-    // the same prefix blocks and the same pure-ASCII keys, so DuckDB's
-    // levenshtein counts the same edits Spark's does
+    // the same distinct keys, prefix blocks, and pure-ASCII substrings,
+    // so DuckDB's levenshtein counts the same edits Spark's does;
+    // exact-duplicate keys collapse to (min id, multiplicity) on both
+    // sides before any pair forms
     "t39_fuzzy_match" ->
       """WITH t AS (
-        |  SELECT doc_id AS id,
-        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 32)
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 24)
         |      AS key
         |  FROM documents),
-        |r AS (
-        |  SELECT id, substr(key, 1, 4) AS block, key
-        |  FROM t WHERE length(key) >= 8)
+        |k AS (
+        |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id,
+        |    CAST(count(*) AS BIGINT) AS n_ids
+        |  FROM t WHERE length(key) >= 8 GROUP BY key),
+        |r AS (SELECT id, substr(key, 1, 4) AS block, key, n_ids FROM k)
         |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist,
+        |  a.n_ids AS n_a, b.n_ids AS n_b
         |FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
         |WHERE levenshtein(a.key, b.key) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
@@ -8046,6 +8085,46 @@ object SparkEntry {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // waterfill mirrored step-for-step in integers: the same truncated
+    // micro-rational priority, the same cross-multiplied capped test
+    // (no division), the same truncating split of the post-cap budget
+    "t40_token_budget" ->
+      """WITH s AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail,
+        |    CAST(count(*) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT (CAST(sum(avail) AS BIGINT) * 6) // 10 AS budget
+        |      FROM s),
+        |r AS (
+        |  SELECT s.*, (avail * CAST(1000000 AS BIGINT)) // weight AS rm
+        |  FROM s),
+        |w AS (
+        |  SELECT r.*, b.budget,
+        |    CAST(COALESCE(sum(avail) OVER (ORDER BY rm, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(sum(weight) OVER (ORDER BY rm, source
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS w_from
+        |  FROM r, b),
+        |f AS (
+        |  SELECT w.*,
+        |    (avail * w_from <= (budget - cum_before) * weight) AS capped
+        |  FROM w),
+        |t AS (
+        |  SELECT
+        |    CAST(COALESCE(sum(CASE WHEN capped THEN avail END), 0)
+        |      AS BIGINT) AS capped_avail,
+        |    CAST(COALESCE(sum(CASE WHEN NOT capped THEN weight END), 0)
+        |      AS BIGINT) AS free_w
+        |  FROM f)
+        |SELECT source, avail AS avail_tokens, weight,
+        |  CAST(CASE WHEN capped THEN avail
+        |    ELSE greatest(0, ((budget - capped_avail) * weight) // free_w)
+        |    END AS BIGINT) AS alloc_tokens,
+        |  capped
+        |FROM f, t ORDER BY source""".stripMargin,
 
     "t10_corpus_shuffle" ->
       s"""SELECT doc_id,

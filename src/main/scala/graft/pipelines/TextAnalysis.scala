@@ -1344,4 +1344,78 @@ object TextAnalysis {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
   }
+
+  /** Token-budget waterfill: allocate a training-token budget across
+    * sources, proportional to per-source weights but CAPPED by what
+    * each source actually has — the allocation step between "we want
+    * this mixture" (temperature/DSIR weights) and "cut the shards":
+    * small sources saturate (take all they have) and their unused
+    * share flows to the rest, the classic waterfilling fixed point.
+    *
+    * All arithmetic is 64-bit integer, so the result is deterministic
+    * and engine-exact: the saturation priority is the DECLARED
+    * truncated micro-rational `avail·10⁶ div weight` (ties by source),
+    * the capped test is the cross-multiplied integer comparison
+    * `avail·W_remaining ≤ B_remaining·weight` (no division at all),
+    * and uncapped sources split the post-cap budget by truncating
+    * division — Σ alloc ≤ budget with a residue smaller than one unit
+    * per uncapped source (never redistributed: determinism over the
+    * last few tokens). `budget ≥ Σ avail` degenerates to "everyone
+    * capped"; `budget = 0` to all-zero. Requires `weight > 0` and
+    * products `avail · Σweight` within 64 bits (quantize weights
+    * accordingly); ANSI mode faults overflow loudly.
+    *
+    * The frame is source-cardinality-sized — a mixing table, thousands
+    * of rows at most — and the scan is inherently sequential (each
+    * capped test consumes the running prefix), so it runs as a pure
+    * function in ONE mapPartitions task over the bounded frame — the
+    * same altitude [[Similarity.mmrDiversify]] uses for its greedy:
+    * no single-task Window, no driver collect, and the corpus-sized
+    * work (counting each source's tokens) happens upstream and stays
+    * distributed.
+    *
+    * Output: `source, avail_tokens, weight, alloc_tokens, capped`.
+    */
+  def tokenBudgetWaterfill(sources: DataFrame, srcCol: String,
+                           availCol: String, weightCol: String,
+                           budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = sources.sparkSession
+    import spark.implicits._
+    sources.select(col(srcCol).cast("string").as("source"),
+        col(availCol).cast("long").as("avail"),
+        col(weightCol).cast("long").as("weight"))
+      .as[(String, Long, Long)].coalesce(1)
+      .mapPartitions(it => waterfillScan(it.toSeq, budget).iterator)
+      .toDF("source", "avail_tokens", "weight", "alloc_tokens", "capped")
+  }
+
+  /** The waterfill scan as a pure integer function over the bounded
+    * mixing frame — shared by [[tokenBudgetWaterfill]]'s single-task
+    * path and the spec's direct harness. Mirrors the SQL oracle
+    * step-for-step: truncated micro-rational priority, cross-
+    * multiplied capped test over the running (prefix avail, suffix
+    * weight), truncating proportional split of the post-cap budget.
+    * Scala `/` on non-negative longs IS the engines' truncating
+    * division.
+    */
+  private[graft] def waterfillScan(rows: Seq[(String, Long, Long)],
+      budget: Long): Seq[(String, Long, Long, Long, Boolean)] = {
+    require(rows.forall(_._3 > 0), "weights must be positive")
+    val sorted = rows.sortBy { case (s, a, w) => (a * 1000000L / w, s) }
+    var cumBefore = 0L
+    var wFrom = sorted.iterator.map(_._3).sum
+    val flagged = sorted.map { case (s, a, w) =>
+      val capped = a * wFrom <= (budget - cumBefore) * w
+      cumBefore += a; wFrom -= w
+      (s, a, w, capped)
+    }
+    val bStar = budget -
+      flagged.iterator.collect { case (_, a, _, true) => a }.sum
+    val freeW =
+      flagged.iterator.collect { case (_, _, w, false) => w }.sum
+    flagged.map { case (s, a, w, c) =>
+      (s, a, w, if (c) a else math.max(0L, bStar * w / freeW), c)
+    }
+  }
 }

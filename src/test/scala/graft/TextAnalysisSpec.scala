@@ -774,4 +774,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(maxGroup <= (cap * 3) / 2,
       s"hash group of $maxGroup rows exceeds 1.5×cap=$cap")
   }
+
+  test("tokenBudgetWaterfill: caps bind exactly, splits truncate, " +
+    "degenerate budgets degenerate cleanly") {
+    val s = Seq(("a", 100L, 1L), ("b", 1000L, 1L), ("c", 10000L, 2L))
+      .toDF("src", "avail", "w")
+    def run(budget: Long) =
+      TextAnalysis.tokenBudgetWaterfill(s, "src", "avail", "w", budget)
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // budget above total availability: everyone capped at avail
+    val all = run(20000L)
+    assert(all.map(_._4) === Seq(100L, 1000L, 10000L))
+    assert(all.forall(_._5))
+    // binding budget 1300: priorities a(100) < b(1000) < c(5000);
+    // a saturates (100·4 ≤ 1300·1), b and c split B*=1200 over W*=3
+    val got = run(1300L)
+    assert(got.map(r => (r._1, r._4, r._5)) ===
+      Seq(("a", 100L, true), ("b", 400L, false), ("c", 800L, false)))
+    // Σ alloc never exceeds the budget; residue < one unit per
+    // uncapped source (truncating split, no redistribution)
+    val tight = run(1301L)
+    assert(tight.map(_._4).sum <= 1301L &&
+      1301L - tight.map(_._4).sum < 2)
+    // zero budget: nothing capped, all allocations zero
+    assert(run(0L).map(_._4) === Seq(0L, 0L, 0L))
+  }
 }
