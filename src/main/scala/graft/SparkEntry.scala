@@ -1420,18 +1420,20 @@ object SparkEntry {
       // deliberately NOT in the block, so a re-crawl of the same page
       // under a different source still matches.
       //
-      // The match runs over DISTINCT keys, not occurrences: exact-
-      // duplicate groups are d1's job and collapse to one row here
-      // (rep id = min doc_id, multiplicity carried as n_a/n_b, so the
-      // occurrence-pair multiset is recoverable as n_a·n_b without
-      // materializing it — on a duplication-heavy corpus that multiset
-      // grows QUADRATICALLY per decade, which no plan can outrun).
-      // The pair space is Σ|block|² over distinct keys — the LSH-
-      // banding bound — each surviving pair pays one codegen'd
-      // built-in levenshtein, and Zipfian-hot blocks are triangle-
-      // salted inside fuzzyMatchPairs (pair-set-preserving, so the
-      // oracle stays the plain blocked join over the same distinct
-      // keys). Exact integer edits, engine-independent.
+      // The match runs over DISTINCT keys, not occurrences (exact-
+      // duplicate groups are d1's job; rep id = min doc_id,
+      // multiplicity carried as n_a/n_b so the occurrence-pair
+      // multiset stays recoverable as n_a·n_b), and uses SORTED-
+      // NEIGHBORHOOD matching, not all-pairs: on a corpus whose
+      // near-dup families grow with scale (re-crawls, mirrors), the
+      // within-block pair CLIQUE — work and answer both — grows
+      // quadratically per decade, which no plan outruns; SNM reports
+      // each family as a sort-adjacent CHAIN (O(keys·window) work and
+      // output) that transitive closure recovers, the published
+      // merge/purge pipeline. The rank comes from the scale-safe
+      // globalRanks (no single-task window); each surviving pair pays
+      // one codegen'd built-in levenshtein. Exact integer edits,
+      // engine-independent.
       val docs = T(s, d).documents
       val keyed = docs.select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
@@ -1441,7 +1443,8 @@ object SparkEntry {
         min(col("doc_id")).as("id"), count(lit(1)).as("n_ids"))
       val recs = distinctKeys.select(col("id"),
         substring(col("key"), 1, 4).as("block"), col("key"))
-      pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8)
+      pipelines.TextAnalysis.sortedNeighborPairs(recs, maxDist = 8,
+          window = 8)
         .join(distinctKeys.select(col("id").as("id_a"),
           col("n_ids").as("n_a")), "id_a")
         .join(distinctKeys.select(col("id").as("id_b"),
@@ -5599,8 +5602,9 @@ object SparkEntry {
         |      AS BIGINT) END AS gini_ppm
         |FROM a ORDER BY source""".stripMargin,
 
-    // the same distinct keys, prefix blocks, and pure-ASCII substrings,
-    // so DuckDB's levenshtein counts the same edits Spark's does;
+    // the same distinct keys, the same (block, key, id) total order,
+    // the same 8-neighbor window, so DuckDB's levenshtein counts the
+    // same edits over the same candidate chains Spark's does;
     // exact-duplicate keys collapse to (min id, multiplicity) on both
     // sides before any pair forms
     "t39_fuzzy_match" ->
@@ -5613,11 +5617,16 @@ object SparkEntry {
         |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id,
         |    CAST(count(*) AS BIGINT) AS n_ids
         |  FROM t WHERE length(key) >= 8 GROUP BY key),
-        |r AS (SELECT id, substr(key, 1, 4) AS block, key, n_ids FROM k)
-        |SELECT a.id AS id_a, b.id AS id_b,
+        |r AS (SELECT id, substr(key, 1, 4) AS block, key, n_ids FROM k),
+        |n AS (
+        |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  FROM r)
+        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
         |  CAST(levenshtein(a.key, b.key) AS INT) AS dist,
-        |  a.n_ids AS n_a, b.n_ids AS n_b
-        |FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |  CASE WHEN a.id < b.id THEN a.n_ids ELSE b.n_ids END AS n_a,
+        |  CASE WHEN a.id < b.id THEN b.n_ids ELSE a.n_ids END AS n_b
+        |FROM n a JOIN n b
+        |  ON b.rn > a.rn AND b.rn <= a.rn + 8 AND a.block = b.block
         |WHERE levenshtein(a.key, b.key) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 

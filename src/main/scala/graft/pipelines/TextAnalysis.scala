@@ -1345,6 +1345,52 @@ object TextAnalysis {
         greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
   }
 
+  /** Sorted-neighborhood fuzzy matching (Hernández & Stolfo's
+    * merge/purge method): the LINEAR-work member of the ER family.
+    * [[fuzzyMatchPairs]] enumerates every within-block pair — exact,
+    * but on data whose near-dup families GROW with scale (re-crawls,
+    * mirrored corpora) both the Σ|block|² work and the answer itself
+    * grow quadratically, which no plan outruns. Here keys are sorted
+    * (block, key, id) and each key compares ONLY to its next `window`
+    * neighbors in sort order: near-identical keys sort adjacently, so
+    * a family of m near-dups reports an m·window CHAIN instead of an
+    * m² clique, and downstream transitive closure
+    * ([[Dedup.connectedComponents]]) recovers the full family — the
+    * published SNM + closure pipeline. Work and output are both
+    * O(keys·window); `window` is the recall dial (a match whose keys
+    * sort more than `window` distinct keys apart is missed — the
+    * classic mitigation is a second pass under a different key).
+    *
+    * The global sort rank comes from
+    * [[graft.operators.Relational.globalRanks]] — range partition +
+    * broadcast prefix offsets, NO single-task window — and the
+    * neighbor join is an equi-join on the rank, which is uniform by
+    * construction: the hottest block contributes the same per-rank
+    * fan-out as any other, so skew cannot concentrate it. Pairs
+    * report once (ascending rank), ids normalized `id_a < id_b`,
+    * exact integer edits.
+    */
+  def sortedNeighborPairs(records: DataFrame, maxDist: Int,
+                          window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val ranked = graft.operators.Relational.globalRanks(records,
+      Seq(col("block").asc, col("key").asc, col("id").asc))
+    val a = ranked.select(col("id").as("id_l"),
+      col("block").as("block_l"), col("key").as("key_l"),
+      col("_rn").as("_ra"))
+    val b = ranked.select(col("id").as("id_r"),
+      col("block").as("block_r"), col("key").as("key_r"),
+      col("_rn").as("_rb"))
+    a.withColumn("_rb", explode(sequence(col("_ra") + lit(1L),
+        col("_ra") + lit(window.toLong))))
+      .join(b, "_rb")
+      .filter(col("block_l") === col("block_r"))
+      .withColumn("dist", levenshtein(col("key_l"), col("key_r")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
+  }
+
   /** Token-budget waterfill: allocate a training-token budget across
     * sources, proportional to per-source weights but CAPPED by what
     * each source actually has — the allocation step between "we want

@@ -775,6 +775,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hash group of $maxGroup rows exceeds 1.5×cap=$cap")
   }
 
+  test("sortedNeighborPairs: adjacent near-keys chain, the window " +
+    "bounds output, blocks isolate, wide window equals the exact join") {
+    val recs = Seq(
+      (1L, "b1", "alpha-0001"),
+      (2L, "b1", "alpha-0002"),   // 1 edit from ids 1 and 3
+      (3L, "b1", "alpha-0003"),
+      (4L, "b1", "zzzz distant"), // same block, far in sort and edits
+      (5L, "b2", "alpha-0001"))   // identical key, different block
+      .toDF("id", "block", "key")
+    // window=1: only sort-adjacent keys compare — the family reports
+    // as the chain (1,2),(2,3); (1,3) is transitive closure's job,
+    // and the identical key in b2 never crosses the block
+    val chain = TextAnalysis
+      .sortedNeighborPairs(recs, maxDist = 2, window = 1)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(chain === Seq((1L, 2L, 1), (2L, 3L, 1)))
+    // a window at least the block size makes SNM ≡ the exact blocked
+    // all-pairs join — the recall dial's upper stop
+    val wide = TextAnalysis
+      .sortedNeighborPairs(recs, maxDist = 2, window = 10)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    val exact = TextAnalysis.fuzzyMatchPairs(recs, maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(wide === exact && exact.size === 3)
+    graft.Caches.releaseAll()
+  }
+
   test("tokenBudgetWaterfill: caps bind exactly, splits truncate, " +
     "degenerate budgets degenerate cleanly") {
     val s = Seq(("a", 100L, 1L), ("b", 1000L, 1L), ("c", 10000L, 2L))
