@@ -3884,6 +3884,34 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "n27_index_delete" -> ((s, d) => {
+      // takedown without touching a file: build the persisted IVFPQ
+      // index, tombstone the query's OWN row (so the former top-1 must
+      // vanish) plus a deterministic id slice, and serve. Tombstones
+      // are (id, cell) rows in a sibling AtomicTable — one tiny
+      // manifest commit regardless of index size — and the live views
+      // exclude them at candidate selection AND rerank, so the answer
+      // equals the full IVFADC pipeline over only the surviving rows
+      // (n13's oracle with the same exclusion). The second delete call
+      // exercises idempotence (0 new tombstones) on the gate path.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_del").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val doomed = emb
+        .filter(col("vec_id") === 0 || col("vec_id") % 97 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      Warehouse.deleteFromPqIndex(s, root, doomed)
+      require(Warehouse.deleteFromPqIndex(s, root, doomed) == 0L,
+        "repeated delete must be a no-op")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "n16_pq_residual_recall" -> ((s, d) => {
       // equal-byte PQ shootout: raw coding vs residual coding (the IVF
       // cell's normalized centroid subtracted before encoding, ADC adds
@@ -4564,6 +4592,13 @@ object SparkEntry {
     // n15 appends to the persisted index under a frozen model — same
     // cells, same codes, same serve as a one-shot build ⇒ n13's oracle
     ("n15_index_append" -> oracleBase("n13_ivfpq_topk")) +
+    // n27 tombstones (query row + an id slice) and serves: the live
+    // views exclude the dead ids at candidate selection AND rerank, so
+    // the answer is n13's pipeline over only the surviving rows —
+    // n13's oracle with the same exclusion in its corpus CTE
+    ("n27_index_delete" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM embeddings\n  WHERE NOT (vec_id = 0 OR vec_id % 97 = 3)),")) +
     // g3 replays g1's transition graph through the streaming
     // delta-refresh path as one cold-start batch: same aggregated
     // edges, same 10 fixed-point iterations ⇒ g1's oracle

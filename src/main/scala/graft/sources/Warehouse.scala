@@ -448,6 +448,94 @@ object Warehouse {
   def hasPqDeltas(spark: SparkSession, root: String): Boolean =
     pqDeltaCodeTable(spark, root).hasData
 
+  /** Tombstones of a streaming-maintained index: ids deleted from the
+    * SERVING view without touching a single base or delta file — the
+    * compliance/takedown primitive (Lucene's live-docs discipline).
+    * Cell-partitioned like the code tables so the serve-side anti-join
+    * prunes with the probe list; same [[AtomicTable]] manifest
+    * protocol (OCC, txn fences, time travel over the delete history).
+    */
+  def pqTombstoneTable(spark: SparkSession, root: String,
+                       failpoint: String => Unit = _ => ()): AtomicTable =
+    AtomicTable(spark, s"${resolveIndexRoot(root)}/delta_tombstones",
+      partCol = "cell",
+      defaultKeys = Seq("vec_id"), failpoint = failpoint,
+      partType = _.toInt)
+
+  /** Delete `ids` from the index's serving view. Appends (id, cell)
+    * tombstones — no base or delta file changes, so the delete is one
+    * tiny manifest commit regardless of index size. Contract:
+    *  - a tombstoned id is dead at serve/classify until the next
+    *    [[rebuildIfDrifted]], which re-ingests only live rows and
+    *    starts the new version tombstone-free;
+    *  - re-appending a tombstoned id does NOT resurrect it (the
+    *    tombstone outranks later appends until the rebuild) — the
+    *    deliberate takedown-wins policy;
+    *  - deleting an id the index does not hold is a no-op, and
+    *    repeating a delete is a no-op (`insertIgnore` keyed on the
+    *    id) — idempotent by construction;
+    *  - a delete racing a rebuild's pointer flip replays against the
+    *    new version (same fence as [[writePqDelta]]): if the rebuild
+    *    already dropped the rows, the replay finds no cells and
+    *    commits nothing.
+    * Returns the number of NEW tombstones.
+    */
+  def deleteFromPqIndex(spark: SparkSession, root: String,
+                        ids: Seq[Long],
+                        idCol: String = "vec_id"): Long = {
+    if (ids.isEmpty) return 0L
+    val r = resolveIndexRoot(root)
+    // cells come from the committed (raw) view so the tombstone lands
+    // in the partition every probe of that cell will read
+    val rows = readPqCodesAll(spark, root)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col("cell"))
+    val t = pqTombstoneTable(spark, root)
+    val n =
+      if (t.version == 0L) {
+        val c = rows.count()
+        if (c > 0) t.init(rows)
+        c
+      } else t.insertIgnore(rows)
+    // flip fence: a rebuild that moved CURRENT mid-delete would strand
+    // the tombstones in the superseded version's table
+    if (resolveIndexRoot(root) != r) deleteFromPqIndex(spark, root, ids,
+      idCol)
+    else n
+  }
+
+  /** Committed tombstoned ids (empty frame when none). */
+  def readPqTombstones(spark: SparkSession, root: String,
+                       idCol: String = "vec_id"): DataFrame = {
+    val t = pqTombstoneTable(spark, root)
+    if (!t.hasData) {
+      import spark.implicits._
+      Seq.empty[(Long, Int)].toDF(idCol, "cell")
+    } else t.read()
+  }
+
+  private def minusTombstones(df: DataFrame, spark: SparkSession,
+                              root: String,
+                              idCol: String = "vec_id"): DataFrame = {
+    val t = pqTombstoneTable(spark, root)
+    if (!t.hasData) df
+    else df.join(t.read().select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** The LIVE serving views: committed base + delta rows minus
+    * tombstones — what [[ivfPqServe]]/[[ivfPqClassify]] select from
+    * and what [[rebuildIfDrifted]] re-ingests (so a rebuild drops the
+    * dead rows physically and clears the tombstones semantically).
+    * The raw `*All` views stay the COMMITTED multiset — the sweep's
+    * anti-join runs against them precisely so a late shard whose ids
+    * were tombstoned is not resurrected as "missing".
+    */
+  def readPqCodesLive(spark: SparkSession, root: String): DataFrame =
+    minusTombstones(readPqCodesAll(spark, root), spark, root)
+  def readEmbeddingsByCellLive(spark: SparkSession,
+                               root: String): DataFrame =
+    minusTombstones(readEmbeddingsByCellAll(spark, root), spark, root)
+
   /** Codes / raw vectors across the base index AND the committed delta
     * tables — the serving view of a streaming-maintained index. Every
     * union arm is cell-partitioned, so one probe list prunes all of
@@ -606,7 +694,10 @@ object Warehouse {
     val cb = readPqCodebooks(root)
     val residual = readPqResidualFlag(root)
     val (k, dim) = (cents.length, cents(0).length)
-    val corpus = readEmbeddingsByCellAll(spark, root).drop("cell")
+    // LIVE view: the rebuild is where tombstoned rows die physically —
+    // the new version re-ingests only live rows and starts
+    // tombstone-free
+    val corpus = readEmbeddingsByCellLive(spark, root).drop("cell")
       .persist()
     try {
       val retrained = graft.pipelines.Similarity.trainIvfCentroids(
@@ -669,8 +760,17 @@ object Warehouse {
       partCol = "cell", defaultKeys = Seq(idCol), partType = _.toInt)
     if (!prevEmb.hasData) return 0L
     val served = readPqCodesAll(spark, root).select(col(idCol))
+    // the superseded version's tombstones still bind: a late shard row
+    // that was deleted before the flip is absent from the new base BY
+    // DESIGN, not stranded — folding it forward would resurrect it
+    val prevTomb = AtomicTable(spark, s"$prevRoot/delta_tombstones",
+      partCol = "cell", defaultKeys = Seq(idCol), partType = _.toInt)
+    val deadIds =
+      if (!prevTomb.hasData) served.limit(0)
+      else prevTomb.read().select(col(idCol))
     val late = prevEmb.read().drop("cell")
-      .join(served, Seq(idCol), "left_anti").persist()
+      .join(served, Seq(idCol), "left_anti")
+      .join(deadIds, Seq(idCol), "left_anti").persist()
     try {
       val nLate = late.count()
       if (nLate > 0)
@@ -716,12 +816,12 @@ object Warehouse {
           graft.pipelines.Similarity.centroidDot(qnCol, col("cell"),
             graft.pipelines.Similarity.normalizedCentroids(cents))
       else graft.pipelines.Similarity.pqScore(qnCol, col("code"), cb)
-    val selected = readPqCodesAll(spark, root)
+    val selected = readPqCodesLive(spark, root)
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), round(adc, 6).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol).asc).limit(cand)
       .select(idCol)
-    readEmbeddingsByCellAll(spark, root)
+    readEmbeddingsByCellLive(spark, root)
       .filter(col("cell").isin(probes: _*))
       .join(selected, idCol)
       .select(col(idCol),

@@ -400,6 +400,63 @@ class WarehouseSpec extends AnyFunSuite {
       .contains("embedding"))
   }
 
+  test("index tombstones: deleted ids vanish from serve, deletes are " +
+    "idempotent, re-appends and sweeps cannot resurrect them") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_pq_del").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.seedCentroids(8, 64)
+    val cb = Similarity.pqSeedCodebooks(8, 16, 8)
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(cents), codebooks = Some(cb))
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse
+      .ivfPqServe(spark, root, q, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val before = serve()
+    assert(before.head._1 === 3L, "the query's own row tops the serve")
+    // tombstone the current top-2; one tiny manifest commit, no file
+    // of the base index changes
+    val doomed = before.take(2).map(_._1)
+    assert(Warehouse.deleteFromPqIndex(spark, root, doomed) === 2L)
+    assert(Warehouse.deleteFromPqIndex(spark, root, doomed) === 0L,
+      "repeat delete is a no-op")
+    assert(Warehouse.deleteFromPqIndex(spark, root, Seq(999999L)) === 0L,
+      "deleting an id the index does not hold is a no-op")
+    val after = serve()
+    assert(after.map(_._1).intersect(doomed).isEmpty,
+      "tombstoned ids must vanish from candidate selection and rerank")
+    // the surviving pre-delete answers keep their scores and order
+    assert(after.take(3) ===
+      before.filterNot(r => doomed.contains(r._1)))
+    // re-appending a tombstoned id does NOT resurrect it
+    Warehouse.writePqDelta(emb.filter($"vec_id" === 3), root,
+      batchId = 7L)
+    assert(!serve().map(_._1).contains(3L),
+      "the tombstone outranks a later append until the rebuild")
+    // rebuild-flip × sweep: simulate a rebuild that (correctly)
+    // excluded the dead rows, flip CURRENT, and prove the sweep does
+    // not fold the tombstoned delta row forward as "stranded"
+    val live = Warehouse.readEmbeddingsByCellLive(spark, root)
+      .drop("cell")
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$root/v1"))
+    Warehouse.writePqIndex(live, s"$root/v1", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(cents), codebooks = Some(cb))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/CURRENT"), "v1")
+    assert(Warehouse.sweepSupersededIndexDeltas(spark, root) === 0L,
+      "a tombstoned late shard row is dead by design, not stranded")
+    val rebuilt = serve()
+    assert(rebuilt.map(_._1).intersect(doomed).isEmpty &&
+      !rebuilt.map(_._1).contains(3L))
+    // the new version is physically clean: no tombstones to consult
+    assert(!Warehouse.pqTombstoneTable(spark, root).hasData)
+    graft.Caches.releaseAll()
+  }
+
   test("ivfPqClassify at full probe coverage matches exact knnClassify " +
     "bit-for-bit") {
     import graft.pipelines.Similarity
