@@ -4339,6 +4339,40 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("status")
     }),
 
+    "u25_snapshot_export" -> ((s, d) => {
+      // reproducible trainer handoff: export the PINNED version-1
+      // corpus to hash-sharded JSONL with a per-shard provenance
+      // manifest (rows + order-independent bit_xor content
+      // fingerprint, computed from the EXPORTED files), then commit
+      // MORE data and re-export version 1 — the manifests must come
+      // back identical, proving the export is a function of the
+      // version, not of "now". That equality is REQUIRED on the gate
+      // path; the oracle recomputes the v1 snapshot flat.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_doc_snap").toString
+      val out1 = java.nio.file.Files
+        .createTempDirectory("graft_snap_out1").toString
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft_snap_out2").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.DocTable(s, root)
+      tbl.init(docs.filter(col("doc_id") % 3 =!= 0)) // version 1
+      val canon = graft.functions.MarketFunctions.md5Hash60(
+        concat(lit("fp#"), col("doc_id").cast("string"), lit("#"),
+          col("lang"), lit("#"), col("text")))
+      def export(out: String) = Warehouse.exportSnapshot(s, tbl, 1L,
+        out, shards = 4, salt = "snap-r13", idCol = "doc_id",
+        canon = canon)
+      val m1 = export(out1)
+        .orderBy("shard").collect().toSeq
+      tbl.upsert(docs.filter(col("doc_id") % 2 === 0) // version 2
+        .withColumn("lang", lit("xx")))
+      val m2 = export(out2)
+      require(m2.orderBy("shard").collect().toSeq == m1,
+        "pinned-version re-export must be identical after new commits")
+      m2.repartition(1).sortWithinPartitions("shard")
+    }),
+
     "u1g_data_card" -> ((s, d) => {
       // the one-row data card a training run records next to its
       // checkpoint: corpus size in docs/words, language count, the
@@ -9546,6 +9580,25 @@ object SparkEntry {
 
     // data-card twin: counts, per-mille mix string (integer — no
     // double formatting), and the same 60-bit fingerprint XOR
+    // the flat recompute of the pinned v1 snapshot (the seed filter),
+    // the same salted shard rule, the same canonical fingerprints,
+    // the same order-independent bit_xor — if the export leaked any
+    // post-v1 commit, rows and fingerprints would both diverge
+    "u25_snapshot_export" ->
+      s"""WITH snap AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % 3 <> 0),
+         |sh AS (
+         |  SELECT ${h60("'snap-r13#' || CAST(doc_id AS VARCHAR)")} % 4
+         |      AS shard,
+         |    ${h60("'fp#' || CAST(doc_id AS VARCHAR) || '#' || lang" +
+             " || '#' || text")} AS fp
+         |  FROM snap)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(fp) AS BIGINT) AS content_xor
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
     "u1g_data_card" ->
       s"""WITH pl AS (
          |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),

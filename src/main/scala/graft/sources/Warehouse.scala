@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
@@ -447,6 +447,54 @@ object Warehouse {
   /** True iff the index at `root` has any committed streaming deltas. */
   def hasPqDeltas(spark: SparkSession, root: String): Boolean =
     pqDeltaCodeTable(spark, root).hasData
+
+  /** Reproducible trainer handoff: export a PINNED committed version
+    * of a table to hash-sharded JSONL plus a provenance manifest — the
+    * artifact that answers "reproduce the corpus this checkpoint
+    * trained on" months later, after the table has moved on.
+    *
+    *  - the snapshot is [[AtomicTable.readVersion]], so the export is
+    *    a function of (version, salt, shards) alone — later commits
+    *    cannot change it, and vacuum past the version fails it FAST
+    *    (whole-or-error) instead of shipping a partial corpus;
+    *  - shard = salted 60-bit md5 of the id, mod `shards`:
+    *    deterministic, rebalanced only by changing the salt, never by
+    *    cluster layout; one directory per shard so loaders stream
+    *    shards independently;
+    *  - the returned manifest is computed from the EXPORTED FILES,
+    *    not the plan — per shard, the row count and a `bit_xor` of
+    *    per-row canonical fingerprints (order-independent, so
+    *    partition layout cannot perturb it; any changed, added, or
+    *    dropped row flips it). Re-exporting the same version yields
+    *    the identical manifest — the equality a training run records
+    *    and an auditor replays;
+    *  - a `_PROVENANCE.json` header (version, salt, shards, source
+    *    root) rides with the shards.
+    *
+    * `canon` is the caller's canonical row fingerprint (a column over
+    * the re-read frame), e.g. a salted md5 of the id and payload.
+    * Output: `shard, n_rows, content_xor`.
+    */
+  def exportSnapshot(spark: SparkSession, tbl: AtomicTable,
+                     version: Long, outDir: String, shards: Int,
+                     salt: String, idCol: String,
+                     canon: Column): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val snap = tbl.readVersion(version)
+    snap.withColumn("shard",
+        graft.functions.MarketFunctions.md5Hash60(
+          concat(lit(s"$salt#"), col(idCol).cast("string"))) % shards)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(outDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_PROVENANCE.json"),
+      s"""{"version":$version,"salt":"$salt","shards":$shards,""" +
+        s""""table":"${tbl.root}"}\n""")
+    spark.read.json(outDir)
+      .withColumn("_fp", canon)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("content_xor"))
+  }
 
   /** Tombstones of a streaming-maintained index: ids deleted from the
     * SERVING view without touching a single base or delta file — the

@@ -457,6 +457,40 @@ class WarehouseSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("exportSnapshot: version pins the bytes, salts only rebalance, " +
+    "a vacuumed-past version refuses instead of shipping partial") {
+    import graft.functions.MarketFunctions.md5Hash60
+    val root = Files.createTempDirectory("graft_snap_tbl").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val tbl = graft.sources.DocTable(spark, root)
+    tbl.init(docs.filter($"doc_id" % 3 =!= 0)) // v1
+    val canon = md5Hash60(concat(lit("fp#"),
+      $"doc_id".cast("string"), lit("#"), $"lang", lit("#"), $"text"))
+    def export(v: Long, salt: String) = Warehouse.exportSnapshot(spark,
+        tbl, v, Files.createTempDirectory("graft_snap_o").toString,
+        shards = 4, salt = salt, idCol = "doc_id", canon = canon)
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    val m1 = export(1L, "s1")
+    tbl.upsert(docs.filter($"doc_id" % 2 === 0)
+      .withColumn("lang", lit("xx"))) // v2
+    // the pin: v1 re-exports byte-identically after v2 committed
+    assert(export(1L, "s1") === m1)
+    // a different version is a different corpus: manifests diverge
+    val m2 = export(2L, "s1")
+    assert(m2 !== m1)
+    // a different salt only REBALANCES: per-shard rows move, but the
+    // corpus-level invariants — total rows and the xor of shard
+    // fingerprints — are salt-independent
+    val m1b = export(1L, "s2")
+    assert(m1b.map(_._2).sum === m1.map(_._2).sum)
+    assert(m1b.map(_._3).reduce(_ ^ _) === m1.map(_._3).reduce(_ ^ _))
+    // vacuum past v1: the export REFUSES (whole-or-error), never a
+    // partial corpus
+    tbl.vacuum()
+    intercept[RuntimeException](export(1L, "s1"))
+    graft.Caches.releaseAll()
+  }
+
   test("ivfPqClassify at full probe coverage matches exact knnClassify " +
     "bit-for-bit") {
     import graft.pipelines.Similarity
