@@ -2648,6 +2648,40 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "st15_delete_stream" -> ((s, d) => {
+      // the takedown half of st11's lifecycle: the FULL corpus serves
+      // from a persisted index while delete requests arrive as two
+      // streamed micro-batches (an id slice, then the query's own row)
+      // that commit as txn-fenced tombstones — one tiny manifest
+      // commit per batch, no index file touched, the id set never on
+      // the driver. The serve afterwards must equal the IVFADC
+      // pipeline over only the surviving rows (n13's oracle with the
+      // same exclusion); replay robustness is StreamingSpec's job.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st15_index").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st15_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st15_ckpt").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      def runBatch(ids: org.apache.spark.sql.DataFrame): Unit = {
+        ids.coalesce(1).write.mode("append").parquet(landing)
+        val q = graft.streaming.IndexStream.startDeletes(s, landing,
+          root, ckpt)
+        if (!q.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      runBatch(emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      runBatch(emb.filter(col("vec_id") === 0).select("vec_id"))
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, qv, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "st7_stream_join" -> ((s, d) => {
       // stream-stream interval join replay: land the event stream and
       // the impulse stream (j7's every-500th event opening a 2h impact
@@ -4633,6 +4667,11 @@ object SparkEntry {
     ("n27_index_delete" -> oracleBase("n13_ivfpq_topk").replace(
       "  FROM embeddings),",
       "  FROM embeddings\n  WHERE NOT (vec_id = 0 OR vec_id % 97 = 3)),")) +
+    // st15 streams the SAME tombstone commits n27 makes inline, fenced
+    // per micro-batch ⇒ n13's oracle over the rows the deletes spared
+    ("st15_delete_stream" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM embeddings\n  WHERE NOT (vec_id = 0 OR vec_id % 10 = 3)),")) +
     // g3 replays g1's transition graph through the streaming
     // delta-refresh path as one cold-start batch: same aggregated
     // edges, same 10 fixed-point iterations ⇒ g1's oracle

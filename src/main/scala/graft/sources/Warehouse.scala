@@ -532,23 +532,37 @@ object Warehouse {
                         ids: Seq[Long],
                         idCol: String = "vec_id"): Long = {
     if (ids.isEmpty) return 0L
+    import spark.implicits._
+    deleteIdsFromPqIndex(spark, root, ids.toDF(idCol), idCol)
+  }
+
+  /** [[deleteFromPqIndex]] over a DataFrame of ids — the distributed
+    * form a takedown STREAM or a corpus-sized purge list uses (the id
+    * set never touches the driver; the cell lookup is a semi-join).
+    * `txn` is the per-micro-batch exactly-once fence: a replayed
+    * (stream, batchId) is recognized as already-committed and skipped,
+    * same discipline as [[writePqDelta]].
+    */
+  def deleteIdsFromPqIndex(spark: SparkSession, root: String,
+                           ids: DataFrame, idCol: String = "vec_id",
+                           txn: Option[(String, Long)] = None): Long = {
     val r = resolveIndexRoot(root)
     // cells come from the committed (raw) view so the tombstone lands
     // in the partition every probe of that cell will read
     val rows = readPqCodesAll(spark, root)
-      .filter(col(idCol).isin(ids: _*))
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol), col("cell"))
     val t = pqTombstoneTable(spark, root)
     val n =
       if (t.version == 0L) {
         val c = rows.count()
-        if (c > 0) t.init(rows)
+        if (c > 0 || txn.nonEmpty) t.init(rows, txn)
         c
-      } else t.insertIgnore(rows)
+      } else t.insertIgnore(rows, txn = txn)
     // flip fence: a rebuild that moved CURRENT mid-delete would strand
     // the tombstones in the superseded version's table
-    if (resolveIndexRoot(root) != r) deleteFromPqIndex(spark, root, ids,
-      idCol)
+    if (resolveIndexRoot(root) != r)
+      deleteIdsFromPqIndex(spark, root, ids, idCol, txn)
     else n
   }
 

@@ -49,4 +49,32 @@ object IndexStream {
       }
       .trigger(trigger)
       .start()
+
+  val deleteSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType)))
+
+  /** The takedown half of the lifecycle: a stream of delete requests
+    * (ids), each micro-batch committed as tombstones through
+    * [[Warehouse.deleteIdsFromPqIndex]] under a
+    * `("pq_tombstone", batchId)` fence — at-least-once delivery
+    * converges to exactly one committed tombstone set per batch, the
+    * id set never touches the driver, and a request for an id the
+    * index does not hold is a no-op. Together with [[start]] and
+    * [[Warehouse.rebuildIfDrifted]] this closes the index lifecycle:
+    * vectors stream in, takedowns stream out, the rebuild reclaims.
+    */
+  def startDeletes(spark: SparkSession, landingDir: String,
+                   indexRoot: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(deleteSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Warehouse.deleteIdsFromPqIndex(spark, indexRoot, df,
+          txn = Some(("pq_tombstone", id)))
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -457,6 +457,42 @@ class WarehouseSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("delete stream: per-batch txn fence makes a fresh-checkpoint " +
+    "replay a no-op; served answers exclude the streamed tombstones") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_st_del").toString
+    val landing = Files.createTempDirectory("graft_st_del_land").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    emb.filter($"vec_id" % 10 === 3).select("vec_id")
+      .coalesce(1).write.mode("append").parquet(landing)
+    def run(ckpt: String): Unit = {
+      val q = graft.streaming.IndexStream.startDeletes(spark, landing,
+        root, ckpt)
+      assert(q.awaitTermination(180000))
+    }
+    run(Files.createTempDirectory("graft_st_del_c1").toString)
+    val t = Warehouse.pqTombstoneTable(spark, root)
+    val n1 = t.read().count()
+    val v1 = t.version
+    assert(n1 > 0)
+    // a FRESH checkpoint replays the same files as batch 0 — the
+    // ("pq_tombstone", 0) fence recognizes the commit and skips: no
+    // new tombstones, no new table version
+    run(Files.createTempDirectory("graft_st_del_c2").toString)
+    assert(t.read().count() === n1 && t.version === v1)
+    // the serve path honors the streamed tombstones
+    val q3 = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val served = Warehouse
+      .ivfPqServe(spark, root, q3, topK = 5, nprobe = 2, cand = 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.forall(_ % 10 !== 3))
+    graft.Caches.releaseAll()
+  }
+
   test("exportSnapshot: version pins the bytes, salts only rebalance, " +
     "a vacuumed-past version refuses instead of shipping partial") {
     import graft.functions.MarketFunctions.md5Hash60
