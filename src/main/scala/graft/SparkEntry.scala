@@ -2820,6 +2820,38 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("source")
     }),
 
+    "t41_snm_recall" -> ((s, d) => {
+      // measured, not asserted: sorted-neighborhood recall against the
+      // exact blocked join it approximates — n8's discipline (ANN
+      // recall vs brute force) applied to ER. Same distinct keys,
+      // same blocks, same maxDist; the exact all-pairs join (the
+      // triangle-salted library member) is the oracle set, SNM at
+      // windows 2/4/8 the candidates. SNM ⊆ exact by construction
+      // (the neighbor constraint only removes pairs), so recall is a
+      // plain ppm ratio — the window's recall/cost dial made a number.
+      val docs = T(s, d).documents
+      val keyed = docs.select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
+            .as("key"))
+        .filter(length(col("key")) >= 8)
+      val recs = keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
+        .select(col("id"), substring(col("key"), 1, 4).as("block"),
+          col("key"))
+      val exact = graft.Caches.persist(
+        pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8))
+      val perWindow = Seq(2, 4, 8).map { w =>
+        pipelines.TextAnalysis.sortedNeighborPairs(recs, maxDist = 8,
+            window = w)
+          .agg(count(lit(1)).as("n_snm"))
+          .withColumn("win", lit(w.toLong))
+      }.reduce(_.unionByName(_))
+      perWindow
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(col("win"), col("n_exact"), col("n_snm"),
+          expr("(n_snm * 1000000) div n_exact").as("recall_ppm"))
+        .repartition(1).sortWithinPartitions("win")
+    }),
+
     "t30_stratified_quality_keep" -> ((s, d) => {
       // per-language quality cut: score every doc with the unigram
       // perplexity proxy, keep the best 70% WITHIN each language
@@ -8242,6 +8274,39 @@ object SparkEntry {
         |    END AS BIGINT) AS alloc_tokens,
         |  capped
         |FROM f, t ORDER BY source""".stripMargin,
+
+    // the same distinct keys and blocks; the exact blocked join is the
+    // oracle set, the rank-window chains the candidates — SNM ⊆ exact,
+    // so recall is the plain integer ratio
+    "t41_snm_recall" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 24)
+        |      AS key
+        |  FROM documents),
+        |k AS (
+        |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id
+        |  FROM t WHERE length(key) >= 8 GROUP BY key),
+        |r AS (SELECT id, substr(key, 1, 4) AS block, key FROM k),
+        |n AS (
+        |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  FROM r),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |  WHERE levenshtein(a.key, b.key) <= 8),
+        |w AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS win),
+        |sn AS (
+        |  SELECT w.win, CAST(count(*) AS BIGINT) AS n_snm
+        |  FROM w, n a, n b
+        |  WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |    AND a.block = b.block
+        |    AND levenshtein(a.key, b.key) <= 8
+        |  GROUP BY w.win)
+        |SELECT w.win, ex.n_exact, COALESCE(sn.n_snm, 0) AS n_snm,
+        |  (COALESCE(sn.n_snm, 0) * 1000000) // ex.n_exact AS recall_ppm
+        |FROM w LEFT JOIN sn ON w.win = sn.win, ex
+        |ORDER BY w.win""".stripMargin,
 
     "t10_corpus_shuffle" ->
       s"""SELECT doc_id,

@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "g5_hits",              // L1 renorm: broadcast 1-row totals
     "a26_welch_t",          // rest-of-corpus: broadcast 1-row totals
     "u13_benford",          // digit-share total: broadcast 1-row agg
-    "n24_mmr_diversify")    // 1 broadcast query row + topN×topN pairs
+    "n24_mmr_diversify",    // 1 broadcast query row + topN×topN pairs
+    "t41_snm_recall")       // exact-pair total: broadcast 1-row agg
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"
