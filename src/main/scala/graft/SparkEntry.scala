@@ -3960,6 +3960,10 @@ object SparkEntry {
       // equals the full IVFADC pipeline over only the surviving rows
       // (n13's oracle with the same exclusion). The second delete call
       // exercises idempotence (0 new tombstones) on the gate path.
+      // The Seq form (bounded driver-side id list — the takedown-
+      // ticket shape) is exercised here; st15 exercises the
+      // distributed DataFrame form where the id set never leaves the
+      // cluster.
       val root = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_del").toString
       val emb = T(s, d).embeddings
