@@ -2848,7 +2848,11 @@ object SparkEntry {
       perWindow
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .select(col("win"), col("n_exact"), col("n_snm"),
-          expr("(n_snm * 1000000) div n_exact").as("recall_ppm"))
+          // a corpus with no exact pairs has a defined recall of 0 —
+          // both engines, no division
+          when(col("n_exact") > 0,
+            expr("(n_snm * 1000000) div n_exact"))
+            .otherwise(lit(0L)).as("recall_ppm"))
         .repartition(1).sortWithinPartitions("win")
     }),
 
@@ -8308,7 +8312,9 @@ object SparkEntry {
         |    AND levenshtein(a.key, b.key) <= 8
         |  GROUP BY w.win)
         |SELECT w.win, ex.n_exact, COALESCE(sn.n_snm, 0) AS n_snm,
-        |  (COALESCE(sn.n_snm, 0) * 1000000) // ex.n_exact AS recall_ppm
+        |  CAST(CASE WHEN ex.n_exact > 0
+        |    THEN (COALESCE(sn.n_snm, 0) * 1000000) // ex.n_exact
+        |    ELSE 0 END AS BIGINT) AS recall_ppm
         |FROM w LEFT JOIN sn ON w.win = sn.win, ex
         |ORDER BY w.win""".stripMargin,
 

@@ -504,10 +504,11 @@ object Warehouse {
     * protocol (OCC, txn fences, time travel over the delete history).
     */
   def pqTombstoneTable(spark: SparkSession, root: String,
-                       failpoint: String => Unit = _ => ()): AtomicTable =
+                       failpoint: String => Unit = _ => (),
+                       idCol: String = "vec_id"): AtomicTable =
     AtomicTable(spark, s"${resolveIndexRoot(root)}/delta_tombstones",
       partCol = "cell",
-      defaultKeys = Seq("vec_id"), failpoint = failpoint,
+      defaultKeys = Seq(idCol), failpoint = failpoint,
       partType = _.toInt)
 
   /** Delete `ids` from the index's serving view. Appends (id, cell)
@@ -548,13 +549,20 @@ object Warehouse {
                            txn: Option[(String, Long)] = None): Long = {
     val r = resolveIndexRoot(root)
     // cells come from the committed (raw) view so the tombstone lands
-    // in the partition every probe of that cell will read
+    // in the partition every probe of that cell will read; an id held
+    // in BOTH base and a delta shard (a re-append) yields two rows, so
+    // dedup by id before any count or commit
     val rows = readPqCodesAll(spark, root)
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol), col("cell"))
-    val t = pqTombstoneTable(spark, root)
+      .dropDuplicates(idCol)
+    val t = pqTombstoneTable(spark, root, idCol = idCol)
+    // route on hasData, NOT version: an all-no-op first batch under a
+    // txn fence commits init-empty (version 1, zero entries) to
+    // advance the mark, and the next delete must take the init path
+    // again — insertIgnore's existing-read requires committed data
     val n =
-      if (t.version == 0L) {
+      if (!t.hasData) {
         val c = rows.count()
         if (c > 0 || txn.nonEmpty) t.init(rows, txn)
         c
@@ -566,23 +574,19 @@ object Warehouse {
     else n
   }
 
-  /** Committed tombstoned ids (empty frame when none). */
-  def readPqTombstones(spark: SparkSession, root: String,
-                       idCol: String = "vec_id"): DataFrame = {
-    val t = pqTombstoneTable(spark, root)
-    if (!t.hasData) {
-      import spark.implicits._
-      Seq.empty[(Long, Int)].toDF(idCol, "cell")
-    } else t.read()
+  /** Committed tombstoned ids as an id frame, None when there are
+    * none — the ONE tombstone-manifest read a serve shares across its
+    * candidate and rerank scans.
+    */
+  private def tombstoneIds(spark: SparkSession, root: String,
+                           idCol: String): Option[DataFrame] = {
+    val t = pqTombstoneTable(spark, root, idCol = idCol)
+    if (!t.hasData) None else Some(t.read().select(col(idCol)))
   }
 
-  private def minusTombstones(df: DataFrame, spark: SparkSession,
-                              root: String,
-                              idCol: String = "vec_id"): DataFrame = {
-    val t = pqTombstoneTable(spark, root)
-    if (!t.hasData) df
-    else df.join(t.read().select(col(idCol)), Seq(idCol), "left_anti")
-  }
+  private def minusTombstones(df: DataFrame, dead: Option[DataFrame],
+                              idCol: String): DataFrame =
+    dead.fold(df)(ids => df.join(ids, Seq(idCol), "left_anti"))
 
   /** The LIVE serving views: committed base + delta rows minus
     * tombstones — what [[ivfPqServe]]/[[ivfPqClassify]] select from
@@ -592,11 +596,14 @@ object Warehouse {
     * anti-join runs against them precisely so a late shard whose ids
     * were tombstoned is not resurrected as "missing".
     */
-  def readPqCodesLive(spark: SparkSession, root: String): DataFrame =
-    minusTombstones(readPqCodesAll(spark, root), spark, root)
-  def readEmbeddingsByCellLive(spark: SparkSession,
-                               root: String): DataFrame =
-    minusTombstones(readEmbeddingsByCellAll(spark, root), spark, root)
+  def readPqCodesLive(spark: SparkSession, root: String,
+                      idCol: String = "vec_id"): DataFrame =
+    minusTombstones(readPqCodesAll(spark, root),
+      tombstoneIds(spark, root, idCol), idCol)
+  def readEmbeddingsByCellLive(spark: SparkSession, root: String,
+                               idCol: String = "vec_id"): DataFrame =
+    minusTombstones(readEmbeddingsByCellAll(spark, root),
+      tombstoneIds(spark, root, idCol), idCol)
 
   /** Codes / raw vectors across the base index AND the committed delta
     * tables — the serving view of a streaming-maintained index. Every
@@ -759,8 +766,8 @@ object Warehouse {
     // LIVE view: the rebuild is where tombstoned rows die physically —
     // the new version re-ingests only live rows and starts
     // tombstone-free
-    val corpus = readEmbeddingsByCellLive(spark, root).drop("cell")
-      .persist()
+    val corpus = readEmbeddingsByCellLive(spark, root, idCol)
+      .drop("cell").persist()
     try {
       val retrained = graft.pipelines.Similarity.trainIvfCentroids(
         corpus, vecCol, k, dim, iters = trainIters, seed = Some(cents))
@@ -878,12 +885,15 @@ object Warehouse {
           graft.pipelines.Similarity.centroidDot(qnCol, col("cell"),
             graft.pipelines.Similarity.normalizedCentroids(cents))
       else graft.pipelines.Similarity.pqScore(qnCol, col("code"), cb)
-    val selected = readPqCodesLive(spark, root)
+    // ONE tombstone-manifest read shared by both live scans
+    val dead = tombstoneIds(spark, root, idCol)
+    val selected = minusTombstones(readPqCodesAll(spark, root), dead,
+        idCol)
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), round(adc, 6).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol).asc).limit(cand)
       .select(idCol)
-    readEmbeddingsByCellLive(spark, root)
+    minusTombstones(readEmbeddingsByCellAll(spark, root), dead, idCol)
       .filter(col("cell").isin(probes: _*))
       .join(selected, idCol)
       .select(col(idCol),

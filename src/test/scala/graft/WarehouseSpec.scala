@@ -466,15 +466,25 @@ class WarehouseSpec extends AnyFunSuite {
     Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
       centroids = Some(Similarity.seedCentroids(8, 64)),
       codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
-    emb.filter($"vec_id" % 10 === 3).select("vec_id")
-      .coalesce(1).write.mode("append").parquet(landing)
     def run(ckpt: String): Unit = {
       val q = graft.streaming.IndexStream.startDeletes(spark, landing,
         root, ckpt)
       assert(q.awaitTermination(180000))
     }
-    run(Files.createTempDirectory("graft_st_del_c1").toString)
+    val mainCkpt = Files.createTempDirectory("graft_st_del_c1").toString
+    // the FIRST batch is all-no-op (ids the index does not hold): the
+    // txn fence must still advance — an init-empty commit — and the
+    // table must keep accepting later deletes (regression: routing on
+    // version instead of hasData bricked every delete after this)
+    Seq(999999L, 888888L).toDF("vec_id")
+      .coalesce(1).write.mode("append").parquet(landing)
+    run(mainCkpt)
     val t = Warehouse.pqTombstoneTable(spark, root)
+    assert(!t.hasData && t.version > 0L,
+      "no-op first batch: fence advanced, no tombstones")
+    emb.filter($"vec_id" % 10 === 3).select("vec_id")
+      .coalesce(1).write.mode("append").parquet(landing)
+    run(mainCkpt)
     val n1 = t.read().count()
     val v1 = t.version
     assert(n1 > 0)
