@@ -22,6 +22,17 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** The fuzzy-ER family's shipped multi-pass SNM sort orders
+    * (t39/t41/t42): forward key, reversed key (suffix-first), and the
+    * key's sorted characters — a shift-invariant anagram signature
+    * that keeps insertion-shifted keys adjacent when both lexical
+    * orders scatter them. ASCII-only keys, so Spark's binary string
+    * sort and DuckDB's collation agree order-for-order.
+    */
+  private[graft] def snmPassKeys: Seq[Column] = Seq(col("key"),
+    reverse(col("key")),
+    array_join(array_sort(split(col("key"), "")), ""))
+
   /** Catalog-backed bucketed fact tables for the co-located star join
     * (q5b): one write per (JVM, sf dir); subsequent calls reuse the
     * registered tables. At cluster scale this is the table-of-record
@@ -1430,10 +1441,19 @@ object SparkEntry {
       // quadratically per decade, which no plan outruns; SNM reports
       // each family as a sort-adjacent CHAIN (O(keys·window) work and
       // output) that transitive closure recovers, the published
-      // merge/purge pipeline. The rank comes from the scale-safe
-      // globalRanks (no single-task window); each surviving pair pays
-      // one codegen'd built-in levenshtein. Exact integer edits,
-      // engine-independent.
+      // merge/purge pipeline — run MULTI-PASS (Hernández–Stolfo's
+      // prescription) over THREE orthogonal sort orders: the key, the
+      // REVERSED key (suffix-first — catches early substitutions),
+      // and the key's SORTED CHARACTERS (a shift-invariant anagram
+      // signature — catches the insertion noise that re-aligns the
+      // whole truncated key window, which both lexical orders miss).
+      // Union of the passes at window 32: measured pair recall 918k
+      // ppm at sf0.1 vs 535k for the single pass at window 8 (t41
+      // carries the dial table; t42 grades what closure recovers),
+      // at unchanged O(keys·window·passes) work. The rank comes from
+      // the scale-safe globalRanks (no single-task window); each
+      // surviving pair pays one codegen'd built-in levenshtein.
+      // Exact integer edits, engine-independent.
       val docs = T(s, d).documents
       val keyed = docs.select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
@@ -1443,8 +1463,8 @@ object SparkEntry {
         min(col("doc_id")).as("id"), count(lit(1)).as("n_ids"))
       val recs = distinctKeys.select(col("id"),
         substring(col("key"), 1, 4).as("block"), col("key"))
-      pipelines.TextAnalysis.sortedNeighborPairs(recs, maxDist = 8,
-          window = 8)
+      pipelines.TextAnalysis.sortedNeighborPairsMultiPass(recs,
+          maxDist = 8, window = 32, SparkEntry.snmPassKeys)
         .join(distinctKeys.select(col("id").as("id_a"),
           col("n_ids").as("n_a")), "id_a")
         .join(distinctKeys.select(col("id").as("id_b"),
@@ -2826,23 +2846,30 @@ object SparkEntry {
       // recall vs brute force) applied to ER. Same distinct keys,
       // same blocks, same maxDist; the exact all-pairs join (the
       // triangle-salted library member) is the oracle set, SNM at
-      // windows 2/4/8 the candidates. SNM ⊆ exact by construction
-      // (the neighbor constraint only removes pairs), so recall is a
-      // plain ppm ratio — the window's recall/cost dial made a number.
+      // windows 8/16/32 the candidates, single-pass AND 3-pass
+      // multi-pass (forward + reversed + sorted-chars) side by side
+      // — the dial t39 ships on (w=32, 3-pass) made a number per
+      // window: what the orthogonal sort orders buy. SNM ⊆ exact by
+      // construction (the neighbor constraint only removes pairs),
+      // so recall is a plain ppm ratio.
       val docs = T(s, d).documents
       val keyed = docs.select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
             .as("key"))
         .filter(length(col("key")) >= 8)
-      val recs = keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
-        .select(col("id"), substring(col("key"), 1, 4).as("block"),
-          col("key"))
+      val recs = graft.Caches.persist(
+        keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
+          .select(col("id"), substring(col("key"), 1, 4).as("block"),
+            col("key")))
       val exact = graft.Caches.persist(
         pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8))
-      val perWindow = Seq(2, 4, 8).map { w =>
+      val perWindow = Seq(8, 16, 32).map { w =>
         pipelines.TextAnalysis.sortedNeighborPairs(recs, maxDist = 8,
             window = w)
           .agg(count(lit(1)).as("n_snm"))
+          .crossJoin(pipelines.TextAnalysis.sortedNeighborPairsMultiPass(
+              recs, maxDist = 8, window = w, SparkEntry.snmPassKeys)
+            .agg(count(lit(1)).as("n_snm_mp")))
           .withColumn("win", lit(w.toLong))
       }.reduce(_.unionByName(_))
       perWindow
@@ -2852,8 +2879,69 @@ object SparkEntry {
           // both engines, no division
           when(col("n_exact") > 0,
             expr("(n_snm * 1000000) div n_exact"))
-            .otherwise(lit(0L)).as("recall_ppm"))
+            .otherwise(lit(0L)).as("recall_ppm"),
+          col("n_snm_mp"),
+          when(col("n_exact") > 0,
+            expr("(n_snm_mp * 1000000) div n_exact"))
+            .otherwise(lit(0L)).as("recall_mp_ppm"))
         .repartition(1).sortWithinPartitions("win")
+    }),
+
+    "t42_family_recall" -> ((s, d) => {
+      // what transitive closure RECOVERS: t41 grades SNM on direct
+      // pairs, but dedup ships FAMILIES — connected components of the
+      // match graph (the threshold graph is not transitive, so
+      // closure pairs ≠ direct pairs even for the exact join). Both
+      // pair sets close under the same pointer-doubling CC; since
+      // SNM edges ⊆ exact edges, every SNM component sits inside one
+      // exact component, so two exact integer ratios grade the
+      // shipped dial (w=32, 3-pass): FAMILY recall (exact components
+      // of size ≥ 2 whose members all land in ONE SNM component —
+      // the family survives intact) and CLOSURE-PAIR recall (the
+      // C(m,2) same-cluster pair mass the SNM partition retains).
+      val docs = T(s, d).documents
+      val keyed = docs.select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
+            .as("key"))
+        .filter(length(col("key")) >= 8)
+      val recs = graft.Caches.persist(
+        keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
+          .select(col("id"), substring(col("key"), 1, 4).as("block"),
+            col("key")))
+      def comps(pairs: DataFrame): DataFrame =
+        pipelines.Dedup.connectedComponents(recs.select(col("id")), "id",
+          pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      val exactC = comps(
+        pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8))
+        .select(col("id"), col("root").as("root_ex"))
+      val snmC = comps(
+        pipelines.TextAnalysis.sortedNeighborPairsMultiPass(recs,
+          maxDist = 8, window = 32, SparkEntry.snmPassKeys))
+        .select(col("id"), col("root").as("root_snm"))
+      val joined = graft.Caches.persist(exactC.join(snmC, "id"))
+      val fams = joined.groupBy("root_ex")
+        .agg(count(lit(1)).as("m"),
+          countDistinct(col("root_snm")).as("n_sub"))
+        .filter(col("m") >= 2)
+      val famAgg = fams.agg(
+        count(lit(1)).as("n_fam_exact"),
+        coalesce(sum(when(col("n_sub") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_fam_recovered"),
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("closure_exact_pairs"))
+      val snmAgg = joined.groupBy("root_snm")
+        .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("closure_snm_pairs"))
+      famAgg.crossJoin(broadcast(snmAgg))
+        .select(col("n_fam_exact"), col("n_fam_recovered"),
+          when(col("n_fam_exact") > 0,
+            expr("(n_fam_recovered * 1000000) div n_fam_exact"))
+            .otherwise(lit(0L)).as("fam_recall_ppm"),
+          col("closure_exact_pairs"), col("closure_snm_pairs"),
+          when(col("closure_exact_pairs") > 0,
+            expr("(closure_snm_pairs * 1000000) div closure_exact_pairs"))
+            .otherwise(lit(0L)).as("closure_recall_ppm"))
     }),
 
     "t30_stratified_quality_keep" -> ((s, d) => {
@@ -5766,16 +5854,37 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n_ids
         |  FROM t WHERE length(key) >= 8 GROUP BY key),
         |r AS (SELECT id, substr(key, 1, 4) AS block, key, n_ids FROM k),
-        |n AS (
+        |n1 AS (
         |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
-        |  FROM r)
-        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
-        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist,
-        |  CASE WHEN a.id < b.id THEN a.n_ids ELSE b.n_ids END AS n_a,
-        |  CASE WHEN a.id < b.id THEN b.n_ids ELSE a.n_ids END AS n_b
-        |FROM n a JOIN n b
-        |  ON b.rn > a.rn AND b.rn <= a.rn + 8 AND a.block = b.block
-        |WHERE levenshtein(a.key, b.key) <= 8
+        |  FROM r),
+        |n2 AS (
+        |  SELECT r.*,
+        |    row_number() OVER (ORDER BY block, reverse(key), id) AS rn
+        |  FROM r),
+        |n3 AS (
+        |  SELECT r.*, row_number() OVER (ORDER BY block,
+        |    array_to_string(list_sort(str_split(key, '')), ''), id) AS rn
+        |  FROM r),
+        |u AS (
+        |  SELECT a.id AS aid, a.key AS akey, a.n_ids AS an,
+        |    b.id AS bid, b.key AS bkey, b.n_ids AS bn
+        |  FROM n1 a JOIN n1 b
+        |    ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |  UNION ALL
+        |  SELECT a.id, a.key, a.n_ids, b.id, b.key, b.n_ids
+        |  FROM n2 a JOIN n2 b
+        |    ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |  UNION ALL
+        |  SELECT a.id, a.key, a.n_ids, b.id, b.key, b.n_ids
+        |  FROM n3 a JOIN n3 b
+        |    ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block)
+        |SELECT DISTINCT least(aid, bid) AS id_a,
+        |  greatest(aid, bid) AS id_b,
+        |  CAST(levenshtein(akey, bkey) AS INT) AS dist,
+        |  CASE WHEN aid < bid THEN an ELSE bn END AS n_a,
+        |  CASE WHEN aid < bid THEN bn ELSE an END AS n_b
+        |FROM u
+        |WHERE levenshtein(akey, bkey) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
     // strict-pass ⊆ relaxed-pass, so the recovered corpus is exactly
@@ -8296,27 +8405,156 @@ object SparkEntry {
         |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id
         |  FROM t WHERE length(key) >= 8 GROUP BY key),
         |r AS (SELECT id, substr(key, 1, 4) AS block, key FROM k),
-        |n AS (
+        |n1 AS (
         |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  FROM r),
+        |n2 AS (
+        |  SELECT r.*,
+        |    row_number() OVER (ORDER BY block, reverse(key), id) AS rn
+        |  FROM r),
+        |n3 AS (
+        |  SELECT r.*, row_number() OVER (ORDER BY block,
+        |    array_to_string(list_sort(str_split(key, '')), ''), id) AS rn
         |  FROM r),
         |ex AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_exact
         |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
         |  WHERE levenshtein(a.key, b.key) <= 8),
-        |w AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS win),
+        |w AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS win),
         |sn AS (
         |  SELECT w.win, CAST(count(*) AS BIGINT) AS n_snm
-        |  FROM w, n a, n b
+        |  FROM w, n1 a, n1 b
         |  WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
         |    AND a.block = b.block
         |    AND levenshtein(a.key, b.key) <= 8
-        |  GROUP BY w.win)
+        |  GROUP BY w.win),
+        |mp AS (
+        |  SELECT win, CAST(count(*) AS BIGINT) AS n_snm_mp FROM (
+        |    SELECT DISTINCT win, ia, ib FROM (
+        |      SELECT w.win, least(a.id, b.id) AS ia,
+        |        greatest(a.id, b.id) AS ib
+        |      FROM w, n1 a, n1 b
+        |      WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |        AND a.block = b.block
+        |        AND levenshtein(a.key, b.key) <= 8
+        |      UNION ALL
+        |      SELECT w.win, least(a.id, b.id), greatest(a.id, b.id)
+        |      FROM w, n2 a, n2 b
+        |      WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |        AND a.block = b.block
+        |        AND levenshtein(a.key, b.key) <= 8
+        |      UNION ALL
+        |      SELECT w.win, least(a.id, b.id), greatest(a.id, b.id)
+        |      FROM w, n3 a, n3 b
+        |      WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |        AND a.block = b.block
+        |        AND levenshtein(a.key, b.key) <= 8))
+        |  GROUP BY win)
         |SELECT w.win, ex.n_exact, COALESCE(sn.n_snm, 0) AS n_snm,
         |  CAST(CASE WHEN ex.n_exact > 0
         |    THEN (COALESCE(sn.n_snm, 0) * 1000000) // ex.n_exact
-        |    ELSE 0 END AS BIGINT) AS recall_ppm
-        |FROM w LEFT JOIN sn ON w.win = sn.win, ex
+        |    ELSE 0 END AS BIGINT) AS recall_ppm,
+        |  COALESCE(mp.n_snm_mp, 0) AS n_snm_mp,
+        |  CAST(CASE WHEN ex.n_exact > 0
+        |    THEN (COALESCE(mp.n_snm_mp, 0) * 1000000) // ex.n_exact
+        |    ELSE 0 END AS BIGINT) AS recall_mp_ppm
+        |FROM w LEFT JOIN sn ON w.win = sn.win
+        |  LEFT JOIN mp ON w.win = mp.win, ex
         |ORDER BY w.win""".stripMargin,
+
+    // family-level: both pair sets closed to components (reach CTE =
+    // the pointer-doubling CC's fixed point), then two integer ratios
+    // — intact-family share and retained C(m,2) closure-pair mass
+    "t42_family_recall" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 24)
+        |      AS key
+        |  FROM documents),
+        |k AS (
+        |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id
+        |  FROM t WHERE length(key) >= 8 GROUP BY key),
+        |r AS (SELECT id, substr(key, 1, 4) AS block, key FROM k),
+        |n1 AS (
+        |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  FROM r),
+        |n2 AS (
+        |  SELECT r.*,
+        |    row_number() OVER (ORDER BY block, reverse(key), id) AS rn
+        |  FROM r),
+        |n3 AS (
+        |  SELECT r.*, row_number() OVER (ORDER BY block,
+        |    array_to_string(list_sort(str_split(key, '')), ''), id) AS rn
+        |  FROM r),
+        |exq AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |  WHERE levenshtein(a.key, b.key) <= 8),
+        |snp AS (
+        |  SELECT DISTINCT ia, ib FROM (
+        |    SELECT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib
+        |    FROM n1 a JOIN n1 b
+        |      ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |    WHERE levenshtein(a.key, b.key) <= 8
+        |    UNION ALL
+        |    SELECT least(a.id, b.id), greatest(a.id, b.id)
+        |    FROM n2 a JOIN n2 b
+        |      ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |    WHERE levenshtein(a.key, b.key) <= 8
+        |    UNION ALL
+        |    SELECT least(a.id, b.id), greatest(a.id, b.id)
+        |    FROM n3 a JOIN n3 b
+        |      ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |    WHERE levenshtein(a.key, b.key) <= 8)),
+        |eed AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT ia AS src, ib AS dst FROM exq
+        |  UNION ALL SELECT ib, ia FROM exq)),
+        |sed AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT ia AS src, ib AS dst FROM snp
+        |  UNION ALL SELECT ib, ia FROM snp)),
+        |erch(src, dst) AS (
+        |  SELECT src, dst FROM eed
+        |  UNION
+        |  SELECT r.src, e.dst FROM erch r JOIN eed e ON r.dst = e.src),
+        |srch(src, dst) AS (
+        |  SELECT src, dst FROM sed
+        |  UNION
+        |  SELECT r.src, e.dst FROM srch r JOIN sed e ON r.dst = e.src),
+        |ecomp AS (
+        |  SELECT r.id, least(r.id, COALESCE(c.mn, r.id)) AS root_ex
+        |  FROM r LEFT JOIN (SELECT src AS id, min(dst) AS mn
+        |                    FROM erch GROUP BY src) c ON c.id = r.id),
+        |scomp AS (
+        |  SELECT r.id, least(r.id, COALESCE(c.mn, r.id)) AS root_snm
+        |  FROM r LEFT JOIN (SELECT src AS id, min(dst) AS mn
+        |                    FROM srch GROUP BY src) c ON c.id = r.id),
+        |j AS (SELECT e.id, e.root_ex, s.root_snm
+        |      FROM ecomp e JOIN scomp s ON e.id = s.id),
+        |fams AS (
+        |  SELECT root_ex, count(*) AS m,
+        |    count(DISTINCT root_snm) AS n_sub
+        |  FROM j GROUP BY root_ex HAVING count(*) >= 2),
+        |fa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_fam_exact,
+        |    CAST(COALESCE(sum(CASE WHEN n_sub = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_fam_recovered,
+        |    CAST(COALESCE(sum(m * (m - 1) // 2), 0) AS BIGINT)
+        |      AS closure_exact_pairs
+        |  FROM fams),
+        |sa AS (
+        |  SELECT CAST(COALESCE(sum(m * (m - 1) // 2), 0) AS BIGINT)
+        |      AS closure_snm_pairs
+        |  FROM (SELECT root_snm, count(*) AS m FROM j
+        |        GROUP BY root_snm HAVING count(*) >= 2))
+        |SELECT fa.n_fam_exact, fa.n_fam_recovered,
+        |  CAST(CASE WHEN fa.n_fam_exact > 0
+        |    THEN (fa.n_fam_recovered * 1000000) // fa.n_fam_exact
+        |    ELSE 0 END AS BIGINT) AS fam_recall_ppm,
+        |  fa.closure_exact_pairs, sa.closure_snm_pairs,
+        |  CAST(CASE WHEN fa.closure_exact_pairs > 0
+        |    THEN (sa.closure_snm_pairs * 1000000) // fa.closure_exact_pairs
+        |    ELSE 0 END AS BIGINT) AS closure_recall_ppm
+        |FROM fa, sa""".stripMargin,
 
     "t10_corpus_shuffle" ->
       s"""SELECT doc_id,

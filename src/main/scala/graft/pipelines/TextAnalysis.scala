@@ -1357,9 +1357,13 @@ object TextAnalysis {
     * m² clique, and downstream transitive closure
     * ([[Dedup.connectedComponents]]) recovers the full family — the
     * published SNM + closure pipeline. Work and output are both
-    * O(keys·window); `window` is the recall dial (a match whose keys
-    * sort more than `window` distinct keys apart is missed — the
-    * classic mitigation is a second pass under a different key).
+    * O(keys·window); `window` is the recall dial, counted in ROWS of
+    * `records` in sort order — callers with duplicate keys should
+    * pre-distinct them (as t39 does), or duplicates consume the
+    * window and silently shrink effective recall. A match whose keys
+    * sort more than `window` rows apart is missed — the classic
+    * mitigation is [[sortedNeighborPairsMultiPass]], a union of
+    * passes under orthogonal sort keys.
     *
     * The global sort rank comes from
     * [[graft.operators.Relational.globalRanks]] — range partition +
@@ -1371,10 +1375,39 @@ object TextAnalysis {
     * exact integer edits.
     */
   def sortedNeighborPairs(records: DataFrame, maxDist: Int,
-                          window: Int): DataFrame = {
+                          window: Int): DataFrame =
+    snmPass(records, maxDist, window, col("key"))
+
+  /** Multi-pass sorted-neighborhood matching (Hernández & Stolfo's
+    * full merge/purge prescription): the UNION of one
+    * [[sortedNeighborPairs]] pass per sort key in `passKeys`, pairs
+    * deduplicated on (id_a, id_b). A single pass misses matches whose
+    * keys sort far apart under its one ordering (a typo in the FIRST
+    * character teleports a key across the sort); an orthogonal second
+    * ordering — the classic is the REVERSED key, which sorts by
+    * suffix — catches most of them, because two keys within edit
+    * distance d rarely disagree early under both orderings. Work and
+    * output stay O(keys·window·passes), each pass skew-immune by the
+    * same global-rank equi-join; `dist` is pass-independent (edits
+    * between the ORIGINAL keys), so the dedup is deterministic.
+    * Each element of `passKeys` is an expression over the `key`
+    * column (e.g. `col("key")`, `reverse(col("key"))`).
+    */
+  def sortedNeighborPairsMultiPass(records: DataFrame, maxDist: Int,
+                                   window: Int,
+                                   passKeys: Seq[Column]): DataFrame = {
+    require(passKeys.nonEmpty, "need at least one pass key")
+    passKeys.map(snmPass(records, maxDist, window, _))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  private def snmPass(records: DataFrame, maxDist: Int,
+                      window: Int, passKey: Column): DataFrame = {
     require(window > 0, "window must be positive")
-    val ranked = graft.operators.Relational.globalRanks(records,
-      Seq(col("block").asc, col("key").asc, col("id").asc))
+    val ranked = graft.operators.Relational.globalRanks(
+      records.withColumn("_pk", passKey),
+      Seq(col("block").asc, col("_pk").asc, col("id").asc))
     val a = ranked.select(col("id").as("id_l"),
       col("block").as("block_l"), col("key").as("key_l"),
       col("_rn").as("_ra"))

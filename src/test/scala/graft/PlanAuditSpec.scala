@@ -59,7 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "a26_welch_t",          // rest-of-corpus: broadcast 1-row totals
     "u13_benford",          // digit-share total: broadcast 1-row agg
     "n24_mmr_diversify",    // 1 broadcast query row + topN×topN pairs
-    "t41_snm_recall")       // exact-pair total: broadcast 1-row agg
+    "t41_snm_recall",       // exact-pair total: broadcast 1-row agg
+    "t42_family_recall")    // 1-row family agg × 1-row closure agg
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -802,6 +802,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("sortedNeighborPairsMultiPass: orthogonal sort orders recover " +
+    "pairs a single pass misses; union is deduped and bounded by the " +
+    "exact join") {
+    // within one block, a FIRST-character typo teleports the key to
+    // the other end of the forward sort; with a spacer family pushing
+    // it > window rows away, pass 1 cannot see the pair — but the
+    // reversed key sorts the two adjacently (shared suffix)
+    val spacers = (10L to 30L).map(i => (i, "blk1", f"blk1-m$i%02d-spacer"))
+    val recs = (Seq(
+      (1L, "blk1", "aaaa-victim-key"),
+      (2L, "blk1", "zaaa-victim-key")) ++ spacers) // 1 edit from id 1
+      .toDF("id", "block", "key")
+    val one = TextAnalysis
+      .sortedNeighborPairs(recs, maxDist = 2, window = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(!one.contains((1L, 2L, 1)),
+      "fixture broken: single forward pass should miss the typo pair")
+    val multi = TextAnalysis
+      .sortedNeighborPairsMultiPass(recs, maxDist = 2, window = 3,
+        Seq(col("key"), reverse(col("key"))))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(multi.contains((1L, 2L, 1)),
+      "reversed-key pass must recover the prefix-typo pair")
+    // union semantics: every single-pass pair survives, no pair
+    // reports twice, and the union never exceeds the exact join
+    assert(one.toSet.subsetOf(multi.toSet))
+    assert(multi.size === multi.toSet.size)
+    val exact = TextAnalysis.fuzzyMatchPairs(recs, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(multi.toSet.subsetOf(exact.toSet))
+    // the sorted-chars pass keeps insertion-shifted keys adjacent:
+    // same chars, one inserted char — anagram signatures share a
+    // long prefix even though every downstream position shifted
+    val ins = (Seq(
+      (1L, "blk2", "abcdefgh-payload"),
+      (2L, "blk2", "azbcdefgh-payload")) ++
+      (10L to 30L).map(i => (i, "blk2", f"b$i%02d-c-d-e-f-g-h-pay")))
+      .toDF("id", "block", "key")
+    val schars = array_join(array_sort(split(col("key"), "")), "")
+    val got = TextAnalysis
+      .sortedNeighborPairsMultiPass(ins, maxDist = 2, window = 2,
+        Seq(col("key"), schars))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.contains((1L, 2L, 1)),
+      "anagram-signature pass must recover the insertion pair")
+    graft.Caches.releaseAll()
+  }
+
   test("tokenBudgetWaterfill: caps bind exactly, splits truncate, " +
     "degenerate budgets degenerate cleanly") {
     val s = Seq(("a", 100L, 1L), ("b", 1000L, 1L), ("c", 10000L, 2L))
