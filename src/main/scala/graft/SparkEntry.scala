@@ -4074,6 +4074,39 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "n28_index_update" -> ((s, d) => {
+      // atomic vector UPDATE: the third verb n27's takedown-wins rule
+      // deliberately forbids to delete+append. Two CHAINED updates
+      // prove last-write-wins visibility: the first reverses the
+      // embedding of every vec_id ≡ 5 (mod 31); the second writes the
+      // ORIGINAL back for the ≡ 5 (mod 62) subset, killing the first
+      // update's row for those ids in the same flip that enables its
+      // own. Each update is invisible until its single tombstone-mark
+      // commit (versioned tombstones, Warehouse.updateInPqIndex), so
+      // the serve equals n13's pipeline over the post-update corpus —
+      // n13's oracle with the same CASE in its cells CTE. A repeated
+      // second update exercises generation stacking on the gate path
+      // (returns the same count, answer unchanged).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_upd").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val upd1 = emb.filter(col("vec_id") % 31 === 5)
+        .withColumn("embedding", reverse(col("embedding")))
+      val upd2 = emb.filter(col("vec_id") % 62 === 5)
+      val n1 = Warehouse.updateInPqIndex(s, root, upd1)
+      require(n1 > 0, "fixture needs at least one updated id")
+      val n2 = Warehouse.updateInPqIndex(s, root, upd2)
+      require(Warehouse.updateInPqIndex(s, root, upd2) == n2,
+        "repeated update must re-land the same id set")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "n16_pq_residual_recall" -> ((s, d) => {
       // equal-byte PQ shootout: raw coding vs residual coding (the IVF
       // cell's normalized centroid subtracted before encoding, ADC adds
@@ -4535,6 +4568,41 @@ object SparkEntry {
       m2.repartition(1).sortWithinPartitions("shard")
     }),
 
+    "u26_snapshot_restore" -> ((s, d) => {
+      // the import half of the u25 trainer handoff: export the pinned
+      // v1 corpus, restore it into a FRESH AtomicTable (a new root —
+      // "another cluster"), and prove restore ≡ readVersion(1). The
+      // import recomputes every shard's (rows, bit_xor) fingerprint
+      // from the exported FILES and verifies it against _MANIFEST.json
+      // BEFORE any commit — one flipped row refuses whole-or-nothing
+      // (WarehouseSpec tampers a byte and watches it refuse) — and a
+      // re-import verifies the restored table and no-ops (gate-path
+      // require). The output aggregates the RESTORED table; the
+      // oracle recomputes the v1 snapshot flat.
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_snap_src").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_snap_exp").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_snap_dst").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.DocTable(s, srcRoot)
+      tbl.init(docs.filter(col("doc_id") % 3 =!= 0))
+      val canon = graft.functions.MarketFunctions.md5Hash60(
+        concat(lit("fp#"), col("doc_id").cast("string"), lit("#"),
+          col("lang"), lit("#"), col("text")))
+      Warehouse.exportSnapshot(s, tbl, 1L, out, shards = 4,
+        salt = "snap-r14", idCol = "doc_id", canon = canon)
+      val dest = graft.sources.DocTable(s, dstRoot)
+      val n1 = Warehouse.importSnapshot(s, out, dest, docs.schema, canon)
+      require(Warehouse.importSnapshot(s, out, dest, docs.schema,
+          canon) == n1, "re-import must verify the restore and no-op")
+      dest.read().groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source", "lang")
+    }),
+
     "u1g_data_card" -> ((s, d) => {
       // the one-row data card a training run records next to its
       // checkpoint: corpus size in docs/words, language count, the
@@ -4795,6 +4863,16 @@ object SparkEntry {
     ("n27_index_delete" -> oracleBase("n13_ivfpq_topk").replace(
       "  FROM embeddings),",
       "  FROM embeddings\n  WHERE NOT (vec_id = 0 OR vec_id % 97 = 3)),")) +
+    // n28 chains two updates (reverse %31≡5, then restore the %62≡5
+    // subset): last write wins, so the served corpus is n13's pipeline
+    // over the CASE'd embeddings — same oracle, cells CTE re-based
+    ("n28_index_update" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 31 = 5 AND vec_id % 62 <> 5\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings)),")) +
     // st15 streams the SAME tombstone commits n27 makes inline, fenced
     // per micro-batch ⇒ n13's oracle over the rows the deletes spared
     ("st15_delete_stream" -> oracleBase("n13_ivfpq_topk").replace(
@@ -9950,6 +10028,16 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(bit_xor(fp) AS BIGINT) AS content_xor
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // restore ≡ readVersion(1): the snapshot is the thirds-removed v1
+    // corpus, the import is fingerprint-verified lossless, so the
+    // restored table aggregates exactly like the flat filter
+    "u26_snapshot_restore" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "u1g_data_card" ->
       s"""WITH pl AS (

@@ -247,19 +247,20 @@ object Similarity {
         micro(cosineNative(col("va"), col("vb"))).as("sim"))
     // the greedy argmax is inherently sequential, so it runs in ONE
     // task over the bounded pool (topN rel rows ∪ topN² engine-exact
-    // sim rows, unioned under a sentinel pair id) — no collect, no
+    // sim rows, unioned under an explicit row tag — no in-band
+    // sentinel id, so every long is a legal vec_id) — no collect, no
     // extra job round-trips, driver memory flat as topN grows
     import spark.implicits._
     val pooled = cand.select(col("vec_id").as("pa"),
-        lit(Long.MinValue).as("pb"), col("rel").as("pv"))
+        lit(0L).as("pb"), col("rel").as("pv"), lit(true).as("isRel"))
       .unionByName(sim.select(col("ia").as("pa"), col("ib").as("pb"),
-        col("sim").as("pv")))
-    pooled.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+        col("sim").as("pv"), lit(false).as("isRel")))
+    pooled.as[(Long, Long, Long, Boolean)].coalesce(1).mapPartitions { it =>
       val rel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val simMap =
         scala.collection.mutable.HashMap.empty[(Long, Long), Long]
-      it.foreach { case (x, y, v) =>
-        if (y == Long.MinValue) rel += ((x, v)) else simMap((x, y)) = v
+      it.foreach { case (x, y, v, isRel) =>
+        if (isRel) rel += ((x, v)) else simMap((x, y)) = v
       }
       mmrGreedy(rel.toSeq, simMap, k, wRel, wDiv).iterator
     }.toDF("rank", "vec_id", "rel_micro", "score")

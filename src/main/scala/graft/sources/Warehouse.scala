@@ -475,25 +475,122 @@ object Warehouse {
     * the re-read frame), e.g. a salted md5 of the id and payload.
     * Output: `shard, n_rows, content_xor`.
     */
+  /** Minimal JSON string escaping for the provenance sidecars: quotes,
+    * backslashes, and control characters — the headers must stay valid
+    * JSON for ANY salt or table root.
+    */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def exportSnapshot(spark: SparkSession, tbl: AtomicTable,
                      version: Long, outDir: String, shards: Int,
                      salt: String, idCol: String,
                      canon: Column): DataFrame = {
     require(shards > 0, "shards must be positive")
+    // '#' joins salt and id in the shard hash; a salt containing '#'
+    // would make that concatenation ambiguous across (salt, id) splits
+    require(!salt.contains("#"), "snapshot salt must not contain '#'")
     val snap = tbl.readVersion(version)
     snap.withColumn("shard",
         graft.functions.MarketFunctions.md5Hash60(
           concat(lit(s"$salt#"), col(idCol).cast("string"))) % shards)
       .write.mode(SaveMode.Overwrite).partitionBy("shard").json(outDir)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/_PROVENANCE.json"),
-      s"""{"version":$version,"salt":"$salt","shards":$shards,""" +
-        s""""table":"${tbl.root}"}\n""")
-    spark.read.json(outDir)
+    val manifest = spark.read.json(outDir)
       .withColumn("_fp", canon)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(_fp)").as("content_xor"))
+    // the manifest is shard-cardinality-sized (a handful of rows);
+    // collecting it makes it a sidecar FILE, the artifact the import
+    // side verifies against — underscore-prefixed so no data reader
+    // ever sees it
+    import spark.implicits._
+    val rows = manifest.orderBy("shard")
+      .as[(Long, Long, Long)].collect().toSeq
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_PROVENANCE.json"),
+      s"""{"version":$version,"salt":${jsonStr(salt)},""" +
+        s""""shards":$shards,"table":${jsonStr(tbl.root)}}\n""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_MANIFEST.json"),
+      rows.map { case (sh, n, x) =>
+        s"""{"shard":$sh,"n_rows":$n,"content_xor":$x}"""
+      }.mkString("", "\n", "\n"))
+    rows.toDF("shard", "n_rows", "content_xor")
+  }
+
+  /** The other half of the trainer handoff: verify an
+    * [[exportSnapshot]] directory against its own `_MANIFEST.json` and
+    * restore it into `dest` — "reproduce the corpus on another
+    * cluster", refusing loudly on ANY fingerprint mismatch.
+    *
+    *  - verification recomputes, from the exported FILES, the same
+    *    per-shard (row count, order-independent `bit_xor` of `canon`)
+    *    the exporter wrote: one changed, added, or dropped row flips
+    *    its shard's fingerprint and the import refuses WHOLE — no
+    *    partial restore ever lands (the refusal happens before any
+    *    commit);
+    *  - `canon` is the same canonical-fingerprint expression the
+    *    export used — part of the handoff contract, like the salt;
+    *  - idempotent: importing onto a `dest` that already holds data
+    *    re-verifies THAT data against the manifest (total rows, XOR
+    *    of shard fingerprints) and no-ops on match, refuses on
+    *    divergence — a replayed import cannot double-load, and a
+    *    table that moved on cannot be silently overwritten;
+    *  - the restore is one [[AtomicTable.init]] — crash-atomic by the
+    *    manifest publish (staged-but-unpublished dirs are invisible).
+    *
+    * Returns the restored (or verified-already-present) row count.
+    */
+  def importSnapshot(spark: SparkSession, exportDir: String,
+                     dest: AtomicTable,
+                     schema: org.apache.spark.sql.types.StructType,
+                     canon: Column): Long = {
+    import spark.implicits._
+    val mf = java.nio.file.Paths.get(s"$exportDir/_MANIFEST.json")
+    require(java.nio.file.Files.exists(mf),
+      s"no _MANIFEST.json under $exportDir — not an exportSnapshot dir")
+    val pat =
+      """\{"shard":(-?\d+),"n_rows":(-?\d+),"content_xor":(-?\d+)\}""".r
+    val manifest = java.nio.file.Files.readAllLines(mf).toArray
+      .map(_.toString.trim).filter(_.nonEmpty).toSeq.map {
+        case pat(sh, n, x) => (sh.toLong, n.toLong, x.toLong)
+        case l => throw new IllegalStateException(
+          s"unparseable manifest line: $l")
+      }
+    val files = spark.read.schema(schema).json(exportDir)
+    val got = files.withColumn("_fp", canon)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("content_xor"))
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    if (got != manifest) {
+      val bad = (manifest.toSet diff got.toSet) ++
+        (got.toSet diff manifest.toSet)
+      throw new IllegalStateException(
+        "snapshot fingerprint mismatch — refusing to restore; " +
+          s"divergent shards (expected/found): ${bad.toSeq.sorted}")
+    }
+    val wantRows = manifest.map(_._2).sum
+    val wantXor = manifest.map(_._3).foldLeft(0L)(_ ^ _)
+    if (dest.hasData) {
+      val (haveRows, haveXor) = dest.read().withColumn("_fp", canon)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_fp)"), lit(0L)))
+        .as[(Long, Long)].head()
+      if (haveRows != wantRows || (haveRows > 0 && haveXor != wantXor))
+        throw new IllegalStateException(
+          "destination table diverges from the snapshot " +
+            s"(rows $haveRows vs $wantRows) — refusing to overwrite")
+      wantRows
+    } else {
+      dest.init(files.drop("shard"))
+      wantRows
+    }
   }
 
   /** Tombstones of a streaming-maintained index: ids deleted from the
@@ -511,23 +608,28 @@ object Warehouse {
       defaultKeys = Seq(idCol), failpoint = failpoint,
       partType = _.toInt)
 
-  /** Delete `ids` from the index's serving view. Appends (id, cell)
-    * tombstones — no base or delta file changes, so the delete is one
-    * tiny manifest commit regardless of index size. Contract:
+  /** Delete `ids` from the index's serving view. Appends
+    * (id, cell, upto = Long.MaxValue) tombstone marks — no base or
+    * delta file changes, so the delete is one tiny manifest commit
+    * regardless of index size (`upto` is the versioned-tombstone
+    * sequence bound [[updateInPqIndex]] shares; MaxValue = the full
+    * takedown). Contract:
     *  - a tombstoned id is dead at serve/classify until the next
     *    [[rebuildIfDrifted]], which re-ingests only live rows and
     *    starts the new version tombstone-free;
-    *  - re-appending a tombstoned id does NOT resurrect it (the
-    *    tombstone outranks later appends until the rebuild) — the
-    *    deliberate takedown-wins policy;
+    *  - re-appending a tombstoned id does NOT resurrect it, and
+    *    neither does a later [[updateInPqIndex]] (an update never
+    *    lowers an existing mark) — the deliberate takedown-wins
+    *    policy;
     *  - deleting an id the index does not hold is a no-op, and
-    *    repeating a delete is a no-op (`insertIgnore` keyed on the
-    *    id) — idempotent by construction;
+    *    repeating a delete is a no-op (ids already at MaxValue are
+    *    excluded from the count and the keyed upsert is content-
+    *    preserving) — idempotent by construction;
     *  - a delete racing a rebuild's pointer flip replays against the
     *    new version (same fence as [[writePqDelta]]): if the rebuild
     *    already dropped the rows, the replay finds no cells and
     *    commits nothing.
-    * Returns the number of NEW tombstones.
+    * Returns the number of NEWLY-dead ids.
     */
   def deleteFromPqIndex(spark: SparkSession, root: String,
                         ids: Seq[Long],
@@ -548,6 +650,14 @@ object Warehouse {
                            ids: DataFrame, idCol: String = "vec_id",
                            txn: Option[(String, Long)] = None): Long = {
     val r = resolveIndexRoot(root)
+    // replay fence FIRST: a foreachBatch re-delivery of an already-
+    // committed batch must report 0 new tombstones, not re-count the
+    // batch against the current index (the commit below would skip on
+    // its mark either way — this keeps the RETURN VALUE honest too)
+    txn.foreach { case (stream, batchId) =>
+      if (pqTombstoneTable(spark, r, idCol = idCol)
+            .lastCommittedBatch(stream).exists(_ >= batchId)) return 0L
+    }
     // cells come from the committed (raw) view so the tombstone lands
     // in the partition every probe of that cell will read; an id held
     // in BOTH base and a delta shard (a re-append) yields two rows, so
@@ -556,17 +666,35 @@ object Warehouse {
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol), col("cell"))
       .dropDuplicates(idCol)
+      .withColumn("upto", lit(Long.MaxValue))
     val t = pqTombstoneTable(spark, root, idCol = idCol)
     // route on hasData, NOT version: an all-no-op first batch under a
     // txn fence commits init-empty (version 1, zero entries) to
     // advance the mark, and the next delete must take the init path
-    // again — insertIgnore's existing-read requires committed data
+    // again — the existing-read below requires committed data
     val n =
       if (!t.hasData) {
         val c = rows.count()
         if (c > 0 || txn.nonEmpty) t.init(rows, txn)
         c
-      } else t.insertIgnore(rows, txn = txn)
+      } else {
+        // newly-dead = ids not already under a full takedown; an
+        // UPDATE's partial mark (upto < MaxValue) is raised by the
+        // keyed upsert — takedown replaces it, never the reverse
+        val already = t.read().filter(col("upto") === Long.MaxValue)
+          .select(col(idCol))
+        val newDead = rows.join(already, Seq(idCol), "left_anti")
+          .persist()
+        try {
+          val c = newDead.count()
+          if (c > 0) t.upsert(newDead, txn = txn)
+          // mark-only commit: the fence must advance even when the
+          // batch killed nothing (insertIgnore with an empty batch
+          // writes the txn mark without staging data)
+          else if (txn.nonEmpty) t.insertIgnore(rows.limit(0), txn = txn)
+          c
+        } finally newDead.unpersist(blocking = false)
+      }
     // flip fence: a rebuild that moved CURRENT mid-delete would strand
     // the tombstones in the superseded version's table
     if (resolveIndexRoot(root) != r)
@@ -574,57 +702,210 @@ object Warehouse {
     else n
   }
 
-  /** Committed tombstoned ids as an id frame, None when there are
-    * none — the ONE tombstone-manifest read a serve shares across its
-    * candidate and rerank scans.
+  /** Atomic in-place UPDATE of vectors in the persisted index: the
+    * missing third verb between append ([[appendToPqIndex]] /
+    * [[writePqDelta]]) and delete ([[deleteIdsFromPqIndex]]). Without
+    * it, delete + re-append only composes into "replace" after a full
+    * rebuild — the takedown-wins rule keeps the re-appended row dead.
+    *
+    * Mechanics — VERSIONED tombstones (Lucene's doc-values-generation
+    * discipline): every index row carries an update sequence `_seq`
+    * (base and plain delta rows implicitly 0), and a tombstone mark
+    * is (id, upto). [[liveBySeq]] states the serving rule; what it
+    * buys here:
+    *
+    *  - the new vector and codes land in the delta tables FIRST with
+    *    `_seq = cur + 1` — INVISIBLE, because their mark has not
+    *    committed — then the single tombstone-table upsert
+    *    (upto = cur) kills every older copy AND enables the new row
+    *    in the same manifest commit: that commit IS the whole-old →
+    *    whole-new flip. A crash anywhere before it leaves whole-old;
+    *    the replay (same txn) skips the landed appends on their own
+    *    marks and completes the flip.
+    *  - `cur` is the max sequence among the id's LIVE copies (0 when
+    *    absent), so chained updates stack (the second kills the
+    *    first's row at cur + 1 and enables its own at cur + 2) and a
+    *    crashed update's stranded invisible row re-derives the SAME
+    *    sequence on replay — resurrected by the completing flip, not
+    *    duplicated.
+    *  - an id under a full takedown (upto = MaxValue) is EXCLUDED:
+    *    updates never lower an existing mark, so takedown-wins
+    *    survives verbatim. An id the index does not hold inserts
+    *    (cur = 0, the mark upto = 0 enables it — nothing to kill).
+    *  - an update racing a rebuild's pointer flip replays into the
+    *    new version (same fence as [[writePqDelta]]).
+    *
+    * `batch` must carry one row per id with the full base embedding
+    * schema (id, vector, metadata columns). Returns the number of ids
+    * whose update became visible.
     */
-  private def tombstoneIds(spark: SparkSession, root: String,
-                           idCol: String): Option[DataFrame] = {
-    val t = pqTombstoneTable(spark, root, idCol = idCol)
-    if (!t.hasData) None else Some(t.read().select(col(idCol)))
+  def updateInPqIndex(spark: SparkSession, root: String,
+                      batch: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      txn: Option[(String, Long)] = None,
+                      failpoint: String => Unit = _ => ()): Long = {
+    val r = resolveIndexRoot(root)
+    val t = pqTombstoneTable(spark, r, failpoint, idCol)
+    // replay fence: the tombstone mark commits LAST, so it witnesses
+    // the whole update — if it advanced, everything did
+    txn.foreach { case (stream, batchId) =>
+      if (t.lastCommittedBatch(stream).exists(_ >= batchId)) return 0L
+    }
+    require(batch.groupBy(col(idCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      "update batch must carry exactly one row per id")
+    graft.expressions.GraftFunctions.register(spark)
+    val cents = readEmbeddingCentroids(r)
+    val cb = readPqCodebooks(r)
+    val cell = graft.pipelines.Similarity.ivfCellAtNative(col(vecCol),
+      cents)
+    val marks = tombstoneMarks(spark, r, idCol)
+    // cur from the LIVE view (not the committed multiset): a crashed
+    // update's stranded, invisible row must not advance the sequence
+    // its replay re-derives
+    val curSeq = liveBySeq(readPqCodesAllSeq(spark, r), marks, idCol)
+      .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(max(col("_seq")).as("_cur"))
+    val taken = marks.map(_.filter(col("_upto") === Long.MaxValue)
+      .select(col(idCol)))
+    val upd0 = batch.join(curSeq, Seq(idCol), "left")
+      .withColumn("_cur", coalesce(col("_cur"), lit(0L)))
+    val upd = graft.Caches.persist(
+      taken.fold(upd0)(p => upd0.join(p, Seq(idCol), "left_anti")))
+    val n = upd.count()
+    if (n > 0) {
+      val embRows = upd.withColumn("cell", cell)
+        .withColumn("_seq", col("_cur") + 1L).drop("_cur")
+      val codeRows = upd.withColumn("cell", cell)
+        .withColumn("code",
+          pqCodeFor(vecCol, cents, cb, readPqResidualFlag(r)))
+        .select(col(idCol), col("cell"), col("code"),
+          (col("_cur") + 1L).as("_seq"))
+      val emb = pqDeltaEmbTable(spark, r, failpoint)
+      val codes = pqDeltaCodeTable(spark, r, failpoint)
+      // vectors, then codes, then the mark flip — each fenced; the
+      // serve is codes-driven and the codes are seq-gated, so every
+      // intermediate crash state serves whole-old
+      if (emb.version == 0L) emb.init(embRows, txn)
+      else emb.append(embRows, txn)
+      failpoint("update_between_emb_codes")
+      if (codes.version == 0L) codes.init(codeRows, txn)
+      else codes.append(codeRows, txn)
+      failpoint("update_before_flip")
+      val markRows = upd.withColumn("cell", cell)
+        .select(col(idCol), col("cell"), col("_cur").as("upto"))
+      if (!t.hasData) t.init(markRows, txn)
+      else t.upsert(markRows, txn = txn)
+    } else if (txn.nonEmpty) {
+      // every id under takedown (or an empty batch): advance the mark
+      // so the fence recognizes the replay
+      if (!t.hasData)
+        t.init(batch.limit(0).withColumn("cell", lit(0))
+          .select(col(idCol), col("cell"),
+            lit(Long.MaxValue).as("upto")), txn)
+      else t.insertIgnore(batch.limit(0).withColumn("cell", lit(0))
+        .select(col(idCol), col("cell"),
+          lit(Long.MaxValue).as("upto")), txn = txn)
+    }
+    // flip fence: a rebuild that moved CURRENT mid-update would strand
+    // the new rows in the superseded version
+    if (resolveIndexRoot(root) != r)
+      updateInPqIndex(spark, root, batch, idCol, vecCol, txn, failpoint)
+    else n
   }
 
-  private def minusTombstones(df: DataFrame, dead: Option[DataFrame],
-                              idCol: String): DataFrame =
-    dead.fold(df)(ids => df.join(ids, Seq(idCol), "left_anti"))
+  /** Committed tombstone marks (id, `_upto`) — the ONE
+    * tombstone-manifest read a serve shares across its candidate and
+    * rerank scans; None when the table holds nothing. Marks written
+    * before the `upto` column existed read as full takedowns.
+    */
+  private def tombstoneMarks(spark: SparkSession, root: String,
+                             idCol: String): Option[DataFrame] = {
+    val t = pqTombstoneTable(spark, root, idCol = idCol)
+    if (!t.hasData) None
+    else {
+      val r = t.read()
+      val upto =
+        if (r.columns.contains("upto"))
+          coalesce(col("upto"), lit(Long.MaxValue))
+        else lit(Long.MaxValue)
+      Some(r.select(col(idCol), upto.as("_upto")))
+    }
+  }
+
+  /** The versioned-tombstone liveness rule over a `_seq`-carrying
+    * frame: a row with sequence s is live iff
+    * `coalesce(upto, -1) == s - 1`. One integer equality covers every
+    * case — unmarked base/delta rows (s = 0, no mark) live; an
+    * update's append (s = cur + 1) live exactly when its own mark
+    * (upto = cur) committed, so the mark commit IS the atomic
+    * old→new flip; a full takedown (upto = MaxValue) kills every
+    * sequence, re-appends and later updates included. Marks are one
+    * row per id (keyed upsert), so the left join cannot fan out.
+    */
+  private def liveBySeq(df: DataFrame, marks: Option[DataFrame],
+                        idCol: String): DataFrame = marks match {
+    case None => df.filter(col("_seq") === 0L)
+    case Some(m) =>
+      df.join(m, Seq(idCol), "left")
+        .filter(coalesce(col("_upto"), lit(-1L)) === col("_seq") - 1L)
+        .drop("_upto")
+  }
+
+  /** `df` with its update-sequence column normalized: absent or null
+    * `_seq` (base files, pre-update delta shards) reads as 0.
+    */
+  private def withSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains("_seq"))
+      df.withColumn("_seq", coalesce(col("_seq"), lit(0L)))
+    else df.withColumn("_seq", lit(0L))
 
   /** The LIVE serving views: committed base + delta rows minus
-    * tombstones — what [[ivfPqServe]]/[[ivfPqClassify]] select from
-    * and what [[rebuildIfDrifted]] re-ingests (so a rebuild drops the
-    * dead rows physically and clears the tombstones semantically).
+    * tombstones under the versioned-sequence rule — what
+    * [[ivfPqServe]]/[[ivfPqClassify]] select from and what
+    * [[rebuildIfDrifted]] re-ingests (so a rebuild materializes
+    * updates physically and clears the tombstones semantically).
     * The raw `*All` views stay the COMMITTED multiset — the sweep's
     * anti-join runs against them precisely so a late shard whose ids
     * were tombstoned is not resurrected as "missing".
     */
   def readPqCodesLive(spark: SparkSession, root: String,
                       idCol: String = "vec_id"): DataFrame =
-    minusTombstones(readPqCodesAll(spark, root),
-      tombstoneIds(spark, root, idCol), idCol)
+    liveBySeq(readPqCodesAllSeq(spark, root),
+      tombstoneMarks(spark, root, idCol), idCol).drop("_seq")
   def readEmbeddingsByCellLive(spark: SparkSession, root: String,
                                idCol: String = "vec_id"): DataFrame =
-    minusTombstones(readEmbeddingsByCellAll(spark, root),
-      tombstoneIds(spark, root, idCol), idCol)
+    liveBySeq(readEmbeddingsByCellAllSeq(spark, root),
+      tombstoneMarks(spark, root, idCol), idCol).drop("_seq")
 
   /** Codes / raw vectors across the base index AND the committed delta
     * tables — the serving view of a streaming-maintained index. Every
     * union arm is cell-partitioned, so one probe list prunes all of
-    * them.
+    * them. The `*Seq` variants carry the normalized `_seq` column the
+    * liveness rule needs; the plain views keep the historical schema.
     */
-  def readPqCodesAll(spark: SparkSession, root: String): DataFrame = {
-    val base = spark.read
-      .parquet(s"${resolveIndexRoot(root)}/codes")
+  def readPqCodesAll(spark: SparkSession, root: String): DataFrame =
+    readPqCodesAllSeq(spark, root).drop("_seq")
+  def readEmbeddingsByCellAll(spark: SparkSession,
+                              root: String): DataFrame =
+    readEmbeddingsByCellAllSeq(spark, root).drop("_seq")
+
+  private def readPqCodesAllSeq(spark: SparkSession,
+                                root: String): DataFrame = {
+    val base = withSeq(spark.read
+      .parquet(s"${resolveIndexRoot(root)}/codes"))
     val codes = pqDeltaCodeTable(spark, root)
     if (!codes.hasData) base
-    else base.unionByName(codes.read()
+    else base.unionByName(withSeq(codes.read())
       .select(base.columns.map(col): _*))
   }
-  def readEmbeddingsByCellAll(spark: SparkSession,
-                              root: String): DataFrame = {
-    val base = spark.read
-      .parquet(s"${resolveIndexRoot(root)}/embeddings")
+  private def readEmbeddingsByCellAllSeq(spark: SparkSession,
+                                         root: String): DataFrame = {
+    val base = withSeq(spark.read
+      .parquet(s"${resolveIndexRoot(root)}/embeddings"))
     val emb = pqDeltaEmbTable(spark, root)
     if (!emb.hasData) base
-    else base.unionByName(emb.read()
+    else base.unionByName(withSeq(emb.read())
       .select(base.columns.map(col): _*))
   }
 
@@ -886,14 +1167,14 @@ object Warehouse {
             graft.pipelines.Similarity.normalizedCentroids(cents))
       else graft.pipelines.Similarity.pqScore(qnCol, col("code"), cb)
     // ONE tombstone-manifest read shared by both live scans
-    val dead = tombstoneIds(spark, root, idCol)
-    val selected = minusTombstones(readPqCodesAll(spark, root), dead,
+    val dead = tombstoneMarks(spark, root, idCol)
+    val selected = liveBySeq(readPqCodesAllSeq(spark, root), dead,
         idCol)
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), round(adc, 6).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol).asc).limit(cand)
       .select(idCol)
-    minusTombstones(readEmbeddingsByCellAll(spark, root), dead, idCol)
+    liveBySeq(readEmbeddingsByCellAllSeq(spark, root), dead, idCol)
       .filter(col("cell").isin(probes: _*))
       .join(selected, idCol)
       .select(col(idCol),

@@ -88,6 +88,42 @@ object QuarantineStream {
     } finally passP.unpersist(blocking = false)
   }
 
+  /** [[reingest]] as a TRIGGERED MAINTENANCE STREAM: each tick file
+    * landing in `tickDir` re-gates the quarantine under the CURRENT
+    * rule set, so held rows recover continuously as rules relax —
+    * no operator remembering to run the batch job. A tick is a
+    * one-row parquet drop (`tick: long`; content ignored) — the same
+    * file-landing shape every triggered stream here uses, written by
+    * a cron or by the config pipeline that just relaxed a rule.
+    *
+    * Exactly-once deliberately does NOT hang on the stream's batchId:
+    * the recovery is a function of (quarantine state, rules), so the
+    * fence is [[reingest]]'s own ("requarantine", quarantine-version)
+    * mark. A restart under a FRESH checkpoint re-delivers every tick,
+    * and the fence still recovers nothing twice — the replayed pass
+    * re-gates the already-rewritten quarantine and, finding no newly
+    * passing rows, commits neither table (StreamingSpec proves it).
+    * A crash between the corpus append and the quarantine rewrite
+    * heals on the next tick exactly as in the batch path.
+    */
+  def startReingest(spark: SparkSession, tickDir: String,
+                    corpusRoot: String, quarRoot: String,
+                    rules: Seq[(String, Column)], checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    spark.readStream
+      .schema(StructType(Seq(StructField("tick", LongType))))
+      .parquet(tickDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        reingest(spark, corpusRoot, quarRoot, rules); ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Micro-batch pipeline: landing dir → gate → corpus + quarantine,
     * each leg fenced.
     */

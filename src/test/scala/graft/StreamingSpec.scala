@@ -837,6 +837,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpus.version === cv && quar.version === qv)
   }
 
+  test("re-ingest maintenance stream: a tick recovers newly-passing " +
+    "rows; fresh-checkpoint replay recovers nothing twice") {
+    import graft.streaming.QuarantineStream
+    import org.apache.spark.sql.Column
+    val corpusRoot = Files.createTempDirectory("st16_corpus").toString
+    val quarRoot = Files.createTempDirectory("st16_quar").toString
+    val tickDir = Files.createTempDirectory("st16_ticks").toString
+    def frame(rows: (Long, String, String, Long)*) =
+      rows.toDF("doc_id", "lang", "source", "n_chars")
+    val strict: Seq[(String, Column)] = Seq(
+      "short_text" -> ($"n_chars" >= 10L),
+      "allowed_lang" -> $"lang".isin("en", "de"))
+    QuarantineStream.commitBatch(spark, corpusRoot, quarRoot, strict,
+      frame((1L, "en", "web", 50L), (2L, "en", "web", 3L),
+        (3L, "zh", "web", 4L), (4L, "zh", "cc", 50L)), 0L)
+    val corpus = QuarantineStream.corpusTable(spark, corpusRoot)
+    val quar = QuarantineStream.quarantineTable(spark, quarRoot)
+    assert(corpus.read().count() === 1)
+    // the parser fix ships; the maintenance stream ticks and recovers
+    val relaxed: Seq[(String, Column)] =
+      Seq("allowed_lang" -> $"lang".isin("en", "de"))
+    def tick(n: Long): Unit = Seq(n).toDF("tick")
+      .coalesce(1).write.mode("append").parquet(tickDir)
+    def run(ckpt: String): Unit = {
+      val q = QuarantineStream.startReingest(spark, tickDir,
+        corpusRoot, quarRoot, relaxed, ckpt)
+      assert(q.awaitTermination(180000))
+    }
+    tick(1L)
+    val ckpt = Files.createTempDirectory("st16_ck").toString
+    run(ckpt)
+    assert(corpus.read().select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    assert(quar.read().select("doc_id").as[Long].collect().toSet
+      === Set(3L, 4L))
+    val (cv, qv) = (corpus.version, quar.version)
+    // an idle tick on the SAME checkpoint: nothing newly passes, no
+    // commit on either table
+    tick(2L)
+    run(ckpt)
+    assert(corpus.version === cv && quar.version === qv)
+    // a FRESH checkpoint replays EVERY tick — the quarantine-version
+    // fence (not the batch id) is what prevents double recovery
+    run(Files.createTempDirectory("st16_ck2").toString)
+    assert(corpus.version === cv && quar.version === qv)
+    assert(corpus.read().count() === 2)
+    // rules relax further: the next tick recovers the rest exactly
+    val open: Seq[(String, Column)] =
+      Seq("any" -> lit(true))
+    tick(3L)
+    val q3 = QuarantineStream.startReingest(spark, tickDir, corpusRoot,
+      quarRoot, open, Files.createTempDirectory("st16_ck3").toString)
+    assert(q3.awaitTermination(180000))
+    // every partition of the quarantine emptied: the manifest holds
+    // nothing (read() on a no-data table is the usual hard error)
+    assert(corpus.read().count() === 4 && !quar.hasData)
+  }
+
   test("index stream: a vector is searchable one micro-batch after arrival") {
     import graft.sources.Warehouse
     import graft.pipelines.Similarity

@@ -457,6 +457,147 @@ class WarehouseSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("index updates: atomic flip (whole-old under any crash, replay " +
+    "heals to whole-new), chained last-write-wins, takedown still wins") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_pq_upd").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse
+      .ivfPqServe(spark, root, q, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val before = serve()
+    assert(before.head._1 === 3L)
+    // update id 3 to its REVERSED vector: exactly one live copy, the
+    // new one; the serve no longer scores 3 at cosine 1
+    val upd = emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding"))
+    assert(Warehouse.updateInPqIndex(spark, root, upd) === 1L)
+    val liveRows = Warehouse.readEmbeddingsByCellLive(spark, root)
+      .filter($"vec_id" === 3).collect()
+    assert(liveRows.length === 1, "one live copy after update")
+    assert(serve() !== before, "the update must be visible at serve")
+    // chained update writes the ORIGINAL back: last write wins and the
+    // serve returns bit-exactly the pre-update answer
+    assert(Warehouse.updateInPqIndex(spark, root,
+      emb.filter($"vec_id" === 3)) === 1L)
+    assert(serve() === before, "second update restores the original")
+    // crash atomicity at both failpoints: the landed-but-unflipped
+    // state serves WHOLE-OLD; a same-txn replay completes the flip
+    Seq("update_between_emb_codes", "update_before_flip")
+      .zipWithIndex.foreach { case (fp, i) =>
+        val txn = Some(("upd_crash", 10L + i))
+        intercept[RuntimeException] {
+          Warehouse.updateInPqIndex(spark, root, upd, txn = txn,
+            failpoint = p => if (p == fp) sys.error(s"crash at $p"))
+        }
+        assert(serve() === before,
+          s"crash at $fp must leave whole-old at serve")
+        assert(Warehouse.updateInPqIndex(spark, root, upd,
+          txn = txn) === 1L)
+        assert(serve() !== before, s"replay after $fp lands whole-new")
+        assert(Warehouse.readEmbeddingsByCellLive(spark, root)
+          .filter($"vec_id" === 3).count() === 1L,
+          "never a doubled or vanished row")
+        // restore for the next loop iteration
+        assert(Warehouse.updateInPqIndex(spark, root,
+          emb.filter($"vec_id" === 3)) === 1L)
+      }
+    // a replayed txn whose flip already committed is recognized
+    assert(Warehouse.updateInPqIndex(spark, root, upd,
+      txn = Some(("upd_crash", 11L))) === 0L)
+    // takedown-wins: a deleted id rejects updates (count excludes it,
+    // nothing resurrects), and an update never lowers the takedown
+    assert(Warehouse.deleteFromPqIndex(spark, root, Seq(3L)) === 1L)
+    assert(Warehouse.updateInPqIndex(spark, root, upd) === 0L)
+    assert(!serve().map(_._1).contains(3L),
+      "update after takedown must not resurrect")
+    // updating an id the index does not hold INSERTS it
+    val fresh = emb.filter($"vec_id" === 5)
+      .withColumn("vec_id", lit(424242L))
+    assert(Warehouse.updateInPqIndex(spark, root, fresh) === 1L)
+    assert(Warehouse.readPqCodesLive(spark, root)
+      .filter($"vec_id" === 424242L).count() === 1L)
+    graft.Caches.releaseAll()
+  }
+
+  test("importSnapshot: fingerprint-verified restore equals the pinned " +
+    "version; tampering refuses whole-or-nothing; re-import no-ops") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val srcRoot = Files.createTempDirectory("graft_imp_src").toString
+    val out = Files.createTempDirectory("graft_imp_out").toString
+    val tbl = graft.sources.DocTable(spark, srcRoot)
+    tbl.init(docs.filter($"doc_id" % 3 =!= 0))
+    val canon = graft.functions.MarketFunctions.md5Hash60(
+      concat(lit("fp#"), $"doc_id".cast("string"), lit("#"),
+        $"lang", lit("#"), $"text"))
+    // a hostile salt exercises the JSON escaper (quote + backslash);
+    // '#' is refused outright — it would make the shard hash ambiguous
+    intercept[IllegalArgumentException] {
+      Warehouse.exportSnapshot(spark, tbl, 1L, out, 4, "a#b",
+        "doc_id", canon)
+    }
+    Warehouse.exportSnapshot(spark, tbl, 1L, out, shards = 4,
+      salt = "we\"ird\\salt", idCol = "doc_id", canon = canon)
+    val prov = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_PROVENANCE.json"))
+    assert(prov.contains("we\\\"ird\\\\salt"),
+      "provenance header must escape quotes and backslashes")
+    // restore into a fresh root: row-for-row equal to readVersion(1)
+    val dest = graft.sources.DocTable(spark,
+      Files.createTempDirectory("graft_imp_dst").toString)
+    val n = Warehouse.importSnapshot(spark, out, dest, docs.schema,
+      canon)
+    assert(n === tbl.readVersion(1L).count())
+    val want = tbl.readVersion(1L).select(docs.columns.map(col): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(dest.read().select(docs.columns.map(col): _*)
+      .orderBy("doc_id").collect().toSeq === want)
+    // idempotent: the second import verifies the restored table and
+    // no-ops (same count, no new version)
+    val v = dest.version
+    assert(Warehouse.importSnapshot(spark, out, dest, docs.schema,
+      canon) === n)
+    assert(dest.version === v)
+    // a diverged destination refuses
+    dest.append(docs.filter($"doc_id" % 3 === 0).limit(1))
+    intercept[IllegalStateException] {
+      Warehouse.importSnapshot(spark, out, dest, docs.schema, canon)
+    }
+    // tamper ONE row in one shard file: the import must refuse before
+    // committing anything
+    val shardFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.contains("shard="))
+      .findFirst().get()
+    // length-preserving tamper (one character of one lang value):
+    // the JSON stays valid and file sizes don't shift, so only the
+    // fingerprint check can catch it — exactly the attack it is for
+    val txt = java.nio.file.Files.readString(shardFile)
+    java.nio.file.Files.writeString(shardFile,
+      txt.replaceFirst("(\"lang\":\")[a-z]", "$1Z"))
+    // a real tamperer fixes the transport-level evidence: drop the
+    // hadoop .crc sidecar and the cached listing, so ONLY the content
+    // fingerprint can catch the flip
+    java.nio.file.Files.deleteIfExists(shardFile.resolveSibling(
+      "." + shardFile.getFileName.toString + ".crc"))
+    spark.catalog.refreshByPath(out)
+    val dest2root = Files.createTempDirectory("graft_imp_dst2").toString
+    val dest2 = graft.sources.DocTable(spark, dest2root)
+    val ex = intercept[IllegalStateException] {
+      Warehouse.importSnapshot(spark, out, dest2, docs.schema, canon)
+    }
+    assert(ex.getMessage.contains("fingerprint mismatch"))
+    assert(!dest2.hasData, "a refused import must commit nothing")
+    graft.Caches.releaseAll()
+  }
+
   test("delete stream: per-batch txn fence makes a fresh-checkpoint " +
     "replay a no-op; served answers exclude the streamed tombstones") {
     import graft.pipelines.Similarity
