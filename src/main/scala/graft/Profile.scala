@@ -24,6 +24,64 @@ object Profile {
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    if (args.headOption.contains("t39count")) {
+      // pair-count / density check of the SNM answer at a given dir
+      val dir = args.lift(1).getOrElse("/root/repo/.scaledata/sf10")
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val keyed = d.select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
+            .as("key"))
+        .filter(length(col("key")) >= 8)
+      val recs = keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
+        .select(col("id"), substring(col("key"), 1, 4).as("block"),
+          col("key"))
+      val nKeys = recs.count()
+      val nPairs = graft.pipelines.TextAnalysis
+        .sortedNeighborPairsMultiPass(recs, maxDist = 8, window = 32,
+          Seq(col("key"), reverse(col("key")),
+            array_join(array_sort(split(col("key"), "")), "")))
+        .count()
+      println(s"KEYS=$nKeys PAIRS=$nPairs perKey=${nPairs.toDouble/nKeys}")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("t39")) {
+      // stage profile of the multi-pass SNM ER query at a given dir
+      val dir = args.lift(1).getOrElse("/root/repo/.scaledata/sf1.0")
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val keyed = d.select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
+            .as("key"))
+        .filter(length(col("key")) >= 8)
+      val distinctKeys = keyed.groupBy("key").agg(
+        min(col("doc_id")).as("id"), count(lit(1)).as("n_ids"))
+      val recs = distinctKeys.select(col("id"),
+        substring(col("key"), 1, 4).as("block"), col("key"))
+      time("distinct_keys")(distinctKeys)
+      def pairs = graft.pipelines.TextAnalysis
+        .sortedNeighborPairsMultiPass(recs, maxDist = 8, window = 32,
+          Seq(col("key"), reverse(col("key")),
+            array_join(array_sort(split(col("key"), "")), "")))
+      time("snm_3pass")(pairs)
+      graft.Caches.releaseAll()
+      time("pass1_only")(graft.pipelines.TextAnalysis
+        .sortedNeighborPairs(recs, maxDist = 8, window = 32))
+      graft.Caches.releaseAll()
+      val full = pairs
+        .join(distinctKeys.select(col("id").as("id_a"),
+          col("n_ids").as("n_a")), "id_a")
+        .join(distinctKeys.select(col("id").as("id_b"),
+          col("n_ids").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("dist"),
+          col("n_a"), col("n_b"))
+      time("with_mult_join")(full)
+      graft.Caches.releaseAll()
+      time("full_repart1")(full.repartition(1)
+        .sortWithinPartitions("id_a", "id_b"))
+      graft.Caches.releaseAll()
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("gate")) {
       // quality-gate component profile: which expression pays for what
       graft.expressions.GraftFunctions.register(spark)
