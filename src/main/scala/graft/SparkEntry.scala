@@ -2603,6 +2603,45 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    "st16_reingest_stream" -> ((s, d) => {
+      // u24's recovery run as the TRIGGERED MAINTENANCE STREAM: the
+      // strict gate holds rows back, the rules relax, and a tick file
+      // drives QuarantineStream.startReingest through a real
+      // readStream/foreachBatch pass — exactly-once keyed to the
+      // ("requarantine", quarantine-version) fence, not the batch id
+      // (StreamingSpec replays a fresh checkpoint to prove it). The
+      // recovered corpus must equal the flat relaxed-rule filter —
+      // u24's oracle verbatim.
+      val corpusRoot = java.nio.file.Files
+        .createTempDirectory("graft_st16_corpus").toString
+      val quarRoot = java.nio.file.Files
+        .createTempDirectory("graft_st16_quar").toString
+      val tickDir = java.nio.file.Files
+        .createTempDirectory("graft_st16_ticks").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st16_ck").toString
+      val docs = T(s, d).documents
+      val strict = Seq(
+        "short_text" -> (col("n_chars") >= 50),
+        "allowed_lang" -> col("lang").isin("en", "de"),
+        "clean_id" -> (col("doc_id") % 97 =!= 0))
+      graft.streaming.QuarantineStream.commitBatch(s, corpusRoot,
+        quarRoot, strict, docs, 0L)
+      val relaxed = Seq(
+        "allowed_lang" -> col("lang").isin("en", "de", "es"),
+        "clean_id" -> (col("doc_id") % 97 =!= 0))
+      import s.implicits._
+      Seq(1L).toDF("tick").coalesce(1)
+        .write.mode("append").parquet(tickDir)
+      val q = graft.streaming.QuarantineStream.startReingest(s,
+        tickDir, corpusRoot, quarRoot, relaxed, ckpt)
+      require(q.awaitTermination(180000), "reingest tick must finish")
+      graft.streaming.QuarantineStream.corpusTable(s, corpusRoot).read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source")
+    }),
+
     "u24_quarantine_reingest" -> ((s, d) => {
       // the quarantine pays for itself here: the corpus is gated under
       // STRICT rules (st14's set), then the rules relax — es becomes
@@ -4890,6 +4929,11 @@ object SparkEntry {
     // incremental-dedup stream as one cold micro-batch: identical
     // fingerprint and band-bucket drops ⇒ d10's oracle
     ("st12_dedup_stream" -> oracleBase("d10_incremental_dedup")) +
+    // st16 replays u24's strict-gate → relax → recover scenario
+    // through the triggered maintenance stream: recovery is exact, so
+    // the corpus equals the same flat relaxed filter ⇒ u24's oracle
+    ("st16_reingest_stream" ->
+      oracleBase("u24_quarantine_reingest")) +
     // st13 maintains the materialized view across the ingest stream;
     // the served state must equal a flat GROUP BY over the whole
     // corpus, regardless of how the deltas folded
