@@ -38,8 +38,7 @@ object Profile {
       val nKeys = recs.count()
       val nPairs = graft.pipelines.TextAnalysis
         .sortedNeighborPairsMultiPass(recs, maxDist = 8, window = 32,
-          Seq(col("key"), reverse(col("key")),
-            array_join(array_sort(split(col("key"), "")), "")))
+          SparkEntry.snmPassKeys) // the SHIPPED dial, not a re-spelling
         .count()
       println(s"KEYS=$nKeys PAIRS=$nPairs perKey=${nPairs.toDouble/nKeys}")
       spark.stop()
@@ -60,8 +59,7 @@ object Profile {
       time("distinct_keys")(distinctKeys)
       def pairs = graft.pipelines.TextAnalysis
         .sortedNeighborPairsMultiPass(recs, maxDist = 8, window = 32,
-          Seq(col("key"), reverse(col("key")),
-            array_join(array_sort(split(col("key"), "")), "")))
+          SparkEntry.snmPassKeys) // the SHIPPED dial, not a re-spelling
       time("snm_3pass")(pairs)
       graft.Caches.releaseAll()
       time("pass1_only")(graft.pipelines.TextAnalysis

@@ -500,7 +500,11 @@ object Warehouse {
         graft.functions.MarketFunctions.md5Hash60(
           concat(lit(s"$salt#"), col(idCol).cast("string"))) % shards)
       .write.mode(SaveMode.Overwrite).partitionBy("shard").json(outDir)
-    val manifest = spark.read.json(outDir)
+    // read back under the SNAPSHOT's schema, not JSON inference: the
+    // import side recomputes fingerprints under the caller's true
+    // schema, and a string column of numeric-looking values ("007")
+    // would otherwise infer differently here and poison the manifest
+    val manifest = spark.read.schema(snap.schema).json(outDir)
       .withColumn("_fp", canon)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
@@ -679,10 +683,15 @@ object Warehouse {
         c
       } else {
         // newly-dead = ids not already under a full takedown; an
-        // UPDATE's partial mark (upto < MaxValue) is raised by the
-        // keyed upsert — takedown replaces it, never the reverse
-        val already = t.read().filter(col("upto") === Long.MaxValue)
-          .select(col(idCol))
+        // UPDATE's partial mark (upto < MaxValue) is outranked by the
+        // takedown's MaxValue under tombstoneMarks' per-id max —
+        // never the reverse. Going through tombstoneMarks (not a raw
+        // read) also keeps pre-`upto` legacy marks counting as
+        // takedowns instead of crashing the filter.
+        val already = tombstoneMarks(spark, root, idCol)
+          .map(_.filter(col("_upto") === Long.MaxValue)
+            .select(col(idCol)))
+          .getOrElse(rows.select(col(idCol)).limit(0))
         val newDead = rows.join(already, Seq(idCol), "left_anti")
           .persist()
         try {
@@ -818,6 +827,16 @@ object Warehouse {
     * tombstone-manifest read a serve shares across its candidate and
     * rerank scans; None when the table holds nothing. Marks written
     * before the `upto` column existed read as full takedowns.
+    *
+    * AGGREGATED to one row per id (`max(upto)`) — load-bearing, not
+    * cosmetic: the mark table is cell-partitioned and a mark's cell
+    * follows the vector being written, so an id whose update moved it
+    * to a different IVF cell carries marks in BOTH cells (the keyed
+    * upsert merges only within the batch's partitions). `upto` is
+    * monotone per id (each update's `cur` comes from the live view,
+    * takedowns are MaxValue and never lowered), so the max IS the
+    * current mark and every stale lower mark is harmless — resolved
+    * here, once, instead of in every writer.
     */
   private def tombstoneMarks(spark: SparkSession, root: String,
                              idCol: String): Option[DataFrame] = {
@@ -829,7 +848,8 @@ object Warehouse {
         if (r.columns.contains("upto"))
           coalesce(col("upto"), lit(Long.MaxValue))
         else lit(Long.MaxValue)
-      Some(r.select(col(idCol), upto.as("_upto")))
+      Some(r.select(col(idCol), upto.as("_upto"))
+        .groupBy(col(idCol)).agg(max(col("_upto")).as("_upto")))
     }
   }
 
@@ -840,8 +860,9 @@ object Warehouse {
     * update's append (s = cur + 1) live exactly when its own mark
     * (upto = cur) committed, so the mark commit IS the atomic
     * old→new flip; a full takedown (upto = MaxValue) kills every
-    * sequence, re-appends and later updates included. Marks are one
-    * row per id (keyed upsert), so the left join cannot fan out.
+    * sequence, re-appends and later updates included. Marks arrive
+    * pre-aggregated to one row per id ([[tombstoneMarks]]'s max), so
+    * the left join cannot fan out.
     */
   private def liveBySeq(df: DataFrame, marks: Option[DataFrame],
                         idCol: String): DataFrame = marks match {

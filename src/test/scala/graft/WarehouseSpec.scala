@@ -523,6 +523,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.updateInPqIndex(spark, root, fresh) === 1L)
     assert(Warehouse.readPqCodesLive(spark, root)
       .filter($"vec_id" === 424242L).count() === 1L)
+    // CELL-MIGRATING update: the mark table is cell-partitioned and a
+    // mark's cell follows the vector, so an update that moves an id to
+    // a different IVF cell leaves marks in TWO cells — the per-id max
+    // in tombstoneMarks must resolve them (caught by review: the
+    // partition-scoped upsert alone left the superseded copy live)
+    val cents = Similarity.seedCentroids(8, 64)
+    val cellOf = Similarity.ivfCellAtNative($"embedding", cents)
+    val mover = emb
+      .withColumn("_c0", cellOf)
+      .withColumn("_c1", Similarity.ivfCellAtNative(
+        reverse($"embedding"), cents))
+      .filter($"_c0" =!= $"_c1")
+      .filter($"vec_id" =!= 3L && $"vec_id" =!= 424242L)
+      .orderBy($"vec_id").select("vec_id").as[Long].head()
+    val mUpd = emb.filter($"vec_id" === mover)
+      .withColumn("embedding", reverse($"embedding"))
+    assert(Warehouse.updateInPqIndex(spark, root, mUpd) === 1L)
+    assert(Warehouse.updateInPqIndex(spark, root,
+      emb.filter($"vec_id" === mover)) === 1L)
+    val moverLive = Warehouse.readEmbeddingsByCellLive(spark, root)
+      .filter($"vec_id" === mover)
+      .select("embedding").collect()
+    assert(moverLive.length === 1,
+      "chained cell-migrating update must leave exactly ONE live copy")
+    assert(moverLive(0).getSeq[Float](0) ===
+      emb.filter($"vec_id" === mover).select("embedding")
+        .collect()(0).getSeq[Float](0),
+      "and it must be the LAST write's vector")
+    // takedown of an id whose marks span cells kills every copy
+    assert(Warehouse.deleteFromPqIndex(spark, root, Seq(mover)) === 1L)
+    assert(Warehouse.readEmbeddingsByCellLive(spark, root)
+      .filter($"vec_id" === mover).isEmpty,
+      "takedown must kill an updated id across ALL its mark cells")
     graft.Caches.releaseAll()
   }
 
