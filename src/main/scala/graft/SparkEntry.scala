@@ -4140,6 +4140,15 @@ object SparkEntry {
       val n2 = Warehouse.updateInPqIndex(s, root, upd2)
       require(Warehouse.updateInPqIndex(s, root, upd2) == n2,
         "repeated update must re-land the same id set")
+      // the doubling guard ON the gate path: an updated id whose new
+      // vector moved IVF cells leaves marks in two cells, and only the
+      // per-id mark resolution keeps exactly one copy live — top-K
+      // alone can miss a doubled id that never reaches the answer
+      require(Warehouse.readPqCodesLive(s, root)
+        .join(emb.filter(col("vec_id") % 31 === 5).select("vec_id"),
+          "vec_id")
+        .groupBy("vec_id").count().filter(col("count") =!= 1).isEmpty,
+        "every updated id must have exactly ONE live copy")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
@@ -4636,6 +4645,49 @@ object SparkEntry {
       val n1 = Warehouse.importSnapshot(s, out, dest, docs.schema, canon)
       require(Warehouse.importSnapshot(s, out, dest, docs.schema,
           canon) == n1, "re-import must verify the restore and no-op")
+      dest.read().groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .repartition(1).sortWithinPartitions("source", "lang")
+    }),
+
+    "u27_snapshot_delta" -> ((s, d) => {
+      // the INCREMENTAL handoff: at 100 TB the daily deliverable is
+      // the delta, not a re-export of the corpus. Full v1 restores to
+      // a fresh root (u26's path), v2 commits an upsert on top of the
+      // source, and the manifest-diff delta (changesBetween: insert +
+      // delete rows, fingerprinted per shard × change_type) ships and
+      // APPLIES to the restore: dest(v1) + delta(v1→v2) must equal
+      // readVersion(v2) — which the oracle recomputes flat. Re-apply
+      // is required to be a zero-change no-op on the gate path
+      // (fingerprint-matched deletes + key-deduped inserts).
+      val srcRoot = java.nio.file.Files
+        .createTempDirectory("graft_sd_src").toString
+      val full = java.nio.file.Files
+        .createTempDirectory("graft_sd_full").toString
+      val inc = java.nio.file.Files
+        .createTempDirectory("graft_sd_inc").toString
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory("graft_sd_dst").toString
+      val docs = T(s, d).documents
+      val tbl = graft.sources.DocTable(s, srcRoot)
+      tbl.init(docs.filter(col("doc_id") % 3 =!= 0))            // v1
+      tbl.upsert(docs.filter(col("doc_id") % 2 === 0)           // v2
+        .withColumn("lang", lit("xx")))
+      val canon = graft.functions.MarketFunctions.md5Hash60(
+        concat(lit("fp#"), col("doc_id").cast("string"), lit("#"),
+          col("lang"), lit("#"), col("text")))
+      Warehouse.exportSnapshot(s, tbl, 1L, full, shards = 4,
+        salt = "snap-r14", idCol = "doc_id", canon = canon)
+      val dest = graft.sources.DocTable(s, dstRoot)
+      Warehouse.importSnapshot(s, full, dest, docs.schema, canon)
+      Warehouse.exportSnapshotDelta(s, tbl, 1L, 2L, inc, shards = 4,
+        salt = "snap-r14", idCol = "doc_id", canon = canon)
+      val applied = Warehouse.applySnapshotDelta(s, inc, dest,
+        docs.schema, canon, "doc_id")
+      require(applied > 0, "the delta must change the restore")
+      require(Warehouse.applySnapshotDelta(s, inc, dest, docs.schema,
+        canon, "doc_id") == 0L, "re-apply must be a zero-change no-op")
       dest.read().groupBy("source", "lang")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
           sum(col("n_chars")).as("sum_chars"))
@@ -10072,6 +10124,21 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(bit_xor(fp) AS BIGINT) AS content_xor
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // dest(v1) + delta(v1→v2) ≡ readVersion(v2): v1 drops the thirds,
+    // the v2 upsert re-tags every even doc 'xx' (adding the evens that
+    // ARE thirds), so the applied restore aggregates like the flat v2
+    // reconstruction
+    "u27_snapshot_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     // restore ≡ readVersion(1): the snapshot is the thirds-removed v1
     // corpus, the import is fingerprint-verified lossless, so the

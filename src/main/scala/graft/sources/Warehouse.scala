@@ -597,6 +597,131 @@ object Warehouse {
     }
   }
 
+  /** Incremental trainer handoff: export only what CHANGED between two
+    * pinned versions — at 100 TB the daily deliverable is the delta,
+    * not a re-export of the corpus. The change set is
+    * [[AtomicTable.changesBetween]] (manifest-diff: unchanged commits
+    * cancel by identity without being read), each row tagged
+    * `change_type` insert/delete, hash-sharded exactly like
+    * [[exportSnapshot]]; `_MANIFEST.json` carries per
+    * (shard, change_type) row counts and order-independent `bit_xor`
+    * fingerprints recomputed FROM the exported files under the
+    * snapshot's pinned schema, and `_PROVENANCE.json` records both
+    * version endpoints. Output: `shard, change_type, n_rows,
+    * content_xor`.
+    */
+  def exportSnapshotDelta(spark: SparkSession, tbl: AtomicTable,
+                          v1: Long, v2: Long, outDir: String,
+                          shards: Int, salt: String, idCol: String,
+                          canon: Column): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    require(!salt.contains("#"), "snapshot salt must not contain '#'")
+    val delta = tbl.changesBetween(v1, v2)
+    delta.withColumn("shard",
+        graft.functions.MarketFunctions.md5Hash60(
+          concat(lit(s"$salt#"), col(idCol).cast("string"))) % shards)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(outDir)
+    val manifest = spark.read.schema(delta.schema).json(outDir)
+      .withColumn("_fp", canon)
+      .groupBy(col("shard").cast("long").as("shard"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("content_xor"))
+    import spark.implicits._
+    val rows = manifest.orderBy("shard", "change_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_PROVENANCE.json"),
+      s"""{"v1":$v1,"v2":$v2,"salt":${jsonStr(salt)},""" +
+        s""""shards":$shards,"table":${jsonStr(tbl.root)}}\n""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_MANIFEST.json"),
+      rows.map { case (sh, ct, n, x) =>
+        s"""{"shard":$sh,"change_type":${jsonStr(ct)},""" +
+          s""""n_rows":$n,"content_xor":$x}"""
+      }.mkString("", "\n", "\n"))
+    rows.toDF("shard", "change_type", "n_rows", "content_xor")
+  }
+
+  /** Apply a verified [[exportSnapshotDelta]] directory to a restored
+    * table: dest(≡ v1) + delta(v1→v2) ≡ readVersion(v2) — the
+    * incremental half of the u26 restore path. Every shard's
+    * (change_type, rows, `bit_xor`) fingerprint is re-verified FROM
+    * the files before any commit (one flipped row refuses
+    * whole-or-nothing), deletes match by FULL-row fingerprint and
+    * inserts dedup by key (a changed row is a delete+insert pair on
+    * one key — see the inline note for why key-scoped deletes would
+    * break re-apply), and the whole apply is ONE
+    * [[AtomicTable.overwritePartitions]] commit over the touched
+    * partitions — crash-atomic, untouched partitions never read.
+    * Re-applying is a zero-change no-op that commits nothing.
+    * `canon` must fingerprint the full payload (id alone cannot
+    * distinguish a changed row's old and new content). Returns the
+    * number of rows the apply actually changed (deletes + inserts).
+    */
+  def applySnapshotDelta(spark: SparkSession, deltaDir: String,
+                         dest: AtomicTable,
+                         schema: org.apache.spark.sql.types.StructType,
+                         canon: Column, idCol: String): Long = {
+    import spark.implicits._
+    val mf = java.nio.file.Paths.get(s"$deltaDir/_MANIFEST.json")
+    require(java.nio.file.Files.exists(mf),
+      s"no _MANIFEST.json under $deltaDir — not a delta-export dir")
+    val pat = ("""\{"shard":(-?\d+),"change_type":"(\w+)",""" +
+      """"n_rows":(-?\d+),"content_xor":(-?\d+)\}""").r
+    val manifest = java.nio.file.Files.readAllLines(mf).toArray
+      .map(_.toString.trim).filter(_.nonEmpty).toSeq.map {
+        case pat(sh, ct, n, x) => (sh.toLong, ct, n.toLong, x.toLong)
+        case l => throw new IllegalStateException(
+          s"unparseable delta-manifest line: $l")
+      }
+    val withCt = schema.add("change_type",
+      org.apache.spark.sql.types.StringType)
+    val files = spark.read.schema(withCt).json(deltaDir)
+    val got = files.withColumn("_fp", canon)
+      .groupBy(col("shard").cast("long").as("shard"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("content_xor"))
+      .orderBy("shard", "change_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    if (got != manifest) {
+      val bad = (manifest.toSet diff got.toSet) ++
+        (got.toSet diff manifest.toSet)
+      throw new IllegalStateException(
+        "delta fingerprint mismatch — refusing to apply; " +
+          s"divergent shards (expected/found): ${bad.toSeq.sorted}")
+    }
+    val dataCols = schema.fields.map(f => col(f.name)).toIndexedSeq
+    // deletes match by the FULL row fingerprint, not the key: a
+    // changed row is a delete(old content) + insert(new content) pair
+    // on one key, and a key-scoped delete would eat the re-inserted
+    // new content on a re-apply. Inserts dedup by KEY (insert-ignore),
+    // so re-applying finds nothing to remove (old fingerprints gone)
+    // and nothing to add (keys present) — a zero-change no-op.
+    val dels = files.filter(col("change_type") === "delete")
+      .select(canon.as("_fp"))
+    val ins = files.filter(col("change_type") === "insert")
+      .select(dataCols: _*)
+    val partCol = dest.partCol
+    val touched = files.select(col(partCol).cast("string"))
+      .distinct().as[String].collect().toSeq
+    if (touched.isEmpty) return 0L
+    val existing = graft.Caches.persist(dest.read()
+      .filter(col(partCol).isin(touched: _*))
+      .select(dataCols: _*))
+    val kept = graft.Caches.persist(existing.withColumn("_fp", canon)
+      .join(dels, Seq("_fp"), "left_anti").drop("_fp"))
+    // insert-dedup against the POST-delete keys: a changed row's key
+    // exists before its delete lands, and deduping against the
+    // pre-delete view would silently drop the new content
+    val fresh = ins.join(kept.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val nDel = existing.count() - kept.count()
+    val nIns = fresh.count()
+    if (nDel + nIns == 0) return 0L
+    dest.overwritePartitions(touched, kept.unionByName(fresh))
+    nDel + nIns
+  }
+
   /** Tombstones of a streaming-maintained index: ids deleted from the
     * SERVING view without touching a single base or delta file — the
     * compliance/takedown primitive (Lucene's live-docs discipline).

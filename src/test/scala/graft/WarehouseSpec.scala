@@ -631,6 +631,64 @@ class WarehouseSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("snapshot delta: restore(v1) + delta(v1,v2) equals readVersion(v2) " +
+    "row-for-row; tampered delta refuses with nothing committed") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val srcRoot = Files.createTempDirectory("graft_sd_src").toString
+    val full = Files.createTempDirectory("graft_sd_full").toString
+    val inc = Files.createTempDirectory("graft_sd_inc").toString
+    val tbl = graft.sources.DocTable(spark, srcRoot)
+    tbl.init(docs.filter($"doc_id" % 3 =!= 0))                  // v1
+    tbl.upsert(docs.filter($"doc_id" % 2 === 0)                 // v2
+      .withColumn("lang", lit("xx")))
+    val canon = graft.functions.MarketFunctions.md5Hash60(
+      concat(lit("fp#"), $"doc_id".cast("string"), lit("#"),
+        $"lang", lit("#"), $"text"))
+    Warehouse.exportSnapshot(spark, tbl, 1L, full, 4, "s", "doc_id",
+      canon)
+    Warehouse.exportSnapshotDelta(spark, tbl, 1L, 2L, inc, 4, "s",
+      "doc_id", canon)
+    val dest = graft.sources.DocTable(spark,
+      Files.createTempDirectory("graft_sd_dst").toString)
+    Warehouse.importSnapshot(spark, full, dest, docs.schema, canon)
+    val applied = Warehouse.applySnapshotDelta(spark, inc, dest,
+      docs.schema, canon, "doc_id")
+    assert(applied > 0)
+    val want = tbl.readVersion(2L).select(docs.columns.map(col): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(dest.read().select(docs.columns.map(col): _*)
+      .orderBy("doc_id").collect().toSeq === want,
+      "restore + delta must reproduce v2 exactly")
+    // re-apply: zero-change, no commit
+    val v = dest.version
+    assert(Warehouse.applySnapshotDelta(spark, inc, dest, docs.schema,
+      canon, "doc_id") === 0L)
+    assert(dest.version === v)
+    // length-preserving tamper of one delta row refuses whole-or-nothing
+    val f = java.nio.file.Files.walk(java.nio.file.Paths.get(inc))
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.contains("shard="))
+      .findFirst().get()
+    java.nio.file.Files.writeString(f,
+      java.nio.file.Files.readString(f)
+        .replaceFirst("(\"lang\":\")[a-z]", "$1Z"))
+    java.nio.file.Files.deleteIfExists(f.resolveSibling(
+      "." + f.getFileName.toString + ".crc"))
+    spark.catalog.refreshByPath(inc)
+    val dest2 = graft.sources.DocTable(spark,
+      Files.createTempDirectory("graft_sd_dst2").toString)
+    Warehouse.importSnapshot(spark, full, dest2, docs.schema, canon)
+    val v2pre = dest2.version
+    val ex = intercept[IllegalStateException] {
+      Warehouse.applySnapshotDelta(spark, inc, dest2, docs.schema,
+        canon, "doc_id")
+    }
+    assert(ex.getMessage.contains("fingerprint mismatch"))
+    assert(dest2.version === v2pre,
+      "a refused apply must commit nothing")
+    graft.Caches.releaseAll()
+  }
+
   test("delete stream: per-batch txn fence makes a fresh-checkpoint " +
     "replay a no-op; served answers exclude the streamed tombstones") {
     import graft.pipelines.Similarity
