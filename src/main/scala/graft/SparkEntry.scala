@@ -2741,6 +2741,53 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "st17_update_stream" -> ((s, d) => {
+      // the index lifecycle's THIRD verb in streaming form (st11
+      // streams appends, st15 streams takedowns): the full corpus
+      // serves from a persisted IVFPQ index while UPDATE requests
+      // arrive as two streamed micro-batches — reverse the %37≡4
+      // slice's embeddings, then write the originals back for its
+      // %74≡4 half — each committed through the versioned-tombstone
+      // flip n28 proves inline, fenced per ("pq_update", batchId).
+      // Updates become visible one micro-batch later, no index file
+      // rewrites, and last-write-wins holds ACROSS batches (the second
+      // batch's flip kills the first's rows for its ids), so the serve
+      // equals n13's pipeline over the post-update corpus. Replay and
+      // crash robustness are WarehouseSpec's job; the doubling guard
+      // rides the gate path like n28's.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st17_index").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st17_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st17_ckpt").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      def runBatch(rows: org.apache.spark.sql.DataFrame): Unit = {
+        rows.coalesce(1).write.mode("append").parquet(landing)
+        val q = graft.streaming.IndexStream.startUpdates(s, landing,
+          root, ckpt)
+        if (!q.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      runBatch(emb.filter(col("vec_id") % 37 === 4)
+        .withColumn("embedding", reverse(col("embedding"))))
+      runBatch(emb.filter(col("vec_id") % 74 === 4))
+      // doubling guard: a streamed update whose new vector moved IVF
+      // cells leaves marks in two cells; exactly one live copy per id
+      require(Warehouse.readPqCodesLive(s, root)
+        .join(emb.filter(col("vec_id") % 37 === 4).select("vec_id"),
+          "vec_id")
+        .groupBy("vec_id").count().filter(col("count") =!= 1).isEmpty,
+        "every streamed-updated id must have exactly ONE live copy")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, qv, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "st7_stream_join" -> ((s, d) => {
       // stream-stream interval join replay: land the event stream and
       // the impulse stream (j7's every-500th event opening a 2h impact
@@ -4969,6 +5016,16 @@ object SparkEntry {
     ("st15_delete_stream" -> oracleBase("n13_ivfpq_topk").replace(
       "  FROM embeddings),",
       "  FROM embeddings\n  WHERE NOT (vec_id = 0 OR vec_id % 10 = 3)),")) +
+    // st17 streams n28's update verb: two micro-batches (reverse %37≡4,
+    // then restore the %74≡4 half) with last-write-wins across batches,
+    // so the served corpus is n13's pipeline over the CASE'd embeddings
+    ("st17_update_stream" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 37 = 4 AND vec_id % 74 <> 4\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings)),")) +
     // g3 replays g1's transition graph through the streaming
     // delta-refresh path as one cold-start batch: same aggregated
     // edges, same 10 fixed-point iterations ⇒ g1's oracle

@@ -331,6 +331,16 @@ object Warehouse {
     * the unioned corpus with the same centroids/codebooks, and every
     * serving path answers identically (`n15_index_append` proves it
     * against n13's oracle; WarehouseSpec pins base+append ≡ full).
+    *
+    * UPDATE-OUTRANKS-APPEND: appended rows carry the implicit update
+    * sequence `_seq = 0`, so appending an id that a later
+    * [[updateInPqIndex]] already touched lands DEAD under the id's
+    * standing tombstone mark (`upto >= 0` never equals `-1`) until a
+    * rebuild re-ingests the live view — same discipline as
+    * takedown-wins for deletes. A stream that wants re-appends to
+    * supersede an earlier update must route those ids through
+    * [[updateInPqIndex]] (which sequences PAST the mark) instead of
+    * the append path.
     */
   def appendToPqIndex(batch: DataFrame, root0: String,
                       idCol: String = "vec_id",
@@ -396,6 +406,13 @@ object Warehouse {
     *    instead of corrupting the layout;
     *  - time travel: each table's manifest history reconstructs the
     *    served index at any append point.
+    *
+    * UPDATE-OUTRANKS-APPEND (see [[appendToPqIndex]]): delta rows land
+    * at `_seq = 0`, so a plain re-append of an id that
+    * [[updateInPqIndex]] already updated stays dead under the id's
+    * mark until rebuild. Ingest streams that may re-deliver updated
+    * ids should use [[graft.streaming.IndexStream.startUpdates]] for
+    * those ids, not the append stream.
     */
   def writePqDelta(batch: DataFrame, root: String, batchId: Long,
                    idCol: String = "vec_id",
@@ -607,8 +624,14 @@ object Warehouse {
     * (shard, change_type) row counts and order-independent `bit_xor`
     * fingerprints recomputed FROM the exported files under the
     * snapshot's pinned schema, and `_PROVENANCE.json` records both
-    * version endpoints. Output: `shard, change_type, n_rows,
-    * content_xor`.
+    * version endpoints. The manifest ALSO carries whole-table
+    * (rows, `bit_xor`) fingerprints of BOTH endpoints — v1 and v2 in
+    * full — so [[applySnapshotDelta]] can refuse a destination that is
+    * not actually at v1 and verify the applied result equals v2: the
+    * delta's own shards were always verified, but without endpoint
+    * fingerprints a valid delta applied to a diverged restore would
+    * silently land a mongrel table (absorbed deletes, wrong-row insert
+    * dedup). Output: `shard, change_type, n_rows, content_xor`.
     */
   def exportSnapshotDelta(spark: SparkSession, tbl: AtomicTable,
                           v1: Long, v2: Long, outDir: String,
@@ -629,16 +652,29 @@ object Warehouse {
     import spark.implicits._
     val rows = manifest.orderBy("shard", "change_type")
       .as[(Long, String, Long, Long)].collect().toSeq
+    // whole-table endpoint fingerprints: same (rows, order-independent
+    // bit_xor of canon) shape as the shard lines, computed over the
+    // PINNED versions — one scan each, paid once at export so every
+    // future apply can verify its destination instead of trusting it
+    def endpointFp(v: Long): (Long, Long) =
+      tbl.readVersion(v).withColumn("_fp", canon)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_fp)"), lit(0L)))
+        .as[(Long, Long)].head()
+    val (n1, x1) = endpointFp(v1)
+    val (n2, x2) = endpointFp(v2)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_PROVENANCE.json"),
       s"""{"v1":$v1,"v2":$v2,"salt":${jsonStr(salt)},""" +
         s""""shards":$shards,"table":${jsonStr(tbl.root)}}\n""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_MANIFEST.json"),
-      rows.map { case (sh, ct, n, x) =>
-        s"""{"shard":$sh,"change_type":${jsonStr(ct)},""" +
-          s""""n_rows":$n,"content_xor":$x}"""
-      }.mkString("", "\n", "\n"))
+      (Seq(
+        s"""{"endpoint":"v1","n_rows":$n1,"content_xor":$x1}""",
+        s"""{"endpoint":"v2","n_rows":$n2,"content_xor":$x2}""") ++
+        rows.map { case (sh, ct, n, x) =>
+          s"""{"shard":$sh,"change_type":${jsonStr(ct)},""" +
+            s""""n_rows":$n,"content_xor":$x}"""
+        }).mkString("", "\n", "\n"))
     rows.toDF("shard", "change_type", "n_rows", "content_xor")
   }
 
@@ -654,6 +690,23 @@ object Warehouse {
     * [[AtomicTable.overwritePartitions]] commit over the touched
     * partitions — crash-atomic, untouched partitions never read.
     * Re-applying is a zero-change no-op that commits nothing.
+    *
+    * BOTH ENDPOINTS ARE VERIFIED, not taken on faith: the manifest
+    * carries whole-table (rows, `bit_xor`) fingerprints of v1 and v2,
+    * and the apply (a) refuses up front when `dest` does not equal v1
+    * (a diverged restore — wrong version, partial vacuum, stray write
+    * — would otherwise absorb deletes that match nothing and dedup
+    * inserts against the wrong rows, silently landing a mongrel
+    * table), (b) recognizes a `dest` already at v2 as an
+    * already-applied no-op, and (c) computes the would-be result's
+    * whole-table fingerprint and requires it to equal v2 BEFORE the
+    * commit — whole-or-nothing, same discipline as
+    * [[importSnapshot]]'s diverged-dest refusal. The v2 post-check
+    * also catches the duplicate-fingerprint hazard (two dest rows
+    * with identical canon values both removed by one delta delete
+    * row): over-deletion flips the predicted fingerprint and the
+    * apply refuses instead of committing the loss.
+    *
     * `canon` must fingerprint the full payload (id alone cannot
     * distinguish a changed row's old and new content). Returns the
     * number of rows the apply actually changed (deletes + inserts).
@@ -668,8 +721,17 @@ object Warehouse {
       s"no _MANIFEST.json under $deltaDir — not a delta-export dir")
     val pat = ("""\{"shard":(-?\d+),"change_type":"(\w+)",""" +
       """"n_rows":(-?\d+),"content_xor":(-?\d+)\}""").r
-    val manifest = java.nio.file.Files.readAllLines(mf).toArray
-      .map(_.toString.trim).filter(_.nonEmpty).toSeq.map {
+    val epPat =
+      """\{"endpoint":"(v[12])","n_rows":(-?\d+),"content_xor":(-?\d+)\}""".r
+    val lines = java.nio.file.Files.readAllLines(mf).toArray
+      .map(_.toString.trim).filter(_.nonEmpty).toSeq
+    val endpoints = lines.collect {
+      case epPat(ep, n, x) => ep -> (n.toLong, x.toLong)
+    }.toMap
+    require(endpoints.contains("v1") && endpoints.contains("v2"),
+      s"delta manifest under $deltaDir carries no endpoint " +
+        "fingerprints — re-export with the endpoint-verifying exporter")
+    val manifest = lines.filterNot(epPat.matches).map {
         case pat(sh, ct, n, x) => (sh.toLong, ct, n.toLong, x.toLong)
         case l => throw new IllegalStateException(
           s"unparseable delta-manifest line: $l")
@@ -690,6 +752,23 @@ object Warehouse {
         "delta fingerprint mismatch — refusing to apply; " +
           s"divergent shards (expected/found): ${bad.toSeq.sorted}")
     }
+    // endpoint gate: one whole-table scan of dest decides whether this
+    // apply is (a) already done (dest ≡ v2 → no-op), (b) legal
+    // (dest ≡ v1 → proceed), or (c) a diverged restore (→ refuse
+    // before touching anything)
+    val (v1n, v1x) = endpoints("v1")
+    val (v2n, v2x) = endpoints("v2")
+    val (destN, destX) =
+      if (!dest.hasData) (0L, 0L)
+      else dest.read().withColumn("_fp", canon)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_fp)"), lit(0L)))
+        .as[(Long, Long)].head()
+    if (destN == v2n && destX == v2x) return 0L
+    if (destN != v1n || destX != v1x)
+      throw new IllegalStateException(
+        "destination diverges from the delta's v1 endpoint " +
+          s"(rows $destN xor $destX vs $v1n/$v1x) — refusing to apply " +
+          "a v1→v2 delta to a table that is not at v1")
     val dataCols = schema.fields.map(f => col(f.name)).toIndexedSeq
     // deletes match by the FULL row fingerprint, not the key: a
     // changed row is a delete(old content) + insert(new content) pair
@@ -715,8 +794,28 @@ object Warehouse {
     // pre-delete view would silently drop the new content
     val fresh = ins.join(kept.select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
-    val nDel = existing.count() - kept.count()
-    val nIns = fresh.count()
+    def cntXor(df: DataFrame): (Long, Long) =
+      df.withColumn("_fp", canon)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_fp)"), lit(0L)))
+        .as[(Long, Long)].head()
+    val (existN, existX) = cntXor(existing)
+    val (keptN, keptX) = cntXor(kept)
+    val (freshN, freshX) = cntXor(fresh)
+    // predict the post-apply whole-table fingerprint WITHOUT a second
+    // full scan: post = (dest \ existing) ∪ kept ∪ fresh, and kept ⊆
+    // existing, so xor(post) = xor(dest) ^ xor(existing) ^ xor(kept)
+    // ^ xor(fresh); refuse BEFORE the commit if it is not v2 — an
+    // over-deleting duplicate fingerprint, a canon collision, or any
+    // other silent drift dies here with nothing committed
+    val postN = destN - existN + keptN + freshN
+    val postX = destX ^ existX ^ keptX ^ freshX
+    if (postN != v2n || postX != v2x)
+      throw new IllegalStateException(
+        "applied result would diverge from the delta's v2 endpoint " +
+          s"(rows $postN xor $postX vs $v2n/$v2x) — refusing to " +
+          "commit a mongrel table")
+    val nDel = existN - keptN
+    val nIns = freshN
     if (nDel + nIns == 0) return 0L
     dest.overwritePartitions(touched, kept.unionByName(fresh))
     nDel + nIns
@@ -908,15 +1007,34 @@ object Warehouse {
       taken.fold(upd0)(p => upd0.join(p, Seq(idCol), "left_anti")))
     val n = upd.count()
     if (n > 0) {
-      val embRows = upd.withColumn("cell", cell)
+      val embRows0 = upd.withColumn("cell", cell)
         .withColumn("_seq", col("_cur") + 1L).drop("_cur")
-      val codeRows = upd.withColumn("cell", cell)
+      val codeRows0 = upd.withColumn("cell", cell)
         .withColumn("code",
           pqCodeFor(vecCol, cents, cb, readPqResidualFlag(r)))
         .select(col(idCol), col("cell"), col("code"),
           (col("_cur") + 1L).as("_seq"))
       val emb = pqDeltaEmbTable(spark, r, failpoint)
       val codes = pqDeltaCodeTable(spark, r, failpoint)
+      // non-txn crash-replay convergence: a caller without a txn fence
+      // that crashed between the delta append and the mark flip and
+      // re-ran would re-derive the SAME _seq (the stranded row is
+      // invisible to the live view) and append a SECOND copy — the
+      // eventual flip would then enable both, a doubled id at serve.
+      // Dedup each table's landing by (id, _seq) against its own
+      // committed multiset: the replay re-lands only what its crash
+      // lost, per table, so emb-landed/codes-missing states also
+      // converge. Txn-fenced callers never reach the duplicate (their
+      // per-table marks skip completed appends); the anti-join is the
+      // same guarantee for everyone else.
+      def dedupBySeq(rows: DataFrame,
+                     t: graft.sources.AtomicTable): DataFrame =
+        if (txn.nonEmpty || !t.hasData) rows
+        else rows.join(
+          withSeq(t.read()).select(col(idCol), col("_seq")),
+          Seq(idCol, "_seq"), "left_anti")
+      val embRows = dedupBySeq(embRows0, emb)
+      val codeRows = dedupBySeq(codeRows0, codes)
       // vectors, then codes, then the mark flip — each fenced; the
       // serve is codes-driven and the codes are seq-gated, so every
       // intermediate crash state serves whole-old

@@ -77,4 +77,40 @@ object IndexStream {
       }
       .trigger(trigger)
       .start()
+
+  /** The lifecycle's THIRD verb in streaming form: update requests
+    * (full replacement rows, base embedding schema) land as a stream
+    * and each micro-batch commits through
+    * [[Warehouse.updateInPqIndex]] under a `("pq_update", batchId)`
+    * fence — the tombstone mark commits LAST and carries the fence, so
+    * an at-least-once replay of a completed batch is a clean skip and
+    * a replay of a crashed one completes the whole-old→whole-new flip
+    * (the landed-but-unflipped rows re-derive their own `_seq` and the
+    * flip resurrects them, never duplicates). Updates become visible
+    * one micro-batch after arrival with no rebuild; takedown-wins is
+    * preserved (an id under a full tombstone ignores streamed
+    * updates). Together with [[start]] (appends) and [[startDeletes]]
+    * (takedowns) this closes the streaming index lifecycle —
+    * insert/update/delete all continuous, rebuild only for model
+    * drift. Mirrors the reference's continuous refresh loop
+    * (/root/reference/static/main.js:592-596) generalized to vectors.
+    *
+    * Contract: one row per id per micro-batch (colliding same-batch
+    * updates have no defined order — [[Warehouse.updateInPqIndex]]
+    * refuses them loudly rather than picking one silently).
+    */
+  def startUpdates(spark: SparkSession, landingDir: String,
+                   indexRoot: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(embeddingSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Warehouse.updateInPqIndex(spark, indexRoot, df,
+          txn = Some(("pq_update", id)))
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -511,6 +511,26 @@ class WarehouseSpec extends AnyFunSuite {
     // a replayed txn whose flip already committed is recognized
     assert(Warehouse.updateInPqIndex(spark, root, upd,
       txn = Some(("upd_crash", 11L))) === 0L)
+    // NON-TXN crash replay converges too: the re-run re-derives the
+    // same _seq (the stranded row is invisible), and without the
+    // (id, _seq) landing dedup it would append a SECOND copy that the
+    // eventual flip enables alongside the first — a doubled id at serve
+    Seq("update_between_emb_codes", "update_before_flip").foreach { fp =>
+      intercept[RuntimeException] {
+        Warehouse.updateInPqIndex(spark, root, upd,
+          failpoint = p => if (p == fp) sys.error(s"crash at $p"))
+      }
+      assert(serve() === before,
+        s"non-txn crash at $fp must leave whole-old at serve")
+      assert(Warehouse.updateInPqIndex(spark, root, upd) === 1L)
+      assert(serve() !== before, s"non-txn replay after $fp completes")
+      assert(Warehouse.readEmbeddingsByCellLive(spark, root)
+        .filter($"vec_id" === 3).count() === 1L,
+        "a non-txn replay must never double the id")
+      // restore for the next iteration / the takedown stanza below
+      assert(Warehouse.updateInPqIndex(spark, root,
+        emb.filter($"vec_id" === 3)) === 1L)
+    }
     // takedown-wins: a deleted id rejects updates (count excludes it,
     // nothing resurrects), and an update never lowers the takedown
     assert(Warehouse.deleteFromPqIndex(spark, root, Seq(3L)) === 1L)
@@ -664,6 +684,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.applySnapshotDelta(spark, inc, dest, docs.schema,
       canon, "doc_id") === 0L)
     assert(dest.version === v)
+    // the post-apply whole-table fingerprint equals the manifest's v2
+    // endpoint line — the endpoint the apply verified pre-commit
+    val epPat =
+      """\{"endpoint":"v2","n_rows":(-?\d+),"content_xor":(-?\d+)\}""".r
+    val v2line = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$inc/_MANIFEST.json"))
+      .toArray.map(_.toString).collectFirst {
+        case epPat(n, x) => (n.toLong, x.toLong)
+      }.get
+    val gotFp = dest.read().withColumn("_fp", canon)
+      .agg(count(lit(1)), coalesce(expr("bit_xor(_fp)"), lit(0L)))
+      .as[(Long, Long)].head()
+    assert(gotFp === v2line,
+      "post-apply fingerprint must equal the manifest's v2 endpoint")
+    // a diverged restore refuses BEFORE applying: restore v1 again,
+    // then let the table drift (a stray append) — the endpoint gate
+    // must refuse whole-or-nothing instead of landing a mongrel
+    val dest3 = graft.sources.DocTable(spark,
+      Files.createTempDirectory("graft_sd_dst3").toString)
+    Warehouse.importSnapshot(spark, full, dest3, docs.schema, canon)
+    dest3.append(docs.filter($"doc_id" % 3 === 0).limit(1))
+    val v3pre = dest3.version
+    val exDiv = intercept[IllegalStateException] {
+      Warehouse.applySnapshotDelta(spark, inc, dest3, docs.schema,
+        canon, "doc_id")
+    }
+    assert(exDiv.getMessage.contains("v1 endpoint"))
+    assert(dest3.version === v3pre,
+      "a refused apply must commit nothing")
     // length-preserving tamper of one delta row refuses whole-or-nothing
     val f = java.nio.file.Files.walk(java.nio.file.Paths.get(inc))
       .filter(p => p.getFileName.toString.startsWith("part-") &&
@@ -732,6 +781,69 @@ class WarehouseSpec extends AnyFunSuite {
       .ivfPqServe(spark, root, q3, topK = 5, nprobe = 2, cand = 20)
       .select("vec_id").as[Long].collect().toSet
     assert(served.forall(_ % 10 !== 3))
+    graft.Caches.releaseAll()
+  }
+
+  test("update stream: a crash mid-batch is healed by the stream's " +
+    "replay of the same fence; a fresh-checkpoint replay is a no-op") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_st_upd").toString
+    val landing = Files.createTempDirectory("graft_st_upd_land").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    def run(ckpt: String): Unit = {
+      val q = graft.streaming.IndexStream.startUpdates(spark, landing,
+        root, ckpt)
+      assert(q.awaitTermination(180000))
+    }
+    val q3 = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse
+      .ivfPqServe(spark, root, q3, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val before = serve()
+    val upd = emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding"))
+    // land batch 0's file, then CRASH a mid-batch attempt under the
+    // stream's own fence ("pq_update", 0): vectors and codes land,
+    // the flip does not — whole-old at serve, exactly the state a
+    // foreachBatch sink crash leaves behind
+    upd.coalesce(1).write.mode("append").parquet(landing)
+    intercept[RuntimeException] {
+      Warehouse.updateInPqIndex(spark, root, upd,
+        txn = Some(("pq_update", 0L)),
+        failpoint = p =>
+          if (p == "update_before_flip") sys.error("crash mid-batch"))
+    }
+    assert(serve() === before, "crash mid-batch must serve whole-old")
+    // the stream's batch 0 replays the SAME txn: the landed appends
+    // skip on their marks and the flip completes — whole-new, once
+    val mainCkpt = Files.createTempDirectory("graft_st_upd_c1").toString
+    run(mainCkpt)
+    assert(serve() !== before, "the stream replay completes the update")
+    assert(Warehouse.readEmbeddingsByCellLive(spark, root)
+      .filter($"vec_id" === 3).count() === 1L,
+      "healed update leaves exactly ONE live copy")
+    // second micro-batch writes the original back: generations chain
+    // across streamed batches, last write wins
+    emb.filter($"vec_id" === 3)
+      .coalesce(1).write.mode("append").parquet(landing)
+    run(mainCkpt)
+    assert(serve() === before,
+      "second streamed update restores the original answer")
+    // a FRESH checkpoint replays every landed file as batch 0 — the
+    // ("pq_update", 0) fence recognizes the commit and skips (the
+    // fence check runs BEFORE the one-row-per-id require, so the
+    // merged replay batch cannot even trip it)
+    val t = Warehouse.pqTombstoneTable(spark, root)
+    val v1 = t.version
+    run(Files.createTempDirectory("graft_st_upd_c2").toString)
+    assert(t.version === v1,
+      "fresh-checkpoint replay must recover nothing twice")
+    assert(serve() === before)
     graft.Caches.releaseAll()
   }
 
