@@ -33,6 +33,22 @@ object SparkEntry {
     reverse(col("key")),
     array_join(array_sort(split(col("key"), "")), ""))
 
+  /** The fuzzy-ER family's DUAL blocking keys (t39/t41/t42): the
+    * 4-char key prefix plus the 4-char key SUFFIX. Blocking is the
+    * recall boundary of blocked ER — a typo inside the block key
+    * itself is invisible to BOTH the exact within-block member and
+    * SNM, because the two sides land in different blocks before any
+    * comparison runs (so single-blocking "recall" is relative to the
+    * blocked truth, structurally blind to first-block typos). The
+    * suffix block is orthogonal: a pair disagreeing somewhere in its
+    * first 4 chars almost always still agrees in its last 4, so the
+    * union of the two blocked runs measures — and recovers — the
+    * class the single blocking could not even see. Keys are length
+    * ≥ 8, so prefix and suffix never overlap.
+    */
+  private[graft] def erBlockKeys: Seq[Column] = Seq(
+    substring(col("key"), 1, 4), substring(col("key"), -4, 4))
+
   /** Catalog-backed bucketed fact tables for the co-located star join
     * (q5b): one write per (JVM, sf dir); subsequent calls reuse the
     * registered tables. At cluster scale this is the table-of-record
@@ -1459,12 +1475,17 @@ object SparkEntry {
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
             .as("key"))
         .filter(length(col("key")) >= 8)
+      // DUAL BLOCKING (prefix-4 ∪ suffix-4): a typo inside the block
+      // key itself used to be invisible — the pair landed in two
+      // different blocks before any comparison ran, for the exact
+      // member and SNM alike. The suffix block catches exactly that
+      // class; the union is deduplicated, dist is blocking-independent
       val distinctKeys = keyed.groupBy("key").agg(
         min(col("doc_id")).as("id"), count(lit(1)).as("n_ids"))
-      val recs = distinctKeys.select(col("id"),
-        substring(col("key"), 1, 4).as("block"), col("key"))
-      pipelines.TextAnalysis.sortedNeighborPairsMultiPass(recs,
-          maxDist = 8, window = 32, SparkEntry.snmPassKeys)
+      val recs = distinctKeys.select(col("id"), col("key"))
+      pipelines.TextAnalysis.sortedNeighborPairsMultiBlock(recs,
+          maxDist = 8, window = 32, SparkEntry.snmPassKeys,
+          SparkEntry.erBlockKeys)
         .join(distinctKeys.select(col("id").as("id_a"),
           col("n_ids").as("n_a")), "id_a")
         .join(distinctKeys.select(col("id").as("id_b"),
@@ -2932,12 +2953,21 @@ object SparkEntry {
       // recall vs brute force) applied to ER. Same distinct keys,
       // same blocks, same maxDist; the exact all-pairs join (the
       // triangle-salted library member) is the oracle set, SNM at
-      // windows 8/16/32 the candidates, single-pass AND 3-pass
-      // multi-pass (forward + reversed + sorted-chars) side by side
-      // — the dial t39 ships on (w=32, 3-pass) made a number per
-      // window: what the orthogonal sort orders buy. SNM ⊆ exact by
-      // construction (the neighbor constraint only removes pairs),
-      // so recall is a plain ppm ratio.
+      // windows 8/16/32 the candidates, 3-pass multi-pass (forward +
+      // reversed + sorted-chars) under the single prefix block AND
+      // under dual blocking side by side — the dial t39 ships on
+      // (w=32, 3-pass, dual-block) made a number per window. SNM ⊆
+      // exact by construction under matching blockings (the neighbor
+      // constraint only removes pairs), so recall is a plain ppm
+      // ratio.
+      // DUAL-BLOCKING honesty: the old single (prefix-4) blocking was
+      // shared by SNM and its exact oracle, so a typo in the first
+      // four chars was invisible to the MEASUREMENT itself — recall
+      // was relative to the blocked truth. Both sides now also run
+      // under the orthogonal suffix-4 block; n_exact vs n_exact_db is
+      // the pair mass the single blocking could not see, and
+      // recall_db_ppm grades the dual-blocked SNM against the WIDER
+      // truth. Single-blocked mp numbers stay for the dial's history.
       val docs = T(s, d).documents
       val keyed = docs.select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
@@ -2945,31 +2975,37 @@ object SparkEntry {
         .filter(length(col("key")) >= 8)
       val recs = graft.Caches.persist(
         keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
-          .select(col("id"), substring(col("key"), 1, 4).as("block"),
-            col("key")))
+          .select(col("id"), col("key")))
+      val recsP = recs.withColumn("block", substring(col("key"), 1, 4))
       val exact = graft.Caches.persist(
-        pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8))
+        pipelines.TextAnalysis.fuzzyMatchPairs(recsP, maxDist = 8))
+      val exactDb = graft.Caches.persist(
+        pipelines.TextAnalysis.fuzzyMatchPairsMultiBlock(recs,
+          maxDist = 8, SparkEntry.erBlockKeys))
       val perWindow = Seq(8, 16, 32).map { w =>
-        pipelines.TextAnalysis.sortedNeighborPairs(recs, maxDist = 8,
-            window = w)
-          .agg(count(lit(1)).as("n_snm"))
-          .crossJoin(pipelines.TextAnalysis.sortedNeighborPairsMultiPass(
-              recs, maxDist = 8, window = w, SparkEntry.snmPassKeys)
-            .agg(count(lit(1)).as("n_snm_mp")))
+        pipelines.TextAnalysis.sortedNeighborPairsMultiPass(recsP,
+            maxDist = 8, window = w, SparkEntry.snmPassKeys)
+          .agg(count(lit(1)).as("n_snm_mp"))
+          .crossJoin(pipelines.TextAnalysis.sortedNeighborPairsMultiBlock(
+              recs, maxDist = 8, window = w, SparkEntry.snmPassKeys,
+              SparkEntry.erBlockKeys)
+            .agg(count(lit(1)).as("n_snm_db")))
           .withColumn("win", lit(w.toLong))
       }.reduce(_.unionByName(_))
       perWindow
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
-        .select(col("win"), col("n_exact"), col("n_snm"),
+        .crossJoin(broadcast(exactDb.agg(count(lit(1)).as("n_exact_db"))))
+        .select(col("win"), col("n_exact"), col("n_exact_db"),
+          col("n_snm_mp"),
           // a corpus with no exact pairs has a defined recall of 0 —
           // both engines, no division
           when(col("n_exact") > 0,
-            expr("(n_snm * 1000000) div n_exact"))
-            .otherwise(lit(0L)).as("recall_ppm"),
-          col("n_snm_mp"),
-          when(col("n_exact") > 0,
             expr("(n_snm_mp * 1000000) div n_exact"))
-            .otherwise(lit(0L)).as("recall_mp_ppm"))
+            .otherwise(lit(0L)).as("recall_mp_ppm"),
+          col("n_snm_db"),
+          when(col("n_exact_db") > 0,
+            expr("(n_snm_db * 1000000) div n_exact_db"))
+            .otherwise(lit(0L)).as("recall_db_ppm"))
         .repartition(1).sortWithinPartitions("win")
     }),
 
@@ -2990,19 +3026,24 @@ object SparkEntry {
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
             .as("key"))
         .filter(length(col("key")) >= 8)
+      // both pair sets run under DUAL blocking (prefix-4 ∪ suffix-4):
+      // the family metric is graded against the wider exact truth the
+      // single blocking was structurally blind to (t41 measures the
+      // pair-mass difference; here the partition comparison inherits it)
       val recs = graft.Caches.persist(
         keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
-          .select(col("id"), substring(col("key"), 1, 4).as("block"),
-            col("key")))
+          .select(col("id"), col("key")))
       def comps(pairs: DataFrame): DataFrame =
         pipelines.Dedup.connectedComponents(recs.select(col("id")), "id",
           pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       val exactC = comps(
-        pipelines.TextAnalysis.fuzzyMatchPairs(recs, maxDist = 8))
+        pipelines.TextAnalysis.fuzzyMatchPairsMultiBlock(recs,
+          maxDist = 8, SparkEntry.erBlockKeys))
         .select(col("id"), col("root").as("root_ex"))
       val snmC = comps(
-        pipelines.TextAnalysis.sortedNeighborPairsMultiPass(recs,
-          maxDist = 8, window = 32, SparkEntry.snmPassKeys))
+        pipelines.TextAnalysis.sortedNeighborPairsMultiBlock(recs,
+          maxDist = 8, window = 32, SparkEntry.snmPassKeys,
+          SparkEntry.erBlockKeys))
         .select(col("id"), col("root").as("root_snm"))
       val joined = graft.Caches.persist(exactC.join(snmC, "id"))
       val fams = joined.groupBy("root_ex")
@@ -6084,31 +6125,41 @@ object SparkEntry {
         |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id,
         |    CAST(count(*) AS BIGINT) AS n_ids
         |  FROM t WHERE length(key) >= 8 GROUP BY key),
-        |r AS (SELECT id, substr(key, 1, 4) AS block, key, n_ids FROM k),
+        |r AS (
+        |  SELECT id, substr(key, 1, 4) AS block, key, n_ids, 0 AS bv
+        |  FROM k
+        |  UNION ALL
+        |  SELECT id, substr(key, length(key) - 3, 4), key, n_ids, 1
+        |  FROM k),
         |n1 AS (
-        |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block, key, id) AS rn
         |  FROM r),
         |n2 AS (
-        |  SELECT r.*,
-        |    row_number() OVER (ORDER BY block, reverse(key), id) AS rn
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block, reverse(key), id) AS rn
         |  FROM r),
         |n3 AS (
-        |  SELECT r.*, row_number() OVER (ORDER BY block,
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block,
         |    array_to_string(list_sort(str_split(key, '')), ''), id) AS rn
         |  FROM r),
         |u AS (
         |  SELECT a.id AS aid, a.key AS akey, a.n_ids AS an,
         |    b.id AS bid, b.key AS bkey, b.n_ids AS bn
         |  FROM n1 a JOIN n1 b
-        |    ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |    ON a.bv = b.bv AND b.rn > a.rn AND b.rn <= a.rn + 32
+        |    AND a.block = b.block
         |  UNION ALL
         |  SELECT a.id, a.key, a.n_ids, b.id, b.key, b.n_ids
         |  FROM n2 a JOIN n2 b
-        |    ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |    ON a.bv = b.bv AND b.rn > a.rn AND b.rn <= a.rn + 32
+        |    AND a.block = b.block
         |  UNION ALL
         |  SELECT a.id, a.key, a.n_ids, b.id, b.key, b.n_ids
         |  FROM n3 a JOIN n3 b
-        |    ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block)
+        |    ON a.bv = b.bv AND b.rn > a.rn AND b.rn <= a.rn + 32
+        |    AND a.block = b.block)
         |SELECT DISTINCT least(aid, bid) AS id_a,
         |  greatest(aid, bid) AS id_b,
         |  CAST(levenshtein(akey, bkey) AS INT) AS dist,
@@ -8635,62 +8686,96 @@ object SparkEntry {
         |k AS (
         |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id
         |  FROM t WHERE length(key) >= 8 GROUP BY key),
-        |r AS (SELECT id, substr(key, 1, 4) AS block, key FROM k),
+        |r AS (
+        |  SELECT id, substr(key, 1, 4) AS block, key, 0 AS bv FROM k
+        |  UNION ALL
+        |  SELECT id, substr(key, length(key) - 3, 4), key, 1 FROM k),
         |n1 AS (
-        |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block, key, id) AS rn
         |  FROM r),
         |n2 AS (
-        |  SELECT r.*,
-        |    row_number() OVER (ORDER BY block, reverse(key), id) AS rn
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block, reverse(key), id) AS rn
         |  FROM r),
         |n3 AS (
-        |  SELECT r.*, row_number() OVER (ORDER BY block,
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block,
         |    array_to_string(list_sort(str_split(key, '')), ''), id) AS rn
         |  FROM r),
         |ex AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_exact
-        |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |  FROM r a JOIN r b ON a.bv = 0 AND b.bv = 0
+        |    AND a.block = b.block AND a.id < b.id
         |  WHERE levenshtein(a.key, b.key) <= 8),
+        |exdb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_exact_db FROM (
+        |    SELECT DISTINCT a.id AS ia, b.id AS ib
+        |    FROM r a JOIN r b ON a.bv = b.bv
+        |      AND a.block = b.block AND a.id < b.id
+        |    WHERE levenshtein(a.key, b.key) <= 8)),
         |w AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS win),
-        |sn AS (
-        |  SELECT w.win, CAST(count(*) AS BIGINT) AS n_snm
-        |  FROM w, n1 a, n1 b
-        |  WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
-        |    AND a.block = b.block
-        |    AND levenshtein(a.key, b.key) <= 8
-        |  GROUP BY w.win),
         |mp AS (
         |  SELECT win, CAST(count(*) AS BIGINT) AS n_snm_mp FROM (
         |    SELECT DISTINCT win, ia, ib FROM (
         |      SELECT w.win, least(a.id, b.id) AS ia,
         |        greatest(a.id, b.id) AS ib
         |      FROM w, n1 a, n1 b
-        |      WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |      WHERE a.bv = 0 AND b.bv = 0
+        |        AND b.rn > a.rn AND b.rn <= a.rn + w.win
         |        AND a.block = b.block
         |        AND levenshtein(a.key, b.key) <= 8
         |      UNION ALL
         |      SELECT w.win, least(a.id, b.id), greatest(a.id, b.id)
         |      FROM w, n2 a, n2 b
-        |      WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |      WHERE a.bv = 0 AND b.bv = 0
+        |        AND b.rn > a.rn AND b.rn <= a.rn + w.win
         |        AND a.block = b.block
         |        AND levenshtein(a.key, b.key) <= 8
         |      UNION ALL
         |      SELECT w.win, least(a.id, b.id), greatest(a.id, b.id)
         |      FROM w, n3 a, n3 b
-        |      WHERE b.rn > a.rn AND b.rn <= a.rn + w.win
+        |      WHERE a.bv = 0 AND b.bv = 0
+        |        AND b.rn > a.rn AND b.rn <= a.rn + w.win
+        |        AND a.block = b.block
+        |        AND levenshtein(a.key, b.key) <= 8))
+        |  GROUP BY win),
+        |db AS (
+        |  SELECT win, CAST(count(*) AS BIGINT) AS n_snm_db FROM (
+        |    SELECT DISTINCT win, ia, ib FROM (
+        |      SELECT w.win, least(a.id, b.id) AS ia,
+        |        greatest(a.id, b.id) AS ib
+        |      FROM w, n1 a, n1 b
+        |      WHERE a.bv = b.bv
+        |        AND b.rn > a.rn AND b.rn <= a.rn + w.win
+        |        AND a.block = b.block
+        |        AND levenshtein(a.key, b.key) <= 8
+        |      UNION ALL
+        |      SELECT w.win, least(a.id, b.id), greatest(a.id, b.id)
+        |      FROM w, n2 a, n2 b
+        |      WHERE a.bv = b.bv
+        |        AND b.rn > a.rn AND b.rn <= a.rn + w.win
+        |        AND a.block = b.block
+        |        AND levenshtein(a.key, b.key) <= 8
+        |      UNION ALL
+        |      SELECT w.win, least(a.id, b.id), greatest(a.id, b.id)
+        |      FROM w, n3 a, n3 b
+        |      WHERE a.bv = b.bv
+        |        AND b.rn > a.rn AND b.rn <= a.rn + w.win
         |        AND a.block = b.block
         |        AND levenshtein(a.key, b.key) <= 8))
         |  GROUP BY win)
-        |SELECT w.win, ex.n_exact, COALESCE(sn.n_snm, 0) AS n_snm,
-        |  CAST(CASE WHEN ex.n_exact > 0
-        |    THEN (COALESCE(sn.n_snm, 0) * 1000000) // ex.n_exact
-        |    ELSE 0 END AS BIGINT) AS recall_ppm,
+        |SELECT w.win, ex.n_exact, exdb.n_exact_db,
         |  COALESCE(mp.n_snm_mp, 0) AS n_snm_mp,
         |  CAST(CASE WHEN ex.n_exact > 0
         |    THEN (COALESCE(mp.n_snm_mp, 0) * 1000000) // ex.n_exact
-        |    ELSE 0 END AS BIGINT) AS recall_mp_ppm
-        |FROM w LEFT JOIN sn ON w.win = sn.win
-        |  LEFT JOIN mp ON w.win = mp.win, ex
+        |    ELSE 0 END AS BIGINT) AS recall_mp_ppm,
+        |  COALESCE(db.n_snm_db, 0) AS n_snm_db,
+        |  CAST(CASE WHEN exdb.n_exact_db > 0
+        |    THEN (COALESCE(db.n_snm_db, 0) * 1000000) // exdb.n_exact_db
+        |    ELSE 0 END AS BIGINT) AS recall_db_ppm
+        |FROM w LEFT JOIN mp ON w.win = mp.win
+        |  LEFT JOIN db ON w.win = db.win, ex, exdb
         |ORDER BY w.win""".stripMargin,
 
     // family-level: both pair sets closed to components (reach CTE =
@@ -8705,37 +8790,46 @@ object SparkEntry {
         |k AS (
         |  SELECT key, CAST(min(doc_id) AS BIGINT) AS id
         |  FROM t WHERE length(key) >= 8 GROUP BY key),
-        |r AS (SELECT id, substr(key, 1, 4) AS block, key FROM k),
+        |r AS (
+        |  SELECT id, substr(key, 1, 4) AS block, key, 0 AS bv FROM k
+        |  UNION ALL
+        |  SELECT id, substr(key, length(key) - 3, 4), key, 1 FROM k),
         |n1 AS (
-        |  SELECT r.*, row_number() OVER (ORDER BY block, key, id) AS rn
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block, key, id) AS rn
         |  FROM r),
         |n2 AS (
-        |  SELECT r.*,
-        |    row_number() OVER (ORDER BY block, reverse(key), id) AS rn
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block, reverse(key), id) AS rn
         |  FROM r),
         |n3 AS (
-        |  SELECT r.*, row_number() OVER (ORDER BY block,
+        |  SELECT r.*, row_number() OVER (PARTITION BY bv
+        |    ORDER BY block,
         |    array_to_string(list_sort(str_split(key, '')), ''), id) AS rn
         |  FROM r),
         |exq AS (
-        |  SELECT a.id AS ia, b.id AS ib
-        |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |  SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM r a JOIN r b ON a.bv = b.bv
+        |    AND a.block = b.block AND a.id < b.id
         |  WHERE levenshtein(a.key, b.key) <= 8),
         |snp AS (
         |  SELECT DISTINCT ia, ib FROM (
         |    SELECT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib
         |    FROM n1 a JOIN n1 b
-        |      ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |      ON a.bv = b.bv AND b.rn > a.rn AND b.rn <= a.rn + 32
+        |      AND a.block = b.block
         |    WHERE levenshtein(a.key, b.key) <= 8
         |    UNION ALL
         |    SELECT least(a.id, b.id), greatest(a.id, b.id)
         |    FROM n2 a JOIN n2 b
-        |      ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |      ON a.bv = b.bv AND b.rn > a.rn AND b.rn <= a.rn + 32
+        |      AND a.block = b.block
         |    WHERE levenshtein(a.key, b.key) <= 8
         |    UNION ALL
         |    SELECT least(a.id, b.id), greatest(a.id, b.id)
         |    FROM n3 a JOIN n3 b
-        |      ON b.rn > a.rn AND b.rn <= a.rn + 32 AND a.block = b.block
+        |      ON a.bv = b.bv AND b.rn > a.rn AND b.rn <= a.rn + 32
+        |      AND a.block = b.block
         |    WHERE levenshtein(a.key, b.key) <= 8)),
         |eed AS (SELECT DISTINCT src, dst FROM (
         |  SELECT ia AS src, ib AS dst FROM exq
@@ -8751,14 +8845,15 @@ object SparkEntry {
         |  SELECT src, dst FROM sed
         |  UNION
         |  SELECT r.src, e.dst FROM srch r JOIN sed e ON r.dst = e.src),
+        |ids AS (SELECT id FROM k),
         |ecomp AS (
-        |  SELECT r.id, least(r.id, COALESCE(c.mn, r.id)) AS root_ex
-        |  FROM r LEFT JOIN (SELECT src AS id, min(dst) AS mn
-        |                    FROM erch GROUP BY src) c ON c.id = r.id),
+        |  SELECT ids.id, least(ids.id, COALESCE(c.mn, ids.id)) AS root_ex
+        |  FROM ids LEFT JOIN (SELECT src AS id, min(dst) AS mn
+        |                      FROM erch GROUP BY src) c ON c.id = ids.id),
         |scomp AS (
-        |  SELECT r.id, least(r.id, COALESCE(c.mn, r.id)) AS root_snm
-        |  FROM r LEFT JOIN (SELECT src AS id, min(dst) AS mn
-        |                    FROM srch GROUP BY src) c ON c.id = r.id),
+        |  SELECT ids.id, least(ids.id, COALESCE(c.mn, ids.id)) AS root_snm
+        |  FROM ids LEFT JOIN (SELECT src AS id, min(dst) AS mn
+        |                      FROM srch GROUP BY src) c ON c.id = ids.id),
         |j AS (SELECT e.id, e.root_ex, s.root_snm
         |      FROM ecomp e JOIN scomp s ON e.id = s.id),
         |fams AS (

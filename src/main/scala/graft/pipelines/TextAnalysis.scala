@@ -1402,6 +1402,52 @@ object TextAnalysis {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Multi-BLOCKING fuzzy matching: the union of [[fuzzyMatchPairs]]
+    * runs, one per blocking key, pairs deduplicated on (id_a, id_b).
+    * Blocking is the recall BOUNDARY of blocked ER: an edit inside
+    * the block key itself moves one side to a different block, so the
+    * pair is never even compared — invisible to the within-block
+    * exact join and to SNM alike, and invisible to any recall number
+    * measured against a single blocking. An orthogonal second
+    * blocking (a suffix block against a prefix block, a sorted-chars
+    * block against either) restores exactly the pairs whose keys
+    * still agree under AT LEAST ONE blocking; `dist` is
+    * blocking-independent (edits between the original keys), so the
+    * dedup is deterministic. Work is the sum of the blocked runs —
+    * still Σ|block|² per blocking, never all-pairs. `records`
+    * carries (`id`, `key`); each element of `blockKeys` is an
+    * expression over `key`.
+    */
+  def fuzzyMatchPairsMultiBlock(records: DataFrame, maxDist: Int,
+                                blockKeys: Seq[Column],
+                                blockCap: Int = 1024): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    blockKeys.map(bk =>
+        fuzzyMatchPairs(records.withColumn("block", bk), maxDist,
+          blockCap))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Multi-blocking × multi-pass SNM: one
+    * [[sortedNeighborPairsMultiPass]] run per blocking key, unioned
+    * and deduplicated — the approximation-side counterpart of
+    * [[fuzzyMatchPairsMultiBlock]], covering the first-block-typo
+    * class a single blocking is structurally blind to. Work and
+    * output stay O(keys·window·passes·blockings), every pass
+    * skew-immune by the same global-rank equi-join.
+    */
+  def sortedNeighborPairsMultiBlock(records: DataFrame, maxDist: Int,
+                                    window: Int, passKeys: Seq[Column],
+                                    blockKeys: Seq[Column]): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    blockKeys.map(bk =>
+        sortedNeighborPairsMultiPass(records.withColumn("block", bk),
+          maxDist, window, passKeys))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   private def snmPass(records: DataFrame, maxDist: Int,
                       window: Int, passKey: Column): DataFrame = {
     require(window > 0, "window must be positive")

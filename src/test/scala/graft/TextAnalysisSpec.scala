@@ -850,6 +850,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("multi-block fuzzy ER: a typo inside the block key is invisible " +
+    "to single blocking — exact and SNM alike — and recovered by the " +
+    "orthogonal suffix block; dual-visible pairs still report once") {
+    // records carry (id, key); blockings are expressions over key
+    val recs = Seq(
+      (1L, "aaaa-shared-tail"),
+      (2L, "baaa-shared-tail"),   // 1 edit INSIDE the 4-char prefix
+      (3L, "cccc-unrelated-xyz")).toDF("id", "key")
+    val pre = Seq(substring(col("key"), 1, 4))
+    val dual = Seq(substring(col("key"), 1, 4),
+      substring(col("key"), -4, 4))
+    // single (prefix) blocking: the pair lands in two blocks and is
+    // never even compared — the structural blind spot, shared by the
+    // exact member and any recall measured against it
+    assert(TextAnalysis.fuzzyMatchPairsMultiBlock(recs, maxDist = 2, pre)
+      .isEmpty)
+    // dual blocking: the suffix block restores it, exactly once
+    assert(TextAnalysis.fuzzyMatchPairsMultiBlock(recs, maxDist = 2, dual)
+      .as[(Long, Long, Int)].collect().toSeq === Seq((1L, 2L, 1)))
+    // SNM inherits the same boundary and the same recovery
+    assert(TextAnalysis.sortedNeighborPairsMultiBlock(recs, maxDist = 2,
+      window = 4, Seq(col("key")), pre).isEmpty)
+    assert(TextAnalysis.sortedNeighborPairsMultiBlock(recs, maxDist = 2,
+        window = 4, Seq(col("key")), dual)
+      .as[(Long, Long, Int)].collect().toSeq === Seq((1L, 2L, 1)))
+    // a pair visible under BOTH blockings dedups to one report
+    val both = Seq((1L, "aaaa-tail-zzzz"), (2L, "aaaa-tbil-zzzz"))
+      .toDF("id", "key")
+    assert(TextAnalysis.fuzzyMatchPairsMultiBlock(both, maxDist = 2, dual)
+      .count() === 1L)
+    assert(TextAnalysis.sortedNeighborPairsMultiBlock(both, maxDist = 2,
+      window = 4, Seq(col("key"), reverse(col("key"))), dual)
+      .count() === 1L)
+    graft.Caches.releaseAll()
+  }
+
   test("tokenBudgetWaterfill: caps bind exactly, splits truncate, " +
     "degenerate budgets degenerate cleanly") {
     val s = Seq(("a", 100L, 1L), ("b", 1000L, 1L), ("c", 10000L, 2L))
