@@ -3071,6 +3071,70 @@ object SparkEntry {
             .otherwise(lit(0L)).as("closure_recall_ppm"))
     }),
 
+    "t43_sampled_family_recall" -> ((s, d) => {
+      // decade-2 recall evidence without the decade-2 exact bill:
+      // t42's family metric graded on a DETERMINISTIC 1/16 sample of
+      // prefix-4 blocks (hash-selected, engine-mirrorable), dual-block
+      // exact member and SNM both restricted to the sampled keys.
+      // BLOCK sampling preserves within-block density — every sampled
+      // block is at full corpus scale, unlike key sampling, which
+      // would thin the very families it measures; chains that leave
+      // the sample through suffix blocks truncate BOTH sides
+      // identically, so the ratio stays a fair recall estimate of the
+      // sampled stratum (n_fam_exact is the CI context). The sampler
+      // is validated against the full t42 at sf0.1/sf1.0; at sf10 it
+      // is the number the 100 TB claim cites (BASELINE.md).
+      val docs = T(s, d).documents
+      val keyed = docs.select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 24)
+            .as("key"))
+        .filter(length(col("key")) >= 8)
+      val recs = graft.Caches.persist(
+        keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
+          .select(col("id"), col("key"))
+          .filter(MarketFunctions.md5Hash60(
+            concat(lit("t43#"), substring(col("key"), 1, 4)))
+            % 16 === 0))
+      def comps(pairs: DataFrame): DataFrame =
+        pipelines.Dedup.connectedComponents(recs.select(col("id")), "id",
+          pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      val exactC = comps(
+        pipelines.TextAnalysis.fuzzyMatchPairsMultiBlock(recs,
+          maxDist = 8, SparkEntry.erBlockKeys))
+        .select(col("id"), col("root").as("root_ex"))
+      val snmC = comps(
+        pipelines.TextAnalysis.sortedNeighborPairsMultiBlock(recs,
+          maxDist = 8, window = 32, SparkEntry.snmPassKeys,
+          SparkEntry.erBlockKeys))
+        .select(col("id"), col("root").as("root_snm"))
+      val joined = graft.Caches.persist(exactC.join(snmC, "id"))
+      val fams = joined.groupBy("root_ex")
+        .agg(count(lit(1)).as("m"),
+          countDistinct(col("root_snm")).as("n_sub"))
+        .filter(col("m") >= 2)
+      val famAgg = fams.agg(
+        count(lit(1)).as("n_fam_exact"),
+        coalesce(sum(when(col("n_sub") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_fam_recovered"),
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("closure_exact_pairs"))
+      val snmAgg = joined.groupBy("root_snm")
+        .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("closure_snm_pairs"))
+      val nKeys = recs.agg(count(lit(1)).as("n_keys"))
+      famAgg.crossJoin(broadcast(snmAgg)).crossJoin(broadcast(nKeys))
+        .select(col("n_keys"), col("n_fam_exact"),
+          col("n_fam_recovered"),
+          when(col("n_fam_exact") > 0,
+            expr("(n_fam_recovered * 1000000) div n_fam_exact"))
+            .otherwise(lit(0L)).as("fam_recall_ppm"),
+          col("closure_exact_pairs"), col("closure_snm_pairs"),
+          when(col("closure_exact_pairs") > 0,
+            expr("(closure_snm_pairs * 1000000) div closure_exact_pairs"))
+            .otherwise(lit(0L)).as("closure_recall_ppm"))
+    }),
+
     "t30_stratified_quality_keep" -> ((s, d) => {
       // per-language quality cut: score every doc with the unigram
       // perplexity proxy, keep the best 70% WITHIN each language
@@ -4243,6 +4307,40 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "n29_index_compact" -> ((s, d) => {
+      // generation/tombstone compaction under the FROZEN model: n28's
+      // chained-update scenario plus a takedown accrete dead delta
+      // rows and stacked marks; compactPqIndex re-ingests the live
+      // view into a fresh version (unchanged centroids/codebooks ⇒
+      // cells and codes of live rows are pure functions of the model)
+      // and flips CURRENT atomically — so the serve afterwards must
+      // be BIT-IDENTICAL to serving the accreted index: n13's oracle
+      // over the post-update corpus, same CASE as n28 with the
+      // takedown excluded. The gate requires the compacted version to
+      // be physically clean (no tombstones, no deltas) — the claim
+      // "rebuild reclaims" with a cheap, answer-preserving reclaim.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_cmp").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val upd1 = emb.filter(col("vec_id") % 31 === 5)
+        .withColumn("embedding", reverse(col("embedding")))
+      val upd2 = emb.filter(col("vec_id") % 62 === 5)
+      require(Warehouse.updateInPqIndex(s, root, upd1) > 0)
+      require(Warehouse.updateInPqIndex(s, root, upd2) > 0)
+      require(Warehouse.deleteFromPqIndex(s, root, Seq(7L)) == 1L)
+      Warehouse.compactPqIndex(s, root)
+      require(!Warehouse.pqTombstoneTable(s, root).hasData &&
+        !Warehouse.hasPqDeltas(s, root),
+        "the compacted version must be physically clean")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "n16_pq_residual_recall" -> ((s, d) => {
       // equal-byte PQ shootout: raw coding vs residual coding (the IVF
       // cell's normalized centroid subtracted before encoding, ADC adds
@@ -5052,11 +5150,36 @@ object SparkEntry {
         "        THEN list_reverse(embedding) ELSE embedding END\n" +
         "        AS embedding\n" +
         "    FROM embeddings)),")) +
+    // n29 compacts n28's accreted scenario (plus a takedown of id 7)
+    // under the frozen model — answers must be bit-identical to
+    // serving the accreted index, so the oracle is n28's with the
+    // takedown excluded from the corpus
+    ("n29_index_compact" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 31 = 5 AND vec_id % 62 <> 5\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings WHERE vec_id <> 7)),")) +
     // st15 streams the SAME tombstone commits n27 makes inline, fenced
     // per micro-batch ⇒ n13's oracle over the rows the deletes spared
     ("st15_delete_stream" -> oracleBase("n13_ivfpq_topk").replace(
       "  FROM embeddings),",
       "  FROM embeddings\n  WHERE NOT (vec_id = 0 OR vec_id % 10 = 3)),")) +
+    // t43 is t42's family grading on a deterministic 1/16 hash-sample
+    // of prefix-4 blocks: same reach-CTE closure oracle, the sample
+    // filter folded into the key CTE (HAVING over the group key), one
+    // extra n_keys column for the CI context
+    ("t43_sampled_family_recall" ->
+      oracleBase("t42_family_recall").replace(
+        "  FROM t WHERE length(key) >= 8 GROUP BY key),",
+        "  FROM t WHERE length(key) >= 8 GROUP BY key\n" +
+          "  HAVING ('0x' || substr(md5('t43#' || substr(key, 1, 4)),\n" +
+          "    1, 15))::BIGINT % 16 = 0),"
+      ).replace(
+        "SELECT fa.n_fam_exact, fa.n_fam_recovered,",
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_keys,\n" +
+          "  fa.n_fam_exact, fa.n_fam_recovered,")) +
     // st17 streams n28's update verb: two micro-batches (reverse %37≡4,
     // then restore the %74≡4 half) with last-write-wins across batches,
     // so the served corpus is n13's pipeline over the CASE'd embeddings

@@ -847,6 +847,62 @@ class WarehouseSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("compactPqIndex: frozen-model compaction reclaims stacked " +
+    "generations and tombstones with BIT-IDENTICAL answers; takedowns " +
+    "stay dead; the lifecycle keeps working after the flip") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_pq_compact").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val q3 = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse
+      .ivfPqServe(spark, root, q3, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    // stack three generations on a slice (reverse, restore, reverse),
+    // stream one append batch, and take down one id — the full
+    // accretion mix a long-lived index carries
+    val slice = emb.filter($"vec_id" % 31 === 5)
+    Warehouse.updateInPqIndex(spark, root,
+      slice.withColumn("embedding", reverse($"embedding")))
+    Warehouse.updateInPqIndex(spark, root, slice)
+    Warehouse.updateInPqIndex(spark, root,
+      slice.withColumn("embedding", reverse($"embedding")))
+    assert(Warehouse.deleteFromPqIndex(spark, root, Seq(7L)) === 1L)
+    val before = serve()
+    // dead rows really are stacked before the compaction
+    val deltaCodes = Warehouse.pqDeltaCodeTable(spark, root)
+    val committed = deltaCodes.read().count()
+    val live = Warehouse.readPqCodesLive(spark, root)
+      .join(slice.select("vec_id"), "vec_id").count()
+    assert(committed > live,
+      "fixture must hold superseded generations before compacting")
+    val next = Warehouse.compactPqIndex(spark, root)
+    // bit-identical answers from the compacted version
+    assert(serve() === before,
+      "frozen-model compaction must not change answers")
+    // physically clean: no tombstones, no deltas, base = live view
+    assert(!Warehouse.pqTombstoneTable(spark, root).hasData)
+    assert(!Warehouse.hasPqDeltas(spark, root))
+    assert(Warehouse.readPqCodes(spark, root)
+      .filter($"vec_id" === 7L).isEmpty,
+      "a taken-down id must die physically, not resurrect")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/CURRENT")).trim === next)
+    // the lifecycle keeps working in the new version: an update to the
+    // probed id itself must land exactly once and change the serve
+    Warehouse.updateInPqIndex(spark, root, emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding")))
+    assert(Warehouse.readEmbeddingsByCellLive(spark, root)
+      .filter($"vec_id" === 3).count() === 1L,
+      "post-compact update lands exactly once")
+    assert(serve() !== before, "the post-compact update is visible")
+    graft.Caches.releaseAll()
+  }
+
   test("exportSnapshot: version pins the bytes, salts only rebalance, " +
     "a vacuumed-past version refuses instead of shipping partial") {
     import graft.functions.MarketFunctions.md5Hash60
