@@ -37,7 +37,11 @@ object BenchScale {
     * (u23 — the most expensive bench query, previously argued linear
     * by analogy), the streaming MV (st13), the expectation-gated
     * quarantine stream (st14), and the triangle-salted fuzzy-match
-    * join (t39).
+    * join (t39). r15 adds the ANN index-lifecycle writers: frozen-
+    * model compaction (n29 — O(live index) by definition), the
+    * cross-cluster snapshot handoff (n30 — export + verify + rebuild,
+    * O(corpus)), and the self-compacting update stream (st18 —
+    * per-batch O(batch) commits plus one θ-triggered reclaim).
     */
   private val exemplars = Seq(
     "q1_lineitem_agg", "q3_shipping_priority", "q5_star_revenue",
@@ -50,7 +54,8 @@ object BenchScale {
     "t38_backoff_logprob", "u18_zone_map_skip",
     "u20_materialized_agg", "u21_change_feed", "u22_cluster_optimize",
     "u23_derived_sync", "st13_view_stream", "st14_quarantine_gate",
-    "t39_fuzzy_match")
+    "t39_fuzzy_match", "n29_index_compact", "n30_index_ship",
+    "st18_auto_compact")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")

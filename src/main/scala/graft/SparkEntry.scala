@@ -2809,6 +2809,58 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "st18_auto_compact" -> ((s, d) => {
+      // the reclaim loop CLOSED: update batches stream through the
+      // self-maintaining variant of st17 (θ = 0.04) — the first two
+      // generations accrete below the dial and the third crosses it,
+      // so the stream compacts ITSELF mid-flight (fresh version,
+      // physically clean, dead fraction back to 0) without an
+      // operator in the loop. Compaction under the frozen model is
+      // bit-identical at serve, so the oracle is simply n13's
+      // pipeline over the post-update corpus: batch1 reverses the
+      // %43≡6 slice, batch2 restores its %86≡6 half, batch3
+      // re-reverses that half — net effect the whole %43≡6 slice
+      // reversed, with last-write-wins exercised across three
+      // chained generations on the %86≡6 ids.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st18_index").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_st18_landing").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st18_ckpt").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      def runBatch(rows: org.apache.spark.sql.DataFrame): Unit = {
+        rows.coalesce(1).write.mode("append").parquet(landing)
+        val q = graft.streaming.IndexStream.startUpdatesAutoCompact(
+          s, landing, root, ckpt, maxDead = 0.04)
+        if (!q.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      runBatch(emb.filter(col("vec_id") % 43 === 6)
+        .withColumn("embedding", reverse(col("embedding"))))
+      require(Warehouse.pqIndexDeadFraction(s, root) > 0.0 &&
+        java.nio.file.Files.notExists(
+          java.nio.file.Paths.get(s"$root/CURRENT")),
+        "below the dial the index must accrete, not compact")
+      runBatch(emb.filter(col("vec_id") % 86 === 6))
+      runBatch(emb.filter(col("vec_id") % 86 === 6)
+        .withColumn("embedding", reverse(col("embedding"))))
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/CURRENT")),
+        "the third generation crosses θ — the stream must compact")
+      require(!Warehouse.pqTombstoneTable(s, root).hasData &&
+        !Warehouse.hasPqDeltas(s, root) &&
+        Warehouse.pqIndexDeadFraction(s, root) == 0.0,
+        "the self-compacted version must be physically clean")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, qv, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     "st7_stream_join" -> ((s, d) => {
       // stream-stream interval join replay: land the event stream and
       // the impulse stream (j7's every-500th event opening a 2h impact
@@ -4341,6 +4393,49 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    "n30_index_ship" -> ((s, d) => {
+      // cross-cluster index handoff: a LIVED-IN index (an update
+      // generation + a takedown) exports its serving view + frozen
+      // model (codes NOT shipped — they are a pure function of
+      // model × vectors, so the wire carries one copy of the live
+      // vectors, not vectors + codes + scar tissue), and the import
+      // digest-checks the model, fingerprint-checks every shard,
+      // rebuilds under the exported model into a fresh version, and
+      // flips CURRENT only after the built corpus reproduces the
+      // manifest. The gate requires the shipped index to serve
+      // BIT-IDENTICALLY to the source — n13's oracle over the
+      // post-lifecycle corpus grades the import's answer.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_ship_src").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val upd = emb.filter(col("vec_id") % 41 === 3)
+        .withColumn("embedding", reverse(col("embedding")))
+      require(Warehouse.updateInPqIndex(s, root, upd) > 0)
+      require(Warehouse.deleteFromPqIndex(s, root, Seq(11L)) == 1L)
+      val exp = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_ship_exp").toString
+      Warehouse.exportPqIndexSnapshot(s, root, exp, shards = 4,
+        salt = "n30")
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_ship_dst").toString + "/idx"
+      require(Warehouse.importPqIndexSnapshot(s, exp, dest) > 0)
+      require(!Warehouse.pqTombstoneTable(s, dest).hasData &&
+        !Warehouse.hasPqDeltas(s, dest),
+        "the shipped index must arrive physically clean")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      def serve(r: String) =
+        Warehouse.ivfPqServe(s, r, q, topK = 10, nprobe = 2, cand = 50)
+          .orderBy(col("cosine").desc, col("vec_id"))
+      require(serve(dest).collect().toSeq ==
+        serve(root).collect().toSeq,
+        "the shipped index must serve bit-identically to the source")
+      serve(dest)
+    }),
+
     "n16_pq_residual_recall" -> ((s, d) => {
       // equal-byte PQ shootout: raw coding vs residual coding (the IVF
       // cell's normalized centroid subtracted before encoding, ADC adds
@@ -5187,6 +5282,29 @@ object SparkEntry {
       "  FROM embeddings),",
       "  FROM (SELECT vec_id,\n" +
         "      CASE WHEN vec_id % 37 = 4 AND vec_id % 74 <> 4\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings)),")) +
+    // n30 ships the index cross-cluster after an update (%41≡3
+    // reversed) and a takedown (id 11): the import re-derives cells
+    // and codes under the exported frozen model, so the shipped serve
+    // is n13's pipeline over the post-lifecycle corpus
+    ("n30_index_ship" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 41 = 3\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings WHERE vec_id <> 11)),")) +
+    // st18 streams three chained generations (reverse %43≡6, restore
+    // %86≡6, re-reverse %86≡6) through the SELF-COMPACTING update
+    // stream; compaction under the frozen model is answer-preserving,
+    // so the oracle is n13's over the net corpus — the whole %43≡6
+    // slice reversed
+    ("st18_auto_compact" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 43 = 6\n" +
         "        THEN list_reverse(embedding) ELSE embedding END\n" +
         "        AS embedding\n" +
         "    FROM embeddings)),")) +

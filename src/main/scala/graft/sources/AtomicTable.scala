@@ -162,6 +162,36 @@ final case class AtomicTable(spark: SparkSession, root: String,
   def lastCommittedBatch(stream: String): Option[Long] =
     readTxns().get(stream)
 
+  /** Every per-stream committed high-water mark (the `#txn` lines) —
+    * what a generation flip (index compaction/rebuild) reads from the
+    * superseded tables so the replay fences can ride into their
+    * successors instead of resetting with the data.
+    */
+  def txnMarks: Map[String, Long] = readTxns()
+
+  /** Advance this table's replay fences to AT LEAST `marks` without
+    * touching data: one manifest commit whose only change is the
+    * max-merged `#txn` lines (existing marks never lower — a fence
+    * only moves forward). No-op when nothing would advance. This is
+    * the fence-preservation half of a generation flip: the fresh
+    * table starts with zero rows but the FULL replay memory, so a
+    * fresh-checkpoint replay of an already-applied stream batch still
+    * skips after the flip.
+    */
+  def carryTxnMarks(marks: Map[String, Long]): Unit = {
+    val cur = readTxns()
+    val merged = (cur.keySet ++ marks.keySet).iterator.map { k =>
+      k -> math.max(cur.getOrElse(k, Long.MinValue),
+        marks.getOrElse(k, Long.MinValue))
+    }.toMap
+    if (merged == cur) return
+    // a successor table usually does not exist yet — the carry is its
+    // first commit (marks only, zero data entries)
+    java.nio.file.Files.createDirectories(rootFile.toPath)
+    writeManifest(readManifest(), version, merged, op = "txncarry",
+      stats = readStats())
+  }
+
   /** dir → recorded (min, max) of [[statsCol]] (the `#minmax` lines).
     * Dirs without a line carry no zone information and are never
     * skipped.

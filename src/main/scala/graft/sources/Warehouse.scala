@@ -821,6 +821,251 @@ object Warehouse {
     nDel + nIns
   }
 
+  // ---- index snapshot handoff (n30) ---------------------------------
+
+  /** Canonical per-row fingerprint of the index-snapshot wire format:
+    * salted 60-bit md5 over the id and the JSON rendering of every
+    * payload column in name order. Defined HERE rather than
+    * caller-supplied (unlike the table snapshots' `canon`) because
+    * both halves of the handoff must compute the identical value from
+    * the re-read files — it is part of the wire format, like the
+    * salt. JSON float rendering round-trips exactly
+    * (`Float.parseFloat(Float.toString(f)) == f`), so the fingerprint
+    * of a re-read row equals the fingerprint of the row that was
+    * written.
+    */
+  private def indexRowFp(salt: String, idCol: String,
+                         payload: Seq[String]): Column =
+    graft.functions.MarketFunctions.md5Hash60(
+      concat(lit(s"$salt#"), col(idCol).cast("string"), lit("#"),
+        to_json(struct(payload.sorted.map(col): _*))))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Ship a serving ANN index to another cluster: export the LIVE
+    * view (base ∪ delta rows minus tombstones, exactly what
+    * [[ivfPqServe]] selects from) as hash-sharded JSONL plus the
+    * FROZEN model files, each fingerprinted in `_MANIFEST.json`.
+    *
+    * Codes are deliberately NOT shipped: cells and PQ codes are pure
+    * functions of (frozen model × vector), so the import re-derives
+    * them bit-identically ([[writePqIndex]] under the exported
+    * centroids/codebooks) and the wire carries ONE copy of the live
+    * vectors instead of vectors + codes + the whole delta/tombstone
+    * history — at 100 TB that is the difference between shipping the
+    * corpus and shipping the corpus plus its scar tissue. The
+    * imported index is the compacted equivalent of the source
+    * (physically clean, answers bit-identical — `n30_index_ship`
+    * grades both serves against one oracle).
+    *
+    *  - shard = salted 60-bit md5 of the id, mod `shards` — the same
+    *    deterministic discipline as [[exportSnapshot]];
+    *  - per-shard (row count, order-independent `bit_xor` of
+    *    [[indexRowFp]]) recomputed FROM the exported files;
+    *  - model files (`centroids.txt`, `codebooks.txt`, `pqmeta.txt`)
+    *    copied byte-for-byte as `_MODEL_*` with md5 digests in the
+    *    manifest — a flipped codebook byte refuses at import exactly
+    *    like a flipped data row (a wrong model would re-derive wrong
+    *    codes SILENTLY; the digest makes it loud);
+    *  - `_PROVENANCE.json` records the source root, resolved version,
+    *    salt, shard count, and the row schema (DDL) the import reads
+    *    the files under (self-describing — no caller-supplied schema
+    *    to get wrong).
+    *
+    * Output: `shard, n_rows, content_xor`.
+    */
+  def exportPqIndexSnapshot(spark: SparkSession, root: String,
+                            outDir: String, shards: Int, salt: String,
+                            idCol: String = "vec_id"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    require(!salt.contains("#"), "snapshot salt must not contain '#'")
+    val r = resolveIndexRoot(root)
+    val live = readEmbeddingsByCellLive(spark, root, idCol).drop("cell")
+    val payload = live.columns.filterNot(_ == idCol).toSeq
+    live.withColumn("shard",
+        graft.functions.MarketFunctions.md5Hash60(
+          concat(lit(s"$salt#"), col(idCol).cast("string"))) % shards)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(outDir)
+    import spark.implicits._
+    val rows = spark.read.schema(live.schema).json(outDir)
+      .withColumn("_fp", indexRowFp(salt, idCol, payload))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("content_xor"))
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    val modelLines = Seq("centroids.txt", "codebooks.txt", "pqmeta.txt")
+      .flatMap { f =>
+        val p = java.nio.file.Paths.get(s"$r/$f")
+        if (!java.nio.file.Files.exists(p)) None // pre-flag raw index
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/_MODEL_$f"), bytes)
+          Some(s"""{"model":${jsonStr(f)},"md5":"${md5Hex(bytes)}"}""")
+        }
+      }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_PROVENANCE.json"),
+      s"""{"index":${jsonStr(root)},"version":${jsonStr(r)},""" +
+        s""""salt":${jsonStr(salt)},"shards":$shards,""" +
+        s""""id_col":${jsonStr(idCol)},""" +
+        s""""schema":${jsonStr(live.schema.toDDL)}}\n""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_MANIFEST.json"),
+      (modelLines ++ rows.map { case (sh, n, x) =>
+        s"""{"shard":$sh,"n_rows":$n,"content_xor":$x}"""
+      }).mkString("", "\n", "\n"))
+    rows.toDF("shard", "n_rows", "content_xor")
+  }
+
+  /** The receiving half of [[exportPqIndexSnapshot]]: verify every
+    * fingerprint, rebuild the index under the exported FROZEN model,
+    * and flip it live — refusing loudly on ANY divergence, with
+    * nothing served until everything verified.
+    *
+    *  - model `_MODEL_*` files are digest-checked against the
+    *    manifest BEFORE anything is read through them;
+    *  - per-shard (rows, `bit_xor`) fingerprints are recomputed from
+    *    the files under the provenance schema — one changed, added,
+    *    or dropped row refuses the whole import;
+    *  - the index builds into a fresh VERSION directory
+    *    (`destRoot/vN`) and the `CURRENT` pointer flips only after a
+    *    final whole-corpus fingerprint check of the built version —
+    *    a crash anywhere mid-import leaves a root with no `CURRENT`
+    *    and no top-level layout, which every reader fails FAST on
+    *    (whole-or-error, never a partial server), and the re-import
+    *    simply claims the next version;
+    *  - idempotent: a destination already serving this exact corpus
+    *    (live-view fingerprint equals the manifest) is a verified
+    *    no-op; a destination serving anything else refuses — a
+    *    replayed import cannot double-load, an index that moved on
+    *    cannot be silently clobbered.
+    *
+    * Returns the number of live rows serving at `destRoot`.
+    */
+  def importPqIndexSnapshot(spark: SparkSession, exportDir: String,
+                            destRoot: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            failpoint: String => Unit = _ => ()): Long = {
+    import spark.implicits._
+    val mf = java.nio.file.Paths.get(s"$exportDir/_MANIFEST.json")
+    require(java.nio.file.Files.exists(mf),
+      s"no _MANIFEST.json under $exportDir — not an index-export dir")
+    val pv = java.nio.file.Paths.get(s"$exportDir/_PROVENANCE.json")
+    require(java.nio.file.Files.exists(pv),
+      s"no _PROVENANCE.json under $exportDir — not an index-export dir")
+    val prov = java.nio.file.Files.readString(pv)
+    def provStr(k: String): String = {
+      val m = (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r
+        .findFirstMatchIn(prov)
+      require(m.isDefined, s"provenance header missing $k")
+      m.get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    val salt = provStr("salt")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(provStr("schema"))
+    val modelPat = """\{"model":"([^"]+)","md5":"([0-9a-f]+)"\}""".r
+    val shardPat =
+      """\{"shard":(-?\d+),"n_rows":(-?\d+),"content_xor":(-?\d+)\}""".r
+    val lines = java.nio.file.Files.readAllLines(mf).toArray
+      .map(_.toString.trim).filter(_.nonEmpty).toSeq
+    val modelDigests = lines.collect {
+      case modelPat(f, d) => f -> d }.toMap
+    val manifest = lines.filterNot(modelPat.matches).map {
+      case shardPat(sh, n, x) => (sh.toLong, n.toLong, x.toLong)
+      case l => throw new IllegalStateException(
+        s"unparseable index-manifest line: $l")
+    }
+    require(modelDigests.contains("centroids.txt") &&
+      modelDigests.contains("codebooks.txt"),
+      "index manifest carries no model digests — not a full handoff")
+    // the model is verified before it is TRUSTED: a flipped codebook
+    // byte would re-derive wrong codes silently (answers drift, no
+    // error) — the digest check turns that into a refusal
+    val modelBytes = modelDigests.map { case (f, want) =>
+      val p = java.nio.file.Paths.get(s"$exportDir/_MODEL_$f")
+      if (!java.nio.file.Files.exists(p))
+        throw new IllegalStateException(
+          s"model file _MODEL_$f missing from $exportDir")
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      if (md5Hex(bytes) != want)
+        throw new IllegalStateException(
+          s"model file _MODEL_$f digest mismatch — refusing to import " +
+            "an index whose frozen model was tampered with")
+      f -> bytes
+    }
+    val cents = new String(modelBytes("centroids.txt"), "UTF-8")
+      .split("\n").map(_.split(",").map(_.toDouble))
+    val cbRows = new String(modelBytes("codebooks.txt"), "UTF-8")
+      .split("\n").map { line =>
+        val Array(j, c, vs) = line.split(";", 3)
+        (j.toInt, c.toInt, vs.split(",").map(_.toDouble))
+      }
+    val cb = Array.ofDim[Array[Double]](cbRows.map(_._1).max + 1,
+      cbRows.map(_._2).max + 1)
+    cbRows.foreach { case (j, c, v) => cb(j)(c) = v }
+    val residual = modelBytes.get("pqmeta.txt")
+      .exists(b => new String(b, "UTF-8").trim == "residual=true")
+    val payload = schema.fieldNames.filterNot(_ == idCol).toSeq
+    val fp = indexRowFp(salt, idCol, payload)
+    val files = spark.read.schema(schema).json(exportDir)
+    val got = files.withColumn("_fp", fp)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_fp)").as("content_xor"))
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    if (got != manifest) {
+      val bad = (manifest.toSet diff got.toSet) ++
+        (got.toSet diff manifest.toSet)
+      throw new IllegalStateException(
+        "index snapshot fingerprint mismatch — refusing to import; " +
+          s"divergent shards (expected/found): ${bad.toSeq.sorted}")
+    }
+    val wantRows = manifest.map(_._2).sum
+    val wantXor = manifest.map(_._3).foldLeft(0L)(_ ^ _)
+    def liveFp(root: String): (Long, Long) =
+      readEmbeddingsByCellLive(spark, root, idCol).drop("cell")
+        .withColumn("_fp", fp)
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_fp)"), lit(0L)))
+        .as[(Long, Long)].head()
+    val serving =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$destRoot/CURRENT")) ||
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$destRoot/centroids.txt"))
+    if (serving) {
+      val (haveRows, haveXor) = liveFp(destRoot)
+      if (haveRows == wantRows &&
+          (haveRows == 0L || haveXor == wantXor)) return wantRows
+      throw new IllegalStateException(
+        "destination index diverges from the snapshot " +
+          s"(rows $haveRows vs $wantRows) — refusing to overwrite a " +
+          "serving index")
+    }
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(destRoot))
+    val next = claimNextIndexVersion(destRoot)
+    writePqIndex(files.drop("shard"), s"$destRoot/$next",
+      k = cents.length, dim = cents(0).length,
+      m = cb.length, ks = cb(0).length, idCol = idCol, vecCol = vecCol,
+      centroids = Some(cents), codebooks = Some(cb),
+      residual = residual)
+    // final gate BEFORE the flip: the built version must reproduce the
+    // manifest's whole-corpus fingerprint — whole-or-nothing, the
+    // same discipline as applySnapshotDelta's pre-commit v2 check
+    val (gotRows, gotXor) = liveFp(s"$destRoot/$next")
+    if (gotRows != wantRows || (wantRows > 0L && gotXor != wantXor))
+      throw new IllegalStateException(
+        "imported index diverges from the snapshot after build " +
+          s"(rows $gotRows vs $wantRows) — refusing to flip it live")
+    failpoint("import_before_flip")
+    flipIndexCurrent(destRoot, next)
+    wantRows
+  }
+
   /** Tombstones of a streaming-maintained index: ids deleted from the
     * SERVING view without touching a single base or delta file — the
     * compliance/takedown primitive (Lucene's live-docs discipline).
@@ -1321,6 +1566,8 @@ object Warehouse {
         m = cb.length, ks = cb(0).length, idCol = idCol,
         vecCol = vecCol, centroids = Some(retrained),
         residual = residual)
+      carryIndexFences(spark, resolveIndexRoot(root), s"$root/$next",
+        idCol)
       flipIndexCurrent(root, next)
       // shards whose commit completed in the old version between the
       // corpus snapshot and the flip are invisible to both the new
@@ -1372,7 +1619,10 @@ object Warehouse {
     * UNCHANGED centroids/codebooks (cells and codes of live rows are
     * pure functions of the frozen model, so the compacted index
     * answers BIT-IDENTICALLY to the accreted one), flips `CURRENT`
-    * atomically, and starts with empty delta/tombstone tables. Cost is
+    * atomically, and starts with empty delta/tombstone tables that
+    * CARRY the superseded generation's replay fences
+    * ([[carryIndexFences]] — a fresh-checkpoint stream replay still
+    * skips already-applied batches after the flip). Cost is
     * O(live index) with no training iterations; a crash mid-build
     * leaves the old version serving, untouched. Same lifecycle safety
     * notes as [[rebuildIfDrifted]]; same post-flip sweep. Returns the
@@ -1399,11 +1649,68 @@ object Warehouse {
         m = cb.length, ks = cb(0).length, idCol = idCol,
         vecCol = vecCol, centroids = Some(cents),
         codebooks = Some(cb), residual = residual)
+      carryIndexFences(spark, resolveIndexRoot(root), s"$root/$next",
+        idCol)
       flipIndexCurrent(root, next)
       sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
       next
     } finally corpus.unpersist(blocking = false)
   }
+
+  /** Carry every per-stream replay fence from the serving version's
+    * delta/tombstone tables into a freshly-built version BEFORE the
+    * pointer flips. Without this a compaction/rebuild would RESET the
+    * exactly-once fences with the data: a fresh-checkpoint replay of
+    * an already-applied stream batch would then re-commit it against
+    * the new generation — re-reversing applied updates, resurrecting
+    * reclaimed appends — silently, because each replayed commit is
+    * individually well-formed. The fences are table METADATA, not
+    * data: the successor tables start with zero rows and the full
+    * replay memory ([[AtomicTable.carryTxnMarks]]), and a crash
+    * between the carry and the flip just leaves the old version
+    * serving with an orphan build to re-run.
+    */
+  private def carryIndexFences(spark: SparkSession, oldRoot: String,
+                               newRoot: String, idCol: String): Unit = {
+    def tbl(r: String, name: String): AtomicTable =
+      AtomicTable(spark, s"$r/$name", partCol = "cell",
+        defaultKeys = Seq(idCol), partType = _.toInt)
+    Seq("delta_emb", "delta_codes", "delta_tombstones").foreach { n =>
+      val marks = tbl(oldRoot, n).txnMarks
+      if (marks.nonEmpty) tbl(newRoot, n).carryTxnMarks(marks)
+    }
+  }
+
+  /** Fraction of the index's committed code rows that are DEAD under
+    * the versioned-tombstone rule — the accretion metric the
+    * auto-compaction trigger watches. 0 for a fresh or just-compacted
+    * index; grows with every streamed update generation and takedown.
+    * Scans only the NARROW codes tables (id, cell, code, `_seq` — m
+    * bytes of code per row), never the raw vectors, so the check is
+    * cheap enough to run per micro-batch at any index size.
+    */
+  def pqIndexDeadFraction(spark: SparkSession, root: String,
+                          idCol: String = "vec_id"): Double = {
+    val all = readPqCodesAll(spark, root).count()
+    if (all == 0L) 0.0
+    else 1.0 - readPqCodesLive(spark, root, idCol).count().toDouble / all
+  }
+
+  /** [[compactPqIndex]] iff the dead fraction exceeds `maxDead` — the
+    * maintenance-loop form of the reclaim. Needs NO replay fence: the
+    * trigger condition is self-extinguishing (a completed compaction
+    * measures ~0 dead and the replay no-ops; a crash mid-compaction
+    * leaves the old version serving and the replay re-runs the
+    * answer-preserving build), so at-least-once delivery converges
+    * without bookkeeping. Returns the new version name when it fired.
+    */
+  def compactPqIndexIfDead(spark: SparkSession, root: String,
+                           maxDead: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Option[String] =
+    if (pqIndexDeadFraction(spark, root, idCol) > maxDead)
+      Some(compactPqIndex(spark, root, idCol, vecCol))
+    else None
 
   /** Fold delta shards stranded in the SUPERSEDED index version into
     * the current one. A shard strands when its commit completed in the

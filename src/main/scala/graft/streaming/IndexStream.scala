@@ -113,4 +113,41 @@ object IndexStream {
       }
       .trigger(trigger)
       .start()
+
+  /** [[startUpdates]] with the reclaim loop CLOSED: after each
+    * micro-batch's update commit, compact the index when its dead
+    * fraction has crossed `maxDead`
+    * ([[Warehouse.compactPqIndexIfDead]]) — so an index under
+    * sustained streamed churn maintains ITSELF instead of accreting
+    * generations until an operator remembers to run the reclaim.
+    *
+    * Two independent safety arguments compose here, one per half:
+    * the update commit is exactly-once by the `("pq_update",
+    * batchId)` fence (identical to [[startUpdates]] — a replayed
+    * batch skips), while the compaction needs no fence at all
+    * because its trigger is self-extinguishing (a replay after a
+    * completed compaction measures ~0 dead and no-ops; a crash
+    * mid-compaction leaves the old version serving and the replay
+    * re-runs the answer-preserving build). Compaction under the
+    * frozen model is bit-identical at serve, so WHEN it fires is a
+    * pure cost decision — θ tunes write amplification against serve
+    * overhead, never answers. Run at most one maintenance stream per
+    * index root (two would race the `pq_update` fence).
+    */
+  def startUpdatesAutoCompact(spark: SparkSession, landingDir: String,
+                              indexRoot: String, checkpointDir: String,
+                              maxDead: Double = 0.2,
+                              trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(embeddingSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Warehouse.updateInPqIndex(spark, indexRoot, df,
+          txn = Some(("pq_update", id)))
+        Warehouse.compactPqIndexIfDead(spark, indexRoot, maxDead)
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -60,7 +60,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "u13_benford",          // digit-share total: broadcast 1-row agg
     "n24_mmr_diversify",    // 1 broadcast query row + topN×topN pairs
     "t41_snm_recall",       // exact-pair total: broadcast 1-row agg
-    "t42_family_recall")    // 1-row family agg × 1-row closure agg
+    "t42_family_recall",    // 1-row family agg × 1-row closure agg
+    "t43_sampled_family_recall") // t42's aggs × 1-row sample-size agg
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -903,6 +903,182 @@ class WarehouseSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("index snapshot handoff: the shipped index serves " +
+    "bit-identically; tampered shards and model refuse; re-import " +
+    "no-ops; a diverged destination refuses; crash-before-flip fails " +
+    "fast and heals") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_ship_src").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    // lived-in source: one update generation + one takedown, so the
+    // export is exercised on a live view that differs from the base
+    Warehouse.updateInPqIndex(spark, root, emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding")))
+    assert(Warehouse.deleteFromPqIndex(spark, root, Seq(7L)) === 1L)
+    val exp = Files.createTempDirectory("graft_ship_exp").toString
+    val manifest = Warehouse.exportPqIndexSnapshot(spark, root, exp,
+      shards = 3, salt = "s")
+    val nLive = emb.count() - 1
+    assert(manifest.agg(sum("n_rows")).as[Long].head() === nLive)
+    val q3 = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve(r: String) = Warehouse
+      .ivfPqServe(spark, r, q3, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val dest =
+      Files.createTempDirectory("graft_ship_dst").toString + "/idx"
+    assert(Warehouse.importPqIndexSnapshot(spark, exp, dest) === nLive)
+    assert(serve(dest) === serve(root),
+      "the shipped index must serve bit-identically to the source")
+    assert(!Warehouse.pqTombstoneTable(spark, dest).hasData &&
+      !Warehouse.hasPqDeltas(spark, dest),
+      "the shipped index must arrive physically clean")
+    // re-import: a verified no-op — the version pointer does not move
+    val v = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/CURRENT")).trim
+    assert(Warehouse.importPqIndexSnapshot(spark, exp, dest) === nLive)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/CURRENT")).trim === v)
+    // a destination serving a DIFFERENT corpus refuses — an index
+    // that moved on cannot be silently clobbered
+    val dest2 = Files.createTempDirectory("graft_ship_dst2").toString
+    Warehouse.writePqIndex(emb, dest2, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    intercept[IllegalStateException](
+      Warehouse.importPqIndexSnapshot(spark, exp, dest2))
+    // crash before the flip: the half-imported root FAILS FAST (no
+    // CURRENT, no top-level layout — whole-or-error, never a partial
+    // server) and the re-import heals it into the next version
+    val dest3 =
+      Files.createTempDirectory("graft_ship_dst3").toString + "/idx"
+    intercept[RuntimeException](
+      Warehouse.importPqIndexSnapshot(spark, exp, dest3,
+        failpoint = p =>
+          if (p == "import_before_flip") sys.error("crash pre-flip")))
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(s"$dest3/CURRENT")))
+    intercept[Exception](Warehouse.readEmbeddingCentroids(dest3))
+    assert(Warehouse.importPqIndexSnapshot(spark, exp, dest3) === nLive)
+    assert(serve(dest3) === serve(root))
+    // tampered shard: one duplicated row flips its shard's
+    // fingerprint — the import refuses WHOLE, nothing lands
+    val shard0 = new java.io.File(exp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .minBy(_.getName)
+    val part = shard0.listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val firstLine =
+      java.nio.file.Files.readAllLines(part.toPath).get(0)
+    java.nio.file.Files.writeString(part.toPath, firstLine + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // drop Hadoop's local-FS checksum sidecar so the tamper reaches
+    // the FINGERPRINT check (a real transfer has no .crc sidecars)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      part.getParent, s".${part.getName}.crc"))
+    val dest4 =
+      Files.createTempDirectory("graft_ship_dst4").toString + "/idx"
+    intercept[IllegalStateException](
+      Warehouse.importPqIndexSnapshot(spark, exp, dest4))
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(s"$dest4/CURRENT")))
+    // tampered MODEL: a flipped codebook byte would re-derive wrong
+    // codes SILENTLY (answers drift, no error) — the digest check
+    // turns it into a refusal before anything reads through it
+    val exp2 = Files.createTempDirectory("graft_ship_exp2").toString
+    Warehouse.exportPqIndexSnapshot(spark, root, exp2, shards = 3,
+      salt = "s")
+    val cbf = java.nio.file.Paths.get(s"$exp2/_MODEL_codebooks.txt")
+    java.nio.file.Files.writeString(cbf,
+      java.nio.file.Files.readString(cbf).replaceFirst("0", "1"))
+    intercept[IllegalStateException](
+      Warehouse.importPqIndexSnapshot(spark, exp2,
+        Files.createTempDirectory("graft_ship_dst5").toString + "/idx"))
+    graft.Caches.releaseAll()
+  }
+
+  test("auto-compact update stream: the dial gates the reclaim, " +
+    "compaction is self-extinguishing and answer-preserving, and the " +
+    "carried fences make a fresh-checkpoint replay a no-op even " +
+    "ACROSS the generation flip") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_st_ac").toString
+    val landing = Files.createTempDirectory("graft_st_ac_land").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    def run(ckpt: String): Unit = {
+      val q = graft.streaming.IndexStream.startUpdatesAutoCompact(
+        spark, landing, root, ckpt, maxDead = 0.04)
+      assert(q.awaitTermination(180000))
+    }
+    def land(rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.coalesce(1).write.mode("append").parquet(landing)
+    val q3 = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse
+      .ivfPqServe(spark, root, q3, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val ckpt = Files.createTempDirectory("graft_st_ac_c1").toString
+    // generations 1-2 accrete BELOW the dial: dead fraction grows,
+    // no compaction fires
+    land(emb.filter($"vec_id" % 43 === 6)
+      .withColumn("embedding", reverse($"embedding")))
+    run(ckpt)
+    assert(Warehouse.pqIndexDeadFraction(spark, root) > 0.0)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(s"$root/CURRENT")),
+      "below the dial the stream must accrete, not compact")
+    land(emb.filter($"vec_id" % 86 === 6))
+    run(ckpt)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(s"$root/CURRENT")))
+    // generation 3 crosses the dial: the stream compacts ITSELF —
+    // fresh version, physically clean, dead fraction back to zero
+    land(emb.filter($"vec_id" % 86 === 6)
+      .withColumn("embedding", reverse($"embedding")))
+    run(ckpt)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/CURRENT")))
+    assert(Warehouse.pqIndexDeadFraction(spark, root) === 0.0)
+    assert(!Warehouse.pqTombstoneTable(spark, root).hasData &&
+      !Warehouse.hasPqDeltas(spark, root))
+    val after = serve()
+    // answer-preserving: the self-compacted serve equals a one-shot
+    // frozen-model build over the net corpus (%43≡6 reversed)
+    val ref = Files.createTempDirectory("graft_st_ac_ref").toString
+    Warehouse.writePqIndex(emb.withColumn("embedding",
+        when($"vec_id" % 43 === 6, reverse($"embedding"))
+          .otherwise($"embedding")),
+      ref, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    assert(after === Warehouse
+      .ivfPqServe(spark, ref, q3, topK = 5, nprobe = 2, cand = 20)
+      .orderBy($"cosine".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq)
+    // THE FENCE SURVIVES THE FLIP: a fresh checkpoint replays every
+    // landed file as one batch 0 — without carryIndexFences the
+    // replay would re-apply the updates onto the compacted corpus
+    // (re-reversing %43≡6), silently changing answers. The carried
+    // ("pq_update", 2) mark makes it a clean skip instead.
+    assert(Warehouse.pqTombstoneTable(spark, root)
+      .lastCommittedBatch("pq_update").exists(_ >= 2L),
+      "compaction must carry the update fence into the new version")
+    run(Files.createTempDirectory("graft_st_ac_c2").toString)
+    assert(serve() === after,
+      "fresh-checkpoint replay across the flip must recover nothing")
+    assert(!Warehouse.hasPqDeltas(spark, root),
+      "a replayed batch must not re-land delta rows")
+    graft.Caches.releaseAll()
+  }
+
   test("exportSnapshot: version pins the bytes, salts only rebalance, " +
     "a vacuumed-past version refuses instead of shipping partial") {
     import graft.functions.MarketFunctions.md5Hash60
