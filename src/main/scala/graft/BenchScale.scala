@@ -40,8 +40,11 @@ object BenchScale {
     * join (t39). r15 adds the ANN index-lifecycle writers: frozen-
     * model compaction (n29 — O(live index) by definition), the
     * cross-cluster snapshot handoff (n30 — export + verify + rebuild,
-    * O(corpus)), and the self-compacting update stream (st18 —
-    * per-batch O(batch) commits plus one θ-triggered reclaim).
+    * O(corpus)), the self-compacting update stream (st18 —
+    * per-batch O(batch) commits plus one θ-triggered reclaim), and
+    * the CDC-driven index sync (n31 — feed-pruned against the index,
+    * O(feed) steady state; the exemplar pays one whole-table
+    * first-sync reconcile plus the index build, both O(corpus)).
     */
   private val exemplars = Seq(
     "q1_lineitem_agg", "q3_shipping_priority", "q5_star_revenue",
@@ -55,7 +58,7 @@ object BenchScale {
     "u20_materialized_agg", "u21_change_feed", "u22_cluster_optimize",
     "u23_derived_sync", "st13_view_stream", "st14_quarantine_gate",
     "t39_fuzzy_match", "n29_index_compact", "n30_index_ship",
-    "st18_auto_compact")
+    "st18_auto_compact", "n31_index_cdc_sync")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")

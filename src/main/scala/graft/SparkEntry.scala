@@ -4436,6 +4436,166 @@ object SparkEntry {
       serve(dest)
     }),
 
+    "n31_index_cdc_sync" -> ((s, d) => {
+      // the index as a DERIVED structure of its source-of-truth table:
+      // a keyed AtomicTable of embeddings takes three ordinary table
+      // commits — upsert (reverse the %37≡4 slice), deleteWhere (drop
+      // %41≡3), insertIgnore (+1,000,000-shifted reversed copies of
+      // the %53≡7 slice) — and ONE syncIndexFromTable call reads the
+      // change feed since the last absorbed version and routes every
+      // net row change to the right index verb: updates through the
+      // versioned-tombstone flip, deletes as takedowns, new ids as
+      // frozen-model appends. The serve then equals n13's pipeline
+      // over the table's final state. Gate path also proves the two
+      // no-op shapes: the FIRST sync (no fence yet) reconciles the
+      // whole table against the index it was built from and commits
+      // nothing, and a re-sync after no table change is version-
+      // compare-only.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_cdc").toString
+      val emb = T(s, d).embeddings
+      val src = graft.sources.AtomicTable(s, s"$root/table",
+        partCol = "label", defaultKeys = Seq("vec_id"),
+        partType = _.toInt)
+      src.init(emb)
+      Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+        ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      val first = Warehouse.syncIndexFromTable(s, src, s"$root/idx")
+      require(first.inserted == 0 && first.updated == 0 &&
+        first.deleted == 0 && first.unchanged > 0,
+        "first sync must reconcile the seed table as all-unchanged")
+      src.upsert(emb.filter(col("vec_id") % 37 === 4)
+        .withColumn("embedding", reverse(col("embedding"))))
+      val labels = emb.select("label").distinct()
+        .collect().map(_.get(0).toString).toSeq
+      require(src.deleteWhere(labels, col("vec_id") % 41 === 3) > 0)
+      src.insertIgnore(emb.filter(col("vec_id") % 53 === 7)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding", reverse(col("embedding"))))
+      val stats = Warehouse.syncIndexFromTable(s, src, s"$root/idx")
+      require(stats.inserted > 0 && stats.updated > 0 &&
+        stats.deleted > 0,
+        s"the CDC window must exercise all three verbs, got $stats")
+      val again = Warehouse.syncIndexFromTable(s, src, s"$root/idx")
+      require(again.inserted == 0 && again.updated == 0 &&
+        again.deleted == 0 && again.unchanged == 0 &&
+        again.fromVersion == again.toVersion,
+        "re-sync of an unchanged table must be a version-compare no-op")
+      // doubling guard on the gate path (n28's discipline): every
+      // synced update must leave exactly ONE live copy
+      require(Warehouse.readPqCodesLive(s, s"$root/idx")
+        .join(emb.filter(col("vec_id") % 37 === 4 &&
+          col("vec_id") % 41 =!= 3).select("vec_id"), "vec_id")
+        .groupBy("vec_id").count().filter(col("count") =!= 1).isEmpty,
+        "every CDC-updated id must have exactly ONE live copy")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, s"$root/idx", q, topK = 10, nprobe = 2,
+          cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    "n32_index_vacuum" -> ((s, d) => {
+      // the DISK half of the reclaim story: two compaction flips leave
+      // two superseded versions on disk (the pre-versioned root-level
+      // base, then v1), each a full corpus — vacuumIndexVersions drops
+      // all but the retained grace window, never touching CURRENT or
+      // anything newer (a claimed-but-unflipped build dir survives).
+      // Serving is unaffected because the fences and the live corpus
+      // ride the flip, not the superseded dirs: the serve equals n13
+      // over the post-lifecycle corpus (%47≡2 reversed by gen 1, its
+      // %94≡2 half restored by gen 2, id 9 taken down).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_vac").toString
+      val emb = T(s, d).embeddings
+      Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+        centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      require(Warehouse.updateInPqIndex(s, root,
+        emb.filter(col("vec_id") % 47 === 2)
+          .withColumn("embedding", reverse(col("embedding")))) > 0)
+      require(Warehouse.deleteFromPqIndex(s, root, Seq(9L)) == 1L)
+      Warehouse.compactPqIndex(s, root)
+      require(Warehouse.vacuumIndexVersions(s, root, retainLast = 0)
+        == Seq("(root)"),
+        "the pre-versioned root-level base is the oldest generation")
+      require(Warehouse.updateInPqIndex(s, root,
+        emb.filter(col("vec_id") % 94 === 2)) > 0)
+      Warehouse.compactPqIndex(s, root)
+      // a claimed-but-unflipped in-progress build must survive vacuum
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$root/v9"))
+      require(Warehouse.vacuumIndexVersions(s, root, retainLast = 0)
+        == Seq("v1"), "only versions STRICTLY older than CURRENT go")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/v9")),
+        "an in-progress claim (newer than CURRENT) is never reclaimed")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Warehouse.ivfPqServe(s, root, q, topK = 10, nprobe = 2, cand = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    "st19_cdc_stream" -> ((s, d) => {
+      // n31's CDC sync as a MAINTENANCE STREAM: the table takes two
+      // generations of ordinary commits (gen 1 reverses %29≡2; gen 2
+      // restores its %58≡2 half, deletes id 13, and inserts
+      // +2,000,000-shifted copies of the %59≡1 slice) and each landed
+      // tick drives one syncIndexFromTable — the index FOLLOWS the
+      // table, no hand-routed per-verb streams. Exactly-once hangs on
+      // the (cdc_sync, table-version) fence, the state the sync is a
+      // function of (st16's discipline), so a duplicated tick
+      // re-derives an empty window and no-ops; the gate path proves it
+      // by replaying a tick and requiring a byte-identical serve.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_cdcs").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_cdcs_ticks").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdcs_ckpt").toString
+      val emb = T(s, d).embeddings
+      val mk = (sp: org.apache.spark.sql.SparkSession) =>
+        graft.sources.AtomicTable(sp, s"$root/table",
+          partCol = "label", defaultKeys = Seq("vec_id"),
+          partType = _.toInt)
+      val src = mk(s)
+      src.init(emb)
+      Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+        ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+        codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+      import s.implicits._
+      def tick(n: Long): Unit = {
+        Seq(n).toDF("tick").coalesce(1)
+          .write.mode("append").parquet(landing)
+        val q = graft.streaming.IndexStream.startCdcSync(s, landing,
+          mk, s"$root/idx", ckpt)
+        if (!q.awaitTermination(180000))
+          sys.error("streaming query did not finish within 180s")
+      }
+      src.upsert(emb.filter(col("vec_id") % 29 === 2)
+        .withColumn("embedding", reverse(col("embedding"))))
+      tick(1L)
+      src.upsert(emb.filter(col("vec_id") % 58 === 2))
+      val labels = emb.select("label").distinct()
+        .collect().map(_.get(0).toString).toSeq
+      require(src.deleteWhere(labels, col("vec_id") === 13) == 1L)
+      src.insertIgnore(emb.filter(col("vec_id") % 59 === 1)
+        .withColumn("vec_id", col("vec_id") + 2000000L))
+      tick(2L)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      def serve() =
+        Warehouse.ivfPqServe(s, s"$root/idx", qv, topK = 10,
+            nprobe = 2, cand = 50)
+          .orderBy(col("cosine").desc, col("vec_id"))
+      val settled = serve().collect().toSeq
+      tick(3L) // duplicate-shaped tick: empty window, must no-op
+      require(serve().collect().toSeq == settled,
+        "a tick over an unchanged table must not move the index")
+      serve()
+    }),
+
     "n16_pq_residual_recall" -> ((s, d) => {
       // equal-byte PQ shootout: raw coding vs residual coding (the IVF
       // cell's normalized centroid subtracted before encoding, ADC adds
@@ -5308,6 +5468,45 @@ object SparkEntry {
         "        THEN list_reverse(embedding) ELSE embedding END\n" +
         "        AS embedding\n" +
         "    FROM embeddings)),")) +
+    // n31 drives the index from the TABLE's change feed: upsert
+    // (%37≡4 reversed), delete (%41≡3), insert (+1M-shifted reversed
+    // %53≡7) land as table commits and ONE sync routes each to its
+    // index verb — the serve is n13's pipeline over the table's final
+    // state
+    ("n31_index_cdc_sync" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 37 = 4 THEN list_reverse(embedding)\n" +
+        "        ELSE embedding END AS embedding\n" +
+        "    FROM embeddings WHERE vec_id % 41 <> 3\n" +
+        "    UNION ALL\n" +
+        "    SELECT vec_id + 1000000 AS vec_id,\n" +
+        "      list_reverse(embedding) AS embedding\n" +
+        "    FROM embeddings WHERE vec_id % 53 = 7)),")) +
+    // n32 vacuums two superseded version dirs after two compaction
+    // flips; serving rides CURRENT, so the answer is n13 over the
+    // post-lifecycle corpus (net: %47≡2 minus its %94≡2 half
+    // reversed, id 9 taken down)
+    ("n32_index_vacuum" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 47 = 2 AND vec_id % 94 <> 2\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings WHERE vec_id <> 9)),")) +
+    // st19 streams n31's sync per tick across two table generations
+    // (net: %29≡2 minus its %58≡2 half reversed, id 13 deleted,
+    // +2M-shifted copies of %59≡1 inserted)
+    ("st19_cdc_stream" -> oracleBase("n13_ivfpq_topk").replace(
+      "  FROM embeddings),",
+      "  FROM (SELECT vec_id,\n" +
+        "      CASE WHEN vec_id % 29 = 2 AND vec_id % 58 <> 2\n" +
+        "        THEN list_reverse(embedding) ELSE embedding END\n" +
+        "        AS embedding\n" +
+        "    FROM embeddings WHERE vec_id <> 13\n" +
+        "    UNION ALL\n" +
+        "    SELECT vec_id + 2000000 AS vec_id, embedding\n" +
+        "    FROM embeddings WHERE vec_id % 59 = 1)),")) +
     // g3 replays g1's transition graph through the streaming
     // delta-refresh path as one cold-start batch: same aggregated
     // edges, same 10 fixed-point iterations ⇒ g1's oracle

@@ -1761,6 +1761,264 @@ object Warehouse {
     } finally late.unpersist(blocking = false)
   }
 
+  // ---- CDC-driven index maintenance (n31/st19) -----------------------
+
+  /** Replay-fence stream name of the CDC sync: the committed high-water
+    * mark on the tombstone table IS the last TABLE version the index
+    * has absorbed. Kept on the tombstone table because it is the one
+    * table EVERY sync commits to (the fence-advance is its final,
+    * mark-only commit) and because [[carryIndexFences]] already carries
+    * it across compaction/rebuild flips like every other stream fence.
+    */
+  private val CdcFence = "cdc_sync"
+
+  /** Per-verb totals of one [[syncIndexFromTable]] run. `unchanged`
+    * counts feed inserts whose projected row already matched the live
+    * index copy and were skipped (a table partition rewrite that did
+    * not change the row, or a crash-replay window re-listing an
+    * already-absorbed change).
+    */
+  final case class CdcSyncStats(fromVersion: Long, toVersion: Long,
+                                inserted: Long, updated: Long,
+                                deleted: Long, unchanged: Long)
+
+  /** Maintain a persisted IVFPQ index as a DERIVED structure of its
+    * source-of-truth table: read the table's change feed
+    * ([[AtomicTable.changesBetween]]) since the last absorbed version
+    * and drive the index's three lifecycle verbs from it — net new ids
+    * append ([[writePqDelta]]), changed ids update
+    * ([[updateInPqIndex]]'s versioned-tombstone flip), disappeared ids
+    * delete ([[deleteIdsFromPqIndex]]) — so "keep the vector index in
+    * sync with the table" is one idempotent call instead of
+    * hand-routed per-verb streams. This is the lakehouse CDC pattern
+    * (a secondary index following a table through its commit log)
+    * applied to the ANN index; the reference's continuous refresh loop
+    * (/root/reference/static/main.js:592-596) generalized from quotes
+    * to vectors, with the table — not the stream — as the authority.
+    *
+    * Cost at scale: the feed is manifest-diff-priced (commits that
+    * changed, never a corpus diff), each verb is O(its batch) against
+    * the index (cell-local appends, one tombstone-manifest commit per
+    * update/delete), and nothing here scans the raw vector corpus
+    * except one live-view anti-join BOUNDED BY the insert side of the
+    * feed. An unchanged table is a metadata-only no-op.
+    *
+    * Correctness contract:
+    *  - the table must be keyed by `idCol` (one row per id — true for
+    *    every keyed DocTable; the sync refuses a multi-row id loudly);
+    *  - classification is by INDEX state, not feed shape: a feed
+    *    insert whose id the index already holds (any committed copy or
+    *    standing mark) takes the update verb, so replay windows and
+    *    delete+re-insert pairs inside ONE window land correctly;
+    *    content-identical rows are skipped (null-safe on every
+    *    projected column) so re-absorbing a window is free;
+    *  - each verb commits under its own `(cdc_sync#verb, tableVersion)`
+    *    fence and the master `(cdc_sync, tableVersion)` mark advances
+    *    LAST, mark-only — a crash mid-sync leaves a per-id-consistent
+    *    prefix (every verb is individually atomic) and the replay
+    *    re-derives the same window, skips completed verbs on their
+    *    fences, and completes the rest; if the table advanced before
+    *    the replay, the wider window still converges because absorbed
+    *    ids classify as content-identical updates and are skipped;
+    *  - RESURRECTION (an id taken down in an EARLIER window
+    *    re-inserted by the table) crosses the takedown-wins rule: an
+    *    update never lowers a MaxValue mark, and per-id max-resolution
+    *    means a lowered mark could not win anyway while the old mark's
+    *    row survives physically. `onReinstate = "refuse"` (default)
+    *    fails loudly with the id count; `"compact"` runs
+    *    [[compactPqIndex]] — the taken ids die physically, fences
+    *    carry — and re-syncs, landing the re-insert as a fresh append.
+    *  - the table's vacuum retention must cover the sync cadence: a
+    *    feed whose `fromVersion` was vacuumed fails fast
+    *    (whole-or-error) rather than silently skipping changes.
+    *
+    * First sync (no fence yet) reconciles the WHOLE current table
+    * against the index — ids the index already holds skip as
+    * content-identical, so seeding an index from a table snapshot and
+    * then pointing the sync at it converges without double-ingesting.
+    */
+  def syncIndexFromTable(spark: SparkSession, src: AtomicTable,
+                         indexRoot: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         onReinstate: String = "refuse",
+                         failpoint: String => Unit = _ => ())
+      : CdcSyncStats = {
+    require(Set("refuse", "compact")(onReinstate),
+      s"onReinstate must be 'refuse' or 'compact', got '$onReinstate'")
+    val r = resolveIndexRoot(indexRoot)
+    val t = pqTombstoneTable(spark, r, failpoint, idCol)
+    val v0 = t.lastCommittedBatch(CdcFence).getOrElse(0L)
+    val v1 = src.version
+    if (v1 <= v0) return CdcSyncStats(v0, v0, 0L, 0L, 0L, 0L)
+    // the index row schema IS the projection the sync maintains: the
+    // base embedding layout minus the physical cell/_seq columns —
+    // self-describing, no caller-supplied column list to get wrong
+    val rowCols = spark.read.parquet(s"$r/embeddings").schema
+      .map(_.name).filterNot(Set("cell", "_seq"))
+    require(rowCols.contains(idCol) && rowCols.contains(vecCol),
+      s"index at $indexRoot does not carry ($idCol, $vecCol)")
+    // an init-empty table (commits, no data) has nothing to absorb;
+    // leave the fence at 0 so the first DATA commit gets the full
+    // whole-table reconcile
+    if (v0 == 0L && !src.hasData)
+      return CdcSyncStats(v0, v0, 0L, 0L, 0L, 0L)
+    val feed =
+      if (v0 == 0L) src.read().withColumn("change_type", lit("insert"))
+      else src.changesBetween(v0, v1)
+    val ins = graft.Caches.persist(
+      feed.filter(col("change_type") === "insert")
+        .select(rowCols.map(col): _*))
+    try {
+      require(ins.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"source table must be keyed by $idCol — its change feed " +
+          "carries more than one insert row for some id")
+      val delIds = feed.filter(col("change_type") === "delete")
+        .select(col(idCol)).distinct()
+        .join(ins.select(col(idCol)), Seq(idCol), "left_anti")
+      // every index-sized view below is pruned BY the feed's insert
+      // ids before any wide join: the semi's build side is the bounded
+      // batch, so the index scans stream past it without an
+      // index-sized shuffle or broadcast
+      val insIds = ins.select(col(idCol))
+      val marks = tombstoneMarks(spark, r, idCol)
+      val nRes = marks.map(m =>
+        m.filter(col("_upto") === Long.MaxValue).select(col(idCol))
+          .join(insIds, Seq(idCol), "left_semi").count())
+        .getOrElse(0L)
+      if (nRes > 0) {
+        if (onReinstate == "refuse")
+          throw new IllegalStateException(
+            s"$nRes table re-insert(s) of ids under a full takedown: " +
+              "takedown-wins keeps them dead until the index compacts " +
+              "(onReinstate = \"compact\" does it here, or run " +
+              "compactPqIndex and re-sync)")
+        compactPqIndex(spark, indexRoot, idCol, vecCol)
+        // the carried fence preserves v0; taken ids are now physically
+        // gone and unknown, so the re-derived sync appends them fresh
+        return syncIndexFromTable(spark, src, indexRoot, idCol, vecCol,
+          onReinstate, failpoint)
+      }
+      // ids the index KNOWS (any committed copy — live or dead — or
+      // any standing mark) take the update verb; never-seen ids take
+      // the cheap no-mark append. Known-ness probes the NARROW codes
+      // view, feed-pruned as above, so the classified sets are all
+      // O(batch).
+      val knownTouched = graft.Caches.persist(
+        readPqCodesAll(spark, indexRoot).select(col(idCol))
+          .join(insIds, Seq(idCol), "left_semi")
+          .unionByName(marks.map(_.select(col(idCol))
+              .join(insIds, Seq(idCol), "left_semi"))
+            .getOrElse(insIds.limit(0)))
+          .distinct())
+      val insNew = ins.join(knownTouched, Seq(idCol), "left_anti")
+      val live = liveBySeq(readEmbeddingsByCellAllSeq(spark, indexRoot),
+          marks, idCol)
+        .join(insIds, Seq(idCol), "left_semi")
+        .select(rowCols.map(c => col(c).as(s"_lv_$c")): _*)
+      val changed = ins.join(knownTouched, Seq(idCol), "left_semi")
+        .join(live,
+          rowCols.map(c => col(c) <=> col(s"_lv_$c")).reduce(_ && _),
+          "left_anti")
+      val nIns = insNew.count()
+      val nUpd = changed.count()
+      failpoint("cdc_before_ins")
+      if (nIns > 0)
+        writePqDelta(insNew, indexRoot, v1, idCol, vecCol, failpoint,
+          stream = s"$CdcFence#ins")
+      failpoint("cdc_before_upd")
+      if (nUpd > 0)
+        updateInPqIndex(spark, indexRoot, changed, idCol, vecCol,
+          txn = Some((s"$CdcFence#upd", v1)), failpoint = failpoint)
+      failpoint("cdc_before_del")
+      val nDel = deleteIdsFromPqIndex(spark, indexRoot, delIds, idCol,
+        txn = Some((s"$CdcFence#del", v1)))
+      failpoint("cdc_before_fence")
+      // master fence LAST, mark-only: it witnesses the whole window
+      val emptyMarks = ins.select(col(idCol)).limit(0)
+        .withColumn("cell", lit(0)).withColumn("upto", lit(0L))
+      val t2 = pqTombstoneTable(spark, resolveIndexRoot(indexRoot),
+        failpoint, idCol)
+      if (!t2.hasData) t2.init(emptyMarks, Some((CdcFence, v1)))
+      else t2.insertIgnore(emptyMarks, txn = Some((CdcFence, v1)))
+      // flip fence: a compaction/rebuild mid-sync moved CURRENT; the
+      // verbs each replayed themselves, but the master mark may have
+      // landed in the superseded table after its fence carry — re-run
+      // against the new current (mark-only, idempotent)
+      if (resolveIndexRoot(indexRoot) != r) {
+        val t3 = pqTombstoneTable(spark, resolveIndexRoot(indexRoot),
+          failpoint, idCol)
+        if (!t3.hasData) t3.init(emptyMarks, Some((CdcFence, v1)))
+        else t3.insertIgnore(emptyMarks, txn = Some((CdcFence, v1)))
+      }
+      CdcSyncStats(v0, v1, nIns, nUpd, nDel,
+        ins.count() - nIns - nUpd)
+    } finally ins.unpersist(blocking = false)
+  }
+
+  /** Reclaim SUPERSEDED index version directories — the disk half of
+    * the compaction/rebuild story. Every generation flip
+    * ([[compactPqIndex]], [[rebuildIfDrifted]]) retains its superseded
+    * version for in-flight readers and audit; under a steady
+    * maintenance loop those directories are the index's dominant disk
+    * cost (each holds a full base corpus). This drops all but the
+    * `retainLast` most recent superseded versions:
+    *
+    *  - only versions STRICTLY OLDER than `CURRENT` are eligible — the
+    *    serving version and any claimed-but-unflipped in-progress
+    *    build (always newer than CURRENT by [[claimNextIndexVersion]])
+    *    are never touched;
+    *  - stranded late shards are folded forward FIRST
+    *    ([[sweepSupersededIndexDeltas]]) so a reclaimed directory is
+    *    never the only copy of a committed row; replay fences were
+    *    already carried at flip time ([[carryIndexFences]]) and live
+    *    in the CURRENT version's tables — vacuum removes no memory;
+    *  - the pre-versioned root-level layout (an index built before its
+    *    first flip keeps its original base at `root/` itself) counts
+    *    as the OLDEST version: its component dirs/files are reclaimed
+    *    individually, never the root (which owns `CURRENT` and the
+    *    live `v*` dirs);
+    *  - a reader pinned to a reclaimed version fails FAST on the
+    *    missing directory — the [[AtomicTable.vacuum]] whole-or-error
+    *    discipline at index granularity. Size `retainLast` to the
+    *    in-flight-reader grace you need.
+    *
+    * Returns the reclaimed version names (oldest last; `"(root)"` for
+    * the pre-versioned layout).
+    */
+  def vacuumIndexVersions(spark: SparkSession, root: String,
+                          retainLast: Int = 1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Seq[String] = {
+    require(retainLast >= 0, "retainLast must be >= 0")
+    val cur = java.nio.file.Paths.get(s"$root/CURRENT")
+    if (!java.nio.file.Files.exists(cur)) return Nil
+    val n = java.nio.file.Files.readString(cur).trim
+      .stripPrefix("v").toLong
+    sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
+    val vDir = "^v(\\d+)$".r
+    val legacyParts = Seq("embeddings", "codes", "delta_emb",
+      "delta_codes", "delta_tombstones", "centroids.txt",
+      "codebooks.txt", "pqmeta.txt")
+    val legacy =
+      if (legacyParts.exists(p => new java.io.File(s"$root/$p").exists()))
+        Seq((0L, "(root)"))
+      else Nil
+    val olds = (legacy ++ new java.io.File(root).list().toSeq
+        .collect { case d @ vDir(m) if m.toLong < n => (m.toLong, d) })
+      .sortBy(-_._1).drop(retainLast)
+    olds.map {
+      case (_, "(root)") =>
+        legacyParts.foreach(p =>
+          deleteRecursively(new java.io.File(s"$root/$p")))
+        "(root)"
+      case (_, d) =>
+        deleteRecursively(new java.io.File(s"$root/$d"))
+        d
+    }
+  }
+
   /** IVFADC serving against the PERSISTED index — no raw vectors on
     * the select path: probe cells rank by the layout's own centroids,
     * the pruned `codes/` scan ADC-scores candidates (`cand` by

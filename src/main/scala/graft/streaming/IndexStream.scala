@@ -150,4 +150,44 @@ object IndexStream {
       }
       .trigger(trigger)
       .start()
+
+  val tickSchema: StructType = StructType(Seq(
+    StructField("tick", LongType)))
+
+  /** The WHOLE index lifecycle as one maintenance stream: each tick
+    * (a row landing in `tickDir` — a scheduler heartbeat, a table
+    * commit hook) runs [[Warehouse.syncIndexFromTable]], which reads
+    * the source table's change feed since the last absorbed version
+    * and drives all three verbs — appends, versioned-tombstone
+    * updates, takedowns — from it. The index follows the TABLE, not a
+    * hand-routed per-verb stream: upsert the table and the vectors
+    * update; delete from the table and they disappear.
+    *
+    * Exactly-once needs no batchId fence here (st16's discipline): the
+    * sync is a pure function of (last absorbed table version → table
+    * CURRENT), state it keeps in the index's own `cdc_sync` mark, so a
+    * replayed or duplicated tick re-derives an empty window and
+    * no-ops — ticks are AT-LEAST-ONCE delivery hints, never the
+    * authority. A crash mid-sync leaves a per-id-consistent prefix the
+    * next tick completes (each verb has its own fence). Run at most
+    * one CDC stream per index root.
+    */
+  def startCdcSync(spark: SparkSession, tickDir: String,
+                   mkTable: SparkSession => graft.sources.AtomicTable,
+                   indexRoot: String, checkpointDir: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   onReinstate: String = "refuse",
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(tickSchema).parquet(tickDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        Warehouse.syncIndexFromTable(spark, mkTable(spark), indexRoot,
+          idCol, vecCol, onReinstate)
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -1234,8 +1234,15 @@ class WarehouseSpec extends AnyFunSuite {
         .collect().toSeq)
     // the superseded version's files are retained for in-flight readers
     assert(Files.exists(java.nio.file.Paths.get(s"$root/embeddings")))
-    // post-flip streaming appends land in the NEW version's delta tables
-    Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 7), root, 0L)
+    // the fences rode the flip (carryIndexFences): a fresh-checkpoint
+    // replay of the ALREADY-INGESTED batch 0 must skip — its rows live
+    // in the new base, and re-appending them would double the ids
+    Warehouse.writePqDelta(drifted, root, 0L)
+    assert(!Warehouse.hasPqDeltas(spark, root),
+      "a replayed pre-flip batch id must be fenced out after the flip")
+    // post-flip streaming appends land in the NEW version's delta
+    // tables under the stream's NEXT batch id
+    Warehouse.writePqDelta(emb.filter($"vec_id" % 10 === 7), root, 1L)
     assert(Warehouse.hasPqDeltas(spark, root))
     assert(Files.exists(
       java.nio.file.Paths.get(s"$root/v1/delta_codes")))
@@ -1952,5 +1959,217 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tbl.version === 9L, "one version per commit, none skipped")
     assert(tbl.history().map(_._2) ===
       "init" +: Seq.fill(8)("insert"))
+  }
+
+  test("CDC index sync: the change feed drives all three verbs, " +
+    "re-sync is a no-op, crash prefixes replay to convergence, and " +
+    "resurrection needs the compact escape hatch") {
+    import graft.pipelines.Similarity
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdc_sync").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val src = AtomicTable(spark, s"$root/table", partCol = "label",
+      defaultKeys = Seq("vec_id"), partType = _.toInt)
+    src.init(emb)
+    Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    def liveOf(id: Long) = Warehouse
+      .readEmbeddingsByCellLive(spark, s"$root/idx")
+      .filter($"vec_id" === id)
+    // first sync (no fence yet) reconciles the whole seed table as
+    // content-identical — nothing committed, fence lands at v1
+    val first = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(first.inserted === 0L && first.updated === 0L &&
+      first.deleted === 0L && first.unchanged === emb.count())
+    // three ordinary table commits: update id 3, delete id 5,
+    // insert a fresh id 9001
+    src.upsert(emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding")))
+    val labels = emb.select("label").distinct()
+      .collect().map(_.get(0).toString).toSeq
+    assert(src.deleteWhere(labels, $"vec_id" === 5) === 1L)
+    src.insertIgnore(emb.filter($"vec_id" === 1)
+      .withColumn("vec_id", lit(9001L))
+      .withColumn("embedding", reverse($"embedding")))
+    val stats = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(stats.inserted === 1L && stats.updated === 1L &&
+      stats.deleted === 1L && stats.unchanged === 0L)
+    val upd3 = emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding"))
+      .select("embedding").as[Seq[Float]].head()
+    assert(liveOf(3L).select("embedding").as[Seq[Float]].head()
+      === upd3, "the table's updated vector serves")
+    assert(liveOf(5L).count() === 0L, "the table delete took down 5")
+    assert(liveOf(9001L).count() === 1L, "the table insert appended")
+    // unchanged table → version-compare-only no-op
+    val again = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(again.inserted + again.updated + again.deleted +
+      again.unchanged === 0L && again.fromVersion === again.toVersion)
+    // crash at every failpoint in turn: each replay starts from the
+    // un-advanced fence, re-derives the SAME window, skips the verbs
+    // that committed, and completes the rest — converging without
+    // doubles. (A mid-sync crash leaves a per-id-consistent PREFIX:
+    // committed appends are already visible, which is the documented
+    // contract, not an anomaly.)
+    src.upsert(emb.filter($"vec_id" === 7)
+      .withColumn("embedding", reverse($"embedding")))
+    assert(src.deleteWhere(labels, $"vec_id" === 11) === 1L)
+    src.insertIgnore(emb.filter($"vec_id" === 2)
+      .withColumn("vec_id", lit(9002L)))
+    Seq("cdc_before_ins", "cdc_before_upd", "cdc_before_del",
+      "cdc_before_fence").foreach { fp =>
+      intercept[RuntimeException] {
+        Warehouse.syncIndexFromTable(spark, src, s"$root/idx",
+          failpoint = p => if (p == fp) sys.error(s"crash at $p"))
+      }
+    }
+    val healed = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    // the cascading replays already landed every verb before the
+    // final fence crash; the clean run just advances the fence
+    assert(healed.inserted + healed.updated + healed.deleted === 0L,
+      s"cascaded replays must have converged, got $healed")
+    assert(liveOf(7L).count() === 1L && liveOf(9002L).count() === 1L &&
+      liveOf(11L).count() === 0L, "the crashed window landed whole")
+    assert(Warehouse.readPqCodesLive(spark, s"$root/idx")
+      .groupBy($"vec_id").count().filter($"count" > 1).isEmpty,
+      "no id is ever doubled by a replayed window")
+    // RESURRECTION: take 3 down via the table, sync, re-insert it —
+    // the default refuses (takedown-wins), the escape hatch compacts
+    // (taken ids die physically) and lands the re-insert as an append
+    assert(src.deleteWhere(labels, $"vec_id" === 3) === 1L)
+    assert(Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+      .deleted === 1L)
+    src.insertIgnore(emb.filter($"vec_id" === 3))
+    val e = intercept[IllegalStateException] {
+      Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    }
+    assert(e.getMessage.contains("takedown"))
+    val res = Warehouse.syncIndexFromTable(spark, src, s"$root/idx",
+      onReinstate = "compact")
+    assert(res.inserted === 1L, s"re-insert lands as an append: $res")
+    assert(liveOf(3L).select("embedding").as[Seq[Float]].head() ===
+      emb.filter($"vec_id" === 3).select("embedding")
+        .as[Seq[Float]].head(),
+      "the resurrected id serves the table's (original) vector")
+    // and the whole index still mirrors the table exactly
+    val tbl = src.read().select($"vec_id").as[Long].collect().toSet
+    val idx = Warehouse.readPqCodesLive(spark, s"$root/idx")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(idx === tbl, "index id space ≡ table id space after it all")
+  }
+
+  test("vacuumIndexVersions: reclaims only strictly-older-than-CURRENT " +
+    "generations, keeps the retention grace, survives fences") {
+    import graft.pipelines.Similarity
+    val root = Files.createTempDirectory("graft_idx_vac").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    Warehouse.writePqIndex(emb, root, k = 8, dim = 64, m = 8, ks = 16,
+      centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def serve() = Warehouse
+      .ivfPqServe(spark, root, q, topK = 5, nprobe = 2, cand = 20)
+      .as[(Long, Double)].collect().toSeq
+    // generation 1: a FENCED update, then compact → CURRENT = v1,
+    // root-level base superseded
+    assert(Warehouse.updateInPqIndex(spark, root,
+      emb.filter($"vec_id" === 3)
+        .withColumn("embedding", reverse($"embedding")),
+      txn = Some(("vac_upd", 1L))) === 1L)
+    val afterUpd = serve()
+    Warehouse.compactPqIndex(spark, root)
+    // retainLast = 1 keeps the newest superseded generation
+    assert(Warehouse.vacuumIndexVersions(spark, root, retainLast = 1)
+      === Nil, "one superseded generation is within the grace window")
+    assert(new java.io.File(s"$root/embeddings").isDirectory)
+    // generation 2: another update, compact → v2; now the root-level
+    // layout falls out of the grace window
+    assert(Warehouse.updateInPqIndex(spark, root,
+      emb.filter($"vec_id" === 3)) === 1L)
+    val restored = serve()
+    Warehouse.compactPqIndex(spark, root)
+    assert(Warehouse.vacuumIndexVersions(spark, root, retainLast = 1)
+      === Seq("(root)"))
+    assert(!new java.io.File(s"$root/embeddings").exists(),
+      "the pre-versioned base is reclaimed")
+    assert(new java.io.File(s"$root/v1").isDirectory,
+      "v1 stays inside the grace window")
+    assert(serve() === restored, "serving never flinches")
+    // a claimed-but-unflipped build dir (newer than CURRENT) survives
+    // even retainLast = 0; v1 does not
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$root/v9"))
+    assert(Warehouse.vacuumIndexVersions(spark, root, retainLast = 0)
+      === Seq("v1"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v9")))
+    assert(serve() === restored)
+    // the fence was CARRIED by the flips, not stored in the reclaimed
+    // dirs: replaying the generation-1 txn is still a recognized skip
+    assert(Warehouse.updateInPqIndex(spark, root,
+      emb.filter($"vec_id" === 3)
+        .withColumn("embedding", reverse($"embedding")),
+      txn = Some(("vac_upd", 1L))) === 0L,
+      "replay fences survive vacuum")
+    // and the lifecycle keeps working on the vacuumed index
+    assert(Warehouse.updateInPqIndex(spark, root,
+      emb.filter($"vec_id" === 3)
+        .withColumn("embedding", reverse($"embedding")),
+      txn = Some(("vac_upd", 2L))) === 1L)
+    assert(serve() === afterUpd, "post-vacuum update serves bit-equal " +
+      "to the same update pre-compaction")
+  }
+
+  test("CDC sync stream: ticks are hints, the table version is the " +
+    "fence — a fresh-checkpoint replay of every tick recovers nothing") {
+    import graft.pipelines.Similarity
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdc_stream").toString
+    val landing = Files.createTempDirectory("graft_cdc_ticks").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val mk = (sp: org.apache.spark.sql.SparkSession) =>
+      AtomicTable(sp, s"$root/table", partCol = "label",
+        defaultKeys = Seq("vec_id"), partType = _.toInt)
+    mk(spark).init(emb)
+    Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    def tick(n: Long, ckpt: String): Unit = {
+      Seq(n).toDF("tick").coalesce(1)
+        .write.mode("append").parquet(landing)
+      val q = graft.streaming.IndexStream.startCdcSync(spark, landing,
+        mk, s"$root/idx", ckpt)
+      assert(q.awaitTermination(180000))
+    }
+    val ckpt1 = Files.createTempDirectory("graft_cdc_ck1").toString
+    mk(spark).upsert(emb.filter($"vec_id" === 4)
+      .withColumn("embedding", reverse($"embedding")))
+    tick(1L, ckpt1)
+    val updated = Warehouse
+      .readEmbeddingsByCellLive(spark, s"$root/idx")
+      .filter($"vec_id" === 4).select("embedding")
+      .as[Seq[Float]].head()
+    assert(updated === emb.filter($"vec_id" === 4)
+      .withColumn("embedding", reverse($"embedding"))
+      .select("embedding").as[Seq[Float]].head(),
+      "the tick absorbed the table commit")
+    val marks = Warehouse.pqTombstoneTable(spark, s"$root/idx")
+      .version
+    // FRESH checkpoint: the stream replays every tick from scratch;
+    // the index-side (cdc_sync, table-version) fence sees an empty
+    // window each time and commits NOTHING — no re-reversed vectors,
+    // no new tombstone-table versions
+    val ckpt2 = Files.createTempDirectory("graft_cdc_ck2").toString
+    tick(2L, ckpt2)
+    assert(Warehouse.pqTombstoneTable(spark, s"$root/idx").version
+      === marks, "a replayed/duplicated tick commits nothing")
+    assert(Warehouse.readEmbeddingsByCellLive(spark, s"$root/idx")
+      .filter($"vec_id" === 4).select("embedding")
+      .as[Seq[Float]].head() === updated)
+    assert(Warehouse.readPqCodesLive(spark, s"$root/idx")
+      .groupBy($"vec_id").count().filter($"count" > 1).isEmpty,
+      "no doubles under tick replay")
   }
 }
