@@ -64,6 +64,23 @@ object Bench {
         objectTimes(txt, "elevated"))
     } catch { case _: Throwable => (Map.empty, Map.empty) }
 
+  /** Rep tier for a query whose first successful rep took `t1`
+    * seconds: the wall cost of extra reps must be proportionate to
+    * what they buy. Reps exist to strip one-time costs (whole-stage
+    * codegen JIT, parquet footer reads) off the reported steady state
+    * — costs that are hundreds of milliseconds, so on a multi-second
+    * query they are already noise and extra reps buy nothing but
+    * wall clock. Round 15's driver bench TIMED OUT (rc 124) running
+    * the 23s/13s/12s lifecycle integration queries at a uniform
+    * min-of-3; tiering is the fix: >3s floors run once, 0.25-3s
+    * floors twice (one rep absorbs the JIT, one is steady state),
+    * and only the ≤0.25s tail — where a single JIT or GC blip is a
+    * large RELATIVE error and reps are nearly free — keeps the full
+    * `cap` reps.
+    */
+  private[graft] def tieredReps(t1: Double, cap: Int): Int =
+    if (t1 > 3.0) 1 else if (t1 > 0.25) math.min(2, cap) else cap
+
   /** Min-of-n timing of one query — the bench's measurement core,
     * factored out so the failure contract is spec-testable. A failed
     * rep must NOT be timed as a success: round 8's testdata drift made
@@ -72,13 +89,19 @@ object Bench {
     * ratcheted the floors down to it. Left = the error of a query
     * whose EVERY rep failed; Right = min over the successful reps (a
     * transient single-rep failure still yields a real timing).
+    *
+    * Reps are TIERED by the first successful rep's measured time (see
+    * [[tieredReps]]): `n` is a cap, not a quota — an expensive query
+    * stops after its first or second rep. Failed reps never count
+    * toward the tier budget (up to `n` attempts are still made to get
+    * one real timing).
     */
   private[graft] def timeQuery(
       spark: SparkSession, sfDir: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       n: Int): Either[String, Double] = {
     var lastErr = "unknown failure"
-    val ok = (1 to n).flatMap { _ =>
+    def rep(): Option[Double] = {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every column (count() would
       // let Catalyst prune the projections we are trying to measure).
@@ -92,7 +115,19 @@ object Bench {
           None
       } finally Caches.releaseAll()
     }
-    if (ok.nonEmpty) Right(ok.min) else Left(lastErr)
+    // attempt until the FIRST success (bounded by the cap), then let
+    // that measured time pick the tier and run the remaining reps
+    var attempts = 0
+    var first: Option[Double] = None
+    while (first.isEmpty && attempts < n) {
+      first = rep(); attempts += 1
+    }
+    first match {
+      case None => Left(lastErr)
+      case Some(t1) =>
+        val more = (2 to tieredReps(t1, n)).flatMap(_ => rep())
+        Right((t1 +: more).min)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,6 +137,25 @@ object Bench {
     val backoffMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "15000").toLong
     val (floors, prevElevated) = previousState()
+    // Budget pre-flight: the driver's wall clock is the de-facto
+    // contract (round 15's bench exceeded it and returned rc 124 with
+    // NO artifact — a foreseeable failure, since the committed floors
+    // alone projected past the budget). Project this run's wall from
+    // the committed floors under the tiered-rep policy and warn
+    // LOUDLY up front when it exceeds the configured budget; the
+    // projection and verdict also land in BENCH_FULL.json so the
+    // round-end check is machine-readable.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "700").toDouble
+    val floorsSum = floors.values.sum
+    val projectedWall =
+      floors.values.map(t => t * tieredReps(t, reps)).sum
+    if (projectedWall > budgetSec)
+      System.err.println(
+        f"[bench] BUDGET EXCEEDED: projected measured wall " +
+        f"$projectedWall%.0fs (floors $floorsSum%.0fs under tiered " +
+        f"reps) > budget ${budgetSec}%.0fs — trim the timed surface " +
+        "before the driver times out")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -144,7 +198,16 @@ object Bench {
       case Some(p) => t > math.max(2 * p, 0.25)
       case None    => t > 2.0
     }
-    val flagged = firstPass.collect { case (n, t) if spiky(n, t) => n }.toSet
+    // Re-measure only flagged queries whose first-pass min is ≤5s:
+    // above that, the re-measure COSTS more wall than the exoneration
+    // saves (observed: a box-wide 1.5× elevation flagged ~20
+    // multi-second queries and the re-measure pass re-ran ~350s of
+    // lifecycle integration work to confirm what it already knew).
+    // Big flagged queries stay `elevated`; the two-consecutive-runs
+    // floor-reset handshake remains their regression/heal path, and
+    // their floors are preserved either way.
+    val flagged = firstPass
+      .collect { case (n, t) if spiky(n, t) && t <= 5.0 => n }.toSet
     // back-to-back re-measure lands inside the same load spike that
     // caused the flag; sleep first so "measured later" is actually true
     if (flagged.nonEmpty) Thread.sleep(backoffMs)
@@ -234,6 +297,13 @@ object Bench {
       s""""failed":${errors.size},"errors":${jsonStrMap(errors)},""" +
       s""""queries":${jsonMap(results)},"floors":${jsonMap(newFloors)},""" +
       s""""elevated":${jsonMap(elevated)},""" +
+      // budget pre-flight record: floors-projected wall under tiered
+      // reps vs the configured budget — reviewable after the fact, and
+      // the round-end check the r15 timeout showed was missing
+      s""""budget":{"floors_sum":${num(floorsSum)},""" +
+      s""""projected_wall":${num(projectedWall)},""" +
+      s""""budget_sec":${num(budgetSec)},""" +
+      s""""within_budget":${projectedWall <= budgetSec}},""" +
       // resets are recorded in the artifact (not only on stderr): a
       // CORRELATED multi-floor reset in one run is the box-spike
       // signature and must be reviewable after the fact

@@ -418,7 +418,8 @@ object Warehouse {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    failpoint: String => Unit = _ => (),
-                   stream: String = "pq_delta"): Unit = {
+                   stream: String = "pq_delta",
+                   dedupIds: Boolean = false): Unit = {
     // A zero-row micro-batch (empty landing poll) has nothing to shard;
     // skipping it without a commit is replay-safe — the replayed batch
     // is empty again and skips again — and keeps init() from ever
@@ -435,13 +436,36 @@ object Warehouse {
     val cell = graft.pipelines.Similarity
       .ivfCellAtNative(col(vecCol), cents)
     val txn = Some((stream, batchId))
-    val embRows = batch.withColumn("cell", cell)
-    val codeRows = batch.withColumn("cell", cell)
+    val embRows0 = batch.withColumn("cell", cell)
+    val codeRows0 = batch.withColumn("cell", cell)
       .withColumn("code",
         pqCodeFor(vecCol, cents, cb, readPqResidualFlag(r)))
       .select(col(idCol), col("cell"), col("code"))
     val emb = pqDeltaEmbTable(spark, r, failpoint)
     val codes = pqDeltaCodeTable(spark, r, failpoint)
+    // `dedupIds`: idempotence BY CONTENT for callers whose replay
+    // fence cannot be trusted to hold still — the CDC sync fences on
+    // the window-end TABLE version, so a crash inside this verb (emb
+    // committed, codes not) replayed after the table advanced re-runs
+    // under a LARGER batchId and the (stream, batchId) mark no longer
+    // skips the emb side: the same id would land twice at _seq 0 and
+    // the next compaction would bake the double into serve candidates.
+    // The anti-join drops already-committed ids per table, so the
+    // replay re-lands only what its crash lost. OFF by default: plain
+    // ingest streams fence on the micro-batch id (stable across
+    // replays), their batches are new-id-only, and the per-batch
+    // anti-join would re-scan the accreted delta table to remove
+    // nothing. The committed read is semi-pruned by the batch's own
+    // ids, so when it IS on, the anti-join's build side is O(batch).
+    def dedupById(rows: DataFrame,
+                  t: graft.sources.AtomicTable): DataFrame =
+      if (!dedupIds || !t.hasData) rows
+      else rows.join(
+        t.read().select(col(idCol))
+          .join(rows.select(col(idCol)), Seq(idCol), "left_semi"),
+        Seq(idCol), "left_anti")
+    val embRows = dedupById(embRows0, emb)
+    val codeRows = dedupById(codeRows0, codes)
     // vectors FIRST, codes second: the serve is codes-driven (see
     // scaladoc), so the in-between crash state is benign
     if (emb.version == 0L) emb.init(embRows, txn)
@@ -458,7 +482,7 @@ object Warehouse {
     // commit completed before the flip) no shard is ever lost.
     if (resolveIndexRoot(root) != r)
       writePqDelta(batch, root, batchId, idCol, vecCol, failpoint,
-        stream)
+        stream, dedupIds)
   }
 
   /** True iff the index at `root` has any committed streaming deltas. */
@@ -1240,9 +1264,15 @@ object Warehouse {
     val marks = tombstoneMarks(spark, r, idCol)
     // cur from the LIVE view (not the committed multiset): a crashed
     // update's stranded, invisible row must not advance the sequence
-    // its replay re-derives
-    val curSeq = liveBySeq(readPqCodesAllSeq(spark, r), marks, idCol)
-      .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    // its replay re-derives. The codes scan and the marks are each
+    // semi-pruned by the batch's ids BELOW the liveness join, so the
+    // O(batch) plan is structural (liveness is per-id — pruning both
+    // sides by id first is semantically identical).
+    val batchIds = batch.select(col(idCol)).distinct()
+    val curSeq = liveBySeq(
+        readPqCodesAllSeq(spark, r)
+          .join(batchIds, Seq(idCol), "left_semi"),
+        marks.map(_.join(batchIds, Seq(idCol), "left_semi")), idCol)
       .groupBy(col(idCol)).agg(max(col("_seq")).as("_cur"))
     val taken = marks.map(_.filter(col("_upto") === Long.MaxValue)
       .select(col(idCol)))
@@ -1261,22 +1291,29 @@ object Warehouse {
           (col("_cur") + 1L).as("_seq"))
       val emb = pqDeltaEmbTable(spark, r, failpoint)
       val codes = pqDeltaCodeTable(spark, r, failpoint)
-      // non-txn crash-replay convergence: a caller without a txn fence
-      // that crashed between the delta append and the mark flip and
-      // re-ran would re-derive the SAME _seq (the stranded row is
-      // invisible to the live view) and append a SECOND copy — the
+      // crash-replay convergence BY CONTENT, for every caller: a
+      // replay that crashed between the delta append and the mark
+      // flip re-derives the SAME _seq (the stranded row is invisible
+      // to the live view) and would append a SECOND copy — the
       // eventual flip would then enable both, a doubled id at serve.
       // Dedup each table's landing by (id, _seq) against its own
       // committed multiset: the replay re-lands only what its crash
       // lost, per table, so emb-landed/codes-missing states also
-      // converge. Txn-fenced callers never reach the duplicate (their
-      // per-table marks skip completed appends); the anti-join is the
-      // same guarantee for everyone else.
+      // converge. Txn-fenced callers need this TOO, not just the
+      // fence: a fence whose batchId is derived from moving state
+      // (the CDC sync fences on the window-end TABLE version) replays
+      // under a LARGER batchId when the table advanced between the
+      // crash and the replay, so the per-table mark no longer skips
+      // the already-landed rows — content dedup is the invariant the
+      // mark cannot carry. The committed read is semi-pruned by the
+      // batch's own ids first, so the anti-join's build side stays
+      // O(batch) regardless of index size.
       def dedupBySeq(rows: DataFrame,
                      t: graft.sources.AtomicTable): DataFrame =
-        if (txn.nonEmpty || !t.hasData) rows
+        if (!t.hasData) rows
         else rows.join(
-          withSeq(t.read()).select(col(idCol), col("_seq")),
+          withSeq(t.read()).select(col(idCol), col("_seq"))
+            .join(upd.select(col(idCol)), Seq(idCol), "left_semi"),
           Seq(idCol, "_seq"), "left_anti")
       val embRows = dedupBySeq(embRows0, emb)
       val codeRows = dedupBySeq(codeRows0, codes)
@@ -1836,6 +1873,11 @@ object Warehouse {
     * against the index — ids the index already holds skip as
     * content-identical, so seeding an index from a table snapshot and
     * then pointing the sync at it converges without double-ingesting.
+    * It also reconciles the other direction: live index ids the table
+    * does NOT hold are taken down (the one index-sized id scan the
+    * sync ever does), so an index seeded from a superset or diverged
+    * corpus converges to the table's id space instead of serving
+    * orphan vectors forever.
     */
   def syncIndexFromTable(spark: SparkSession, src: AtomicTable,
                          indexRoot: String,
@@ -1874,9 +1916,25 @@ object Warehouse {
           .filter(col("count") > 1).isEmpty,
         s"source table must be keyed by $idCol — its change feed " +
           "carries more than one insert row for some id")
-      val delIds = feed.filter(col("change_type") === "delete")
+      val delIds0 = feed.filter(col("change_type") === "delete")
         .select(col(idCol)).distinct()
         .join(ins.select(col(idCol)), Seq(idCol), "left_anti")
+      // FIRST sync must reconcile deletions too: the whole-table feed
+      // carries only inserts, so an index seeded from a SUPERSET (or
+      // otherwise diverged) corpus would keep serving ids the table
+      // never held — forever, because later windows only ever see ids
+      // the table touched. Take down live index ids absent from the
+      // table now, once: this is the one sync allowed an index-sized
+      // id scan (narrow codes ids), and it is what makes "index id
+      // space ≡ table id space" hold by construction rather than by a
+      // seeded-from-exact-snapshot precondition.
+      val delIds =
+        if (v0 != 0L) delIds0
+        else delIds0.unionByName(
+          readPqCodesLive(spark, indexRoot, idCol)
+            .select(col(idCol)).distinct()
+            .join(ins.select(col(idCol)), Seq(idCol), "left_anti"))
+          .distinct()
       // every index-sized view below is pruned BY the feed's insert
       // ids before any wide join: the semi's build side is the bounded
       // batch, so the index scans stream past it without an
@@ -1913,9 +1971,16 @@ object Warehouse {
             .getOrElse(insIds.limit(0)))
           .distinct())
       val insNew = ins.join(knownTouched, Seq(idCol), "left_anti")
-      val live = liveBySeq(readEmbeddingsByCellAllSeq(spark, indexRoot),
-          marks, idCol)
-        .join(insIds, Seq(idCol), "left_semi")
+      // the feed-prune is STRUCTURAL, below the liveness join — the
+      // embeddings scan and the marks are each semi-joined by the
+      // batch's ids BEFORE liveBySeq's wide join, so the bounded plan
+      // is guaranteed by construction, not by hoping Catalyst pushes
+      // the prune through the join (liveness is per-id, so pruning
+      // both sides by id first is semantically identical)
+      val live = liveBySeq(
+          readEmbeddingsByCellAllSeq(spark, indexRoot)
+            .join(insIds, Seq(idCol), "left_semi"),
+          marks.map(_.join(insIds, Seq(idCol), "left_semi")), idCol)
         .select(rowCols.map(c => col(c).as(s"_lv_$c")): _*)
       val changed = ins.join(knownTouched, Seq(idCol), "left_semi")
         .join(live,
@@ -1924,9 +1989,13 @@ object Warehouse {
       val nIns = insNew.count()
       val nUpd = changed.count()
       failpoint("cdc_before_ins")
+      // dedupIds: this verb's fence is the window-end table version,
+      // which MOVES if the table commits between a mid-verb crash and
+      // the replay — content-level dedup is what actually guarantees
+      // "no id is ever doubled" here (see writePqDelta's scaladoc)
       if (nIns > 0)
         writePqDelta(insNew, indexRoot, v1, idCol, vecCol, failpoint,
-          stream = s"$CdcFence#ins")
+          stream = s"$CdcFence#ins", dedupIds = true)
       failpoint("cdc_before_upd")
       if (nUpd > 0)
         updateInPqIndex(spark, indexRoot, changed, idCol, vecCol,

@@ -171,13 +171,25 @@ object IndexStream {
     * authority. A crash mid-sync leaves a per-id-consistent prefix the
     * next tick completes (each verb has its own fence). Run at most
     * one CDC stream per index root.
+    *
+    * `onReinstate` defaults to `"compact"` HERE, unlike the batch
+    * [[Warehouse.syncIndexFromTable]] it drives: this is the
+    * unattended entry point, and under `"refuse"` a legitimate table
+    * re-insert of a previously taken-down id is a poison pill — every
+    * tick re-derives the same window and throws, and restarts cannot
+    * progress until someone runs a manual compaction. The compaction
+    * is answer-preserving (frozen model; fences carry the flip), so
+    * the stream absorbing the reinstate by compact-then-resync costs
+    * one O(live index) rebuild, not correctness. Pass `"refuse"`
+    * explicitly for pipelines where a reinstate can only mean an
+    * upstream bug and a wedged stream is the correct alarm.
     */
   def startCdcSync(spark: SparkSession, tickDir: String,
                    mkTable: SparkSession => graft.sources.AtomicTable,
                    indexRoot: String, checkpointDir: String,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   onReinstate: String = "refuse",
+                   onReinstate: String = "compact",
                    trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
     spark.readStream.schema(tickSchema).parquet(tickDir)

@@ -26,4 +26,32 @@ class BenchSpec extends AnyFunSuite {
     assert(r.isRight, s"one failed rep must not mask the real timing: $r")
     assert(r.toOption.get > 0.0)
   }
+
+  test("rep tiering: expensive queries run once, cheap keep the cap") {
+    // the r15 driver bench timed out running 23s lifecycle queries at
+    // a uniform min-of-3; the tier policy is the committed fix and its
+    // thresholds are load-bearing — pin them
+    assert(Bench.tieredReps(23.0, 3) == 1, ">3s floors run once")
+    assert(Bench.tieredReps(3.01, 3) == 1)
+    assert(Bench.tieredReps(2.0, 3) == 2, "0.25-3s floors run twice")
+    assert(Bench.tieredReps(0.3, 3) == 2)
+    assert(Bench.tieredReps(0.2, 3) == 3, "only the ≤0.25s tail keeps the cap")
+    assert(Bench.tieredReps(2.0, 1) == 1, "cap is an upper bound")
+  }
+
+  test("timeQuery runs exactly one rep for a multi-second query") {
+    var calls = 0
+    val slow = (s: org.apache.spark.sql.SparkSession, _: String) => {
+      calls += 1
+      // a genuinely slow plan without burning bench-suite time: sleep
+      // inside a 1-partition mapPartitions so the measured rep is >3s
+      import s.implicits._
+      s.range(0, 1, 1, 1).mapPartitions { it =>
+        Thread.sleep(3100); it
+      }.toDF("id")
+    }
+    val r = Bench.timeQuery(TestSpark.spark, "/root/testdata/sf0.001", slow, 3)
+    assert(r.isRight && r.toOption.get > 3.0)
+    assert(calls == 1, s"a >3s first rep must stop the loop, ran $calls")
+  }
 }

@@ -2059,6 +2059,165 @@ class WarehouseSpec extends AnyFunSuite {
     assert(idx === tbl, "index id space ≡ table id space after it all")
   }
 
+  test("CDC sync: a crash INSIDE a verb replayed under a MOVED " +
+    "batchId (table advanced in between) converges without doubles") {
+    // The per-verb fences use the window-end table version as batchId.
+    // If the sync crashes inside a verb (between a verb's own two
+    // commits) and the TABLE commits again before the replay, the
+    // replay re-runs the verb under a LARGER batchId — the per-table
+    // (stream, batchId) marks no longer skip the already-landed rows,
+    // so only content-level dedup keeps 'no id is ever doubled' true.
+    import graft.pipelines.Similarity
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdc_moved").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val src = AtomicTable(spark, s"$root/table", partCol = "label",
+      defaultKeys = Seq("vec_id"), partType = _.toInt)
+    src.init(emb)
+    Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    assert(Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+      .unchanged === emb.count())
+    def liveEmb(id: Long) = Warehouse
+      .readEmbeddingsByCellLive(spark, s"$root/idx")
+      .filter($"vec_id" === id)
+    def committedCopies(id: Long): (Long, Long) = (
+      Warehouse.readEmbeddingsByCellAll(spark, s"$root/idx")
+        .filter($"vec_id" === id).count(),
+      Warehouse.readPqCodesAll(spark, s"$root/idx")
+        .filter($"vec_id" === id).count())
+    // --- INSERT verb: crash between its emb and codes commits ---
+    src.insertIgnore(emb.filter($"vec_id" === 1)
+      .withColumn("vec_id", lit(9100L)))
+    // commit order inside this window (insert-only): emb append,
+    // codes append, delete-verb mark-only, master fence — the 2nd
+    // pre-commit is writePqDelta's in-between state
+    var commits = 0
+    intercept[RuntimeException] {
+      Warehouse.syncIndexFromTable(spark, src, s"$root/idx",
+        failpoint = p => if (p == "pre-commit") {
+          commits += 1
+          if (commits == 2) sys.error("crash between emb and codes")
+        })
+    }
+    // emb landed, codes did not — and now the table ADVANCES before
+    // the replay, so the replay's batchId is larger than the mark
+    src.insertIgnore(emb.filter($"vec_id" === 2)
+      .withColumn("vec_id", lit(9101L)))
+    val healed = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(healed.inserted === 2L, s"both inserts land: $healed")
+    assert(committedCopies(9100L) === ((1L, 1L)),
+      "the crashed insert's emb row must NOT land twice under the " +
+        "replay's larger batchId")
+    assert(liveEmb(9100L).count() === 1L && liveEmb(9101L).count() === 1L)
+    // --- UPDATE verb: crash before its mark flip ---
+    src.upsert(emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding")))
+    intercept[RuntimeException] {
+      Warehouse.syncIndexFromTable(spark, src, s"$root/idx",
+        failpoint = p =>
+          if (p == "update_before_flip") sys.error("crash before flip"))
+    }
+    // delta rows for id 3 landed at _seq 1, invisible; table advances
+    src.insertIgnore(emb.filter($"vec_id" === 2)
+      .withColumn("vec_id", lit(9102L)))
+    val healed2 = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(healed2.updated === 1L && healed2.inserted === 1L,
+      s"replayed update + new insert: $healed2")
+    val upd3 = emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding"))
+      .select("embedding").as[Seq[Float]].head()
+    assert(liveEmb(3L).select("embedding").as[Seq[Float]].collect()
+      .toSeq === Seq(upd3),
+      "exactly ONE live copy of the updated id, with the new vector")
+    // the committed multiset carries base + exactly one update copy
+    assert(committedCopies(3L) === ((2L, 2L)),
+      "the crashed update's delta rows must not land twice")
+    // compaction bakes the live view — still no doubles afterwards
+    Warehouse.compactPqIndex(spark, s"$root/idx")
+    assert(Warehouse.readPqCodesLive(spark, s"$root/idx")
+      .groupBy($"vec_id").count().filter($"count" > 1).isEmpty,
+      "no id is doubled after compaction bakes the healed state")
+    assert(liveEmb(3L).select("embedding").as[Seq[Float]].head()
+      === upd3)
+  }
+
+  test("CDC sync: FIRST sync takes down index ids the table does not " +
+    "hold — a superset-seeded index converges to the table's id space") {
+    import graft.pipelines.Similarity
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdc_orphan").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    // index seeded from the FULL corpus; table holds only a subset
+    val subset = emb.filter($"vec_id" % 7 =!= 0)
+    val src = AtomicTable(spark, s"$root/table", partCol = "label",
+      defaultKeys = Seq("vec_id"), partType = _.toInt)
+    src.init(subset)
+    Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    val orphans = emb.filter($"vec_id" % 7 === 0).count()
+    val first = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(first.deleted === orphans,
+      s"first sync must take down the $orphans orphan ids: $first")
+    assert(first.unchanged === subset.count() && first.inserted === 0L)
+    val idx = Warehouse.readPqCodesLive(spark, s"$root/idx")
+      .select($"vec_id").as[Long].collect().toSet
+    val tbl = subset.select($"vec_id").as[Long].collect().toSet
+    assert(idx === tbl, "index id space ≡ table id space after seed " +
+      "from a superset")
+    // and the reconcile is once-only: a re-sync is a version-compare
+    // no-op, not a repeated index-sized scan
+    val again = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(again.inserted + again.updated + again.deleted +
+      again.unchanged === 0L)
+  }
+
+  test("CDC sync under ADDITIVE source schema evolution: the index " +
+    "projection stays stable and the extra column is ignored") {
+    import graft.pipelines.Similarity
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdc_evolve").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val src = AtomicTable(spark, s"$root/table", partCol = "label",
+      defaultKeys = Seq("vec_id"), partType = _.toInt)
+    src.init(emb)
+    Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = Some(Similarity.seedCentroids(8, 64)),
+      codebooks = Some(Similarity.pqSeedCodebooks(8, 16, 8)))
+    assert(Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+      .unchanged === emb.count())
+    val embSchema = spark.read.parquet(s"$root/idx/embeddings").schema
+    // the SOURCE evolves additively: an upsert carrying a new column
+    // (u16's contract on the table side) that also changes one vector
+    src.upsert(emb.filter($"vec_id" === 4)
+      .withColumn("embedding", reverse($"embedding"))
+      .withColumn("ingest_note", lit("evolved")))
+    assert(src.read().columns.contains("ingest_note"),
+      "precondition: the source table evolved")
+    val stats = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(stats.updated === 1L,
+      s"the evolved feed's vector change lands as an update: $stats")
+    // the index's own projection is UNCHANGED — the sync maintains
+    // the index's row schema, not the source's
+    val after = Warehouse.readEmbeddingsByCellLive(spark, s"$root/idx")
+    assert(!after.columns.contains("ingest_note"),
+      "the evolved column must not leak into the index")
+    assert(spark.read.parquet(s"$root/idx/embeddings").schema
+      === embSchema, "the base embeddings schema is untouched")
+    val upd4 = emb.filter($"vec_id" === 4)
+      .withColumn("embedding", reverse($"embedding"))
+      .select("embedding").as[Seq[Float]].head()
+    assert(after.filter($"vec_id" === 4).select("embedding")
+      .as[Seq[Float]].collect().toSeq === Seq(upd4),
+      "the updated vector serves exactly once")
+    // a re-sync after no further table change is a no-op
+    val again = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(again.inserted + again.updated + again.deleted +
+      again.unchanged === 0L)
+  }
+
   test("vacuumIndexVersions: reclaims only strictly-older-than-CURRENT " +
     "generations, keeps the retention grace, survives fences") {
     import graft.pipelines.Similarity
