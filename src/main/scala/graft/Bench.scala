@@ -172,11 +172,25 @@ object Bench {
     SparkEntry.prepareBucketed(spark, sfDir)
     def minOfN(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                n: Int): Either[String, Double] = timeQuery(spark, sfDir, fn, n)
+    // Budget pressure valve: the committed floors under-project a
+    // slower or noisier box (they describe the best box ever seen), so
+    // the pre-flight alone cannot keep a bad day inside the driver's
+    // wall clock. Track the measured loop's ACTUAL elapsed time and,
+    // once it crosses 85% of the budget, run every remaining query at
+    // min-of-1 — still a real measured rep for all 269 queries, so the
+    // artifact stays complete (rc 0, failed 0) instead of timing out
+    // with nothing, which is how round 15 lost its bench.
+    val loopStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - loopStart) / 1e9
+    def pressured: Boolean = elapsedSec > budgetSec * 0.85
+    var degraded = 0
     // min-of-N: the first execution of a plan is charged for
     // whole-stage-codegen JIT (hundreds of ms of compiler time landing
     // on whichever query runs it first); the min reports steady state
     val firstAttempt = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> minOfN(fn, reps)
+      case (name, fn) =>
+        val cap = if (pressured) { degraded += 1; 1 } else reps
+        name -> minOfN(fn, cap)
     }
     val errors = firstAttempt.collect { case (n, Left(e)) => n -> e }
     errors.foreach { case (n, e) =>
@@ -206,8 +220,13 @@ object Bench {
     // Big flagged queries stay `elevated`; the two-consecutive-runs
     // floor-reset handshake remains their regression/heal path, and
     // their floors are preserved either way.
-    val flagged = firstPass
-      .collect { case (n, t) if spiky(n, t) && t <= 5.0 => n }.toSet
+    // ... and the whole re-measure pass is skipped under budget
+    // pressure: exonerating spikes is a luxury a nearly-exhausted
+    // wall clock cannot afford (floors are preserved either way).
+    val flagged =
+      if (pressured) Set.empty[String]
+      else firstPass
+        .collect { case (n, t) if spiky(n, t) && t <= 5.0 => n }.toSet
     // back-to-back re-measure lands inside the same load spike that
     // caused the flag; sleep first so "measured later" is actually true
     if (flagged.nonEmpty) Thread.sleep(backoffMs)
@@ -303,7 +322,9 @@ object Bench {
       s""""budget":{"floors_sum":${num(floorsSum)},""" +
       s""""projected_wall":${num(projectedWall)},""" +
       s""""budget_sec":${num(budgetSec)},""" +
-      s""""within_budget":${projectedWall <= budgetSec}},""" +
+      s""""within_budget":${projectedWall <= budgetSec},""" +
+      s""""measured_loop_sec":${num(elapsedSec)},""" +
+      s""""degraded_queries":$degraded},""" +
       // resets are recorded in the artifact (not only on stderr): a
       // CORRELATED multi-floor reset in one run is the box-spike
       // signature and must be reviewable after the fact
