@@ -187,11 +187,20 @@ object Bench {
     // min-of-N: the first execution of a plan is charged for
     // whole-stage-codegen JIT (hundreds of ms of compiler time landing
     // on whichever query runs it first); the min reports steady state
-    val firstAttempt = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    val firstAttempt = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        // progress breadcrumbs on stderr: when a run dies on the
+        // driver's timeout, the captured tail shows WHERE the wall
+        // went instead of a wall of streaming warnings (r15's rc-124
+        // artifact was undiagnosable from its tail)
+        if (i % 25 == 0)
+          System.err.println(
+            f"[bench] $i%3d/${SparkEntry.queries.size} " +
+            f"elapsed ${elapsedSec}%.0fs" +
+            (if (pressured) " (budget-pressured: min-of-1)" else ""))
         val cap = if (pressured) { degraded += 1; 1 } else reps
         name -> minOfN(fn, cap)
-    }
+      }
     val errors = firstAttempt.collect { case (n, Left(e)) => n -> e }
     errors.foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e")
