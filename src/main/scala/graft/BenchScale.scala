@@ -72,6 +72,11 @@ object BenchScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // plan-string rendering is billed on EVERY action (the SQL
+      // listener event; AQE re-posts per stage): "simple" renders the
+      // bare tree instead of formatted per-node detail — observed 18
+      // driver-minutes of tree-regex rendering at sf10 without it
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def num(v: Double): String =

@@ -12,6 +12,11 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // plan-string rendering is billed on EVERY action (the SQL
+      // listener event; AQE re-posts per stage): "simple" renders the
+      // bare tree instead of formatted per-node detail — observed 18
+      // driver-minutes of tree-regex rendering at sf10 without it
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

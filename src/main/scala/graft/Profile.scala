@@ -13,6 +13,11 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // plan-string rendering is billed on EVERY action (the SQL
+      // listener event; AQE re-posts per stage): "simple" renders the
+      // bare tree instead of formatted per-node detail — observed 18
+      // driver-minutes of tree-regex rendering at sf10 without it
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read

@@ -11,6 +11,11 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.ui.enabled", "false")
+      // plan-string rendering is billed on EVERY action (the SQL
+      // listener event; AQE re-posts per stage): "simple" renders the
+      // bare tree instead of formatted per-node detail — observed 18
+      // driver-minutes of tree-regex rendering at sf10 without it
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -362,13 +362,20 @@ object Dedup {
           // the next round's labels (two jobs per round, not four)
           converged = staged.filter(col("_new") =!= col("root")).isEmpty
           lbl = staged.select(col("id"), col("_new").as("root"))
-          // truncate the SQL plan every few rounds: the iterated join
-          // plan otherwise grows without bound and optimizer time blows
-          // up on high-diameter graphs. Re-wrapping the RDD (not
-          // localCheckpoint) keeps release semantics recompute-safe: an
-          // unpersisted round recomputes from source instead of dying on
-          // a dropped checkpoint block.
-          if (!converged && iter % 3 == 2)
+          // truncate the SQL plan EVERY round: the staged frame
+          // self-joins prop (which chains lbl and edges), so plan
+          // nodes compound ~4× per un-truncated round — and Spark
+          // renders the full plan string on EVERY action (the SQL
+          // listener event's physicalPlanDescription; AQE re-posts it
+          // per materialized stage), so a deep iterated plan bills
+          // its tree rendering many times over. Observed at sf10: the
+          // driver spent 18 MINUTES in TreeNode regex rendering under
+          // an every-3rd-round truncation. The re-wrap is plan-only
+          // (no job), and using the RDD (not localCheckpoint) keeps
+          // release semantics recompute-safe: an unpersisted round
+          // recomputes from source instead of dying on a dropped
+          // checkpoint block.
+          if (!converged)
             lbl = graft.Caches.persist(
               spark.createDataFrame(lbl.rdd, lbl.schema))
           iter += 1

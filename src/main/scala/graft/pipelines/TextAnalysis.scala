@@ -1337,10 +1337,26 @@ object TextAnalysis {
       col("key").as("key_r"),
       explode(sequence(lit(0), col("_g"))).as("_i"),
       col("_g").as("_j"))
-    left.join(right, Seq("block", "_i", "_j"))
+    // EXPLICIT shuffle on the salt cell, with a pinned partition
+    // count: both exploded sides read from a records-sized frame whose
+    // BYTES AQE sees as tiny, so without this the join arrives
+    // broadcast-vs-AQE-coalesced-single-partition and the whole
+    // Σ|block|²/s pair space runs as ONE task — observed at sf10,
+    // where the mega-block's quadratic pinned one core for 20+
+    // minutes while 31 idled. The explicit N defeats AQE's
+    // pre-explosion coalescing; each (block, i, j) triangle cell then
+    // lands on a hash-spread task and the quadratic parallelizes.
+    val cells = records.sparkSession.sessionState.conf.numShufflePartitions
+    left.repartition(cells, col("block"), col("_i"), col("_j"))
+      .join(right.repartition(cells, col("block"), col("_i"), col("_j")),
+        Seq("block", "_i", "_j"))
       .filter(col("_i") < col("_j") || col("id_l") < col("id_r"))
-      .withColumn("dist", levenshtein(col("key_l"), col("key_r")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: the banded DP early-exits rows over maxDist
+      // (returns -1) instead of filling the full |key|² edit matrix —
+      // same surviving pairs and distances, strictly less work
+      .withColumn("dist",
+        levenshtein(col("key_l"), col("key_r"), maxDist))
+      .filter(col("dist") >= 0)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
   }
@@ -1464,8 +1480,11 @@ object TextAnalysis {
         col("_ra") + lit(window.toLong))))
       .join(b, "_rb")
       .filter(col("block_l") === col("block_r"))
-      .withColumn("dist", levenshtein(col("key_l"), col("key_r")))
-      .filter(col("dist") <= maxDist)
+      // threshold form (see fuzzyMatchPairs): banded DP, early exit
+      // over maxDist, identical surviving pairs and distances
+      .withColumn("dist",
+        levenshtein(col("key_l"), col("key_r"), maxDist))
+      .filter(col("dist") >= 0)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
   }
