@@ -275,18 +275,18 @@ object Dedup {
   /** Connected components over the candidate-pair graph — the last step
     * of near-dup dedup: every doc gets the minimum doc id reachable
     * through the pair graph as its cluster representative, and "keep one
-    * per cluster" is then `root == id`. Iterative min-label propagation:
-    * each round every node adopts the minimum label among itself and its
-    * neighbors, converging in O(graph diameter) rounds — banded
-    * candidates form near-cliques, so 2–3 rounds in practice, with
-    * `maxIter` bounding pathological chains. Each round is one shuffle
-    * (join + groupBy on the node id); the per-round frames are persisted
-    * through [[graft.Caches]] and released by the harness.
+    * per cluster" is then `root == id`. Distributed path: alternating
+    * large-star/small-star edge contraction (Kiveris et al., SoCC'14)
+    * — provably O(log² n) rounds on ANY graph shape, 2–3 round-pairs
+    * on the banded near-cliques dedup actually produces, with
+    * `maxIter` bounding the alternation. Each star op is one
+    * groupBy-min plus one join plus a distinct; per-round frames are
+    * persisted through [[graft.Caches]] and released by the harness.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
-                          maxIter: Int = 10,
+                          maxIter: Int = 24,
                           driverMaxPairs: Long = 1000000L): DataFrame = {
     val spark = nodes.sparkSession
     val p = graft.Caches.persist(
@@ -322,70 +322,99 @@ object Dedup {
         val touched = parent.keys.toSeq
         val roots = (touched ++ touched.map(find)).distinct
           .map(id => (id, find(id)))
-        broadcast(roots.toDF("id", "root"))
+        // RDD-backed, NOT roots.toDF: toDF on a driver Seq embeds the
+        // rows in the plan as LocalRelation data, and Spark's
+        // TreeNode.formatArg EAGERLY stringifies every Seq argument on
+        // each plan render — which happens on every downstream action
+        // (the SQL listener's plan description). With ~1M labels that
+        // is minutes of driver regex per action (observed at sf10).
+        // An RDD-backed frame renders as a constant-size scan node.
+        broadcast(spark.sparkContext
+          .parallelize(roots, math.max(1, roots.size / 500000))
+          .toDF("id", "root"))
       } else {
-        // distributed min-label propagation with POINTER DOUBLING: each
-        // round first takes the min root over graph neighbors, then
-        // shortcuts every label through its root's label — chain depth
-        // halves per round, so convergence is O(log diameter) and the
-        // default bound covers diameters up to ~2^maxIter
-        val edges = graft.Caches.persist(
-          p.unionByName(p.select(col("dst").as("src"),
-            col("src").as("dst"))))
-        var lbl = graft.Caches.persist(
-          edges.select(col("src").as("id")).distinct()
-            .withColumn("root", col("id")))
+        // ALTERNATING STAR contraction (Kiveris et al., "Connected
+        // Components in MapReduce and Beyond", SoCC'14): rewrite the
+        // EDGE SET each round instead of propagating labels.
+        //   large-star: every neighbor v > u re-attaches to
+        //     m(u) = min(Γ(u) ∪ {u});
+        //   small-star: every neighbor v ≤ u, and u itself,
+        //     re-attach to m(u).
+        // Alternating the two provably converges in O(log² n) rounds
+        // (observed: ~2-3 round-pairs on banded near-cliques, ~10-12
+        // on adversarial random-id paths) to a forest of STARS rooted
+        // at each component's minimum id. The previous implementation
+        // here — min-label propagation with a single pointer jump per
+        // round — looked logarithmic but is NOT on random-id paths:
+        // the jump shortcuts through "the node whose id equals my
+        // label", which on a randomly-laid-out chain compresses
+        // nothing, and sf10's mega-family SNM chain ran 24 rounds with
+        // a stuck changed-count (reproduced off-Spark on a 2,000-node
+        // random-id path, which never converges under that recurrence).
+        def star(e: DataFrame, large: Boolean): DataFrame = {
+          val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+          // m(u) = min over Γ(u) ∪ {u}; m ≤ u by construction
+          val m = nbrs.groupBy("u").agg(min(col("v")).as("_mv"))
+            .select(col("u"), least(col("u"), col("_mv")).as("m"))
+          val moved =
+            if (large)
+              // v > u ≥ m, so (m, v) is already ordered and v ≠ m
+              nbrs.join(m, "u").filter(col("v") > col("u"))
+                .select(col("m").as("a"), col("v").as("b"))
+            else
+              // v ≤ u (plus u itself via the m frame); skip v = m
+              nbrs.join(m, "u")
+                .filter(col("v") <= col("u") && col("v") =!= col("m"))
+                .select(least(col("v"), col("m")).as("a"),
+                  greatest(col("v"), col("m")).as("b"))
+                .unionByName(m.filter(col("u") =!= col("m"))
+                  .select(col("m").as("a"), col("u").as("b")))
+          moved.distinct()
+        }
+        // normalized committed edge set: a < b, no self-loops
+        var e = graft.Caches.persist(
+          p.filter(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .distinct())
         var iter = 0
         var converged = false
         while (iter < maxIter && !converged) {
-          val nmin = edges
-            .join(lbl.select(col("id").as("dst"), col("root")), "dst")
-            .groupBy(col("src").as("id")).agg(min(col("root")).as("_nroot"))
-          // persisted: the pointer-jump self-join reads `prop` from both
-          // sides, and Spark re-executes a diamond's shared subplan once
-          // per consumer (the edges join + min agg would run twice)
-          val prop = graft.Caches.persist(
-            lbl.join(nmin, Seq("id"), "left")
-              .select(col("id"), col("root"),
-                least(col("root"), coalesce(col("_nroot"), col("root")))
-                  .as("_p")))
-          // pointer jump: _pp = label of my new root (roots always carry
-          // their own label, so a missing match means "already a root")
-          val staged = graft.Caches.persist(
-            prop.join(
-              prop.select(col("id").as("_p"), col("_p").as("_pp")),
-              Seq("_p"), "left")
-            .select(col("id"), col("root"),
-              least(col("_p"), coalesce(col("_pp"), col("_p")))
-                .as("_new")))
-          // one persisted frame serves both the convergence probe and
-          // the next round's labels (two jobs per round, not four)
-          converged = staged.filter(col("_new") =!= col("root")).isEmpty
-          lbl = staged.select(col("id"), col("_new").as("root"))
-          // truncate the SQL plan EVERY round: the staged frame
-          // self-joins prop (which chains lbl and edges), so plan
-          // nodes compound ~4× per un-truncated round — and Spark
-          // renders the full plan string on EVERY action (the SQL
-          // listener event's physicalPlanDescription; AQE re-posts it
-          // per materialized stage), so a deep iterated plan bills
-          // its tree rendering many times over. Observed at sf10: the
-          // driver spent 18 MINUTES in TreeNode regex rendering under
-          // an every-3rd-round truncation. The re-wrap is plan-only
-          // (no job), and using the RDD (not localCheckpoint) keeps
-          // release semantics recompute-safe: an unpersisted round
-          // recomputes from source instead of dying on a dropped
-          // checkpoint block.
-          if (!converged)
-            lbl = graft.Caches.persist(
-              spark.createDataFrame(lbl.rdd, lbl.schema))
+          val next = graft.Caches.persist(star(star(e, large = true),
+            large = false))
+          // set-equality probe by counts (and ⊆ via anti-join): count
+          // also fully materializes the round's cache, so the next
+          // round reads it instead of recomputing the star diamond
+          val n0 = e.count()
+          val n1 = next.count()
+          val changed =
+            if (n1 != n0) -1L
+            else next.join(e, Seq("a", "b"), "left_anti").count()
+          if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+            System.err.println(
+              s"[cc] round $iter edges=$n1 changed=$changed")
+          converged = changed == 0L
+          // re-root the plan every round (RDD re-wrap, no job): the
+          // iterated edge rewrite otherwise compounds plan nodes, and
+          // Spark renders the plan string on EVERY action (the SQL
+          // listener event) — observed 18 driver-minutes of TreeNode
+          // regex at sf10 under a deep iterated plan. The RDD (not
+          // localCheckpoint) keeps release semantics recompute-safe.
+          e = graft.Caches.persist(
+            spark.createDataFrame(next.rdd, next.schema))
           iter += 1
         }
         if (!converged)
           throw new IllegalStateException(
-            s"connectedComponents did not converge in $maxIter rounds " +
-              s"(component diameter > ~2^$maxIter): raise maxIter — " +
-              "returning partial labels would silently mis-cluster")
-        lbl
+            s"connectedComponents did not converge in $maxIter " +
+              "alternating-star rounds: raise maxIter — returning " +
+              "partial labels would silently mis-cluster")
+        // the fixed point is a star forest rooted at component minima:
+        // every non-root carries exactly the edge (root, v)
+        e.select(col("b").as("id"), col("a").as("root"))
+          .unionByName(e.select(col("a").as("id"), col("a").as("root")))
+          .distinct()
       }
     nodes.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
