@@ -66,8 +66,9 @@ object SyncBench {
         (src, s"$root/idx", emb.count())
       }
       // sync wall for ONE window that updates `feedRows` ids — each
-      // step uses a distinct modulus class so updates stack as fresh
-      // generations (the steady churn shape, not re-landing one slice)
+      // step uses a DISJOINT residue class so every window updates
+      // previously-untouched ids (fresh generations, and the four
+      // measured points are independent feeds)
       def measure(src: AtomicTable, idx: String, pred: Column): (Long, Double) = {
         val emb = src.read()
         val feed = emb.filter(pred)
@@ -82,12 +83,18 @@ object SyncBench {
         (n, sec)
       }
       val (src1, idx1, n1) = build(sfDir)
-      // feed axis: ~n/128, n/32, n/8, n/2 via distinct mod classes
-      val feedAxis = Seq(128, 32, 8, 2).map { m =>
-        val (n, sec) = measure(src1, idx1,
-          col("vec_id") % m === (m - 1))
-        System.err.println(f"[sync-bench] feed=$n%6d  ${sec}%.2fs")
-        n -> sec
+      // feed axis: ~n/128, n/32, n/8, n/2 via DISJOINT residue sets
+      // mod 128 — {0}, {1..4}, {5..20}, {21..84}. The r16 version used
+      // %128==127 / %32==31 / %8==7 / %2==1, which NEST (each later
+      // class contains every earlier one), so later windows silently
+      // re-landed the earlier windows' ids as extra generations.
+      val feedAxis = Seq((1, 0), (4, 1), (16, 5), (64, 21)).map {
+        case (nres, lo) =>
+          val res = col("vec_id") % 128
+          val (n, sec) = measure(src1, idx1,
+            res >= lit(lo) && res < lit(lo + nres))
+          System.err.println(f"[sync-bench] feed=$n%6d  ${sec}%.2fs")
+          n -> sec
       }
       // index axis: same 500-id feed across corpus scales
       val scales = Seq("/root/testdata/sf0.1", ".scaledata/sf1.0",

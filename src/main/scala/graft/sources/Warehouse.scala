@@ -1253,7 +1253,13 @@ object Warehouse {
     txn.foreach { case (stream, batchId) =>
       if (t.lastCommittedBatch(stream).exists(_ >= batchId)) return 0L
     }
-    require(batch.groupBy(col(idCol)).count()
+    // persist the batch ONCE: it is referenced from three plan sites
+    // (the dup guard, the _cur derivation's target-vector join, the
+    // update frame itself), and for the CDC sync the batch is a
+    // change-feed subtree expensive enough that re-evaluating it per
+    // reference dominates the verb's wall
+    val b = graft.Caches.persist(batch)
+    require(b.groupBy(col(idCol)).count()
         .filter(col("count") > 1).isEmpty,
       "update batch must carry exactly one row per id")
     graft.expressions.GraftFunctions.register(spark)
@@ -1262,21 +1268,71 @@ object Warehouse {
     val cell = graft.pipelines.Similarity.ivfCellAtNative(col(vecCol),
       cents)
     val marks = tombstoneMarks(spark, r, idCol)
-    // cur from the LIVE view (not the committed multiset): a crashed
-    // update's stranded, invisible row must not advance the sequence
-    // its replay re-derives. The codes scan and the marks are each
-    // semi-pruned by the batch's ids BELOW the liveness join, so the
-    // O(batch) plan is structural (liveness is per-id — pruning both
-    // sides by id first is semantically identical).
-    val batchIds = batch.select(col(idCol)).distinct()
-    val curSeq = liveBySeq(
-        readPqCodesAllSeq(spark, r)
-          .join(batchIds, Seq(idCol), "left_semi"),
+    // Strand-aware sequence derivation (r17, the r16 ADVICE fix). A
+    // crash inside a verb leaves committed-but-unmarked rows one
+    // generation above the live max. If the SAME id is updated again
+    // in the source table before the replay, the replayed batch
+    // carries NEW content while the strand holds the old — keying the
+    // replay to the live max alone would re-derive the strand's _seq,
+    // the per-table (id, _seq) dedup would drop the new rows wherever
+    // the strand landed, and the mark flip would enable the stale
+    // strand (emb) alongside the new codes: a forked index serving
+    // two generations, invisible to the fence. Rule:
+    //   no strand            → _cur = live max (unchanged);
+    //   strand, content ==   → COMPLETE it: _cur = cmax - 1 reuses
+    //     the strand's _seq and the (id,_seq) dedup lands only what
+    //     the crash lost (minimal garbage, the moved-batchId replay);
+    //   strand, content !=   → SUPERSEDE it: _cur = cmax puts the
+    //     fresh generation above every committed row, so the stale
+    //     strand stays dead forever and the flip enables only the
+    //     content-consistent generation.
+    // Every frame is semi-pruned by the batch's ids BELOW the wide
+    // joins, so the O(batch) plan is structural.
+    val batchIds = b.select(col(idCol)).distinct()
+    val codesAll = readPqCodesAllSeq(spark, r)
+      .join(batchIds, Seq(idCol), "left_semi")
+    val liveMax = liveBySeq(codesAll,
         marks.map(_.join(batchIds, Seq(idCol), "left_semi")), idCol)
-      .groupBy(col(idCol)).agg(max(col("_seq")).as("_cur"))
+      .groupBy(col(idCol)).agg(max(col("_seq")).as("_lmax"))
+    // Strands (committed-but-unmarked generations) can ONLY live in
+    // the emb DELTA table: base rows commit atomically with their
+    // codes at _seq 0, and verbs commit emb BEFORE codes, so the
+    // committed-max row of any strand is an emb-delta row. The delta
+    // max and the vector AT it come from one max_by pass over the
+    // (batch-pruned) delta alone — and when the delta table is empty
+    // no strand can exist, so the whole strand branch costs nothing
+    // on a fresh index. The vector alone decides content identity
+    // (code = f(vector, frozen model); re-deriving the target's code
+    // here would also inline the codebook literal into the plan a
+    // second time).
+    val embDelta = pqDeltaEmbTable(spark, r)
+    val curSeq =
+      if (!embDelta.hasData)
+        batchIds.join(liveMax, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("_lmax"), lit(0L)).as("_cur"))
+      else {
+        val embAgg = withSeq(embDelta.read())
+          .join(batchIds, Seq(idCol), "left_semi")
+          .groupBy(col(idCol)).agg(max(col("_seq")).as("_cmax"),
+            max_by(col(vecCol), col("_seq")).as("_cvec"))
+        batchIds
+          .join(liveMax, Seq(idCol), "left")
+          .join(embAgg, Seq(idCol), "left")
+          .join(b.select(col(idCol), col(vecCol).as("_tvec")),
+            Seq(idCol))
+          .select(col(idCol),
+            when(coalesce(col("_cmax"), lit(-1L)) <=
+                coalesce(col("_lmax"), lit(-1L)),
+              coalesce(col("_lmax"), lit(0L)))            // no strand
+              .when(col("_cvec") =!= col("_tvec"),
+                col("_cmax"))                              // supersede
+              .otherwise(col("_cmax") - 1L)                // complete
+              .as("_cur"))
+      }
     val taken = marks.map(_.filter(col("_upto") === Long.MaxValue)
       .select(col(idCol)))
-    val upd0 = batch.join(curSeq, Seq(idCol), "left")
+    val upd0 = b.join(curSeq, Seq(idCol), "left")
       .withColumn("_cur", coalesce(col("_cur"), lit(0L)))
     val upd = graft.Caches.persist(
       taken.fold(upd0)(p => upd0.join(p, Seq(idCol), "left_anti")))
@@ -1305,9 +1361,14 @@ object Warehouse {
       // under a LARGER batchId when the table advanced between the
       // crash and the replay, so the per-table mark no longer skips
       // the already-landed rows — content dedup is the invariant the
-      // mark cannot carry. The committed read is semi-pruned by the
-      // batch's own ids first, so the anti-join's build side stays
-      // O(batch) regardless of index size.
+      // mark cannot carry. The strand-aware _cur above makes the
+      // (id, _seq) key content-safe: a replay only re-derives a
+      // strand's _seq when the strand's content MATCHES the target
+      // (mismatches supersede at a fresh _seq), so dropping a
+      // same-key row here never drops new content. The committed
+      // read is semi-pruned by the batch's own ids first, so the
+      // anti-join's build side stays O(batch) regardless of index
+      // size.
       def dedupBySeq(rows: DataFrame,
                      t: graft.sources.AtomicTable): DataFrame =
         if (!t.hasData) rows
@@ -1334,10 +1395,10 @@ object Warehouse {
       // every id under takedown (or an empty batch): advance the mark
       // so the fence recognizes the replay
       if (!t.hasData)
-        t.init(batch.limit(0).withColumn("cell", lit(0))
+        t.init(b.limit(0).withColumn("cell", lit(0))
           .select(col(idCol), col("cell"),
             lit(Long.MaxValue).as("upto")), txn)
-      else t.insertIgnore(batch.limit(0).withColumn("cell", lit(0))
+      else t.insertIgnore(b.limit(0).withColumn("cell", lit(0))
         .select(col(idCol), col("cell"),
           lit(Long.MaxValue).as("upto")), txn = txn)
     }
@@ -1952,6 +2013,20 @@ object Warehouse {
               "takedown-wins keeps them dead until the index compacts " +
               "(onReinstate = \"compact\" does it here, or run " +
               "compactPqIndex and re-sync)")
+        // LOUD by design (r16 ADVICE): the auto-compaction absorbs a
+        // reinstate anomaly at O(live index) cost — the absorbed
+        // event must stay observable (count + a bounded id sample),
+        // or a recurring upstream bug hides behind recurring rebuild
+        // cost. This is the unattended CDC stream's default path.
+        val sample = marks.get
+          .filter(col("_upto") === Long.MaxValue).select(col(idCol))
+          .join(insIds, Seq(idCol), "left_semi")
+          .limit(20).collect().map(_.get(0)).mkString(", ")
+        System.err.println(
+          s"[cdc-sync] REINSTATE: $nRes id(s) re-inserted under a full " +
+            s"takedown (ids: $sample${if (nRes > 20) ", …" else ""}) — " +
+            s"auto-compacting $indexRoot (onReinstate=compact), then " +
+            "re-syncing")
         compactPqIndex(spark, indexRoot, idCol, vecCol)
         // the carried fence preserves v0; taken ids are now physically
         // gone and unknown, so the re-derived sync appends them fresh

@@ -39,6 +39,54 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.tieredReps(2.0, 1) == 1, "cap is an upper bound")
   }
 
+  test("timeQuery never exceeds the rep cap even after failed attempts") {
+    // ADVICE r16: attempts spent finding the first success used to be
+    // free — a flaky-then-cheap query could run n + cap - 1 reps
+    var calls = 0
+    var failures = 2
+    val flakyCheap = (s: org.apache.spark.sql.SparkSession, _: String) => {
+      calls += 1
+      if (failures > 0) { failures -= 1; throw new RuntimeException("flake") }
+      s.range(10).toDF("id")
+    }
+    val r = Bench.timeQuery(TestSpark.spark, "/root/testdata/sf0.001",
+      flakyCheap, 3)
+    assert(r.isRight)
+    assert(calls <= 3, s"cap is a hard bound on total executions, ran $calls")
+  }
+
+  test("pressured (min-of-1) measurements never ratchet floors upward") {
+    // VERDICT r16: the budget valve's single-rep samples fed the
+    // two-consecutive-runs floor-reset handshake, and a contaminated
+    // box permanently inflated eight floors. Degraded queries must be
+    // invisible to the handshake: no elevated entry, no reset, floor
+    // preserved (or lowered) exactly as if the query had not spiked.
+    val floors = Map("q" -> 0.10, "r" -> 0.10)
+    val prevElevated = Map("q" -> 0.55, "r" -> 0.55) // both confirmed last run
+    val results = Seq("q" -> 0.60, "r" -> 0.60)      // both >2x floor again
+    // r was measured under pressure this run; q was not
+    val (resets, elevated, newFloors) = Bench.floorHandshake(
+      results, floors, prevElevated, flagged = Set.empty,
+      degraded = Set("r"))
+    assert(resets.contains("q"), "full-rep evidence still resets")
+    assert(!resets.contains("r"), "degraded evidence must not reset")
+    assert(!elevated.exists(_._1 == "r"),
+      "degraded queries must not become next round's reset evidence")
+    assert(newFloors.toMap.apply("r") == 0.10,
+      "a pressured run leaves the floor untouched")
+    assert(newFloors.toMap.apply("q") == 0.55,
+      "the non-degraded reset takes the better confirmed time")
+  }
+
+  test("floorHandshake still ratchets floors down for degraded queries") {
+    val floors = Map("s" -> 1.00)
+    val (resets, elevated, newFloors) = Bench.floorHandshake(
+      Seq("s" -> 0.40), floors, Map.empty, Set.empty, degraded = Set("s"))
+    assert(resets.isEmpty && elevated.isEmpty)
+    assert(newFloors.toMap.apply("s") == 0.40,
+      "downward ratchet is always safe, pressured or not")
+  }
+
   test("timeQuery runs exactly one rep for a multi-second query") {
     var calls = 0
     val slow = (s: org.apache.spark.sql.SparkSession, _: String) => {

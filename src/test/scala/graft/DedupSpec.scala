@@ -278,6 +278,31 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("connectedComponents: 500-node RANDOM-ID path converges within the star bound") {
+    // The counterexample class behind the r16 alternating-star rewrite:
+    // a path whose node ids are RANDOMLY laid out along the chain. The
+    // old min-label + single-pointer-jump recurrence only shortcuts
+    // through "the node whose id equals my current label", which on a
+    // random layout compresses nothing — a 2,000-node random-id path
+    // never converges under it (sf10's SNM mega-family hit maxIter).
+    // Alternating large/small-star contraction is provably O(log² n)
+    // rounds on ANY shape (Kiveris et al., SoCC'14); a tightened
+    // maxIter = 20 round-pairs asserts the bound actually holds here
+    // (non-convergence THROWS, so a recurrence regression fails loud).
+    val n = 500
+    val perm = new scala.util.Random(42).shuffle((0L until n.toLong).toVector)
+    val nodes = perm.toDF("doc_id")
+    val pairs = (1 until n).map(i => (perm(i - 1), perm(i)))
+      .toDF("doc_a", "doc_b")
+    val roots = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        driverMaxPairs = 0L, maxIter = 20) // force the distributed path
+      .as[(Long, Long)].collect().toMap
+    assert(roots.size === n)
+    assert(roots.values.forall(_ === 0L),
+      "every node of the single component must label with the min id")
+    graft.Caches.releaseAll()
+  }
+
   test("connectedComponents: non-convergence throws instead of mis-labeling") {
     val n = 12L
     val nodes = (1L to n).toDF("doc_id")

@@ -2143,6 +2143,75 @@ class WarehouseSpec extends AnyFunSuite {
       === upd3)
   }
 
+  test("CDC sync: a verb crash replayed with CHANGED content for the " +
+    "same id serves the latest vector, emb and codes agreeing") {
+    // The r16 ADVICE hole: dedupBySeq keyed on (id, _seq) alone. An
+    // update verb that crashes between its emb and codes appends
+    // strands the OLD-new vector in emb; if the same id is updated
+    // AGAIN in the table before the replay, the replay used to
+    // re-derive the strand's _seq from the live view, the (id, _seq)
+    // dedup dropped the NEW emb row, and the mark flip enabled the
+    // stale emb vector next to the new codes — a forked index the
+    // fence can't see and compaction preserves. The strand-aware
+    // _cur must supersede the mismatching strand at a fresh _seq.
+    import graft.pipelines.Similarity
+    import graft.sources.AtomicTable
+    val root = Files.createTempDirectory("graft_cdc_fork").toString
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val src = AtomicTable(spark, s"$root/table", partCol = "label",
+      defaultKeys = Seq("vec_id"), partType = _.toInt)
+    src.init(emb)
+    val cents = Some(Similarity.seedCentroids(8, 64))
+    val books = Some(Similarity.pqSeedCodebooks(8, 16, 8))
+    Warehouse.writePqIndex(emb, s"$root/idx", k = 8, dim = 64, m = 8,
+      ks = 16, centroids = cents, codebooks = books)
+    assert(Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+      .unchanged === emb.count())
+    // update id 3 → v2; the sync's update verb crashes between its
+    // emb append and its codes append: emb strands v2, codes have
+    // nothing, the mark never flips
+    src.upsert(emb.filter($"vec_id" === 3)
+      .withColumn("embedding", reverse($"embedding")))
+    intercept[RuntimeException] {
+      Warehouse.syncIndexFromTable(spark, src, s"$root/idx",
+        failpoint = p => if (p == "update_between_emb_codes")
+          sys.error("crash between emb and codes"))
+    }
+    // the SAME id advances again before the replay: v3 ≠ v2
+    val v3df = emb.filter($"vec_id" === 3)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x * 2.0F)"))
+    src.upsert(v3df)
+    val healed = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(healed.updated === 1L, s"the replay lands ONE update: $healed")
+    // the live view serves exactly one copy of id 3, with v3 — the
+    // stale v2 strand must be dead, not enabled by the replay's flip
+    val v3 = v3df.select("embedding").as[Seq[Float]].head()
+    assert(Warehouse.readEmbeddingsByCellLive(spark, s"$root/idx")
+      .filter($"vec_id" === 3).select("embedding").as[Seq[Float]]
+      .collect().toSeq === Seq(v3),
+      "one live emb row, carrying the table's LATEST vector")
+    assert(Warehouse.readPqCodesLive(spark, s"$root/idx")
+      .filter($"vec_id" === 3).count() === 1L)
+    // emb/codes agreement: the live code must equal the code a fresh
+    // index built from the final table state (same frozen model)
+    // assigns — i.e. the codes side encodes v3, not v2
+    Warehouse.writePqIndex(src.read(), s"$root/fresh", k = 8, dim = 64,
+      m = 8, ks = 16, centroids = cents, codebooks = books)
+    def codeOf(r: String) = Warehouse.readPqCodesLive(spark, r)
+      .filter($"vec_id" === 3).select($"code").as[Seq[Int]].head()
+    assert(codeOf(s"$root/idx") === codeOf(s"$root/fresh"),
+      "the live codes row encodes the latest vector — no emb/codes fork")
+    // the heal is durable: compaction bakes it, a re-sync no-ops
+    Warehouse.compactPqIndex(spark, s"$root/idx")
+    assert(Warehouse.readEmbeddingsByCellLive(spark, s"$root/idx")
+      .filter($"vec_id" === 3).select("embedding").as[Seq[Float]]
+      .head() === v3)
+    val again = Warehouse.syncIndexFromTable(spark, src, s"$root/idx")
+    assert(again.inserted + again.updated + again.deleted +
+      again.unchanged === 0L)
+  }
+
   test("CDC sync: FIRST sync takes down index ids the table does not " +
     "hold — a superset-seeded index converges to the table's id space") {
     import graft.pipelines.Similarity
