@@ -724,6 +724,28 @@ final case class AtomicTable(spark: SparkSession, root: String,
     } finally fresh.unpersist(blocking = false)
   }
 
+  /** Mark-only commit: advance the `txn` (stream, batchId) high-water
+    * mark in a fresh manifest version WITHOUT staging any data — the
+    * zero-Spark-job equivalent of [[insertIgnore]]/[[init]] with an
+    * empty batch (both of which keep every existing entry and stage
+    * nothing, but still run the batch's empty plan as real jobs).
+    * Fence-advance sites (a delete that killed nothing, a CDC window
+    * whose verb had no rows, the sync's master fence) are pure
+    * manifest arithmetic; this commits the identical manifest bytes
+    * for a handful of file ops. A replayed batch is skipped exactly
+    * like everywhere else.
+    */
+  def commitMarkOnly(txn: (String, Long)): Unit = {
+    if (alreadyCommitted(Some(txn))) return
+    val base = version
+    // first-ever commit on this table: the root dir is normally
+    // created by stage()'s parquet write, which this commit skips
+    Files.createDirectories(rootFile.toPath)
+    writeManifest(readManifest(), base, withTxn(Some(txn)),
+      op = if (base == 0L) "init-empty" else "insert",
+      stats = readStats())
+  }
+
   /** Blind append: stage `batch` as a new data dir and commit, with the
     * same txn fence but WITHOUT [[insertIgnore]]'s read-back + key
     * anti-join. For writers whose batches are unique by construction —
@@ -753,9 +775,14 @@ final case class AtomicTable(spark: SparkSession, root: String,
              txn: Option[(String, Long)] = None): Unit = {
     if (alreadyCommitted(txn)) return
     val base = version
-    val existing = prunedExisting(batch)
-    val merged = Relational.upsert(existing, evolved(existing, batch), keys)
+    // one distinct+collect over the batch: the partition list serves
+    // both the existing-rows prune and the touched set (computing it
+    // twice re-ran the batch subtree — a whole extra Spark job per
+    // upsert, and upsert is the hottest commit verb)
     val touched = batchParts(batch).toSet
+    val existing = read().filter(
+      col(partCol).isin(touched.toSeq.map(partType): _*))
+    val merged = Relational.upsert(existing, evolved(existing, batch), keys)
     val (rel, ps) = stage(merged)
     writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,
       withTxn(txn), op = "upsert",

@@ -1172,7 +1172,10 @@ object Warehouse {
     val n =
       if (!t.hasData) {
         val c = rows.count()
-        if (c > 0 || txn.nonEmpty) t.init(rows, txn)
+        if (c > 0) t.init(rows, txn)
+        // mark-only fence advance: zero Spark jobs (identical manifest
+        // to an empty-seed init)
+        else txn.foreach(t.commitMarkOnly)
         c
       } else {
         // newly-dead = ids not already under a full takedown; an
@@ -1191,9 +1194,10 @@ object Warehouse {
           val c = newDead.count()
           if (c > 0) t.upsert(newDead, txn = txn)
           // mark-only commit: the fence must advance even when the
-          // batch killed nothing (insertIgnore with an empty batch
-          // writes the txn mark without staging data)
-          else if (txn.nonEmpty) t.insertIgnore(rows.limit(0), txn = txn)
+          // batch killed nothing — commitMarkOnly writes the identical
+          // manifest an empty insertIgnore would, without running the
+          // empty batch's plan as Spark jobs
+          else txn.foreach(t.commitMarkOnly)
           c
         } finally newDead.unpersist(blocking = false)
       }
@@ -1241,11 +1245,22 @@ object Warehouse {
     * schema (id, vector, metadata columns). Returns the number of ids
     * whose update became visible.
     */
+  // TEMPORARY r17 profiling lap (remove before commit)
+  private var profLast = System.nanoTime()
+  private[graft] def profLap(name: String): Unit =
+    if (sys.env.contains("GRAFT_PROF")) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[wlap] $name%-30s ${(now - profLast) / 1e9}%7.2f s")
+      profLast = now
+    }
+
   def updateInPqIndex(spark: SparkSession, root: String,
                       batch: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       txn: Option[(String, Long)] = None,
-                      failpoint: String => Unit = _ => ()): Long = {
+                      failpoint: String => Unit = _ => (),
+                      batchUnique: Boolean = false): Long = {
     val r = resolveIndexRoot(root)
     val t = pqTombstoneTable(spark, r, failpoint, idCol)
     // replay fence: the tombstone mark commits LAST, so it witnesses
@@ -1258,16 +1273,25 @@ object Warehouse {
     // update frame itself), and for the CDC sync the batch is a
     // change-feed subtree expensive enough that re-evaluating it per
     // reference dominates the verb's wall
-    val b = graft.Caches.persist(batch)
-    require(b.groupBy(col(idCol)).count()
-        .filter(col("count") > 1).isEmpty,
-      "update batch must carry exactly one row per id")
+    profLap("upd:enter")
+    // persist the batch ONCE (it is referenced from several plan
+    // sites); skip when the caller already persisted it — the CDC
+    // sync hands in its cached change-feed anti-join, and a second
+    // cache layer over an InMemoryRelation only adds copy cost
+    val b =
+      if (batch.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        batch
+      else graft.Caches.persist(batch)
+    if (!batchUnique)
+      require(b.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        "update batch must carry exactly one row per id")
+    profLap("upd:persist+dupguard")
     graft.expressions.GraftFunctions.register(spark)
     val cents = readEmbeddingCentroids(r)
     val cb = readPqCodebooks(r)
     val cell = graft.pipelines.Similarity.ivfCellAtNative(col(vecCol),
       cents)
-    val marks = tombstoneMarks(spark, r, idCol)
     // Strand-aware sequence derivation (r17, the r16 ADVICE fix). A
     // crash inside a verb leaves committed-but-unmarked rows one
     // generation above the live max. If the SAME id is updated again
@@ -1288,9 +1312,12 @@ object Warehouse {
     //     content-consistent generation.
     // Every frame is semi-pruned by the batch's ids BELOW the wide
     // joins, so the O(batch) plan is structural.
-    val batchIds = b.select(col(idCol)).distinct()
+    val batchIds =
+      if (batchUnique) b.select(col(idCol))
+      else b.select(col(idCol)).distinct()
     val codesAll = readPqCodesAllSeq(spark, r)
       .join(batchIds, Seq(idCol), "left_semi")
+    val marks = tombstoneMarks(spark, r, idCol)
     val liveMax = liveBySeq(codesAll,
         marks.map(_.join(batchIds, Seq(idCol), "left_semi")), idCol)
       .groupBy(col(idCol)).agg(max(col("_seq")).as("_lmax"))
@@ -1337,6 +1364,7 @@ object Warehouse {
     val upd = graft.Caches.persist(
       taken.fold(upd0)(p => upd0.join(p, Seq(idCol), "left_anti")))
     val n = upd.count()
+    profLap("upd:updcount")
     if (n > 0) {
       val embRows0 = upd.withColumn("cell", cell)
         .withColumn("_seq", col("_cur") + 1L).drop("_cur")
@@ -1378,29 +1406,28 @@ object Warehouse {
           Seq(idCol, "_seq"), "left_anti")
       val embRows = dedupBySeq(embRows0, emb)
       val codeRows = dedupBySeq(codeRows0, codes)
+      profLap("upd:dedup-built")
       // vectors, then codes, then the mark flip — each fenced; the
       // serve is codes-driven and the codes are seq-gated, so every
       // intermediate crash state serves whole-old
       if (emb.version == 0L) emb.init(embRows, txn)
       else emb.append(embRows, txn)
+      profLap("upd:emb-append")
       failpoint("update_between_emb_codes")
       if (codes.version == 0L) codes.init(codeRows, txn)
       else codes.append(codeRows, txn)
+      profLap("upd:codes-append")
       failpoint("update_before_flip")
       val markRows = upd.withColumn("cell", cell)
         .select(col(idCol), col("cell"), col("_cur").as("upto"))
       if (!t.hasData) t.init(markRows, txn)
       else t.upsert(markRows, txn = txn)
+      profLap("upd:mark-upsert")
     } else if (txn.nonEmpty) {
       // every id under takedown (or an empty batch): advance the mark
-      // so the fence recognizes the replay
-      if (!t.hasData)
-        t.init(b.limit(0).withColumn("cell", lit(0))
-          .select(col(idCol), col("cell"),
-            lit(Long.MaxValue).as("upto")), txn)
-      else t.insertIgnore(b.limit(0).withColumn("cell", lit(0))
-        .select(col(idCol), col("cell"),
-          lit(Long.MaxValue).as("upto")), txn = txn)
+      // so the fence recognizes the replay — mark-only manifest
+      // commit, no Spark jobs for the empty batch
+      t.commitMarkOnly(txn.get)
     }
     // flip fence: a rebuild that moved CURRENT mid-update would strand
     // the new rows in the superseded version
@@ -1969,6 +1996,7 @@ object Warehouse {
     val feed =
       if (v0 == 0L) src.read().withColumn("change_type", lit("insert"))
       else src.changesBetween(v0, v1)
+    profLap("sync:enter")
     val ins = graft.Caches.persist(
       feed.filter(col("change_type") === "insert")
         .select(rowCols.map(col): _*))
@@ -1977,6 +2005,7 @@ object Warehouse {
           .filter(col("count") > 1).isEmpty,
         s"source table must be keyed by $idCol — its change feed " +
           "carries more than one insert row for some id")
+      profLap("sync:ins-persist+guard")
       val delIds0 = feed.filter(col("change_type") === "delete")
         .select(col(idCol)).distinct()
         .join(ins.select(col(idCol)), Seq(idCol), "left_anti")
@@ -2006,6 +2035,7 @@ object Warehouse {
         m.filter(col("_upto") === Long.MaxValue).select(col(idCol))
           .join(insIds, Seq(idCol), "left_semi").count())
         .getOrElse(0L)
+      profLap("sync:nRes")
       if (nRes > 0) {
         if (onReinstate == "refuse")
           throw new IllegalStateException(
@@ -2061,8 +2091,21 @@ object Warehouse {
         .join(live,
           rowCols.map(c => col(c) <=> col(s"_lv_$c")).reduce(_ && _),
           "left_anti")
-      val nIns = insNew.count()
-      val nUpd = changed.count()
+      // the update verb's batch: an anti-join over the live view —
+      // expensive enough that ONE cached evaluation beats the several
+      // plan sites that reference it (gate count, verb, dedups)
+      val changedP = graft.Caches.persist(changed)
+      // ONE action gates both verbs: the two gating counts run as one
+      // job (their subtrees execute as overlapping stages instead of
+      // two sequential driver round-trips)
+      val gateCounts = insNew.select(lit(1).as("_verb"))
+        .unionAll(changedP.select(lit(2).as("_verb")))
+        .groupBy(col("_verb")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nIns = gateCounts.getOrElse(1, 0L)
+      profLap("sync:nIns")
+      val nUpd = gateCounts.getOrElse(2, 0L)
+      profLap("sync:nUpd")
       failpoint("cdc_before_ins")
       // dedupIds: this verb's fence is the window-end table version,
       // which MOVES if the table commits between a mid-verb crash and
@@ -2071,21 +2114,22 @@ object Warehouse {
       if (nIns > 0)
         writePqDelta(insNew, indexRoot, v1, idCol, vecCol, failpoint,
           stream = s"$CdcFence#ins", dedupIds = true)
+      profLap("sync:ins-verb")
       failpoint("cdc_before_upd")
       if (nUpd > 0)
-        updateInPqIndex(spark, indexRoot, changed, idCol, vecCol,
-          txn = Some((s"$CdcFence#upd", v1)), failpoint = failpoint)
+        updateInPqIndex(spark, indexRoot, changedP, idCol, vecCol,
+          txn = Some((s"$CdcFence#upd", v1)), failpoint = failpoint,
+          batchUnique = true) // ins dup-guarded above; changed ⊆ ins
+      profLap("sync:upd-verb")
       failpoint("cdc_before_del")
       val nDel = deleteIdsFromPqIndex(spark, indexRoot, delIds, idCol,
         txn = Some((s"$CdcFence#del", v1)))
+      profLap("sync:del-verb")
       failpoint("cdc_before_fence")
       // master fence LAST, mark-only: it witnesses the whole window
-      val emptyMarks = ins.select(col(idCol)).limit(0)
-        .withColumn("cell", lit(0)).withColumn("upto", lit(0L))
       val t2 = pqTombstoneTable(spark, resolveIndexRoot(indexRoot),
         failpoint, idCol)
-      if (!t2.hasData) t2.init(emptyMarks, Some((CdcFence, v1)))
-      else t2.insertIgnore(emptyMarks, txn = Some((CdcFence, v1)))
+      t2.commitMarkOnly((CdcFence, v1))
       // flip fence: a compaction/rebuild mid-sync moved CURRENT; the
       // verbs each replayed themselves, but the master mark may have
       // landed in the superseded table after its fence carry — re-run
@@ -2093,11 +2137,14 @@ object Warehouse {
       if (resolveIndexRoot(indexRoot) != r) {
         val t3 = pqTombstoneTable(spark, resolveIndexRoot(indexRoot),
           failpoint, idCol)
-        if (!t3.hasData) t3.init(emptyMarks, Some((CdcFence, v1)))
-        else t3.insertIgnore(emptyMarks, txn = Some((CdcFence, v1)))
+        t3.commitMarkOnly((CdcFence, v1))
       }
-      CdcSyncStats(v0, v1, nIns, nUpd, nDel,
-        ins.count() - nIns - nUpd)
+      {
+        val r0 = CdcSyncStats(v0, v1, nIns, nUpd, nDel,
+          ins.count() - nIns - nUpd)
+        profLap("sync:fence+stats")
+        r0
+      }
     } finally ins.unpersist(blocking = false)
   }
 
