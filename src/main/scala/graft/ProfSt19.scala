@@ -16,16 +16,38 @@ object ProfSt19 {
       .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val s = spark
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    val epoch = System.nanoTime()
+    val jobStart =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Double, Double, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty(
+              "spark.job.description"))).getOrElse("")
+          val call = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("")
+          jobStart.put(j.jobId, (System.nanoTime(), s"$desc | $call"))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(j.jobId)).foreach { case (t0, d) =>
+            jobLog.add((j.jobId, (t0 - epoch) / 1e9,
+              (System.nanoTime() - t0) / 1e9, d))
+          }
+        }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           tasks.incrementAndGet()
@@ -67,11 +89,12 @@ object ProfSt19 {
     var last = System.nanoTime()
     def lap(name: String): Unit = {
       val now = System.nanoTime()
-      println(f"[lap] $name%-28s ${(now - last) / 1e9}%7.2f s")
+      println(f"[lap] $name%-28s ${(now - last) / 1e9}%7.2f s " +
+        f"at=${(now - epoch) / 1e9}%8.2f")
       last = now
     }
 
-    (1 to 0).foreach { rep =>
+    (1 to 1).foreach { rep =>
       println(s"=== rep $rep ===")
       last = System.nanoTime()
       val root = {
@@ -143,6 +166,12 @@ object ProfSt19 {
         f"meanMs=${h.getSnapshot.getMean}%.1f " +
         f"approxTotalSec=${h.getCount * h.getSnapshot.getMean / 1000}%.1f " +
         s"classes=${gh.getCount}")
+      import scala.jdk.CollectionConverters._
+      val logged = jobLog.asScala.toSeq
+      println(f"[jobs] n=${logged.size} sumSec=${logged.map(_._3).sum}%.1f")
+      logged.sortBy(_._2).foreach { case (id, at, t, d) =>
+        println(f"[job] #$id%4d at=$at%8.2f dur=$t%6.3f  ${d.take(120)}")
+      }
     }
     spark.stop()
   }

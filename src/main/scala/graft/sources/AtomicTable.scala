@@ -401,6 +401,20 @@ final case class AtomicTable(spark: SparkSession, root: String,
   private def withTxn(txn: Option[(String, Long)]): Map[String, Long] =
     readTxns() ++ txn.map { case (s, id) => s -> id }
 
+  /** Tiny-commit fast path (guide §2): a mutation's plans are bounded
+    * by this table's on-disk tree plus the caller's batch — when both
+    * are provably under [[Adaptive.minBytes]], run the commit without
+    * AQE (whose per-exchange stage jobs dominate KB-scale commits; see
+    * [[Adaptive.withTinyPlan]]). Large tables or batches are
+    * untouched.
+    */
+  private def withTinyCommit[A](batch: Option[DataFrame])(f: => A): A =
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(root, cap) +
+        batch.map(Adaptive.planBytes).getOrElse(0L)
+    })(f)
+
   /** Initialize (or replace) the table with `rows` as version+1. With
     * `txn`, the seed commit records the (stream, batchId) mark and a
     * replayed seed batch is skipped — the same exactly-once fence the
@@ -418,12 +432,14 @@ final case class AtomicTable(spark: SparkSession, root: String,
     */
   def init(rows: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (alreadyCommitted(txn)) return
-    val base = version
-    val (rel, ps) = stage(rows)
-    val entries = if (ps.nonEmpty) Seq(rel -> Seq(Star)) else Seq.empty
-    writeManifest(entries, base, withTxn(txn),
-      op = if (ps.nonEmpty) "init" else "init-empty",
-      stats = stagedStats(rel, ps))
+    withTinyCommit(Some(rows)) {
+      val base = version
+      val (rel, ps) = stage(rows)
+      val entries = if (ps.nonEmpty) Seq(rel -> Seq(Star)) else Seq.empty
+      writeManifest(entries, base, withTxn(txn),
+        op = if (ps.nonEmpty) "init" else "init-empty",
+        stats = stagedStats(rel, ps))
+    }
   }
 
   /** True iff the current manifest references any data dir — false for
@@ -702,6 +718,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
                    keys: Seq[String] = defaultKeys,
                    txn: Option[(String, Long)] = None): Long = {
     if (alreadyCommitted(txn)) return 0L
+    withTinyCommit(Some(batch)) {
     val base = version
     val existing = prunedExisting(batch)
     val fresh = evolved(existing, batch.dropDuplicates(keys)
@@ -722,6 +739,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
       }
       inserted
     } finally fresh.unpersist(blocking = false)
+    }
   }
 
   /** Mark-only commit: advance the `txn` (stream, batchId) high-water
@@ -758,10 +776,12 @@ final case class AtomicTable(spark: SparkSession, root: String,
     */
   def append(batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (alreadyCommitted(txn)) return
-    val base = version
-    val (rel, ps) = stage(batch)
-    writeManifest(readManifest() :+ (rel -> ps), base, withTxn(txn),
-      op = "append", stats = readStats() ++ stagedStats(rel, ps))
+    withTinyCommit(Some(batch)) {
+      val base = version
+      val (rel, ps) = stage(batch)
+      writeManifest(readManifest() :+ (rel -> ps), base, withTxn(txn),
+        op = "append", stats = readStats() ++ stagedStats(rel, ps))
+    }
   }
 
   /** Keyed upsert: merge batch into its partitions' current rows, stage
@@ -774,19 +794,21 @@ final case class AtomicTable(spark: SparkSession, root: String,
              keys: Seq[String] = defaultKeys,
              txn: Option[(String, Long)] = None): Unit = {
     if (alreadyCommitted(txn)) return
-    val base = version
-    // one distinct+collect over the batch: the partition list serves
-    // both the existing-rows prune and the touched set (computing it
-    // twice re-ran the batch subtree — a whole extra Spark job per
-    // upsert, and upsert is the hottest commit verb)
-    val touched = batchParts(batch).toSet
-    val existing = read().filter(
-      col(partCol).isin(touched.toSeq.map(partType): _*))
-    val merged = Relational.upsert(existing, evolved(existing, batch), keys)
-    val (rel, ps) = stage(merged)
-    writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,
-      withTxn(txn), op = "upsert",
-      stats = readStats() ++ stagedStats(rel, ps))
+    withTinyCommit(Some(batch)) {
+      val base = version
+      // one distinct+collect over the batch: the partition list serves
+      // both the existing-rows prune and the touched set (computing it
+      // twice re-ran the batch subtree — a whole extra Spark job per
+      // upsert, and upsert is the hottest commit verb)
+      val touched = batchParts(batch).toSet
+      val existing = read().filter(
+        col(partCol).isin(touched.toSeq.map(partType): _*))
+      val merged = Relational.upsert(existing, evolved(existing, batch), keys)
+      val (rel, ps) = stage(merged)
+      writeManifest(without(readManifest(), touched) :+ (rel -> ps), base,
+        withTxn(txn), op = "upsert",
+        stats = readStats() ++ stagedStats(rel, ps))
+    }
   }
 
   /** Dynamic partition overwrite: replace the named partitions'
@@ -805,6 +827,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
                           txn: Option[(String, Long)] = None): Unit = {
     if (alreadyCommitted(txn)) return
     require(parts.nonEmpty, "overwritePartitions needs target partitions")
+    withTinyCommit(Some(rows)) {
     val base = version
     val stray = batchParts(rows).filterNot(parts.toSet)
     require(stray.isEmpty,
@@ -814,6 +837,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
       base, withTxn(txn), op = "overwrite",
       stats = readStats() ++ stagedStats(rel, ps))
+    }
   }
 
   /** Delete matching rows within the named partitions, with the
@@ -821,27 +845,29 @@ final case class AtomicTable(spark: SparkSession, root: String,
     * simply leave the manifest — no stale directory, no delete-then-
     * append window.
     */
-  def deleteWhere(parts: Seq[String], cond: Column): Long = {
-    val base = version
-    val touched = read().filter(
-      col(partCol).isin(parts.map(partType): _*))
-    val matched = coalesce(cond, lit(false))
-    val deleted = touched.filter(matched).count()
-    if (deleted > 0) {
-      val (rel, ps) = stage(touched.filter(!matched))
-      writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
-        base, readTxns(), op = "delete",
-        stats = readStats() ++ stagedStats(rel, ps))
+  def deleteWhere(parts: Seq[String], cond: Column): Long =
+    withTinyCommit(None) {
+      val base = version
+      val touched = read().filter(
+        col(partCol).isin(parts.map(partType): _*))
+      val matched = coalesce(cond, lit(false))
+      val deleted = touched.filter(matched).count()
+      if (deleted > 0) {
+        val (rel, ps) = stage(touched.filter(!matched))
+        writeManifest(without(readManifest(), parts.toSet) :+ (rel -> ps),
+          base, readTxns(), op = "delete",
+          stats = readStats() ++ stagedStats(rel, ps))
+      }
+      deleted
     }
-    deleted
-  }
 
   /** Compact the named partitions' fragments (all when empty) into one
     * fresh dir of few, bounded files — same commit protocol, so a crash
     * mid-compaction never loses rows.
     */
   def compact(parts: Seq[String] = Nil,
-              maxRecordsPerFile: Long = 1000000L): Unit = {
+              maxRecordsPerFile: Long = 1000000L): Unit =
+    withTinyCommit(None) {
     val base = version
     val all = read()
     val touched =
@@ -858,7 +884,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     writeManifest(without(readManifest(), touchedSet) :+ (rel -> ps),
       base, readTxns(), op = "compact",
       stats = readStats() ++ stagedStats(rel, ps))
-  }
+    }
 
   /** Re-cluster the whole table by [[statsCol]] into `nShards`
     * contiguous key ranges — one staged dir per range, all published in

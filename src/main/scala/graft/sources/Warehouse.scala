@@ -419,18 +419,28 @@ object Warehouse {
                    vecCol: String = "embedding",
                    failpoint: String => Unit = _ => (),
                    stream: String = "pq_delta",
-                   dedupIds: Boolean = false): Unit = {
+                   dedupIds: Boolean = false,
+                   knownNonEmpty: Boolean = false): Unit = {
     // A zero-row micro-batch (empty landing poll) has nothing to shard;
     // skipping it without a commit is replay-safe — the replayed batch
     // is empty again and skips again — and keeps init() from ever
-    // seeing an empty seed.
-    if (batch.isEmpty) return
+    // seeing an empty seed. Callers that already COUNTED the batch
+    // (the CDC sync gates every verb on one counting job) pass
+    // knownNonEmpty to skip re-running the batch subtree here.
+    if (!knownNonEmpty && batch.isEmpty) return
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     // resolve the version ONCE: model files and delta tables must come
     // from the SAME version, or a concurrent rebuild's pointer flip
     // could land old-model codes in the new version's tables
     val r = resolveIndexRoot(root)
+    // tiny-verb fast path (guide §2): a micro-batch delta shard's
+    // plans touch the index tree + the batch — AQE's per-stage jobs
+    // are pure overhead when both are provably small
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(r, cap) + Adaptive.planBytes(batch)
+    }) {
     val cents = readEmbeddingCentroids(r)
     val cb = readPqCodebooks(r)
     val cell = graft.pipelines.Similarity
@@ -482,7 +492,8 @@ object Warehouse {
     // commit completed before the flip) no shard is ever lost.
     if (resolveIndexRoot(root) != r)
       writePqDelta(batch, root, batchId, idCol, vecCol, failpoint,
-        stream, dedupIds)
+        stream, dedupIds, knownNonEmpty)
+    }
   }
 
   /** True iff the index at `root` has any committed streaming deltas. */
@@ -1155,6 +1166,11 @@ object Warehouse {
       if (pqTombstoneTable(spark, r, idCol = idCol)
             .lastCommittedBatch(stream).exists(_ >= batchId)) return 0L
     }
+    // tiny-verb fast path (guide §2): see [[Adaptive.withTinyPlan]]
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(r, cap) + Adaptive.planBytes(ids)
+    }) {
     // cells come from the committed (raw) view so the tombstone lands
     // in the partition every probe of that cell will read; an id held
     // in BOTH base and a delta shard (a re-append) yields two rows, so
@@ -1206,6 +1222,7 @@ object Warehouse {
     if (resolveIndexRoot(root) != r)
       deleteIdsFromPqIndex(spark, root, ids, idCol, txn)
     else n
+    }
   }
 
   /** Atomic in-place UPDATE of vectors in the persisted index: the
@@ -1268,6 +1285,25 @@ object Warehouse {
     txn.foreach { case (stream, batchId) =>
       if (t.lastCommittedBatch(stream).exists(_ >= batchId)) return 0L
     }
+    // tiny-verb fast path (guide §2): the update's plans are bounded
+    // by the index tree + the batch — when both are provably small,
+    // AQE's per-exchange stage jobs are pure driver overhead
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(r, cap) + Adaptive.planBytes(batch)
+    }) {
+    updateInPqIndexBody(spark, root, r, t, batch, idCol, vecCol, txn,
+      failpoint, batchUnique)
+    }
+  }
+
+  private def updateInPqIndexBody(spark: SparkSession, root: String,
+                                  r: String, t: AtomicTable,
+                                  batch: DataFrame, idCol: String,
+                                  vecCol: String,
+                                  txn: Option[(String, Long)],
+                                  failpoint: String => Unit,
+                                  batchUnique: Boolean): Long = {
     // persist the batch ONCE: it is referenced from three plan sites
     // (the dup guard, the _cur derivation's target-vector join, the
     // update frame itself), and for the CDC sync the batch is a
@@ -1993,6 +2029,14 @@ object Warehouse {
     // whole-table reconcile
     if (v0 == 0L && !src.hasData)
       return CdcSyncStats(v0, v0, 0L, 0L, 0L, 0L)
+    // tiny-window fast path (guide §2): everything a sync can touch is
+    // the two trees on disk — when both are provably small, AQE's
+    // per-exchange stage jobs dominate the window's wall clock
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(r, cap) +
+        Adaptive.dirBytesAtMost(src.root, cap)
+    }) {
     val feed =
       if (v0 == 0L) src.read().withColumn("change_type", lit("insert"))
       else src.changesBetween(v0, v1)
@@ -2001,11 +2045,6 @@ object Warehouse {
       feed.filter(col("change_type") === "insert")
         .select(rowCols.map(col): _*))
     try {
-      require(ins.groupBy(col(idCol)).count()
-          .filter(col("count") > 1).isEmpty,
-        s"source table must be keyed by $idCol — its change feed " +
-          "carries more than one insert row for some id")
-      profLap("sync:ins-persist+guard")
       val delIds0 = feed.filter(col("change_type") === "delete")
         .select(col(idCol)).distinct()
         .join(ins.select(col(idCol)), Seq(idCol), "left_anti")
@@ -2031,38 +2070,10 @@ object Warehouse {
       // index-sized shuffle or broadcast
       val insIds = ins.select(col(idCol))
       val marks = tombstoneMarks(spark, r, idCol)
-      val nRes = marks.map(m =>
+      val reinstated = marks.map(m =>
         m.filter(col("_upto") === Long.MaxValue).select(col(idCol))
-          .join(insIds, Seq(idCol), "left_semi").count())
-        .getOrElse(0L)
-      profLap("sync:nRes")
-      if (nRes > 0) {
-        if (onReinstate == "refuse")
-          throw new IllegalStateException(
-            s"$nRes table re-insert(s) of ids under a full takedown: " +
-              "takedown-wins keeps them dead until the index compacts " +
-              "(onReinstate = \"compact\" does it here, or run " +
-              "compactPqIndex and re-sync)")
-        // LOUD by design (r16 ADVICE): the auto-compaction absorbs a
-        // reinstate anomaly at O(live index) cost — the absorbed
-        // event must stay observable (count + a bounded id sample),
-        // or a recurring upstream bug hides behind recurring rebuild
-        // cost. This is the unattended CDC stream's default path.
-        val sample = marks.get
-          .filter(col("_upto") === Long.MaxValue).select(col(idCol))
-          .join(insIds, Seq(idCol), "left_semi")
-          .limit(20).collect().map(_.get(0)).mkString(", ")
-        System.err.println(
-          s"[cdc-sync] REINSTATE: $nRes id(s) re-inserted under a full " +
-            s"takedown (ids: $sample${if (nRes > 20) ", …" else ""}) — " +
-            s"auto-compacting $indexRoot (onReinstate=compact), then " +
-            "re-syncing")
-        compactPqIndex(spark, indexRoot, idCol, vecCol)
-        // the carried fence preserves v0; taken ids are now physically
-        // gone and unknown, so the re-derived sync appends them fresh
-        return syncIndexFromTable(spark, src, indexRoot, idCol, vecCol,
-          onReinstate, failpoint)
-      }
+          .join(insIds, Seq(idCol), "left_semi"))
+        .getOrElse(insIds.limit(0))
       // ids the index KNOWS (any committed copy — live or dead — or
       // any standing mark) take the update verb; never-seen ids take
       // the cheap no-mark append. Known-ness probes the NARROW codes
@@ -2095,17 +2106,52 @@ object Warehouse {
       // expensive enough that ONE cached evaluation beats the several
       // plan sites that reference it (gate count, verb, dedups)
       val changedP = graft.Caches.persist(changed)
-      // ONE action gates both verbs: the two gating counts run as one
-      // job (their subtrees execute as overlapping stages instead of
-      // two sequential driver round-trips)
-      val gateCounts = insNew.select(lit(1).as("_verb"))
+      // ONE action gates the whole window: the ins total (the
+      // `unchanged` stat), the keyed-source dup guard, the reinstate
+      // probe, and both verb counts run as one job — their subtrees
+      // execute as overlapping stages instead of five sequential
+      // driver round-trips (each of which re-paid job-submission and,
+      // under AQE, per-stage re-optimization latency)
+      val gateCounts = ins.select(lit(0).as("_verb"))
+        .unionAll(ins.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).select(lit(9).as("_verb")))
+        .unionAll(reinstated.select(lit(3).as("_verb")))
+        .unionAll(insNew.select(lit(1).as("_verb")))
         .unionAll(changedP.select(lit(2).as("_verb")))
         .groupBy(col("_verb")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(gateCounts.getOrElse(9, 0L) == 0L,
+        s"source table must be keyed by $idCol — its change feed " +
+          "carries more than one insert row for some id")
+      val nRes = gateCounts.getOrElse(3, 0L)
+      profLap("sync:gate")
+      if (nRes > 0) {
+        if (onReinstate == "refuse")
+          throw new IllegalStateException(
+            s"$nRes table re-insert(s) of ids under a full takedown: " +
+              "takedown-wins keeps them dead until the index compacts " +
+              "(onReinstate = \"compact\" does it here, or run " +
+              "compactPqIndex and re-sync)")
+        // LOUD by design (r16 ADVICE): the auto-compaction absorbs a
+        // reinstate anomaly at O(live index) cost — the absorbed
+        // event must stay observable (count + a bounded id sample),
+        // or a recurring upstream bug hides behind recurring rebuild
+        // cost. This is the unattended CDC stream's default path.
+        val sample = reinstated
+          .limit(20).collect().map(_.get(0)).mkString(", ")
+        System.err.println(
+          s"[cdc-sync] REINSTATE: $nRes id(s) re-inserted under a full " +
+            s"takedown (ids: $sample${if (nRes > 20) ", …" else ""}) — " +
+            s"auto-compacting $indexRoot (onReinstate=compact), then " +
+            "re-syncing")
+        compactPqIndex(spark, indexRoot, idCol, vecCol)
+        // the carried fence preserves v0; taken ids are now physically
+        // gone and unknown, so the re-derived sync appends them fresh
+        return syncIndexFromTable(spark, src, indexRoot, idCol, vecCol,
+          onReinstate, failpoint)
+      }
       val nIns = gateCounts.getOrElse(1, 0L)
-      profLap("sync:nIns")
       val nUpd = gateCounts.getOrElse(2, 0L)
-      profLap("sync:nUpd")
       failpoint("cdc_before_ins")
       // dedupIds: this verb's fence is the window-end table version,
       // which MOVES if the table commits between a mid-verb crash and
@@ -2113,7 +2159,8 @@ object Warehouse {
       // "no id is ever doubled" here (see writePqDelta's scaladoc)
       if (nIns > 0)
         writePqDelta(insNew, indexRoot, v1, idCol, vecCol, failpoint,
-          stream = s"$CdcFence#ins", dedupIds = true)
+          stream = s"$CdcFence#ins", dedupIds = true,
+          knownNonEmpty = true) // nIns counted by the gate job
       profLap("sync:ins-verb")
       failpoint("cdc_before_upd")
       if (nUpd > 0)
@@ -2140,12 +2187,14 @@ object Warehouse {
         t3.commitMarkOnly((CdcFence, v1))
       }
       {
+        // `unchanged` from the gate job's ins total — no extra action
         val r0 = CdcSyncStats(v0, v1, nIns, nUpd, nDel,
-          ins.count() - nIns - nUpd)
+          gateCounts.getOrElse(0, 0L) - nIns - nUpd)
         profLap("sync:fence+stats")
         r0
       }
     } finally ins.unpersist(blocking = false)
+    }
   }
 
   /** Reclaim SUPERSEDED index version directories — the disk half of
