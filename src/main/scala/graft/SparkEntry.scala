@@ -3044,24 +3044,52 @@ object SparkEntry {
         keyed.groupBy("key").agg(min(col("doc_id")).as("id"))
           .select(col("id"), col("key")))
       val recsP = recs.withColumn("block", substring(col("key"), 1, 4))
+      val recsS = recs.withColumn("block", substring(col("key"), -4, 4))
+      // the dual blocking's PREFIX member is byte-identical to the
+      // single-blocked oracle (erBlockKeys(0) = the prefix-4 block):
+      // run each blocked all-pairs join ONCE and take the dual truth
+      // as prefix ∪ suffix, instead of re-running the prefix join
+      // inside fuzzyMatchPairsMultiBlock — 2 exact joins, not 3
       val exact = graft.Caches.persist(
         pipelines.TextAnalysis.fuzzyMatchPairs(recsP, maxDist = 8))
       val exactDb = graft.Caches.persist(
-        pipelines.TextAnalysis.fuzzyMatchPairsMultiBlock(recs,
-          maxDist = 8, SparkEntry.erBlockKeys))
-      val perWindow = Seq(8, 16, 32).map { w =>
-        pipelines.TextAnalysis.sortedNeighborPairsMultiPass(recsP,
-            maxDist = 8, window = w, SparkEntry.snmPassKeys)
-          .agg(count(lit(1)).as("n_snm_mp"))
-          .crossJoin(pipelines.TextAnalysis.sortedNeighborPairsMultiBlock(
-              recs, maxDist = 8, window = w, SparkEntry.snmPassKeys,
-              SparkEntry.erBlockKeys)
-            .agg(count(lit(1)).as("n_snm_db")))
-          .withColumn("win", lit(w.toLong))
-      }.reduce(_.unionByName(_))
-      perWindow
+        exact.unionByName(
+            pipelines.TextAnalysis.fuzzyMatchPairs(recsS, maxDist = 8))
+          .dropDuplicates("id_a", "id_b"))
+      // SNM window sweep from ONE max-window evaluation per blocking
+      // (guide §1.2: don't recompute what a wider pass already holds):
+      // window-w membership is `_gap ≤ w` over the pass-minimal gap —
+      // pair sets nest in w (snmMinGapPairs scaladoc) — so the whole
+      // 3-window × 2-blocking grid counts two cached frames instead
+      // of re-running 27 full SNM pass joins. The dual-blocked set's
+      // prefix passes are the multi-pass run itself (same blocking,
+      // same pass keys), so its min-gap frame reuses mpGap.
+      val mpGap = graft.Caches.persist(
+        pipelines.TextAnalysis.snmMinGapPairs(recsP, maxDist = 8,
+          window = 32, SparkEntry.snmPassKeys))
+      val dbGap = graft.Caches.persist(
+        mpGap.unionByName(
+            pipelines.TextAnalysis.snmMinGapPairs(recsS, maxDist = 8,
+              window = 32, SparkEntry.snmPassKeys))
+          .groupBy("id_a", "id_b").agg(min(col("_gap")).as("_gap")))
+      def winCounts(gaps: DataFrame, pre: String) = {
+        val aggs = Seq(8, 16, 32).map(w =>
+          count(when(col("_gap") <= w, lit(1))).as(s"$pre$w"))
+        gaps.agg(aggs.head, aggs.tail: _*)
+      }
+      val perWindow = winCounts(mpGap, "_mp")
+        .crossJoin(winCounts(dbGap, "_db"))
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .crossJoin(broadcast(exactDb.agg(count(lit(1)).as("n_exact_db"))))
+        .select(explode(array(Seq(8, 16, 32).map(w => struct(
+            lit(w.toLong).as("win"),
+            col(s"_mp$w").as("n_snm_mp"),
+            col(s"_db$w").as("n_snm_db"))): _*)).as("_w"),
+          col("n_exact"), col("n_exact_db"))
+        .select(col("_w.win").as("win"), col("n_exact"),
+          col("n_exact_db"), col("_w.n_snm_mp").as("n_snm_mp"),
+          col("_w.n_snm_db").as("n_snm_db"))
+      perWindow
         .select(col("win"), col("n_exact"), col("n_exact_db"),
           col("n_snm_mp"),
           // a corpus with no exact pairs has a defined recall of 0 —

@@ -1465,7 +1465,18 @@ object TextAnalysis {
   }
 
   private def snmPass(records: DataFrame, maxDist: Int,
-                      window: Int, passKey: Column): DataFrame = {
+                      window: Int, passKey: Column): DataFrame =
+    snmPassGap(records, maxDist, window, passKey).drop("_gap")
+
+  /** One SNM pass KEEPING the sort-rank gap (`_gap` = how many rows
+    * apart the pair sorted under this pass's ordering, 1..window).
+    * Window-w pair sets NEST in w — a window-w pass is exactly the
+    * gap ≤ w slice of a wider pass — which is what lets a window
+    * sweep run ONE max-window pass instead of one full pass per
+    * window (see [[snmMinGapPairs]]).
+    */
+  private def snmPassGap(records: DataFrame, maxDist: Int,
+                         window: Int, passKey: Column): DataFrame = {
     require(window > 0, "window must be positive")
     val ranked = graft.operators.Relational.globalRanks(
       records.withColumn("_pk", passKey),
@@ -1486,7 +1497,28 @@ object TextAnalysis {
         levenshtein(col("key_l"), col("key_r"), maxDist))
       .filter(col("dist") >= 0)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"),
+        (col("_rb") - col("_ra")).as("_gap"))
+  }
+
+  /** Pass-minimal sort-rank gap per surviving pair — the window-sweep
+    * form of [[sortedNeighborPairsMultiPass]]. A pair belongs to the
+    * multi-pass window-w set iff SOME pass sorts it within w rows,
+    * i.e. iff its minimum gap over the passes is ≤ w (the edit
+    * distance is pass-independent, so the per-pass dist filter keeps
+    * the same pairs under every ordering). Running ONE evaluation at
+    * the LARGEST window of interest therefore answers every smaller
+    * window as a plain `_gap ≤ w` count over this frame, instead of
+    * re-running passes × windows full SNM joins — the recall-dial
+    * sweep (t41) drops from one full multi-pass run per window to one
+    * per blocking. Returns (id_a, id_b, _gap).
+    */
+  def snmMinGapPairs(records: DataFrame, maxDist: Int, window: Int,
+                     passKeys: Seq[Column]): DataFrame = {
+    require(passKeys.nonEmpty, "need at least one pass key")
+    passKeys.map(snmPassGap(records, maxDist, window, _))
+      .reduce(_.unionByName(_))
+      .groupBy("id_a", "id_b").agg(min(col("_gap")).as("_gap"))
   }
 
   /** Token-budget waterfill: allocate a training-token budget across

@@ -74,6 +74,43 @@ object Adaptive {
 
   private val AqeKey = "spark.sql.adaptive.enabled"
 
+  /** Target bytes per shuffle partition for stateful streams (state
+    * stores scale 1:1 with shuffle partitions). Default 64 MB — the
+    * AQE advisory-partition scale AQE itself cannot apply here,
+    * because stateful streaming disables it.
+    */
+  def streamPartitionBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.stream.partitionBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+
+  /** Session for a stateful micro-batch stream reading a landing
+    * DIRECTORY: `spark.sql.shuffle.partitions` — which for a stateful
+    * operator is also the STATE STORE count, each store paying a
+    * per-micro-batch checkpoint commit — derived from the landing's
+    * on-disk bytes instead of the session constant (guide §2:
+    * partition count follows data size; AQE cannot do this for
+    * stateful streams, where it is disabled). A KB-scale landing gets
+    * 1 store instead of one per core (measured: st1_stream_ingest ran
+    * 2.2× FASTER on 8 cores than 32 purely from 8 vs 32 state-store
+    * commits); a landing big enough to fill the session's partition
+    * count keeps the session untouched. Child session: same
+    * SparkContext and builder confs, so the tuning never leaks into
+    * the caller's session, and a resumed checkpoint keeps its own
+    * pinned count regardless.
+    */
+  def streamSession(spark: SparkSession, landingDir: String): SparkSession = {
+    val cur = spark.sessionState.conf.numShufflePartitions
+    val per = streamPartitionBytes(spark)
+    val bytes = dirBytesAtMost(landingDir, per.toLong * cur)
+    val k = math.max(1L, math.min(cur.toLong, (bytes + per - 1) / per)).toInt
+    if (k >= cur) spark
+    else {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", k.toString)
+      ss
+    }
+  }
+
   /** Run `f` with AQE disabled iff `approxBytes` (evaluated lazily —
     * skipped entirely when AQE is already off, e.g. a verb nested
     * inside an already-gated sync) stays under [[minBytes]]. The conf

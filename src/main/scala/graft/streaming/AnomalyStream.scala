@@ -125,7 +125,8 @@ object AnomalyStream {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    val reader = spark.readStream.schema(IndicatorStream.tickSchema)
+    val ss = graft.sources.Adaptive.streamSession(spark, landingDir)
+    val reader = ss.readStream.schema(IndicatorStream.tickSchema)
     val bounded = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     barAnomRows(bounded.parquet(landingDir).as[IndicatorStream.Tick],

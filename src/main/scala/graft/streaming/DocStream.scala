@@ -143,7 +143,8 @@ object DocStream {
             trigger: Trigger = Trigger.ProcessingTime("15 seconds"),
             watermark: String = "1 hour"): StreamingQuery =
     dedupeByContent(
-        spark.readStream.schema(docSchema).parquet(landingDir), watermark)
+        graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(docSchema).parquet(landingDir), watermark)
       .writeStream
       .format("parquet")
       .option("path", tableDir)
@@ -188,7 +189,8 @@ object DocStream {
                          watermark: String = "1 hour",
                          minWords: Int = 50,
                          minStopHits: Int = 2): StreamingQuery =
-    curate(spark.readStream.schema(docSchema).parquet(landingDir),
+    curate(graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(docSchema).parquet(landingDir),
         watermark, minWords, minStopHits)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -273,7 +275,8 @@ object DocStream {
       : StreamingQuery =
     capPerDomainStream(
         // deliberately NO .option("maxFilesPerTrigger", ...): see above
-        spark.readStream.schema(domainDocSchema).parquet(landingDir),
+        graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(domainDocSchema).parquet(landingDir),
         maxDocs)
       .writeStream
       .format("parquet")

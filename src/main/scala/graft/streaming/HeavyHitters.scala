@@ -149,7 +149,8 @@ object HeavyHitters {
             d: Int = 4, w: Int = 1024,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     heavyHitterRows(
-        spark.readStream.schema(itemSchema).parquet(landingDir),
+        graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(itemSchema).parquet(landingDir),
         shards, cap, d, w)
       .writeStream
       .format("parquet")

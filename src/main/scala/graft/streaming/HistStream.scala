@@ -62,7 +62,8 @@ object HistStream {
             windowDur: String = "1 day",
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     binRows(
-        spark.readStream.schema(valueSchema).parquet(landingDir),
+        graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(valueSchema).parquet(landingDir),
         lo, hi, bins, windowDur)
       .writeStream
       .format("parquet")

@@ -81,7 +81,8 @@ object HllStream {
             checkpointDir: String, shards: Int = 8, p: Int = 8,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     hllRows(
-        spark.readStream.schema(HeavyHitters.itemSchema)
+        graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(HeavyHitters.itemSchema)
           .parquet(landingDir),
         shards, p)
       .writeStream

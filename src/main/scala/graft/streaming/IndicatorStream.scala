@@ -139,7 +139,8 @@ object IndicatorStream {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    val reader = spark.readStream.schema(tickSchema)
+    val ss = graft.sources.Adaptive.streamSession(spark, landingDir)
+    val reader = ss.readStream.schema(tickSchema)
     val bounded = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     barEmaRows(bounded.parquet(landingDir).as[Tick], span, barSec,

@@ -59,10 +59,16 @@ object IntervalJoinStream {
             sinkDir: String, checkpointDir: String, windowSec: Long,
             watermarkDelay: String = "30 days",
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    joinedPairs(
-        spark.readStream.schema(eventSchema).parquet(eventsDir),
-        spark.readStream.schema(impulseSchema).parquet(impulsesDir),
+    {
+      // both sources must come from ONE session (the join is planned
+      // on it); the events landing dominates the pair volume, so it
+      // sizes the state-store count
+      val ss = graft.sources.Adaptive.streamSession(spark, eventsDir)
+      joinedPairs(
+        ss.readStream.schema(eventSchema).parquet(eventsDir),
+        ss.readStream.schema(impulseSchema).parquet(impulsesDir),
         windowSec, watermarkDelay)
+    }
       .writeStream
       .format("parquet")
       .option("path", sinkDir)

@@ -44,8 +44,15 @@ object PriceStream {
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("15 seconds"),
             watermark: String = "1 hour")
-      : StreamingQuery =
-    dedupe(spark.readStream.schema(priceSchema).parquet(landingDir),
+      : StreamingQuery = {
+    // data-proportional state-store count (guide §2): the stateful
+    // dedup runs one state store per shuffle partition, each paying a
+    // per-micro-batch checkpoint commit — size the count to the
+    // landing's bytes instead of the session constant (AQE can't:
+    // it is disabled for stateful streams). Same rows out — dedup is
+    // partition-count-invariant — so only the overhead moves.
+    val ss = graft.sources.Adaptive.streamSession(spark, landingDir)
+    dedupe(ss.readStream.schema(priceSchema).parquet(landingDir),
         watermark)
       .writeStream
       .format("parquet")
@@ -53,6 +60,7 @@ object PriceStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** Windowed per-symbol OHLC-style aggregate over the stream — the
     * streaming generalization of the reference's quote-refresh loop:

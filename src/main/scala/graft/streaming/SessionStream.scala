@@ -51,7 +51,8 @@ object SessionStream {
             checkpointDir: String, gapSec: Long,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     sessionRows(
-        spark.readStream.schema(eventSchema).parquet(landingDir),
+        graft.sources.Adaptive.streamSession(spark, landingDir)
+          .readStream.schema(eventSchema).parquet(landingDir),
         gapSec)
       .writeStream
       .format("parquet")

@@ -850,6 +850,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("snmMinGapPairs: the gap ≤ w slice of ONE max-window evaluation " +
+    "equals the full multi-pass run at window w, for every w — the " +
+    "nesting t41's window sweep rides on") {
+    // same fixture as the multi-pass test: a prefix-typo pair only the
+    // reversed-key pass sees, plus spacers so windows actually bind
+    val spacers = (10L to 30L).map(i => (i, "blk1", f"blk1-m$i%02d-spacer"))
+    val recs = (Seq(
+      (1L, "blk1", "aaaa-victim-key"),
+      (2L, "blk1", "zaaa-victim-key")) ++ spacers)
+      .toDF("id", "block", "key")
+    val passes = Seq(col("key"), reverse(col("key")),
+      array_join(array_sort(split(col("key"), "")), ""))
+    val gaps = TextAnalysis
+      .snmMinGapPairs(recs, maxDist = 2, window = 8, passes)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gaps.map(g => (g._1, g._2)).distinct.size === gaps.size,
+      "one row per pair")
+    for (w <- Seq(1, 3, 8)) {
+      val slice = gaps.filter(_._3 <= w).map(g => (g._1, g._2)).toSet
+      val full = TextAnalysis
+        .sortedNeighborPairsMultiPass(recs, maxDist = 2, window = w,
+          passes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(slice === full, s"window $w slice must equal the full run")
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("multi-block fuzzy ER: a typo inside the block key is invisible " +
     "to single blocking — exact and SNM alike — and recovered by the " +
     "orthogonal suffix block; dual-visible pairs still report once") {
