@@ -18,6 +18,8 @@ object ProfSt19 {
         sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("GRAFT_WSCG", "true"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CGCACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val s = spark

@@ -111,19 +111,35 @@ object Adaptive {
     }
   }
 
-  /** Run `f` with AQE disabled iff `approxBytes` (evaluated lazily —
-    * skipped entirely when AQE is already off, e.g. a verb nested
-    * inside an already-gated sync) stays under [[minBytes]]. The conf
-    * flip is restored in a finally; plans executed inside `f` read the
-    * session conf at execution time, so frames BUILT outside and run
-    * inside are covered too.
+  private val ShufKey = "spark.sql.shuffle.partitions"
+
+  /** Run `f` with AQE disabled and `spark.sql.shuffle.partitions`
+    * scaled to the input (one partition per 32 MB, floor 1) iff
+    * `approxBytes` (evaluated lazily — skipped entirely when AQE is
+    * already off, e.g. a verb nested inside an already-gated sync)
+    * stays under [[minBytes]]. Both knobs follow the same guide-§2
+    * rule — partitioning follows DATA SIZE: below the threshold every
+    * shuffle inside the verb fits a handful of in-memory partitions,
+    * so per-stage jobs (AQE) and per-task dispatch (a full session's
+    * worth of shuffle tasks per exchange) are pure overhead. The conf
+    * flips are restored in a finally; plans executed inside `f` read
+    * the session conf at execution time, so frames BUILT outside and
+    * run inside are covered too.
     */
   def withTinyPlan[A](spark: SparkSession, approxBytes: => Long)(f: => A): A = {
     val prev = spark.conf.getOption(AqeKey).getOrElse("true")
-    if (prev == "false" || approxBytes >= minBytes(spark)) f
+    val bytes = if (prev == "false") Long.MaxValue else approxBytes
+    if (bytes >= minBytes(spark)) f
     else {
+      val prevShuf = spark.conf.getOption(ShufKey).getOrElse("200")
+      val k = math.max(1L, bytes / (32L * 1024 * 1024) + 1)
+        .min(prevShuf.toLong)
       spark.conf.set(AqeKey, "false")
-      try f finally spark.conf.set(AqeKey, prev)
+      spark.conf.set(ShufKey, k.toString)
+      try f finally {
+        spark.conf.set(AqeKey, prev)
+        spark.conf.set(ShufKey, prevShuf)
+      }
     }
   }
 }

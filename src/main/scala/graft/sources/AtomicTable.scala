@@ -906,6 +906,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
     val c = statsCol.getOrElse(sys.error(
       s"clusterByStats requires a statsCol on the table at $root"))
     require(nShards > 1, s"need at least 2 shards, got $nShards")
+    withTinyCommit(None) {
     val base = version
     val all = read()
     val probs = (1 until nShards).map(_.toDouble / nShards).toArray
@@ -926,6 +927,7 @@ final case class AtomicTable(spark: SparkSession, root: String,
       stats = staged.flatMap { case (rel, ps) =>
         stagedStats(rel, ps)
       }.toMap)
+    }
   }
 
   /** Reclaim data dirs no retained manifest references (retired by

@@ -547,6 +547,10 @@ object Warehouse {
     // '#' joins salt and id in the shard hash; a salt containing '#'
     // would make that concatenation ambiguous across (salt, id) splits
     require(!salt.contains("#"), "snapshot salt must not contain '#'")
+    // tiny-handoff fast path (guide §2): everything the export scans
+    // is the pinned table tree — see [[Adaptive.withTinyPlan]]
+    Adaptive.withTinyPlan(spark,
+      Adaptive.dirBytesAtMost(tbl.root, Adaptive.minBytes(spark))) {
     val snap = tbl.readVersion(version)
     snap.withColumn("shard",
         graft.functions.MarketFunctions.md5Hash60(
@@ -578,6 +582,7 @@ object Warehouse {
         s"""{"shard":$sh,"n_rows":$n,"content_xor":$x}"""
       }.mkString("", "\n", "\n"))
     rows.toDF("shard", "n_rows", "content_xor")
+    }
   }
 
   /** The other half of the trainer handoff: verify an
@@ -608,6 +613,13 @@ object Warehouse {
                      schema: org.apache.spark.sql.types.StructType,
                      canon: Column): Long = {
     import spark.implicits._
+    // tiny-handoff fast path: the verify + restore scans are bounded
+    // by the export dir and the destination tree
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(exportDir, cap) +
+        Adaptive.dirBytesAtMost(dest.root, cap)
+    }) {
     val mf = java.nio.file.Paths.get(s"$exportDir/_MANIFEST.json")
     require(java.nio.file.Files.exists(mf),
       s"no _MANIFEST.json under $exportDir — not an exportSnapshot dir")
@@ -647,6 +659,7 @@ object Warehouse {
       dest.init(files.drop("shard"))
       wantRows
     }
+    }
   }
 
   /** Incremental trainer handoff: export only what CHANGED between two
@@ -674,6 +687,10 @@ object Warehouse {
                           canon: Column): DataFrame = {
     require(shards > 0, "shards must be positive")
     require(!salt.contains("#"), "snapshot salt must not contain '#'")
+    // tiny-handoff fast path: the delta and both endpoint scans are
+    // bounded by the table tree
+    Adaptive.withTinyPlan(spark,
+      Adaptive.dirBytesAtMost(tbl.root, Adaptive.minBytes(spark))) {
     val delta = tbl.changesBetween(v1, v2)
     delta.withColumn("shard",
         graft.functions.MarketFunctions.md5Hash60(
@@ -711,6 +728,7 @@ object Warehouse {
             s""""n_rows":$n,"content_xor":$x}"""
         }).mkString("", "\n", "\n"))
     rows.toDF("shard", "change_type", "n_rows", "content_xor")
+    }
   }
 
   /** Apply a verified [[exportSnapshotDelta]] directory to a restored
@@ -773,6 +791,13 @@ object Warehouse {
       }
     val withCt = schema.add("change_type",
       org.apache.spark.sql.types.StringType)
+    // tiny-handoff fast path: verify + apply scan only the delta dir
+    // and the destination tree
+    Adaptive.withTinyPlan(spark, {
+      val cap = Adaptive.minBytes(spark)
+      Adaptive.dirBytesAtMost(deltaDir, cap) +
+        Adaptive.dirBytesAtMost(dest.root, cap)
+    }) {
     val files = spark.read.schema(withCt).json(deltaDir)
     val got = files.withColumn("_fp", canon)
       .groupBy(col("shard").cast("long").as("shard"), col("change_type"))
@@ -854,6 +879,7 @@ object Warehouse {
     if (nDel + nIns == 0) return 0L
     dest.overwritePartitions(touched, kept.unionByName(fresh))
     nDel + nIns
+    }
   }
 
   // ---- index snapshot handoff (n30) ---------------------------------
@@ -1611,6 +1637,8 @@ object Warehouse {
     // published nothing; re-read and fold again — the appended shard
     // simply joins the merge. Bounded so a pathological append storm
     // surfaces instead of spinning.
+    Adaptive.withTinyPlan(spark,
+      Adaptive.dirBytesAtMost(root, Adaptive.minBytes(spark))) {
     AtomicTable.retryOnConflict(attempts) {
       val emb = pqDeltaEmbTable(spark, root, failpoint)
       val codes = pqDeltaCodeTable(spark, root, failpoint)
@@ -1621,6 +1649,7 @@ object Warehouse {
         codes.compact()
         folded
       }
+    }
     }
 
   /** Staleness alarm for the frozen-model index: PSI of the
@@ -1704,6 +1733,10 @@ object Warehouse {
                        trainIters: Int = 2,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Option[String] = {
+    // tiny-index fast path: drift report, retrain, and rebuild are
+    // all bounded by the index tree
+    Adaptive.withTinyPlan(spark,
+      Adaptive.dirBytesAtMost(root, Adaptive.minBytes(spark))) {
     // heal a predecessor that crashed between its flip and its sweep
     sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
     if (!hasPqDeltas(spark, root)) return None
@@ -1736,6 +1769,7 @@ object Warehouse {
       sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
       Some(next)
     } finally corpus.unpersist(blocking = false)
+    }
   }
 
   /** Next version = max existing v<N> + 1, claimed by EXCLUSIVE
@@ -1796,6 +1830,10 @@ object Warehouse {
   def compactPqIndex(spark: SparkSession, root: String,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): String = {
+    // tiny-index fast path (guide §2): the whole rebuild is bounded
+    // by the index tree — see [[Adaptive.withTinyPlan]]
+    Adaptive.withTinyPlan(spark,
+      Adaptive.dirBytesAtMost(root, Adaptive.minBytes(spark))) {
     // heal a predecessor that crashed between its flip and its sweep
     sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
     val cents = readEmbeddingCentroids(root)
@@ -1816,6 +1854,7 @@ object Warehouse {
       sweepSupersededIndexDeltas(spark, root, idCol, vecCol)
       next
     } finally corpus.unpersist(blocking = false)
+    }
   }
 
   /** Carry every per-stream replay fence from the serving version's
@@ -1851,11 +1890,15 @@ object Warehouse {
     * cheap enough to run per micro-batch at any index size.
     */
   def pqIndexDeadFraction(spark: SparkSession, root: String,
-                          idCol: String = "vec_id"): Double = {
-    val all = readPqCodesAll(spark, root).count()
-    if (all == 0L) 0.0
-    else 1.0 - readPqCodesLive(spark, root, idCol).count().toDouble / all
-  }
+                          idCol: String = "vec_id"): Double =
+    // runs per micro-batch in the auto-compact stream: the two counts
+    // scan only the narrow codes tables — tiny-index fast path applies
+    Adaptive.withTinyPlan(spark,
+      Adaptive.dirBytesAtMost(root, Adaptive.minBytes(spark))) {
+      val all = readPqCodesAll(spark, root).count()
+      if (all == 0L) 0.0
+      else 1.0 - readPqCodesLive(spark, root, idCol).count().toDouble / all
+    }
 
   /** [[compactPqIndex]] iff the dead fraction exceeds `maxDead` — the
     * maintenance-loop form of the reclaim. Needs NO replay fence: the
