@@ -1288,16 +1288,6 @@ object Warehouse {
     * schema (id, vector, metadata columns). Returns the number of ids
     * whose update became visible.
     */
-  // TEMPORARY r17 profiling lap (remove before commit)
-  private var profLast = System.nanoTime()
-  private[graft] def profLap(name: String): Unit =
-    if (sys.env.contains("GRAFT_PROF")) {
-      val now = System.nanoTime()
-      System.err.println(
-        f"[wlap] $name%-30s ${(now - profLast) / 1e9}%7.2f s")
-      profLast = now
-    }
-
   def updateInPqIndex(spark: SparkSession, root: String,
                       batch: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding",
@@ -1335,7 +1325,6 @@ object Warehouse {
     // update frame itself), and for the CDC sync the batch is a
     // change-feed subtree expensive enough that re-evaluating it per
     // reference dominates the verb's wall
-    profLap("upd:enter")
     // persist the batch ONCE (it is referenced from several plan
     // sites); skip when the caller already persisted it — the CDC
     // sync hands in its cached change-feed anti-join, and a second
@@ -1348,7 +1337,6 @@ object Warehouse {
       require(b.groupBy(col(idCol)).count()
           .filter(col("count") > 1).isEmpty,
         "update batch must carry exactly one row per id")
-    profLap("upd:persist+dupguard")
     graft.expressions.GraftFunctions.register(spark)
     val cents = readEmbeddingCentroids(r)
     val cb = readPqCodebooks(r)
@@ -1426,7 +1414,6 @@ object Warehouse {
     val upd = graft.Caches.persist(
       taken.fold(upd0)(p => upd0.join(p, Seq(idCol), "left_anti")))
     val n = upd.count()
-    profLap("upd:updcount")
     if (n > 0) {
       val embRows0 = upd.withColumn("cell", cell)
         .withColumn("_seq", col("_cur") + 1L).drop("_cur")
@@ -1468,23 +1455,19 @@ object Warehouse {
           Seq(idCol, "_seq"), "left_anti")
       val embRows = dedupBySeq(embRows0, emb)
       val codeRows = dedupBySeq(codeRows0, codes)
-      profLap("upd:dedup-built")
       // vectors, then codes, then the mark flip — each fenced; the
       // serve is codes-driven and the codes are seq-gated, so every
       // intermediate crash state serves whole-old
       if (emb.version == 0L) emb.init(embRows, txn)
       else emb.append(embRows, txn)
-      profLap("upd:emb-append")
       failpoint("update_between_emb_codes")
       if (codes.version == 0L) codes.init(codeRows, txn)
       else codes.append(codeRows, txn)
-      profLap("upd:codes-append")
       failpoint("update_before_flip")
       val markRows = upd.withColumn("cell", cell)
         .select(col(idCol), col("cell"), col("_cur").as("upto"))
       if (!t.hasData) t.init(markRows, txn)
       else t.upsert(markRows, txn = txn)
-      profLap("upd:mark-upsert")
     } else if (txn.nonEmpty) {
       // every id under takedown (or an empty batch): advance the mark
       // so the fence recognizes the replay — mark-only manifest
@@ -2083,7 +2066,6 @@ object Warehouse {
     val feed =
       if (v0 == 0L) src.read().withColumn("change_type", lit("insert"))
       else src.changesBetween(v0, v1)
-    profLap("sync:enter")
     val ins = graft.Caches.persist(
       feed.filter(col("change_type") === "insert")
         .select(rowCols.map(col): _*))
@@ -2167,7 +2149,6 @@ object Warehouse {
         s"source table must be keyed by $idCol — its change feed " +
           "carries more than one insert row for some id")
       val nRes = gateCounts.getOrElse(3, 0L)
-      profLap("sync:gate")
       if (nRes > 0) {
         if (onReinstate == "refuse")
           throw new IllegalStateException(
@@ -2204,17 +2185,14 @@ object Warehouse {
         writePqDelta(insNew, indexRoot, v1, idCol, vecCol, failpoint,
           stream = s"$CdcFence#ins", dedupIds = true,
           knownNonEmpty = true) // nIns counted by the gate job
-      profLap("sync:ins-verb")
       failpoint("cdc_before_upd")
       if (nUpd > 0)
         updateInPqIndex(spark, indexRoot, changedP, idCol, vecCol,
           txn = Some((s"$CdcFence#upd", v1)), failpoint = failpoint,
           batchUnique = true) // ins dup-guarded above; changed ⊆ ins
-      profLap("sync:upd-verb")
       failpoint("cdc_before_del")
       val nDel = deleteIdsFromPqIndex(spark, indexRoot, delIds, idCol,
         txn = Some((s"$CdcFence#del", v1)))
-      profLap("sync:del-verb")
       failpoint("cdc_before_fence")
       // master fence LAST, mark-only: it witnesses the whole window
       val t2 = pqTombstoneTable(spark, resolveIndexRoot(indexRoot),
@@ -2233,7 +2211,6 @@ object Warehouse {
         // `unchanged` from the gate job's ins total — no extra action
         val r0 = CdcSyncStats(v0, v1, nIns, nUpd, nDel,
           gateCounts.getOrElse(0, 0L) - nIns - nUpd)
-        profLap("sync:fence+stats")
         r0
       }
     } finally ins.unpersist(blocking = false)
